@@ -1,0 +1,65 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Per-query timing includes full execution to a count() action (result
+materialization without driver-side collection). A warmup query runs first so
+JVM/codegen startup isn't billed to the first headline query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_parent_spark.queries.catalog import all_queries  # noqa: E402
+from flink_parent_spark.session import get_spark  # noqa: E402
+
+# Headline set: representative of each operator family; kept stable across
+# rounds so BENCH_r{N}.json files are comparable.
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q9",
+    "tpch_q13",
+    "tpch_q18",
+    "tpch_q21",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    spark = get_spark("bench")
+    qs = all_queries()
+
+    # Warmup: touch the tables + JIT the common path (not billed).
+    qs["tpch_q6"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "headline_query_wall_time_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

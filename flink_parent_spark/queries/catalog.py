@@ -1,0 +1,15 @@
+"""Assembles the full query catalog (imports register into the registry)."""
+
+from __future__ import annotations
+
+import flink_parent_spark.queries.tpch  # noqa: F401
+
+from flink_parent_spark.queries.registry import ORACLES, QUERIES
+
+
+def all_queries():
+    return dict(QUERIES)
+
+
+def all_oracles():
+    return dict(ORACLES)

@@ -1,0 +1,397 @@
+"""TPC-H-adapted batch SQL queries over the fixture star schema.
+
+Mirrors the reference's end-to-end TPC-H correctness harness
+(flink-end-to-end-tests/flink-tpch-test, test-scripts/test_tpch.sh) — the same
+relational shapes (scan→filter→join→agg→sort→limit), adapted to the driver's
+fixture schema (no partsupp table; no l_shipmode/l_commitdate columns; nations
+named NATION_0..24). Each query is written in the Spark/DuckDB-common dialect
+and used verbatim as its own oracle.
+
+Execution notes (100 TB thinking):
+- region/nation/supplier/part are broadcast-size dims; Catalyst broadcasts
+  them automatically (verified in .explain) so the only shuffles left are the
+  lineitem-orders-customer joins and the final aggregations.
+- Aggregates use the decimal-sum contract from registry.py so results are
+  bit-identical regardless of partitioning/summation order.
+"""
+
+from __future__ import annotations
+
+from flink_parent_spark.queries.registry import davg, dsum, sql_query
+
+# --- Q1: pricing summary (full scan, wide agg, map-side partial agg) --------
+sql_query(
+    "tpch_q1",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum('l_quantity', 'sum_qty')},
+           {dsum('l_extendedprice', 'sum_base_price')},
+           {dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+           {davg('l_quantity', 'avg_qty')},
+           {davg('l_extendedprice', 'avg_price')},
+           {davg('l_discount', 'avg_disc', s=8)},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+
+# --- Q3: shipping priority (3-way join, agg, top-10) ------------------------
+sql_query(
+    "tpch_q3",
+    f"""
+    SELECT l_orderkey,
+           {dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+           o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+
+# --- Q4: order priority checking (EXISTS semi-join) -------------------------
+sql_query(
+    "tpch_q4",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL '30' DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+
+# --- Q5: local supplier volume (6-way join incl. broadcast dims) ------------
+sql_query(
+    "tpch_q5",
+    f"""
+    SELECT n_name,
+           {dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+
+# --- Q6: forecast revenue change (pure scan+filter+agg; pushdown check) -----
+sql_query(
+    "tpch_q6",
+    f"""
+    SELECT {dsum('l_extendedprice * l_discount', 'revenue')}
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+
+# --- Q7: volume shipping between two nations (self-aliased dim join) --------
+sql_query(
+    "tpch_q7",
+    f"""
+    SELECT supp_nation, cust_nation, l_year, {dsum('volume', 'revenue')}
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             EXTRACT(YEAR FROM l_shipdate) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey
+        AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey
+        AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                           AND TIMESTAMP '1998-12-31 00:00:00'
+    ) AS shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+
+# --- Q8: market share (conditional agg ratio) -------------------------------
+sql_query(
+    "tpch_q8",
+    f"""
+    SELECT o_year,
+           CAST(SUM(CAST(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END
+                         AS DECIMAL(30,6))) AS DOUBLE)
+           / CAST(SUM(CAST(volume AS DECIMAL(30,6))) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+      WHERE p_partkey = l_partkey
+        AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey
+        AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey
+        AND n1.n_regionkey = r_regionkey
+        AND r_name = 'AMERICA'
+        AND s_nationkey = n2.n_nationkey
+        AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                            AND TIMESTAMP '1996-12-31 00:00:00'
+        AND p_type = 'ECONOMY'
+    ) AS all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+
+# --- Q9: product-type profit (LIKE filter; cost proxy for missing partsupp) -
+sql_query(
+    "tpch_q9",
+    f"""
+    SELECT nation, o_year, {dsum('amount', 'sum_profit')}
+    FROM (
+      SELECT n_name AS nation,
+             EXTRACT(YEAR FROM o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) - p_retailprice * 0.6 * l_quantity AS amount
+      FROM part, supplier, lineitem, orders, nation
+      WHERE s_suppkey = l_suppkey
+        AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey
+        AND s_nationkey = n_nationkey
+        AND p_name LIKE '%a%5%'
+    ) AS profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+
+# --- Q10: returned-item reporting (top 20 customers) ------------------------
+sql_query(
+    "tpch_q10",
+    f"""
+    SELECT c_custkey, c_name,
+           {dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+           c_acctbal, n_name, c_mktsegment
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+
+# --- Q12: late-shipment priority classes (conditional counts) ---------------
+sql_query(
+    "tpch_q12",
+    """
+    SELECT o_orderpriority,
+           SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL '60' DAY
+                    THEN 1 ELSE 0 END) AS late_count,
+           COUNT(*) AS total_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+
+# --- Q13: customer order-count distribution (outer join + double agg) -------
+sql_query(
+    "tpch_q13",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) AS c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+
+# --- Q14: promotion effect (conditional ratio over join) --------------------
+sql_query(
+    "tpch_q14",
+    """
+    SELECT 100.00 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                                       THEN l_extendedprice * (1 - l_discount)
+                                       ELSE 0 END AS DECIMAL(30,6))) AS DOUBLE)
+                  / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                  AS DECIMAL(30,6))) AS DOUBLE) AS promo_revenue
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+
+# --- Q15: top supplier (CTE + scalar-subquery max) --------------------------
+sql_query(
+    "tpch_q15",
+    f"""
+    WITH revenue0 AS (
+      SELECT l_suppkey AS supplier_no,
+             {dsum('l_extendedprice * (1 - l_discount)', 'total_revenue')}
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, revenue0
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+    ORDER BY s_suppkey
+    """,
+)
+
+# --- Q16: supplier-count per part attrs (distinct agg over derived rel) -----
+sql_query(
+    "tpch_q16",
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand <> 'Brand#1'
+      AND p_type NOT LIKE 'MEDIUM%'
+      AND p_size IN (9, 14, 19, 23, 36, 45, 49, 3)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+
+# --- Q17: small-quantity-order revenue (correlated avg subquery) ------------
+sql_query(
+    "tpch_q17",
+    f"""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0
+           AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand = 'Brand#3'
+      AND l_quantity < (
+        SELECT 0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+                      / CAST(COUNT(l_quantity) AS DOUBLE))
+        FROM lineitem WHERE l_partkey = p_partkey
+      )
+    """,
+)
+
+# --- Q18: large-volume customers (agg-in-IN-subquery) -----------------------
+sql_query(
+    "tpch_q18",
+    f"""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           {dsum('l_quantity', 'sum_qty')}
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(30,6))) > 150
+      )
+      AND c_custkey = o_custkey
+      AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+    """,
+)
+
+# --- Q19: disjunctive multi-attribute predicates (OR-of-ANDs join filter) ---
+sql_query(
+    "tpch_q19",
+    f"""
+    SELECT {dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM lineitem, part
+    WHERE (p_partkey = l_partkey AND p_brand = 'Brand#12'
+           AND l_quantity >= 1 AND l_quantity <= 11 AND p_size BETWEEN 1 AND 5)
+       OR (p_partkey = l_partkey AND p_brand = 'Brand#23'
+           AND l_quantity >= 10 AND l_quantity <= 20 AND p_size BETWEEN 1 AND 10)
+       OR (p_partkey = l_partkey AND p_brand = 'Brand#3'
+           AND l_quantity >= 20 AND l_quantity <= 30 AND p_size BETWEEN 1 AND 15)
+    """,
+)
+
+# --- Q21: suppliers with sole-late lines (EXISTS + NOT EXISTS, self-joins) --
+sql_query(
+    "tpch_q21",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL '60' DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL '60' DAY
+      )
+      AND s_nationkey = n_nationkey
+      AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+
+# --- Q22: global sales opportunity (scalar subquery + anti join) ------------
+sql_query(
+    "tpch_q22",
+    f"""
+    SELECT cntrycode, COUNT(*) AS numcust,
+           {dsum('c_acctbal', 'totacctbal')}
+    FROM (
+      SELECT SUBSTRING(c_name, 10, 1) AS cntrycode, c_acctbal
+      FROM customer
+      WHERE SUBSTRING(c_name, 10, 1) IN ('1', '2', '3', '4', '5', '6', '7')
+        AND c_acctbal > (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+                 / CAST(COUNT(c_acctbal) AS DOUBLE)
+          FROM customer
+          WHERE c_acctbal > 0.00
+            AND SUBSTRING(c_name, 10, 1) IN ('1', '2', '3', '4', '5', '6', '7')
+        )
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ) AS custsale
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+)

@@ -1,0 +1,71 @@
+"""Catalog over the driver-generated parquet fixtures.
+
+Equivalent surface in the reference: `CREATE TABLE ... WITH ('connector'='...')`
+DDL (flink-table/flink-sql-parser/.../ddl/SqlCreateTable.java) + catalog lookup.
+Here the catalog is `spark.read.parquet` + temp views: Catalyst then owns
+predicate pushdown, column pruning and partition pruning on the scans
+(verified via .explain — PushedFilters/ReadSchema reach the parquet source).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from flink_parent_spark.session import apply_runtime_confs
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Fixture parquet stores these as TIMESTAMP(NANOS), which the Spark parquet
+# reader rejects. We read them as raw int64 nanos (legacy.parquet.nanosAsLong)
+# and convert to TimestampType in the load projection (data has no
+# sub-microsecond component, verified — conversion is lossless).
+# Known cost at scale: parquet row-group stats pruning on these columns is
+# lost because the filter sits above the cast; column pruning and all other
+# pushdown still apply.
+NANOS_TS_COLS: dict[str, tuple[str, ...]] = {
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view and return the DataFrames.
+
+    Called at the top of every query entry point: cheap (no IO until an
+    action), idempotent, and makes both the DataFrame and SQL surfaces work
+    against the same logical scans.
+    """
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    apply_runtime_confs(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        path = table_path(sf_dir, name)
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        for c in NANOS_TS_COLS.get(name, ()):
+            if dict(df.dtypes).get(c) == "bigint":
+                df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
