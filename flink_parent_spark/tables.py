@@ -65,7 +65,9 @@ def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, Dat
         df = spark.read.parquet(path)
         for c in NANOS_TS_COLS.get(name, ()):
             if dict(df.dtypes).get(c) == "bigint":
-                df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+                # integer DIV, not double /: nanos values exceed double's
+                # exact-integer range, a float divide can come back 1µs short.
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
