@@ -42,18 +42,24 @@ def interval_join(
     lower: str,
     upper: str,
     how: str = "inner",
+    right_suffix: str = "_r",
 ) -> DataFrame:
     """Join rows where right_ts BETWEEN left_ts - lower AND left_ts + upper,
     equi-keyed on `keys` [(left_col, right_col), ...]. Interval bounds are
-    SQL interval strings, e.g. '10 minutes'."""
+    SQL interval strings, e.g. '10 minutes'. Right-side columns whose names
+    collide with left ones come back suffixed (self-joins are the common
+    case for this operator)."""
+    renames = {c: c + right_suffix if c in left.columns else c for c in right.columns}
+    r = right.select(*[right[c].alias(n) for c, n in renames.items()])
     cond = None
     for lc, rc in keys:
-        c = left[lc] == right[rc]
+        c = left[lc] == r[renames[rc]]
         cond = c if cond is None else cond & c
     lo = F.expr(f"INTERVAL {lower}")
     hi = F.expr(f"INTERVAL {upper}")
-    cond = cond & (right[right_ts] >= left[left_ts] - lo) & (right[right_ts] <= left[left_ts] + hi)
-    return left.join(right, cond, how)
+    rts = r[renames[right_ts]]
+    cond = cond & (rts >= left[left_ts] - lo) & (rts <= left[left_ts] + hi)
+    return left.join(r, cond, how)
 
 
 def asof_join(
@@ -62,7 +68,7 @@ def asof_join(
     keys: Sequence[tuple[str, str]],
     left_ts: str,
     right_ts: str,
-    right_payload: Sequence[str],
+    right_payload: Sequence[str] | dict[str, str],
     *,
     strict: bool = False,
 ) -> DataFrame:
@@ -76,9 +82,12 @@ def asof_join(
     full determinism (same contract as the reference's versioned tables,
     which require a primary key).
     """
+    if not isinstance(right_payload, dict):
+        right_payload = {c: c for c in right_payload}
     lkeys = [k for k, _ in keys]
-    rkeys = [k for _, k in keys]
-    payload = F.struct(*[right[c] for c in right_payload]).alias("__payload")
+    payload = F.struct(
+        *[right[src].alias(out) for out, src in right_payload.items()]
+    ).alias("__payload")
     r = right.select(
         *[right[rc].alias(lc) for lc, rc in keys],
         right[right_ts].alias("__ts"),
@@ -112,8 +121,9 @@ def asof_join(
         .withColumn("__matched", F.last("__payload", ignorenulls=True).over(w))
         .filter(F.col("__side") == 1)
     )
-    out = joined.select(*left.columns, *[F.col(f"__matched.{c}").alias(c) for c in right_payload])
-    return out
+    return joined.select(
+        *left.columns, *[F.col(f"__matched.{c}").alias(c) for c in right_payload]
+    )
 
 
 def lookup_join(

@@ -42,8 +42,12 @@ def session(df: DataFrame, ts_col: str, gap: str, keys: Sequence[str] = ()) -> G
 
 
 def flatten_window(df: DataFrame, start_alias: str = "window_start", end_alias: str = "window_end") -> DataFrame:
-    """Expand the struct `window` column into start/end columns (the
-    TUMBLE_START/TUMBLE_END auxiliary functions of the reference dialect)."""
-    return df.withColumn(start_alias, F.col("window.start")).withColumn(
-        end_alias, F.col("window.end")
-    ).drop("window")
+    """Expand the struct window column (named `window` or `session_window`)
+    into start/end columns (the TUMBLE_START/TUMBLE_END auxiliaries of the
+    reference dialect)."""
+    name = "session_window" if "session_window" in df.columns else "window"
+    return (
+        df.withColumn(start_alias, F.col(f"{name}.start"))
+        .withColumn(end_alias, F.col(f"{name}.end"))
+        .drop(name)
+    )

@@ -2,8 +2,10 @@
 
 from __future__ import annotations
 
+import flink_parent_spark.queries.functions_gallery  # noqa: F401
 import flink_parent_spark.queries.operators_batch  # noqa: F401
 import flink_parent_spark.queries.tpch  # noqa: F401
+import flink_parent_spark.queries.windows_time  # noqa: F401
 
 from flink_parent_spark.queries.registry import ORACLES, QUERIES
 

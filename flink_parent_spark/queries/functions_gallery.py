@@ -1,0 +1,273 @@
+"""Scalar-function-library coverage queries (SURVEY §2.8).
+
+One query per function family; every expression is checked value-exact
+against DuckDB (per-row scalar functions carry no summation-order risk;
+transcendentals are rounded to 9-10 digits to absorb last-ulp libm
+differences between the JVM and DuckDB's libm).
+
+Flink-compat residue functions (SPLIT_INDEX, IS_DIGIT, ...) come from
+flink_parent_spark.functions.registry — SQL UDFs that inline into Catalyst.
+"""
+
+from __future__ import annotations
+
+from flink_parent_spark.functions.registry import register_flink_functions
+from flink_parent_spark.queries.registry import df_query, register, sql_query
+from flink_parent_spark.tables import load_tables
+
+# --- string functions -------------------------------------------------------
+
+sql_query(
+    "fn_string_basic",
+    """
+    SELECT c_custkey,
+           UPPER(c_name) AS up, LOWER(c_mktsegment) AS lo,
+           LENGTH(c_name) AS len,
+           SUBSTRING(c_name, 1, 8) AS sub,
+           CONCAT(c_name, '/', c_mktsegment) AS cat,
+           REPLACE(c_name, 'Customer', 'Cust') AS repl,
+           TRIM('  pad  ') AS trimmed,
+           LTRIM('  pad') AS l_trimmed,
+           RTRIM('pad  ') AS r_trimmed,
+           LPAD(CAST(c_custkey AS STRING), 8, '0') AS padded,
+           RPAD(c_mktsegment, 12, '.') AS rpadded,
+           REVERSE(c_mktsegment) AS rev,
+           REPEAT(c_mktsegment, 2) AS rep,
+           LEFT(c_name, 4) AS l4, RIGHT(c_name, 4) AS r4
+    FROM customer WHERE c_custkey < 30
+    """,
+)
+
+sql_query(
+    "fn_string_search",
+    """
+    SELECT c_custkey,
+           POSITION('5' IN c_name) AS pos5,
+           STARTSWITH(c_name, 'Customer') AS sw,
+           ENDSWITH(c_name, '1') AS ew,
+           CONTAINS(c_name, '00') AS has00,
+           c_name LIKE 'Customer#0%' AS like_pat,
+           REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS digits,
+           REGEXP_REPLACE(c_name, '[0-9]', '#') AS masked
+    FROM customer WHERE c_custkey < 30
+    """,
+    oracle="""
+    SELECT c_custkey,
+           POSITION('5' IN c_name) AS pos5,
+           STARTS_WITH(c_name, 'Customer') AS sw,
+           ENDS_WITH(c_name, '1') AS ew,
+           CONTAINS(c_name, '00') AS has00,
+           c_name LIKE 'Customer#0%' AS like_pat,
+           COALESCE(REGEXP_EXTRACT(c_name, '([0-9]+)', 1), '') AS digits,
+           REGEXP_REPLACE(c_name, '[0-9]', '#', 'g') AS masked
+    FROM customer WHERE c_custkey < 30
+    """,
+)
+
+sql_query(
+    "fn_string_split_concat_ws",
+    """
+    SELECT doc_id,
+           CONCAT_WS('|', lang, source) AS tagged,
+           SPLIT(text, ' ')[0] AS first_tok,
+           SIZE(SPLIT(text, ' ')) AS n_toks,
+           SUBSTRING_INDEX(source, 'c', 1) AS before_c
+    FROM documents WHERE doc_id < 30
+    """,
+    oracle="""
+    SELECT doc_id,
+           CONCAT_WS('|', lang, source) AS tagged,
+           string_split(text, ' ')[1] AS first_tok,
+           len(string_split(text, ' ')) AS n_toks,
+           string_split(source, 'c')[1] AS before_c
+    FROM documents WHERE doc_id < 30
+    """,
+)
+
+# --- math functions ---------------------------------------------------------
+
+sql_query(
+    "fn_math",
+    """
+    SELECT p_partkey,
+           ABS(p_retailprice - 1000) AS a,
+           CEIL(p_retailprice) AS c, FLOOR(p_retailprice) AS f,
+           ROUND(p_retailprice, 1) AS r1,
+           SIGN(p_retailprice - 1000) AS sg,
+           MOD(p_partkey, 7) AS m7,
+           POWER(p_size, 2) AS sq,
+           SQRT(CAST(p_size AS DOUBLE)) AS sqr,
+           ROUND(EXP(p_size / 100.0), 9) AS e,
+           ROUND(LN(p_retailprice), 9) AS lnp,
+           ROUND(LOG10(p_retailprice), 9) AS lg10,
+           ROUND(LOG2(CAST(p_size AS DOUBLE)), 9) AS lg2,
+           ROUND(SIN(p_size), 9) AS sn,
+           ROUND(COS(p_size), 9) AS cs,
+           ROUND(ATAN2(CAST(p_size AS DOUBLE), 10.0), 9) AS at2,
+           ROUND(DEGREES(1.0), 9) AS deg, ROUND(RADIANS(180.0), 9) AS rad,
+           ROUND(PI(), 9) AS pi_val
+    FROM part WHERE p_partkey < 40
+    """,
+)
+
+sql_query(
+    "fn_hex_conv",
+    """
+    SELECT n_nationkey,
+           HEX(n_nationkey) AS h,
+           CONV(SUBSTRING(MD5(n_name), 1, 15), 16, 10) AS md5_int
+    FROM nation
+    """,
+    oracle="""
+    SELECT n_nationkey,
+           HEX(n_nationkey) AS h,
+           CAST(('0x' || SUBSTRING(MD5(n_name), 1, 15))::BIGINT AS VARCHAR) AS md5_int
+    FROM nation
+    """,
+)
+
+# --- temporal functions -----------------------------------------------------
+
+sql_query(
+    "fn_temporal_extract",
+    """
+    SELECT o_orderkey,
+           EXTRACT(YEAR FROM o_orderdate) AS y,
+           EXTRACT(MONTH FROM o_orderdate) AS mo,
+           EXTRACT(DAY FROM o_orderdate) AS d,
+           QUARTER(o_orderdate) AS q,
+           DATE_TRUNC('month', o_orderdate) AS mstart,
+           DATE_TRUNC('week', o_orderdate) AS wstart,
+           o_orderdate + INTERVAL '45' DAY AS plus45,
+           o_orderdate - INTERVAL '6' HOUR AS minus6h,
+           CAST(o_orderdate AS DATE) AS as_date
+    FROM orders WHERE o_orderkey < 60
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           EXTRACT(YEAR FROM o_orderdate) AS y,
+           EXTRACT(MONTH FROM o_orderdate) AS mo,
+           EXTRACT(DAY FROM o_orderdate) AS d,
+           QUARTER(o_orderdate) AS q,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS mstart,
+           CAST(DATE_TRUNC('week', o_orderdate) AS TIMESTAMP) AS wstart,
+           o_orderdate + INTERVAL '45' DAY AS plus45,
+           o_orderdate - INTERVAL '6' HOUR AS minus6h,
+           CAST(o_orderdate AS DATE) AS as_date
+    FROM orders WHERE o_orderkey < 60
+    """,
+)
+
+sql_query(
+    "fn_temporal_epoch_format",
+    """
+    SELECT event_id,
+           UNIX_TIMESTAMP(ts) AS epoch_s,
+           DATE_FORMAT(ts, 'yyyy-MM-dd HH:mm') AS fmt,
+           TIMESTAMPDIFF(MINUTE, TIMESTAMP '2024-01-01 00:00:00', ts) AS mins_since,
+           TIMESTAMPADD(HOUR, 2, ts) AS plus2h
+    FROM events WHERE event_id < 40
+    """,
+    oracle="""
+    SELECT event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+           strftime(ts, '%Y-%m-%d %H:%M') AS fmt,
+           datediff('minute', TIMESTAMP '2024-01-01 00:00:00', ts) AS mins_since,
+           ts + INTERVAL '2' HOUR AS plus2h
+    FROM events WHERE event_id < 40
+    """,
+)
+
+# --- hash functions ---------------------------------------------------------
+
+sql_query(
+    "fn_hash",
+    """
+    SELECT n_nationkey, MD5(n_name) AS h_md5, SHA2(n_name, 256) AS h_sha256
+    FROM nation
+    """,
+    oracle="""
+    SELECT n_nationkey, MD5(n_name) AS h_md5, SHA256(n_name) AS h_sha256
+    FROM nation
+    """,
+)
+
+# --- conditional / null handling -------------------------------------------
+
+sql_query(
+    "fn_conditional",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'neg'
+                WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bal_class,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'DEFAULT') AS seg_or_default,
+           GREATEST(c_acctbal, 0.0) AS clamped,
+           LEAST(CAST(c_custkey AS DOUBLE), 100.0) AS capped,
+           c_nationkey IN (1, 2, 3) AS in_small,
+           c_acctbal BETWEEN 1000 AND 2000 AS in_band,
+           c_acctbal IS NOT NULL AS nn
+    FROM customer WHERE c_custkey < 50
+    """,
+)
+
+# --- collection functions ---------------------------------------------------
+
+sql_query(
+    "fn_collections",
+    """
+    SELECT n_nationkey,
+           ARRAY(n_nationkey, n_regionkey) AS pair,
+           SIZE(ARRAY(n_nationkey, n_regionkey)) AS pair_len,
+           ELEMENT_AT(ARRAY(n_nationkey, n_regionkey), 2) AS second,
+           ARRAY_CONTAINS(ARRAY(n_nationkey, n_regionkey), 0) AS has_zero,
+           SORT_ARRAY(ARRAY(n_regionkey, n_nationkey)) AS sorted_pair,
+           SLICE(ARRAY(1, 2, 3, 4), 2, 2) AS mid
+    FROM nation
+    """,
+    oracle="""
+    SELECT n_nationkey,
+           [n_nationkey, n_regionkey] AS pair,
+           len([n_nationkey, n_regionkey]) AS pair_len,
+           [n_nationkey, n_regionkey][2] AS second,
+           list_contains([n_nationkey, n_regionkey], 0) AS has_zero,
+           list_sort([n_regionkey, n_nationkey]) AS sorted_pair,
+           [1, 2, 3, 4][2:3] AS mid
+    FROM nation
+    """,
+)
+
+# --- Flink-compat residue (SQL UDFs from functions/registry.py) -------------
+
+
+@df_query(
+    "fn_flink_compat",
+    oracle="""
+    SELECT doc_id,
+           string_split(source, 'r')[2] AS split_idx,
+           source ~ '^[0-9]+$' AS is_digit,
+           lang ~ '^[A-Za-z]+$' AS is_alpha,
+           CASE WHEN n_chars >= 0 THEN floor(n_chars / 7.0 * 10) / 10
+                ELSE ceil(n_chars / 7.0 * 10) / 10 END AS trunc1,
+           to_base64(encode(lang)) AS b64,
+           true AS overlaps_check
+    FROM documents WHERE doc_id < 30
+    """,
+)
+def fn_flink_compat(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    register_flink_functions(spark)
+    return spark.sql(
+        """
+        SELECT doc_id,
+               SPLIT_INDEX(source, 'r', 1) AS split_idx,
+               IS_DIGIT(source) AS is_digit,
+               IS_ALPHA(lang) AS is_alpha,
+               TRUNCATE_NUM(n_chars / 7.0, 1) AS trunc1,
+               TO_BASE64(lang) AS b64,
+               TEMPORAL_OVERLAPS(TIMESTAMP '2024-01-01 00:00:00',
+                                 TIMESTAMP '2024-01-02 00:00:00',
+                                 TIMESTAMP '2024-01-01 12:00:00',
+                                 TIMESTAMP '2024-01-03 00:00:00') AS overlaps_check
+        FROM documents WHERE doc_id < 30
+        """
+    )

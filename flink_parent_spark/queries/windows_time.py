@@ -1,0 +1,181 @@
+"""Event-time windowing queries: TUMBLE / HOP / SESSION group windows,
+interval join, temporal/as-of join — batch-mode checks of the streaming
+window semantics (the assignments are identical; streaming adds watermarks).
+
+Reference parity: blink window assigners + WindowOperator
+(flink-table-runtime-blink/.../operators/window/), TimeIntervalJoin
+(.../join/interval/), TemporalRowTimeJoinOperator (.../join/temporal/).
+
+Oracles express the same window assignment arithmetically (epoch-aligned
+buckets; session islands via gap-and-cumsum) — an independent formulation,
+which is the point of the check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_parent_spark.operators.joins import asof_join, interval_join
+from flink_parent_spark.operators.rank import dedup_keep_last
+from flink_parent_spark.operators.windows import flatten_window, hop, session, tumble
+from flink_parent_spark.queries.registry import df_query, dsum, sql_query
+from flink_parent_spark.tables import load_tables
+
+# --- TUMBLE -----------------------------------------------------------------
+
+
+@df_query(
+    "window_tumble_hourly",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type, COUNT(*) AS n, {dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def window_tumble_hourly(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    g = tumble(t["events"], "ts", "1 hour", keys=["event_type"])
+    agg = g.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+    )
+    return flatten_window(agg).select("window_start", "window_end", "event_type", "n", "sum_value")
+
+
+# --- HOP (sliding) ----------------------------------------------------------
+
+
+@df_query(
+    "window_hop_1h_slide_15m",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) - j * INTERVAL '15' MINUTE
+             AS window_start,
+           COUNT(*) AS n, {dsum('value', 'sum_value')}
+    FROM events, (SELECT unnest(generate_series(0, 3)) AS j) offs
+    WHERE ts < time_bucket(INTERVAL '15 minutes', ts) - j * INTERVAL '15' MINUTE
+               + INTERVAL '1' HOUR
+    GROUP BY 1
+    """,
+)
+def window_hop_1h_slide_15m(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    g = hop(t["events"], "ts", "1 hour", "15 minutes")
+    agg = g.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+    )
+    return flatten_window(agg).select("window_start", "n", "sum_value")
+
+
+# --- SESSION (gap-merged) ---------------------------------------------------
+
+
+@df_query(
+    "window_session_30m_per_user",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       <= INTERVAL '30' MINUTE THEN 0 ELSE 1 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30' MINUTE AS session_end,
+           COUNT(*) AS n, {dsum('value', 'sum_value')}
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def window_session_30m_per_user(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    g = session(t["events"], "ts", "30 minutes", keys=["user_id"])
+    agg = g.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+    )
+    return flatten_window(agg, "session_start", "session_end").select(
+        "user_id", "session_start", "session_end", "n", "sum_value"
+    )
+
+
+# --- interval join (time-bounded stream-stream join, batch check) -----------
+
+
+@df_query(
+    "interval_join_view_then_purchase",
+    oracle="""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+           p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '10' MINUTE
+    """,
+)
+def interval_join_view_then_purchase(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    views = t["events"].filter(F.col("event_type") == "view")
+    purchases = t["events"].filter(F.col("event_type") == "purchase")
+    j = interval_join(
+        views,
+        purchases,
+        keys=[("user_id", "user_id")],
+        left_ts="ts",
+        right_ts="ts",
+        lower="'0' SECOND",
+        upper="'10' MINUTE",
+    )
+    return j.select(
+        F.col("event_id").alias("view_id"),
+        F.col("event_id_r").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("value_r").alias("purchase_value"),
+    )
+
+
+# --- temporal / as-of join --------------------------------------------------
+
+
+@df_query(
+    "asof_join_purchase_last_view",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           v.event_id AS view_event_id, v.value AS view_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+)
+def asof_join_purchase_last_view(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    purchases = t["events"].filter(F.col("event_type") == "purchase")
+    views = t["events"].filter(F.col("event_type") == "view")
+    j = asof_join(
+        purchases,
+        views,
+        keys=[("user_id", "user_id")],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload={"view_event_id": "event_id", "view_value": "value"},
+    )
+    return j.select("event_id", "user_id", "ts", "view_event_id", "view_value")
+
+
+# --- temporal sort (event-time ordered emit; RowTimeSortOperator parity) ----
+
+sql_query(
+    "temporal_sort_first_events",
+    """
+    SELECT event_id, ts, user_id, event_type
+    FROM events
+    ORDER BY ts, event_id
+    LIMIT 50
+    """,
+)
