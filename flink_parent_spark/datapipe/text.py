@@ -1,0 +1,102 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language ID, document fingerprinting.
+
+All pure Catalyst column expressions (no Python UDFs): at 100 TB these run
+inside whole-stage codegen over the parquet scan with zero Python transfer.
+The deterministic md5-based token hash (`token_hash64`) is shared with the
+dedup operators and is reproducible in any engine that has md5 — which is
+what lets the DuckDB oracle check every one of these value-exactly.
+At real scale you'd swap md5 for xxhash64 (same plumbing, faster); md5 is
+used here because the oracle engine must reproduce it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Small multi-language stopword lists for the n-gram/stopword language
+# heuristic. Deliberately tiny and hard-coded: the operator contract is a
+# deterministic score, not linguistic accuracy.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "ein", "zu", "den"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "fr": ("le", "la", "de", "et", "un", "est", "pour", "que", "dans", "sur"),
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (split on runs of whitespace)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token estimate: words + digit runs + punctuation marks,
+    the standard pre-tokenizer regex family (GPT-2 style, simplified)."""
+    c = F.col(text) if isinstance(text, str) else text
+    pieces = F.regexp_extract_all(c, F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), 1)
+    return F.size(pieces)
+
+
+def text_quality(text: Column | str) -> dict[str, Column]:
+    """Quality-signal bundle: length, token stats, punctuation/digit/space
+    ratios, stopword ratio, mean token length. Returns named columns; callers
+    pick what they need."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    n_chars = F.length(c)
+    n_toks = F.size(toks)
+    punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    digits = n_chars - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    spaces = n_chars - F.length(F.regexp_replace(c, r"\s", ""))
+    sw = F.array([F.lit(w) for ws in STOPWORDS.values() for w in ws])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_toks,
+        "punct_ratio": punct.cast("double") / n_chars.cast("double"),
+        "digit_ratio": digits.cast("double") / n_chars.cast("double"),
+        "space_ratio": spaces.cast("double") / n_chars.cast("double"),
+        "stopword_ratio": n_stop.cast("double") / n_toks.cast("double"),
+        "mean_token_len": (n_chars - spaces).cast("double") / n_toks.cast("double"),
+    }
+
+
+def lang_id_scores(text: Column | str) -> dict[str, Column]:
+    """Stopword-hit score per language + argmax prediction (deterministic
+    tie-break by language code)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    scores = {}
+    for lang, words in STOPWORDS.items():
+        lst = F.array([F.lit(w) for w in words])
+        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(lst, F.lower(t))))
+    # argmax with lexicographic tie-break: build struct array and array_max
+    pairs = F.array(
+        *[F.struct(v.alias("score"), F.lit(-ord(k[0]) * 256 - ord(k[1])).alias("ord"), F.lit(k).alias("lang")) for k, v in scores.items()]
+    )
+    best = F.array_max(pairs)
+    return {**{f"score_{k}": v for k, v in scores.items()}, "pred_lang": best["lang"]}
+
+
+def token_hash64(tok: Column) -> Column:
+    """Deterministic 60-bit token hash reproducible cross-engine:
+    first 15 hex digits of md5, base-16 decoded."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("bigint")
+
+
+def doc_fingerprint(text: Column | str, base: int = 131, mod: int = (1 << 31) - 1) -> Column:
+    """Order-sensitive rolling polynomial hash over token hashes:
+    H = fold(tokens, 0, (acc, t) -> (acc * base + h(t) % mod) % mod).
+    Sequential fold => reproducible in any engine with a list-reduce."""
+    toks = tokens(text)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: (acc * base + token_hash64(t) % mod) % mod,
+    )

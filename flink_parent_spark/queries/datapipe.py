@@ -1,0 +1,456 @@
+"""LLM-data-pipeline queries: text analysis, document dedup (exact / n-gram
+Jaccard / MinHash-LSH / SimHash), embedding similarity search.
+
+Every operator here is value-checked against a DuckDB oracle that recomputes
+the same math from first principles (md5-based hashing and sequential double
+folds make the results engine-independent). That is deliberately stronger
+than a rows-only check: the oracle is an independent implementation, not a
+copy of the Spark plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_parent_spark.datapipe.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from flink_parent_spark.datapipe.similarity import cosine_topk
+from flink_parent_spark.datapipe.text import (
+    STOPWORDS,
+    bpe_ish_token_count,
+    doc_fingerprint,
+    lang_id_scores,
+    text_quality,
+    token_count,
+)
+from flink_parent_spark.queries.registry import df_query
+from flink_parent_spark.tables import load_tables
+
+# Shared DuckDB fragments ----------------------------------------------------
+
+# 60-bit md5-based hash — must mirror datapipe.text.token_hash64
+_DUCK_H64 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+def _duck_h64(x: str) -> str:
+    return _DUCK_H64.format(x=x)
+
+
+# --- text analysis ----------------------------------------------------------
+
+
+@df_query(
+    "text_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+           len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])'))
+             AS n_bpe_ish,
+           length(text) AS n_chars
+    FROM documents
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_ish"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+@df_query(
+    "text_quality_scores",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(text), '\s+') AS toks,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS punct,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+             length(text) - length(regexp_replace(text, '\s', '', 'g')) AS spaces
+      FROM documents
+    )
+    SELECT doc_id, n_chars,
+           len(toks) AS n_tokens,
+           CAST(punct AS DOUBLE) / n_chars AS punct_ratio,
+           CAST(digits AS DOUBLE) / n_chars AS digit_ratio,
+           CAST(n_chars - spaces AS DOUBLE) / len(toks) AS mean_token_len,
+           CAST(len(list_filter(toks, t -> list_contains({stoplist}, lower(t))))
+                AS DOUBLE) / len(toks) AS stopword_ratio
+    FROM base
+    """.format(
+        stoplist="[" + ",".join(f"'{w}'" for ws in STOPWORDS.values() for w in ws) + "]"
+    ),
+)
+def text_quality_scores(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    q = text_quality("text")
+    return t["documents"].select(
+        "doc_id",
+        q["n_chars"].alias("n_chars"),
+        q["n_tokens"].alias("n_tokens"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["digit_ratio"].alias("digit_ratio"),
+        q["mean_token_len"].alias("mean_token_len"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+@df_query(
+    "text_lang_id",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ), scored AS (
+      SELECT doc_id, lang,
+             {scores}
+      FROM base
+    )
+    SELECT doc_id, lang, score_en, score_de, score_es, score_fr,
+           CASE GREATEST(
+                  score_en * 1000 - 101, score_de * 1000 - 100,
+                  score_es * 1000 - 115, score_fr * 1000 - 102)
+                WHEN score_en * 1000 - 101 THEN 'en'
+                WHEN score_de * 1000 - 100 THEN 'de'
+                WHEN score_es * 1000 - 115 THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM scored
+    """.format(
+        scores=",\n             ".join(
+            "len(list_filter(toks, t -> list_contains([{ws}], lower(t)))) AS score_{k}".format(
+                ws=",".join(f"'{w}'" for w in words), k=k
+            )
+            for k, words in STOPWORDS.items()
+        )
+    ),
+)
+def text_lang_id(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    s = lang_id_scores("text")
+    return t["documents"].select(
+        "doc_id",
+        "lang",
+        s["score_en"].alias("score_en"),
+        s["score_de"].alias("score_de"),
+        s["score_es"].alias("score_es"),
+        s["score_fr"].alias("score_fr"),
+        s["pred_lang"].alias("pred_lang"),
+    )
+
+
+@df_query(
+    "text_fingerprint",
+    oracle=rf"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split_regex(trim(text), '\s+'),
+                              t -> {_duck_h64('t')} % 2147483647)),
+             (acc, h) -> (acc * 131 + h) % 2147483647) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+# --- deduplication ----------------------------------------------------------
+
+
+@df_query(
+    "dedup_exact_digest",
+    oracle="""
+    WITH doubled AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100
+    )
+    SELECT md5(text) AS digest, MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
+    FROM doubled GROUP BY md5(text)
+    """,
+)
+def dedup_exact_digest(spark, sf_dir):
+    """Exact dedup over a self-unioned corpus (guarantees real duplicates)."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    doubled = d.select("doc_id", "text").unionAll(
+        d.filter(F.col("doc_id") < 100).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return exact_dedup(doubled, "text", "doc_id")
+
+
+@df_query(
+    "dedup_ngram_jaccard_pairs",
+    oracle=rf"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, {_duck_h64('sh')} AS h
+      FROM (
+        SELECT doc_id,
+               list_transform(generate_series(1, len(toks) - 2),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shs
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              FROM documents) t1
+      ) t2, LATERAL (SELECT unnest(shs) AS sh) u
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, common, sa.sz AS size_a, sb.sz AS size_b,
+           CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard_pairs(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return ngram_jaccard_pairs(
+        t["documents"], "text", "doc_id", n=3, threshold=0.2, max_shingle_freq=None
+    )
+
+
+_H_PERM = _duck_h64("perm || ':' || sh")
+_H_SH = _duck_h64("sh")
+
+
+@df_query(
+    "dedup_minhash_signatures",
+    oracle=rf"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, sh
+      FROM (
+        SELECT doc_id,
+               list_transform(generate_series(1, len(toks) - 2),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shs
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              FROM documents) t1
+      ) t2, LATERAL (SELECT unnest(shs) AS sh) u
+    )
+    SELECT doc_id AS id, perm,
+           MIN({_H_PERM}) AS minhash
+    FROM sh, (SELECT unnest(generate_series(0, 15)) AS perm) p
+    GROUP BY doc_id, perm
+    """,
+)
+def dedup_minhash_signatures(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return minhash_signatures(t["documents"], "text", "doc_id", n=3, k=16)
+
+
+@df_query(
+    "dedup_minhash_lsh_pairs",
+    oracle=rf"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, sh
+      FROM (
+        SELECT doc_id,
+               list_transform(generate_series(1, len(toks) - 2),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shs
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              FROM documents) t1
+      ) t2, LATERAL (SELECT unnest(shs) AS sh) u
+    ), sig AS (
+      SELECT doc_id, perm, MIN({_H_PERM}) AS minhash
+      FROM sh, (SELECT unnest(generate_series(0, 15)) AS perm) p
+      GROUP BY doc_id, perm
+    ), banded AS (
+      SELECT doc_id, perm // 4 AS band,
+             md5((perm // 4) || '_' ||
+                 string_agg(minhash, '_' ORDER BY perm)) AS band_key
+      FROM sig GROUP BY doc_id, perm // 4
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), hsh AS (
+      SELECT DISTINCT doc_id, {_H_SH} AS h FROM sh
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM hsh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      FROM hsh a JOIN hsh b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(cm.common AS DOUBLE) / (sa.sz + sb.sz - cm.common) AS jaccard
+    FROM cand c
+    JOIN common cm ON cm.id_a = c.id_a AND cm.id_b = c.id_b
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+    WHERE CAST(cm.common AS DOUBLE) / (sa.sz + sb.sz - cm.common) >= 0.1
+    """,
+)
+def dedup_minhash_lsh_pairs(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return minhash_lsh_pairs(
+        t["documents"], "text", "doc_id", n=3, k=16, bands=4, verify_threshold=0.1
+    ).select("id_a", "id_b", "jaccard")
+
+
+@df_query(
+    "dedup_simhash",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, {_duck_h64('tok')} AS h
+      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+            FROM documents) t
+    ), votes AS (
+      SELECT doc_id, bit,
+             SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM tok, (SELECT unnest(generate_series(0, 62)) AS bit) b
+      GROUP BY doc_id, bit
+    )
+    SELECT doc_id AS id,
+           SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return simhash(t["documents"], "text", "doc_id")
+
+
+# --- embedding similarity search -------------------------------------------
+
+_DUCK_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(list_zip({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (acc, v) -> acc + v)"
+)
+
+
+def _duck_cos(a: str, b: str) -> str:
+    d = _DUCK_DOT.format(a=a, b=b)
+    na = _DUCK_DOT.format(a=a, b=a)
+    nb = _DUCK_DOT.format(a=b, b=b)
+    return f"({d}) / (sqrt({na}) * sqrt({nb}))"
+
+
+@df_query(
+    "ann_cosine_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             {_duck_cos('q.embedding', 'c.embedding')} AS cosine
+      FROM q, embeddings c
+      WHERE q.vec_id <> c.vec_id
+    ), ranked AS (
+      SELECT query_id, cand_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, cand_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk_bruteforce(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    return cosine_topk(e.filter(F.col("vec_id") < 8), e, k=5)
+
+
+@df_query(
+    "ann_cosine_topk_blocked",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 20),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             {_duck_cos('q.embedding', 'c.embedding')} AS cosine
+      FROM q JOIN embeddings c ON q.label = c.label
+      WHERE q.vec_id <> c.vec_id
+    ), ranked AS (
+      SELECT query_id, cand_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, cand_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk_blocked(spark, sf_dir):
+    """IVF-style blocked search: scan only the query's block (label)."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    return cosine_topk(e.filter(F.col("vec_id") < 20), e, k=5, block_col="label")
+
+
+# --- multimodal plumbing ----------------------------------------------------
+
+
+@df_query(
+    "multimodal_decode_meta",
+    oracle="""
+    SELECT doc_id,
+           'image' AS modality,
+           octet_length(encode(text)) AS byte_len,
+           md5(text) AS digest,
+           ('0x' || substr(md5(text), 1, 8))::BIGINT % 1920 + 1 AS width,
+           ('0x' || substr(md5(text), 9, 8))::BIGINT % 1080 + 1 AS height,
+           'fake-md5' AS decoder
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def multimodal_decode_meta(spark, sf_dir):
+    """Binary payload -> mapInPandas decode stub -> typed metadata struct.
+
+    The md5-derived fake dimensions are reproducible in SQL, so even the
+    Pandas-UDF path gets a value-exact oracle (text is ASCII in the
+    fixtures, so utf-8 payload md5 == DuckDB md5 of the text)."""
+    from flink_parent_spark.datapipe.multimodal import attach_payload, decode_media
+
+    t = load_tables(spark, sf_dir)
+    d = attach_payload(t["documents"].filter(F.col("doc_id") < 50), "text")
+    decoded = decode_media(d)
+    return decoded.select(
+        "doc_id",
+        F.col("media_meta.modality").alias("modality"),
+        F.col("media_meta.byte_len").alias("byte_len"),
+        F.col("media_meta.digest").alias("digest"),
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+        F.col("media_meta.decoder").alias("decoder"),
+    )
+
+
+@df_query(
+    "embedding_neardup_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_duck_cos('a.embedding', 'b.embedding')} AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_duck_cos('a.embedding', 'b.embedding')} >= 0.5
+    """,
+)
+def embedding_neardup_pairs(spark, sf_dir):
+    """Near-duplicate vectors (cosine >= 0.5) within label blocks."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"), "label")
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"), "label")
+    from flink_parent_spark.datapipe.similarity import cosine as _cos
+
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", _cos(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine") >= 0.5)
+        .select("id_a", "id_b", "cosine")
+    )
