@@ -1,0 +1,249 @@
+"""Streaming queries for the correctness catalog: each runs a REAL
+Structured Streaming query (file replay, AvailableNow trigger, memory sink)
+to completion and returns the materialized result, which the driver checks
+against a batch SQL oracle — full-replay streaming must converge to the
+batch answer (the reference asserts the same in its stream ITCases).
+
+Mirrored reference suites: runtime/stream/sql/{WindowAggregateITCase,
+DeduplicateITCase, RankITCase, OverWindowITCase, IntervalJoinITCase,
+MatchRecognizeITCase}.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from flink_parent_spark.queries.registry import df_query, dsum
+from flink_parent_spark.streaming.cep import AfterMatchSkip, Pattern, cep_pattern
+from flink_parent_spark.streaming.core import run_stream_to_df, stream_table
+from flink_parent_spark.streaming.stateful import (
+    streaming_dedup,
+    streaming_over_running_sum,
+    streaming_top_n,
+)
+from flink_parent_spark.tables import load_tables
+
+
+@df_query(
+    "stream_tumble_agg",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type, COUNT(*) AS n, {dsum('value', 'sum_value')}
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumble_agg(spark, sf_dir):
+    ev = stream_table(spark, sf_dir, "events", watermark=("ts", "10 minutes"))
+    agg = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+    )
+    out = run_stream_to_df(agg, "complete")
+    return out.select(
+        F.col("window.start").alias("window_start"), "event_type", "n", "sum_value"
+    )
+
+
+@df_query(
+    "stream_session_window",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       <= INTERVAL '30' MINUTE THEN 0 ELSE 1 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def stream_session_window(spark, sf_dir):
+    ev = stream_table(spark, sf_dir, "events", watermark=("ts", "10 minutes"))
+    agg = ev.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        F.count("*").alias("n")
+    )
+    out = run_stream_to_df(agg, "complete")
+    return out.select(
+        "user_id", F.col("session_window.start").alias("session_start"), "n"
+    )
+
+
+@df_query(
+    "stream_dedup_first",
+    oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+)
+def stream_dedup_first(spark, sf_dir):
+    """Streaming exact dedup over a duplicated stream (self-union) — state
+    op drops every second copy; full replay must equal the clean table."""
+    a = stream_table(spark, sf_dir, "events")
+    b = stream_table(spark, sf_dir, "events")
+    deduped = a.unionByName(b).dropDuplicates(["event_id"])
+    return run_stream_to_df(deduped, "append").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+@df_query(
+    "stream_topn_per_type",
+    oracle="""
+    SELECT event_type, value, event_id, user_id, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT event_type, value, event_id, user_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rank
+      FROM events) t
+    WHERE rank <= 3
+    """,
+)
+def stream_topn_per_type(spark, sf_dir):
+    ev = stream_table(spark, sf_dir, "events")
+    tn = streaming_top_n(
+        ev, ["event_type"], "value", 3, ["event_id", "user_id"], tiebreak_col="event_id"
+    )
+    return run_stream_to_df(tn, "update")
+
+
+@df_query(
+    "stream_over_running_sum",
+    oracle="""
+    SELECT user_id, ts, value, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS running_sum,
+           COUNT(*) OVER w AS running_cnt
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def stream_over_running_sum(spark, sf_dir):
+    ev = stream_table(spark, sf_dir, "events")
+    ov = streaming_over_running_sum(ev, ["user_id"], "ts", "value", ["event_id"])
+    return run_stream_to_df(ov, "append")
+
+
+@df_query(
+    "stream_interval_join",
+    oracle="""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '10' MINUTE
+    """,
+)
+def stream_interval_join(spark, sf_dir):
+    """Stream-stream interval join with watermarks on both sides (built-in
+    Structured Streaming operator — the reference needs TimeIntervalJoin)."""
+    views = (
+        stream_table(spark, sf_dir, "events", watermark=("ts", "30 minutes"))
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    purchases = (
+        stream_table(spark, sf_dir, "events", watermark=("ts", "30 minutes"))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    j = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    return run_stream_to_df(j, "append").select(
+        "view_id", "purchase_id", F.col("v_user").alias("user_id")
+    )
+
+
+# --- CEP --------------------------------------------------------------------
+
+
+@df_query(
+    "cep_signup_then_purchase",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             LEAD(event_type) OVER w AS nxt_type,
+             LEAD(event_id) OVER w AS nxt_id,
+             LEAD(ts) OVER w AS nxt_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), m AS (
+      SELECT user_id, event_id AS a_id, ts AS a_ts, nxt_id AS b_id,
+             nxt_ts AS b_ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+               AS match_id
+      FROM seq WHERE event_type = 'signup' AND nxt_type = 'purchase'
+    )
+    SELECT user_id, a_id AS event_id, match_id, 'signup' AS stage,
+           0 AS seq, a_ts AS event_ts FROM m
+    UNION ALL
+    SELECT user_id, b_id, match_id, 'purchase', 1, b_ts FROM m
+    """,
+)
+def cep_signup_then_purchase(spark, sf_dir):
+    """CEP strict contiguity: signup immediately followed by purchase."""
+    t = load_tables(spark, sf_dir)
+    pat = (
+        Pattern.begin("signup")
+        .where(lambda r: r["event_type"] == "signup")
+        .next("purchase")
+        .where(lambda r: r["event_type"] == "purchase")
+    )
+    return cep_pattern(
+        t["events"], pat, ["user_id"], "ts", "event_id", AfterMatchSkip.SKIP_PAST_LAST
+    )
+
+
+@df_query(
+    "cep_view_then_purchase_10m",
+    oracle="""
+    WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+    p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    pairs AS (
+      SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
+             p.event_id AS purchase_id, p.ts AS purchase_ts,
+             ROW_NUMBER() OVER (PARTITION BY v.user_id, v.event_id
+                                ORDER BY p.ts, p.event_id) AS rn
+      FROM v JOIN p ON v.user_id = p.user_id
+       AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL '10' MINUTE
+    ), m AS (
+      SELECT user_id, view_id, view_ts, purchase_id, purchase_ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY view_ts, view_id) - 1 AS match_id
+      FROM pairs WHERE rn = 1
+    )
+    SELECT user_id, view_id AS event_id, match_id, 'view' AS stage,
+           0 AS seq, view_ts AS event_ts FROM m
+    UNION ALL
+    SELECT user_id, purchase_id, match_id, 'purchase', 1, purchase_ts FROM m
+    """,
+)
+def cep_view_then_purchase_10m(spark, sf_dir):
+    """CEP relaxed contiguity + within-window: view followed (within 10
+    minutes) by the first purchase; every view may start a match (NO_SKIP)."""
+    t = load_tables(spark, sf_dir)
+    pat = (
+        Pattern.begin("view")
+        .where(lambda r: r["event_type"] == "view")
+        .followed_by("purchase")
+        .where(lambda r: r["event_type"] == "purchase")
+        .within(dt.timedelta(minutes=10))
+    )
+    return cep_pattern(
+        t["events"], pat, ["user_id"], "ts", "event_id", AfterMatchSkip.NO_SKIP
+    )

@@ -23,6 +23,11 @@ import os
 
 from pyspark.sql import SparkSession
 
+# Python workers inherit this: silences a pandas-internals FutureWarning
+# raised inside pyspark's Arrow serializer on every stateful batch (noise,
+# not ours to fix).
+os.environ.setdefault("PYTHONWARNINGS", "ignore::FutureWarning")
+
 # Runtime-settable confs that every entry point applies even when handed a
 # foreign SparkSession (the correctness driver builds its own session).
 RUNTIME_CONFS: dict[str, str] = {

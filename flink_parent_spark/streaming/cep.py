@@ -1,0 +1,336 @@
+"""CEP / MATCH_RECOGNIZE: a Pattern API + matcher executed per key as an
+Arrow-batched pandas group operation.
+
+Reference parity (algorithm, not code):
+- Pattern API surface: flink-libraries/flink-cep/.../pattern/Pattern.java —
+  begin:128, where:155, next:262, followedBy:291, optional:332,
+  oneOrMore:350, greedy:365, times:379, within:245.
+- Engine: flink-cep/.../nfa/NFA.java compiles patterns to an NFA; here the
+  same match semantics are produced by a backtracking matcher over the
+  per-key event sequence (equivalent for the supported subset, far less
+  machinery). Supported: strict (`next`) and relaxed (`followed_by`)
+  contiguity, times/one_or_more/optional quantifiers, greedy/reluctant,
+  `within` windows, and after-match skip strategies NO_SKIP /
+  SKIP_TO_NEXT / SKIP_PAST_LAST (.../nfa/aftermatch/).
+- SQL MATCH_RECOGNIZE maps onto this via `match_recognize()` below
+  (StreamExecMatch.scala:68 is the reference's gluing layer).
+
+Execution model: batch = groupBy(key).applyInPandas (each key's events sort
+by (ts, tiebreak) inside the group — Spark shuffles once by key, the sort is
+partition-local, so the operator scales with keys not total rows); streaming
+= the same matcher inside applyInPandasWithState with the event buffer as
+keyed state, emitting matches as batches arrive.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from collections.abc import Callable, Iterator, Sequence
+from dataclasses import dataclass, field
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+Row = dict[str, Any]
+Predicate = Callable[[Row], bool]
+
+
+class AfterMatchSkip:
+    NO_SKIP = "no_skip"
+    SKIP_TO_NEXT = "skip_to_next"
+    SKIP_PAST_LAST = "skip_past_last"
+
+
+@dataclass
+class _Stage:
+    name: str
+    preds: list[Predicate] = field(default_factory=list)
+    or_preds: list[Predicate] = field(default_factory=list)
+    strict: bool = False  # True: `next` contiguity; False: `followed_by`
+    min_times: int = 1
+    max_times: int = 1  # -1 = unbounded (one_or_more)
+    greedy: bool = False
+
+    def accepts(self, row: Row) -> bool:
+        base = all(p(row) for p in self.preds) if self.preds else True
+        if self.or_preds:
+            return base or any(p(row) for p in self.or_preds)
+        return base
+
+
+class Pattern:
+    """Fluent CEP pattern builder (Pattern.java surface subset)."""
+
+    def __init__(self, stages: list[_Stage], within: _dt.timedelta | None = None):
+        self._stages = stages
+        self._within = within
+
+    # --- construction -------------------------------------------------------
+
+    @staticmethod
+    def begin(name: str) -> "Pattern":
+        return Pattern([_Stage(name)])
+
+    def where(self, pred: Predicate) -> "Pattern":
+        self._stages[-1].preds.append(pred)
+        return self
+
+    def or_where(self, pred: Predicate) -> "Pattern":
+        self._stages[-1].or_preds.append(pred)
+        return self
+
+    def next(self, name: str) -> "Pattern":
+        self._stages.append(_Stage(name, strict=True))
+        return self
+
+    def followed_by(self, name: str) -> "Pattern":
+        self._stages.append(_Stage(name, strict=False))
+        return self
+
+    def optional(self) -> "Pattern":
+        self._stages[-1].min_times = 0
+        return self
+
+    def one_or_more(self) -> "Pattern":
+        s = self._stages[-1]
+        s.min_times, s.max_times = 1, -1
+        return self
+
+    def times(self, m: int, n: int | None = None) -> "Pattern":
+        s = self._stages[-1]
+        s.min_times, s.max_times = m, (n if n is not None else m)
+        return self
+
+    def greedy(self) -> "Pattern":
+        self._stages[-1].greedy = True
+        return self
+
+    def within(self, duration: _dt.timedelta) -> "Pattern":
+        self._within = duration
+        return self
+
+    # --- matching -----------------------------------------------------------
+
+    def _match_from(
+        self, rows: list[Row], start: int, ts_col: str
+    ) -> list[tuple[str, int]] | None:
+        """Try to match the whole pattern with stage 0 starting at `start`.
+        Returns [(stage_name, row_index), ...] or None."""
+        deadline = None
+        if self._within is not None:
+            deadline = rows[start][ts_col] + self._within
+
+        def try_stage(si: int, pos: int, acc: list[tuple[str, int]]):
+            if si == len(self._stages):
+                return acc
+            st = self._stages[si]
+            first_stage = si == 0
+
+            # Candidate start positions for this stage.
+            if first_stage:
+                starts = [start]
+            elif st.strict:
+                starts = [pos]
+            else:  # relaxed: scan forward
+                starts = range(pos, len(rows))
+
+            for s0 in starts:
+                # collect how many consecutive accepts are available (strict
+                # within a quantified stage, per reference `consecutive` for
+                # times on next; relaxed stages scan contiguous runs too —
+                # matching Flink's default relaxed-internal-contiguity would
+                # add another scan dimension; documented subset.)
+                counts = []
+                i = s0
+                while (
+                    i < len(rows)
+                    and st.accepts(rows[i])
+                    and (deadline is None or rows[i][ts_col] <= deadline)
+                    and (st.max_times == -1 or i - s0 < st.max_times)
+                ):
+                    counts.append(i)
+                    i += 1
+                if len(counts) < st.min_times:
+                    if first_stage or st.strict:
+                        if st.min_times == 0:
+                            r = try_stage(si + 1, s0, acc)
+                            if r is not None:
+                                return r
+                        break  # strict stage can't slide
+                    continue
+                # choose repetition count: greedy = max first, else min first
+                lo, hi = st.min_times, len(counts)
+                order = range(hi, lo - 1, -1) if st.greedy else range(lo, hi + 1)
+                for k in order:
+                    if k == 0:
+                        r = try_stage(si + 1, s0, acc)
+                    else:
+                        taken = [(st.name, j) for j in counts[:k]]
+                        r = try_stage(si + 1, counts[k - 1] + 1, acc + taken)
+                    if r is not None:
+                        return r
+                if first_stage or st.strict:
+                    break
+            return None
+
+        return try_stage(0, start, [])
+
+    def find_matches(
+        self,
+        rows: list[Row],
+        ts_col: str,
+        skip: str = AfterMatchSkip.SKIP_PAST_LAST,
+    ) -> list[list[tuple[str, int]]]:
+        """All matches over a sorted event list under the skip strategy."""
+        out = []
+        start = 0
+        while start < len(rows):
+            m = self._match_from(rows, start, ts_col)
+            if m is None:
+                start += 1
+                continue
+            out.append(m)
+            if skip == AfterMatchSkip.SKIP_PAST_LAST:
+                start = m[-1][1] + 1
+            else:  # NO_SKIP and SKIP_TO_NEXT both advance the start cursor
+                start += 1
+        return out
+
+
+MATCH_SCHEMA_SUFFIX = (
+    "`match_id` bigint, `stage` string, `seq` int, `event_ts` timestamp"
+)
+
+
+def cep_pattern(
+    df: DataFrame,
+    pattern: Pattern,
+    key_cols: Sequence[str],
+    ts_col: str,
+    id_col: str,
+    skip: str = AfterMatchSkip.SKIP_PAST_LAST,
+) -> DataFrame:
+    """Batch CEP: one output row per matched event:
+    (key..., event id, match_id (per-key ordinal), stage, seq, event_ts)."""
+    dt = dict(df.dtypes)
+    key_schema = ", ".join(f"`{c}` {dt[c]}" for c in key_cols)
+    out_schema = f"{key_schema}, `{id_col}` {dt[id_col]}, " + MATCH_SCHEMA_SUFFIX
+    cols = list(df.columns)
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col])
+        rows = pdf[cols].to_dict("records")
+        matches = pattern.find_matches(rows, ts_col, skip)
+        recs = []
+        for mid, m in enumerate(matches):
+            for seq, (stage, idx) in enumerate(m):
+                r = rows[idx]
+                recs.append(
+                    {
+                        **{k: r[k] for k in key_cols},
+                        id_col: r[id_col],
+                        "match_id": mid,
+                        "stage": stage,
+                        "seq": seq,
+                        "event_ts": r[ts_col],
+                    }
+                )
+        return pd.DataFrame(
+            recs,
+            columns=[*key_cols, id_col, "match_id", "stage", "seq", "event_ts"],
+        )
+
+    return df.groupBy(*key_cols).applyInPandas(per_key, out_schema)
+
+
+def cep_pattern_stream(
+    sdf: DataFrame,
+    pattern: Pattern,
+    key_cols: Sequence[str],
+    ts_col: str,
+    id_col: str,
+    skip: str = AfterMatchSkip.SKIP_PAST_LAST,
+) -> DataFrame:
+    """Streaming CEP: keyed state buffers events; each batch appends, sorts,
+    emits completed matches and retains the unconsumed tail (per skip
+    strategy). Matches whose window could still extend are held back only by
+    SKIP_PAST_LAST consumption — a full watermark-held variant is the
+    streaming-hardening follow-up (documented)."""
+    dt = dict(sdf.dtypes)
+    key_schema = ", ".join(f"`{c}` {dt[c]}" for c in key_cols)
+    out_schema = f"{key_schema}, `{id_col}` {dt[id_col]}, " + MATCH_SCHEMA_SUFFIX
+    cols = list(sdf.columns)
+    buf_schema = (
+        "buf array<struct<" + ", ".join(f"{c}: {dt[c]}" for c in cols) + ">>, emitted bigint"
+    )
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        buf_rows: list[tuple] = list(state.get[0]) if state.exists else []
+        emitted = state.get[1] if state.exists else 0
+        rows = [dict(zip(cols, r)) for r in buf_rows]
+        for pdf in pdfs:
+            rows.extend(pdf[cols].to_dict("records"))
+        rows.sort(key=lambda r: (r[ts_col], r[id_col]))
+        matches = pattern.find_matches(rows, ts_col, skip)
+        recs = []
+        consumed_until = -1
+        for mid, m in enumerate(matches):
+            for seq, (stage, idx) in enumerate(m):
+                r = rows[idx]
+                recs.append(
+                    {
+                        **{k: r[k] for k in key_cols},
+                        id_col: r[id_col],
+                        "match_id": emitted + mid,
+                        "stage": stage,
+                        "seq": seq,
+                        "event_ts": r[ts_col],
+                    }
+                )
+            consumed_until = max(consumed_until, m[-1][1])
+        remainder = rows[consumed_until + 1 :] if skip == AfterMatchSkip.SKIP_PAST_LAST else rows
+        state.update(
+            ([tuple(r[c] for c in cols) for r in remainder], emitted + len(matches))
+        )
+        yield pd.DataFrame(
+            recs, columns=[*key_cols, id_col, "match_id", "stage", "seq", "event_ts"]
+        )
+
+    return sdf.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, buf_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def match_recognize(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: str,
+    id_col: str,
+    define: dict[str, Predicate],
+    pattern_seq: Sequence[str],
+    within: _dt.timedelta | None = None,
+    skip: str = AfterMatchSkip.SKIP_PAST_LAST,
+) -> DataFrame:
+    """SQL MATCH_RECOGNIZE surface: PATTERN (A B+ C?) expressed as
+    pattern_seq entries 'A', 'B+', 'C?', with DEFINE predicates."""
+    pat: Pattern | None = None
+    for token in pattern_seq:
+        name = token.rstrip("+*?")
+        suffix = token[len(name):]
+        pat = Pattern.begin(name) if pat is None else pat.followed_by(name)
+        if name in define:
+            pat = pat.where(define[name])
+        if suffix == "+":
+            pat = pat.one_or_more().greedy()
+        elif suffix == "?":
+            pat = pat.optional()
+        elif suffix == "*":
+            pat = pat.times(0, None)
+            pat._stages[-1].max_times = -1
+            pat._stages[-1].greedy = True
+    if within is not None:
+        pat = pat.within(within)
+    return cep_pattern(df, pat, partition_by, order_by, id_col, skip)

@@ -1,0 +1,161 @@
+"""Custom stateful streaming operators over applyInPandasWithState:
+streaming Top-N, dedup keep-first/keep-last, streaming OVER aggregation.
+
+Each mirrors a reference runtime operator's algorithm (not its code):
+- streaming_top_n      <- AppendOnlyTopNFunction.java (flink-table-runtime-
+  blink/.../operators/rank/): per-key sorted buffer capped at N; emit the
+  buffer when it changes.
+- streaming_dedup      <- DeduplicateKeepFirstRowFunction.java /
+  DeduplicateKeepLastRowFunction.java (.../operators/deduplicate/): per-key
+  single-row state; keep-first emits once, keep-last emits the newest row.
+- streaming_over_agg   <- RowTimeRowsUnboundedPrecedingFunction.java
+  (.../operators/over/): per-key running accumulator ordered by event time.
+
+State layout notes (the 100 TB angle): state is one entry per key (dedup,
+over-agg accumulator) or N rows per key (top-n) — bounded, no per-event
+growth; exactly the state discipline the reference's operators enforce. The
+GroupStateTimeout hooks are where TTL / idle-state retention plugs in
+(StateTtlConfig parity).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+from decimal import ROUND_HALF_UP, Decimal
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def _schema_of(df: DataFrame, cols: Sequence[str]) -> str:
+    dt = dict(df.dtypes)
+    return ", ".join(f"`{c}` {dt[c]}" for c in cols)
+
+
+def streaming_top_n(
+    sdf: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    n: int,
+    payload_cols: Sequence[str],
+    descending: bool = True,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Append-only streaming Top-N per key: state holds at most n rows per
+    key; each batch emits the refreshed top-n for keys that received input
+    (update semantics, like the reference's retract-free fast path).
+    `tiebreak_col` breaks order_col ties ascending for determinism."""
+    out_cols = list(dict.fromkeys([*key_cols, order_col, *payload_cols]))
+    out_schema = _schema_of(sdf, out_cols) + ", `rank` int"
+    state_schema = "buf array<struct<" + _schema_of(sdf, out_cols).replace("`", "") + ">>"
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows: list[tuple] = list(state.get[0]) if state.exists else []
+        buf = [dict(zip(out_cols, r)) for r in rows]
+        for pdf in pdfs:
+            for rec in pdf[out_cols].to_dict("records"):
+                buf.append(rec)
+        sign = -1.0 if descending else 1.0
+        buf.sort(
+            key=lambda r: (
+                sign * r[order_col],
+                r[tiebreak_col] if tiebreak_col else 0,
+            )
+        )
+        buf = buf[:n]
+        state.update(([tuple(r[c] for c in out_cols) for r in buf],))
+        out = pd.DataFrame(buf, columns=out_cols)
+        out["rank"] = range(1, len(out) + 1)
+        yield out
+
+    return sdf.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def streaming_dedup(
+    sdf: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    payload_cols: Sequence[str],
+    keep: str = "first",
+) -> DataFrame:
+    """Streaming dedup per key. keep='first': emit only the first-seen row
+    per key (by order_col, then arrival); keep='last': emit the latest row
+    per key each time it changes (update semantics)."""
+    out_cols = list(dict.fromkeys([*key_cols, order_col, *payload_cols]))
+    out_schema = _schema_of(sdf, out_cols)
+    state_schema = "cur struct<" + _schema_of(sdf, out_cols).replace("`", "") + ">"
+
+    first = keep == "first"
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        cur = dict(zip(out_cols, state.get[0])) if state.exists else None
+        emitted = []
+        for pdf in pdfs:
+            for rec in pdf[out_cols].sort_values(order_col).to_dict("records"):
+                if cur is None:
+                    cur = rec
+                    emitted = [rec]
+                elif first:
+                    continue
+                elif rec[order_col] >= cur[order_col]:
+                    cur = rec
+                    emitted = [rec]
+        state.update((tuple(cur[c] for c in out_cols),))
+        yield pd.DataFrame(emitted, columns=out_cols)
+
+    return sdf.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def streaming_over_running_sum(
+    sdf: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    payload_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Streaming OVER (PARTITION BY key ORDER BY ts ROWS UNBOUNDED PRECEDING)
+    running sum + count: per-key accumulator state; rows within a batch are
+    processed in event-time order (the reference buffers out-of-order rows
+    until the watermark; AvailableNow replay delivers whole batches, so the
+    in-batch sort plays that role)."""
+    out_cols = list(dict.fromkeys([*key_cols, ts_col, value_col, *payload_cols]))
+    out_schema = _schema_of(sdf, out_cols) + ", `running_sum` double, `running_cnt` bigint"
+    # accumulator kept as integer micros: exact, order-independent, and
+    # restart-safe (same decimal-accumulation contract as the batch layer)
+    state_schema = "acc_micros bigint, cnt bigint"
+    _Q = Decimal("0.000001")
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        acc, cnt = (state.get if state.exists else (0, 0))
+        frames = []
+        for pdf in pdfs:
+            frames.append(pdf[out_cols])
+        batch = pd.concat(frames).sort_values(ts_col) if frames else pd.DataFrame(columns=out_cols)
+        sums, cnts = [], []
+        for v in batch[value_col]:
+            acc += int(Decimal(float(v)).quantize(_Q, rounding=ROUND_HALF_UP) * 1_000_000)
+            cnt += 1
+            sums.append(acc / 1e6)
+            cnts.append(cnt)
+        batch = batch.copy()
+        batch["running_sum"] = pd.Series(sums, index=batch.index, dtype="float64")
+        batch["running_cnt"] = pd.Series(cnts, index=batch.index, dtype="int64")
+        state.update((acc, cnt))
+        yield batch
+
+    return sdf.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -1,0 +1,131 @@
+"""CEP matcher semantics tests with hand-fed sequences — mirrors the
+reference's flink-cep harness tests (NFAITCase-style): quantifiers,
+contiguity, within-windows, and after-match skip strategies."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from flink_parent_spark.streaming.cep import AfterMatchSkip, Pattern, cep_pattern
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def rows(*types, gap_s: int = 10):
+    return [
+        {"k": 1, "id": i, "ts": T0 + dt.timedelta(seconds=i * gap_s), "t": t}
+        for i, t in enumerate(types)
+    ]
+
+
+def names(match):
+    return [(stage, idx) for stage, idx in match]
+
+
+def test_strict_next():
+    pat = Pattern.begin("a").where(lambda r: r["t"] == "A").next("b").where(lambda r: r["t"] == "B")
+    rs = rows("A", "B", "A", "C", "B")
+    ms = pat.find_matches(rs, "ts")
+    assert [names(m) for m in ms] == [[("a", 0), ("b", 1)]]  # A@2 has C next
+
+
+def test_followed_by_relaxed():
+    pat = (
+        Pattern.begin("a").where(lambda r: r["t"] == "A")
+        .followed_by("b").where(lambda r: r["t"] == "B")
+    )
+    rs = rows("A", "C", "C", "B")
+    ms = pat.find_matches(rs, "ts")
+    assert [names(m) for m in ms] == [[("a", 0), ("b", 3)]]
+
+
+def test_times_exact():
+    pat = (
+        Pattern.begin("a").where(lambda r: r["t"] == "A").times(2)
+        .next("b").where(lambda r: r["t"] == "B")
+    )
+    rs = rows("A", "A", "B")
+    ms = pat.find_matches(rs, "ts")
+    assert [names(m) for m in ms] == [[("a", 0), ("a", 1), ("b", 2)]]
+    assert pat.find_matches(rows("A", "B"), "ts") == []
+
+
+def test_one_or_more_greedy_vs_reluctant():
+    greedy = (
+        Pattern.begin("a").where(lambda r: r["t"] == "A").one_or_more().greedy()
+        .followed_by("b").where(lambda r: r["t"] == "B")
+    )
+    rs = rows("A", "A", "A", "B")
+    ms = greedy.find_matches(rs, "ts")
+    assert [names(m) for m in ms] == [[("a", 0), ("a", 1), ("a", 2), ("b", 3)]]
+
+    reluctant = (
+        Pattern.begin("a").where(lambda r: r["t"] == "A").one_or_more()
+        .followed_by("b").where(lambda r: r["t"] == "B")
+    )
+    ms2 = reluctant.find_matches(rs, "ts", AfterMatchSkip.SKIP_PAST_LAST)
+    # reluctant takes the minimal repetition: a@0 then first B
+    assert names(ms2[0])[0] == ("a", 0)
+    assert names(ms2[0])[-1] == ("b", 3)
+
+
+def test_optional():
+    pat = (
+        Pattern.begin("a").where(lambda r: r["t"] == "A")
+        .next("x").where(lambda r: r["t"] == "X").optional()
+        .next("b").where(lambda r: r["t"] == "B")
+    )
+    assert [names(m) for m in pat.find_matches(rows("A", "X", "B"), "ts")] == [
+        [("a", 0), ("x", 1), ("b", 2)]
+    ]
+    assert [names(m) for m in pat.find_matches(rows("A", "B"), "ts")] == [
+        [("a", 0), ("b", 1)]
+    ]
+
+
+def test_within_window():
+    pat = (
+        Pattern.begin("a").where(lambda r: r["t"] == "A")
+        .followed_by("b").where(lambda r: r["t"] == "B")
+        .within(dt.timedelta(seconds=15))
+    )
+    # B arrives 30s after A -> outside window
+    assert pat.find_matches(rows("A", "C", "C", "B"), "ts") == []
+    # B at 10s -> inside
+    assert len(pat.find_matches(rows("A", "B"), "ts")) == 1
+
+
+def test_skip_strategies():
+    pat = Pattern.begin("a").where(lambda r: r["t"] == "A").next("b").where(
+        lambda r: r["t"] == "A"
+    )
+    rs = rows("A", "A", "A")
+    past = pat.find_matches(rs, "ts", AfterMatchSkip.SKIP_PAST_LAST)
+    assert [names(m) for m in past] == [[("a", 0), ("b", 1)]]  # A@2 alone can't pair
+    nosk = pat.find_matches(rs, "ts", AfterMatchSkip.NO_SKIP)
+    assert [names(m) for m in nosk] == [
+        [("a", 0), ("b", 1)],
+        [("a", 1), ("b", 2)],
+    ]
+
+
+def test_or_where():
+    pat = Pattern.begin("a").where(lambda r: r["t"] == "A").or_where(
+        lambda r: r["t"] == "B"
+    )
+    assert len(pat.find_matches(rows("A", "B", "C"), "ts", AfterMatchSkip.NO_SKIP)) == 2
+
+
+def test_cep_operator_on_spark(spark):
+    pdf = pd.DataFrame(rows("A", "B", "A", "B", "C"))
+    df = spark.createDataFrame(pdf)
+    pat = Pattern.begin("a").where(lambda r: r["t"] == "A").next("b").where(
+        lambda r: r["t"] == "B"
+    )
+    out = cep_pattern(df, pat, ["k"], "ts", "id").orderBy("match_id", "seq").collect()
+    assert [(r["match_id"], r["stage"], r["id"]) for r in out] == [
+        (0, "a", 0), (0, "b", 1), (1, "a", 2), (1, "b", 3),
+    ]
