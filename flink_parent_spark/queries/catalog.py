@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import flink_parent_spark.queries.datapipe  # noqa: F401
 import flink_parent_spark.queries.functions_gallery  # noqa: F401
+import flink_parent_spark.queries.graph_queries  # noqa: F401
 import flink_parent_spark.queries.operators_batch  # noqa: F401
 import flink_parent_spark.queries.streaming_queries  # noqa: F401
 import flink_parent_spark.queries.tpch  # noqa: F401

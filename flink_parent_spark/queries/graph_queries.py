@@ -1,0 +1,192 @@
+"""Graph-library queries (Gelly parity) over a bipartite supplier-part graph
+derived from lineitem: part vertices are offset by 1_000_000 so both vertex
+families share one id space.
+
+Oracles recompute the algorithms independently in SQL: recursive CTEs for
+reachability (CC, SSSP) and manually unrolled iterations for PageRank/label
+propagation — decimal-summed where floating accumulation occurs, and all
+double literals forced through CAST(... AS DOUBLE) so both engines do the
+same IEEE arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_parent_spark.graph.algorithms import (
+    connected_components,
+    label_propagation,
+    pagerank,
+    sssp_hops,
+    triangle_count,
+)
+from flink_parent_spark.queries.registry import df_query
+from flink_parent_spark.tables import load_tables
+
+_PART_OFFSET = 1_000_000
+
+_DUCK_EDGES = f"""
+    edges AS (
+      SELECT DISTINCT {_PART_OFFSET} + l_partkey AS src, l_suppkey AS dst
+      FROM lineitem
+    ),
+    und AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT dst AS src, src AS dst FROM edges
+    ),
+    verts AS (
+      SELECT DISTINCT dst AS id FROM edges
+      UNION
+      SELECT DISTINCT src AS id FROM edges
+    )
+"""
+
+
+def _spark_graph(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    edges = li.select(
+        (F.lit(_PART_OFFSET) + F.col("l_partkey")).alias("src"),
+        F.col("l_suppkey").alias("dst"),
+    ).distinct()
+    vertices = (
+        edges.select(F.col("dst").alias("id"))
+        .unionByName(edges.select(F.col("src").alias("id")))
+        .distinct()
+    )
+    return vertices, edges
+
+
+@df_query(
+    "graph_connected_components",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_EDGES},
+    reach(id, l) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT u.dst, r.l
+      FROM reach r JOIN und u ON u.src = r.id
+    )
+    SELECT id, MIN(l) AS component FROM reach GROUP BY id
+    """,
+)
+def graph_connected_components(spark, sf_dir):
+    v, e = _spark_graph(spark, sf_dir)
+    return connected_components(v, e, max_iter=30)
+
+
+@df_query(
+    "graph_sssp_hops",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_EDGES},
+    walk(id, d) AS (
+      SELECT CAST(0 AS BIGINT), 0
+      UNION
+      SELECT u.dst, w.d + 1
+      FROM walk w JOIN und u ON u.src = w.id
+      WHERE w.d < 8
+    )
+    SELECT id, MIN(d) AS dist FROM walk GROUP BY id
+    """,
+)
+def graph_sssp_hops(spark, sf_dir):
+    v, e = _spark_graph(spark, sf_dir)
+    return sssp_hops(v, e, source=0, max_iter=8)
+
+
+def _pagerank_oracle(n_iter: int = 3) -> str:
+    base = "(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT c FROM n)"
+    prev = "pr0"
+    ctes = [
+        f"""
+    outdeg AS (SELECT src, COUNT(*) AS odeg FROM edges GROUP BY src),
+    n AS (SELECT COUNT(*) AS c FROM verts),
+    pr0 AS (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT c FROM n) AS rank FROM verts)"""
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""
+    pr{i} AS (
+      SELECT v.id,
+             {base} + CAST(0.85 AS DOUBLE) * COALESCE(s.inflow, CAST(0 AS DOUBLE))
+               AS rank
+      FROM verts v LEFT JOIN (
+        SELECT e.dst AS id,
+               CAST(SUM(CAST(p.rank / o.odeg AS DECIMAL(28,15))) AS DOUBLE)
+                 AS inflow
+        FROM edges e
+        JOIN {prev} p ON e.src = p.id
+        JOIN outdeg o ON e.src = o.src
+        GROUP BY e.dst) s ON v.id = s.id)"""
+        )
+        prev = f"pr{i}"
+    return f"WITH {_DUCK_EDGES}, {','.join(ctes)} SELECT id, rank FROM {prev}"
+
+
+@df_query("graph_pagerank", oracle=_pagerank_oracle(3))
+def graph_pagerank(spark, sf_dir):
+    v, e = _spark_graph(spark, sf_dir)
+    return pagerank(v, e, n_iter=3, damping=0.85)
+
+
+def _lp_oracle(n_iter: int = 2) -> str:
+    prev = "lp0"
+    ctes = ["lp0 AS (SELECT id, id AS label FROM verts)"]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""
+    cnt{i} AS (
+      SELECT u.dst AS id, p.label, COUNT(*) AS c
+      FROM und u JOIN {prev} p ON u.src = p.id
+      GROUP BY u.dst, p.label),
+    best{i} AS (
+      SELECT id, label AS new_label,
+             ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
+      FROM cnt{i}),
+    lp{i} AS (
+      SELECT p.id, COALESCE(b.new_label, p.label) AS label
+      FROM {prev} p LEFT JOIN (SELECT id, new_label FROM best{i} WHERE rn = 1) b
+        ON p.id = b.id)"""
+        )
+        prev = f"lp{i}"
+    return f"WITH {_DUCK_EDGES}, {','.join(ctes)} SELECT id, label FROM {prev}"
+
+
+@df_query("graph_label_propagation", oracle=_lp_oracle(2))
+def graph_label_propagation(spark, sf_dir):
+    v, e = _spark_graph(spark, sf_dir)
+    init = v.withColumn("label", F.col("id"))
+    return label_propagation(init, e, n_iter=2)
+
+
+@df_query(
+    "graph_triangle_count",
+    oracle="""
+    WITH cosupply AS (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem WHERE l_partkey < 60) a
+      JOIN (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem WHERE l_partkey < 60) b
+        ON a.l_suppkey = b.l_suppkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT COUNT(*) AS n_triangles
+    FROM cosupply ab
+    JOIN cosupply bc ON ab.pb = bc.pa
+    JOIN cosupply ac ON ab.pa = ac.pa AND bc.pb = ac.pb
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    sp = (
+        t["lineitem"]
+        .filter(F.col("l_partkey") < 60)
+        .select("l_suppkey", "l_partkey")
+        .distinct()
+    )
+    a = sp.select(F.col("l_suppkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = sp.select(F.col("l_suppkey").alias("k"), F.col("l_partkey").alias("pb"))
+    cosupply = (
+        a.join(b, "k").filter(F.col("pa") < F.col("pb")).select("pa", "pb").distinct()
+    )
+    edges = cosupply.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    return triangle_count(edges)
