@@ -1,0 +1,313 @@
+"""Flink-shaped TableEnvironment + Table API veneer over Spark.
+
+Reference surface:
+- TableEnvironment: flink-table/flink-table-api-java/.../internal/
+  TableEnvironmentImpl.java (sqlQuery:666, executeSql:686) and PyFlink's
+  pyflink/table/table_environment.py.
+- Table fluent API: flink-table-api-java/.../Table.java; PyFlink
+  pyflink/table/table.py:70-801.
+- DDL: flink-sql-parser/.../ddl/SqlCreateTable.java + SqlWatermark.java —
+  `CREATE TABLE t (cols...[, WATERMARK FOR c AS c - INTERVAL ...])
+   WITH ('connector'='filesystem', 'path'=..., 'format'='parquet')`.
+
+Everything delegates to Catalyst: `sql_query` is `spark.sql`; the fluent
+verbs build the same DataFrame plans; DDL becomes a catalog entry holding a
+reader recipe + watermark spec. Streaming tables (`in_streaming_mode` scans)
+come back as readStream with the declared watermark applied — that is the
+whole Flink time-attribute story mapped onto Spark (SURVEY §1.5, §4 "custom"
+rows)."""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from flink_parent_spark.functions.registry import register_flink_functions
+from flink_parent_spark.session import apply_runtime_confs, get_spark
+
+_CREATE_RE = re.compile(
+    r"CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*"
+    r"\((?P<cols>.*)\)\s*WITH\s*\((?P<props>.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_WATERMARK_RE = re.compile(
+    r"WATERMARK\s+FOR\s+(?P<col>\w+)\s+AS\s+\1\s*-\s*INTERVAL\s+'(?P<n>[\d.]+)'\s+(?P<unit>\w+)",
+    re.IGNORECASE,
+)
+_PROP_RE = re.compile(r"'(?P<k>[^']+)'\s*=\s*'(?P<v>[^']*)'")
+
+
+@dataclass
+class CatalogTable:
+    name: str
+    fmt: str
+    path: str
+    schema_ddl: str | None
+    watermark: tuple[str, str] | None = None  # (col, "10 seconds")
+    computed: list[tuple[str, str]] = field(default_factory=list)  # (name, expr)
+
+
+class Table:
+    """Thin fluent wrapper: every verb returns a new Table over a DataFrame.
+    Accepts either SQL expression strings or pyspark Columns."""
+
+    def __init__(self, df: DataFrame, env: "TableEnvironment"):
+        self._df = df
+        self._env = env
+
+    # -- conversions ---------------------------------------------------------
+    def to_df(self) -> DataFrame:
+        return self._df
+
+    def to_pandas(self):
+        return self._df.toPandas()
+
+    def execute(self):
+        return self  # Spark is lazy; collect() below materializes
+
+    def collect(self):
+        return self._df.collect()
+
+    def print_schema(self) -> None:
+        self._df.printSchema()
+
+    def explain(self, mode: str = "formatted") -> None:
+        self._df.explain(mode)
+
+    # -- relational verbs (Table.java names) --------------------------------
+    def _wrap(self, df: DataFrame) -> "Table":
+        return Table(df, self._env)
+
+    def select(self, *exprs) -> "Table":
+        cols = [F.expr(e) if isinstance(e, str) else e for e in exprs]
+        return self._wrap(self._df.select(*cols))
+
+    def add_columns(self, **named_exprs) -> "Table":
+        df = self._df
+        for name, e in named_exprs.items():
+            df = df.withColumn(name, F.expr(e) if isinstance(e, str) else e)
+        return self._wrap(df)
+
+    def rename_columns(self, **renames) -> "Table":
+        df = self._df
+        for old, new in renames.items():
+            df = df.withColumnRenamed(old, new)
+        return self._wrap(df)
+
+    def drop_columns(self, *names) -> "Table":
+        return self._wrap(self._df.drop(*names))
+
+    def filter(self, predicate) -> "Table":
+        p = F.expr(predicate) if isinstance(predicate, str) else predicate
+        return self._wrap(self._df.filter(p))
+
+    where = filter
+
+    def group_by(self, *keys) -> "GroupedTable":
+        return GroupedTable(self._df, [k if isinstance(k, str) else k for k in keys], self._env)
+
+    def order_by(self, *exprs) -> "Table":
+        cols = [F.expr(e) if isinstance(e, str) else e for e in exprs]
+        return self._wrap(self._df.orderBy(*cols))
+
+    def fetch(self, n: int) -> "Table":
+        return self._wrap(self._df.limit(n))
+
+    limit = fetch
+
+    def offset(self, n: int) -> "Table":
+        return self._wrap(self._df.offset(n))
+
+    def distinct(self) -> "Table":
+        return self._wrap(self._df.distinct())
+
+    def _join(self, right: "Table", on: str | None, how: str) -> "Table":
+        if on is None:
+            return self._wrap(self._df.crossJoin(right._df))
+        return self._wrap(self._df.join(right._df, F.expr(on) if isinstance(on, str) else on, how))
+
+    def join(self, right: "Table", on=None, how: str = "inner") -> "Table":
+        return self._join(right, on, how)
+
+    def left_outer_join(self, right: "Table", on=None) -> "Table":
+        return self._join(right, on, "left")
+
+    def right_outer_join(self, right: "Table", on=None) -> "Table":
+        return self._join(right, on, "right")
+
+    def full_outer_join(self, right: "Table", on=None) -> "Table":
+        return self._join(right, on, "full")
+
+    def union(self, other: "Table") -> "Table":
+        return self._wrap(self._df.unionByName(other._df).distinct())
+
+    def union_all(self, other: "Table") -> "Table":
+        return self._wrap(self._df.unionByName(other._df))
+
+    def intersect(self, other: "Table") -> "Table":
+        return self._wrap(self._df.intersect(other._df))
+
+    def intersect_all(self, other: "Table") -> "Table":
+        return self._wrap(self._df.intersectAll(other._df))
+
+    def minus(self, other: "Table") -> "Table":
+        return self._wrap(self._df.exceptAll(other._df).distinct())
+
+    def minus_all(self, other: "Table") -> "Table":
+        return self._wrap(self._df.exceptAll(other._df))
+
+
+class GroupedTable:
+    def __init__(self, df: DataFrame, keys, env):
+        self._df, self._keys, self._env = df, keys, env
+
+    def select(self, *agg_exprs) -> Table:
+        # grouping keys come back automatically from groupBy().agg();
+        # tolerate Flink-style selects that re-list them.
+        keys = {k for k in self._keys if isinstance(k, str)}
+        cols = [
+            F.expr(e) if isinstance(e, str) else e
+            for e in agg_exprs
+            if not (isinstance(e, str) and e.strip() in keys)
+        ]
+        return Table(self._df.groupBy(*self._keys).agg(*cols), self._env)
+
+
+class TableEnvironment:
+    """create() -> execute_sql DDL -> sql_query / from_path, batch or
+    streaming mode (Flink's EnvironmentSettings split)."""
+
+    def __init__(self, spark: SparkSession, streaming: bool = False):
+        self.spark = apply_runtime_confs(spark)
+        self.streaming = streaming
+        self.catalog: dict[str, CatalogTable] = {}
+        register_flink_functions(spark)
+
+    @staticmethod
+    def create(streaming: bool = False, spark: SparkSession | None = None) -> "TableEnvironment":
+        return TableEnvironment(spark or get_spark(), streaming)
+
+    # -- DDL -----------------------------------------------------------------
+    def execute_sql(self, stmt: str):
+        s = stmt.strip().rstrip(";")
+        m = _CREATE_RE.match(s)
+        if m:
+            return self._create_table(m)
+        if re.match(r"CREATE\s+(OR\s+REPLACE\s+)?(TEMPORARY\s+)?VIEW", s, re.IGNORECASE):
+            return self.spark.sql(s)
+        if re.match(r"INSERT\s+INTO", s, re.IGNORECASE):
+            return self._insert_into(s)
+        # plain SQL (SELECT, DROP, ...) passes straight through
+        return Table(self.spark.sql(s), self)
+
+    def _create_table(self, m: re.Match):
+        name = m.group("name")
+        cols_block = m.group("cols")
+        props = {p.group("k"): p.group("v") for p in _PROP_RE.finditer(m.group("props"))}
+        watermark = None
+        wm = _WATERMARK_RE.search(cols_block)
+        if wm:
+            unit = wm.group("unit").lower().rstrip("s") + "s"
+            watermark = (wm.group("col"), f"{wm.group('n')} {unit}")
+        # column list without the WATERMARK clause / computed cols
+        col_defs, computed = [], []
+        for part in _split_top_level(cols_block):
+            p = part.strip()
+            if not p or p.upper().startswith("WATERMARK"):
+                continue
+            cm = re.match(r"(?P<n>\w+)\s+AS\s+(?P<e>.+)", p, re.IGNORECASE)
+            if cm and not re.match(r"\w+\s+(AS\s+)?(ROW|MAP|ARRAY)\b", p, re.IGNORECASE):
+                computed.append((cm.group("n"), cm.group("e")))
+            else:
+                col_defs.append(p)
+        entry = CatalogTable(
+            name=name,
+            fmt=props.get("format", props.get("connector", "parquet")),
+            path=props.get("path", ""),
+            schema_ddl=", ".join(col_defs) if col_defs else None,
+            watermark=watermark,
+            computed=computed,
+        )
+        self.catalog[name] = entry
+        # register the batch view immediately so sql_query sees it
+        self._scan(entry, streaming=False).createOrReplaceTempView(name)
+        return None
+
+    def _scan(self, entry: CatalogTable, streaming: bool) -> DataFrame:
+        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        fmt = "parquet" if entry.fmt in ("filesystem", "parquet") else entry.fmt
+        if streaming:
+            from flink_parent_spark.streaming.core import stream_table  # noqa: PLC0415
+            import os  # noqa: PLC0415
+
+            df = stream_table(
+                self.spark,
+                os.path.dirname(entry.path),
+                os.path.basename(entry.path).replace(".parquet", ""),
+            )
+        else:
+            reader = self.spark.read
+            if entry.schema_ddl and fmt in ("csv", "json"):
+                reader = reader.schema(entry.schema_ddl)
+            df = getattr(reader, fmt)(entry.path)
+        for c in df.columns:  # nanos convert mirrors tables.py
+            pass
+        from flink_parent_spark.tables import NANOS_TS_COLS  # noqa: PLC0415
+
+        base = entry.path.rsplit("/", 1)[-1].replace(".parquet", "")
+        for c in NANOS_TS_COLS.get(base, ()):
+            if dict(df.dtypes).get(c) == "bigint":
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+        for name_, expr_ in entry.computed:
+            df = df.withColumn(name_, F.expr(expr_))
+        if streaming and entry.watermark:
+            df = df.withWatermark(*entry.watermark)
+        return df
+
+    def _insert_into(self, s: str):
+        m = re.match(r"INSERT\s+INTO\s+(?P<t>\w+)\s+(?P<q>.*)", s, re.IGNORECASE | re.DOTALL)
+        target = self.catalog[m.group("t")]
+        df = self.spark.sql(m.group("q"))
+        fmt = "parquet" if target.fmt in ("filesystem", "parquet") else target.fmt
+        getattr(df.write.mode("append"), fmt)(target.path)
+        return None
+
+    # -- queries -------------------------------------------------------------
+    def sql_query(self, sql: str) -> Table:
+        return Table(self.spark.sql(sql), self)
+
+    def from_path(self, name: str) -> Table:
+        entry = self.catalog.get(name)
+        if entry and self.streaming:
+            return Table(self._scan(entry, streaming=True), self)
+        return Table(self.spark.table(name), self)
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split a column-definition block on commas not inside parens/quotes."""
+    out, depth, cur, q = [], 0, [], None
+    for ch in s:
+        if q:
+            cur.append(ch)
+            if ch == q:
+                q = None
+            continue
+        if ch in "'\"":
+            q = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out

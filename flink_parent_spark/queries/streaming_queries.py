@@ -169,6 +169,52 @@ def stream_interval_join(spark, sf_dir):
     )
 
 
+# --- changelog / retraction -------------------------------------------------
+
+
+@df_query(
+    "changelog_latest_value_by_type",
+    oracle=f"""
+    WITH latest AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t
+      WHERE rn = 1
+    )
+    SELECT event_type, COUNT(*) AS n_users, {dsum('value', 'sum_value')}
+    FROM latest GROUP BY event_type
+    """,
+)
+def changelog_latest_value_by_type(spark, sf_dir):
+    """Two-level streaming aggregation via the changelog layer: keep-last
+    dedup per user emits +I/-U/+U rows; a retraction-consuming aggregate
+    regroups by event_type. Users whose latest event_type changes mid-stream
+    are retracted from the old group — the semantics Spark's built-in
+    update-mode aggregation cannot chain (SURVEY §1.4)."""
+    from flink_parent_spark.streaming.changelog import (
+        changelog_keep_last,
+        retract_aggregate,
+    )
+
+    ev = stream_table(spark, sf_dir, "events")
+    # stage 1 (streaming, stateful): RowKind-tagged keep-last changelog.
+    # Tiebreak equal timestamps by event_id via a composite order key so the
+    # changelog transition order matches the oracle's ROW_NUMBER order.
+    ev = ev.withColumn(
+        "__ord",
+        (F.unix_micros("ts") - F.lit(1_704_067_200_000_000)) * F.lit(1_000_000)
+        + F.col("event_id"),
+    )
+    log = changelog_keep_last(ev, ["user_id"], "__ord", ["event_type", "value"])
+    materialized = run_stream_to_df(log, "append")
+    # stage 2 (relational): signed-sum retraction aggregate.
+    return retract_aggregate(
+        materialized, ["event_type"], {"sum_value": "value"}, count_alias="n_users"
+    )
+
+
 # --- CEP --------------------------------------------------------------------
 
 

@@ -1,0 +1,99 @@
+"""Changelog (retraction) layer: RowKind-tagged streams and
+retraction-consuming aggregation.
+
+Reference semantics (SURVEY §1.4 — "the single most important semantic to
+replicate"):
+- RowKind: flink-core/.../types/RowKind.java:25-52 — INSERT(+I),
+  UPDATE_BEFORE(-U), UPDATE_AFTER(+U), DELETE(-D). Carried here as a
+  `__rowkind` string column (Spark has no first-class changelog rows).
+- Producing op: DeduplicateKeepLastRowFunction emits -U(old)/+U(new) pairs
+  when a key's latest row changes — `changelog_keep_last` mirrors that with
+  per-key state.
+- Consuming op: GroupAggFunction.processElement
+  (flink-table-runtime-blink/.../aggregate/GroupAggFunction.java:121)
+  accumulates on +I/+U and retracts on -U/-D — `retract_aggregate` is the
+  signed-sum formulation of exactly that: SUM(sign * x), COUNT = SUM(sign).
+
+Composition model: a changelog-producing stateful op feeds downstream aggs
+through the signed-sum rewrite. Signed sums are associative/commutative, so
+the downstream agg is an ordinary Catalyst hash aggregate — retraction
+support costs nothing extra at scale (no second stateful operator needed
+for the batch-replay path; the streaming path chains through foreachBatch).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+ROWKIND_COL = "__rowkind"
+INSERT, UPDATE_BEFORE, UPDATE_AFTER, DELETE = "+I", "-U", "+U", "-D"
+
+
+def rowkind_sign(kind: Column | None = None) -> Column:
+    """+1 for +I/+U, -1 for -U/-D."""
+    kind = kind if kind is not None else F.col(ROWKIND_COL)
+    return F.when(kind.isin(INSERT, UPDATE_AFTER), F.lit(1)).otherwise(F.lit(-1))
+
+
+def changelog_keep_last(
+    sdf: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    payload_cols: Sequence[str],
+) -> DataFrame:
+    """Keep-last dedup emitting a full changelog: first row per key emits
+    +I; every later row (in order_col order) emits -U(previous) then
+    +U(new). State: the current row per key (bounded)."""
+    out_cols = list(dict.fromkeys([*key_cols, order_col, *payload_cols]))
+    dt = dict(sdf.dtypes)
+    out_schema = (
+        ", ".join(f"`{c}` {dt[c]}" for c in out_cols) + f", `{ROWKIND_COL}` string"
+    )
+    state_schema = "cur struct<" + ", ".join(f"{c}: {dt[c]}" for c in out_cols) + ">"
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        cur = dict(zip(out_cols, state.get[0])) if state.exists else None
+        recs = []
+        for pdf in pdfs:
+            for rec in pdf[out_cols].sort_values(order_col).to_dict("records"):
+                if cur is None:
+                    recs.append({**rec, ROWKIND_COL: INSERT})
+                elif rec[order_col] >= cur[order_col]:
+                    recs.append({**cur, ROWKIND_COL: UPDATE_BEFORE})
+                    recs.append({**rec, ROWKIND_COL: UPDATE_AFTER})
+                else:
+                    continue  # late row older than current version: ignored
+                cur = rec
+        if cur is not None:
+            state.update((tuple(cur[c] for c in out_cols),))
+        yield pd.DataFrame(recs, columns=[*out_cols, ROWKIND_COL])
+
+    return sdf.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def retract_aggregate(
+    changelog: DataFrame,
+    group_cols: Sequence[str],
+    sum_cols: dict[str, str] | None = None,
+    count_alias: str = "n",
+) -> DataFrame:
+    """Retraction-consuming aggregate over a RowKind-tagged relation:
+    COUNT and SUMs accumulate +1/+x for +I/+U and -1/-x for -U/-D.
+    sum_cols: {output_alias: source_col}; sums go through decimal for the
+    cross-engine determinism contract."""
+    sign = rowkind_sign()
+    aggs = [F.sum(sign).alias(count_alias)]
+    for alias, src in (sum_cols or {}).items():
+        aggs.append(
+            F.sum((sign * F.col(src)).cast("decimal(30,6)")).cast("double").alias(alias)
+        )
+    out = changelog.groupBy(*group_cols).agg(*aggs)
+    # groups whose net count dropped to zero were fully retracted away
+    return out.filter(F.col(count_alias) > 0)

@@ -1,0 +1,98 @@
+"""TableEnvironment / Table API surface tests (TableEnvironmentImpl +
+Table.java parity at the Python veneer level)."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_parent_spark.api.table_env import TableEnvironment
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def tenv(spark):
+    env = TableEnvironment.create(spark=spark)
+    env.execute_sql(
+        f"""
+        CREATE TABLE li (
+            l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT,
+            l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE,
+            l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING,
+            l_linestatus STRING, l_shipdate TIMESTAMP
+        ) WITH ('connector' = 'filesystem',
+                'path' = '{SF}/lineitem.parquet', 'format' = 'parquet')
+        """
+    )
+    env.execute_sql(
+        f"""
+        CREATE TABLE ev (
+            event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            event_type STRING, value DOUBLE, props STRING,
+            day_part AS CAST(ts AS DATE),
+            WATERMARK FOR ts AS ts - INTERVAL '10' SECOND
+        ) WITH ('connector' = 'filesystem',
+                'path' = '{SF}/events.parquet', 'format' = 'parquet')
+        """
+    )
+    return env
+
+
+def test_ddl_and_sql_query(tenv):
+    t = tenv.sql_query("SELECT count(*) AS n FROM li")
+    assert t.collect()[0]["n"] == 6000
+
+
+def test_computed_column_and_watermark_metadata(tenv):
+    entry = tenv.catalog["ev"]
+    assert entry.watermark == ("ts", "10 seconds")
+    rows = tenv.sql_query("SELECT day_part FROM ev LIMIT 1").collect()
+    assert rows[0]["day_part"] is not None
+
+
+def test_fluent_chain(tenv):
+    t = (
+        tenv.from_path("li")
+        .filter("l_quantity > 45")
+        .select("l_returnflag", "l_extendedprice * (1 - l_discount) AS net")
+        .group_by("l_returnflag")
+        .select("l_returnflag", "count(1) AS n", "round(sum(net), 2) AS revenue")
+        .order_by("l_returnflag")
+    )
+    rows = t.collect()
+    oracle = tenv.spark.sql(
+        """SELECT l_returnflag, count(1) AS n,
+                  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           FROM li WHERE l_quantity > 45 GROUP BY l_returnflag ORDER BY l_returnflag"""
+    ).collect()
+    assert rows == oracle
+
+
+def test_joins_setops(tenv):
+    a = tenv.from_path("li").select("l_orderkey").distinct().fetch(100)
+    b = tenv.from_path("li").select("l_orderkey").distinct().fetch(50)
+    assert a.intersect(b).to_df().count() == 50
+    assert a.union_all(b).to_df().count() == 150
+    assert a.minus(b).to_df().count() == 50
+
+
+def test_flink_udfs_available(tenv):
+    r = tenv.sql_query("SELECT SPLIT_INDEX('x-y-z', '-', 2) AS v").collect()
+    assert r[0]["v"] == "z"
+
+
+def test_streaming_scan_has_watermark(spark):
+    env = TableEnvironment.create(spark=spark, streaming=True)
+    env.execute_sql(
+        f"""
+        CREATE TABLE evs (
+            event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            event_type STRING, value DOUBLE, props STRING,
+            WATERMARK FOR ts AS ts - INTERVAL '30' SECOND
+        ) WITH ('connector' = 'filesystem',
+                'path' = '{SF}/events.parquet', 'format' = 'parquet')
+        """
+    )
+    sdf = env.from_path("evs").to_df()
+    assert sdf.isStreaming
+    assert "EventTimeWatermark" in sdf._jdf.queryExecution().logical().toString()
