@@ -47,13 +47,60 @@ def ngram_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread rows across cores before compute-heavy per-row expressions —
+    a single input file otherwise pins shingling/hashing to one task (at
+    cluster scale the input arrives already split; this is the local-mode
+    equivalent)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, shingle_hash) pairs, distinct per doc."""
+    """(__id, __shingle, __h) rows, distinct shingles per doc."""
+    # note: no per-array dedup here (array_distinct is O(k^2) per doc);
+    # duplicates are harmless under MIN and removed by DISTINCT where set
+    # semantics matter.
     return (
-        df.select(F.col(id_col).alias("__id"), ngram_shingles(F.col(text_col), n).alias("__sh"))
-        .select("__id", F.explode(F.array_distinct("__sh")).alias("__shingle"))
+        _spread(df)
+        .select(F.col(id_col).alias("__id"), ngram_shingles(F.col(text_col), n).alias("__sh"))
+        .select("__id", F.explode("__sh").alias("__shingle"))
         .select("__id", token_hash64(F.col("__shingle")).alias("__h"))
+    )
+
+
+def _jaccard_for_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Jaccard for an explicit candidate-pair set only: shingle rows are
+    semi-joined down to candidate ids first, so cost scales with the
+    candidate set, not the corpus."""
+    ids = (
+        pairs.select(F.col("id_a").alias("__id"))
+        .unionByName(pairs.select(F.col("id_b").alias("__id")))
         .distinct()
+    )
+    shc = sh.join(ids, "__id", "left_semi").select("__id", "__h")
+    sizes = shc.groupBy("__id").agg(F.count("*").alias("__sz"))
+    a = shc.select(F.col("__id").alias("id_a"), "__h")
+    b = shc.select(F.col("__id").alias("id_b"), "__h")
+    common = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "__h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(
+            sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__sz", "size_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__sz", "size_b"),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("common")).cast("double"),
+        )
     )
 
 
@@ -68,7 +115,7 @@ def ngram_jaccard_pairs(
     """All document pairs with n-gram Jaccard >= threshold, via
     inverted-index self-join. Output: (id_a, id_b, common, size_a, size_b,
     jaccard) with id_a < id_b."""
-    sh = _shingle_table(df, text_col, id_col, n)
+    sh = _shingle_table(df, text_col, id_col, n).select("__id", "__h").distinct()
     if max_shingle_freq is not None:
         hot = sh.groupBy("__h").count().filter(F.col("count") > max_shingle_freq).select("__h")
         sh = sh.join(hot, "__h", "left_anti")
@@ -95,24 +142,29 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, k: int = 16
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    k: int = 16,
+    _sh: DataFrame | None = None,
 ) -> DataFrame:
-    """k-permutation MinHash signature per doc: sig_i = min over shingles of
-    hash64(i || ':' || shingle). Output: (id, perm, minhash) long format —
-    long format keeps the band join a plain equi-join downstream."""
-    sh = (
-        df.select(F.col(id_col).alias("__id"), ngram_shingles(F.col(text_col), n).alias("__sh"))
-        .select("__id", F.explode(F.array_distinct("__sh")).alias("__shingle"))
-    )
+    """k-permutation MinHash signature per doc: sig_i = min over shingle
+    hashes h of hash64(i || ':' || h) — permutations re-hash the compact
+    64-bit shingle hash, not the raw shingle string (16x less string
+    hashing; the k hash families stay independent). Output:
+    (id, perm, minhash) long format — keeps the band join a plain
+    equi-join downstream."""
+    sh = _sh if _sh is not None else _shingle_table(df, text_col, id_col, n)
     perms = sh.select(
-        "__id", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("perm"), "__shingle"
+        "__id", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("perm"), "__h"
     )
     hashed = perms.select(
         "__id",
         "perm",
-        token_hash64(F.concat_ws(":", F.col("perm"), F.col("__shingle"))).alias("__h"),
+        token_hash64(F.concat_ws(":", F.col("perm"), F.col("__h"))).alias("__ph"),
     )
-    return hashed.groupBy("__id", "perm").agg(F.min("__h").alias("minhash")).withColumnRenamed(
+    return hashed.groupBy("__id", "perm").agg(F.min("__ph").alias("minhash")).withColumnRenamed(
         "__id", "id"
     )
 
@@ -131,7 +183,11 @@ def minhash_lsh_pairs(
     verified with the true n-gram Jaccard and filtered. Output:
     (id_a, id_b [, jaccard])."""
     rows_per_band = k // bands
-    sig = minhash_signatures(df, text_col, id_col, n, k)
+    # shared shingle table: persisted so the signature and verify branches
+    # scan/shingle the corpus once (at cluster scale this would be a
+    # checkpoint to reliable storage instead)
+    sh = _shingle_table(df, text_col, id_col, n).persist()
+    sig = minhash_signatures(df, text_col, id_col, n, k, _sh=sh)
     banded = (
         sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
         .groupBy("id", "band")
@@ -147,6 +203,7 @@ def minhash_lsh_pairs(
             ),
         )
     )
+    banded = banded.persist()  # feeds both sides of the candidate self-join
     a = banded.select(F.col("id").alias("id_a"), "band_key")
     b = banded.select(F.col("id").alias("id_b"), "band_key")
     cand = (
@@ -154,10 +211,10 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return cand
-    truth = ngram_jaccard_pairs(
-        df, text_col, id_col, n, threshold=0.0, max_shingle_freq=None
-    ).select("id_a", "id_b", "jaccard")
-    return cand.join(truth, ["id_a", "id_b"]).filter(F.col("jaccard") >= verify_threshold)
+    verified = _jaccard_for_pairs(sh.select("__id", "__h").distinct(), cand)
+    return verified.filter(F.col("jaccard") >= verify_threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 63) -> DataFrame:
@@ -165,7 +222,8 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 63) -> DataFr
     the document's tokens; fingerprint = sum of 2^b over winning bits.
     63 bits keeps the result in a positive BIGINT. Output: (id, simhash)."""
     tok = (
-        df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__t"))
+        _spread(df)
+        .select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__t"))
         .select("id", F.explode("__t").alias("__tok"))
         .select("id", token_hash64(F.col("__tok")).alias("__h"))
     )

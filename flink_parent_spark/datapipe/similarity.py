@@ -65,6 +65,9 @@ def cosine_topk(
         F.col(vec_col).alias("__cv"),
         *([F.col(block_col).alias("__cb")] if block_col else []),
     )
+    # spread candidates across cores: a single input file otherwise pins the
+    # per-candidate fold to one task (clusters get this split for free)
+    c = c.repartition(c.sparkSession.sparkContext.defaultParallelism)
     if block_col:
         joined = c.join(F.broadcast(q), F.col("__qb") == F.col("__cb"))
     else:

@@ -225,15 +225,13 @@ def dedup_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
-_H_PERM = _duck_h64("perm || ':' || sh")
+_H_PERM = _duck_h64("perm || ':' || h")
 _H_SH = _duck_h64("sh")
 
-
-@df_query(
-    "dedup_minhash_signatures",
-    oracle=rf"""
-    WITH sh AS (
-      SELECT DISTINCT doc_id, sh
+# distinct (doc_id, shingle-hash) set, shared by the minhash oracles
+_DUCK_HSH = rf"""
+    hsh AS (
+      SELECT DISTINCT doc_id, {_H_SH} AS h
       FROM (
         SELECT doc_id,
                list_transform(generate_series(1, len(toks) - 2),
@@ -242,9 +240,16 @@ _H_SH = _duck_h64("sh")
               FROM documents) t1
       ) t2, LATERAL (SELECT unnest(shs) AS sh) u
     )
+"""
+
+
+@df_query(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    WITH {_DUCK_HSH}
     SELECT doc_id AS id, perm,
            MIN({_H_PERM}) AS minhash
-    FROM sh, (SELECT unnest(generate_series(0, 15)) AS perm) p
+    FROM hsh, (SELECT unnest(generate_series(0, 15)) AS perm) p
     GROUP BY doc_id, perm
     """,
 )
@@ -255,19 +260,10 @@ def dedup_minhash_signatures(spark, sf_dir):
 
 @df_query(
     "dedup_minhash_lsh_pairs",
-    oracle=rf"""
-    WITH sh AS (
-      SELECT DISTINCT doc_id, sh
-      FROM (
-        SELECT doc_id,
-               list_transform(generate_series(1, len(toks) - 2),
-                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shs
-        FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-              FROM documents) t1
-      ) t2, LATERAL (SELECT unnest(shs) AS sh) u
-    ), sig AS (
+    oracle=f"""
+    WITH {_DUCK_HSH}, sig AS (
       SELECT doc_id, perm, MIN({_H_PERM}) AS minhash
-      FROM sh, (SELECT unnest(generate_series(0, 15)) AS perm) p
+      FROM hsh, (SELECT unnest(generate_series(0, 15)) AS perm) p
       GROUP BY doc_id, perm
     ), banded AS (
       SELECT doc_id, perm // 4 AS band,
@@ -278,8 +274,6 @@ def dedup_minhash_signatures(spark, sf_dir):
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM banded a JOIN banded b
         ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-    ), hsh AS (
-      SELECT DISTINCT doc_id, {_H_SH} AS h FROM sh
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS sz FROM hsh GROUP BY doc_id
     ), common AS (
