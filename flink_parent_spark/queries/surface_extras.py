@@ -1,0 +1,289 @@
+"""Coverage queries for the remaining SURVEY §2 surface: format sources and
+the partitioned filesystem sink (read-back checked), lookup join, the
+Python UDF surface (scalar / grouped-agg / table function), count windows,
+and the broadcast-state pattern (stream-static join)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from flink_parent_spark.functions.udf import agg_udf, scalar_udf, table_function
+from flink_parent_spark.operators.joins import lookup_join
+from flink_parent_spark.queries.registry import df_query, dsum
+from flink_parent_spark.sources.formats import read_table, write_table
+from flink_parent_spark.streaming.core import run_stream_to_df, stream_table
+from flink_parent_spark.tables import load_tables
+
+# --- filesystem sink (partitioned) + csv/json sources ------------------------
+
+
+@df_query(
+    "sink_partitioned_roundtrip",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           {dsum('l_quantity', 'sum_qty')}
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sink_partitioned_roundtrip(spark, sf_dir):
+    """FileSystemTableSink parity: write lineitem partitioned by returnflag
+    (hive-style layout), read it back, aggregate. Partition values survive
+    the directory-encoding round trip; partition pruning applies on read."""
+    t = load_tables(spark, sf_dir)
+    out = os.path.join(tempfile.gettempdir(), "fps_sink_roundtrip")
+    write_table(
+        t["lineitem"].select("l_returnflag", "l_linestatus", "l_quantity"),
+        out,
+        fmt="parquet",
+        partition_by=["l_returnflag"],
+    )
+    back = read_table(spark, out, fmt="parquet")
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double").alias("sum_qty"),
+    )
+
+
+@df_query(
+    "source_csv_json_roundtrip",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n_nations,
+           MIN(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def source_csv_json_roundtrip(spark, sf_dir):
+    """csv + json format coverage: nation -> csv -> json -> aggregate."""
+    t = load_tables(spark, sf_dir)
+    base = os.path.join(tempfile.gettempdir(), "fps_fmt_roundtrip")
+    write_table(t["nation"], f"{base}/csv", fmt="csv")
+    csv_back = read_table(
+        spark,
+        f"{base}/csv",
+        fmt="csv",
+        schema="n_nationkey INT, n_name STRING, n_regionkey INT",
+    )
+    write_table(csv_back, f"{base}/json", fmt="json")
+    json_back = read_table(
+        spark,
+        f"{base}/json",
+        fmt="json",
+        schema="n_nationkey INT, n_name STRING, n_regionkey INT",
+    )
+    return json_back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"), F.min("n_name").alias("first_name")
+    )
+
+
+# --- lookup join --------------------------------------------------------------
+
+
+@df_query(
+    "lookup_join_enrich_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, n_name
+    FROM orders
+    LEFT JOIN customer ON o_custkey = c_custkey
+    LEFT JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderkey < 500
+    """,
+)
+def lookup_join_enrich_orders(spark, sf_dir):
+    """LookupJoinRunner parity: fact stream enriched against broadcast dims."""
+    t = load_tables(spark, sf_dir)
+    facts = t["orders"].filter(F.col("o_orderkey") < 500)
+    enriched = lookup_join(facts, t["customer"], [("o_custkey", "c_custkey")])
+    enriched = lookup_join(enriched, t["nation"], [("c_nationkey", "n_nationkey")])
+    return enriched.select("o_orderkey", "o_totalprice", "c_name", "n_name")
+
+
+# --- Python UDF surface -------------------------------------------------------
+
+
+@df_query(
+    "udf_scalar_pandas",
+    oracle="""
+    SELECT c_custkey,
+           c_acctbal * 1.1 + 5 AS adjusted,
+           length(c_name) + c_nationkey AS mix
+    FROM customer WHERE c_custkey < 200
+    """,
+)
+def udf_scalar_pandas(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+
+    @scalar_udf("double")
+    def adjust(bal: pd.Series) -> pd.Series:
+        return bal * 1.1 + 5
+
+    @scalar_udf("long")
+    def mix(name: pd.Series, nk: pd.Series) -> pd.Series:
+        return name.str.len() + nk
+
+    return (
+        t["customer"]
+        .filter(F.col("c_custkey") < 200)
+        .select(
+            "c_custkey",
+            adjust("c_acctbal").alias("adjusted"),
+            mix("c_name", "c_nationkey").alias("mix"),
+        )
+    )
+
+
+@df_query(
+    "udaf_grouped_agg_pandas",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+             / COUNT(c_acctbal) AS mean_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def udaf_grouped_agg_pandas(spark, sf_dir):
+    """AggregateFunction parity: custom vectorized mean with the decimal
+    determinism contract applied inside the UDAF."""
+    t = load_tables(spark, sf_dir)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    @agg_udf("double")
+    def decimal_mean(v: pd.Series) -> float:
+        q = Decimal("0.000001")
+        total = sum(Decimal(float(x)).quantize(q, rounding=ROUND_HALF_UP) for x in v)
+        # float division of the exact decimal total matches the oracle's
+        # CAST(decimal-sum AS DOUBLE) / COUNT double division
+        return float(total) / len(v) if len(v) else None
+
+    return t["customer"].groupBy("c_mktsegment").agg(
+        decimal_mean("c_acctbal").alias("mean_bal")
+    )
+
+
+@df_query(
+    "udtf_tokenize",
+    oracle=r"""
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+    FROM documents WHERE doc_id < 10
+    """,
+)
+def udtf_tokenize(spark, sf_dir):
+    """TableFunction (UDTF) parity: one input row -> n output rows."""
+    t = load_tables(spark, sf_dir)
+
+    def tokenize(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            for tok in str(text).strip().split():
+                rows.append({"doc_id": doc_id, "token": tok})
+        return pd.DataFrame(rows, columns=["doc_id", "token"])
+
+    return table_function(
+        t["documents"].filter(F.col("doc_id") < 10).select("doc_id", "text"),
+        tokenize,
+        "doc_id bigint, token string",
+    )
+
+
+# --- count windows (streaming-only machinery, §2.9) ---------------------------
+
+
+@df_query(
+    "stream_count_window",
+    oracle=f"""
+    WITH numbered AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+               AS rn
+      FROM events
+    )
+    SELECT user_id, CAST(rn // 5 AS INT) AS win_id, COUNT(*) AS n,
+           {dsum('value', 'sum_value')}
+    FROM numbered
+    GROUP BY user_id, rn // 5
+    HAVING COUNT(*) = 5
+    """,
+)
+def stream_count_window(spark, sf_dir):
+    """Count-tumbling window (CountTumblingWindowAssigner parity): every 5
+    events per key form a window; only complete windows emit. Implemented as
+    a stateful row counter per key."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = stream_table(spark, sf_dir, "events")
+    size = 5
+
+    def fn(key, pdfs, state):
+        # state: (next ordinal, carried partial-window rows' values)
+        if state.exists:
+            start, carried = state.get
+            carried = list(carried)
+        else:
+            start, carried = 0, []
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                pdf[["user_id", "ts", "event_id", "value"]]
+                .sort_values(["ts", "event_id"])
+                .to_dict("records")
+            )
+        vals = carried + [r["value"] for r in rows]
+        out = []
+        win_id = start // size
+        while len(vals) >= size:
+            chunk, vals = vals[:size], vals[size:]
+            from decimal import ROUND_HALF_UP, Decimal
+
+            q = Decimal("0.000001")
+            s = sum(Decimal(float(x)).quantize(q, rounding=ROUND_HALF_UP) for x in chunk)
+            out.append(
+                {
+                    "user_id": key[0],
+                    "win_id": win_id,
+                    "n": size,
+                    "sum_value": float(s),
+                }
+            )
+            win_id += 1
+        state.update((win_id * size, vals))
+        yield pd.DataFrame(out, columns=["user_id", "win_id", "n", "sum_value"])
+
+    res = ev.groupBy("user_id").applyInPandasWithState(
+        fn,
+        "user_id bigint, win_id int, n bigint, sum_value double",
+        "start bigint, carried array<double>",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    return run_stream_to_df(res, "append")
+
+
+# --- broadcast-state pattern: stream-static join ------------------------------
+
+
+@df_query(
+    "stream_static_join",
+    oracle=f"""
+    SELECT n_name, COUNT(*) AS n_events, {dsum('value', 'sum_value')}
+    FROM events JOIN nation ON CAST(user_id % 25 AS INT) = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def stream_static_join(spark, sf_dir):
+    """Broadcast-state parity (BroadcastConnectedStream): a streaming fact
+    joined against a static broadcast dimension, then aggregated."""
+    t = load_tables(spark, sf_dir)
+    ev = stream_table(spark, sf_dir, "events").withColumn(
+        "nk", (F.col("user_id") % 25).cast("int")
+    )
+    joined = ev.join(F.broadcast(t["nation"]), ev.nk == t["nation"].n_nationkey)
+    agg = joined.groupBy("n_name").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+    )
+    return run_stream_to_df(agg, "complete")
