@@ -169,6 +169,103 @@ def stream_interval_join(spark, sf_dir):
     )
 
 
+@df_query(
+    "match_recognize_sql_clause",
+    oracle="""
+    WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+    p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    pairs AS (
+      SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
+             p.event_id AS purchase_id, p.ts AS purchase_ts,
+             ROW_NUMBER() OVER (PARTITION BY v.user_id, v.event_id
+                                ORDER BY p.ts, p.event_id) AS rn
+      FROM v JOIN p ON v.user_id = p.user_id
+       AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL '10' MINUTE
+    ), m AS (
+      SELECT user_id, view_id, view_ts, purchase_id, purchase_ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY view_ts, view_id) - 1 AS match_id
+      FROM pairs WHERE rn = 1
+    )
+    SELECT user_id, view_id AS event_id, match_id, 'V' AS stage,
+           0 AS seq, view_ts AS event_ts FROM m
+    UNION ALL
+    SELECT user_id, purchase_id, match_id, 'P', 1, purchase_ts FROM m
+    """,
+)
+def match_recognize_sql_clause(spark, sf_dir):
+    """SQL MATCH_RECOGNIZE surface: the clause text is parsed, DEFINE
+    predicates are evaluated by Catalyst, matching runs in the CEP engine."""
+    from flink_parent_spark.streaming.match_recognize_sql import match_recognize_sql
+
+    t = load_tables(spark, sf_dir)
+    clause = """
+      PARTITION BY user_id
+      ORDER BY ts
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN (V P)
+      WITHIN INTERVAL '10' MINUTE
+      DEFINE V AS V.event_type = 'view',
+             P AS P.event_type = 'purchase'
+    """
+    return match_recognize_sql(t["events"], clause, "event_id")
+
+
+@df_query(
+    "stream_retract_topn",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t
+      WHERE rn = 1
+    )
+    SELECT event_type, value, user_id, CAST(rnk AS INT) AS rank FROM (
+      SELECT event_type, value, user_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, user_id) AS rnk
+      FROM latest) r
+    WHERE rnk <= 3
+    """,
+)
+def stream_retract_topn(spark, sf_dir):
+    """Retraction-aware streaming Top-N (RetractableTopNFunction parity):
+    a keep-last changelog per user feeds a Top-3-by-value ranking per
+    event_type; when a user's latest event changes, the old version is
+    RETRACTED from its group's ranking — the case append-only Top-N gets
+    wrong. Chained as changelog -> file -> streaming retract-TopN."""
+    import os
+    import tempfile
+    import uuid
+
+    from flink_parent_spark.streaming.changelog import changelog_keep_last
+    from flink_parent_spark.streaming.stateful import streaming_retract_top_n
+
+    ev = stream_table(spark, sf_dir, "events").withColumn(
+        "__ord",
+        (F.unix_micros("ts") - F.lit(1_704_067_200_000_000)) * F.lit(1_000_000)
+        + F.col("event_id"),
+    )
+    log = changelog_keep_last(ev, ["user_id"], "__ord", ["event_type", "value"])
+    staged = run_stream_to_df(log, "append")
+    out_dir = os.path.join(tempfile.gettempdir(), f"fps_chlog_{uuid.uuid4().hex[:8]}")
+    staged.write.mode("overwrite").parquet(out_dir)
+    schema = spark.read.parquet(out_dir).schema
+    stream = spark.readStream.schema(schema).format("parquet").load(out_dir)
+    tn = streaming_retract_top_n(
+        stream,
+        ["event_type"],
+        "value",
+        3,
+        ["user_id"],
+        tiebreak_col="user_id",
+        sequence_col="__ord",
+    )
+    return run_stream_to_df(tn, "update")
+
+
 # --- changelog / retraction -------------------------------------------------
 
 

@@ -190,6 +190,79 @@ def udtf_tokenize(spark, sf_dir):
     )
 
 
+@df_query(
+    "async_lookup_join_regions",
+    oracle="""
+    SELECT n_nationkey, n_name, r.r_name AS region_name
+    FROM nation LEFT JOIN region r ON n_regionkey = r_regionkey
+    """,
+)
+def async_lookup_join_regions(spark, sf_dir):
+    """AsyncDataStream/AsyncTableFunction parity: batched external lookups
+    via mapInPandas; the 'service' here is an in-memory bulk client built
+    from the region table (collected once on the driver — it is a dim)."""
+    from flink_parent_spark.operators.async_lookup import async_lookup_join, dict_client
+
+    t = load_tables(spark, sf_dir)
+    region_map = {
+        r["r_regionkey"]: {"region_name": r["r_name"]} for r in t["region"].collect()
+    }
+    enriched = async_lookup_join(
+        t["nation"].select("n_nationkey", "n_name", "n_regionkey"),
+        "n_regionkey",
+        dict_client(region_map),
+        [("region_name", "string")],
+    )
+    return enriched.select("n_nationkey", "n_name", "region_name")
+
+
+@df_query(
+    "flat_aggregate_top2",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer) t
+    WHERE rn <= 2
+    """,
+)
+def flat_aggregate_top2(spark, sf_dir):
+    """TableAggregateFunction (flatAggregate) parity: a grouped aggregate
+    that EMITS MULTIPLE ROWS per group (Flink's emitValue surface), via
+    applyInPandas."""
+    t = load_tables(spark, sf_dir)
+
+    def top2(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.sort_values(
+            ["c_acctbal", "c_custkey"], ascending=[False, True]
+        ).head(2)[["c_mktsegment", "c_custkey", "c_acctbal"]]
+
+    return t["customer"].groupBy("c_mktsegment").applyInPandas(
+        top2, "c_mktsegment string, c_custkey bigint, c_acctbal double"
+    )
+
+
+@df_query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty,
+           quantile_disc(l_quantity, 0.25) AS p25_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark, sf_dir):
+    """Exact percentile aggregates (continuous + discrete interpolation)."""
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+        F.expr("percentile_approx(l_quantity, 0.25, 2147483647)").alias("p25_disc"),
+    )
+
+
 # --- count windows (streaming-only machinery, §2.9) ---------------------------
 
 

@@ -1,0 +1,119 @@
+"""SQL MATCH_RECOGNIZE clause: parse + execute against the CEP engine.
+
+Reference: Calcite's MATCH_RECOGNIZE grammar wired through
+StreamExecMatch.scala:68 / MatchCodeGenerator.scala into flink-cep. Here the
+clause is parsed with a small recognizer and DEFINE predicates are evaluated
+BY CATALYST as boolean columns before matching — SQL expression semantics
+stay Spark's, the Python matcher only reads precomputed booleans (and so
+stays off the per-predicate hot path).
+
+Supported clause surface:
+
+    MATCH_RECOGNIZE (
+      PARTITION BY k [, ...]
+      ORDER BY ts
+      [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
+      PATTERN ( A B+ C? [D*] )
+      [WITHIN INTERVAL 'n' unit]
+      DEFINE A AS <sql bool expr>, B AS <sql bool expr> [, ...]
+    )
+
+Stage-qualified references (A.col) normalize to bare columns — same-row
+semantics (LAST/PREV navigation is a later-round extension)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+
+from pyspark.sql import DataFrame, functions as F
+
+from flink_parent_spark.streaming.cep import AfterMatchSkip, Pattern, cep_pattern
+
+_SECTION_RE = re.compile(
+    r"PARTITION\s+BY\s+(?P<part>[\w,\s]+?)\s+ORDER\s+BY\s+(?P<order>\w+)"
+    r"(?:\s+AFTER\s+MATCH\s+SKIP\s+(?P<skip>PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW))?"
+    r"\s+PATTERN\s*\(\s*(?P<pattern>[^)]+)\)"
+    r"(?:\s+WITHIN\s+INTERVAL\s+'(?P<wn>[\d.]+)'\s+(?P<wu>\w+))?"
+    r"\s+DEFINE\s+(?P<define>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_UNIT_SECONDS = {
+    "second": 1,
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+}
+
+
+def match_recognize_sql(
+    df: DataFrame, clause: str, id_col: str
+) -> DataFrame:
+    """Execute a MATCH_RECOGNIZE clause body over df. Output: one row per
+    matched event (key cols, id, match_id, stage, seq, event_ts)."""
+    m = _SECTION_RE.search(clause.strip())
+    if not m:
+        raise ValueError("unsupported MATCH_RECOGNIZE clause shape")
+    partition_by = [c.strip() for c in m.group("part").split(",") if c.strip()]
+    order_by = m.group("order").strip()
+    skip = AfterMatchSkip.SKIP_PAST_LAST
+    if m.group("skip") and "NEXT" in m.group("skip").upper():
+        skip = AfterMatchSkip.SKIP_TO_NEXT
+    tokens = m.group("pattern").split()
+    within = None
+    if m.group("wn"):
+        unit = m.group("wu").lower().rstrip("s")
+        within = dt.timedelta(seconds=float(m.group("wn")) * _UNIT_SECONDS[unit])
+
+    # DEFINE A AS expr, B AS expr  (split on commas at top parenthesis level)
+    defines: dict[str, str] = {}
+    depth, cur, parts = 0, [], []
+    for ch in m.group("define"):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    for p in parts:
+        dm = re.match(r"\s*(?P<n>\w+)\s+AS\s+(?P<e>.+)", p, re.IGNORECASE | re.DOTALL)
+        if not dm:
+            raise ValueError(f"bad DEFINE entry: {p!r}")
+        defines[dm.group("n")] = dm.group("e").strip()
+
+    # evaluate DEFINE predicates as Catalyst boolean columns
+    work = df
+    pred_cols: dict[str, str] = {}
+    for name, expr in defines.items():
+        bare = re.sub(r"\b\w+\.(\w+)", r"\1", expr)  # strip stage qualifiers
+        col = f"__mr_{name}"
+        work = work.withColumn(col, F.expr(bare))
+        pred_cols[name] = col
+
+    pat: Pattern | None = None
+    for token in tokens:
+        name = token.rstrip("+*?")
+        suffix = token[len(name):]
+        pat = Pattern.begin(name) if pat is None else pat.followed_by(name)
+        if name in pred_cols:
+            c = pred_cols[name]
+            pat = pat.where(lambda r, c=c: bool(r[c]))
+        if suffix == "+":
+            pat = pat.one_or_more().greedy()
+        elif suffix == "?":
+            pat = pat.optional()
+        elif suffix == "*":
+            pat = pat.times(0, None)
+            pat._stages[-1].max_times = -1
+            pat._stages[-1].greedy = True
+    if within is not None:
+        pat = pat.within(within)
+
+    out = cep_pattern(work, pat, partition_by, order_by, id_col, skip)
+    return out

@@ -117,6 +117,70 @@ def streaming_dedup(
     )
 
 
+def streaming_retract_top_n(
+    changelog: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    n: int,
+    payload_cols: Sequence[str],
+    rowkind_col: str = "__rowkind",
+    descending: bool = True,
+    tiebreak_col: str | None = None,
+    sequence_col: str | None = None,
+) -> DataFrame:
+    """Retraction-aware streaming Top-N (RetractableTopNFunction.java:491
+    parity): input rows carry RowKind; -U/-D removes the matching row from
+    the per-key buffer, +I/+U inserts. Emits the refreshed top-n per key
+    per batch. State holds ALL live rows per key (same cost the reference
+    pays — a retraction can promote any row into the top-n).
+
+    sequence_col: causal order of changelog rows within a batch (a replayed
+    changelog file loses the per-key channel ordering Flink's network stack
+    guarantees; +I sorts before -U before +U at equal sequence)."""
+    data_cols = list(dict.fromkeys([*key_cols, order_col, *payload_cols]))
+    dt = dict(changelog.dtypes)
+    out_schema = ", ".join(f"`{c}` {dt[c]}" for c in data_cols) + ", `rank` int"
+    state_schema = (
+        "buf array<struct<" + ", ".join(f"{c}: {dt[c]}" for c in data_cols) + ">>"
+    )
+    sign_plus = ("+I", "+U")
+    # at equal sequence a row's -U refers to the row inserted at that same
+    # sequence (its +I/+U) — retraction must sort AFTER the insertion
+    kind_rank = {"+I": 0, "+U": 1, "-U": 2, "-D": 2}
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        buf = [dict(zip(data_cols, r)) for r in (state.get[0] if state.exists else [])]
+        for pdf in pdfs:
+            in_cols = list(dict.fromkeys([*data_cols, rowkind_col, *( [sequence_col] if sequence_col else [] )]))
+            recs = pdf[in_cols].to_dict("records")
+            if sequence_col:
+                recs.sort(key=lambda r: (r[sequence_col], kind_rank.get(r[rowkind_col], 3)))
+            for rec in recs:
+                if sequence_col and sequence_col not in data_cols:
+                    rec.pop(sequence_col, None)
+                kind = rec.pop(rowkind_col)
+                if kind in sign_plus:
+                    buf.append(rec)
+                else:  # -U / -D: remove one matching row
+                    for i, r in enumerate(buf):
+                        if all(r[c] == rec[c] for c in data_cols):
+                            del buf[i]
+                            break
+        sgn = -1.0 if descending else 1.0
+        buf.sort(
+            key=lambda r: (sgn * r[order_col], r[tiebreak_col] if tiebreak_col else 0)
+        )
+        state.update(([tuple(r[c] for c in data_cols) for r in buf],))
+        top = buf[:n]
+        out = pd.DataFrame(top, columns=data_cols)
+        out["rank"] = range(1, len(out) + 1)
+        yield out
+
+    return changelog.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_over_running_sum(
     sdf: DataFrame,
     key_cols: Sequence[str],
