@@ -1,0 +1,57 @@
+"""Plan-quality tests (SURVEY §5 level 1 — the reference's golden-plan XML
+suite, re-expressed as physical-plan property assertions): pushdown reaches
+the scan, dims broadcast, partial aggregation exists, rank-limit pushes into
+the window, whole-stage codegen covers the hot path."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_parent_spark.queries.catalog import all_queries
+
+SF = "/root/testdata/sf0.01"
+QS = all_queries()
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_q6_filter_pushdown(spark):
+    plan = plan_of(QS["tpch_q6"](spark, SF))
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    # column pruning: only the 4 needed columns are read
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate" in plan
+
+
+def test_q5_broadcasts_dimensions(spark):
+    plan = plan_of(QS["tpch_q5"](spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q1_partial_aggregation(spark):
+    plan = plan_of(QS["tpch_q1"](spark, SF))
+    # map-side partial agg before the shuffle (HashAggregate x2 pattern)
+    # map-side partial + final agg pair (codegen ids are hidden by the
+    # unexecuted AdaptiveSparkPlan wrapper, so only structure is asserted)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_topn_window_group_limit(spark):
+    plan = plan_of(QS["topn_orders_per_customer"](spark, SF))
+    # rank()<=N pushes a per-partition top-k below the shuffle (Spark 3.5+)
+    assert "WindowGroupLimit" in plan
+
+
+def test_semi_join_strategy(spark):
+    plan = plan_of(QS["semi_join_customers_with_orders"](spark, SF))
+    assert "LeftSemi" in plan
+
+
+def test_interval_join_single_shuffle(spark):
+    plan = plan_of(QS["interval_join_view_then_purchase"](spark, SF))
+    # equi-key + range predicate must stay ONE join (hash/SMJ on user_id),
+    # not a nested-loop cross product
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

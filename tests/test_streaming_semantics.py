@@ -1,0 +1,115 @@
+"""Streaming semantics tests: multi-batch replay, watermark late-data
+dropping, state continuity across batches — the reference's
+harness-test level (hand-fed elements + watermarks asserting operator
+state behavior)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from flink_parent_spark.streaming.core import run_stream_to_df
+
+
+def _write_batches(spark, rows_per_batch, schema):
+    """Write each batch as its own parquet file in one directory; with
+    maxFilesPerTrigger=1 the file stream source replays them as separate
+    micro-batches in lexicographic file order."""
+    import time
+
+    d = tempfile.mkdtemp(prefix="fps_batches_")
+    for i, rows in enumerate(rows_per_batch):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{d}/staging_{i}"
+        )
+        part = [f for f in os.listdir(f"{d}/staging_{i}") if f.endswith(".parquet")][0]
+        os.rename(f"{d}/staging_{i}/{part}", f"{d}/batch_{i:03d}.parquet")
+        shutil.rmtree(f"{d}/staging_{i}")
+        time.sleep(1.1)  # distinct mtimes: the file source replays in mtime order
+    return d
+
+
+def test_watermark_drops_late_rows(spark):
+    """Tumbling-window agg in append mode: a row arriving after the
+    watermark passed its window end is dropped (allowed-lateness parity:
+    watermark delay IS the lateness budget)."""
+    schema = "ts timestamp, k string, v long"
+    batches = [
+        # batch 0: window [00:00, 00:10) gets two rows; max ts 00:21
+        [("2024-01-01 00:00:01", "a", 1), ("2024-01-01 00:00:02", "a", 1),
+         ("2024-01-01 00:21:00", "b", 1)],
+        # batch 1: watermark is now 00:21 - 5min = 00:16 > 00:10, so at
+        # END of this batch window [00:00,00:10) is emitted and evicted
+        [("2024-01-01 00:22:00", "b", 1)],
+        # batch 2: a row for the already-closed window -> DROPPED (its
+        # state is gone and its window end is below the watermark)
+        [("2024-01-01 00:00:03", "a", 100)],
+        # batch 3: push watermark far ahead so remaining windows close
+        [("2024-01-01 01:00:00", "c", 1)],
+    ]
+    import datetime as dt
+
+    batches = [
+        [(dt.datetime.fromisoformat(t), k, v) for t, k, v in b] for b in batches
+    ]
+    d = _write_batches(spark, batches, schema)
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "10 minutes"), "k")
+        .agg(F.sum("v").alias("total"))
+    )
+    out = run_stream_to_df(sdf, "append")
+    emitted = [
+        (r["k"], str(r["window"]["start"]), r["total"]) for r in out.collect()
+    ]
+    a_windows = [e for e in emitted if e[0] == "a"]
+    # exactly one emission for k=a, late v=100 excluded, no re-emission
+    assert a_windows == [("a", "2024-01-01 00:00:00", 2)]
+
+
+def test_state_continuity_across_batches(spark):
+    """Streaming dedup keep-first state survives micro-batch boundaries:
+    a duplicate key arriving in a later batch is suppressed."""
+    import datetime as dt
+
+    from flink_parent_spark.streaming.stateful import streaming_dedup
+
+    schema = "ts timestamp, k string, v long"
+    t0 = dt.datetime(2024, 1, 1)
+    batches = [
+        [(t0, "x", 1), (t0, "y", 2)],
+        [(t0 + dt.timedelta(minutes=1), "x", 99)],  # dup key, later batch
+        [(t0 + dt.timedelta(minutes=2), "z", 3)],
+    ]
+    d = _write_batches(spark, batches, schema)
+    sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    deduped = streaming_dedup(sdf, ["k"], "ts", ["v"], keep="first")
+    out = run_stream_to_df(deduped, "update")
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == {"x": 1, "y": 2, "z": 3}
+
+
+def test_salted_join_equals_plain_join(spark):
+    from flink_parent_spark.operators.skew import salted_join
+    from flink_parent_spark.tables import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    plain = (
+        t["lineitem"].join(t["part"], t["lineitem"].l_partkey == t["part"].p_partkey)
+        .agg(F.count("*"), F.sum("p_retailprice"))
+        .collect()
+    )
+    salted = (
+        salted_join(t["lineitem"], t["part"], "l_partkey", "p_partkey", factor=4)
+        .agg(F.count("*"), F.sum("p_retailprice"))
+        .collect()
+    )
+    assert plain == salted
