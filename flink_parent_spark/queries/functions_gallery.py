@@ -236,6 +236,105 @@ sql_query(
     """,
 )
 
+sql_query(
+    "fn_str_to_map_parse_url",
+    """
+    SELECT doc_id,
+           STR_TO_MAP(CONCAT('lang:', lang, ',src:', source), ',', ':')['lang']
+             AS lang_from_map,
+           PARSE_URL(CONCAT('https://example.com/', source, '?d=', doc_id),
+                     'HOST') AS host,
+           PARSE_URL(CONCAT('https://example.com/', source, '?d=', doc_id),
+                     'QUERY', 'd') AS qparam
+    FROM documents WHERE doc_id < 25
+    """,
+    oracle="""
+    SELECT doc_id,
+           lang AS lang_from_map,
+           'example.com' AS host,
+           CAST(doc_id AS VARCHAR) AS qparam
+    FROM documents WHERE doc_id < 25
+    """,
+)
+
+sql_query(
+    "over_ignore_nulls",
+    """
+    SELECT o_orderkey,
+           LAST_VALUE(CASE WHEN o_orderstatus = 'F' THEN o_orderkey END)
+             IGNORE NULLS OVER w AS last_finished,
+           LEAD(o_orderkey, 1) OVER w AS next_any
+    FROM orders
+    WHERE o_custkey < 40
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           LAST_VALUE(CASE WHEN o_orderstatus = 'F' THEN o_orderkey END
+                      IGNORE NULLS) OVER w AS last_finished,
+           LEAD(o_orderkey, 1) OVER w AS next_any
+    FROM orders
+    WHERE o_custkey < 40
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+
+sql_query(
+    "fn_null_semantics",
+    """
+    SELECT k,
+           COUNT(*) AS n_rows,
+           COUNT(v) AS n_nonnull,
+           COALESCE(CAST(SUM(CAST(v AS DECIMAL(20,6))) AS DOUBLE), -1.0) AS sum_v,
+           MAX(v IS NULL) AS has_null
+    FROM (VALUES (1, 10.0), (1, CAST(NULL AS DOUBLE)), (2, 5.0),
+                 (2, 7.0), (3, CAST(NULL AS DOUBLE))) AS t(k, v)
+    GROUP BY k
+    ORDER BY k NULLS FIRST
+    """,
+)
+
+sql_query(
+    "fn_decimal_arithmetic",
+    """
+    SELECT p_partkey,
+           CAST(p_retailprice AS DECIMAL(12,2)) AS price_dec,
+           CAST(p_retailprice AS DECIMAL(12,2)) * 3 AS tripled,
+           CAST(CAST(p_retailprice AS DECIMAL(12,2))
+                + CAST(0.05 AS DECIMAL(4,2)) AS DECIMAL(14,2)) AS plus_tax,
+           CAST(CAST(p_retailprice AS DECIMAL(12,2)) / 4 AS DECIMAL(16,4))
+             AS quartered
+    FROM part WHERE p_partkey < 40
+    """,
+)
+
+sql_query(
+    "fn_array_hof",
+    """
+    SELECT n_nationkey,
+           TRANSFORM(SEQUENCE(1, 4), x -> x * n_nationkey) AS multiples,
+           FILTER(SEQUENCE(1, 10), x -> x % 3 = 0) AS div3,
+           AGGREGATE(SEQUENCE(1, 5), CAST(0 AS BIGINT), (a, x) -> a + x)
+             AS sum15,
+           EXISTS(SEQUENCE(1, 5), x -> x = n_nationkey) AS small_key,
+           ZIP_WITH(ARRAY(1, 2, 3), ARRAY(10, 20, 30), (a, b) -> a + b)
+             AS zipped
+    FROM nation
+    """,
+    oracle="""
+    SELECT n_nationkey,
+           list_transform(generate_series(1, 4), x -> x * n_nationkey)
+             AS multiples,
+           list_filter(generate_series(1, 10), x -> x % 3 = 0) AS div3,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       generate_series(1, 5)), (a, x) -> a + x) AS sum15,
+           len(list_filter(generate_series(1, 5), x -> x = n_nationkey)) > 0
+             AS small_key,
+           [11, 22, 33] AS zipped
+    FROM nation
+    """,
+)
+
 # --- Flink-compat residue (SQL UDFs from functions/registry.py) -------------
 
 
