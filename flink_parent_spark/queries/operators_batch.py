@@ -384,6 +384,55 @@ def pivot_status_by_flag(spark, sf_dir):
     )
 
 
+sql_query(
+    "topn_with_ties",
+    """
+    SELECT l_returnflag, l_quantity, cnt, rnk FROM (
+      SELECT l_returnflag, l_quantity, COUNT(*) AS cnt,
+             RANK() OVER (PARTITION BY l_returnflag ORDER BY COUNT(*) DESC,
+                          l_quantity) AS rnk
+      FROM lineitem GROUP BY l_returnflag, l_quantity) t
+    WHERE rnk <= 3
+    """,
+)
+
+sql_query(
+    "window_join_hourly_activity",
+    """
+    WITH v AS (
+      SELECT user_id, date_trunc('hour', ts) AS w, COUNT(*) AS n_views
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ), c AS (
+      SELECT user_id, date_trunc('hour', ts) AS w, COUNT(*) AS n_clicks
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    )
+    SELECT v.user_id, v.w AS window_start, v.n_views, c.n_clicks
+    FROM v JOIN c ON v.user_id = c.user_id AND v.w = c.w
+    """,
+)
+
+sql_query(
+    "fn_map_functions",
+    """
+    SELECT doc_id,
+           MAP_KEYS(MAP(lang, 1, source, 2))[1] AS second_key,
+           MAP_VALUES(MAP(lang, 1, source, 2))[0] AS first_val,
+           SIZE(MAP(lang, 1, source, 2)) AS map_size,
+           ELEMENT_AT(MAP(lang, 10, source, 20), source) AS src_val,
+           MAP_CONTAINS_KEY(MAP(lang, 1), 'en') AS has_en
+    FROM documents WHERE doc_id < 25
+    """,
+    oracle="""
+    SELECT doc_id,
+           map_keys(MAP([lang, source], [1, 2]))[2] AS second_key,
+           map_values(MAP([lang, source], [1, 2]))[1] AS first_val,
+           cardinality(MAP([lang, source], [1, 2])) AS map_size,
+           element_at(MAP([lang, source], [10, 20]), source)[1] AS src_val,
+           lang = 'en' AS has_en
+    FROM documents WHERE doc_id < 25
+    """,
+)
+
 # --- Aggregate function coverage (§2.4 built-ins) ---------------------------
 
 sql_query(

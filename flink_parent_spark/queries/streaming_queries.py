@@ -170,6 +170,120 @@ def stream_interval_join(spark, sf_dir):
 
 
 @df_query(
+    "stream_cep_signup_purchase",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             LEAD(event_type) OVER w AS nxt_type,
+             LEAD(event_id) OVER w AS nxt_id,
+             LEAD(ts) OVER w AS nxt_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), m AS (
+      SELECT user_id, event_id AS a_id, ts AS a_ts, nxt_id AS b_id,
+             nxt_ts AS b_ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+               AS match_id
+      FROM seq WHERE event_type = 'signup' AND nxt_type = 'purchase'
+    )
+    SELECT user_id, a_id AS event_id, match_id, 'signup' AS stage,
+           0 AS seq, a_ts AS event_ts FROM m
+    UNION ALL
+    SELECT user_id, b_id, match_id, 'purchase', 1, b_ts FROM m
+    """,
+)
+def stream_cep_signup_purchase(spark, sf_dir):
+    """CEP over a real stream: the stateful NFA buffers per-key events in
+    GroupState and emits matches as batches arrive (CepOperator parity);
+    full replay must equal the batch matcher."""
+    from flink_parent_spark.streaming.cep import (
+        AfterMatchSkip,
+        Pattern,
+        cep_pattern_stream,
+    )
+
+    ev = stream_table(spark, sf_dir, "events")
+    pat = (
+        Pattern.begin("signup")
+        .where(lambda r: r["event_type"] == "signup")
+        .next("purchase")
+        .where(lambda r: r["event_type"] == "purchase")
+    )
+    out = cep_pattern_stream(
+        ev, pat, ["user_id"], "ts", "event_id", AfterMatchSkip.SKIP_PAST_LAST
+    )
+    return run_stream_to_df(out, "update")
+
+
+@df_query(
+    "stream_asof_join",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_id, value FROM (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts <= TIMESTAMP '2024-02-01 00:00:00') t
+      WHERE rn = 1
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           e.event_id AS last_event_id, e.value AS last_event_value
+    FROM (SELECT * FROM orders WHERE o_custkey < 150) o
+    LEFT JOIN latest e ON o.o_custkey = e.user_id
+    """,
+)
+def stream_asof_join(spark, sf_dir):
+    """Temporal-table-function parity in streaming form: each order probes
+    the versioned per-user event state for the latest version as of a
+    common probe time (orders predate all events, so the probe time is a
+    constant — exercises the versioned-state buffer, matching
+    TemporalProcessTimeJoinOperator's latest-version semantics)."""
+    import datetime as dt
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir)
+    # versioned right side: latest event per user as of probe time
+    ev = stream_table(spark, sf_dir, "events")
+    probe = dt.datetime(2024, 2, 1)
+
+    def latest_version(key, pdfs, state):
+        cur = state.get if state.exists else (None, None, None)
+        best_ts, best_id, best_val = cur
+        for pdf in pdfs:
+            for r in pdf[["ts", "event_id", "value"]].to_dict("records"):
+                if r["ts"] <= probe and (
+                    best_ts is None
+                    or (r["ts"], r["event_id"]) > (best_ts, best_id)
+                ):
+                    best_ts, best_id, best_val = r["ts"], r["event_id"], r["value"]
+        state.update((best_ts, best_id, best_val))
+        yield pd.DataFrame(
+            [{"user_id": key[0], "event_id": best_id, "value": best_val}]
+        )
+
+    versions = ev.groupBy("user_id").applyInPandasWithState(
+        latest_version,
+        "user_id bigint, event_id bigint, value double",
+        "ts timestamp, event_id bigint, value double",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    state_table = run_stream_to_df(versions, "update")
+    orders = t["orders"].filter(F.col("o_custkey") < 150)
+    joined = orders.join(
+        state_table, orders.o_custkey == state_table.user_id, "left"
+    )
+    return joined.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_event_value"),
+    )
+
+
+@df_query(
     "match_recognize_sql_clause",
     oracle="""
     WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
