@@ -231,8 +231,13 @@ class TableEnvironment:
             computed=computed,
         )
         self.catalog[name] = entry
-        # register the batch view immediately so sql_query sees it
-        self._scan(entry, streaming=False).createOrReplaceTempView(name)
+        # register the batch view immediately so sql_query sees it;
+        # sink-only tables (path not materialized yet) stay catalog-only
+        # until the first INSERT INTO creates data.
+        try:
+            self._scan(entry, streaming=False).createOrReplaceTempView(name)
+        except Exception:
+            pass
         return None
 
     def _scan(self, entry: CatalogTable, streaming: bool) -> DataFrame:

@@ -326,6 +326,48 @@ def match_recognize_sql_clause(spark, sf_dir):
 
 
 @df_query(
+    "match_recognize_measures",
+    oracle="""
+    WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+    p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    pairs AS (
+      SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
+             p.event_id AS purchase_id, p.value AS purchase_value,
+             ROW_NUMBER() OVER (PARTITION BY v.user_id, v.event_id
+                                ORDER BY p.ts, p.event_id) AS rn
+      FROM v JOIN p ON v.user_id = p.user_id
+       AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL '10' MINUTE
+    )
+    SELECT user_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY view_ts, view_id) - 1 AS match_id,
+           view_id, purchase_id, purchase_value
+    FROM pairs WHERE rn = 1
+    """,
+)
+def match_recognize_measures(spark, sf_dir):
+    """MATCH_RECOGNIZE with MEASURES + ONE ROW PER MATCH: one aggregated
+    output row per match (FIRST/LAST stage navigation)."""
+    from flink_parent_spark.streaming.match_recognize_sql import match_recognize_sql
+
+    t = load_tables(spark, sf_dir)
+    clause = """
+      PARTITION BY user_id
+      ORDER BY ts
+      MEASURES FIRST(V.event_id) AS view_id,
+               LAST(P.event_id) AS purchase_id,
+               LAST(P.value) AS purchase_value
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN (V P)
+      WITHIN INTERVAL '10' MINUTE
+      DEFINE V AS V.event_type = 'view',
+             P AS P.event_type = 'purchase'
+    """
+    return match_recognize_sql(t["events"], clause, "event_id")
+
+
+@df_query(
     "stream_retract_topn",
     oracle="""
     WITH latest AS (

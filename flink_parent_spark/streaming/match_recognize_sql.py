@@ -32,11 +32,20 @@ from flink_parent_spark.streaming.cep import AfterMatchSkip, Pattern, cep_patter
 
 _SECTION_RE = re.compile(
     r"PARTITION\s+BY\s+(?P<part>[\w,\s]+?)\s+ORDER\s+BY\s+(?P<order>\w+)"
+    r"(?:\s+MEASURES\s+(?P<measures>.*?))?"
+    r"(?:\s+(?P<per_match>ONE\s+ROW\s+PER\s+MATCH|ALL\s+ROWS\s+PER\s+MATCH))?"
     r"(?:\s+AFTER\s+MATCH\s+SKIP\s+(?P<skip>PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW))?"
     r"\s+PATTERN\s*\(\s*(?P<pattern>[^)]+)\)"
     r"(?:\s+WITHIN\s+INTERVAL\s+'(?P<wn>[\d.]+)'\s+(?P<wu>\w+))?"
     r"\s+DEFINE\s+(?P<define>.+)$",
     re.IGNORECASE | re.DOTALL,
+)
+
+# MEASURES entry: FIRST(S.col) | LAST(S.col) | COUNT(S.*) | S.col, AS alias
+_MEASURE_RE = re.compile(
+    r"^\s*(?:(?P<fn>FIRST|LAST|COUNT)\s*\(\s*)?(?P<stage>\w+)\.(?P<col>\w+|\*)\s*\)?"
+    r"\s+AS\s+(?P<alias>\w+)\s*$",
+    re.IGNORECASE,
 )
 
 _UNIT_SECONDS = {
@@ -115,5 +124,60 @@ def match_recognize_sql(
     if within is not None:
         pat = pat.within(within)
 
-    out = cep_pattern(work, pat, partition_by, order_by, id_col, skip)
-    return out
+    one_row = bool(m.group("per_match")) and "ONE" in m.group("per_match").upper()
+    measures_src = m.group("measures")
+    if not (one_row and measures_src):
+        return cep_pattern(work, pat, partition_by, order_by, id_col, skip)
+
+    # ONE ROW PER MATCH with MEASURES: run the matcher per key and emit one
+    # aggregated row per match.
+    measures = []
+    for entry in measures_src.split(","):
+        mm = _MEASURE_RE.match(entry)
+        if not mm:
+            raise ValueError(f"unsupported MEASURES entry: {entry!r}")
+        measures.append(
+            (
+                (mm.group("fn") or "FIRST").upper(),
+                mm.group("stage"),
+                mm.group("col"),
+                mm.group("alias"),
+            )
+        )
+
+    import pandas as pd  # noqa: PLC0415
+
+    dtypes = dict(work.dtypes)
+    out_fields = [f"`{c}` {dtypes[c]}" for c in partition_by]
+    out_fields.append("`match_id` bigint")
+    for fn, _stage, col, alias in measures:
+        out_fields.append(
+            f"`{alias}` bigint" if fn == "COUNT" else f"`{alias}` {dtypes[col]}"
+        )
+    out_schema = ", ".join(out_fields)
+    cols = list(work.columns)
+
+    def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([order_by, id_col])
+        rows = pdf[cols].to_dict("records")
+        matches = pat.find_matches(rows, order_by, skip)
+        recs = []
+        for mid, match in enumerate(matches):
+            rec = {k: rows[match[0][1]][k] for k in partition_by}
+            rec["match_id"] = mid
+            for fn, stage, col, alias in measures:
+                staged = [rows[idx] for s, idx in match if s == stage]
+                if fn == "COUNT":
+                    rec[alias] = len(staged)
+                elif not staged:
+                    rec[alias] = None
+                elif fn == "LAST":
+                    rec[alias] = staged[-1][col]
+                else:  # FIRST / bare S.col
+                    rec[alias] = staged[0][col]
+            recs.append(rec)
+        return pd.DataFrame(
+            recs, columns=[*partition_by, "match_id", *[a for *_, a in measures]]
+        )
+
+    return work.groupBy(*partition_by).applyInPandas(per_key, out_schema)

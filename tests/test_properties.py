@@ -1,0 +1,133 @@
+"""Property-based tests (hypothesis): operators vs independent pandas/python
+reference implementations on randomized inputs — the generative complement
+to the fixed-fixture oracle suite."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 4),  # key
+        st.integers(0, 5000),  # ts offset seconds
+        st.integers(-100, 100),  # value
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(**SETTINGS)
+@given(events_strategy)
+def test_asof_join_matches_merge_asof(spark, rows):
+    left = pd.DataFrame(
+        [
+            {"k": k, "lts": T0 + dt.timedelta(seconds=s), "lid": i}
+            for i, (k, s, _) in enumerate(rows)
+        ]
+    )
+    right = pd.DataFrame(
+        [
+            {"k": k, "rts": T0 + dt.timedelta(seconds=s + 17), "rv": v, "rid": i}
+            for i, (k, s, v) in enumerate(rows)
+        ]
+    )
+    # unique (k, rts) on the right: merge_asof and our operator then agree
+    # deterministically (versioned-table primary-key contract)
+    right = right.sort_values(["k", "rts", "rid"]).drop_duplicates(["k", "rts"], keep="last")
+
+    from flink_parent_spark.operators.joins import asof_join
+
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+    got = (
+        asof_join(
+            ldf, rdf, [("k", "k")], "lts", "rts", {"rv": "rv", "rid": "rid"}
+        )
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+
+    expected = pd.merge_asof(
+        left.sort_values("lts", kind="stable"),
+        right.sort_values("rts", kind="stable")[["k", "rts", "rv", "rid"]],
+        left_on="lts",
+        right_on="rts",
+        by="k",
+        direction="backward",
+    ).sort_values("lid").reset_index(drop=True)
+
+    assert list(got["rid"].fillna(-1)) == list(expected["rid"].fillna(-1))
+    assert list(got["rv"].fillna(-999)) == list(expected["rv"].fillna(-999))
+
+
+@settings(**SETTINGS)
+@given(events_strategy, st.integers(1, 4))
+def test_top_n_matches_pandas(spark, rows, n):
+    pdf = pd.DataFrame(
+        [{"k": k, "v": v, "i": i} for i, (k, _, v) in enumerate(rows)]
+    )
+    from flink_parent_spark.operators.rank import top_n
+
+    df = spark.createDataFrame(pdf)
+    got = (
+        top_n(df, ["k"], [F.col("v").desc(), F.col("i")], n)
+        .toPandas()
+        .sort_values(["k", "rn"])
+    )
+    exp = (
+        pdf.sort_values(["v", "i"], ascending=[False, True], kind="stable")
+        .groupby("k")
+        .head(n)
+        .sort_values(["k", "v", "i"], ascending=[True, False, True])
+    )
+    assert list(got["i"]) == list(exp["i"])
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=30).map(str.strip).filter(bool),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_cep_next_matches_reference_scan(spark, seqs):
+    """Strict-contiguity pattern a-next-b over random 'a'/'b' token rows
+    equals a linear python scan with skip-past-last."""
+    from flink_parent_spark.streaming.cep import AfterMatchSkip, Pattern
+
+    rows = [
+        {"k": 0, "id": i, "ts": T0 + dt.timedelta(seconds=i), "t": tok}
+        for i, s in enumerate(seqs)
+        for tok in [("a" if s.startswith("a") else "b")]
+    ]
+    pat = (
+        Pattern.begin("x").where(lambda r: r["t"] == "a")
+        .next("y").where(lambda r: r["t"] == "b")
+    )
+    got = pat.find_matches(rows, "ts", AfterMatchSkip.SKIP_PAST_LAST)
+    # reference: linear scan
+    exp, i = [], 0
+    while i < len(rows) - 1:
+        if rows[i]["t"] == "a" and rows[i + 1]["t"] == "b":
+            exp.append([("x", i), ("y", i + 1)])
+            i += 2
+        else:
+            i += 1
+    assert got == exp
