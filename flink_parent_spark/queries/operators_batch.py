@@ -385,6 +385,63 @@ def pivot_status_by_flag(spark, sf_dir):
 
 
 sql_query(
+    "over_distribution_functions",
+    """
+    SELECT o_orderkey,
+           ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 9) AS cume,
+           COUNT(*) OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate
+                          RANGE BETWEEN CURRENT ROW
+                                    AND INTERVAL '60' DAY FOLLOWING)
+             AS orders_next_60d
+    FROM orders
+    WHERE o_custkey < 60
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+
+sql_query(
+    "scalar_subquery_in_select",
+    """
+    SELECT r_regionkey, r_name,
+           (SELECT COUNT(*) FROM nation WHERE n_regionkey = r_regionkey)
+             AS n_nations,
+           (SELECT MAX(n_name) FROM nation WHERE n_regionkey = r_regionkey)
+             AS max_nation,
+           (SELECT COUNT(*) FROM nation) AS total_nations
+    FROM region
+    """,
+)
+
+sql_query(
+    "grouping_id_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+    """,
+)
+
+sql_query(
+    "explode_struct_array_inline",
+    """
+    SELECT n_regionkey, pos_name, pos_key
+    FROM nation
+    LATERAL VIEW INLINE(ARRAY(STRUCT(n_name AS pos_name, n_nationkey AS pos_key),
+                              STRUCT(UPPER(n_name) AS pos_name,
+                                     n_nationkey * 100 AS pos_key))) t
+    """,
+    oracle="""
+    SELECT n_regionkey, n_name AS pos_name, n_nationkey AS pos_key FROM nation
+    UNION ALL
+    SELECT n_regionkey, UPPER(n_name), n_nationkey * 100 FROM nation
+    """,
+)
+
+sql_query(
     "topn_with_ties",
     """
     SELECT l_returnflag, l_quantity, cnt, rnk FROM (

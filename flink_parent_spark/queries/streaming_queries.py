@@ -76,6 +76,30 @@ def stream_session_window(spark, sf_dir):
 
 
 @df_query(
+    "stream_hop_window",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '30 minutes', ts) - j * INTERVAL '30' MINUTE
+             AS window_start,
+           event_type, COUNT(*) AS n
+    FROM events, (SELECT unnest(generate_series(0, 1)) AS j) offs
+    WHERE ts < time_bucket(INTERVAL '30 minutes', ts)
+              - j * INTERVAL '30' MINUTE + INTERVAL '1' HOUR
+    GROUP BY 1, 2
+    """,
+)
+def stream_hop_window(spark, sf_dir):
+    """Streaming HOP (sliding) window aggregation, full replay == batch."""
+    ev = stream_table(spark, sf_dir, "events", watermark=("ts", "10 minutes"))
+    agg = ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    out = run_stream_to_df(agg, "complete")
+    return out.select(
+        F.col("window.start").alias("window_start"), "event_type", "n"
+    )
+
+
+@df_query(
     "stream_dedup_first",
     oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
 )

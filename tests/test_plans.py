@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from flink_parent_spark.queries.catalog import all_queries
 
 SF = "/root/testdata/sf0.01"
@@ -47,6 +49,35 @@ def test_topn_window_group_limit(spark):
 def test_semi_join_strategy(spark):
     plan = plan_of(QS["semi_join_customers_with_orders"](spark, SF))
     assert "LeftSemi" in plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketing parity (co-located joins): two tables bucketed on the join
+    key join without an Exchange on either side."""
+    from flink_parent_spark.tables import load_tables
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try:
+        t = load_tables(spark, "/root/testdata/sf0.001")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        t["orders"].write.bucketBy(4, "o_orderkey").sortBy("o_orderkey").saveAsTable(
+            "b_orders"
+        )
+        t["lineitem"].write.bucketBy(4, "l_orderkey").sortBy("l_orderkey").saveAsTable(
+            "b_lineitem"
+        )
+        j = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = plan_of(j)
+        assert "Exchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
 def test_interval_join_single_shuffle(spark):
