@@ -25,14 +25,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-# Lineage truncation cadence for iterative loops.
-_CHECKPOINT_EVERY = 3
-
-
-def _maybe_checkpoint(df: DataFrame, i: int) -> DataFrame:
-    if (i + 1) % _CHECKPOINT_EVERY == 0:
-        return df.localCheckpoint(eager=True)
-    return df
+def _materialize(df: DataFrame) -> DataFrame:
+    """Eagerly checkpoint a superstep result: truncates lineage AND makes
+    the (convergence probe, next-superstep input) pair read one materialized
+    relation instead of recomputing the whole history twice per iteration."""
+    return df.localCheckpoint(eager=True)
 
 
 def _undirect(edges: DataFrame) -> DataFrame:
@@ -47,33 +44,29 @@ def connected_components(
     """Min-id label propagation to fixpoint: component = min vertex id
     reachable. vertices: (id), edges: (src, dst) treated undirected.
     Output: (id, component)."""
-    und = _undirect(edges)
-    labels = vertices.select("id", F.col("id").alias("component"))
-    for i in range(max_iter):
+    und = _materialize(_undirect(edges))
+    labels = _materialize(vertices.select("id", F.col("id").alias("component")))
+    # min-label propagation strictly decreases sum(component) until fixpoint,
+    # so a scalar sum is a sufficient (and cheap) convergence probe.
+    prev_sum = labels.agg(F.sum("component")).first()[0]
+    for _ in range(max_iter):
         msgs = (
             und.join(labels, und.src == labels.id)
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(msgs, "id", "left")
-            .select(
+        labels = _materialize(
+            labels.join(msgs, "id", "left").select(
                 "id",
                 F.least(F.col("component"), F.coalesce("nbr_min", "component")).alias(
                     "component"
                 ),
             )
         )
-        new_labels = _maybe_checkpoint(new_labels, i)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("component")).first()[0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
 
 
@@ -82,22 +75,22 @@ def sssp_hops(
 ) -> DataFrame:
     """Unweighted single-source shortest path (hop count), undirected.
     Output: (id, dist) for reachable vertices only."""
-    und = _undirect(edges)
-    dist = vertices.select("id").filter(F.col("id") == source).withColumn(
-        "dist", F.lit(0)
+    und = _materialize(_undirect(edges))
+    dist = _materialize(
+        vertices.select("id").filter(F.col("id") == source).withColumn("dist", F.lit(0))
     )
     frontier = dist
-    for i in range(max_iter):
+    for _ in range(max_iter):
         cand = (
             und.join(frontier, und.src == frontier.id)
             .select(F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist"))
             .groupBy("id")
             .agg(F.min("dist").alias("dist"))
         )
-        new_frontier = cand.join(dist, "id", "left_anti")
+        new_frontier = _materialize(cand.join(dist, "id", "left_anti"))
         if new_frontier.isEmpty():
             break
-        dist = _maybe_checkpoint(dist.unionByName(new_frontier), i)
+        dist = _materialize(dist.unionByName(new_frontier))
         frontier = new_frontier
     return dist
 
@@ -137,7 +130,7 @@ def pagerank(
                 ),
             )
         )
-        ranks = _maybe_checkpoint(ranks, i)
+        ranks = _materialize(ranks)
     return ranks
 
 
@@ -163,7 +156,7 @@ def label_propagation(
             labels.join(best, "id", "left")
             .select("id", F.coalesce("new_label", "label").alias("label"))
         )
-        labels = _maybe_checkpoint(labels, i)
+        labels = _materialize(labels)
     return labels
 
 

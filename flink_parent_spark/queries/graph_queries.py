@@ -58,19 +58,30 @@ def _spark_graph(spark, sf_dir):
     return vertices, edges
 
 
-@df_query(
-    "graph_connected_components",
-    oracle=f"""
-    WITH RECURSIVE {_DUCK_EDGES},
-    reach(id, l) AS (
-      SELECT id, id FROM verts
-      UNION
-      SELECT u.dst, r.l
-      FROM reach r JOIN und u ON u.src = r.id
-    )
-    SELECT id, MIN(l) AS component FROM reach GROUP BY id
-    """,
-)
+def _cc_oracle(n_iter: int = 12) -> str:
+    """Unrolled min-label propagation: one join+min per superstep over the
+    label table — O(E * n_iter), vastly cheaper than the V*V reachability
+    closure a recursive CTE materializes. n_iter must exceed the graph
+    diameter; a too-small value shows up as a visible mismatch (the Spark
+    side iterates to true fixpoint), never as a false pass."""
+    prev = "cc0"
+    ctes = ["cc0 AS MATERIALIZED (SELECT id, id AS component FROM verts)"]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""
+    cc{i} AS MATERIALIZED (
+      SELECT p.id,
+             LEAST(p.component, COALESCE(m.nbr_min, p.component)) AS component
+      FROM {prev} p LEFT JOIN (
+        SELECT u.dst AS id, MIN(q.component) AS nbr_min
+        FROM und u JOIN {prev} q ON u.src = q.id
+        GROUP BY u.dst) m ON p.id = m.id)"""
+        )
+        prev = f"cc{i}"
+    return f"WITH {_DUCK_EDGES}, {','.join(ctes)} SELECT id, component FROM {prev}"
+
+
+@df_query("graph_connected_components", oracle=_cc_oracle(12))
 def graph_connected_components(spark, sf_dir):
     v, e = _spark_graph(spark, sf_dir)
     return connected_components(v, e, max_iter=30)
