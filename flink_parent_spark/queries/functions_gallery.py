@@ -335,6 +335,47 @@ sql_query(
     """,
 )
 
+sql_query(
+    "fn_bitwise",
+    """
+    SELECT n_nationkey,
+           n_nationkey & 12 AS b_and,
+           n_nationkey | 5 AS b_or,
+           CAST(n_nationkey AS BIGINT) ^ 9 AS b_xor,
+           SHIFTLEFT(CAST(n_nationkey AS BIGINT), 2) AS shl,
+           SHIFTRIGHT(CAST(n_nationkey AS BIGINT), 1) AS shr,
+           BIT_COUNT(CAST(n_nationkey AS BIGINT)) AS popcount,
+           WIDTH_BUCKET(CAST(n_nationkey AS DOUBLE), 0.0, 25.0, 5) AS bucket
+    FROM nation
+    """,
+    oracle="""
+    SELECT n_nationkey,
+           n_nationkey & 12 AS b_and,
+           n_nationkey | 5 AS b_or,
+           xor(CAST(n_nationkey AS BIGINT), 9) AS b_xor,
+           CAST(n_nationkey AS BIGINT) << 2 AS shl,
+           CAST(n_nationkey AS BIGINT) >> 1 AS shr,
+           bit_count(CAST(n_nationkey AS BIGINT)) AS popcount,
+           CAST(floor(CAST(n_nationkey AS DOUBLE) / 5.0) + 1 AS INT) AS bucket
+    FROM nation
+    """,
+)
+
+sql_query(
+    "explode_map_entries",
+    """
+    SELECT doc_id, mk, mv
+    FROM (SELECT doc_id, MAP('lang', lang, 'source', source) AS m
+          FROM documents WHERE doc_id < 20) t
+    LATERAL VIEW EXPLODE(m) x AS mk, mv
+    """,
+    oracle="""
+    SELECT doc_id, 'lang' AS mk, lang AS mv FROM documents WHERE doc_id < 20
+    UNION ALL
+    SELECT doc_id, 'source', source FROM documents WHERE doc_id < 20
+    """,
+)
+
 # --- Flink-compat residue (SQL UDFs from functions/registry.py) -------------
 
 
