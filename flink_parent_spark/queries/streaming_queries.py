@@ -76,6 +76,51 @@ def stream_session_window(spark, sf_dir):
 
 
 @df_query(
+    "stream_unbounded_group_agg",
+    oracle=f"""
+    SELECT event_type, user_id % 5 AS user_bucket,
+           COUNT(*) AS n, {dsum('value', 'sum_value')},
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events GROUP BY event_type, user_id % 5
+    """,
+)
+def stream_unbounded_group_agg(spark, sf_dir):
+    """Unbounded streaming group aggregation (GroupAggFunction.java:121
+    parity): no window, state per group updated forever; complete-mode
+    output after full replay equals the batch aggregate."""
+    ev = stream_table(spark, sf_dir, "events")
+    agg = (
+        ev.withColumn("user_bucket", F.col("user_id") % 5)
+        .groupBy("event_type", "user_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    return run_stream_to_df(agg, "complete")
+
+
+@df_query(
+    "source_sequence_datagen",
+    oracle="""
+    SELECT g AS id, g * g AS sq, g % 7 AS m
+    FROM (SELECT unnest(generate_series(0, 999)) AS g) t
+    WHERE g % 3 = 0
+    """,
+)
+def source_sequence_datagen(spark, sf_dir):
+    """Sequence/datagen source parity (StatefulSequenceSource /
+    FromElementsFunction): spark.range is the distributed generator."""
+    return (
+        spark.range(0, 1000)
+        .filter(F.col("id") % 3 == 0)
+        .select("id", (F.col("id") * F.col("id")).alias("sq"), (F.col("id") % 7).alias("m"))
+    )
+
+
+@df_query(
     "stream_hop_window",
     oracle=f"""
     SELECT time_bucket(INTERVAL '30 minutes', ts) - j * INTERVAL '30' MINUTE
