@@ -442,6 +442,16 @@ sql_query(
 )
 
 sql_query(
+    "limit_offset_pagination",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+)
+
+sql_query(
     "topn_with_ties",
     """
     SELECT l_returnflag, l_quantity, cnt, rnk FROM (
