@@ -343,6 +343,103 @@ sql_query(
     """,
 )
 
+# --- Q2: minimum-cost supplier (correlated scalar-MIN over derived partsupp) -
+# The fixture schema has no partsupp table, so the part-supplier relation is
+# derived from lineitem (GROUP BY l_partkey, l_suppkey) with unit price as the
+# supply-cost proxy — same adaptation spirit as Q9. The defining shape of Q2
+# (a correlated scalar MIN subquery that re-joins the same dims) is preserved.
+sql_query(
+    "tpch_q2",
+    """
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN(l_extendedprice / l_quantity) AS ps_supplycost
+      FROM lineitem
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+    FROM part, ps, supplier, nation, region
+    WHERE p_partkey = ps_partkey
+      AND s_suppkey = ps_suppkey
+      AND p_size = 15
+      AND p_type = 'STANDARD'
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND ps_supplycost = (
+        SELECT MIN(ps_supplycost)
+        FROM ps ps2, supplier s2, nation n2, region r2
+        WHERE ps2.ps_partkey = p_partkey
+          AND s2.s_suppkey = ps2.ps_suppkey
+          AND s2.s_nationkey = n2.n_nationkey
+          AND n2.n_regionkey = r2.r_regionkey
+          AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+
+# --- Q11: important stock (agg + HAVING against a scalar-subquery total) ----
+sql_query(
+    "tpch_q11",
+    """
+    SELECT ps_partkey,
+           CAST(SUM(CAST(part_value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM (
+      SELECT l_partkey AS ps_partkey,
+             l_extendedprice * l_quantity AS part_value
+      FROM lineitem, supplier, nation
+      WHERE l_suppkey = s_suppkey
+        AND s_nationkey = n_nationkey
+        AND n_name = 'NATION_9'
+    ) AS ps
+    GROUP BY ps_partkey
+    HAVING CAST(SUM(CAST(part_value AS DECIMAL(30,6))) AS DOUBLE) > (
+      SELECT CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,6)))
+                  AS DOUBLE) * 0.0001
+      FROM lineitem, supplier, nation
+      WHERE l_suppkey = s_suppkey
+        AND s_nationkey = n_nationkey
+        AND n_name = 'NATION_9'
+    )
+    ORDER BY total_value DESC, ps_partkey
+    """,
+)
+
+# --- Q20: excess-stock suppliers (nested IN + correlated agg subquery) ------
+sql_query(
+    "tpch_q20",
+    """
+    SELECT s_name, s_suppkey
+    FROM supplier, nation
+    WHERE s_suppkey IN (
+        SELECT ps_suppkey
+        FROM (
+          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+                 AS ps_availqty
+          FROM lineitem
+          GROUP BY l_partkey, l_suppkey
+        ) AS ps
+        WHERE ps_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+          )
+          AND ps_availqty > (
+            SELECT 0.5 * CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+            FROM lineitem
+            WHERE l_partkey = ps_partkey
+              AND l_suppkey = ps_suppkey
+              AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          )
+      )
+      AND s_nationkey = n_nationkey
+      AND n_name IN ('NATION_4', 'NATION_5', 'NATION_6')
+    ORDER BY s_name
+    """,
+)
+
 # --- Q21: suppliers with sole-late lines (EXISTS + NOT EXISTS, self-joins) --
 sql_query(
     "tpch_q21",
