@@ -40,6 +40,83 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    query_id: str = "vec_id",
+    cand_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize into `n_centroids` cells, then
+    each query scans only its `nprobe` nearest cells.
+
+    Centroids are seeded deterministically (the `n_centroids` lowest-id
+    candidate vectors) so results are reproducible and oracle-checkable; a
+    production deployment would swap in k-means centroids (e.g. MLlib) —
+    the search plan below is unchanged by how centroids are trained.
+
+    Scale design (the point of IVF at 100 TB):
+    - The centroid table is tiny and is inlined as a literal array, so cell
+      assignment is pure map-side expression work — no shuffle, no join, and
+      whole-stage codegen keeps it JVM-side.
+    - Candidates are scanned once to tag a cell; each query then joins only
+      its nprobe cells, cutting scanned vectors to ~nprobe/n_centroids of
+      the corpus. The only shuffles are the cell equi-join and final top-k.
+    - Output matches cosine_topk: (query_id, cand_id, cosine, rank).
+    """
+    spark = candidates.sparkSession
+    cent = (
+        candidates.select(F.col(cand_id).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy("cid")
+        .limit(n_centroids)
+        .collect()
+    )
+    # literal array<array<double>>, indexed by centroid ordinal
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in r["cv"]]) for r in cent]
+    )
+
+    def cell_scores(vec: Column) -> Column:
+        return F.transform(cent_arr, lambda cv: cosine(cv, vec))
+
+    def best_cells(vec: Column, n: int) -> Column:
+        # struct sort: ascending by (-cosine, ordinal) == best-first, stable
+        scored = F.zip_with(
+            cell_scores(vec),
+            F.sequence(F.lit(0), F.lit(len(cent) - 1)),
+            lambda c, i: F.struct((-c).alias("negc"), i.alias("cell")),
+        )
+        return F.transform(
+            F.slice(F.sort_array(scored), 1, n), lambda s: s["cell"]
+        )
+
+    c = candidates.select(
+        F.col(cand_id).alias("cand_id"),
+        F.col(vec_col).alias("__cv"),
+        best_cells(F.col(vec_col), 1)[0].alias("__cell"),
+    )
+    c = c.repartition(spark.sparkContext.defaultParallelism)
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(best_cells(F.col(vec_col), nprobe)).alias("__cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "__cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("cosine", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
 def cosine_topk(
     queries: DataFrame,
     candidates: DataFrame,

@@ -385,6 +385,53 @@ def ann_cosine_topk_blocked(spark, sf_dir):
     return cosine_topk(e.filter(F.col("vec_id") < 20), e, k=5, block_col="label")
 
 
+@df_query(
+    "ann_cosine_topk_ivf",
+    oracle=f"""
+    WITH cent AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cv
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+    ), cand_cells AS (
+      SELECT cand_id, embedding, cell FROM (
+        SELECT e.vec_id AS cand_id, e.embedding, cent.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_duck_cos('cent.cv', 'e.embedding')} DESC,
+                                           cent.cell) AS rn
+        FROM embeddings e, cent
+      ) a WHERE rn = 1
+    ), query_cells AS (
+      SELECT query_id, embedding, cell FROM (
+        SELECT q.vec_id AS query_id, q.embedding, cent.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_duck_cos('cent.cv', 'q.embedding')} DESC,
+                                           cent.cell) AS rn
+        FROM embeddings q, cent WHERE q.vec_id < 10
+      ) b WHERE rn <= 2
+    ), scored AS (
+      SELECT query_id, cand_id,
+             {_duck_cos('q.embedding', 'c.embedding')} AS cosine
+      FROM query_cells q JOIN cand_cells c USING (cell)
+      WHERE query_id <> cand_id
+    ), ranked AS (
+      SELECT query_id, cand_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, cand_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk_ivf(spark, sf_dir):
+    """True IVF search: coarse-quantize into 8 cells (deterministically
+    seeded centroids), each query probes its 2 nearest cells. The oracle
+    recomputes quantization + probing + ranking independently in SQL."""
+    from flink_parent_spark.datapipe.similarity import ivf_topk
+
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    return ivf_topk(e.filter(F.col("vec_id") < 10), e, k=5, n_centroids=8, nprobe=2)
+
+
 # --- multimodal plumbing ----------------------------------------------------
 
 
