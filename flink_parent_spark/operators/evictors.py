@@ -1,0 +1,156 @@
+"""Window evictors and count-trigger firing — DataFrame-native.
+
+Reference semantics (algorithms re-expressed, no code reuse):
+- CountEvictor.java (flink-streaming-java/.../windowing/evictors/): before
+  the window function runs, keep only the last `n` elements of the window
+  buffer (eviction order = arrival; with event-time replay that is ts order).
+- TimeEvictor.java: keep only elements younger than `max(ts) - keep` within
+  the window buffer.
+- DeltaEvictor.java: evict elements whose delta(value, last_element) exceeds
+  a threshold; "last element" is the newest element in the buffer.
+- CountTrigger.java + ContinuousEventTimeTrigger.java (.../triggers/): fire
+  the window every `n` elements / every interval, emitting the aggregate
+  over the buffer accumulated so far (early firing).
+
+Spark-first design: Flink implements these imperatively over a per-window
+state buffer. At rest, the same semantics are a *declarative* two-phase
+plan — (1) assign the window, (2) rank/filter rows within (window, key) via
+an OVER window, (3) aggregate survivors. Everything stays in whole-stage
+codegen; the only shuffle is the one the windowed aggregation needs anyway
+(rank + agg share the same (key, window) hash partitioning, so Catalyst
+reuses a single exchange — no second shuffle).
+
+At 100 TB: eviction-before-aggregation prunes rows *before* the final agg,
+and because the rank filter is applied per-partition after one shuffle, no
+buffer ever materializes beyond a partition — unlike a naive collect_list
+formulation which would OOM on skewed windows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _assigned(df: DataFrame, ts_col: str, size: str) -> DataFrame:
+    return df.withColumn("__win", F.window(ts_col, size))
+
+
+def _win_spec(keys: Sequence[str]):
+    return Window.partitionBy("__win", *keys)
+
+
+def _finish(df: DataFrame) -> DataFrame:
+    """Expose start/end, but ALSO keep the struct window column (renamed
+    `window`): a downstream groupBy("window", keys) then matches the rank
+    stage's hash partitioning exactly, so Catalyst reuses one exchange
+    instead of re-shuffling on the extracted start field."""
+    return (
+        df.withColumn("window_start", F.col("__win.start"))
+        .withColumn("window_end", F.col("__win.end"))
+        .withColumnRenamed("__win", "window")
+    )
+
+
+def count_evict(
+    df: DataFrame,
+    ts_col: str,
+    size: str,
+    n: int,
+    keys: Sequence[str] = (),
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Tumbling window buffer reduced to its last `n` elements by event time
+    (CountEvictor.evictBefore keeps the buffer tail). Returns the surviving
+    rows with `window_start`/`window_end` attached; aggregate downstream."""
+    w = _win_spec(keys).orderBy(F.col(ts_col).desc(), *[F.col(c).desc() for c in tiebreak])
+    out = (
+        _assigned(df, ts_col, size)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+    return _finish(out)
+
+
+def time_evict(
+    df: DataFrame,
+    ts_col: str,
+    size: str,
+    keep: str,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Keep only elements within `keep` (an INTERVAL string, e.g. '10 minutes')
+    of the newest element in each window buffer (TimeEvictor semantics:
+    evict everything older than max(ts) - keep)."""
+    w = _win_spec(keys)
+    out = (
+        _assigned(df, ts_col, size)
+        .withColumn("__maxts", F.max(ts_col).over(w))
+        .filter(F.col(ts_col) > F.col("__maxts") - F.expr(f"INTERVAL {keep}"))
+        .drop("__maxts")
+    )
+    return _finish(out)
+
+
+def delta_evict(
+    df: DataFrame,
+    ts_col: str,
+    size: str,
+    value_col: str,
+    threshold: float,
+    keys: Sequence[str] = (),
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """DeltaEvictor with the absolute-difference delta function: evict rows
+    whose |value - value(last element)| > threshold, where the last element
+    is the newest row (by ts, then tiebreak) in the window buffer."""
+    w = _win_spec(keys).orderBy(F.col(ts_col).desc(), *[F.col(c).desc() for c in tiebreak])
+    out = (
+        _assigned(df, ts_col, size)
+        .withColumn("__lastv", F.first(value_col).over(w))
+        .filter(F.abs(F.col(value_col) - F.col("__lastv")) <= F.lit(threshold))
+        .drop("__lastv")
+    )
+    return _finish(out)
+
+
+def count_trigger_fires(
+    df: DataFrame,
+    ts_col: str,
+    size: str,
+    n: int,
+    agg_value: Column,
+    keys: Sequence[str] = (),
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """CountTrigger(n) early-firing trace: for each window buffer, emit one
+    row per firing — at every n-th element (by event time) — carrying the
+    aggregate over the elements seen so far (fire #k covers the first k*n
+    elements). This is the materialized history of what Flink's
+    WindowOperator emits under a non-purging CountTrigger.
+
+    `agg_value` is an aggregate Column (e.g. F.sum(...)); it is evaluated
+    with a ROWS UNBOUNDED PRECEDING frame so each firing sees exactly its
+    prefix of the buffer. Cast/rename `fire_value` downstream if needed.
+    """
+    w = _win_spec(keys).orderBy(F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak])
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = (
+        _assigned(df, ts_col, size)
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("fire_value", agg_value.over(frame))
+        .filter(F.col("__rn") % n == 0)
+        .withColumn("fire_seq", (F.col("__rn") / n).cast("int"))
+        .withColumn("elements_seen", F.col("__rn"))
+        .drop("__rn")
+    )
+    return out.select(
+        F.col("__win.start").alias("window_start"),
+        F.col("__win.end").alias("window_end"),
+        *keys,
+        "fire_seq",
+        "elements_seen",
+        "fire_value",
+    )

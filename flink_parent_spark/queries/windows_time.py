@@ -179,3 +179,121 @@ sql_query(
     LIMIT 50
     """,
 )
+
+
+# --- evictors + count trigger (CountEvictor/TimeEvictor/DeltaEvictor,
+#     CountTrigger early firing — flink-streaming-java windowing) -----------
+
+
+@df_query(
+    "evictor_count_window",
+    oracle=f"""
+    SELECT window_start, event_type, COUNT(*) AS n, {dsum('value', 'sum_value')}
+    FROM (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY time_bucket(INTERVAL '1 hour', ts), event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) b WHERE rn <= 5
+    GROUP BY 1, 2
+    """,
+)
+def evictor_count_window(spark, sf_dir):
+    """CountEvictor(5): hourly tumble per event_type aggregates only the
+    newest 5 buffer elements (CountEvictor.java evictBefore keeps the tail)."""
+    from flink_parent_spark.operators.evictors import count_evict
+
+    t = load_tables(spark, sf_dir)
+    kept = count_evict(t["events"], "ts", "1 hour", 5, keys=["event_type"], tiebreak=["event_id"])
+    # group by the struct window (not the extracted start) → exchange reuse
+    return kept.groupBy("window", "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+    ).select(F.col("window.start").alias("window_start"), "event_type", "n", "sum_value")
+
+
+@df_query(
+    "evictor_time_window",
+    oracle=f"""
+    SELECT window_start, COUNT(*) AS n, {dsum('value', 'sum_value')}
+    FROM (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, value, ts,
+             MAX(ts) OVER (PARTITION BY time_bucket(INTERVAL '1 hour', ts)) AS maxts
+      FROM events
+    ) b WHERE ts > maxts - INTERVAL '10 minutes'
+    GROUP BY 1
+    """,
+)
+def evictor_time_window(spark, sf_dir):
+    """TimeEvictor(10 min): hourly tumble keeps only elements within 10
+    minutes of the newest element in the window buffer."""
+    from flink_parent_spark.operators.evictors import time_evict
+
+    t = load_tables(spark, sf_dir)
+    kept = time_evict(t["events"], "ts", "1 hour", "10 minutes")
+    return kept.groupBy("window").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+    ).select(F.col("window.start").alias("window_start"), "n", "sum_value")
+
+
+@df_query(
+    "evictor_delta_window",
+    oracle=f"""
+    SELECT window_start, event_type, COUNT(*) AS n, {dsum('value', 'sum_value')}
+    FROM (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type, value,
+             FIRST_VALUE(value) OVER (PARTITION BY time_bucket(INTERVAL '1 hour', ts), event_type
+                                      ORDER BY ts DESC, event_id DESC) AS lastv
+      FROM events
+    ) b WHERE ABS(value - lastv) <= 50.0
+    GROUP BY 1, 2
+    """,
+)
+def evictor_delta_window(spark, sf_dir):
+    """DeltaEvictor(|v - v_last| > 50 evicts): hourly tumble per event_type
+    keeps only elements within 50.0 of the buffer's newest value."""
+    from flink_parent_spark.operators.evictors import delta_evict
+
+    t = load_tables(spark, sf_dir)
+    kept = delta_evict(
+        t["events"], "ts", "1 hour", "value", 50.0, keys=["event_type"], tiebreak=["event_id"]
+    )
+    return kept.groupBy("window", "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+    ).select(F.col("window.start").alias("window_start"), "event_type", "n", "sum_value")
+
+
+@df_query(
+    "trigger_count_fires",
+    oracle="""
+    SELECT window_start, event_type, fire_seq, elements_seen,
+           CAST(run_sum AS DOUBLE) AS fire_value
+    FROM (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+             ROW_NUMBER() OVER w AS elements_seen,
+             CAST(ROW_NUMBER() OVER w / 10 AS INT) AS fire_seq,
+             SUM(CAST(value AS DECIMAL(30,6)))
+               OVER (w ROWS UNBOUNDED PRECEDING) AS run_sum
+      FROM events
+      WINDOW w AS (PARTITION BY time_bucket(INTERVAL '1 hour', ts), event_type
+                   ORDER BY ts, event_id)
+    ) b WHERE elements_seen % 10 = 0
+    """,
+)
+def trigger_count_fires(spark, sf_dir):
+    """CountTrigger(10) early-firing trace: one output row per firing with
+    the running decimal-exact sum over the buffer prefix it covers."""
+    from flink_parent_spark.operators.evictors import count_trigger_fires
+
+    t = load_tables(spark, sf_dir)
+    out = count_trigger_fires(
+        t["events"], "ts", "1 hour", 10,
+        F.sum(F.col("value").cast("decimal(30,6)")),
+        keys=["event_type"], tiebreak=["event_id"],
+    )
+    return out.select(
+        "window_start", "event_type", "fire_seq", "elements_seen",
+        F.col("fire_value").cast("double").alias("fire_value"),
+    )

@@ -86,3 +86,23 @@ def test_interval_join_single_shuffle(spark):
     # not a nested-loop cross product
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_evictor_single_exchange(spark):
+    """count_evict's rank filter and the downstream windowed agg hash-partition
+    on the same (window, key) — Catalyst must not add a second shuffle for
+    the aggregation (the rank's partitioning satisfies the agg's clustering)."""
+    import re
+
+    plan = plan_of(QS["evictor_count_window"](spark, SF))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+
+
+def test_trigger_fires_stays_codegen(spark):
+    """CountTrigger trace is pure window-function work — no Python UDFs, no
+    extra exchange beyond the one window partitioning."""
+    import re
+
+    plan = plan_of(QS["trigger_count_fires"](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
