@@ -386,7 +386,7 @@ def match_recognize_sql_clause(spark, sf_dir):
       PARTITION BY user_id
       ORDER BY ts
       AFTER MATCH SKIP TO NEXT ROW
-      PATTERN (V P)
+      PATTERN (V {- X*? -} P)
       WITHIN INTERVAL '10' MINUTE
       DEFINE V AS V.event_type = 'view',
              P AS P.event_type = 'purchase'
@@ -428,7 +428,7 @@ def match_recognize_measures(spark, sf_dir):
                LAST(P.value) AS purchase_value
       ONE ROW PER MATCH
       AFTER MATCH SKIP TO NEXT ROW
-      PATTERN (V P)
+      PATTERN (V {- X*? -} P)
       WITHIN INTERVAL '10' MINUTE
       DEFINE V AS V.event_type = 'view',
              P AS P.event_type = 'purchase'
@@ -615,3 +615,171 @@ def cep_view_then_purchase_10m(spark, sf_dir):
     return cep_pattern(
         t["events"], pat, ["user_id"], "ts", "event_id", AfterMatchSkip.NO_SKIP
     )
+
+
+@df_query(
+    "cep_prev_rising_triple",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, value,
+             LEAD(event_id, 1) OVER w AS id1, LEAD(ts, 1) OVER w AS ts1,
+             LEAD(value, 1) OVER w AS v1,
+             LEAD(event_id, 2) OVER w AS id2, LEAD(ts, 2) OVER w AS ts2,
+             LEAD(value, 2) OVER w AS v2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), m AS (
+      SELECT user_id, event_id AS a_id, ts AS a_ts, id1 AS b_id, ts1 AS b_ts,
+             id2 AS c_id, ts2 AS c_ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+               AS match_id
+      FROM seq WHERE v1 > value AND v2 > v1 AND v2 > value
+    )
+    SELECT user_id, a_id AS event_id, match_id, 'a' AS stage, 0 AS seq,
+           a_ts AS event_ts FROM m
+    UNION ALL SELECT user_id, b_id, match_id, 'b', 1, b_ts FROM m
+    UNION ALL SELECT user_id, c_id, match_id, 'c', 2, c_ts FROM m
+    """,
+)
+def cep_prev_rising_triple(spark, sf_dir):
+    """DEFINE-clause navigation (MatchCodeGenerator.scala PREV/FIRST/LAST
+    parity): strict triple A B C with B.value > PREV(B.value) and
+    C.value > LAST(B.value) AND C.value > FIRST(A.value); NO_SKIP finds
+    every overlapping triple."""
+    t = load_tables(spark, sf_dir)
+    pat = (
+        Pattern.begin("a")
+        .next("b")
+        .where(lambda r, c: c.prev("value") is not None and r["value"] > c.prev("value"))
+        .next("c")
+        .where(
+            lambda r, c: r["value"] > c.last("b", "value")
+            and r["value"] > c.first("a", "value")
+        )
+    )
+    return cep_pattern(
+        t["events"], pat, ["user_id"], "ts", "event_id", AfterMatchSkip.NO_SKIP
+    )
+
+
+@df_query(
+    "cep_v_shape_dip",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id, ts, value,
+             ROW_NUMBER() OVER w AS rn,
+             CASE WHEN value < LAG(value) OVER w THEN 1 ELSE 0 END AS is_down,
+             CASE WHEN value > LAG(value) OVER w THEN 1 ELSE 0 END AS is_up
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), grouped AS (
+      SELECT *, SUM(CASE WHEN is_down = 0 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY rn) AS grp
+      FROM base
+    ), down_runs AS (
+      SELECT user_id, grp, MIN(rn) AS d_start, MAX(rn) AS d_end
+      FROM grouped WHERE is_down = 1 GROUP BY user_id, grp
+    ), matches AS (
+      SELECT r.user_id, r.d_start - 1 AS strt_rn, r.d_start, r.d_end,
+             r.d_end + 1 AS up_rn,
+             ROW_NUMBER() OVER (PARTITION BY r.user_id ORDER BY r.d_start) - 1
+               AS match_id
+      FROM down_runs r
+      JOIN base u ON u.user_id = r.user_id AND u.rn = r.d_end + 1 AND u.is_up = 1
+    )
+    SELECT m.user_id, b.event_id, m.match_id, 'strt' AS stage, 0 AS seq,
+           b.ts AS event_ts
+    FROM matches m JOIN base b ON b.user_id = m.user_id AND b.rn = m.strt_rn
+    UNION ALL
+    SELECT m.user_id, b.event_id, m.match_id, 'down',
+           CAST(b.rn - m.d_start + 1 AS INT), b.ts
+    FROM matches m
+    JOIN base b ON b.user_id = m.user_id AND b.rn BETWEEN m.d_start AND m.d_end
+    UNION ALL
+    SELECT m.user_id, b.event_id, m.match_id, 'up',
+           CAST(m.d_end - m.d_start + 2 AS INT), b.ts
+    FROM matches m JOIN base b ON b.user_id = m.user_id AND b.rn = m.up_rn
+    """,
+)
+def cep_v_shape_dip(spark, sf_dir):
+    """The canonical MATCH_RECOGNIZE V-pattern: STRT DOWN+ UP with
+    DOWN AS value < PREV(value) (greedy maximal descent), UP AS
+    value > PREV(value); STRT anchored to a non-descending row so each
+    maximal dip matches exactly once. Oracle reconstructs matches via
+    gaps-and-islands run detection — a fully independent formulation."""
+    t = load_tables(spark, sf_dir)
+    pat = (
+        Pattern.begin("strt")
+        .where(
+            lambda r, c: c.prev("value") is None or r["value"] >= c.prev("value")
+        )
+        .next("down")
+        .where(lambda r, c: c.prev("value") is not None and r["value"] < c.prev("value"))
+        .one_or_more()
+        .greedy()
+        .next("up")
+        .where(lambda r, c: c.prev("value") is not None and r["value"] > c.prev("value"))
+    )
+    return cep_pattern(
+        t["events"], pat, ["user_id"], "ts", "event_id", AfterMatchSkip.NO_SKIP
+    )
+
+
+@df_query(
+    "match_recognize_prev_define",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id, ts, value,
+             ROW_NUMBER() OVER w AS rn,
+             CASE WHEN value < LAG(value) OVER w THEN 1 ELSE 0 END AS is_down,
+             CASE WHEN value > LAG(value) OVER w THEN 1 ELSE 0 END AS is_up
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), grouped AS (
+      SELECT *, SUM(CASE WHEN is_down = 0 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY rn) AS grp
+      FROM base
+    ), down_runs AS (
+      SELECT user_id, grp, MIN(rn) AS d_start, MAX(rn) AS d_end
+      FROM grouped WHERE is_down = 1 GROUP BY user_id, grp
+    ), matches AS (
+      SELECT r.user_id, r.d_start - 1 AS strt_rn, r.d_start, r.d_end,
+             r.d_end + 1 AS up_rn,
+             ROW_NUMBER() OVER (PARTITION BY r.user_id ORDER BY r.d_start) - 1
+               AS match_id
+      FROM down_runs r
+      JOIN base u ON u.user_id = r.user_id AND u.rn = r.d_end + 1 AND u.is_up = 1
+    )
+    SELECT m.user_id, b.event_id, m.match_id, 'strt' AS stage, 0 AS seq,
+           b.ts AS event_ts
+    FROM matches m JOIN base b ON b.user_id = m.user_id AND b.rn = m.strt_rn
+    UNION ALL
+    SELECT m.user_id, b.event_id, m.match_id, 'down',
+           CAST(b.rn - m.d_start + 1 AS INT), b.ts
+    FROM matches m
+    JOIN base b ON b.user_id = m.user_id AND b.rn BETWEEN m.d_start AND m.d_end
+    UNION ALL
+    SELECT m.user_id, b.event_id, m.match_id, 'up',
+           CAST(m.d_end - m.d_start + 2 AS INT), b.ts
+    FROM matches m JOIN base b ON b.user_id = m.user_id AND b.rn = m.up_rn
+    """,
+)
+def match_recognize_prev_define(spark, sf_dir):
+    """The same V-dip expressed through the MATCH_RECOGNIZE SQL clause with
+    PREV() navigation in DEFINE — the parser rewrites PREV to a Catalyst
+    LAG window expression, so condition evaluation stays JVM-side and the
+    LAG window shares the matcher's hash partitioning (one exchange)."""
+    from flink_parent_spark.streaming.match_recognize_sql import match_recognize_sql
+
+    t = load_tables(spark, sf_dir)
+    clause = """
+      PARTITION BY user_id
+      ORDER BY ts
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN ( strt down+ up )
+      DEFINE
+        strt AS PREV(strt.value) IS NULL OR strt.value >= PREV(strt.value),
+        down AS down.value < PREV(down.value),
+        up AS up.value > PREV(up.value)
+    """
+    return match_recognize_sql(t["events"], clause, "event_id")

@@ -35,7 +35,71 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 Row = dict[str, Any]
-Predicate = Callable[[Row], bool]
+# A predicate takes (row) or (row, ctx) — the matcher inspects arity once.
+Predicate = Callable[..., bool]
+
+
+@dataclass
+class MatchCtx:
+    """Navigation context for DEFINE-style conditions (SQL MATCH_RECOGNIZE
+    PREV/NEXT/FIRST/LAST; reference: MatchCodeGenerator.scala navigation and
+    flink-cep IterativeCondition.Context — re-expressed, no code reuse).
+
+    - prev/next navigate the *partition* row sequence relative to the row
+      under test (SQL semantics: PREV crosses stage boundaries; returns
+      `default` i.e. NULL past either end — conditions comparing against it
+      are then false, matching SQL three-valued logic).
+    - first/last navigate the rows already mapped to a stage in the current
+      match attempt (LAST(B.x) sees the B-rows taken so far, including the
+      current quantified run's prefix).
+    """
+
+    rows: list[Row]
+    idx: int
+    taken: list[tuple[str, int]]
+
+    def prev(self, col: str, n: int = 1, default: Any = None) -> Any:
+        j = self.idx - n
+        return self.rows[j][col] if j >= 0 else default
+
+    def next(self, col: str, n: int = 1, default: Any = None) -> Any:
+        j = self.idx + n
+        return self.rows[j][col] if j < len(self.rows) else default
+
+    def last(self, stage: str, col: str, default: Any = None) -> Any:
+        for name, j in reversed(self.taken):
+            if name == stage:
+                return self.rows[j][col]
+        return default
+
+    def first(self, stage: str, col: str, default: Any = None) -> Any:
+        for name, j in self.taken:
+            if name == stage:
+                return self.rows[j][col]
+        return default
+
+
+def _arity(p: Predicate) -> int:
+    """2 iff the predicate REQUIRES a second positional arg (the MatchCtx).
+    Default-valued params don't count — `lambda r, c=col: ...` closures are
+    the established row-only convention, so a ctx param must be non-default."""
+    code = getattr(p, "__code__", None)
+    if code is not None:
+        required = code.co_argcount - len(getattr(p, "__defaults__", None) or ())
+        return 2 if required >= 2 else 1
+    import inspect
+
+    try:
+        sig = inspect.signature(p)
+        required = sum(
+            1
+            for prm in sig.parameters.values()
+            if prm.default is prm.empty
+            and prm.kind in (prm.POSITIONAL_ONLY, prm.POSITIONAL_OR_KEYWORD)
+        )
+        return 2 if required >= 2 else 1
+    except (TypeError, ValueError):
+        return 1
 
 
 class AfterMatchSkip:
@@ -54,10 +118,13 @@ class _Stage:
     max_times: int = 1  # -1 = unbounded (one_or_more)
     greedy: bool = False
 
-    def accepts(self, row: Row) -> bool:
-        base = all(p(row) for p in self.preds) if self.preds else True
+    def accepts(self, row: Row, ctx: "MatchCtx | None" = None) -> bool:
+        def ev(p: Predicate) -> bool:
+            return p(row) if _arity(p) == 1 else p(row, ctx)
+
+        base = all(ev(p) for p in self.preds) if self.preds else True
         if self.or_preds:
-            return base or any(p(row) for p in self.or_preds)
+            return base or any(ev(p) for p in self.or_preds)
         return base
 
 
@@ -145,13 +212,15 @@ class Pattern:
                 # add another scan dimension; documented subset.)
                 counts = []
                 i = s0
+                taken = list(acc)  # stage mappings visible to PREV/LAST ctx
                 while (
                     i < len(rows)
-                    and st.accepts(rows[i])
                     and (deadline is None or rows[i][ts_col] <= deadline)
                     and (st.max_times == -1 or i - s0 < st.max_times)
+                    and st.accepts(rows[i], MatchCtx(rows, i, taken))
                 ):
                     counts.append(i)
+                    taken.append((st.name, i))
                     i += 1
                 if len(counts) < st.min_times:
                     if first_stage or st.strict:
@@ -212,9 +281,13 @@ def cep_pattern(
     ts_col: str,
     id_col: str,
     skip: str = AfterMatchSkip.SKIP_PAST_LAST,
+    exclude: frozenset[str] | set[str] = frozenset(),
 ) -> DataFrame:
     """Batch CEP: one output row per matched event:
-    (key..., event id, match_id (per-key ordinal), stage, seq, event_ts)."""
+    (key..., event id, match_id (per-key ordinal), stage, seq, event_ts).
+
+    `exclude`: stage names matched but not emitted (SQL MATCH_RECOGNIZE
+    {- X -} output exclusion); seq numbers the emitted rows only."""
     dt = dict(df.dtypes)
     key_schema = ", ".join(f"`{c}` {dt[c]}" for c in key_cols)
     out_schema = f"{key_schema}, `{id_col}` {dt[id_col]}, " + MATCH_SCHEMA_SUFFIX
@@ -226,7 +299,8 @@ def cep_pattern(
         matches = pattern.find_matches(rows, ts_col, skip)
         recs = []
         for mid, m in enumerate(matches):
-            for seq, (stage, idx) in enumerate(m):
+            emitted = [(s, i) for s, i in m if s not in exclude]
+            for seq, (stage, idx) in enumerate(emitted):
                 r = rows[idx]
                 recs.append(
                     {

@@ -19,7 +19,12 @@ Supported clause surface:
     )
 
 Stage-qualified references (A.col) normalize to bare columns — same-row
-semantics (LAST/PREV navigation is a later-round extension)."""
+semantics. PREV(X.col[, n]) in DEFINE is rewritten to a Catalyst
+`LAG(col, n) OVER (PARTITION BY keys ORDER BY order, id)` window expression
+— partition navigation stays JVM-side (whole-stage codegen), and because
+the LAG window hash-partitions on the same keys as the matcher's groupBy,
+Catalyst reuses one exchange. FIRST/LAST stage navigation in DEFINE needs
+match state and is available on the Pattern API via MatchCtx predicates."""
 
 from __future__ import annotations
 
@@ -97,37 +102,77 @@ def match_recognize_sql(
         defines[dm.group("n")] = dm.group("e").strip()
 
     # evaluate DEFINE predicates as Catalyst boolean columns
+    over = (
+        f"OVER (PARTITION BY {', '.join(partition_by)} "
+        f"ORDER BY {order_by}, {id_col})"
+    )
+
+    def rewrite_prev(expr: str) -> str:
+        # PREV(X.col[, n]) -> LAG(col, n) OVER (partition, order) — SQL
+        # partition navigation, evaluated by Catalyst ahead of the matcher
+        return re.sub(
+            r"\bPREV\s*\(\s*(?:\w+\.)?(\w+)\s*(?:,\s*(\d+))?\s*\)",
+            lambda g: f"LAG({g.group(1)}, {g.group(2) or 1}) {over}",
+            expr,
+            flags=re.IGNORECASE,
+        )
+
     work = df
     pred_cols: dict[str, str] = {}
     for name, expr in defines.items():
-        bare = re.sub(r"\b\w+\.(\w+)", r"\1", expr)  # strip stage qualifiers
+        bare = re.sub(r"\b\w+\.(\w+)", r"\1", rewrite_prev(expr))
         col = f"__mr_{name}"
         work = work.withColumn(col, F.expr(bare))
         pred_cols[name] = col
 
+    # SQL-standard contiguity: the pattern is a regex over CONSECUTIVE rows
+    # (Calcite/Flink semantics) — gaps must be written as explicit catch-all
+    # stages, e.g. PATTERN (V {- X*? -} P). `{- ... -}` is output exclusion:
+    # those stages match rows but are not emitted. Quantifiers are greedy by
+    # default; a trailing `?` (`*?`, `+?`) makes them reluctant.
     pat: Pattern | None = None
+    excluded: set[str] = set()
+    in_exclusion = False
     for token in tokens:
-        name = token.rstrip("+*?")
-        suffix = token[len(name):]
-        pat = Pattern.begin(name) if pat is None else pat.followed_by(name)
+        if token == "{-":
+            in_exclusion = True
+            continue
+        if token == "-}":
+            in_exclusion = False
+            continue
+        tm = re.match(r"^(?P<name>\w+)(?P<suf>\+\??|\*\??|\?)?$", token)
+        if not tm:
+            raise ValueError(f"bad PATTERN token: {token!r}")
+        name, suffix = tm.group("name"), tm.group("suf") or ""
+        if in_exclusion:
+            excluded.add(name)
+        pat = Pattern.begin(name) if pat is None else pat.next(name)
         if name in pred_cols:
             c = pred_cols[name]
-            pat = pat.where(lambda r, c=c: bool(r[c]))
-        if suffix == "+":
-            pat = pat.one_or_more().greedy()
-        elif suffix == "?":
-            pat = pat.optional()
-        elif suffix == "*":
+            # NULL (None/NaN) from e.g. LAG past the partition edge is FALSE
+            pat = pat.where(
+                lambda r, c=c: r[c] is not None and r[c] == r[c] and bool(r[c])
+            )
+        if suffix.startswith("+"):
+            pat = pat.one_or_more()
+            if suffix != "+?":
+                pat = pat.greedy()
+        elif suffix.startswith("*"):
             pat = pat.times(0, None)
             pat._stages[-1].max_times = -1
-            pat._stages[-1].greedy = True
+            pat._stages[-1].greedy = suffix != "*?"
+        elif suffix == "?":
+            pat = pat.optional()
     if within is not None:
         pat = pat.within(within)
 
     one_row = bool(m.group("per_match")) and "ONE" in m.group("per_match").upper()
     measures_src = m.group("measures")
     if not (one_row and measures_src):
-        return cep_pattern(work, pat, partition_by, order_by, id_col, skip)
+        return cep_pattern(
+            work, pat, partition_by, order_by, id_col, skip,
+            exclude=frozenset(excluded),
+        )
 
     # ONE ROW PER MATCH with MEASURES: run the matcher per key and emit one
     # aggregated row per match.

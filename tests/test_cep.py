@@ -129,3 +129,73 @@ def test_cep_operator_on_spark(spark):
     assert [(r["match_id"], r["stage"], r["id"]) for r in out] == [
         (0, "a", 0), (0, "b", 1), (1, "a", 2), (1, "b", 3),
     ]
+
+
+def vrows(*vals, gap_s: int = 10):
+    return [
+        {"k": 1, "id": i, "ts": T0 + dt.timedelta(seconds=i * gap_s), "v": float(v)}
+        for i, v in enumerate(vals)
+    ]
+
+
+def test_prev_navigation_strict_rise():
+    # B AS B.v > PREV(B.v): strict pair where the second value rises
+    pat = (
+        Pattern.begin("a")
+        .next("b")
+        .where(lambda r, c: c.prev("v") is not None and r["v"] > c.prev("v"))
+    )
+    ms = pat.find_matches(vrows(3, 5, 4, 6, 2), "ts")
+    assert [names(m) for m in ms] == [
+        [("a", 0), ("b", 1)],  # 3<5
+        [("a", 2), ("b", 3)],  # 4<6
+    ]
+
+
+def test_prev_null_at_partition_start():
+    # a single-stage pattern whose condition references PREV: first row has
+    # no PREV -> condition false (SQL three-valued logic)
+    pat = Pattern.begin("up").where(
+        lambda r, c: c.prev("v") is not None and r["v"] > c.prev("v")
+    )
+    ms = pat.find_matches(vrows(1, 2, 3), "ts", AfterMatchSkip.NO_SKIP)
+    assert [m[0][1] for m in ms] == [1, 2]  # row 0 can't match
+
+
+def test_last_stage_navigation():
+    # C AS C.v > LAST(B.v) + FIRST(A.v): stage navigation across the match
+    pat = (
+        Pattern.begin("a")
+        .next("b")
+        .where(lambda r, c: c.prev("v") is not None and r["v"] > c.prev("v"))
+        .next("c")
+        .where(lambda r, c: r["v"] > c.last("b", "v") and r["v"] > c.first("a", "v"))
+    )
+    ms = pat.find_matches(vrows(1, 3, 5, 1, 2, 0), "ts")
+    assert [names(m) for m in ms] == [[("a", 0), ("b", 1), ("c", 2)]]
+
+
+def test_prev_within_quantified_run():
+    # DOWN+ AS v < PREV(v): greedy maximal descending run, then UP
+    pat = (
+        Pattern.begin("strt")
+        .next("down")
+        .where(lambda r, c: c.prev("v") is not None and r["v"] < c.prev("v"))
+        .one_or_more()
+        .greedy()
+        .next("up")
+        .where(lambda r, c: c.prev("v") is not None and r["v"] > c.prev("v"))
+    )
+    ms = pat.find_matches(vrows(9, 7, 4, 3, 8, 10), "ts")
+    assert [names(m) for m in ms] == [
+        [("strt", 0), ("down", 1), ("down", 2), ("down", 3), ("up", 4)]
+    ]
+
+
+def test_next_navigation():
+    # lookahead: A rows whose NEXT value doubles them
+    pat = Pattern.begin("a").where(
+        lambda r, c: c.next("v") is not None and c.next("v") >= 2 * r["v"]
+    )
+    ms = pat.find_matches(vrows(2, 5, 1, 3), "ts", AfterMatchSkip.NO_SKIP)
+    assert [m[0][1] for m in ms] == [0, 2]
