@@ -131,3 +131,73 @@ def test_cep_next_matches_reference_scan(spark, seqs):
         else:
             i += 1
     assert got == exp
+
+
+@given(st.lists(st.integers(-5, 5), min_size=2, max_size=80))
+@settings(max_examples=100, deadline=None)
+def test_cep_v_dip_matches_islands_model(vals):
+    """Pure-matcher property: the PREV-navigation V-pattern (STRT DOWN+ UP,
+    NO_SKIP, greedy descent) finds exactly the maximal descending runs
+    followed by a rising step — checked against an independent run-scan."""
+    from flink_parent_spark.streaming.cep import AfterMatchSkip, Pattern
+
+    rows = [
+        {"id": i, "ts": T0 + dt.timedelta(seconds=10 * i), "v": float(v)}
+        for i, v in enumerate(vals)
+    ]
+    pat = (
+        Pattern.begin("strt")
+        .where(lambda r, c: c.prev("v") is None or r["v"] >= c.prev("v"))
+        .next("down")
+        .where(lambda r, c: c.prev("v") is not None and r["v"] < c.prev("v"))
+        .one_or_more()
+        .greedy()
+        .next("up")
+        .where(lambda r, c: c.prev("v") is not None and r["v"] > c.prev("v"))
+    )
+    got = [
+        [idx for _, idx in m]
+        for m in pat.find_matches(rows, "ts", AfterMatchSkip.NO_SKIP)
+    ]
+
+    # independent model: scan maximal descending runs
+    expect = []
+    i = 1
+    n = len(vals)
+    while i < n:
+        if vals[i] < vals[i - 1] and (i == 1 or vals[i - 1] >= vals[i - 2]):
+            j = i
+            while j + 1 < n and vals[j + 1] < vals[j]:
+                j += 1
+            if j + 1 < n and vals[j + 1] > vals[j]:
+                expect.append(list(range(i - 1, j + 2)))
+            i = j + 1
+        else:
+            i += 1
+    assert got == expect
+
+
+@given(st.lists(st.integers(-5, 5), min_size=1, max_size=60))
+@settings(max_examples=100, deadline=None)
+def test_cep_prev_next_agree_with_shifts(vals):
+    """ctx.prev/ctx.next equal pandas shift(1)/shift(-1) at every match."""
+    from flink_parent_spark.streaming.cep import AfterMatchSkip, Pattern
+
+    rows = [
+        {"id": i, "ts": T0 + dt.timedelta(seconds=10 * i), "v": float(v)}
+        for i, v in enumerate(vals)
+    ]
+    pat = Pattern.begin("a").where(
+        lambda r, c: c.prev("v") is not None
+        and c.next("v") is not None
+        and c.prev("v") <= r["v"] <= c.next("v")
+    )
+    got = {m[0][1] for m in pat.find_matches(rows, "ts", AfterMatchSkip.NO_SKIP)}
+    s = pd.Series([float(v) for v in vals])
+    prev, nxt = s.shift(1), s.shift(-1)
+    expect = {
+        i
+        for i in range(len(vals))
+        if pd.notna(prev[i]) and pd.notna(nxt[i]) and prev[i] <= s[i] <= nxt[i]
+    }
+    assert got == expect
