@@ -285,6 +285,50 @@ def stream_cep_signup_purchase(spark, sf_dir):
 
 
 @df_query(
+    "stream_cep_watermark_held",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             LEAD(event_type) OVER w AS nxt_type,
+             LEAD(event_id) OVER w AS nxt_id,
+             LEAD(ts) OVER w AS nxt_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), m AS (
+      SELECT user_id, event_id AS a_id, ts AS a_ts, nxt_id AS b_id,
+             nxt_ts AS b_ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+               AS match_id
+      FROM seq WHERE event_type = 'signup' AND nxt_type = 'purchase'
+    )
+    SELECT user_id, a_id AS event_id, match_id, 'signup' AS stage,
+           0 AS seq, a_ts AS event_ts FROM m
+    UNION ALL
+    SELECT user_id, b_id, match_id, 'purchase', 1, b_ts FROM m
+    """,
+)
+def stream_cep_watermark_held(spark, sf_dir):
+    """Watermark-held CEP: matches are only emitted from the sealed
+    (<= watermark) region, so out-of-order events within the delay sort into
+    place before any match can use or skip them; the event-time timeout
+    flushes the tail once the final no-data batch advances the watermark.
+    Full replay must equal the batch matcher / SQL oracle."""
+    from flink_parent_spark.streaming.cep import cep_pattern_stream_watermarked
+
+    ev = stream_table(spark, sf_dir, "events", watermark=("ts", "0 seconds"))
+    pat = (
+        Pattern.begin("signup")
+        .where(lambda r: r["event_type"] == "signup")
+        .next("purchase")
+        .where(lambda r: r["event_type"] == "purchase")
+    )
+    out = cep_pattern_stream_watermarked(
+        ev, pat, ["user_id"], "ts", "event_id", AfterMatchSkip.SKIP_PAST_LAST
+    )
+    return run_stream_to_df(out, "update")
+
+
+@df_query(
     "stream_asof_join",
     oracle="""
     WITH latest AS (

@@ -186,9 +186,29 @@ class Pattern:
     ) -> list[tuple[str, int]] | None:
         """Try to match the whole pattern with stage 0 starting at `start`.
         Returns [(stage_name, row_index), ...] or None."""
+        return self._match_from2(rows, start, ts_col)[0]
+
+    def _match_from2(
+        self, rows: list[Row], start: int, ts_col: str, future_lb=None
+    ) -> tuple[list[tuple[str, int]] | None, bool]:
+        """Like `_match_from`, plus frontier awareness for streaming.
+
+        If `future_lb` is not None, `rows` is the sealed prefix of a growing
+        stream and every future event has ts > `future_lb` (the watermark).
+        Returns (match, pending): `pending` is True when the attempt failed
+        but some branch ran off the sealed frontier while the `within`
+        deadline was still open — i.e. future events could complete it, so
+        the streaming operator must keep these rows buffered (the NFA-run-
+        stays-in-state behavior of CepOperator/NFA.java, re-derived)."""
         deadline = None
         if self._within is not None:
             deadline = rows[start][ts_col] + self._within
+        n = len(rows)
+        open_ended = future_lb is not None
+        pending = [False]
+
+        def frontier_open() -> bool:
+            return open_ended and (deadline is None or deadline > future_lb)
 
         def try_stage(si: int, pos: int, acc: list[tuple[str, int]]):
             if si == len(self._stages):
@@ -200,9 +220,16 @@ class Pattern:
             if first_stage:
                 starts = [start]
             elif st.strict:
+                if pos >= n:
+                    # the row this strict stage needs is beyond the frontier
+                    if frontier_open():
+                        pending[0] = True
+                    return None
                 starts = [pos]
-            else:  # relaxed: scan forward
-                starts = range(pos, len(rows))
+            else:  # relaxed: scan forward; future rows add start positions
+                starts = range(pos, n)
+                if frontier_open():
+                    pending[0] = True
 
             for s0 in starts:
                 # collect how many consecutive accepts are available (strict
@@ -223,6 +250,14 @@ class Pattern:
                     taken.append((st.name, i))
                     i += 1
                 if len(counts) < st.min_times:
+                    # run stopped at the frontier (not on a failed predicate):
+                    # future rows could lengthen it to min_times
+                    if (
+                        i >= n
+                        and frontier_open()
+                        and (st.max_times == -1 or i - s0 < st.max_times)
+                    ):
+                        pending[0] = True
                     if first_stage or st.strict:
                         if st.min_times == 0:
                             r = try_stage(si + 1, s0, acc)
@@ -245,7 +280,8 @@ class Pattern:
                     break
             return None
 
-        return try_stage(0, start, [])
+        m = try_stage(0, start, [])
+        return m, (m is None and pending[0])
 
     def find_matches(
         self,
@@ -375,6 +411,156 @@ def cep_pattern_stream(
 
     return sdf.groupBy(*key_cols).applyInPandasWithState(
         fn, out_schema, buf_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def _final_stage_index(stages: list[_Stage], m: list[tuple[str, int]]) -> int:
+    """Index in `stages` of the last *matched* stage of m (trailing optional
+    stages may be absent from the match)."""
+    last_name = m[-1][0]
+    for i in range(len(stages) - 1, -1, -1):
+        if stages[i].name == last_name:
+            return i
+    return len(stages) - 1
+
+
+def _match_extendable(pat: Pattern, m: list[tuple[str, int]], n_sealed: int) -> bool:
+    """Could a future (unsealed) event still grow this match?
+
+    Mirrors the reason Flink's NFA holds a completed-but-growable match in
+    state rather than emitting (NFA.java computeNextStates: a run in a
+    greedy/looping state stays pending until an event fails the predicate or
+    the `within` timer fires). Our quantified runs are contiguous, so growth
+    requires the match to end at the seal boundary; trailing skipped-optional
+    stages with relaxed contiguity can match any future row regardless.
+    """
+    last_idx = m[-1][1]
+    at_edge = last_idx == n_sealed - 1
+    si = _final_stage_index(pat._stages, m)
+    st = pat._stages[si]
+    if st.max_times == -1 and at_edge:
+        return True
+    for t in pat._stages[si + 1 :]:
+        if t.min_times != 0:
+            break
+        if not t.strict or at_edge:
+            return True
+    return False
+
+
+def cep_pattern_stream_watermarked(
+    sdf: DataFrame,
+    pattern: Pattern,
+    key_cols: Sequence[str],
+    ts_col: str,
+    id_col: str,
+    skip: str = AfterMatchSkip.SKIP_PAST_LAST,
+) -> DataFrame:
+    """Watermark-held streaming CEP (the hardened variant of
+    `cep_pattern_stream`).
+
+    Semantics (CepOperator.java parity — on watermark advance the NFA
+    processes buffered elements with timestamp <= watermark in event-time
+    order, drops later-than-watermark input, and holds growable runs):
+    - events buffer in keyed state; only the *sealed* prefix (event time <=
+      current watermark) is eligible for matching, so out-of-order arrivals
+      within the watermark delay are sorted into place before any match can
+      use or skip them;
+    - incoming rows at or behind the watermark are dropped (Flink CEP
+      late-event behavior);
+    - a completed match that could still grow with future events (greedy
+      unbounded tail or pending optional tail ending at the seal boundary)
+      is held in state, not emitted, unless its `within` window has closed
+      per the watermark;
+    - an event-time timeout re-fires the key when the watermark passes the
+      buffer, so matches flush without needing new per-key input.
+
+    `sdf` must already carry `withWatermark(ts_col, delay)`.
+    """
+    dt = dict(sdf.dtypes)
+    key_schema = ", ".join(f"`{c}` {dt[c]}" for c in key_cols)
+    out_schema = f"{key_schema}, `{id_col}` {dt[id_col]}, " + MATCH_SCHEMA_SUFFIX
+    cols = list(sdf.columns)
+    buf_schema = (
+        "buf array<struct<" + ", ".join(f"{c}: {dt[c]}" for c in cols) + ">>, emitted bigint"
+    )
+
+    def to_ms(ts) -> int:
+        return int(pd.Timestamp(ts).value // 1_000_000)
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        wm_ms = state.getCurrentWatermarkMs()
+        buf_rows: list[tuple] = list(state.get[0]) if state.exists else []
+        emitted = state.get[1] if state.exists else 0
+        rows = [dict(zip(cols, r)) for r in buf_rows]
+        for pdf in pdfs:
+            for r in pdf[cols].to_dict("records"):
+                # Flink CEP drops elements at/behind the watermark
+                if wm_ms > 0 and to_ms(r[ts_col]) <= wm_ms:
+                    continue
+                rows.append(r)
+        rows.sort(key=lambda r: (r[ts_col], r[id_col]))
+        n_sealed = 0
+        while n_sealed < len(rows) and to_ms(rows[n_sealed][ts_col]) <= wm_ms:
+            n_sealed += 1
+        sealed = rows[:n_sealed]
+
+        recs = []
+        start = 0
+        retain_from = None  # first sealed index that must stay buffered
+        n_emitted_now = 0
+        wm_ts = pd.Timestamp(wm_ms, unit="ms") if wm_ms > 0 else None
+        while start < n_sealed:
+            m, pend = pattern._match_from2(sealed, start, ts_col, future_lb=wm_ts)
+            if m is None:
+                if pend:
+                    # future (post-watermark) events could still complete a
+                    # match from this row — everything from here stays
+                    # buffered and nothing beyond may be consumed yet
+                    retain_from = start
+                    break
+                start += 1
+                continue
+            growable = _match_extendable(pattern, m, n_sealed)
+            if growable and pattern._within is not None:
+                # window closed per watermark => the match is final after all
+                first_ts = sealed[m[0][1]][ts_col]
+                if wm_ms > to_ms(first_ts + pattern._within):
+                    growable = False
+            if growable:
+                retain_from = m[0][1] if skip != AfterMatchSkip.SKIP_PAST_LAST else start
+                break
+            for seq, (stage, idx) in enumerate(m):
+                r = sealed[idx]
+                recs.append(
+                    {
+                        **{k: r[k] for k in key_cols},
+                        id_col: r[id_col],
+                        "match_id": emitted + n_emitted_now,
+                        "stage": stage,
+                        "seq": seq,
+                        "event_ts": r[ts_col],
+                    }
+                )
+            n_emitted_now += 1
+            start = m[-1][1] + 1 if skip == AfterMatchSkip.SKIP_PAST_LAST else start + 1
+        if retain_from is None:
+            retain_from = start
+        remainder = rows[min(retain_from, n_sealed) :]
+        if remainder:
+            state.update(
+                ([tuple(r[c] for c in cols) for r in remainder], emitted + n_emitted_now)
+            )
+            # re-fire when the watermark moves past currently-unsealed rows
+            state.setTimeoutTimestamp(max(wm_ms + 1, to_ms(remainder[0][ts_col])))
+        elif state.exists:
+            state.remove()
+        yield pd.DataFrame(
+            recs, columns=[*key_cols, id_col, "match_id", "stage", "seq", "event_ts"]
+        )
+
+    return sdf.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, buf_schema, "update", GroupStateTimeout.EventTimeTimeout
     )
 
 

@@ -199,3 +199,164 @@ def test_next_navigation():
     )
     ms = pat.find_matches(vrows(2, 5, 1, 3), "ts", AfterMatchSkip.NO_SKIP)
     assert [m[0][1] for m in ms] == [0, 2]
+
+
+# --- watermark-held streaming CEP (CepOperator watermark semantics) ---------
+
+
+def test_match_from2_pending_frontier():
+    """Matcher-level frontier awareness: a failed attempt is `pending` iff
+    future (post-watermark) rows could still complete it."""
+    pat = Pattern.begin("a").where(lambda r: r["t"] == "A").next("b").where(
+        lambda r: r["t"] == "B"
+    )
+    rs = rows("A")
+    wm = rs[0]["ts"]  # watermark at the A row: B may still arrive
+    m, pend = pat._match_from2(rs, 0, "ts", future_lb=wm)
+    assert m is None and pend
+    # an existing sealed row already failed the strict B slot: definitive
+    rs2 = rows("A", "C")
+    m, pend = pat._match_from2(rs2, 0, "ts", future_lb=rs2[1]["ts"])
+    assert m is None and not pend
+    # relaxed contiguity: failure is always curable while within is open
+    rel = (
+        Pattern.begin("a").where(lambda r: r["t"] == "A")
+        .followed_by("b").where(lambda r: r["t"] == "B")
+        .within(dt.timedelta(seconds=30))
+    )
+    m, pend = rel._match_from2(rs2, 0, "ts", future_lb=rs2[1]["ts"])
+    assert m is None and pend
+    # ... but once the watermark passes the within deadline, it is final
+    late_wm = rs2[0]["ts"] + dt.timedelta(seconds=31)
+    m, pend = rel._match_from2(rs2, 0, "ts", future_lb=late_wm)
+    assert m is None and not pend
+
+
+def _cep_stream_batches(spark, batches, op_builder, delay="20 seconds"):
+    """Replay hand-built event batches through a streaming CEP operator via
+    foreachBatch, capturing (batch_id, rows) pairs."""
+    import datetime as dtm
+
+    from tests.test_streaming_semantics import _write_batches
+
+    schema = "ts timestamp, user_id long, event_id long, event_type string"
+    typed = [
+        [(dtm.datetime.fromisoformat(t), u, i, e) for t, u, i, e in b]
+        for b in batches
+    ]
+    d = _write_batches(spark, typed, schema)
+    sdf = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(d)
+        .withWatermark("ts", delay)
+    )
+    out = op_builder(sdf)
+    captured = []
+
+    def sink(bdf, bid):
+        captured.append((bid, bdf.toPandas()))
+
+    import os
+    import tempfile
+    import uuid
+
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_cep_{uuid.uuid4().hex[:8]}")
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return captured
+
+
+def _signup_next_purchase():
+    return (
+        Pattern.begin("signup").where(lambda r: r["event_type"] == "signup")
+        .next("purchase").where(lambda r: r["event_type"] == "purchase")
+    )
+
+
+def test_stream_watermark_corrects_out_of_order(spark):
+    """An out-of-order event arriving within the watermark delay must break
+    a strict-contiguity match that looked adjacent in arrival order. The
+    naive immediate-emission operator gets this wrong; the watermark-held
+    operator waits until the gap is sealed."""
+    from flink_parent_spark.streaming.cep import (
+        cep_pattern_stream,
+        cep_pattern_stream_watermarked,
+    )
+
+    batches = [
+        # arrival order: signup then purchase look adjacent
+        [("2024-01-01 00:00:00", 1, 1, "signup"),
+         ("2024-01-01 00:00:30", 1, 3, "purchase")],
+        # but a browse between them arrives late (above watermark 00:00:10)
+        [("2024-01-01 00:00:15", 1, 2, "browse"),
+         ("2024-01-01 00:02:00", 1, 9, "noise")],
+    ]
+    held = _cep_stream_batches(
+        spark,
+        batches,
+        lambda sdf: cep_pattern_stream_watermarked(
+            sdf, _signup_next_purchase(), ["user_id"], "ts", "event_id"
+        ),
+    )
+    assert sum(len(p) for _, p in held) == 0  # browse breaks strict contiguity
+
+    naive = _cep_stream_batches(
+        spark,
+        batches,
+        lambda sdf: cep_pattern_stream(
+            sdf, _signup_next_purchase(), ["user_id"], "ts", "event_id"
+        ),
+    )
+    assert sum(len(p) for _, p in naive) > 0  # the naive op emits the false match
+
+
+def test_stream_watermark_holds_then_flushes(spark):
+    """Matches are held until sealed: nothing emits while the watermark is
+    behind the rows; the event-time timeout flushes once it passes."""
+    from flink_parent_spark.streaming.cep import cep_pattern_stream_watermarked
+
+    batches = [
+        [("2024-01-01 00:00:00", 1, 1, "signup"),
+         ("2024-01-01 00:00:01", 1, 2, "purchase")],
+        [("2024-01-01 00:01:00", 1, 9, "noise")],
+    ]
+    cap = _cep_stream_batches(
+        spark,
+        batches,
+        lambda sdf: cep_pattern_stream_watermarked(
+            sdf, _signup_next_purchase(), ["user_id"], "ts", "event_id"
+        ),
+    )
+    per_batch = {bid: len(p) for bid, p in cap}
+    assert per_batch.get(0, 0) == 0 and per_batch.get(1, 0) == 0
+    total = sum(per_batch.values())
+    assert total == 2  # signup + purchase rows of the single match, flushed late
+
+
+def test_stream_watermark_drops_late_events(spark):
+    """Events at/behind the watermark are discarded (Flink CEP late-data
+    behavior): they can neither form nor break matches."""
+    from flink_parent_spark.streaming.cep import cep_pattern_stream_watermarked
+
+    batches = [
+        [("2024-01-01 00:10:00", 1, 9, "noise")],  # watermark -> 00:09:40
+        [("2024-01-01 00:00:00", 1, 1, "signup"),
+         ("2024-01-01 00:00:05", 1, 2, "purchase")],  # both behind wm: dropped
+        [("2024-01-01 00:20:00", 1, 10, "noise")],
+    ]
+    cap = _cep_stream_batches(
+        spark,
+        batches,
+        lambda sdf: cep_pattern_stream_watermarked(
+            sdf, _signup_next_purchase(), ["user_id"], "ts", "event_id"
+        ),
+    )
+    assert sum(len(p) for _, p in cap) == 0
