@@ -827,3 +827,58 @@ def match_recognize_prev_define(spark, sf_dir):
         up AS up.value > PREV(up.value)
     """
     return match_recognize_sql(t["events"], clause, "event_id")
+
+
+@df_query(
+    "match_recognize_last_nav",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, value, LAG(value) OVER w AS pv,
+             ROW_NUMBER() OVER w AS pos
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), f AS (
+      SELECT *, (pv IS NOT NULL AND value < pv) AS dn FROM seq
+    ), g AS (
+      SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY user_id, dn
+                                         ORDER BY ts, event_id) AS grp
+      FROM f
+    ), runs AS (
+      SELECT user_id, grp, MIN(pos) AS spos, MAX(pos) AS epos
+      FROM g WHERE dn GROUP BY user_id, grp
+    ), ups AS (
+      SELECT r.user_id, r.spos, r.epos, u.event_id AS up_id, u.ts AS up_ts
+      FROM runs r JOIN g u ON u.user_id = r.user_id AND u.pos = r.epos + 1
+      WHERE u.pv IS NOT NULL AND u.value > u.pv
+    ), mm AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY spos) - 1
+                  AS match_id
+      FROM ups
+    )
+    SELECT m.user_id, d.event_id, m.match_id, 'DOWN' AS stage,
+           CAST(d.pos - m.spos AS INT) AS seq, d.ts AS event_ts
+    FROM mm m JOIN g d ON d.user_id = m.user_id
+                      AND d.pos BETWEEN m.spos AND m.epos
+    UNION ALL
+    SELECT user_id, up_id, match_id, 'UP',
+           CAST(epos - spos + 1 AS INT), up_ts FROM mm
+    """,
+)
+def match_recognize_last_nav(spark, sf_dir):
+    """LAST(stage.col) navigation inside DEFINE: the recovery row must rise
+    above the LAST row of the quantified DOWN run — match-state navigation
+    that cannot be precomputed as a LAG column, so the parser compiles it to
+    a MatchCtx predicate (MatchCodeGenerator.scala's IterativeCondition
+    path, re-derived). The oracle expresses the equivalent maximal-
+    descending-run + strict-recovery scan with window functions."""
+    from flink_parent_spark.streaming.match_recognize_sql import match_recognize_sql
+
+    t = load_tables(spark, sf_dir)
+    clause = """
+      PARTITION BY user_id
+      ORDER BY ts
+      PATTERN ( DOWN+ UP )
+      DEFINE
+        DOWN AS DOWN.value < PREV(DOWN.value),
+        UP AS UP.value > LAST(DOWN.value)
+    """
+    return match_recognize_sql(t["events"], clause, "event_id")

@@ -23,8 +23,10 @@ semantics. PREV(X.col[, n]) in DEFINE is rewritten to a Catalyst
 `LAG(col, n) OVER (PARTITION BY keys ORDER BY order, id)` window expression
 — partition navigation stays JVM-side (whole-stage codegen), and because
 the LAG window hash-partitions on the same keys as the matcher's groupBy,
-Catalyst reuses one exchange. FIRST/LAST stage navigation in DEFINE needs
-match state and is available on the Pattern API via MatchCtx predicates."""
+Catalyst reuses one exchange. DEFINE conditions using match-state
+navigation (FIRST/LAST over a pattern variable, NEXT lookahead) cannot be
+precomputed per-row; those are compiled by `_compile_nav_predicate` into
+MatchCtx predicates evaluated inside the matcher."""
 
 from __future__ import annotations
 
@@ -59,6 +61,72 @@ _UNIT_SECONDS = {
     "hour": 3600,
     "day": 86400,
 }
+
+
+_SQL_KEYWORDS = {"and", "or", "not", "true", "false", "null"}
+
+
+def _compile_nav_predicate(expr: str):
+    """Compile a DEFINE condition containing match-state navigation
+    (FIRST/LAST over a pattern variable, optionally PREV/NEXT) into a
+    MatchCtx predicate.
+
+    Reference: MatchCodeGenerator.scala generates code against the CEP
+    IterativeCondition context for exactly these calls; here a restricted
+    SQL-expression grammar (comparisons, arithmetic, AND/OR/NOT, literals)
+    is translated to a Python expression over (row, ctx). NULL from
+    navigation past the available rows makes the condition FALSE (SQL
+    three-valued logic collapses to false at the WHERE boundary)."""
+    # protect string literals from identifier/operator rewriting
+    literals: list[str] = []
+
+    def stash(g: re.Match) -> str:
+        literals.append(g.group(0))
+        return f"\x00{len(literals) - 1}\x00"
+
+    e = re.sub(r"'[^']*'", stash, expr)
+
+    e = re.sub(
+        r"\b(PREV|NEXT)\s*\(\s*(?:\w+\.)?(\w+)\s*(?:,\s*(\d+))?\s*\)",
+        lambda g: f'c.{g.group(1).lower()}("{g.group(2)}", {g.group(3) or 1})',
+        e,
+        flags=re.IGNORECASE,
+    )
+    e = re.sub(
+        r"\b(FIRST|LAST)\s*\(\s*(\w+)\.(\w+)\s*\)",
+        lambda g: f'c.{g.group(1).lower()}("{g.group(2)}", "{g.group(3)}")',
+        e,
+        flags=re.IGNORECASE,
+    )
+    # qualified stage refs (A.col) -> current-row access (same-row semantics)
+    e = re.sub(r"\b(?!c\.)(\w+)\.(\w+)\b", r'r["\2"]', e)
+    e = e.replace("<>", "!=")
+    e = re.sub(r"(?<![<>!=])=(?!=)", "==", e)
+
+    # bare identifiers -> row refs; keep keywords / our locals / numbers
+    def ident(g: re.Match) -> str:
+        w = g.group(0)
+        lw = w.lower()
+        if lw in _SQL_KEYWORDS:
+            return {"true": "True", "false": "False", "null": "None"}.get(lw, lw)
+        if w in ("r", "c") or w.isdigit():
+            return w
+        return f'r["{w}"]'
+
+    e = re.sub(r"(?<![\w\".\x00])[A-Za-z_]\w*(?![\w\"(])", ident, e)
+    for i, lit in enumerate(literals):
+        e = e.replace(f"\x00{i}\x00", lit)
+
+    code = compile(e, "<define-nav>", "eval")
+
+    def pred(r, c, _code=code):
+        try:
+            v = eval(_code, {"__builtins__": {}}, {"r": r, "c": c})  # noqa: S307
+        except TypeError:  # comparison with NULL navigation -> unknown -> false
+            return False
+        return bool(v) if v is not None else False
+
+    return pred
 
 
 def match_recognize_sql(
@@ -119,7 +187,13 @@ def match_recognize_sql(
 
     work = df
     pred_cols: dict[str, str] = {}
+    nav_preds: dict[str, object] = {}
     for name, expr in defines.items():
+        if re.search(r"\b(FIRST|LAST|NEXT)\s*\(", expr, re.IGNORECASE):
+            # match-state navigation: needs the matcher's MatchCtx — cannot
+            # precompute as a Catalyst column
+            nav_preds[name] = _compile_nav_predicate(expr)
+            continue
         bare = re.sub(r"\b\w+\.(\w+)", r"\1", rewrite_prev(expr))
         col = f"__mr_{name}"
         work = work.withColumn(col, F.expr(bare))
@@ -147,7 +221,9 @@ def match_recognize_sql(
         if in_exclusion:
             excluded.add(name)
         pat = Pattern.begin(name) if pat is None else pat.next(name)
-        if name in pred_cols:
+        if name in nav_preds:
+            pat = pat.where(nav_preds[name])
+        elif name in pred_cols:
             c = pred_cols[name]
             # NULL (None/NaN) from e.g. LAG past the partition edge is FALSE
             pat = pat.where(

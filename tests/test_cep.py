@@ -360,3 +360,72 @@ def test_stream_watermark_drops_late_events(spark):
         ),
     )
     assert sum(len(p) for _, p in cap) == 0
+
+
+# --- FIRST/LAST navigation inside SQL DEFINE --------------------------------
+
+
+def test_compile_nav_predicate():
+    from flink_parent_spark.streaming.match_recognize_sql import (
+        _compile_nav_predicate,
+    )
+
+    pred = _compile_nav_predicate("UP.value > LAST(DOWN.value) AND value <> 5")
+
+    class Ctx:
+        def last(self, stage, col):
+            assert (stage, col) == ("DOWN", "value")
+            return 10
+
+    assert pred({"value": 11}, Ctx())
+    assert not pred({"value": 9}, Ctx())
+    assert not pred({"value": 5}, Ctx())
+
+    # NULL navigation -> condition is false, not an error
+    class NullCtx:
+        def last(self, stage, col):
+            return None
+
+    assert not pred({"value": 11}, NullCtx())
+
+    # FIRST + string literal + arithmetic
+    p2 = _compile_nav_predicate("t = 'up' AND value >= FIRST(A.value) * 2")
+
+    class C2:
+        def first(self, stage, col):
+            return 3
+
+    assert p2({"t": "up", "value": 6}, C2())
+    assert not p2({"t": "down", "value": 6}, C2())
+    assert not p2({"t": "up", "value": 5}, C2())
+
+
+def test_match_recognize_sql_last_define(spark):
+    """End-to-end: PATTERN (DOWN+ UP) with UP AS value > LAST(DOWN.value)
+    finds the maximal descending run and its strict recovery."""
+    import datetime as dtm
+
+    from flink_parent_spark.streaming.match_recognize_sql import (
+        match_recognize_sql,
+    )
+
+    vals = [9.0, 7.0, 4.0, 3.0, 8.0, 2.0, 2.0, 5.0]
+    data = [
+        (1, i, dtm.datetime(2024, 1, 1, 0, 0, i), v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, event_id long, ts timestamp, value double"
+    )
+    clause = """
+      PARTITION BY user_id ORDER BY ts
+      PATTERN ( DOWN+ UP )
+      DEFINE DOWN AS DOWN.value < PREV(DOWN.value),
+             UP AS UP.value > LAST(DOWN.value)
+    """
+    out = match_recognize_sql(df, clause, "event_id").toPandas()
+    out = out.sort_values(["match_id", "seq"]).reset_index(drop=True)
+    # match 0: DOWN 7,4,3 then UP 8; match 1: DOWN 2 (8->2), UP is 2==2? no ->
+    # 2,2 breaks the run (not <), next: 2->5 is UP but needs a DOWN first:
+    # DOWN run = [5] (idx5, 8->2), UP candidate idx6 (2 > 2 false) -> no match
+    assert list(out["event_id"]) == [1, 2, 3, 4]
+    assert list(out["stage"]) == ["DOWN", "DOWN", "DOWN", "UP"]
