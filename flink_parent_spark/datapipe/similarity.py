@@ -40,6 +40,115 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _cent_literal(cent: list[list[float]]) -> Column:
+    """Literal array<array<double>> of centroids, indexed by ordinal."""
+    return F.array(*[F.array(*[F.lit(float(x)) for x in cv]) for cv in cent])
+
+
+def _best_cells(cent_arr: Column, n_cent: int, vec: Column, n: int) -> Column:
+    """Ordinals of the `n` nearest centroids (cosine desc, ordinal tiebreak)."""
+    scored = F.zip_with(
+        F.transform(cent_arr, lambda cv: cosine(cv, vec)),
+        F.sequence(F.lit(0), F.lit(n_cent - 1)),
+        lambda c, i: F.struct((-c).alias("negc"), i.alias("cell")),
+    )
+    return F.transform(F.slice(F.sort_array(scored), 1, n), lambda s: s["cell"])
+
+
+def train_kmeans_centroids(
+    candidates: DataFrame,
+    n_centroids: int,
+    n_iters: int,
+    cand_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd iterations, DataFrame-native.
+
+    - init: the `n_centroids` lowest-id vectors (reproducible seed);
+    - assign: map-side argmax-cosine against a literal centroid array — no
+      shuffle, whole-stage codegen;
+    - update: per-(cell, dim) exact mean via posexplode + decimal-sum (the
+      repo's cross-engine float-determinism contract), one shuffle of
+      k*d groups; only k*d doubles ever reach the driver.
+
+    At 100 TB the same plan holds: each iteration is one scan + one tiny
+    aggregation (train on a sampled fraction for wall-clock, the plan is
+    identical). An empty cell keeps its previous centroid.
+    """
+    init = (
+        candidates.select(F.col(cand_id).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy("cid")
+        .limit(n_centroids)
+        .collect()
+    )
+    cent = [[float(x) for x in r["cv"]] for r in init]
+    dim = len(cent[0])
+    for _ in range(n_iters):
+        cent_arr = _cent_literal(cent)
+        # two selects: a generator (posexplode) in the same projection as the
+        # lambda-struct expression makes Catalyst's generator rewrite drop
+        # the struct field aliases inside the higher-order function
+        assigned = candidates.select(
+            _best_cells(cent_arr, len(cent), F.col(vec_col), 1)[0].alias("cell"),
+            F.col(vec_col).alias("__v"),
+        ).select("cell", F.posexplode(F.col("__v")).alias("dim", "x"))
+        agg = assigned.groupBy("cell", "dim").agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(38,18)")).cast("double")
+                / F.count("x").cast("double")
+            ).alias("m")
+        )
+        got = {(r["cell"], r["dim"]): r["m"] for r in agg.collect()}
+        cent = [
+            [got[(ci, d)] for d in range(dim)] if (ci, 0) in got else cent[ci]
+            for ci in range(len(cent))
+        ]
+    return cent
+
+
+def ivf_kmeans_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    n_centroids: int = 4,
+    nprobe: int = 2,
+    n_iters: int = 2,
+    query_id: str = "vec_id",
+    cand_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k with k-means-TRAINED centroids (vs the seeded
+    coarse quantizer of `ivf_topk`): Lloyd-refined cells fit the data
+    distribution, cutting the probe miss rate for the same nprobe. Search
+    plan is identical to `ivf_topk` — centroid training changes only the
+    literal centroid array."""
+    spark = candidates.sparkSession
+    cent = train_kmeans_centroids(candidates, n_centroids, n_iters, cand_id, vec_col)
+    cent_arr = _cent_literal(cent)
+    n_cent = len(cent)
+    c = candidates.select(
+        F.col(cand_id).alias("cand_id"),
+        F.col(vec_col).alias("__cv"),
+        _best_cells(cent_arr, n_cent, F.col(vec_col), 1)[0].alias("__cell"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(_best_cells(cent_arr, n_cent, F.col(vec_col), nprobe)).alias("__cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "__cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("cosine", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,

@@ -432,6 +432,76 @@ def ann_cosine_topk_ivf(spark, sf_dir):
     return ivf_topk(e.filter(F.col("vec_id") < 10), e, k=5, n_centroids=8, nprobe=2)
 
 
+def _duck_kmeans_assign(src: str, cent: str, idcol: str, rn_cond: str) -> str:
+    """Assignment CTE body: nearest-centroid cell(s) by cosine, ordinal
+    tiebreak — mirrors `_best_cells` exactly."""
+    return f"""SELECT {idcol}, embedding, cell FROM (
+      SELECT s.{idcol}, s.embedding, c.cell,
+             ROW_NUMBER() OVER (PARTITION BY s.{idcol}
+                                ORDER BY {_duck_cos('c.cv', 's.embedding')} DESC,
+                                         c.cell) AS rn
+      FROM {src} s, {cent} c) t WHERE {rn_cond}"""
+
+
+def _duck_kmeans_mean(assigned: str) -> str:
+    """New-centroid CTE body: per-(cell, dim) exact decimal mean — mirrors
+    `train_kmeans_centroids`'s update step."""
+    return f"""SELECT cell, list(m ORDER BY dim) AS cv FROM (
+      SELECT cell, i.i AS dim,
+             CAST(SUM(CAST(CAST(embedding[i.i] AS DOUBLE) AS DECIMAL(38,18)))
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m
+      FROM {assigned}, UNNEST(generate_series(1, len(embedding))) AS i(i)
+      GROUP BY cell, i.i) mm GROUP BY cell"""
+
+
+@df_query(
+    "ann_cosine_topk_ivf_kmeans",
+    oracle=f"""
+    WITH c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4)
+    ),
+    a0 AS ({_duck_kmeans_assign('embeddings', 'c0', 'vec_id', 'rn = 1')}),
+    c1 AS ({_duck_kmeans_mean('a0')}),
+    a1 AS ({_duck_kmeans_assign('embeddings', 'c1', 'vec_id', 'rn = 1')}),
+    c2 AS ({_duck_kmeans_mean('a1')}),
+    cand_cells AS (
+      {_duck_kmeans_assign('embeddings', 'c2', 'vec_id', 'rn = 1')}
+    ),
+    query_cells AS (
+      {_duck_kmeans_assign('(SELECT * FROM embeddings WHERE vec_id < 10)',
+                           'c2', 'vec_id', 'rn <= 2')}
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             {_duck_cos('q.embedding', 'c.embedding')} AS cosine
+      FROM query_cells q JOIN cand_cells c USING (cell)
+      WHERE q.vec_id <> c.vec_id
+    ), ranked AS (
+      SELECT query_id, cand_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, cand_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk_ivf_kmeans(spark, sf_dir):
+    """IVF with k-means-trained centroids: 2 Lloyd iterations refine 4
+    seeded cells (assign = map-side argmax over a literal centroid array;
+    update = one k*d-group aggregation with exact decimal means), then the
+    standard IVF probe. The oracle unrolls both iterations in SQL and must
+    reproduce centroids, cell assignment, and ranking bit-exactly."""
+    from flink_parent_spark.datapipe.similarity import ivf_kmeans_topk
+
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    return ivf_kmeans_topk(
+        e.filter(F.col("vec_id") < 10), e, k=5, n_centroids=4, nprobe=2, n_iters=2
+    )
+
+
 # --- multimodal plumbing ----------------------------------------------------
 
 
