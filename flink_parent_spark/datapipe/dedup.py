@@ -68,40 +68,26 @@ def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFra
     )
 
 
-def _jaccard_for_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Jaccard for an explicit candidate-pair set only: shingle rows are
-    semi-joined down to candidate ids first, so cost scales with the
-    candidate set, not the corpus."""
-    ids = (
-        pairs.select(F.col("id_a").alias("__id"))
-        .unionByName(pairs.select(F.col("id_b").alias("__id")))
-        .distinct()
-    )
-    shc = sh.join(ids, "__id", "left_semi").select("__id", "__h")
-    sizes = shc.groupBy("__id").agg(F.count("*").alias("__sz"))
-    a = shc.select(F.col("__id").alias("id_a"), "__h")
-    b = shc.select(F.col("__id").alias("id_b"), "__h")
-    common = (
-        pairs.join(a, "id_a")
-        .join(b, ["id_b", "__h"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("common"))
-    )
-    return (
-        common.join(
-            sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__sz", "size_a"),
-            "id_a",
-        )
-        .join(
-            sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__sz", "size_b"),
-            "id_b",
-        )
+def _jaccard_for_pairs(ha: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Jaccard for an explicit candidate-pair set from doc-level shingle-hash
+    arrays: two equi-joins attach each side's array (the candidate side is
+    small — Catalyst broadcasts it), then intersection/union sizes are pure
+    codegen array math. Cost scales with the candidate set, not the corpus,
+    and nothing is re-exploded."""
+    sets = ha.select("__id", F.array_distinct("__ha").alias("__hs"))
+    out = (
+        pairs.join(sets.select(F.col("__id").alias("id_a"), F.col("__hs").alias("__sa")), "id_a")
+        .join(sets.select(F.col("__id").alias("id_b"), F.col("__hs").alias("__sb")), "id_b")
+        .withColumn("common", F.size(F.array_intersect("__sa", "__sb")))
+        .withColumn("size_a", F.size("__sa"))
+        .withColumn("size_b", F.size("__sb"))
         .withColumn(
             "jaccard",
             F.col("common").cast("double")
             / (F.col("size_a") + F.col("size_b") - F.col("common")).cast("double"),
         )
     )
+    return out.drop("__sa", "__sb")
 
 
 def ngram_jaccard_pairs(
@@ -141,31 +127,67 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", "common", "size_a", "size_b", "jaccard")
 
 
+MINHASH_P = (1 << 31) - 1  # Mersenne prime: a*h+b stays under 2^62 (no wrap)
+
+
+def minhash_coeffs(k: int) -> tuple[list[int], list[int]]:
+    """Deterministic affine-permutation coefficients (a_i, b_i) for the
+    universal hash family ph_i = (a_i * h + b_i) mod P. Shared by the Spark
+    operators and the DuckDB oracle-SQL generator so both engines compute
+    the identical family."""
+    a = [(2654435761 * (i + 1)) % MINHASH_P for i in range(k)]
+    b = [(40503 * (i + 1) * (i + 1) + 12345) % MINHASH_P for i in range(k)]
+    return a, b
+
+
+def _shingle_hash_arrays(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(__id, __ha: array<bigint>) — one row per doc, one md5 per shingle.
+    The doc-level array form keeps signature/banding computation map-side."""
+    return _spread(df).select(
+        F.col(id_col).alias("__id"),
+        F.transform(ngram_shingles(F.col(text_col), n), token_hash64).alias("__ha"),
+    )
+
+
+def _sig_array(ha: Column, k: int) -> Column:
+    """MinHash signature array: sig_i = min over shingle hashes h of
+    (a_i * (h mod P) + b_i) mod P.
+
+    Integer affine permutations replace the original per-(shingle, perm)
+    md5 re-hash: k multiply-adds per shingle instead of k string digests,
+    and the whole signature is one whole-stage-codegen expression per doc —
+    no explode, no shuffle. Cross-engine reproducible (plain int64
+    arithmetic, products < 2^62 so neither engine overflows)."""
+    a, b = minhash_coeffs(k)
+    hp = F.transform(ha, lambda h: ((h % MINHASH_P) + MINHASH_P) % MINHASH_P)
+
+    def perm_min(ai: int, bi: int) -> Column:
+        # single-arg lambda: a 2-arg transform lambda would receive the
+        # element index as its second argument
+        return F.array_min(
+            F.transform(hp, lambda h: (F.lit(ai) * h + F.lit(bi)) % MINHASH_P)
+        )
+
+    return F.array(*[perm_min(a[i], b[i]) for i in range(k)])
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
     id_col: str,
     n: int = 3,
     k: int = 16,
-    _sh: DataFrame | None = None,
+    _ha: DataFrame | None = None,
 ) -> DataFrame:
-    """k-permutation MinHash signature per doc: sig_i = min over shingle
-    hashes h of hash64(i || ':' || h) — permutations re-hash the compact
-    64-bit shingle hash, not the raw shingle string (16x less string
-    hashing; the k hash families stay independent). Output:
-    (id, perm, minhash) long format — keeps the band join a plain
-    equi-join downstream."""
-    sh = _sh if _sh is not None else _shingle_table(df, text_col, id_col, n)
-    perms = sh.select(
-        "__id", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("perm"), "__h"
-    )
-    hashed = perms.select(
-        "__id",
-        "perm",
-        token_hash64(F.concat_ws(":", F.col("perm"), F.col("__h"))).alias("__ph"),
-    )
-    return hashed.groupBy("__id", "perm").agg(F.min("__ph").alias("minhash")).withColumnRenamed(
-        "__id", "id"
+    """k-permutation MinHash signature per doc, long format
+    (id, perm, minhash) — keeps the band join a plain equi-join downstream.
+    Entirely map-side: one md5 per shingle, then k affine permutations per
+    shingle hash inside one codegen stage (see `_sig_array`)."""
+    ha = _ha if _ha is not None else _shingle_hash_arrays(df, text_col, id_col, n)
+    return (
+        ha.filter(F.size("__ha") > 0)
+        .select(F.col("__id").alias("id"), _sig_array(F.col("__ha"), k).alias("__sig"))
+        .select("id", F.posexplode("__sig").alias("perm", "minhash"))
     )
 
 
@@ -181,37 +203,43 @@ def minhash_lsh_pairs(
     """MinHash-LSH candidate pairs: docs sharing at least one band digest
     (k/bands rows per band). If verify_threshold is set, candidates are
     verified with the true n-gram Jaccard and filtered. Output:
-    (id_a, id_b [, jaccard])."""
+    (id_a, id_b [, jaccard]).
+
+    Scale shape: signature + banding are shuffle-free map work over the
+    corpus scan; the only shuffles are the band-key equi-join (candidate
+    generation) and the verify joins, both scaling with candidates, not
+    with the O(n^2) pair space."""
     rows_per_band = k // bands
-    # shared shingle table: persisted so the signature and verify branches
-    # scan/shingle the corpus once (at cluster scale this would be a
-    # checkpoint to reliable storage instead)
-    sh = _shingle_table(df, text_col, id_col, n).persist()
-    sig = minhash_signatures(df, text_col, id_col, n, k, _sh=sh)
-    banded = (
-        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-        .groupBy("id", "band")
-        .agg(F.sort_array(F.collect_list(F.struct("perm", "minhash"))).alias("sig"))
-        .withColumn(
-            "band_key",
+    # shared doc-level shingle-hash arrays: persisted so the signature and
+    # verify branches scan/shingle/md5 the corpus once (at cluster scale
+    # this would be a checkpoint to reliable storage instead)
+    ha = _shingle_hash_arrays(df, text_col, id_col, n).persist()
+    sig_doc = ha.filter(F.size("__ha") > 0).select(
+        "__id", _sig_array(F.col("__ha"), k).alias("__sig")
+    )
+    band_keys = F.array(
+        *[
             F.md5(
                 F.concat_ws(
                     "_",
-                    F.col("band"),
-                    F.array_join(F.transform("sig", lambda s: s["minhash"]), "_"),
+                    F.lit(j),
+                    F.array_join(
+                        F.slice(F.col("__sig"), j * rows_per_band + 1, rows_per_band), "_"
+                    ),
                 )
-            ),
-        )
+            )
+            for j in range(bands)
+        ]
     )
-    banded = banded.persist()  # feeds both sides of the candidate self-join
-    a = banded.select(F.col("id").alias("id_a"), "band_key")
-    b = banded.select(F.col("id").alias("id_b"), "band_key")
+    banded = sig_doc.select("__id", F.explode(band_keys).alias("band_key"))
+    a = banded.select(F.col("__id").alias("id_a"), "band_key")
+    b = banded.select(F.col("__id").alias("id_b"), "band_key")
     cand = (
         a.join(b, "band_key").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
     )
     if verify_threshold is None:
         return cand
-    verified = _jaccard_for_pairs(sh.select("__id", "__h").distinct(), cand)
+    verified = _jaccard_for_pairs(ha, cand)
     return verified.filter(F.col("jaccard") >= verify_threshold).select(
         "id_a", "id_b", "jaccard"
     )

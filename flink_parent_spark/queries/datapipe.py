@@ -225,7 +225,15 @@ def dedup_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
-_H_PERM = _duck_h64("perm || ':' || h")
+from flink_parent_spark.datapipe.dedup import MINHASH_P, minhash_coeffs  # noqa: E402
+
+_A16, _B16 = minhash_coeffs(16)
+# affine-permutation minhash input — mirrors `_sig_array` exactly
+_H_PERM = (
+    f"((list_value({', '.join(map(str, _A16))})[perm + 1]"
+    f" * ((h % {MINHASH_P} + {MINHASH_P}) % {MINHASH_P})"
+    f" + list_value({', '.join(map(str, _B16))})[perm + 1]) % {MINHASH_P})"
+)
 _H_SH = _duck_h64("sh")
 
 # distinct (doc_id, shingle-hash) set, shared by the minhash oracles
@@ -258,10 +266,8 @@ def dedup_minhash_signatures(spark, sf_dir):
     return minhash_signatures(t["documents"], "text", "doc_id", n=3, k=16)
 
 
-@df_query(
-    "dedup_minhash_lsh_pairs",
-    oracle=f"""
-    WITH {_DUCK_HSH}, sig AS (
+# full LSH pipeline as a reusable CTE chain ending in `lsh_pairs`
+_DUCK_LSH_PAIRS = f"""{_DUCK_HSH}, sig AS (
       SELECT doc_id, perm, MIN({_H_PERM}) AS minhash
       FROM hsh, (SELECT unnest(generate_series(0, 15)) AS perm) p
       GROUP BY doc_id, perm
@@ -280,14 +286,22 @@ def dedup_minhash_signatures(spark, sf_dir):
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
       FROM hsh a JOIN hsh b ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    )
-    SELECT c.id_a, c.id_b,
-           CAST(cm.common AS DOUBLE) / (sa.sz + sb.sz - cm.common) AS jaccard
-    FROM cand c
-    JOIN common cm ON cm.id_a = c.id_a AND cm.id_b = c.id_b
-    JOIN sizes sa ON sa.doc_id = c.id_a
-    JOIN sizes sb ON sb.doc_id = c.id_b
-    WHERE CAST(cm.common AS DOUBLE) / (sa.sz + sb.sz - cm.common) >= 0.1
+    ), lsh_pairs AS (
+      SELECT c.id_a, c.id_b,
+             CAST(cm.common AS DOUBLE) / (sa.sz + sb.sz - cm.common) AS jaccard
+      FROM cand c
+      JOIN common cm ON cm.id_a = c.id_a AND cm.id_b = c.id_b
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b
+      WHERE CAST(cm.common AS DOUBLE) / (sa.sz + sb.sz - cm.common) >= 0.1
+    )"""
+
+
+@df_query(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_DUCK_LSH_PAIRS}
+    SELECT id_a, id_b, jaccard FROM lsh_pairs
     """,
 )
 def dedup_minhash_lsh_pairs(spark, sf_dir):
@@ -318,6 +332,62 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
 def dedup_simhash(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     return simhash(t["documents"], "text", "doc_id")
+
+
+def _dedup_cc_oracle(n_iter: int = 8) -> str:
+    """Unrolled min-label propagation over the LSH near-dup pair graph
+    (same technique as graph_queries._cc_oracle; too-small n_iter surfaces
+    as a mismatch, never a false pass)."""
+    prev = "cc0"
+    ctes = [
+        """und AS (
+      SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+      UNION SELECT id_b AS src, id_a AS dst FROM lsh_pairs
+    ), verts AS (SELECT DISTINCT src AS id FROM und),
+    cc0 AS MATERIALIZED (SELECT id, id AS component FROM verts)"""
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""
+    cc{i} AS MATERIALIZED (
+      SELECT p.id,
+             LEAST(p.component, COALESCE(m.nbr_min, p.component)) AS component
+      FROM {prev} p LEFT JOIN (
+        SELECT u.dst AS id, MIN(q.component) AS nbr_min
+        FROM und u JOIN {prev} q ON u.src = q.id
+        GROUP BY u.dst) m ON p.id = m.id)"""
+        )
+        prev = f"cc{i}"
+    return (
+        f"WITH {_DUCK_LSH_PAIRS}, {','.join(ctes)} "
+        f"SELECT id AS doc_id, component AS canonical_id FROM {prev}"
+    )
+
+
+@df_query("dedup_cluster_canonical", oracle=_dedup_cc_oracle(8))
+def dedup_cluster_canonical(spark, sf_dir):
+    """End-to-end dedup pipeline composition: MinHash-LSH near-dup pairs ->
+    connected components over the pair graph -> canonical (min) doc id per
+    duplicate cluster. This is the shape a 100 TB training-data dedup
+    actually runs: candidate edges scale with true near-dups (not O(n^2)),
+    and the CC iteration count scales with cluster diameter (tiny for dup
+    clusters), each superstep one join + min-aggregate."""
+    from flink_parent_spark.graph.algorithms import connected_components
+
+    t = load_tables(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        t["documents"], "text", "doc_id", n=3, k=16, bands=4, verify_threshold=0.1
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    cc = connected_components(verts, edges, max_iter=20)
+    return cc.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("canonical_id")
+    )
 
 
 # --- embedding similarity search -------------------------------------------
