@@ -411,3 +411,52 @@ def fn_flink_compat(spark, sf_dir):
         FROM documents WHERE doc_id < 30
         """
     )
+
+sql_query(
+    "fn_string_residue",
+    """
+    SELECT c_custkey,
+           INITCAP(LOWER(c_mktsegment)) AS seg_cap,
+           OVERLAY(c_name PLACING 'XX' FROM 2 FOR 2) AS overlaid,
+           ASCII(c_mktsegment) AS first_code,
+           CHR(65 + CAST(c_custkey % 26 AS INT)) AS letter,
+           INSTR(c_name, '1') AS i1,
+           LOCATE('2', c_name) AS l2,
+           TRANSLATE(c_mktsegment, 'AEIOU', 'aeiou') AS vowelled
+    FROM customer WHERE c_custkey < 30
+    """,
+    oracle="""
+    SELECT c_custkey,
+           UPPER(SUBSTR(c_mktsegment, 1, 1)) || LOWER(SUBSTR(c_mktsegment, 2))
+             AS seg_cap,
+           SUBSTR(c_name, 1, 1) || 'XX' || SUBSTR(c_name, 4) AS overlaid,
+           ASCII(c_mktsegment) AS first_code,
+           CHR(65 + CAST(c_custkey % 26 AS INT)) AS letter,
+           INSTR(c_name, '1') AS i1,
+           INSTR(c_name, '2') AS l2,
+           TRANSLATE(c_mktsegment, 'AEIOU', 'aeiou') AS vowelled
+    FROM customer WHERE c_custkey < 30
+    """,
+)
+
+# Approximate distinct-count (HLL++): the estimator differs per engine, so
+# this is a rows-only entry — the driver still checks schema + row count
+# (one row per mktsegment); the reference's APPROX_COUNT_DISTINCT lives in
+# flink-table-planner-blink aggfunctions (HllBuffer-based), same contract.
+from flink_parent_spark.queries.registry import df_query as _df_query  # noqa: E402
+from flink_parent_spark.tables import load_tables as _load_tables  # noqa: E402
+
+
+@_df_query("agg_approx_count_distinct")
+def agg_approx_count_distinct(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    t = _load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey").alias("approx_customers"),
+            F.count("*").alias("n"),
+        )
+    )

@@ -882,3 +882,57 @@ def match_recognize_last_nav(spark, sf_dir):
         UP AS UP.value > LAST(DOWN.value)
     """
     return match_recognize_sql(t["events"], clause, "event_id")
+
+
+@df_query(
+    "stream_full_outer_interval_join",
+    oracle="""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+           COALESCE(v.user_id, p.user_id) AS user_id
+    FROM (SELECT * FROM events WHERE event_type = 'view'
+            AND ts < TIMESTAMP '2024-01-20 00:00:00') v
+    FULL OUTER JOIN (SELECT * FROM events WHERE event_type = 'purchase'
+            AND ts < TIMESTAMP '2024-01-20 00:00:00') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '10' MINUTE
+    """,
+)
+def stream_full_outer_interval_join(spark, sf_dir):
+    """Stream-stream FULL OUTER interval join (StreamingJoinOperator's
+    outer mode): unmatched rows on either side emit once the watermark
+    seals their join window. Sentinel 'advancer' rows (the post-cutoff
+    tail of the fixture, remapped to non-joining user ids) push both
+    sides' watermarks past every real row's window so the full replay
+    converges to the batch answer; they are filtered from the output."""
+    cut = F.lit("2024-01-20 00:00:00").cast("timestamp")
+
+    def side(evt: str, idc: str, userc: str, tsc: str, sentinel: int):
+        base = stream_table(spark, sf_dir, "events")
+        real = base.filter((F.col("event_type") == evt) & (F.col("ts") < cut)).select(
+            F.col("event_id").alias(idc),
+            F.col("user_id").alias(userc),
+            F.col("ts").alias(tsc),
+        )
+        adv = base.filter(F.col("ts") >= cut).select(
+            F.col("event_id").alias(idc),
+            (F.col("user_id") + sentinel).alias(userc),
+            F.col("ts").alias(tsc),
+        )
+        return real.unionByName(adv).withWatermark(tsc, "0 seconds")
+
+    views = side("view", "view_id", "v_user", "v_ts", 1_000_000)
+    purchases = side("purchase", "purchase_id", "p_user", "p_ts", 2_000_000)
+    j = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "full_outer",
+    )
+    out = run_stream_to_df(j, "append")
+    return out.filter(
+        (F.coalesce(F.col("v_user"), F.lit(0)) < 1_000_000)
+        & (F.coalesce(F.col("p_user"), F.lit(0)) < 1_000_000)
+    ).select(
+        "view_id", "purchase_id", F.coalesce("v_user", "p_user").alias("user_id")
+    )

@@ -61,6 +61,24 @@ def stream_table(
     return df
 
 
+def with_idleness_policy(spark: SparkSession, enabled: bool = True) -> SparkSession:
+    """Flink `WatermarkStrategy.withIdleness` equivalent for multi-source
+    queries (WatermarkStrategy.java:133): when one branch of a union goes
+    idle, its stale watermark must not hold back the query.
+
+    Spark has no per-source idleness marker, but the same outcome is the
+    `multipleWatermarkPolicy` session conf: with several `withWatermark`
+    operators in one query, `min` (default, Flink's no-idleness behavior)
+    tracks the slowest branch, `max` advances with the fastest — an idle
+    branch stops contributing, exactly the idleness contract. Trade-off is
+    identical to Flink's: rows from the idle branch that arrive later than
+    the advanced watermark are treated as late."""
+    spark.conf.set(
+        "spark.sql.streaming.multipleWatermarkPolicy", "max" if enabled else "min"
+    )
+    return spark
+
+
 def run_stream_to_df(
     sdf: DataFrame, output_mode: str = "append", timeout_s: int = 300
 ) -> DataFrame:

@@ -113,3 +113,51 @@ def test_salted_join_equals_plain_join(spark):
         .collect()
     )
     assert plain == salted
+
+
+def test_idleness_policy_unblocks_idle_source(spark):
+    """withIdleness parity: a union of two watermarked sources where one is
+    idle (one old row, then nothing). Default min-policy holds the combined
+    watermark at the idle source, so no window can close in append mode;
+    the max policy (our with_idleness_policy) lets the active source drive.
+    """
+    import datetime as dtm
+
+    from flink_parent_spark.streaming.core import with_idleness_policy
+
+    schema = "ts timestamp, k string, v long"
+    active = [
+        [(dtm.datetime(2024, 1, 1, 0, 0, 5), "a", 1),
+         (dtm.datetime(2024, 1, 1, 0, 0, 6), "a", 1)],
+        [(dtm.datetime(2024, 1, 1, 2, 0, 0), "a", 1)],  # advances to 02:00
+    ]
+    idle = [[(dtm.datetime(2024, 1, 1, 0, 0, 1), "i", 1)]]  # then silent
+    d_active = _write_batches(spark, active, schema)
+    d_idle = _write_batches(spark, idle, schema)
+
+    def run(policy_max: bool):
+        with_idleness_policy(spark, enabled=policy_max)
+        a = (
+            spark.readStream.schema(schema).format("parquet").load(d_active)
+            .withWatermark("ts", "5 minutes")
+        )
+        b = (
+            spark.readStream.schema(schema).format("parquet").load(d_idle)
+            .withWatermark("ts", "5 minutes")
+        )
+        from pyspark.sql import functions as F
+
+        agg = a.union(b).groupBy(F.window("ts", "10 minutes"), "k").count()
+        out = run_stream_to_df(agg, "append").toPandas()
+        with_idleness_policy(spark, enabled=False)
+        return out
+
+    held = run(policy_max=False)
+    # min policy: combined watermark stuck at idle source's 00:00:01-5min,
+    # no window is ever sealed for append output
+    assert len(held) == 0
+    flowing = run(policy_max=True)
+    # max policy: active source's 02:00 row seals the 00:00 windows of BOTH
+    # branches
+    assert len(flowing) >= 2
+    assert set(flowing["k"]) == {"a", "i"}
