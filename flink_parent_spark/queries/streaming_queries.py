@@ -936,3 +936,28 @@ def stream_full_outer_interval_join(spark, sf_dir):
     ).select(
         "view_id", "purchase_id", F.coalesce("v_user", "p_user").alias("user_id")
     )
+
+
+@df_query(
+    "stream_over_range_bounded",
+    oracle="""
+    SELECT user_id, ts, value, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS range_sum,
+           COUNT(*) OVER w AS range_cnt
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def stream_over_range_bounded(spark, sf_dir):
+    """Event-time RANGE-bounded streaming OVER aggregate
+    (RowTimeRangeBoundedPrecedingFunction parity): trailing 1-hour sum and
+    count per user, peers at the same timestamp aggregated together, state
+    bounded by the range. Full replay must equal the batch RANGE window."""
+    from flink_parent_spark.streaming.stateful import streaming_over_range_bounded
+
+    ev = stream_table(spark, sf_dir, "events")
+    out = streaming_over_range_bounded(
+        ev, ["user_id"], "ts", "value", 3600, ["event_id"], tiebreak_col="event_id"
+    )
+    return run_stream_to_df(out, "append")

@@ -297,3 +297,66 @@ def trigger_count_fires(spark, sf_dir):
         "window_start", "event_type", "fire_seq", "elements_seen",
         F.col("fire_value").cast("double").alias("fire_value"),
     )
+
+
+@df_query(
+    "window_session_dynamic_gap",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'purchase' THEN 3600 ELSE 900 END AS gap_s,
+             epoch_us(ts) AS ts_us
+      FROM events
+    ), marked AS (
+      SELECT *,
+             CASE WHEN MAX(ts_us + CAST(gap_s AS BIGINT) * 1000000) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR ts_us >= MAX(ts_us + CAST(gap_s AS BIGINT) * 1000000) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS is_new
+      FROM g
+    ), sess AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, sid, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def window_session_dynamic_gap(spark, sf_dir):
+    """Session windows with a per-element dynamic gap
+    (SessionWindowAssigner + SessionWindows.withDynamicGap parity):
+    each element opens a window [ts, ts + gap(element)); overlapping windows
+    merge transitively. Expressed declaratively as a running-max merge scan
+    — one shuffle by key, both window passes and the final aggregation reuse
+    the same sort/exchange (no pandas, whole-stage codegen)."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    gap_s = F.when(F.col("event_type") == "purchase", 3600).otherwise(900)
+    g = t["events"].select(
+        "user_id", "ts", "event_id", "value",
+        gap_s.alias("gap_s"), F.unix_micros("ts").alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_max_end = F.max(
+        F.col("ts_us") + F.col("gap_s").cast("bigint") * F.lit(1_000_000).cast("bigint")
+    ).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = g.withColumn(
+        "is_new",
+        F.when(prev_max_end.isNull() | (F.col("ts_us") >= prev_max_end), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "sid", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+    )

@@ -181,6 +181,75 @@ def streaming_retract_top_n(
     )
 
 
+def streaming_over_range_bounded(
+    sdf: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    range_seconds: int,
+    payload_cols: Sequence[str] = (),
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Streaming OVER (PARTITION BY key ORDER BY ts RANGE BETWEEN `range`
+    PRECEDING AND CURRENT ROW) sum + count.
+
+    RowTimeRangeBoundedPrecedingFunction.java:277 parity (algorithm, not
+    code): per key, a state buffer of (ts, value) inside the trailing range
+    window; rows process in event-time order, all rows sharing a timestamp
+    aggregate together (SQL RANGE peer semantics — the reference fires per
+    timestamp on watermark), and buffer entries older than ts - range are
+    evicted as the window slides, so state is bounded by the range, not the
+    stream. Accumulation in integer micros (exact, restart-safe)."""
+    out_cols = list(dict.fromkeys([*key_cols, ts_col, value_col, *payload_cols]))
+    out_schema = _schema_of(sdf, out_cols) + ", `range_sum` double, `range_cnt` bigint"
+    state_schema = "buf array<struct<ts: timestamp, v: bigint>>"
+    _Q = Decimal("0.000001")
+    import datetime as _dt
+
+    rng = _dt.timedelta(seconds=range_seconds)
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        buf: list[tuple] = list(state.get[0]) if state.exists else []
+        frames = [pdf[out_cols] for pdf in pdfs]
+        sort_cols = [ts_col, tiebreak_col] if tiebreak_col else [ts_col]
+        batch = (
+            pd.concat(frames).sort_values(sort_cols)
+            if frames
+            else pd.DataFrame(columns=out_cols)
+        )
+        sums: list[float] = []
+        cnts: list[int] = []
+        recs = batch.to_dict("records")
+        i = 0
+        while i < len(recs):
+            # peer group: all rows at this timestamp enter the buffer first
+            j = i
+            t = recs[i][ts_col]
+            while j < len(recs) and recs[j][ts_col] == t:
+                v = recs[j][value_col]
+                buf.append(
+                    (t, int(Decimal(float(v)).quantize(_Q, rounding=ROUND_HALF_UP) * 1_000_000))
+                )
+                j += 1
+            lo = t - rng
+            buf = [(bt, bv) for bt, bv in buf if bt >= lo]
+            s = sum(bv for _, bv in buf) / 1e6
+            c = len(buf)
+            for _ in range(i, j):
+                sums.append(s)
+                cnts.append(c)
+            i = j
+        out = batch.copy()
+        out["range_sum"] = pd.Series(sums, index=out.index, dtype="float64")
+        out["range_cnt"] = pd.Series(cnts, index=out.index, dtype="int64")
+        state.update((buf,))
+        yield out
+
+    return sdf.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_over_running_sum(
     sdf: DataFrame,
     key_cols: Sequence[str],
