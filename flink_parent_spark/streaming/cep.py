@@ -103,9 +103,41 @@ def _arity(p: Predicate) -> int:
 
 
 class AfterMatchSkip:
+    """After-match skip strategies (flink-cep/.../nfa/aftermatch/ — NoSkip,
+    SkipToNextStrategy, SkipPastLastStrategy, SkipToFirstStrategy,
+    SkipToLastStrategy re-derived)."""
+
     NO_SKIP = "no_skip"
     SKIP_TO_NEXT = "skip_to_next"
     SKIP_PAST_LAST = "skip_past_last"
+
+    @staticmethod
+    def skip_to_first(var: str) -> str:
+        """Resume matching AT the first row mapped to `var`."""
+        return f"skip_to_first:{var}"
+
+    @staticmethod
+    def skip_to_last(var: str) -> str:
+        """Resume matching AT the last row mapped to `var`."""
+        return f"skip_to_last:{var}"
+
+
+def _next_start(skip: str, m: list[tuple[str, int]], start: int) -> int:
+    """Next match-scan cursor after emitting match `m` found at `start`.
+    Always advances past `start` (Flink raises on SKIP TO FIRST of the
+    pattern's own first variable precisely because it would not advance;
+    here the cursor is clamped forward instead of looping)."""
+    if skip == AfterMatchSkip.SKIP_PAST_LAST:
+        return m[-1][1] + 1
+    if skip.startswith("skip_to_first:"):
+        var = skip.split(":", 1)[1]
+        pos = next((i for s, i in m if s == var), None)
+        return max(start + 1, pos) if pos is not None else start + 1
+    if skip.startswith("skip_to_last:"):
+        var = skip.split(":", 1)[1]
+        pos = next((i for s, i in reversed(m) if s == var), None)
+        return max(start + 1, pos) if pos is not None else start + 1
+    return start + 1  # NO_SKIP / SKIP_TO_NEXT
 
 
 @dataclass
@@ -298,10 +330,7 @@ class Pattern:
                 start += 1
                 continue
             out.append(m)
-            if skip == AfterMatchSkip.SKIP_PAST_LAST:
-                start = m[-1][1] + 1
-            else:  # NO_SKIP and SKIP_TO_NEXT both advance the start cursor
-                start += 1
+            start = _next_start(skip, m, start)
         return out
 
 
@@ -543,7 +572,7 @@ def cep_pattern_stream_watermarked(
                     }
                 )
             n_emitted_now += 1
-            start = m[-1][1] + 1 if skip == AfterMatchSkip.SKIP_PAST_LAST else start + 1
+            start = _next_start(skip, m, start)
         if retain_from is None:
             retain_from = start
         remainder = rows[min(retain_from, n_sealed) :]

@@ -41,7 +41,8 @@ _SECTION_RE = re.compile(
     r"PARTITION\s+BY\s+(?P<part>[\w,\s]+?)\s+ORDER\s+BY\s+(?P<order>\w+)"
     r"(?:\s+MEASURES\s+(?P<measures>.*?))?"
     r"(?:\s+(?P<per_match>ONE\s+ROW\s+PER\s+MATCH|ALL\s+ROWS\s+PER\s+MATCH))?"
-    r"(?:\s+AFTER\s+MATCH\s+SKIP\s+(?P<skip>PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW))?"
+    r"(?:\s+AFTER\s+MATCH\s+SKIP\s+(?P<skip>PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW"
+    r"|TO\s+FIRST\s+\w+|TO\s+LAST\s+\w+))?"
     r"\s+PATTERN\s*\(\s*(?P<pattern>[^)]+)\)"
     r"(?:\s+WITHIN\s+INTERVAL\s+'(?P<wn>[\d.]+)'\s+(?P<wu>\w+))?"
     r"\s+DEFINE\s+(?P<define>.+)$",
@@ -140,8 +141,14 @@ def match_recognize_sql(
     partition_by = [c.strip() for c in m.group("part").split(",") if c.strip()]
     order_by = m.group("order").strip()
     skip = AfterMatchSkip.SKIP_PAST_LAST
-    if m.group("skip") and "NEXT" in m.group("skip").upper():
-        skip = AfterMatchSkip.SKIP_TO_NEXT
+    if m.group("skip"):
+        s = re.sub(r"\s+", " ", m.group("skip").upper()).strip()
+        if s == "TO NEXT ROW":
+            skip = AfterMatchSkip.SKIP_TO_NEXT
+        elif s.startswith("TO FIRST "):
+            skip = AfterMatchSkip.skip_to_first(m.group("skip").split()[-1])
+        elif s.startswith("TO LAST "):
+            skip = AfterMatchSkip.skip_to_last(m.group("skip").split()[-1])
     tokens = m.group("pattern").split()
     within = None
     if m.group("wn"):

@@ -429,3 +429,81 @@ def test_match_recognize_sql_last_define(spark):
     # DOWN run = [5] (idx5, 8->2), UP candidate idx6 (2 > 2 false) -> no match
     assert list(out["event_id"]) == [1, 2, 3, 4]
     assert list(out["stage"]) == ["DOWN", "DOWN", "DOWN", "UP"]
+
+
+# --- SKIP TO FIRST/LAST after-match strategies ------------------------------
+
+
+def _abc_pattern():
+    return (
+        Pattern.begin("a").where(lambda r: r["t"] == "A")
+        .next("b").where(lambda r: r["t"] == "B").one_or_more().greedy()
+        .next("c").where(lambda r: r["t"] == "C")
+    )
+
+
+def test_skip_to_first_var():
+    # A B B C: match [a0 b1 b2 c3]; SKIP TO FIRST b resumes at row 1 — no
+    # second match there (B is not A), cursor then walks on
+    rs = rows("A", "B", "B", "C", "A", "B", "C")
+    ms = _abc_pattern().find_matches(rs, "ts", AfterMatchSkip.skip_to_first("b"))
+    assert [names(m) for m in ms] == [
+        [("a", 0), ("b", 1), ("b", 2), ("c", 3)],
+        [("a", 4), ("b", 5), ("c", 6)],
+    ]
+
+
+def test_skip_to_last_var_overlap():
+    # overlapping windows: D+ U where SKIP TO LAST d resumes AT the last
+    # down row, letting it start the next V shape
+    pat = (
+        Pattern.begin("d").where(lambda r, c: c.prev("v") is not None and r["v"] < c.prev("v"))
+        .one_or_more().greedy()
+        .next("u").where(lambda r, c: c.prev("v") is not None and r["v"] > c.prev("v"))
+    )
+    rs = vrows(9, 5, 3, 7, 2, 8)
+    # NO overlap under SKIP_PAST_LAST: [d1 d2 u3], [d4 u5]
+    past = pat.find_matches(rs, "ts", AfterMatchSkip.SKIP_PAST_LAST)
+    assert [names(m) for m in past] == [
+        [("d", 1), ("d", 2), ("u", 3)],
+        [("d", 4), ("u", 5)],
+    ]
+    # SKIP TO LAST d after the first match resumes at row 2 -> same result
+    # here, but after the second V it would re-probe row 4 (end of data)
+    last = pat.find_matches(rs, "ts", AfterMatchSkip.skip_to_last("d"))
+    assert [names(m) for m in last][0] == [("d", 1), ("d", 2), ("u", 3)]
+
+
+def test_skip_to_first_never_loops():
+    # SKIP TO FIRST of the pattern's first variable would re-match forever;
+    # the cursor is clamped strictly forward instead (Flink raises here)
+    pat = Pattern.begin("a").where(lambda r: r["t"] == "A")
+    rs = rows("A", "A")
+    ms = pat.find_matches(rs, "ts", AfterMatchSkip.skip_to_first("a"))
+    assert [m[0][1] for m in ms] == [0, 1]
+
+
+def test_match_recognize_sql_skip_to_first(spark):
+    import datetime as dtm
+
+    from flink_parent_spark.streaming.match_recognize_sql import (
+        match_recognize_sql,
+    )
+
+    data = [
+        (1, i, dtm.datetime(2024, 1, 1, 0, 0, i), t)
+        for i, t in enumerate(["A", "B", "B", "C", "A", "B", "C"])
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, event_id long, ts timestamp, t string"
+    )
+    clause = """
+      PARTITION BY user_id ORDER BY ts
+      AFTER MATCH SKIP TO FIRST B
+      PATTERN ( A B+ C )
+      DEFINE A AS A.t = 'A', B AS B.t = 'B', C AS C.t = 'C'
+    """
+    out = match_recognize_sql(df, clause, "event_id").toPandas()
+    assert sorted(set(out["match_id"])) == [0, 1]
+    m0 = out[out["match_id"] == 0].sort_values("seq")
+    assert list(m0["event_id"]) == [0, 1, 2, 3]

@@ -106,3 +106,46 @@ def test_trigger_fires_stays_codegen(spark):
     plan = plan_of(QS["trigger_count_fires"](spark, SF))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+
+
+def test_minhash_signatures_shuffle_free(spark):
+    """The rewritten MinHash signature/banding path is pure map work: no
+    Exchange appears before the band-key self-join's own shuffle."""
+    from flink_parent_spark.datapipe.dedup import (
+        _shingle_hash_arrays,
+        _sig_array,
+    )
+    from flink_parent_spark.tables import load_tables
+
+    t = load_tables(spark, SF)
+    ha = _shingle_hash_arrays(t["documents"], "text", "doc_id", 3)
+    sig = ha.filter(F.size("__ha") > 0).select(
+        "__id", _sig_array(F.col("__ha"), 16).alias("__sig")
+    )
+    plan = plan_of(sig)
+    # the only exchange is the deliberate round-robin spread of the scan
+    # (local-mode core utilization), never a hash/range shuffle
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+    assert "HashAggregate" not in plan  # no groupBy left in the signature path
+
+
+def test_tpcds_rollup_uses_expand(spark):
+    """ROLLUP lowers to Catalyst's Expand (map-side grouping-set expansion),
+    with partial aggregation before the shuffle."""
+    plan = plan_of(QS["tpcds_channel_union_rollup"](spark, SF))
+    assert "Expand" in plan
+    assert "partial_count" in plan or "partial_" in plan
+
+
+def test_session_dynamic_gap_single_exchange(spark):
+    """Both window passes and the final session aggregation of the dynamic-
+    gap merge scan reuse one hash partitioning by user_id."""
+    plan = plan_of(QS["window_session_dynamic_gap"](spark, SF))
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1
+
+
+def test_kmeans_ivf_search_broadcasts_queries(spark):
+    """The IVF probe joins candidates to the (tiny) exploded query set via
+    broadcast — candidates are never shuffled by cell."""
+    plan = plan_of(QS["ann_cosine_topk_ivf_kmeans"](spark, SF))
+    assert "BroadcastHashJoin" in plan
