@@ -37,6 +37,12 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs",
     "ann_cosine_topk_bruteforce",
     "text_quality_scores",
+    # round-2 additions (new operator families; earlier entries unchanged
+    # so per-query numbers stay comparable across rounds)
+    "tpcds_channel_union_rollup",
+    "tpcds_multi_distinct_year",
+    "ann_cosine_topk_ivf_kmeans",
+    "window_session_dynamic_gap",
 ]
 
 

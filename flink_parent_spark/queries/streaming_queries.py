@@ -961,3 +961,53 @@ def stream_over_range_bounded(spark, sf_dir):
         ev, ["user_id"], "ts", "value", 3600, ["event_id"], tiebreak_col="event_id"
     )
     return run_stream_to_df(out, "append")
+
+
+@df_query(
+    "cep_not_followed_by",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_purchase_ts,
+             MIN(CASE WHEN event_type = 'error' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_error_ts
+      FROM events
+    ), m AS (
+      SELECT s.user_id, s.event_id AS a_id, s.ts AS a_ts,
+             p.event_id AS b_id, p.ts AS b_ts,
+             ROW_NUMBER() OVER (PARTITION BY s.user_id
+                                ORDER BY s.ts, s.event_id) - 1 AS match_id
+      FROM seq s JOIN events p
+        ON p.user_id = s.user_id AND p.ts = s.next_purchase_ts
+       AND p.event_type = 'purchase'
+      WHERE s.event_type = 'signup' AND s.next_purchase_ts IS NOT NULL
+        AND (s.next_error_ts IS NULL
+             OR s.next_purchase_ts < s.next_error_ts)
+    )
+    SELECT user_id, a_id AS event_id, match_id, 'signup' AS stage, 0 AS seq,
+           a_ts AS event_ts FROM m
+    UNION ALL
+    SELECT user_id, b_id, match_id, 'purchase', 1, b_ts FROM m
+    """,
+)
+def cep_not_followed_by(spark, sf_dir):
+    """Negative pattern (Pattern.java notFollowedBy:304): signup followed by
+    purchase with NO error in between, SKIP TO NEXT ROW so every signup is
+    evaluated independently. The negated stage consumes nothing and never
+    appears in the output; the oracle derives the same pairs with
+    forward-looking window minima."""
+    t = load_tables(spark, sf_dir)
+    pat = (
+        Pattern.begin("signup").where(lambda r: r["event_type"] == "signup")
+        .not_followed_by("err").where(lambda r: r["event_type"] == "error")
+        .followed_by("purchase").where(lambda r: r["event_type"] == "purchase")
+    )
+    return cep_pattern(
+        t["events"], pat, ["user_id"], "ts", "event_id",
+        AfterMatchSkip.SKIP_TO_NEXT,
+    )

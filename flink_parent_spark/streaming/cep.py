@@ -149,6 +149,7 @@ class _Stage:
     min_times: int = 1
     max_times: int = 1  # -1 = unbounded (one_or_more)
     greedy: bool = False
+    negated: bool = False  # not_next / not_followed_by (consumes nothing)
 
     def accepts(self, row: Row, ctx: "MatchCtx | None" = None) -> bool:
         def ev(p: Predicate) -> bool:
@@ -189,17 +190,38 @@ class Pattern:
         self._stages.append(_Stage(name, strict=False))
         return self
 
+    def not_next(self, name: str) -> "Pattern":
+        """Negative strict stage (Pattern.java notNext:273): the row
+        immediately after the previous stage must NOT match. Consumes no
+        rows."""
+        self._stages.append(_Stage(name, strict=True, negated=True))
+        return self
+
+    def not_followed_by(self, name: str) -> "Pattern":
+        """Negative relaxed stage (Pattern.java notFollowedBy:304): NO row
+        between the previous stage and the next positive stage's match may
+        match. Cannot be the pattern's last stage (Flink's restriction for
+        the un-`within`-bounded case; kept unconditionally here)."""
+        self._stages.append(_Stage(name, strict=False, negated=True))
+        return self
+
+    def _quantifiable(self) -> _Stage:
+        s = self._stages[-1]
+        if s.negated:
+            raise ValueError("negative pattern stages cannot take quantifiers")
+        return s
+
     def optional(self) -> "Pattern":
-        self._stages[-1].min_times = 0
+        self._quantifiable().min_times = 0
         return self
 
     def one_or_more(self) -> "Pattern":
-        s = self._stages[-1]
+        s = self._quantifiable()
         s.min_times, s.max_times = 1, -1
         return self
 
     def times(self, m: int, n: int | None = None) -> "Pattern":
-        s = self._stages[-1]
+        s = self._quantifiable()
         s.min_times, s.max_times = m, (n if n is not None else m)
         return self
 
@@ -232,6 +254,8 @@ class Pattern:
         deadline was still open — i.e. future events could complete it, so
         the streaming operator must keep these rows buffered (the NFA-run-
         stays-in-state behavior of CepOperator/NFA.java, re-derived)."""
+        if self._stages[-1].negated:
+            raise ValueError("negative pattern cannot be the last stage")
         deadline = None
         if self._within is not None:
             deadline = rows[start][ts_col] + self._within
@@ -242,11 +266,24 @@ class Pattern:
         def frontier_open() -> bool:
             return open_ended and (deadline is None or deadline > future_lb)
 
-        def try_stage(si: int, pos: int, acc: list[tuple[str, int]]):
+        def try_stage(si: int, pos: int, acc: list[tuple[str, int]], neg: _Stage | None = None):
             if si == len(self._stages):
                 return acc
             st = self._stages[si]
             first_stage = si == 0
+
+            if st.negated:
+                if st.strict:  # not_next: the row at pos must not match
+                    if pos < n and st.accepts(rows[pos], MatchCtx(rows, pos, acc)):
+                        return None
+                    if pos >= n and frontier_open():
+                        # the next row hasn't arrived: cannot confirm yet
+                        pending[0] = True
+                        return None
+                    return try_stage(si + 1, pos, acc)
+                # not_followed_by: constrain the gap before the next
+                # positive stage's start (checked in its starts loop)
+                return try_stage(si + 1, pos, acc, neg=st)
 
             # Candidate start positions for this stage.
             if first_stage:
@@ -264,6 +301,13 @@ class Pattern:
                     pending[0] = True
 
             for s0 in starts:
+                if neg is not None and any(
+                    neg.accepts(rows[j], MatchCtx(rows, j, acc))
+                    for j in range(pos, s0)
+                ):
+                    # a row matching the negated stage sits in the gap; all
+                    # later start positions contain it too
+                    break
                 # collect how many consecutive accepts are available (strict
                 # within a quantified stage, per reference `consecutive` for
                 # times on next; relaxed stages scan contiguous runs too —

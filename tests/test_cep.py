@@ -507,3 +507,76 @@ def test_match_recognize_sql_skip_to_first(spark):
     assert sorted(set(out["match_id"])) == [0, 1]
     m0 = out[out["match_id"] == 0].sort_values("seq")
     assert list(m0["event_id"]) == [0, 1, 2, 3]
+
+
+# --- negative patterns (notNext / notFollowedBy) ----------------------------
+
+
+def test_not_followed_by_blocks_gap():
+    pat = (
+        Pattern.begin("a").where(lambda r: r["t"] == "A")
+        .not_followed_by("x").where(lambda r: r["t"] == "X")
+        .followed_by("c").where(lambda r: r["t"] == "C")
+    )
+    # A..C clean -> match; A X C -> blocked
+    ms = pat.find_matches(rows("A", "B", "C"), "ts")
+    assert [names(m) for m in ms] == [[("a", 0), ("c", 2)]]
+    ms = pat.find_matches(rows("A", "X", "C"), "ts")
+    assert ms == []
+    # the violating row blocks ONLY gaps containing it
+    ms = pat.find_matches(rows("A", "C", "X", "A", "C"), "ts")
+    assert [names(m) for m in ms] == [[("a", 0), ("c", 1)], [("a", 3), ("c", 4)]]
+
+
+def test_not_next_checks_immediate_row():
+    pat = (
+        Pattern.begin("a").where(lambda r: r["t"] == "A")
+        .not_next("x").where(lambda r: r["t"] == "X")
+        .followed_by("c").where(lambda r: r["t"] == "C")
+    )
+    assert pat.find_matches(rows("A", "X", "C"), "ts") == []
+    # X later than the immediate next row does not block not_next
+    ms = pat.find_matches(rows("A", "B", "X", "C"), "ts")
+    assert [names(m) for m in ms] == [[("a", 0), ("c", 3)]]
+
+
+def test_negative_pattern_restrictions():
+    with pytest.raises(ValueError):
+        (
+            Pattern.begin("a").where(lambda r: True)
+            .not_followed_by("x").where(lambda r: True)
+            .one_or_more()
+        )
+    pat = Pattern.begin("a").where(lambda r: r["t"] == "A").not_followed_by(
+        "x"
+    ).where(lambda r: r["t"] == "X")
+    with pytest.raises(ValueError):
+        pat.find_matches(rows("A"), "ts")
+
+
+def test_not_followed_by_streaming_pending(spark):
+    """Watermark-held streaming with a negative stage: the match cannot emit
+    until the gap to the closing stage is sealed — a late-arriving
+    violating row inside the gap kills it."""
+    from flink_parent_spark.streaming.cep import cep_pattern_stream_watermarked
+
+    pat = (
+        Pattern.begin("signup").where(lambda r: r["event_type"] == "signup")
+        .not_followed_by("err").where(lambda r: r["event_type"] == "error")
+        .followed_by("purchase").where(lambda r: r["event_type"] == "purchase")
+    )
+    batches = [
+        [("2024-01-01 00:00:00", 1, 1, "signup"),
+         ("2024-01-01 00:00:30", 1, 3, "purchase")],
+        # the error between them arrives late but within the delay
+        [("2024-01-01 00:00:15", 1, 2, "error"),
+         ("2024-01-01 00:02:00", 1, 9, "noise")],
+    ]
+    cap = _cep_stream_batches(
+        spark,
+        batches,
+        lambda sdf: cep_pattern_stream_watermarked(
+            sdf, pat, ["user_id"], "ts", "event_id"
+        ),
+    )
+    assert sum(len(p) for _, p in cap) == 0
