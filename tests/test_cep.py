@@ -580,3 +580,27 @@ def test_not_followed_by_streaming_pending(spark):
         ),
     )
     assert sum(len(p) for _, p in cap) == 0
+
+
+def test_until_stops_loop():
+    # B+ until X: the run stops before a row satisfying the stop condition
+    pat = (
+        Pattern.begin("a").where(lambda r: r["t"] == "A")
+        .next("b").where(lambda r: r["t"] in ("B", "X")).one_or_more().greedy()
+        .until(lambda r: r["t"] == "X")
+        .next("c").where(lambda r: r["t"] == "C")
+    )
+    # without until, b+ would swallow X; with it the run is B,B then C fails
+    # at X -> backtracking cannot help (strict next) -> no match
+    assert pat.find_matches(rows("A", "B", "B", "X", "C"), "ts") == []
+    ms = pat.find_matches(rows("A", "B", "B", "C"), "ts")
+    assert [names(m) for m in ms] == [[("a", 0), ("b", 1), ("b", 2), ("c", 3)]]
+
+
+def test_subtype_refinement():
+    pat = (
+        Pattern.begin("s").subtype("signup", type_col="t")
+        .followed_by("p").subtype("purchase", type_col="t")
+    )
+    ms = pat.find_matches(rows("signup", "view", "purchase"), "ts")
+    assert [names(m) for m in ms] == [[("s", 0), ("p", 2)]]
