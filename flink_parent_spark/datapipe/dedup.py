@@ -39,11 +39,17 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def ngram_shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles: array of space-joined n-token windows."""
+    """Word n-gram shingles: array of space-joined n-token windows. Docs
+    with fewer than n tokens yield an empty array (a bare
+    `sequence(0, size-n)` runs DESCENDING when size < n and its slice(0)
+    then errors — guarded by the lazy CASE branch)."""
     toks = tokens(text)
-    return F.transform(
+    sh = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.when(F.size(toks) >= n, sh).otherwise(
+        F.array().cast("array<string>")
     )
 
 

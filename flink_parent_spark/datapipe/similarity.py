@@ -75,6 +75,7 @@ def train_kmeans_centroids(
     aggregation (train on a sampled fraction for wall-clock, the plan is
     identical). An empty cell keeps its previous centroid.
     """
+    candidates = candidates.persist()  # scanned once per Lloyd iteration
     init = (
         candidates.select(F.col(cand_id).alias("cid"), F.col(vec_col).alias("cv"))
         .orderBy("cid")

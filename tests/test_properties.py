@@ -201,3 +201,53 @@ def test_cep_prev_next_agree_with_shifts(vals):
         if pd.notna(prev[i]) and pd.notna(nxt[i]) and prev[i] <= s[i] <= nxt[i]
     }
     assert got == expect
+
+
+# --- minhash affine family vs independent Python model ----------------------
+
+
+def _py_token_hash64(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_minhash_signature_matches_python_model(spark):
+    """_sig_array (Catalyst array expressions) must equal an independently
+    written Python model of the same family: md5-based shingle hashes,
+    affine permutations mod 2^31-1, min per permutation. Also covers the
+    short-document guard (docs with < n tokens drop out)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from flink_parent_spark.datapipe.dedup import (
+        MINHASH_P,
+        minhash_coeffs,
+        minhash_signatures,
+    )
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the dog"),
+        (3, "short doc"),          # < 3 tokens -> no signature row
+        (4, "  spaced   out   tokens   here  "),
+        (5, "a a a a a"),           # duplicate shingles
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id"], r["perm"]): r["minhash"]
+        for r in minhash_signatures(df, "text", "doc_id", n=3, k=8).collect()
+    }
+
+    a, b = minhash_coeffs(8)
+    expect = {}
+    for doc_id, text in docs:
+        toks = re.split(r"\s+", text.strip())
+        if len(toks) < 3 or toks == [""]:
+            continue
+        shingles = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        hs = [_py_token_hash64(s) % MINHASH_P for s in shingles]
+        for i in range(8):
+            expect[(doc_id, i)] = min((a[i] * h + b[i]) % MINHASH_P for h in hs)
+    assert got == expect
