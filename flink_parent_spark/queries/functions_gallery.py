@@ -460,3 +460,27 @@ def agg_approx_count_distinct(spark, sf_dir):
             F.count("*").alias("n"),
         )
     )
+
+
+sql_query(
+    "agg_single_value",
+    """
+    SELECT o_orderkey,
+           CASE WHEN COUNT(*) = 1 THEN MAX(o_totalprice)
+                ELSE CAST(RAISE_ERROR('SINGLE_VALUE: group has > 1 row')
+                          AS DOUBLE) END AS the_price
+    FROM orders WHERE o_orderkey < 200
+    GROUP BY o_orderkey
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN COUNT(*) = 1 THEN MAX(o_totalprice)
+                ELSE CAST(error('SINGLE_VALUE: group has > 1 row')
+                          AS DOUBLE) END AS the_price
+    FROM orders WHERE o_orderkey < 200
+    GROUP BY o_orderkey
+    """,
+)
+# ^ SINGLE_VALUE aggregate (SingleValueAggFunction in flink-table-planner-
+# blink aggfunctions): returns the group's only value, errors on >1 row.
+# Both engines keep the error branch lazy, so unique-keyed groups pass.

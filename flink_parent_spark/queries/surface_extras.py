@@ -397,3 +397,102 @@ def udtf_native_lateral(spark, sf_dir):
         "SELECT d.doc_id, t.pos, t.token FROM __udtf_docs d, "
         "LATERAL fps_tokenize(d.text) t"
     )
+
+
+@df_query(
+    "cogroup_order_reconcile",
+    oracle="""
+    SELECT COALESCE(o.o_orderkey, l.l_orderkey) AS orderkey,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           COALESCE(l.n_items, 0) AS n_items,
+           COALESCE(l.item_total, 0.0) AS item_total
+    FROM (SELECT o_orderkey, COUNT(*) AS n_orders
+          FROM orders WHERE o_orderkey < 500 GROUP BY o_orderkey) o
+    FULL OUTER JOIN
+         (SELECT l_orderkey, COUNT(*) AS n_items,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+                   AS item_total
+          FROM lineitem WHERE l_orderkey < 500 GROUP BY l_orderkey) l
+      ON o.o_orderkey = l.l_orderkey
+    """,
+)
+def cogroup_order_reconcile(spark, sf_dir):
+    """DataStream coGroup / DataSet coGroup parity via PySpark's native
+    cogroup (CoGroupedStreams.java -> df.groupBy().cogroup()): both sides
+    shuffle once by key, the pandas function sees each key's rows from BOTH
+    relations together — including keys present on only one side (the
+    outer-ness a join+agg would need FULL OUTER for). Decimal-exact item
+    totals via integer micros."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].filter(F.col("o_orderkey") < 500).select("o_orderkey")
+    items = t["lineitem"].filter(F.col("l_orderkey") < 500).select(
+        "l_orderkey", "l_extendedprice"
+    )
+    q = Decimal("0.000001")
+
+    def reconcile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        key = left["o_orderkey"].iloc[0] if len(left) else right["l_orderkey"].iloc[0]
+        micros = sum(
+            int(Decimal(float(v)).quantize(q, rounding=ROUND_HALF_UP) * 1_000_000)
+            for v in right["l_extendedprice"]
+        )
+        return pd.DataFrame(
+            [
+                {
+                    "orderkey": key,
+                    "n_orders": len(left),
+                    "n_items": len(right),
+                    "item_total": micros / 1e6,
+                }
+            ]
+        )
+
+    return (
+        orders.groupBy("o_orderkey")
+        .cogroup(items.groupBy("l_orderkey"))
+        .applyInPandas(
+            reconcile,
+            "orderkey bigint, n_orders bigint, n_items bigint, item_total double",
+        )
+    )
+
+
+@df_query(
+    "side_output_route_counts",
+    oracle="""
+    SELECT 'errors' AS tag, COUNT(*) AS n FROM events WHERE event_type = 'error'
+    UNION ALL
+    SELECT 'big_value', COUNT(*) FROM events WHERE value > 90
+    UNION ALL
+    SELECT 'rest', COUNT(*) FROM events
+    WHERE NOT (event_type = 'error') AND NOT (value > 90)
+    """,
+)
+def side_output_route_counts(spark, sf_dir):
+    """OutputTag side outputs (ProcessFunction#Context.output): predicate
+    routing over one scanned source; rows matching several tags land in
+    each, non-matching rows in the default tag. Catalyst reuses the scan
+    across the filtered passes."""
+    from flink_parent_spark.streaming.side_outputs import route
+
+    t = load_tables(spark, sf_dir)
+    routed = route(
+        t["events"],
+        {
+            "errors": F.col("event_type") == "error",
+            "big_value": F.col("value") > 90,
+        },
+        default_tag="rest",
+    )
+    parts = [
+        df.groupBy().agg(F.count("*").alias("n")).select(F.lit(tag).alias("tag"), "n")
+        for tag, df in routed.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

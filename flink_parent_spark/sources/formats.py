@@ -24,6 +24,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 _READERS = {"parquet", "orc", "json", "csv"}
+# avro (flink-formats/flink-avro parity) maps to Spark's external
+# spark-avro module (format("avro") + from_avro/to_avro); it is not bundled
+# in a plain pyspark install — in this container the jar is absent, so the
+# surface is documented rather than registered (add
+# --packages org.apache.spark:spark-avro_2.13:<ver> on a real cluster and
+# append "avro" here; reader/writer code paths below need no other change).
 
 
 def read_table(
