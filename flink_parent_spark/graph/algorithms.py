@@ -177,3 +177,115 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .join(ac, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")))
     )
     return tri.agg(F.count("*").alias("n_triangles"))
+
+
+def hits(vertices: DataFrame, edges: DataFrame, n_iter: int = 2) -> DataFrame:
+    """HITS hubs & authorities (Gelly linkanalysis/HITS.java parity):
+    authority = A^T hub, hub = A authority, iterated n_iter times from the
+    all-ones vector, L2-normalized ONCE at the end.
+
+    Per-step normalization (the textbook form) only rescales each vector,
+    so in exact arithmetic the final normalized direction is identical —
+    and deferring it keeps every intermediate score integer-valued, which
+    makes the decimal accumulation bit-exact cross-engine (quantizing the
+    small normalized doubles at a fixed decimal scale is exactly where two
+    engines' double->decimal casts can disagree at the cut digit).
+    Output: (id, hub, authority), each unit-L2."""
+    import math
+
+    scores = (
+        vertices.select("id")
+        .withColumn("hub", F.lit(1.0))
+        .withColumn("authority", F.lit(1.0))
+    )
+    for _ in range(n_iter):
+        raw_auth = (
+            edges.join(scores, edges.src == scores.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("hub").cast("decimal(38,0)")).cast("double").alias("ra"))
+        )
+        scores = (
+            scores.select("id", "hub")
+            .join(raw_auth, "id", "left")
+            .withColumn("authority", F.coalesce("ra", F.lit(0.0)))
+            .drop("ra")
+        )
+        raw_hub = (
+            edges.join(scores.select("id", "authority"), edges.dst == scores.id)
+            .groupBy(F.col("src").alias("id"))
+            .agg(
+                F.sum(F.col("authority").cast("decimal(38,0)"))
+                .cast("double")
+                .alias("rh")
+            )
+        )
+        scores = (
+            scores.select("id", "authority")
+            .join(raw_hub, "id", "left")
+            .withColumn("hub", F.coalesce("rh", F.lit(0.0)))
+            .drop("rh")
+        )
+        scores = _materialize(scores)
+
+    def _l2(col: str) -> float:
+        row = scores.agg(
+            F.sum((F.col(col) * F.col(col)).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("s")
+        ).collect()[0]
+        # math.sqrt, not ** 0.5: pow(x, 0.5) may differ from IEEE sqrt
+        return math.sqrt(float(row["s"] or 0.0))
+
+    na, nh = _l2("authority"), _l2("hub")
+    return scores.select(
+        "id",
+        (F.col("hub") / F.lit(nh) if nh > 0 else F.lit(0.0)).alias("hub"),
+        (F.col("authority") / F.lit(na) if na > 0 else F.lit(0.0)).alias("authority"),
+    )
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient (Gelly clustering/LocalClusteringCoefficient
+    parity): per vertex, 2 * triangles / (deg * (deg - 1)); 0 when deg < 2.
+    Triangles enumerated as ordered 3-cliques, each credited to its three
+    corners. Output: (id, degree, triangles, coefficient)."""
+    e = (
+        _undirect(edges)
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionByName(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("degree"))
+    )
+    ab = e
+    bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    ac = e.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
+    tri = (
+        ab.join(bc, "b")
+        .join(ac, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")))
+        .select("a", "b", "c")
+    )
+    per_vertex = (
+        tri.select(F.col("a").alias("id"))
+        .unionByName(tri.select(F.col("b").alias("id")))
+        .unionByName(tri.select(F.col("c").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return (
+        deg.join(per_vertex, "id", "left")
+        .withColumn("triangles", F.coalesce("triangles", F.lit(0)))
+        .withColumn(
+            "coefficient",
+            F.when(
+                F.col("degree") >= 2,
+                2.0
+                * F.col("triangles").cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )

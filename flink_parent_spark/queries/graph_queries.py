@@ -201,3 +201,110 @@ def graph_triangle_count(spark, sf_dir):
     )
     edges = cosupply.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
     return triangle_count(edges)
+
+
+def _hits_oracle(n_iter: int = 2) -> str:
+    """Unrolled HITS mirroring `hits()`: UNNORMALIZED half-steps (integer-
+    valued raw scores, decimal-exact) with a single L2 normalization at the
+    end — per-step normalization only rescales, and quantizing normalized
+    doubles mid-stream is exactly where cross-engine decimal casts can
+    disagree."""
+    prev = "s0"
+    ctes = [
+        "s0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS hub,"
+        " CAST(1.0 AS DOUBLE) AS authority FROM verts)"
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(f"""
+    ra{i} AS (SELECT e.dst AS id,
+                     CAST(SUM(CAST(p.hub AS DECIMAL(38,0))) AS DOUBLE) AS ra
+              FROM edges e JOIN {prev} p ON e.src = p.id GROUP BY e.dst),
+    sa{i} AS (SELECT v.id, p.hub,
+                     COALESCE(r.ra, CAST(0 AS DOUBLE)) AS authority
+              FROM verts v JOIN {prev} p ON v.id = p.id
+              LEFT JOIN ra{i} r ON v.id = r.id),
+    rh{i} AS (SELECT e.src AS id,
+                     CAST(SUM(CAST(p.authority AS DECIMAL(38,0))) AS DOUBLE) AS rh
+              FROM edges e JOIN sa{i} p ON e.dst = p.id GROUP BY e.src),
+    sh{i} AS (SELECT v.id,
+                     COALESCE(r.rh, CAST(0 AS DOUBLE)) AS hub,
+                     p.authority
+              FROM verts v JOIN sa{i} p ON v.id = p.id
+              LEFT JOIN rh{i} r ON v.id = r.id)""")
+        prev = f"sh{i}"
+    return f"""WITH {_DUCK_EDGES}, {','.join(ctes)},
+    na AS (SELECT sqrt(CAST(SUM(CAST(authority * authority AS DECIMAL(38,0)))
+                            AS DOUBLE)) AS n FROM {prev}),
+    nh AS (SELECT sqrt(CAST(SUM(CAST(hub * hub AS DECIMAL(38,0)))
+                            AS DOUBLE)) AS n FROM {prev})
+    SELECT id, hub / (SELECT n FROM nh) AS hub,
+           authority / (SELECT n FROM na) AS authority
+    FROM {prev}"""
+
+
+@df_query("graph_hits", oracle=_hits_oracle(2))
+def graph_hits(spark, sf_dir):
+    """HITS hubs/authorities on the directed part->supplier graph (Gelly
+    linkanalysis/HITS.java). 2 fixed iterations; oracle unrolls both."""
+    from flink_parent_spark.graph.algorithms import hits
+
+    v, e = _spark_graph(spark, sf_dir)
+    return hits(v, e, n_iter=2)
+
+
+_DUCK_COSUPPLY = """
+    cosupply AS (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem WHERE l_partkey < 60) a
+      JOIN (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem WHERE l_partkey < 60) b
+        ON a.l_suppkey = b.l_suppkey AND a.l_partkey < b.l_partkey
+    )
+"""
+
+
+@df_query(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH {_DUCK_COSUPPLY},
+    deg AS (
+      SELECT id, COUNT(*) AS degree FROM (
+        SELECT pa AS id FROM cosupply UNION ALL SELECT pb FROM cosupply) u
+      GROUP BY id
+    ), tri AS (
+      SELECT ab.pa AS a, ab.pb AS b, bc.pb AS c
+      FROM cosupply ab
+      JOIN cosupply bc ON ab.pb = bc.pa
+      JOIN cosupply ac ON ab.pa = ac.pa AND bc.pb = ac.pb
+    ), pv AS (
+      SELECT id, COUNT(*) AS triangles FROM (
+        SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri) u
+      GROUP BY id
+    )
+    SELECT d.id, d.degree, COALESCE(p.triangles, 0) AS triangles,
+           CASE WHEN d.degree >= 2
+                THEN 2.0 * CAST(COALESCE(p.triangles, 0) AS DOUBLE)
+                     / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+                ELSE CAST(0.0 AS DOUBLE) END AS coefficient
+    FROM deg d LEFT JOIN pv p ON d.id = p.id
+    """,
+)
+def graph_clustering_coefficient(spark, sf_dir):
+    """Local clustering coefficient on the part co-supply graph (Gelly
+    clustering/LocalClusteringCoefficient parity)."""
+    from flink_parent_spark.graph.algorithms import clustering_coefficient
+
+    t = load_tables(spark, sf_dir)
+    sp = (
+        t["lineitem"]
+        .filter(F.col("l_partkey") < 60)
+        .select("l_suppkey", "l_partkey")
+        .distinct()
+    )
+    a = sp.select(F.col("l_suppkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = sp.select(F.col("l_suppkey").alias("k"), F.col("l_partkey").alias("pb"))
+    cosupply = (
+        a.join(b, "k").filter(F.col("pa") < F.col("pb")).select("pa", "pb").distinct()
+    )
+    edges = cosupply.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    return clustering_coefficient(edges)
