@@ -283,6 +283,16 @@ class TableEnvironment:
     def sql_query(self, sql: str) -> Table:
         return Table(self.spark.sql(sql), self)
 
+    def explain_sql(self, sql: str, mode: str = "formatted") -> str:
+        """TableEnvironment.explainSql parity (TableEnvironment.java /
+        TableEnvironmentImpl.explainInternal): return the optimizer's plan
+        for a query as a string. Modes follow Spark's explain
+        ('simple' | 'extended' | 'codegen' | 'cost' | 'formatted') — the
+        reference's ExplainDetail flags map onto 'cost'/'codegen'."""
+        df = self.spark.sql(sql)
+        jdf = df._jdf
+        return df._sc._jvm.PythonSQLUtils.explainString(jdf.queryExecution(), mode)
+
     def from_path(self, name: str) -> Table:
         entry = self.catalog.get(name)
         if entry and self.streaming:

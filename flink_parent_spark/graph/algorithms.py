@@ -289,3 +289,46 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
             ).otherwise(F.lit(0.0)),
         )
     )
+
+
+def jaccard_index(edges: DataFrame) -> DataFrame:
+    """Jaccard vertex similarity (Gelly similarity/JaccardIndex.java):
+    for each vertex pair sharing >= 1 neighbor, |N(a) ∩ N(b)| / |N(a) ∪ N(b)|
+    over the undirected neighborhoods. Inverted-index join on the shared
+    neighbor — pairs never materialize beyond those with a common neighbor
+    (the same never-O(n^2) shape as the dedup operators).
+    Output: (id_a, id_b, shared, deg_a, deg_b, jaccard) with id_a < id_b."""
+    und = _undirect(edges)  # (src, dst): dst is a neighbor of src
+    deg = und.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    a = und.select(F.col("src").alias("id_a"), F.col("dst").alias("nbr"))
+    b = und.select(F.col("src").alias("id_b"), F.col("dst").alias("nbr"))
+    shared = (
+        a.join(b, "nbr")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(deg.select(F.col("id").alias("id_a"), F.col("deg").alias("deg_a")), "id_a")
+        .join(deg.select(F.col("id").alias("id_b"), F.col("deg").alias("deg_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("deg_a") + F.col("deg_b") - F.col("shared")).cast("double"),
+        )
+        .select("id_a", "id_b", "shared", "deg_a", "deg_b", "jaccard")
+    )
+
+
+def summarize(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+    """Graph summarization (Gelly library/Summarization.java): collapse
+    vertices by a grouping value; output one super-edge per (src_group,
+    dst_group) with its edge count. vertices: (id, grp); edges directed.
+    Output: (src_grp, dst_grp, n_edges)."""
+    vg = vertices.select("id", "grp")
+    return (
+        edges.join(vg.select(F.col("id").alias("src"), F.col("grp").alias("src_grp")), "src")
+        .join(vg.select(F.col("id").alias("dst"), F.col("grp").alias("dst_grp")), "dst")
+        .groupBy("src_grp", "dst_grp")
+        .agg(F.count("*").alias("n_edges"))
+    )

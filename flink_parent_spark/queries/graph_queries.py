@@ -308,3 +308,69 @@ def graph_clustering_coefficient(spark, sf_dir):
     )
     edges = cosupply.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
     return clustering_coefficient(edges)
+
+
+@df_query(
+    "graph_jaccard_similarity",
+    oracle=f"""
+    WITH {_DUCK_EDGES},
+    deg AS (SELECT src AS id, COUNT(*) AS deg FROM und GROUP BY src),
+    shared AS (
+      SELECT a.src AS id_a, b.src AS id_b, COUNT(*) AS shared
+      FROM und a JOIN und b ON a.dst = b.dst AND a.src < b.src
+      GROUP BY a.src, b.src
+    )
+    SELECT s.id_a, s.id_b, s.shared, da.deg AS deg_a, db.deg AS deg_b,
+           CAST(s.shared AS DOUBLE) / CAST(da.deg + db.deg - s.shared AS DOUBLE)
+             AS jaccard
+    FROM shared s
+    JOIN deg da ON da.id = s.id_a
+    JOIN deg db ON db.id = s.id_b
+    """,
+)
+def graph_jaccard_similarity(spark, sf_dir):
+    """Jaccard neighborhood similarity (Gelly similarity/JaccardIndex.java)
+    on the bipartite supplier-part graph via inverted-index join."""
+    from flink_parent_spark.graph.algorithms import jaccard_index
+
+    _, e = _spark_graph(spark, sf_dir)
+    return jaccard_index(e)
+
+
+@df_query(
+    "graph_summarize_by_nation",
+    oracle=f"""
+    WITH {_DUCK_EDGES},
+    vg AS (
+      SELECT id,
+             CASE WHEN id >= {_PART_OFFSET} THEN -1
+                  ELSE (SELECT s_nationkey FROM supplier s
+                        WHERE s.s_suppkey = verts.id) END AS grp
+      FROM verts
+    )
+    SELECT sg.grp AS src_grp, dg.grp AS dst_grp, COUNT(*) AS n_edges
+    FROM edges e
+    JOIN vg sg ON e.src = sg.id
+    JOIN vg dg ON e.dst = dg.id
+    GROUP BY sg.grp, dg.grp
+    """,
+)
+def graph_summarize_by_nation(spark, sf_dir):
+    """Graph summarization (Gelly library/Summarization.java): collapse the
+    part->supplier graph into super-edges part-pool -> supplier-nation."""
+    from flink_parent_spark.graph.algorithms import summarize
+
+    t = load_tables(spark, sf_dir)
+    v, e = _spark_graph(spark, sf_dir)
+    supp = t["supplier"].select(
+        F.col("s_suppkey").alias("id"), F.col("s_nationkey").alias("g")
+    )
+    vg = (
+        v.join(supp, "id", "left")
+        .withColumn(
+            "grp",
+            F.when(F.col("id") >= _PART_OFFSET, F.lit(-1)).otherwise(F.col("g")),
+        )
+        .select("id", "grp")
+    )
+    return summarize(vg, e)

@@ -96,3 +96,13 @@ def test_streaming_scan_has_watermark(spark):
     sdf = env.from_path("evs").to_df()
     assert sdf.isStreaming
     assert "EventTimeWatermark" in sdf._jdf.queryExecution().logical().toString()
+
+
+def test_explain_sql_returns_plan(tenv):
+    plan = tenv.explain_sql(
+        "SELECT l_returnflag, COUNT(*) FROM li GROUP BY l_returnflag"
+    )
+    assert "HashAggregate" in plan or "Aggregate" in plan
+    assert "Scan" in plan
+    ext = tenv.explain_sql("SELECT 1", mode="extended")
+    assert "Parsed Logical Plan" in ext
