@@ -1011,3 +1011,27 @@ def cep_not_followed_by(spark, sf_dir):
         t["events"], pat, ["user_id"], "ts", "event_id",
         AfterMatchSkip.SKIP_TO_NEXT,
     )
+
+
+@df_query(
+    "stream_over_rows_bounded",
+    oracle="""
+    SELECT user_id, ts, value, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS frame_sum,
+           COUNT(*) OVER w AS frame_cnt
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def stream_over_rows_bounded(spark, sf_dir):
+    """ROWS-bounded streaming OVER (ProcTime/RowTimeRowsBoundedPreceding
+    parity): trailing-5-rows sum and count per user, ring-buffer state of
+    exactly the frame size. Full replay equals the batch ROWS window."""
+    from flink_parent_spark.streaming.stateful import streaming_over_rows_bounded
+
+    ev = stream_table(spark, sf_dir, "events")
+    out = streaming_over_rows_bounded(
+        ev, ["user_id"], "ts", "value", 5, ["event_id"], tiebreak_col="event_id"
+    )
+    return run_stream_to_df(out, "append")

@@ -250,6 +250,56 @@ def streaming_over_range_bounded(
     )
 
 
+def streaming_over_rows_bounded(
+    sdf: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    n_rows: int,
+    payload_cols: Sequence[str] = (),
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Streaming OVER (PARTITION BY key ORDER BY ts ROWS BETWEEN n_rows-1
+    PRECEDING AND CURRENT ROW) sum + count.
+
+    ProcTimeRowsBoundedPrecedingFunction / RowTimeRowsBoundedPrecedingFunction
+    parity: per key a ring buffer of the last n_rows (ts, value) entries —
+    state bounded by the frame size. Integer-micros accumulation."""
+    out_cols = list(dict.fromkeys([*key_cols, ts_col, value_col, *payload_cols]))
+    out_schema = _schema_of(sdf, out_cols) + ", `frame_sum` double, `frame_cnt` bigint"
+    state_schema = "buf array<bigint>"
+    _Q = Decimal("0.000001")
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        buf: list[int] = list(state.get[0]) if state.exists else []
+        frames = [pdf[out_cols] for pdf in pdfs]
+        sort_cols = [ts_col, tiebreak_col] if tiebreak_col else [ts_col]
+        batch = (
+            pd.concat(frames).sort_values(sort_cols)
+            if frames
+            else pd.DataFrame(columns=out_cols)
+        )
+        sums: list[float] = []
+        cnts: list[int] = []
+        for v in batch[value_col]:
+            buf.append(
+                int(Decimal(float(v)).quantize(_Q, rounding=ROUND_HALF_UP) * 1_000_000)
+            )
+            if len(buf) > n_rows:
+                buf.pop(0)
+            sums.append(sum(buf) / 1e6)
+            cnts.append(len(buf))
+        out = batch.copy()
+        out["frame_sum"] = pd.Series(sums, index=out.index, dtype="float64")
+        out["frame_cnt"] = pd.Series(cnts, index=out.index, dtype="int64")
+        state.update((buf,))
+        yield out
+
+    return sdf.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_over_running_sum(
     sdf: DataFrame,
     key_cols: Sequence[str],
