@@ -604,3 +604,60 @@ def test_subtype_refinement():
     )
     ms = pat.find_matches(rows("signup", "view", "purchase"), "ts")
     assert [names(m) for m in ms] == [[("s", 0), ("p", 2)]]
+
+
+def test_watermarked_stream_equals_batch_on_scrambled_replay(spark):
+    """Equivalence: the watermark-held streaming CEP over a 4-batch,
+    out-of-order (within delay) replay must produce exactly the batch
+    matcher's matches on the same events."""
+    import datetime as dtm
+
+    import pandas as pd
+
+    from flink_parent_spark.streaming.cep import (
+        cep_pattern,
+        cep_pattern_stream_watermarked,
+    )
+
+    # two keys, interleaved signup/browse/purchase runs
+    seq = [
+        (1, "signup"), (1, "purchase"), (2, "signup"), (1, "signup"),
+        (2, "browse"), (2, "purchase"), (1, "browse"), (1, "signup"),
+        (1, "purchase"), (2, "signup"), (2, "purchase"), (1, "noise"),
+    ]
+    events = [
+        (f"2024-01-01 {i // 6:02d}:{(i % 6) * 10:02d}:00", uid, i, et)
+        for i, (uid, et) in enumerate(seq)
+    ]
+    # scramble: neighbors (10 min apart) swapped across batch boundaries,
+    # within the 15-minute watermark delay; a far-future advancer seals all
+    order = [0, 2, 1, 4, 3, 6, 5, 8, 7, 10, 9, 11]
+    scrambled = [events[i] for i in order]
+    advancer = ("2024-01-01 09:00:00", 1, 99, "noise")
+    batches = [scrambled[i : i + 3] for i in range(0, len(scrambled), 3)]
+    batches.append([advancer])
+    events.append(advancer)
+
+    cap = _cep_stream_batches(
+        spark,
+        batches,
+        lambda sdf: cep_pattern_stream_watermarked(
+            sdf, _signup_next_purchase(), ["user_id"], "ts", "event_id"
+        ),
+        delay="15 minutes",
+    )
+    streamed = pd.concat([p for _, p in cap], ignore_index=True)
+
+    batch_df = spark.createDataFrame(
+        [(dtm.datetime.fromisoformat(t), u, i, e) for t, u, i, e in events],
+        "ts timestamp, user_id long, event_id long, event_type string",
+    )
+    expected = cep_pattern(
+        batch_df, _signup_next_purchase(), ["user_id"], "ts", "event_id"
+    ).toPandas()
+
+    key = ["user_id", "match_id", "seq"]
+    s = streamed.sort_values(key).reset_index(drop=True)
+    e = expected.sort_values(key).reset_index(drop=True)
+    assert list(s["event_id"]) == list(e["event_id"])
+    assert list(s["stage"]) == list(e["stage"])
