@@ -635,3 +635,53 @@ def embedding_neardup_pairs(spark, sf_dir):
         .filter(F.col("cosine") >= 0.5)
         .select("id_a", "id_b", "cosine")
     )
+
+
+@df_query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id, CAST(i.i - 1 AS INT) AS frame_idx,
+           CAST((i.i - 1) * GREATEST(octet_length(encode(text)) // 4, 1)
+                AS BIGINT) AS byte_offset
+    FROM documents,
+         UNNEST(generate_series(1, LEAST(4, octet_length(encode(text)))))
+           AS i(i)
+    WHERE doc_id < 50
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing: payload -> decode_media (Arrow-batched
+    mapInPandas, deterministic fake decoder) -> per-doc frame offsets via
+    frame_sample_stub, exploded to one row per planned frame. The codec is
+    stubbed (none in this container); the batch shape, binary handling, and
+    per-frame fan-out — the parts that matter at 100 TB — are real."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from flink_parent_spark.datapipe.multimodal import (
+        attach_payload,
+        decode_media,
+        frame_sample_stub,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].filter(F.col("doc_id") < 50).select("doc_id", "text")
+    decoded = decode_media(attach_payload(docs, "text"))
+    plan = frame_sample_stub(n_frames=4)
+
+    def frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, meta in zip(pdf["doc_id"], pdf["media_meta"]):
+                for idx, off in enumerate(plan(meta["byte_len"])):
+                    rows.append(
+                        {"doc_id": doc_id, "frame_idx": idx, "byte_offset": off}
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "byte_offset"]
+            )
+
+    return decoded.mapInPandas(
+        frames, "doc_id bigint, frame_idx int, byte_offset bigint"
+    )
