@@ -332,3 +332,47 @@ def summarize(vertices: DataFrame, edges: DataFrame) -> DataFrame:
         .groupBy("src_grp", "dst_grp")
         .agg(F.count("*").alias("n_edges"))
     )
+
+
+def community_detection(
+    vertices: DataFrame, edges: DataFrame, n_iter: int = 2, delta: float = 0.5
+) -> DataFrame:
+    """Community detection (Gelly library/CommunityDetection.java — the
+    score-attenuated label propagation of Leung et al.): vertices carry
+    (label, score); each superstep a vertex adopts the neighbor label with
+    the highest summed score and its own score decays by `delta` per hop.
+    Unweighted-edge variant, deterministic tie-break (smallest label),
+    decimal-summed scores. Output: (id, label, score)."""
+    und = _materialize(_undirect(edges))
+    state = (
+        vertices.select("id")
+        .withColumn("label", F.col("id"))
+        .withColumn("score", F.lit(1.0))
+    )
+    for i in range(n_iter):
+        msgs = (
+            und.join(state, und.src == state.id)
+            .select(F.col("dst").alias("id"), "label", "score")
+        )
+        summed = msgs.groupBy("id", "label").agg(
+            F.sum(F.col("score").cast("decimal(38,6)")).cast("double").alias("s")
+        )
+        best = summed.groupBy("id").agg(
+            F.max_by(F.col("label"), F.struct(F.col("s"), -F.col("label"))).alias(
+                "new_label"
+            ),
+            F.max(F.struct(F.col("s"), -F.col("label"))).getField("s").alias("best_s"),
+        )
+        state = (
+            state.join(best, "id", "left")
+            .select(
+                "id",
+                F.coalesce("new_label", "label").alias("label"),
+                F.when(
+                    F.col("new_label").isNotNull(),
+                    F.col("best_s") - F.lit(delta) * F.lit(float(i + 1)),
+                ).otherwise(F.col("score")).alias("score"),
+            )
+        )
+        state = _materialize(state)
+    return state

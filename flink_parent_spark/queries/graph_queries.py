@@ -374,3 +374,43 @@ def graph_summarize_by_nation(spark, sf_dir):
         .select("id", "grp")
     )
     return summarize(vg, e)
+
+
+def _community_oracle(n_iter: int = 2, delta: float = 0.5) -> str:
+    """Unrolled community detection mirroring `community_detection`."""
+    prev = "cd0"
+    ctes = [
+        "cd0 AS (SELECT id, id AS label, CAST(1.0 AS DOUBLE) AS score FROM verts)"
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(f"""
+    sm{i} AS (
+      SELECT u.dst AS id, p.label,
+             CAST(SUM(CAST(p.score AS DECIMAL(38,6))) AS DOUBLE) AS s
+      FROM und u JOIN {prev} p ON u.src = p.id
+      GROUP BY u.dst, p.label),
+    bs{i} AS (
+      SELECT id, label AS new_label, s AS best_s,
+             ROW_NUMBER() OVER (PARTITION BY id ORDER BY s DESC, label) AS rn
+      FROM sm{i}),
+    cd{i} AS (
+      SELECT p.id, COALESCE(b.new_label, p.label) AS label,
+             CASE WHEN b.new_label IS NOT NULL
+                  THEN b.best_s - CAST({delta} AS DOUBLE) * CAST({float(i)} AS DOUBLE)
+                  ELSE p.score END AS score
+      FROM {prev} p
+      LEFT JOIN (SELECT id, new_label, best_s FROM bs{i} WHERE rn = 1) b
+        ON p.id = b.id)""")
+        prev = f"cd{i}"
+    return f"WITH {_DUCK_EDGES}, {','.join(ctes)} SELECT id, label, score FROM {prev}"
+
+
+@df_query("graph_community_detection", oracle=_community_oracle(2))
+def graph_community_detection(spark, sf_dir):
+    """Score-attenuated label propagation (Gelly CommunityDetection.java,
+    Leung et al.) on the supplier-part graph; oracle unrolls both
+    supersteps."""
+    from flink_parent_spark.graph.algorithms import community_detection
+
+    v, e = _spark_graph(spark, sf_dir)
+    return community_detection(v, e, n_iter=2, delta=0.5)
