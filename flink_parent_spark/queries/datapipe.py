@@ -325,7 +325,8 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
       GROUP BY doc_id, bit
     )
     SELECT doc_id AS id,
-           SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+           -- CAST: DuckDB SUM(BIGINT) yields HUGEINT; Spark side is BIGINT
+           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
     FROM votes GROUP BY doc_id
     """,
 )

@@ -91,9 +91,10 @@ sql_query(
     """
     SELECT p_partkey,
            ABS(p_retailprice - 1000) AS a,
-           CEIL(p_retailprice) AS c, FLOOR(p_retailprice) AS f,
+           CAST(CEIL(p_retailprice) AS DOUBLE) AS c,
+           CAST(FLOOR(p_retailprice) AS DOUBLE) AS f,
            ROUND(p_retailprice, 1) AS r1,
-           SIGN(p_retailprice - 1000) AS sg,
+           CAST(SIGN(p_retailprice - 1000) AS DOUBLE) AS sg,
            MOD(p_partkey, 7) AS m7,
            POWER(p_size, 2) AS sq,
            SQRT(CAST(p_size AS DOUBLE)) AS sqr,
@@ -216,22 +217,26 @@ sql_query(
     "fn_collections",
     """
     SELECT n_nationkey,
-           ARRAY(n_nationkey, n_regionkey) AS pair,
+           ARRAY_JOIN(ARRAY(n_nationkey, n_regionkey), ',') AS pair,
            SIZE(ARRAY(n_nationkey, n_regionkey)) AS pair_len,
            ELEMENT_AT(ARRAY(n_nationkey, n_regionkey), 2) AS second,
            ARRAY_CONTAINS(ARRAY(n_nationkey, n_regionkey), 0) AS has_zero,
-           SORT_ARRAY(ARRAY(n_regionkey, n_nationkey)) AS sorted_pair,
-           SLICE(ARRAY(1, 2, 3, 4), 2, 2) AS mid
+           ARRAY_JOIN(SORT_ARRAY(ARRAY(n_regionkey, n_nationkey)), ',')
+             AS sorted_pair,
+           ARRAY_JOIN(SLICE(ARRAY(1, 2, 3, 4), 2, 2), ',') AS mid
     FROM nation
     """,
     oracle="""
+    -- array outputs serialized to strings: the driver canonicalizer cannot
+    -- hash numpy.ndarray cells, and it keeps the comparison engine-neutral
     SELECT n_nationkey,
-           [n_nationkey, n_regionkey] AS pair,
+           array_to_string([n_nationkey, n_regionkey], ',') AS pair,
            len([n_nationkey, n_regionkey]) AS pair_len,
            [n_nationkey, n_regionkey][2] AS second,
            list_contains([n_nationkey, n_regionkey], 0) AS has_zero,
-           list_sort([n_regionkey, n_nationkey]) AS sorted_pair,
-           [1, 2, 3, 4][2:3] AS mid
+           array_to_string(list_sort([n_regionkey, n_nationkey]), ',')
+             AS sorted_pair,
+           array_to_string([1, 2, 3, 4][2:3], ',') AS mid
     FROM nation
     """,
 )
@@ -298,12 +303,13 @@ sql_query(
     "fn_decimal_arithmetic",
     """
     SELECT p_partkey,
-           CAST(p_retailprice AS DECIMAL(12,2)) AS price_dec,
-           CAST(p_retailprice AS DECIMAL(12,2)) * 3 AS tripled,
-           CAST(CAST(p_retailprice AS DECIMAL(12,2))
-                + CAST(0.05 AS DECIMAL(4,2)) AS DECIMAL(14,2)) AS plus_tax,
-           CAST(CAST(p_retailprice AS DECIMAL(12,2)) / 4 AS DECIMAL(16,4))
-             AS quartered
+           CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
+           CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 3 AS DOUBLE) AS tripled,
+           CAST(CAST(CAST(p_retailprice AS DECIMAL(12,2))
+                + CAST(0.05 AS DECIMAL(4,2)) AS DECIMAL(14,2)) AS DOUBLE)
+             AS plus_tax,
+           CAST(CAST(CAST(p_retailprice AS DECIMAL(12,2)) / 4 AS DECIMAL(16,4))
+                AS DOUBLE) AS quartered
     FROM part WHERE p_partkey < 40
     """,
 )
@@ -312,25 +318,29 @@ sql_query(
     "fn_array_hof",
     """
     SELECT n_nationkey,
-           TRANSFORM(SEQUENCE(1, 4), x -> x * n_nationkey) AS multiples,
-           FILTER(SEQUENCE(1, 10), x -> x % 3 = 0) AS div3,
+           ARRAY_JOIN(TRANSFORM(SEQUENCE(1, 4), x -> x * n_nationkey), ',')
+             AS multiples,
+           ARRAY_JOIN(FILTER(SEQUENCE(1, 10), x -> x % 3 = 0), ',') AS div3,
            AGGREGATE(SEQUENCE(1, 5), CAST(0 AS BIGINT), (a, x) -> a + x)
              AS sum15,
            EXISTS(SEQUENCE(1, 5), x -> x = n_nationkey) AS small_key,
-           ZIP_WITH(ARRAY(1, 2, 3), ARRAY(10, 20, 30), (a, b) -> a + b)
-             AS zipped
+           ARRAY_JOIN(ZIP_WITH(ARRAY(1, 2, 3), ARRAY(10, 20, 30),
+                               (a, b) -> a + b), ',') AS zipped
     FROM nation
     """,
     oracle="""
+    -- array outputs serialized to strings (driver canonicalizer contract)
     SELECT n_nationkey,
-           list_transform(generate_series(1, 4), x -> x * n_nationkey)
+           array_to_string(list_transform(generate_series(1, 4),
+                                          x -> x * n_nationkey), ',')
              AS multiples,
-           list_filter(generate_series(1, 10), x -> x % 3 = 0) AS div3,
+           array_to_string(list_filter(generate_series(1, 10),
+                                       x -> x % 3 = 0), ',') AS div3,
            list_reduce(list_prepend(CAST(0 AS BIGINT),
                        generate_series(1, 5)), (a, x) -> a + x) AS sum15,
            len(list_filter(generate_series(1, 5), x -> x = n_nationkey)) > 0
              AS small_key,
-           [11, 22, 33] AS zipped
+           '11,22,33' AS zipped
     FROM nation
     """,
 )

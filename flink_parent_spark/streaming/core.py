@@ -19,10 +19,10 @@ import os
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
 from flink_parent_spark.session import apply_runtime_confs
-from flink_parent_spark.tables import NANOS_TS_COLS, table_path
+from flink_parent_spark.tables import normalize_timestamps, table_path
 
 
 def stream_table(
@@ -52,10 +52,7 @@ def stream_table(
     reader = spark.readStream.schema(schema).format("parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.load(link_dir)
-    for c in NANOS_TS_COLS.get(name, ()):
-        if dict(df.dtypes).get(c) == "bigint":
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    df = normalize_timestamps(reader.load(link_dir), name)
     if watermark is not None:
         df = df.withWatermark(*watermark)
     return df

@@ -30,17 +30,35 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Fixture parquet stores these as TIMESTAMP(NANOS), which the Spark parquet
-# reader rejects. We read them as raw int64 nanos (legacy.parquet.nanosAsLong)
-# and convert to TimestampType in the load projection (data has no
-# sub-microsecond component, verified — conversion is lossless).
-# Known cost at scale: parquet row-group stats pruning on these columns is
+# Fixture timestamp encodings vary by generator version:
+# - older fixtures: TIMESTAMP(NANOS), which the Spark parquet reader rejects —
+#   read as raw int64 nanos (legacy.parquet.nanosAsLong) and convert to
+#   TimestampType in the load projection (no sub-microsecond data; lossless).
+# - current fixtures: timestamp[us] with isAdjustedToUTC=false, which Spark
+#   4.x reads as TIMESTAMP_NTZ — cast to TimestampType. The session timezone
+#   is pinned UTC (session.py), so the cast is lossless and matches DuckDB's
+#   naive-timestamp reading of the same file.
+# Known cost at scale: parquet row-group stats pruning on converted columns is
 # lost because the filter sits above the cast; column pruning and all other
 # pushdown still apply.
 NANOS_TS_COLS: dict[str, tuple[str, ...]] = {
     "lineitem": ("l_shipdate",),
     "events": ("ts",),
 }
+
+
+def normalize_timestamps(df: DataFrame, name: str) -> DataFrame:
+    """Normalize every fixture timestamp encoding to plain TimestampType."""
+    dtypes = dict(df.dtypes)
+    for c in NANOS_TS_COLS.get(name, ()):
+        if dtypes.get(c) == "bigint":
+            # integer DIV, not double /: nanos values exceed double's
+            # exact-integer range, a float divide can come back 1µs short.
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def table_path(sf_dir: str, name: str) -> str:
@@ -62,12 +80,7 @@ def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, Dat
         path = table_path(sf_dir, name)
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
-        for c in NANOS_TS_COLS.get(name, ()):
-            if dict(df.dtypes).get(c) == "bigint":
-                # integer DIV, not double /: nanos values exceed double's
-                # exact-integer range, a float divide can come back 1µs short.
-                df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+        df = normalize_timestamps(spark.read.parquet(path), name)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
