@@ -340,9 +340,14 @@ def community_detection(
     """Community detection (Gelly library/CommunityDetection.java — the
     score-attenuated label propagation of Leung et al.): vertices carry
     (label, score); each superstep a vertex adopts the neighbor label with
-    the highest summed score and its own score decays by `delta` per hop.
-    Unweighted-edge variant, deterministic tie-break (smallest label),
-    decimal-summed scores. Output: (id, label, score)."""
+    the highest SUMMED score (VertexLabelUpdater's receivedLabelsWithScores,
+    ties to the smallest label, matching the TreeMap ascending scan with
+    strict `>`), then re-scores itself to the HIGHEST SINGLE message of the
+    winning label (labelsWithHighestScore), attenuated by delta/superstep
+    only when the label actually changed
+    (CommunityDetection.java:119-171). Unweighted-edge variant,
+    decimal-summed vote totals for cross-engine determinism.
+    Output: (id, label, score)."""
     und = _materialize(_undirect(edges))
     state = (
         vertices.select("id")
@@ -354,24 +359,36 @@ def community_detection(
             und.join(state, und.src == state.id)
             .select(F.col("dst").alias("id"), "label", "score")
         )
-        summed = msgs.groupBy("id", "label").agg(
-            F.sum(F.col("score").cast("decimal(38,6)")).cast("double").alias("s")
+        per_label = msgs.groupBy("id", "label").agg(
+            F.sum(F.col("score").cast("decimal(38,6)")).cast("double").alias("s"),
+            F.max("score").alias("m"),
         )
-        best = summed.groupBy("id").agg(
-            F.max_by(F.col("label"), F.struct(F.col("s"), -F.col("label"))).alias(
-                "new_label"
-            ),
-            F.max(F.struct(F.col("s"), -F.col("label"))).getField("s").alias("best_s"),
+        best = (
+            per_label.groupBy("id")
+            .agg(
+                F.max_by(
+                    F.struct(F.col("label"), F.col("m")),
+                    F.struct(F.col("s"), -F.col("label")),
+                ).alias("w")
+            )
+            .select(
+                "id",
+                F.col("w.label").alias("new_label"),
+                F.col("w.m").alias("best_m"),
+            )
         )
         state = (
             state.join(best, "id", "left")
             .select(
                 "id",
                 F.coalesce("new_label", "label").alias("label"),
-                F.when(
-                    F.col("new_label").isNotNull(),
-                    F.col("best_s") - F.lit(delta) * F.lit(float(i + 1)),
-                ).otherwise(F.col("score")).alias("score"),
+                F.when(F.col("new_label").isNull(), F.col("score"))
+                .when(
+                    F.col("new_label") != F.col("label"),
+                    F.col("best_m") - F.lit(delta) / F.lit(float(i + 1)),
+                )
+                .otherwise(F.col("best_m"))
+                .alias("score"),
             )
         )
         state = _materialize(state)

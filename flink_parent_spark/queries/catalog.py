@@ -14,10 +14,99 @@ import flink_parent_spark.queries.windows_time  # noqa: F401
 
 from flink_parent_spark.queries.registry import ORACLES, QUERIES
 
+# The driver's correctness gate verifies a prefix of the registration order.
+# Emit these first so that prefix holds at least one representative of every
+# SURVEY §2 operator family (tpch, stream windows, stateful streaming, cep,
+# match_recognize, topn/dedup, setops, over, joins, aggs, batch windows,
+# graph, datapipe, functions, udf, tpcds, sinks); everything not listed
+# follows in module-import order.
+PRIORITY: tuple[str, ...] = (
+    # tpch
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q18",
+    # stream group windows
+    "stream_tumble_agg",
+    "stream_hop_window",
+    "stream_session_window",
+    # stateful streaming
+    "stream_retract_topn",
+    "changelog_latest_value_by_type",
+    "stream_dedup_first",
+    "stream_topn_per_type",
+    # streaming joins
+    "stream_interval_join",
+    "stream_asof_join",
+    # cep
+    "cep_signup_then_purchase",
+    "cep_not_followed_by",
+    "stream_cep_watermark_held",
+    # match_recognize
+    "match_recognize_sql_clause",
+    "match_recognize_measures",
+    # batch topn / dedup
+    "topn_orders_per_customer",
+    "dedup_keep_last_event_per_user",
+    # set operations
+    "setop_union_distinct",
+    "setop_except_all",
+    # over windows
+    "over_running_agg",
+    "over_rank_functions",
+    "over_ignore_nulls",
+    # batch joins
+    "semi_join_customers_with_orders",
+    "anti_join_customers_without_orders",
+    "interval_join_view_then_purchase",
+    "asof_join_purchase_last_view",
+    "lookup_join_enrich_orders",
+    # aggregations
+    "grouping_sets_lineitem",
+    "cube_returnflag_linestatus",
+    "agg_distinct_mixed",
+    "flat_aggregate_top2",
+    # batch time windows
+    "window_tumble_hourly",
+    "window_session_30m_per_user",
+    "window_session_dynamic_gap",
+    # graph
+    "graph_connected_components",
+    "graph_pagerank",
+    "graph_community_detection",
+    # datapipe
+    "text_token_stats",
+    "dedup_exact_digest",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "ann_cosine_topk_ivf_kmeans",
+    "embedding_neardup_pairs",
+    "multimodal_frame_sample",
+    # scalar-function gallery
+    "fn_math",
+    "fn_collections",
+    "fn_array_hof",
+    "fn_decimal_arithmetic",
+    # udf surface
+    "udf_scalar_pandas",
+    "udtf_tokenize",
+    # tpcds-style
+    "tpcds_top_percentile_customers",
+    "tpcds_multi_distinct_year",
+    # sinks/sources
+    "sink_partitioned_roundtrip",
+)
+
+
+def _prioritized(mapping: dict) -> dict:
+    head = {k: mapping[k] for k in PRIORITY if k in mapping}
+    return head | {k: v for k, v in mapping.items() if k not in head}
+
 
 def all_queries():
-    return dict(QUERIES)
+    missing = [k for k in PRIORITY if k not in QUERIES]
+    assert not missing, f"PRIORITY names unknown queries: {missing}"
+    return _prioritized(QUERIES)
 
 
 def all_oracles():
-    return dict(ORACLES)
+    return _prioritized(ORACLES)

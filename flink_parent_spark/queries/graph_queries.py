@@ -326,15 +326,26 @@ def graph_clustering_coefficient(spark, sf_dir):
     FROM shared s
     JOIN deg da ON da.id = s.id_a
     JOIN deg db ON db.id = s.id_b
+    ORDER BY jaccard DESC, id_a, id_b
+    LIMIT 10000
     """,
 )
 def graph_jaccard_similarity(spark, sf_dir):
     """Jaccard neighborhood similarity (Gelly similarity/JaccardIndex.java)
-    on the bipartite supplier-part graph via inverted-index join."""
+    on the bipartite supplier-part graph via inverted-index join.
+
+    Output capped to a deterministic top-10k (total order: score desc, then
+    the unique pair key) — the full pair set is ~2M rows at sf0.01, which is
+    result-set bloat, not extra coverage; the cap exercises the same plan plus
+    a TakeOrdered."""
     from flink_parent_spark.graph.algorithms import jaccard_index
 
     _, e = _spark_graph(spark, sf_dir)
-    return jaccard_index(e)
+    return (
+        jaccard_index(e)
+        .orderBy(F.desc("jaccard"), "id_a", "id_b")
+        .limit(10000)
+    )
 
 
 @df_query(
@@ -377,7 +388,10 @@ def graph_summarize_by_nation(spark, sf_dir):
 
 
 def _community_oracle(n_iter: int = 2, delta: float = 0.5) -> str:
-    """Unrolled community detection mirroring `community_detection`."""
+    """Unrolled community detection encoding the REFERENCE update rule
+    (Gelly CommunityDetection.java:119-171): winning label by summed score
+    (ties to smallest label), new score = highest single message of the
+    winning label, minus delta/superstep only when the label changed."""
     prev = "cd0"
     ctes = [
         "cd0 AS (SELECT id, id AS label, CAST(1.0 AS DOUBLE) AS score FROM verts)"
@@ -386,20 +400,22 @@ def _community_oracle(n_iter: int = 2, delta: float = 0.5) -> str:
         ctes.append(f"""
     sm{i} AS (
       SELECT u.dst AS id, p.label,
-             CAST(SUM(CAST(p.score AS DECIMAL(38,6))) AS DOUBLE) AS s
+             CAST(SUM(CAST(p.score AS DECIMAL(38,6))) AS DOUBLE) AS s,
+             MAX(p.score) AS m
       FROM und u JOIN {prev} p ON u.src = p.id
       GROUP BY u.dst, p.label),
     bs{i} AS (
-      SELECT id, label AS new_label, s AS best_s,
+      SELECT id, label AS new_label, m AS best_m,
              ROW_NUMBER() OVER (PARTITION BY id ORDER BY s DESC, label) AS rn
       FROM sm{i}),
     cd{i} AS (
       SELECT p.id, COALESCE(b.new_label, p.label) AS label,
-             CASE WHEN b.new_label IS NOT NULL
-                  THEN b.best_s - CAST({delta} AS DOUBLE) * CAST({float(i)} AS DOUBLE)
-                  ELSE p.score END AS score
+             CASE WHEN b.new_label IS NULL THEN p.score
+                  WHEN b.new_label <> p.label
+                    THEN b.best_m - CAST({delta} AS DOUBLE) / CAST({float(i)} AS DOUBLE)
+                  ELSE b.best_m END AS score
       FROM {prev} p
-      LEFT JOIN (SELECT id, new_label, best_s FROM bs{i} WHERE rn = 1) b
+      LEFT JOIN (SELECT id, new_label, best_m FROM bs{i} WHERE rn = 1) b
         ON p.id = b.id)""")
         prev = f"cd{i}"
     return f"WITH {_DUCK_EDGES}, {','.join(ctes)} SELECT id, label, score FROM {prev}"

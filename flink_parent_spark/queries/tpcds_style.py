@@ -70,18 +70,38 @@ sql_query(
 )
 
 # --- percentile-gated customers (TPC-DS Q38/Q97 flavor) ---------------------
+# Exact PERCENT_RANK semantics without an unpartitioned window over the
+# customer set (which funnels every row through one task at scale): global
+# rank = rows in lower revenue buckets (cumulative window over the tiny
+# bucket-count relation) + ROW_NUMBER partitioned by bucket (distributed).
+# (revenue, o_custkey) is a total order, so rank == row_number and
+# pr = (rank-1)/(n-1) reproduces PERCENT_RANK exactly.
 sql_query(
     "tpcds_top_percentile_customers",
     f"""
     WITH per_cust AS (
       SELECT o_custkey, {dsum('o_totalprice', 'revenue')}
       FROM orders GROUP BY o_custkey
-    ), ranked AS (
+    ), n AS (
+      SELECT COUNT(*) AS n FROM per_cust
+    ), b AS (
       SELECT o_custkey, revenue,
-             PERCENT_RANK() OVER (ORDER BY revenue, o_custkey) AS pr
+             CAST(FLOOR(revenue / 50000.0) AS BIGINT) AS bkt
       FROM per_cust
+    ), bc AS (
+      SELECT bkt, COUNT(*) AS c FROM b GROUP BY bkt
+    ), bcum AS (
+      SELECT bkt, c, SUM(c) OVER (ORDER BY bkt) AS cum FROM bc
+    ), ranked AS (
+      SELECT b.o_custkey, b.revenue,
+             (bcum.cum - bcum.c)
+             + ROW_NUMBER() OVER (PARTITION BY b.bkt
+                                  ORDER BY b.revenue, b.o_custkey) AS rnk
+      FROM b JOIN bcum ON b.bkt = bcum.bkt
     )
-    SELECT o_custkey, revenue FROM ranked WHERE pr >= 0.95
+    SELECT o_custkey, revenue
+    FROM ranked, n
+    WHERE CAST(rnk - 1 AS DOUBLE) / CAST(n.n - 1 AS DOUBLE) >= 0.95
     """,
 )
 

@@ -144,6 +144,21 @@ def test_session_dynamic_gap_single_exchange(spark):
     assert plan.count("Exchange hashpartitioning(user_id") <= 1
 
 
+def test_top_percentile_no_global_window(spark):
+    """The percentile gate must not rank the whole customer set in one
+    unpartitioned window: every ROW_NUMBER window is PARTITION BY bucket,
+    and the only unpartitioned window (bucket cumulative sum) runs over the
+    aggregated bucket counts, not the row-level relation."""
+    import re
+
+    plan = plan_of(QS["tpcds_top_percentile_customers"](spark, SF))
+    rn_specs = re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)", plan)
+    assert rn_specs, "expected a row_number window in the plan"
+    for spec in rn_specs:
+        assert spec.strip().startswith("bkt"), f"unpartitioned row_number: {spec}"
+    assert "percent_rank" not in plan
+
+
 def test_kmeans_ivf_search_broadcasts_queries(spark):
     """The IVF probe joins candidates to the (tiny) exploded query set via
     broadcast — candidates are never shuffled by cell."""
