@@ -257,14 +257,10 @@ class TableEnvironment:
             if entry.schema_ddl and fmt in ("csv", "json"):
                 reader = reader.schema(entry.schema_ddl)
             df = getattr(reader, fmt)(entry.path)
-        for c in df.columns:  # nanos convert mirrors tables.py
-            pass
-        from flink_parent_spark.tables import NANOS_TS_COLS  # noqa: PLC0415
+        from flink_parent_spark.tables import normalize_timestamps  # noqa: PLC0415
 
         base = entry.path.rsplit("/", 1)[-1].replace(".parquet", "")
-        for c in NANOS_TS_COLS.get(base, ()):
-            if dict(df.dtypes).get(c) == "bigint":
-                df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+        df = normalize_timestamps(df, base)
         for name_, expr_ in entry.computed:
             df = df.withColumn(name_, F.expr(expr_))
         if streaming and entry.watermark:
@@ -281,7 +277,7 @@ class TableEnvironment:
 
     # -- queries -------------------------------------------------------------
     def sql_query(self, sql: str) -> Table:
-        return Table(self.spark.sql(sql), self)
+        return Table(self.spark.sql(rewrite_group_windows(sql)), self)
 
     def explain_sql(self, sql: str, mode: str = "formatted") -> str:
         """TableEnvironment.explainSql parity (TableEnvironment.java /
@@ -298,6 +294,80 @@ class TableEnvironment:
         if entry and self.streaming:
             return Table(self._scan(entry, streaming=True), self)
         return Table(self.spark.table(name), self)
+
+
+# -- Flink-SQL group-window dialect -----------------------------------------
+# `GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)` + TUMBLE_START/_END/_ROWTIME (and
+# HOP/SESSION) — the reference's FlinkSqlOperatorTable TUMBLE..SESSION_PROCTIME
+# block, executed by WindowOperator (flink-table-runtime-blink/.../window/
+# WindowOperator.java). Here they rewrite onto Spark SQL's native
+# window()/session_window() grouping (Catalyst TimeWindowing), so the
+# physical plan is the stock tumbling/sliding/session aggregation:
+#   TUMBLE(ts, size)        -> window(ts, size)
+#   HOP(ts, slide, size)    -> window(ts, size, slide)   (argument order flips)
+#   SESSION(ts, gap)        -> session_window(ts, gap)
+#   X_START/X_END           -> window.start / window.end (struct field of the
+#                              grouping column Spark emits)
+#   X_ROWTIME               -> window.end - 1ms (Flink's rowtime attribute,
+#                              GroupWindowAggregateBase semantics)
+#   X_PROCTIME              -> window.end (no processing-time in batch replay)
+
+_GW_CALL = re.compile(
+    r"\b(TUMBLE|HOP|SESSION)(_START|_END|_ROWTIME|_PROCTIME)?\s*\(",
+    re.IGNORECASE,
+)
+_INTERVAL_RE = re.compile(
+    r"INTERVAL\s+'(?P<n>[\d.]+)'\s+(?P<unit>SECOND|MINUTE|HOUR|DAY)S?",
+    re.IGNORECASE,
+)
+
+
+def _gw_interval(tok: str) -> str:
+    m = _INTERVAL_RE.match(tok.strip())
+    if not m:
+        raise ValueError(f"unsupported group-window interval: {tok!r}")
+    return f"'{m.group('n')} {m.group('unit').lower()}'"
+
+
+def rewrite_group_windows(sql: str) -> str:
+    """Rewrite Flink group-window SQL into Spark SQL (identity when the
+    dialect is absent)."""
+    out: list[str] = []
+    i = 0
+    while True:
+        m = _GW_CALL.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            return "".join(out)
+        out.append(sql[i : m.start()])
+        depth, j = 1, m.end()
+        while depth and j < len(sql):
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+            j += 1
+        args = [a.strip() for a in _split_top_level(sql[m.end() : j - 1])]
+        kind = m.group(1).upper()
+        suffix = (m.group(2) or "").upper()
+        col = "session_window" if kind == "SESSION" else "window"
+        if suffix:
+            field = {
+                "_START": f"{col}.start",
+                "_END": f"{col}.end",
+                "_ROWTIME": f"{col}.end - INTERVAL 1 MILLISECOND",
+                "_PROCTIME": f"{col}.end",
+            }[suffix]
+            out.append(field)
+        elif kind == "TUMBLE":
+            out.append(f"window({args[0]}, {_gw_interval(args[1])})")
+        elif kind == "HOP":
+            out.append(
+                f"window({args[0]}, {_gw_interval(args[2])}, {_gw_interval(args[1])})"
+            )
+        else:
+            out.append(f"session_window({args[0]}, {_gw_interval(args[1])})")
+        i = j
 
 
 def _split_top_level(s: str) -> list[str]:

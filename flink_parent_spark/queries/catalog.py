@@ -44,29 +44,26 @@ PRIORITY: tuple[str, ...] = (
     # match_recognize
     "match_recognize_sql_clause",
     "match_recognize_measures",
-    # batch topn / dedup
+    # Flink-SQL group-window dialect
+    "sql_tumble_hourly",
+    "sql_hop_1h_15m",
+    "sql_session_30m_user",
+    # batch topn
     "topn_orders_per_customer",
-    "dedup_keep_last_event_per_user",
     # set operations
     "setop_union_distinct",
-    "setop_except_all",
     # over windows
     "over_running_agg",
     "over_rank_functions",
-    "over_ignore_nulls",
     # batch joins
     "semi_join_customers_with_orders",
     "anti_join_customers_without_orders",
-    "interval_join_view_then_purchase",
-    "asof_join_purchase_last_view",
     "lookup_join_enrich_orders",
     # aggregations
     "grouping_sets_lineitem",
-    "cube_returnflag_linestatus",
     "agg_distinct_mixed",
     "flat_aggregate_top2",
     # batch time windows
-    "window_tumble_hourly",
     "window_session_30m_per_user",
     "window_session_dynamic_gap",
     # graph
@@ -91,7 +88,6 @@ PRIORITY: tuple[str, ...] = (
     "udtf_tokenize",
     # tpcds-style
     "tpcds_top_percentile_customers",
-    "tpcds_multi_distinct_year",
     # sinks/sources
     "sink_partitioned_roundtrip",
 )

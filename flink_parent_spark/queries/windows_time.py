@@ -105,6 +105,113 @@ def window_session_30m_per_user(spark, sf_dir):
     )
 
 
+# --- Flink-SQL group-window dialect (TUMBLE/HOP/SESSION in GROUP BY) --------
+# These run through TableEnvironment.sql_query, which rewrites the reference's
+# FlinkSqlOperatorTable TUMBLE..SESSION block onto Spark's native
+# window()/session_window() grouping — a Flink user's first streaming query
+# works verbatim. Oracles recompute the assignment arithmetically in DuckDB.
+
+
+def _flink_sql(sql: str):
+    def run(spark, sf_dir):
+        from flink_parent_spark.api.table_env import TableEnvironment
+
+        load_tables(spark, sf_dir)
+        return TableEnvironment.create(spark=spark).sql_query(sql).to_df()
+
+    return run
+
+
+@df_query(
+    "sql_tumble_hourly",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+             - INTERVAL 1 MILLISECOND AS rowtime,
+           event_type, COUNT(*) AS n, {dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def sql_tumble_hourly(spark, sf_dir):
+    return _flink_sql(
+        """
+        SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS window_start,
+               TUMBLE_END(ts, INTERVAL '1' HOUR) AS window_end,
+               TUMBLE_ROWTIME(ts, INTERVAL '1' HOUR) AS rowtime,
+               event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY TUMBLE(ts, INTERVAL '1' HOUR), event_type
+        """
+    )(spark, sf_dir)
+
+
+@df_query(
+    "sql_hop_1h_15m",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) - j * INTERVAL '15' MINUTE
+             AS window_start,
+           time_bucket(INTERVAL '15 minutes', ts) - j * INTERVAL '15' MINUTE
+             + INTERVAL '1' HOUR AS window_end,
+           COUNT(*) AS n, {dsum('value', 'sum_value')}
+    FROM events, (SELECT unnest(generate_series(0, 3)) AS j) offs
+    WHERE ts < time_bucket(INTERVAL '15 minutes', ts) - j * INTERVAL '15' MINUTE
+               + INTERVAL '1' HOUR
+    GROUP BY 1, 2
+    """,
+)
+def sql_hop_1h_15m(spark, sf_dir):
+    return _flink_sql(
+        """
+        SELECT HOP_START(ts, INTERVAL '15' MINUTE, INTERVAL '1' HOUR)
+                 AS window_start,
+               HOP_END(ts, INTERVAL '15' MINUTE, INTERVAL '1' HOUR)
+                 AS window_end,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY HOP(ts, INTERVAL '15' MINUTE, INTERVAL '1' HOUR)
+        """
+    )(spark, sf_dir)
+
+
+@df_query(
+    "sql_session_30m_user",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       <= INTERVAL '30' MINUTE THEN 0 ELSE 1 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30' MINUTE AS session_end,
+           COUNT(*) AS n, {dsum('value', 'sum_value')}
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def sql_session_30m_user(spark, sf_dir):
+    return _flink_sql(
+        """
+        SELECT user_id,
+               SESSION_START(ts, INTERVAL '30' MINUTE) AS session_start,
+               SESSION_END(ts, INTERVAL '30' MINUTE) AS session_end,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY SESSION(ts, INTERVAL '30' MINUTE), user_id
+        """
+    )(spark, sf_dir)
+
+
 # --- interval join (time-bounded stream-stream join, batch check) -----------
 
 

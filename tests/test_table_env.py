@@ -106,3 +106,39 @@ def test_explain_sql_returns_plan(tenv):
     assert "Scan" in plan
     ext = tenv.explain_sql("SELECT 1", mode="extended")
     assert "Parsed Logical Plan" in ext
+
+
+def test_group_window_dialect_rewrite():
+    from flink_parent_spark.api.table_env import rewrite_group_windows
+
+    out = rewrite_group_windows(
+        "SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS s, COUNT(*) AS n "
+        "FROM events GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)"
+    )
+    assert "window(ts, '1 hour')" in out and "window.start" in out
+    out = rewrite_group_windows(
+        "GROUP BY HOP(ts, INTERVAL '15' MINUTE, INTERVAL '1' HOUR)"
+    )
+    # Flink argument order (slide, size) flips to Spark's (size, slide)
+    assert "window(ts, '1 hour', '15 minute')" in out
+    out = rewrite_group_windows(
+        "SELECT SESSION_ROWTIME(ts, INTERVAL '30' MINUTE) "
+        "GROUP BY SESSION(ts, INTERVAL '30' MINUTE)"
+    )
+    assert "session_window(ts, '30 minute')" in out
+    assert "session_window.end - INTERVAL 1 MILLISECOND" in out
+    # identity on plain SQL
+    plain = "SELECT a FROM t WHERE b > 1"
+    assert rewrite_group_windows(plain) == plain
+
+
+def test_group_window_dialect_runs(tenv):
+    df = tenv.sql_query(
+        """
+        SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS ws,
+               TUMBLE_END(ts, INTERVAL '1' HOUR) AS we, COUNT(*) AS n
+        FROM ev GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)
+        """
+    ).to_df()
+    rows = df.collect()
+    assert rows and all(r["we"] == r["ws"] + __import__("datetime").timedelta(hours=1) for r in rows)
