@@ -462,11 +462,15 @@ def cep_pattern_stream(
     id_col: str,
     skip: str = AfterMatchSkip.SKIP_PAST_LAST,
 ) -> DataFrame:
-    """Streaming CEP: keyed state buffers events; each batch appends, sorts,
-    emits completed matches and retains the unconsumed tail (per skip
-    strategy). Matches whose window could still extend are held back only by
-    SKIP_PAST_LAST consumption — a full watermark-held variant is the
-    streaming-hardening follow-up (documented)."""
+    """Streaming CEP without a watermark (processing-time arrival order,
+    Flink's no-event-time CepOperator mode): keyed state buffers events;
+    each batch appends, sorts, emits finalized matches and GARBAGE-COLLECTS
+    everything before the scan frontier — for every skip strategy, not just
+    SKIP_PAST_LAST, so per-key state is bounded by the open (pending or
+    growable) suffix rather than the whole history. Matches that could
+    still grow with future rows are held in state like the watermark-held
+    variant; out-of-order corrections are NOT possible in this mode (use
+    `cep_pattern_stream_watermarked`)."""
     dt = dict(sdf.dtypes)
     key_schema = ", ".join(f"`{c}` {dt[c]}" for c in key_cols)
     out_schema = f"{key_schema}, `{id_col}` {dt[id_col]}, " + MATCH_SCHEMA_SUFFIX
@@ -482,26 +486,15 @@ def cep_pattern_stream(
         for pdf in pdfs:
             rows.extend(pdf[cols].to_dict("records"))
         rows.sort(key=lambda r: (r[ts_col], r[id_col]))
-        matches = pattern.find_matches(rows, ts_col, skip)
-        recs = []
-        consumed_until = -1
-        for mid, m in enumerate(matches):
-            for seq, (stage, idx) in enumerate(m):
-                r = rows[idx]
-                recs.append(
-                    {
-                        **{k: r[k] for k in key_cols},
-                        id_col: r[id_col],
-                        "match_id": emitted + mid,
-                        "stage": stage,
-                        "seq": seq,
-                        "event_ts": r[ts_col],
-                    }
-                )
-            consumed_until = max(consumed_until, m[-1][1])
-        remainder = rows[consumed_until + 1 :] if skip == AfterMatchSkip.SKIP_PAST_LAST else rows
+        # the frontier is always open (any future arrival may extend): a
+        # minimal lower bound keeps every `within` deadline ahead of it
+        recs, n_emitted_now, retain_from = _scan_frontier(
+            pattern, rows, len(rows), key_cols, ts_col, id_col, skip,
+            emitted, future_lb=pd.Timestamp.min, wm_ms=None,
+        )
+        remainder = rows[retain_from:]
         state.update(
-            ([tuple(r[c] for c in cols) for r in remainder], emitted + len(matches))
+            ([tuple(r[c] for c in cols) for r in remainder], emitted + n_emitted_now)
         )
         yield pd.DataFrame(
             recs, columns=[*key_cols, id_col, "match_id", "stage", "seq", "event_ts"]
@@ -536,14 +529,85 @@ def _match_extendable(pat: Pattern, m: list[tuple[str, int]], n_sealed: int) -> 
     at_edge = last_idx == n_sealed - 1
     si = _final_stage_index(pat._stages, m)
     st = pat._stages[si]
-    if st.max_times == -1 and at_edge:
-        return True
+    if at_edge and st.max_times != 1:
+        # a quantified run ending at the seal boundary can still grow while
+        # it has headroom: unbounded (-1) or a bounded times(m,n) whose run
+        # has taken fewer than n rows so far. Emitting the bounded case
+        # early diverges from the batch matcher, which would extend it.
+        taken = sum(1 for s, _ in m if s == st.name)
+        if st.max_times == -1 or taken < st.max_times:
+            return True
     for t in pat._stages[si + 1 :]:
         if t.min_times != 0:
             break
         if not t.strict or at_edge:
             return True
     return False
+
+
+def _scan_frontier(
+    pattern: Pattern,
+    rows: list[Row],
+    n_sealed: int,
+    key_cols: Sequence[str],
+    ts_col: str,
+    id_col: str,
+    skip: str,
+    emitted: int,
+    future_lb,
+    wm_ms: int | None,
+) -> tuple[list[dict], int, int]:
+    """Shared frontier scan for both streaming CEP operators.
+
+    Walks the sealed prefix emitting finalized matches; stops at the first
+    position that must stay buffered (a pending partial match or a
+    still-growable completed match). Returns (records, n_emitted,
+    retain_from) where `retain_from` is the first row index that must remain
+    in keyed state — everything before it is garbage-collected by the
+    caller, for every skip strategy (the frontier-GC the reference gets
+    from NFA run pruning + state cleanup in CepOperator)."""
+    sealed = rows[:n_sealed]
+    recs: list[dict] = []
+    start = 0
+    retain_from = None
+    n_emitted_now = 0
+    while start < n_sealed:
+        m, pend = pattern._match_from2(sealed, start, ts_col, future_lb=future_lb)
+        if m is None:
+            if pend:
+                # future events could still complete a match from this row —
+                # everything from here stays buffered and nothing beyond may
+                # be consumed yet
+                retain_from = start
+                break
+            start += 1
+            continue
+        growable = _match_extendable(pattern, m, n_sealed)
+        if growable and pattern._within is not None and wm_ms is not None:
+            # window closed per watermark => the match is final after all
+            first_ts = sealed[m[0][1]][ts_col]
+            if wm_ms > int(pd.Timestamp(first_ts + pattern._within).value // 1_000_000):
+                growable = False
+        if growable:
+            retain_from = m[0][1] if skip != AfterMatchSkip.SKIP_PAST_LAST else start
+            break
+        for seq, (stage, idx) in enumerate(m):
+            r = sealed[idx]
+            recs.append(
+                {
+                    **{k: r[k] for k in key_cols},
+                    id_col: r[id_col],
+                    "match_id": emitted + n_emitted_now,
+                    "stage": stage,
+                    "seq": seq,
+                    "event_ts": r[ts_col],
+                }
+            )
+        n_emitted_now += 1
+        start = _next_start(skip, m, start)
+    if retain_from is None:
+        retain_from = start
+    return recs, n_emitted_now, retain_from
 
 
 def cep_pattern_stream_watermarked(
@@ -601,49 +665,12 @@ def cep_pattern_stream_watermarked(
         n_sealed = 0
         while n_sealed < len(rows) and to_ms(rows[n_sealed][ts_col]) <= wm_ms:
             n_sealed += 1
-        sealed = rows[:n_sealed]
 
-        recs = []
-        start = 0
-        retain_from = None  # first sealed index that must stay buffered
-        n_emitted_now = 0
         wm_ts = pd.Timestamp(wm_ms, unit="ms") if wm_ms > 0 else None
-        while start < n_sealed:
-            m, pend = pattern._match_from2(sealed, start, ts_col, future_lb=wm_ts)
-            if m is None:
-                if pend:
-                    # future (post-watermark) events could still complete a
-                    # match from this row — everything from here stays
-                    # buffered and nothing beyond may be consumed yet
-                    retain_from = start
-                    break
-                start += 1
-                continue
-            growable = _match_extendable(pattern, m, n_sealed)
-            if growable and pattern._within is not None:
-                # window closed per watermark => the match is final after all
-                first_ts = sealed[m[0][1]][ts_col]
-                if wm_ms > to_ms(first_ts + pattern._within):
-                    growable = False
-            if growable:
-                retain_from = m[0][1] if skip != AfterMatchSkip.SKIP_PAST_LAST else start
-                break
-            for seq, (stage, idx) in enumerate(m):
-                r = sealed[idx]
-                recs.append(
-                    {
-                        **{k: r[k] for k in key_cols},
-                        id_col: r[id_col],
-                        "match_id": emitted + n_emitted_now,
-                        "stage": stage,
-                        "seq": seq,
-                        "event_ts": r[ts_col],
-                    }
-                )
-            n_emitted_now += 1
-            start = _next_start(skip, m, start)
-        if retain_from is None:
-            retain_from = start
+        recs, n_emitted_now, retain_from = _scan_frontier(
+            pattern, rows, n_sealed, key_cols, ts_col, id_col, skip,
+            emitted, future_lb=wm_ts, wm_ms=wm_ms,
+        )
         remainder = rows[min(retain_from, n_sealed) :]
         if remainder:
             state.update(

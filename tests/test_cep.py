@@ -661,3 +661,105 @@ def test_watermarked_stream_equals_batch_on_scrambled_replay(spark):
     e = expected.sort_values(key).reset_index(drop=True)
     assert list(s["event_id"]) == list(e["event_id"])
     assert list(s["stage"]) == list(e["stage"])
+
+
+def test_bounded_quantifier_held_at_seal_boundary():
+    """A greedy times(m,n) run ending exactly at the seal boundary with
+    taken < n must be held (future events could extend it), matching the
+    batch matcher on full replay; once taken == n or the boundary moves
+    past, it finalizes."""
+    from flink_parent_spark.streaming.cep import _scan_frontier
+
+    pat = Pattern.begin("a").where(lambda r: r["t"] == "A").times(2, 4).greedy()
+    rs = rows("A", "A")
+    recs, n, retain = _scan_frontier(
+        pat, rs, len(rs), ["k"], "ts", "id", AfterMatchSkip.SKIP_PAST_LAST,
+        0, future_lb=pd.Timestamp.min, wm_ms=None,
+    )
+    assert n == 0 and retain == 0  # held: run has headroom (2 < 4)
+
+    rs4 = rows("A", "A", "A", "A")
+    recs, n, retain = _scan_frontier(
+        pat, rs4, len(rs4), ["k"], "ts", "id", AfterMatchSkip.SKIP_PAST_LAST,
+        0, future_lb=pd.Timestamp.min, wm_ms=None,
+    )
+    assert n == 1 and len(recs) == 4  # saturated at n=4: final, emitted
+
+    rs_done = rows("A", "A", "B")  # a non-matching row past the run seals it
+    recs, n, retain = _scan_frontier(
+        pat, rs_done, len(rs_done), ["k"], "ts", "id",
+        AfterMatchSkip.SKIP_PAST_LAST, 0,
+        future_lb=pd.Timestamp.min, wm_ms=None,
+    )
+    assert n == 1 and len(recs) == 2 and retain == 3
+
+
+def test_stream_times_bounded_equals_batch_on_split_replay(spark):
+    """times(2,4).greedy straddling micro-batch boundaries: the watermark-
+    held stream must produce the batch matcher's maximal run, not the
+    early-sealed prefixes."""
+    import datetime as dtm
+
+    from flink_parent_spark.streaming.cep import (
+        cep_pattern,
+        cep_pattern_stream_watermarked,
+    )
+
+    pat = lambda: (  # noqa: E731
+        Pattern.begin("c").where(lambda r: r["event_type"] == "click")
+        .times(2, 4).greedy()
+    )
+    events = [
+        ("2024-01-01 00:00:00", 1, 0, "click"),
+        ("2024-01-01 00:00:10", 1, 1, "click"),
+        ("2024-01-01 00:00:20", 1, 2, "click"),
+        ("2024-01-01 00:00:30", 1, 3, "click"),
+        ("2024-01-01 01:00:00", 1, 9, "noise"),
+    ]
+    batches = [events[0:2], events[2:4], events[4:]]
+    cap = _cep_stream_batches(
+        spark, batches,
+        lambda sdf: cep_pattern_stream_watermarked(
+            sdf, pat(), ["user_id"], "ts", "event_id"
+        ),
+        delay="5 seconds",
+    )
+    streamed = pd.concat([p for _, p in cap], ignore_index=True)
+
+    batch_df = spark.createDataFrame(
+        [(dtm.datetime.fromisoformat(t), u, i, e) for t, u, i, e in events],
+        "ts timestamp, user_id long, event_id long, event_type string",
+    )
+    expected = cep_pattern(batch_df, pat(), ["user_id"], "ts", "event_id").toPandas()
+    key = ["match_id", "seq"]
+    s = streamed.sort_values(key).reset_index(drop=True)
+    e = expected.sort_values(key).reset_index(drop=True)
+    assert list(s["event_id"]) == list(e["event_id"]) == [0, 1, 2, 3]
+
+
+def test_naive_stream_frontier_gc_no_reemission(spark):
+    """The no-watermark streaming operator must GC consumed rows for EVERY
+    skip strategy: under NO_SKIP, a match found in batch k must not be
+    re-found (and re-emitted) in batch k+1 from the retained buffer."""
+    from flink_parent_spark.streaming.cep import cep_pattern_stream
+
+    batches = [
+        [("2024-01-01 00:00:00", 1, 0, "signup"),
+         ("2024-01-01 00:00:10", 1, 1, "purchase")],
+        [("2024-01-01 00:01:00", 1, 2, "signup"),
+         ("2024-01-01 00:01:10", 1, 3, "purchase")],
+        [("2024-01-01 00:02:00", 1, 4, "signup"),
+         ("2024-01-01 00:02:10", 1, 5, "purchase")],
+    ]
+    cap = _cep_stream_batches(
+        spark, batches,
+        lambda sdf: cep_pattern_stream(
+            sdf, _signup_next_purchase(), ["user_id"], "ts", "event_id",
+            AfterMatchSkip.NO_SKIP,
+        ),
+    )
+    streamed = pd.concat([p for _, p in cap], ignore_index=True)
+    # 3 matches x 2 rows, each exactly once; match_ids stay distinct
+    assert len(streamed) == 6
+    assert sorted(streamed["event_id"]) == [0, 1, 2, 3, 4, 5]
+    assert streamed["match_id"].nunique() == 3
