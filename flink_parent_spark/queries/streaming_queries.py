@@ -1035,3 +1035,74 @@ def stream_over_rows_bounded(spark, sf_dir):
         ev, ["user_id"], "ts", "value", 5, ["event_id"], tiebreak_col="event_id"
     )
     return run_stream_to_df(out, "append")
+
+
+@df_query(
+    "stream_semi_join",
+    oracle="""
+    SELECT v.user_id, v.ts, v.event_id, '+I' AS op
+    FROM events v
+    WHERE v.event_type = 'view'
+      AND EXISTS (SELECT 1 FROM events p
+                  WHERE p.event_type = 'purchase'
+                    AND p.user_id = v.user_id)
+    """,
+)
+def stream_semi_join(spark, sf_dir):
+    """Streaming semi join (StreamingSemiAntiJoinOperator, semi mode): views
+    by users who have purchased. Each qualifying view emits +I exactly once
+    — at arrival if a purchase was already seen, else when the user's first
+    purchase arrives — so the full-replay changelog equals the batch
+    EXISTS-semijoin."""
+    from flink_parent_spark.streaming.stateful import streaming_semi_anti_join
+
+    ev = stream_table(spark, sf_dir, "events")
+    out = streaming_semi_anti_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        ["user_id"],
+        ["event_id"],
+        "ts",
+        anti=False,
+        tiebreak_col="event_id",
+    )
+    return run_stream_to_df(out, "update")
+
+
+@df_query(
+    "stream_anti_join",
+    oracle="""
+    WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+         p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    no_earlier AS (
+      SELECT v.user_id, v.ts, v.event_id FROM v
+      WHERE NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = v.user_id
+          AND (p.ts < v.ts OR (p.ts = v.ts AND p.event_id < v.event_id)))
+    )
+    SELECT user_id, ts, event_id, '+I' AS op FROM no_earlier
+    UNION ALL
+    SELECT n.user_id, n.ts, n.event_id, '-D' AS op
+    FROM no_earlier n
+    WHERE EXISTS (SELECT 1 FROM p WHERE p.user_id = n.user_id)
+    """,
+)
+def stream_anti_join(spark, sf_dir):
+    """Streaming anti join (StreamingSemiAntiJoinOperator, anti mode): views
+    with no purchase yet emit +I optimistically and are retracted (-D) when
+    the user's first purchase arrives; views after that first purchase never
+    emit. The oracle reconstructs the same changelog from event-time order."""
+    from flink_parent_spark.streaming.stateful import streaming_semi_anti_join
+
+    ev = stream_table(spark, sf_dir, "events")
+    out = streaming_semi_anti_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        ["user_id"],
+        ["event_id"],
+        "ts",
+        anti=True,
+        tiebreak_col="event_id",
+    )
+    return run_stream_to_df(out, "update")

@@ -342,3 +342,97 @@ def streaming_over_running_sum(
     return sdf.groupBy(*key_cols).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_semi_anti_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    payload_cols: Sequence[str],
+    order_col: str,
+    anti: bool = False,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Streaming semi/anti join emitting a RowKind-tagged changelog
+    (StreamingSemiAntiJoinOperator.java:100-160 semantics, re-derived for
+    append-only inputs):
+
+    - a LEFT row arriving with matches present emits +I (semi) / nothing
+      (anti); with no matches it emits +I (anti) / nothing (semi) and
+      buffers;
+    - the FIRST RIGHT row for a key flushes the buffered left rows: +I for
+      semi, -D (retraction of the earlier anti emission) for anti; later
+      right rows only bump the per-key associated-count.
+
+    State discipline (the 100 TB angle): once a key has seen any right row
+    the buffer is empty forever and state is a single counter — per-key
+    state is bounded by the unmatched-left prefix, mirroring the
+    reference's associated-count bookkeeping (its left record state plus
+    lazy cleanup). Both inputs shuffle once, hash-partitioned by the join
+    key. Rows are processed in (order_col, tiebreak) order, which makes the
+    changelog deterministic under replay."""
+    out_cols = list(dict.fromkeys([*key_cols, order_col, *payload_cols]))
+    if tiebreak_col and tiebreak_col not in out_cols:
+        out_cols.append(tiebreak_col)
+    from pyspark.sql import functions as F
+
+    ldt = dict(left.dtypes)
+    # the right side contributes only its key and ordering columns; left-only
+    # payload columns ride along as typed nulls so the union lines up
+    join_side_cols = {*key_cols, order_col}
+    if tiebreak_col:
+        join_side_cols.add(tiebreak_col)
+    lsel = left.select(*out_cols).withColumn("__side", F.lit("L"))
+    rsel = right.select(
+        *[
+            F.col(c) if c in join_side_cols else F.lit(None).cast(ldt[c]).alias(c)
+            for c in out_cols
+        ]
+    ).withColumn("__side", F.lit("R"))
+    both = lsel.unionByName(rsel)
+
+    out_schema = _schema_of(left, out_cols) + ", `op` string"
+    state_schema = (
+        "buf array<struct<" + _schema_of(left, out_cols).replace("`", "") + ">>, rcount bigint"
+    )
+    cols = [*out_cols, "__side"]
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        buf = [dict(zip(out_cols, r)) for r in (state.get[0] if state.exists else [])]
+        rcount = state.get[1] if state.exists else 0
+        emitted: list[dict] = []
+
+        def emit(rec: dict, op: str) -> None:
+            emitted.append({**{c: rec[c] for c in out_cols}, "op": op})
+
+        recs: list[dict] = []
+        for pdf in pdfs:
+            recs.extend(pdf[cols].to_dict("records"))
+        recs.sort(
+            key=lambda r: (r[order_col], r[tiebreak_col] if tiebreak_col else 0)
+        )
+        for rec in recs:
+            if rec["__side"] == "L":
+                if rcount > 0:
+                    if not anti:
+                        emit(rec, "+I")
+                else:
+                    if anti:
+                        emit(rec, "+I")
+                    buf.append(rec)
+            else:
+                prev, rcount = rcount, rcount + 1
+                if prev == 0:
+                    for b in buf:
+                        emit(b, "+I" if not anti else "-D")
+                    buf = []
+        state.update(
+            ([tuple(r[c] for c in out_cols) for r in buf], rcount)
+        )
+        yield pd.DataFrame(emitted, columns=[*out_cols, "op"])
+
+    return both.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
