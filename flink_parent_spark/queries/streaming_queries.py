@@ -760,6 +760,7 @@ def cep_v_shape_dip(spark, sf_dir):
         .next("down")
         .where(lambda r, c: c.prev("value") is not None and r["value"] < c.prev("value"))
         .one_or_more()
+        .consecutive()
         .greedy()
         .next("up")
         .where(lambda r, c: c.prev("value") is not None and r["value"] > c.prev("value"))
@@ -1106,3 +1107,42 @@ def stream_anti_join(spark, sf_dir):
         tiebreak_col="event_id",
     )
     return run_stream_to_df(out, "update")
+
+
+@df_query(
+    "cep_followed_by_any",
+    oracle="""
+    WITH pairs AS (
+      SELECT s.user_id, s.event_id AS a_id, s.ts AS a_ts,
+             p.event_id AS b_id, p.ts AS b_ts,
+             ROW_NUMBER() OVER (PARTITION BY s.user_id
+                                ORDER BY s.ts, s.event_id, p.ts, p.event_id) - 1
+               AS match_id
+      FROM events s JOIN events p
+        ON s.user_id = p.user_id
+      WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+        AND (p.ts > s.ts OR (p.ts = s.ts AND p.event_id > s.event_id))
+        AND p.ts <= s.ts + INTERVAL '1' HOUR
+    )
+    SELECT user_id, a_id AS event_id, match_id, 'signup' AS stage,
+           0 AS seq, a_ts AS event_ts FROM pairs
+    UNION ALL
+    SELECT user_id, b_id, match_id, 'purchase', 1, b_ts FROM pairs
+    """,
+)
+def cep_followed_by_any(spark, sf_dir):
+    """followedByAny (Pattern.java:322): every purchase within an hour of a
+    signup forms its own match — the non-deterministic branch-per-event
+    contiguity, vs followed_by's commit-to-first. Oracle: the full pair set
+    with match ordinals in enumeration order."""
+    t = load_tables(spark, sf_dir)
+    pat = (
+        Pattern.begin("signup")
+        .where(lambda r: r["event_type"] == "signup")
+        .followed_by_any("purchase")
+        .where(lambda r: r["event_type"] == "purchase")
+        .within(dt.timedelta(hours=1))
+    )
+    return cep_pattern(
+        t["events"], pat, ["user_id"], "ts", "event_id", AfterMatchSkip.NO_SKIP
+    )

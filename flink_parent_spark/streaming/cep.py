@@ -151,6 +151,10 @@ class _Stage:
     greedy: bool = False
     negated: bool = False  # not_next / not_followed_by (consumes nothing)
     until_pred: Predicate | None = None  # stop condition for looping stages
+    consecutive: bool = False  # strict INTERNAL contiguity (Pattern.java:477)
+    any_match: bool = False  # followedByAny: branch on every start (:322)
+    combinations: bool = False  # allowCombinations: all subsets (:437)
+    group: "Pattern | None" = None  # group pattern stage (:491-543)
 
     def accepts(self, row: Row, ctx: "MatchCtx | None" = None) -> bool:
         def ev(p: Predicate) -> bool:
@@ -172,8 +176,17 @@ class Pattern:
     # --- construction -------------------------------------------------------
 
     @staticmethod
-    def begin(name: str) -> "Pattern":
-        return Pattern([_Stage(name)])
+    def begin(name: "str | Pattern") -> "Pattern":
+        """begin(name) or begin(groupPattern) (Pattern.java:128 / GroupPattern
+        begin:491): a Pattern argument starts a group stage whose quantifiers
+        apply to the whole sub-pattern."""
+        return Pattern([Pattern._mk_stage(name, strict=False)])
+
+    @staticmethod
+    def _mk_stage(name_or_pat: "str | Pattern", strict: bool) -> _Stage:
+        if isinstance(name_or_pat, Pattern):
+            return _Stage("<group>", strict=strict, group=name_or_pat)
+        return _Stage(name_or_pat, strict=strict)
 
     def where(self, pred: Predicate) -> "Pattern":
         self._stages[-1].preds.append(pred)
@@ -183,12 +196,22 @@ class Pattern:
         self._stages[-1].or_preds.append(pred)
         return self
 
-    def next(self, name: str) -> "Pattern":
-        self._stages.append(_Stage(name, strict=True))
+    def next(self, name: "str | Pattern") -> "Pattern":
+        self._stages.append(Pattern._mk_stage(name, strict=True))
         return self
 
-    def followed_by(self, name: str) -> "Pattern":
-        self._stages.append(_Stage(name, strict=False))
+    def followed_by(self, name: "str | Pattern") -> "Pattern":
+        self._stages.append(Pattern._mk_stage(name, strict=False))
+        return self
+
+    def followed_by_any(self, name: "str | Pattern") -> "Pattern":
+        """Non-deterministic relaxed contiguity (Pattern.java followedByAny
+        :322): the stage branches on EVERY qualifying event after the
+        previous stage, not just the first — each branch is a distinct
+        match."""
+        st = Pattern._mk_stage(name, strict=False)
+        st.any_match = True
+        self._stages.append(st)
         return self
 
     def not_next(self, name: str) -> "Pattern":
@@ -228,6 +251,22 @@ class Pattern:
 
     def greedy(self) -> "Pattern":
         self._stages[-1].greedy = True
+        return self
+
+    def consecutive(self) -> "Pattern":
+        """Strict INTERNAL contiguity for a looping stage (Pattern.java
+        consecutive:477): the quantified run may not skip non-matching rows
+        between repetitions. Without it, looping stages use Flink's default
+        relaxed internal contiguity."""
+        self._quantifiable().consecutive = True
+        return self
+
+    def allow_combinations(self) -> "Pattern":
+        """Non-deterministic relaxed internal contiguity (Pattern.java
+        allowCombinations:437): the quantified run branches on every ordered
+        subset of the qualifying rows (first row fixed at the stage's start),
+        each a distinct match."""
+        self._quantifiable().combinations = True
         return self
 
     def until(self, pred: Predicate) -> "Pattern":
@@ -271,6 +310,21 @@ class Pattern:
         deadline was still open — i.e. future events could complete it, so
         the streaming operator must keep these rows buffered (the NFA-run-
         stays-in-state behavior of CepOperator/NFA.java, re-derived)."""
+        pending = [False]
+        m = next(self._iter_from(rows, start, ts_col, future_lb, pending), None)
+        return m, (m is None and pending[0])
+
+    def _iter_from(
+        self, rows: list[Row], start: int, ts_col: str, future_lb, pending
+    ) -> Iterator[list[tuple[str, int]]]:
+        """Generate every match of the pattern anchored at `start`, in
+        preference order (greedy/reluctant choice first). For patterns with
+        no `followed_by_any`/`allow_combinations` stages exactly the first
+        yield is the deterministic match (the engine commits to the first
+        successful branch, mirroring the previous backtracker); the `any`
+        combinators disable that commit so every branch becomes a distinct
+        match (NFA.java's non-deterministic state splits, re-derived as
+        continuation-passing backtracking)."""
         if self._stages[-1].negated:
             raise ValueError("negative pattern cannot be the last stage")
         deadline = None
@@ -278,39 +332,101 @@ class Pattern:
             deadline = rows[start][ts_col] + self._within
         n = len(rows)
         open_ended = future_lb is not None
-        pending = [False]
 
         def frontier_open() -> bool:
             return open_ended and (deadline is None or deadline > future_lb)
 
-        def try_stage(si: int, pos: int, acc: list[tuple[str, int]], neg: _Stage | None = None):
-            if si == len(self._stages):
-                return acc
-            st = self._stages[si]
-            first_stage = si == 0
+        def in_deadline(i: int) -> bool:
+            return deadline is None or rows[i][ts_col] <= deadline
+
+        def until_hit(st: _Stage, i: int, taken) -> bool:
+            if st.until_pred is None:
+                return False
+            if _arity(st.until_pred) == 1:
+                return st.until_pred(rows[i])
+            return st.until_pred(rows[i], MatchCtx(rows, i, taken))
+
+        def accept_run(st: _Stage, s0: int, acc) -> list[int]:
+            """Ordered indices a quantified run starting at s0 can take.
+            Internal contiguity: consecutive => a non-matching row ends the
+            run; default (Flink relaxed) => non-matching rows between
+            repetitions are skipped."""
+            seq: list[int] = []
+            taken = list(acc)
+            i = s0
+            while i < n and in_deadline(i) and (
+                st.max_times == -1 or len(seq) < st.max_times
+            ):
+                if until_hit(st, i, taken):
+                    break
+                if st.accepts(rows[i], MatchCtx(rows, i, taken)):
+                    seq.append(i)
+                    taken.append((st.name, i))
+                    i += 1
+                elif seq and not st.consecutive and st.max_times != 1:
+                    i += 1  # relaxed internal contiguity: skip and continue
+                else:
+                    break
+            if (
+                i >= n
+                and frontier_open()
+                and len(seq) < st.min_times
+                and (st.max_times == -1 or len(seq) < st.max_times)
+            ):
+                # the run stopped at the data frontier short of min_times:
+                # future rows could still complete it
+                pending[0] = True
+            return seq
+
+        def run_choices(st: _Stage, seq: list[int]) -> Iterator[list[int]]:
+            lo, hi = st.min_times, len(seq)
+            if st.combinations:
+                import itertools as _it
+
+                sizes = range(hi, lo - 1, -1) if st.greedy else range(lo, hi + 1)
+                for size in sizes:
+                    if size == 0:
+                        yield []
+                    else:
+                        # the run is anchored: seq[0] is always taken
+                        for rest in _it.combinations(seq[1:], size - 1):
+                            yield [seq[0], *rest]
+                return
+            order = range(hi, lo - 1, -1) if st.greedy else range(lo, hi + 1)
+            for k in order:
+                yield seq[:k]
+
+        def iter_seq(stages, si, pos, acc, neg, anchor, cont):
+            """Match stages[si:] from row `pos`; on completion delegate to
+            `cont(pos_after, acc)`. `anchor` pins stage si's start (pattern
+            head / group repetition head)."""
+            if si == len(stages):
+                yield from cont(pos, acc)
+                return
+            st = stages[si]
+            anchored = si == 0 and anchor is not None
 
             if st.negated:
                 if st.strict:  # not_next: the row at pos must not match
                     if pos < n and st.accepts(rows[pos], MatchCtx(rows, pos, acc)):
-                        return None
+                        return
                     if pos >= n and frontier_open():
-                        # the next row hasn't arrived: cannot confirm yet
                         pending[0] = True
-                        return None
-                    return try_stage(si + 1, pos, acc)
+                        return
+                    yield from iter_seq(stages, si + 1, pos, acc, None, None, cont)
+                    return
                 # not_followed_by: constrain the gap before the next
                 # positive stage's start (checked in its starts loop)
-                return try_stage(si + 1, pos, acc, neg=st)
+                yield from iter_seq(stages, si + 1, pos, acc, st, None, cont)
+                return
 
-            # Candidate start positions for this stage.
-            if first_stage:
-                starts = [start]
+            if anchored:
+                starts = [anchor]
             elif st.strict:
                 if pos >= n:
-                    # the row this strict stage needs is beyond the frontier
                     if frontier_open():
                         pending[0] = True
-                    return None
+                    return
                 starts = [pos]
             else:  # relaxed: scan forward; future rows add start positions
                 starts = range(pos, n)
@@ -325,64 +441,106 @@ class Pattern:
                     # a row matching the negated stage sits in the gap; all
                     # later start positions contain it too
                     break
-                # collect how many consecutive accepts are available (strict
-                # within a quantified stage, per reference `consecutive` for
-                # times on next; relaxed stages scan contiguous runs too —
-                # matching Flink's default relaxed-internal-contiguity would
-                # add another scan dimension; documented subset.)
-                counts = []
-                i = s0
-                taken = list(acc)  # stage mappings visible to PREV/LAST ctx
-                while (
-                    i < len(rows)
-                    and (deadline is None or rows[i][ts_col] <= deadline)
-                    and (st.max_times == -1 or i - s0 < st.max_times)
-                    and not (
-                        st.until_pred is not None
-                        and (
-                            st.until_pred(rows[i])
-                            if _arity(st.until_pred) == 1
-                            else st.until_pred(rows[i], MatchCtx(rows, i, taken))
-                        )
-                    )
-                    and st.accepts(rows[i], MatchCtx(rows, i, taken))
-                ):
-                    counts.append(i)
-                    taken.append((st.name, i))
-                    i += 1
-                if len(counts) < st.min_times:
-                    # run stopped at the frontier (not on a failed predicate):
-                    # future rows could lengthen it to min_times
-                    if (
-                        i >= n
-                        and frontier_open()
-                        and (st.max_times == -1 or i - s0 < st.max_times)
-                    ):
-                        pending[0] = True
-                    if first_stage or st.strict:
-                        if st.min_times == 0:
-                            r = try_stage(si + 1, s0, acc)
-                            if r is not None:
-                                return r
-                        break  # strict stage can't slide
-                    continue
-                # choose repetition count: greedy = max first, else min first
-                lo, hi = st.min_times, len(counts)
-                order = range(hi, lo - 1, -1) if st.greedy else range(lo, hi + 1)
-                for k in order:
-                    if k == 0:
-                        r = try_stage(si + 1, s0, acc)
-                    else:
-                        taken = [(st.name, j) for j in counts[:k]]
-                        r = try_stage(si + 1, counts[k - 1] + 1, acc + taken)
-                    if r is not None:
-                        return r
-                if first_stage or st.strict:
+                sub = (
+                    iter_group(stages, si, st, s0, acc, cont)
+                    if st.group is not None
+                    else iter_simple(stages, si, st, s0, acc, cont)
+                )
+                produced = False
+                for sol in sub:
+                    produced = True
+                    yield sol
+                if anchored or st.strict:
                     break
-            return None
+                if produced and not st.any_match:
+                    break  # plain followed_by commits to the first viable start
+            return
 
-        m = try_stage(0, start, [])
-        return m, (m is None and pending[0])
+        def iter_simple(stages, si, st, s0, acc, cont):
+            seq = accept_run(st, s0, acc)
+            if len(seq) < st.min_times:
+                if st.min_times == 0:
+                    yield from iter_seq(stages, si + 1, s0, acc, None, None, cont)
+                return
+            for choice in run_choices(st, seq):
+                if not choice:
+                    sub = iter_seq(stages, si + 1, s0, acc, None, None, cont)
+                else:
+                    taken = [(st.name, j) for j in choice]
+                    sub = iter_seq(
+                        stages, si + 1, choice[-1] + 1, acc + taken, None, None, cont
+                    )
+                produced = False
+                for sol in sub:
+                    produced = True
+                    yield sol
+                if produced and not (st.combinations or st.any_match):
+                    return  # plain quantifier commits to the first viable k
+
+        def iter_group(stages, si, st, s0, acc, cont):
+            """Group stage: the quantifier repeats the whole sub-pattern.
+            Repetition k+1 starts strictly after repetition k; between
+            repetitions contiguity is relaxed unless consecutive()."""
+            inner = st.group._stages
+
+            def after_rep(count):
+                def k(pos2, acc2):
+                    def close():
+                        yield from iter_seq(stages, si + 1, pos2, acc2, None, None, cont)
+
+                    def extend():
+                        if st.max_times != -1 and count >= st.max_times:
+                            return
+                        if count == 0:
+                            starts2 = [pos2]  # first repetition is anchored
+                        elif st.consecutive:
+                            starts2 = [pos2]
+                        else:
+                            starts2 = range(pos2, n)
+                            if frontier_open():
+                                pending[0] = True
+                        for t0 in starts2:
+                            produced2 = False
+                            for sol in iter_seq(
+                                inner, 0, t0, acc2, None, t0, after_rep(count + 1)
+                            ):
+                                produced2 = True
+                                yield sol
+                            if produced2 and not st.any_match:
+                                break
+
+                    if count < st.min_times:
+                        branches = [extend]
+                    elif st.greedy:
+                        branches = [extend, close]
+                    else:
+                        branches = [close, extend]
+                    for br in branches:
+                        produced = False
+                        for sol in br():
+                            produced = True
+                            yield sol
+                        if produced and not (st.combinations or st.any_match):
+                            return
+
+                return k
+
+            yield from after_rep(0)(s0, list(acc))
+
+        def final(pos, acc):
+            yield list(acc)
+
+        yield from iter_seq(self._stages, 0, start, [], None, start, final)
+
+    def _has_enumeration(self) -> bool:
+        """True when any stage (including group sub-patterns) uses the
+        non-deterministic combinators, so every branch is its own match."""
+        for st in self._stages:
+            if st.any_match or st.combinations:
+                return True
+            if st.group is not None and st.group._has_enumeration():
+                return True
+        return False
 
     def find_matches(
         self,
@@ -390,16 +548,38 @@ class Pattern:
         ts_col: str,
         skip: str = AfterMatchSkip.SKIP_PAST_LAST,
     ) -> list[list[tuple[str, int]]]:
-        """All matches over a sorted event list under the skip strategy."""
+        """All matches over a sorted event list under the skip strategy.
+
+        With `followed_by_any`/`allow_combinations` stages every branch from
+        a start position is emitted as its own match (Flink's
+        non-deterministic runs); the skip strategy then advances from the
+        preferred (first-yielded) match — NO_SKIP is the reference's usual
+        pairing in the NFAITCase suites."""
         out = []
         start = 0
+        enumerate_all = self._has_enumeration()
+        pending = [False]
         while start < len(rows):
-            m = self._match_from(rows, start, ts_col)
-            if m is None:
-                start += 1
-                continue
-            out.append(m)
-            start = _next_start(skip, m, start)
+            if enumerate_all:
+                sols: list[list[tuple[str, int]]] = []
+                seen = set()
+                for m in self._iter_from(rows, start, ts_col, None, pending):
+                    key = tuple(m)
+                    if key not in seen:
+                        seen.add(key)
+                        sols.append(m)
+                if not sols:
+                    start += 1
+                    continue
+                out.extend(sols)
+                start = _next_start(skip, sols[0], start)
+            else:
+                m = self._match_from(rows, start, ts_col)
+                if m is None:
+                    start += 1
+                    continue
+                out.append(m)
+                start = _next_start(skip, m, start)
         return out
 
 
@@ -529,13 +709,18 @@ def _match_extendable(pat: Pattern, m: list[tuple[str, int]], n_sealed: int) -> 
     at_edge = last_idx == n_sealed - 1
     si = _final_stage_index(pat._stages, m)
     st = pat._stages[si]
-    if at_edge and st.max_times != 1:
-        # a quantified run ending at the seal boundary can still grow while
-        # it has headroom: unbounded (-1) or a bounded times(m,n) whose run
-        # has taken fewer than n rows so far. Emitting the bounded case
-        # early diverges from the batch matcher, which would extend it.
+    if st.max_times != 1:
         taken = sum(1 for s, _ in m if s == st.name)
-        if st.max_times == -1 or taken < st.max_times:
+        headroom = st.max_times == -1 or taken < st.max_times
+        # a quantified run with headroom (unbounded, or times(m,n) with
+        # taken < n) can still grow: always when it ends at the seal
+        # boundary; for relaxed internal contiguity even past non-matching
+        # sealed rows — but only a `within` bound can ever finalize that
+        # hold, so without one the match emits at the boundary instead
+        # (documented trade; Flink leaks such runs in state forever).
+        if headroom and at_edge:
+            return True
+        if headroom and not st.consecutive and pat._within is not None:
             return True
     for t in pat._stages[si + 1 :]:
         if t.min_times != 0:
@@ -709,11 +894,12 @@ def match_recognize(
         if name in define:
             pat = pat.where(define[name])
         if suffix == "+":
-            pat = pat.one_or_more().greedy()
+            # SQL rows are consecutive by definition: B+ may not skip rows
+            pat = pat.one_or_more().greedy().consecutive()
         elif suffix == "?":
             pat = pat.optional()
         elif suffix == "*":
-            pat = pat.times(0, None)
+            pat = pat.times(0, None).consecutive()
             pat._stages[-1].max_times = -1
             pat._stages[-1].greedy = True
     if within is not None:

@@ -237,11 +237,12 @@ def match_recognize_sql(
                 lambda r, c=c: r[c] is not None and r[c] == r[c] and bool(r[c])
             )
         if suffix.startswith("+"):
-            pat = pat.one_or_more()
+            # SQL MATCH_RECOGNIZE quantifiers bind consecutive rows
+            pat = pat.one_or_more().consecutive()
             if suffix != "+?":
                 pat = pat.greedy()
         elif suffix.startswith("*"):
-            pat = pat.times(0, None)
+            pat = pat.times(0, None).consecutive()
             pat._stages[-1].max_times = -1
             pat._stages[-1].greedy = suffix != "*?"
         elif suffix == "?":

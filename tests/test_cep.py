@@ -435,9 +435,12 @@ def test_match_recognize_sql_last_define(spark):
 
 
 def _abc_pattern():
+    # consecutive(): these tests pin after-match-skip behavior, so the b-run
+    # must not bridge across non-B rows (Flink's default relaxed internal
+    # contiguity would make b+ span the C/A gaps)
     return (
         Pattern.begin("a").where(lambda r: r["t"] == "A")
-        .next("b").where(lambda r: r["t"] == "B").one_or_more().greedy()
+        .next("b").where(lambda r: r["t"] == "B").one_or_more().consecutive().greedy()
         .next("c").where(lambda r: r["t"] == "C")
     )
 
@@ -458,7 +461,7 @@ def test_skip_to_last_var_overlap():
     # down row, letting it start the next V shape
     pat = (
         Pattern.begin("d").where(lambda r, c: c.prev("v") is not None and r["v"] < c.prev("v"))
-        .one_or_more().greedy()
+        .one_or_more().consecutive().greedy()
         .next("u").where(lambda r, c: c.prev("v") is not None and r["v"] > c.prev("v"))
     )
     rs = vrows(9, 5, 3, 7, 2, 8)
@@ -670,7 +673,10 @@ def test_bounded_quantifier_held_at_seal_boundary():
     past, it finalizes."""
     from flink_parent_spark.streaming.cep import _scan_frontier
 
-    pat = Pattern.begin("a").where(lambda r: r["t"] == "A").times(2, 4).greedy()
+    pat = (
+        Pattern.begin("a").where(lambda r: r["t"] == "A")
+        .times(2, 4).consecutive().greedy()
+    )
     rs = rows("A", "A")
     recs, n, retain = _scan_frontier(
         pat, rs, len(rs), ["k"], "ts", "id", AfterMatchSkip.SKIP_PAST_LAST,
@@ -763,3 +769,129 @@ def test_naive_stream_frontier_gc_no_reemission(spark):
     assert len(streamed) == 6
     assert sorted(streamed["event_id"]) == [0, 1, 2, 3, 4, 5]
     assert streamed["match_id"].nunique() == 3
+
+
+# --- Flink combinators: relaxed/consecutive, followedByAny, combinations,
+# --- group patterns (NFAITCase-style hand-fed sequences) ---------------------
+
+
+def test_relaxed_internal_contiguity_default():
+    """Flink default for looping stages: non-matching rows between
+    repetitions are skipped (consecutive() opts back into strict runs)."""
+    relaxed = (
+        Pattern.begin("a").where(lambda r: r["t"] == "A")
+        .followed_by("b").where(lambda r: r["t"] == "B").one_or_more().greedy()
+        .followed_by("c").where(lambda r: r["t"] == "C")
+    )
+    rs = rows("A", "B", "X", "B", "C")
+    ms = relaxed.find_matches(rs, "ts")
+    assert [names(m) for m in ms] == [[("a", 0), ("b", 1), ("b", 3), ("c", 4)]]
+
+    strict = (
+        Pattern.begin("a").where(lambda r: r["t"] == "A")
+        .followed_by("b").where(lambda r: r["t"] == "B")
+        .one_or_more().consecutive().greedy()
+        .followed_by("c").where(lambda r: r["t"] == "C")
+    )
+    ms2 = strict.find_matches(rs, "ts")
+    assert [names(m) for m in ms2] == [[("a", 0), ("b", 1), ("c", 4)]]
+
+
+def test_followed_by_any_branches_every_start():
+    """followedByAny: every qualifying event after the previous stage forms
+    its own match (NFAITCase testFollowedByAny shape)."""
+    pat = (
+        Pattern.begin("a").where(lambda r: r["t"] == "A")
+        .followed_by_any("b").where(lambda r: r["t"] == "B")
+    )
+    rs = rows("A", "B", "X", "B")
+    ms = pat.find_matches(rs, "ts", AfterMatchSkip.NO_SKIP)
+    assert [names(m) for m in ms] == [
+        [("a", 0), ("b", 1)],
+        [("a", 0), ("b", 3)],
+    ]
+    # plain followed_by commits to the first B only
+    plain = (
+        Pattern.begin("a").where(lambda r: r["t"] == "A")
+        .followed_by("b").where(lambda r: r["t"] == "B")
+    )
+    assert [names(m) for m in plain.find_matches(rs, "ts", AfterMatchSkip.NO_SKIP)] == [
+        [("a", 0), ("b", 1)]
+    ]
+
+
+def test_allow_combinations_enumerates_subsets():
+    """allowCombinations: the quantified run branches on every ordered
+    subset of qualifying rows anchored at the run's first row
+    (NFAITCase testAllowCombinations shape: a b1 b2 -> {b1,b2},{b1},... )."""
+    pat = (
+        Pattern.begin("a").where(lambda r: r["t"] == "A")
+        .followed_by("b").where(lambda r: r["t"] == "B")
+        .one_or_more().allow_combinations().greedy()
+        .followed_by("c").where(lambda r: r["t"] == "C")
+    )
+    rs = rows("A", "B", "B", "B", "C")
+    ms = pat.find_matches(rs, "ts", AfterMatchSkip.NO_SKIP)
+    got = {tuple(i for s, i in m if s == "b") for m in ms}
+    # all subsets of {1,2,3} containing the anchor row 1
+    assert got == {(1, 2, 3), (1, 2), (1, 3), (1,)}
+
+
+def test_group_pattern_quantified():
+    """Group pattern with times(2): (X Y){2} — the whole sub-pattern must
+    repeat back to back (GroupPattern via Pattern.java begin/next(Pattern))."""
+    inner = (
+        Pattern.begin("x").where(lambda r: r["t"] == "X")
+        .next("y").where(lambda r: r["t"] == "Y")
+    )
+    pat = Pattern.begin(inner).times(2).consecutive()
+    ms = pat.find_matches(rows("X", "Y", "X", "Y"), "ts")
+    assert [names(m) for m in ms] == [[("x", 0), ("y", 1), ("x", 2), ("y", 3)]]
+    assert pat.find_matches(rows("X", "Y", "X", "X"), "ts") == []
+
+
+def test_group_pattern_relaxed_repetition_and_tail():
+    """Quantified group with relaxed repetition contiguity skips noise
+    between repetitions; a following stage continues after the group."""
+    inner = (
+        Pattern.begin("x").where(lambda r: r["t"] == "X")
+        .next("y").where(lambda r: r["t"] == "Y")
+    )
+    pat = (
+        Pattern.begin(inner).times(2)
+        .followed_by("z").where(lambda r: r["t"] == "Z")
+    )
+    rs = rows("X", "Y", "N", "X", "Y", "Z")
+    ms = pat.find_matches(rs, "ts")
+    assert [names(m) for m in ms] == [
+        [("x", 0), ("y", 1), ("x", 3), ("y", 4), ("z", 5)]
+    ]
+
+
+def test_group_pattern_optional():
+    """(X Y)? between A and C. A greedy optional group prefers taking the
+    repetition; a reluctant one prefers zero (same preference order as
+    single-stage optionals); absent rows fall through either way."""
+    def mk(greedy: bool):
+        inner = (
+            Pattern.begin("x").where(lambda r: r["t"] == "X")
+            .next("y").where(lambda r: r["t"] == "Y")
+        )
+        p = (
+            Pattern.begin("a").where(lambda r: r["t"] == "A")
+            .followed_by(inner).optional()
+        )
+        if greedy:
+            p = p.greedy()
+        return p.followed_by("c").where(lambda r: r["t"] == "C")
+
+    rs = rows("A", "X", "Y", "C")
+    assert [names(m) for m in mk(True).find_matches(rs, "ts")] == [
+        [("a", 0), ("x", 1), ("y", 2), ("c", 3)]
+    ]
+    assert [names(m) for m in mk(False).find_matches(rs, "ts")] == [
+        [("a", 0), ("c", 3)]
+    ]
+    assert [names(m) for m in mk(True).find_matches(rows("A", "C"), "ts")] == [
+        [("a", 0), ("c", 1)]
+    ]

@@ -151,6 +151,7 @@ def test_cep_v_dip_matches_islands_model(vals):
         .next("down")
         .where(lambda r, c: c.prev("v") is not None and r["v"] < c.prev("v"))
         .one_or_more()
+        .consecutive()
         .greedy()
         .next("up")
         .where(lambda r, c: c.prev("v") is not None and r["v"] > c.prev("v"))
