@@ -1146,3 +1146,113 @@ def cep_followed_by_any(spark, sf_dir):
     return cep_pattern(
         t["events"], pat, ["user_id"], "ts", "event_id", AfterMatchSkip.NO_SKIP
     )
+
+
+@df_query(
+    "stream_temporal_proctime_join",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ), tagged AS (
+      SELECT user_id, ts, event_id, value, is_p,
+             LAST_VALUE(CASE WHEN is_v = 1 THEN event_id END IGNORE NULLS)
+               OVER w AS view_id,
+             LAST_VALUE(CASE WHEN is_v = 1 THEN value END IGNORE NULLS)
+               OVER w AS view_value
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, ts, event_id, value AS purchase_value,
+           view_id, view_value
+    FROM tagged WHERE is_p = 1
+    """,
+)
+def stream_temporal_proctime_join(spark, sf_dir):
+    """Processing-time temporal join (TemporalProcessTimeJoinOperator):
+    each purchase joins the user's CURRENT latest view at the moment it is
+    processed — nulls before the first view (left temporal join). State is
+    one right row per key. Oracle reconstructs the same 'latest version so
+    far' with an IGNORE NULLS running window over the merged event order."""
+    from flink_parent_spark.streaming.stateful import (
+        streaming_temporal_proctime_join,
+    )
+
+    ev = stream_table(spark, sf_dir, "events")
+    out = streaming_temporal_proctime_join(
+        ev.filter(F.col("event_type") == "purchase").withColumnRenamed(
+            "value", "purchase_value"
+        ),
+        ev.filter(F.col("event_type") == "view"),
+        ["user_id"],
+        ["purchase_value"],
+        {"view_id": "event_id", "view_value": "value"},
+        "ts",
+        tiebreak_col="event_id",
+        how="left",
+    )
+    return run_stream_to_df(out, "update")
+
+
+@df_query(
+    "changelog_source_normalize",
+    oracle="""
+    WITH src AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'error' THEN '-D' ELSE '+U' END AS op
+      FROM events WHERE event_type IN ('signup', 'view', 'error')
+    ), pos AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS rn
+      FROM src
+    ), st AS (
+      SELECT *,
+             MAX(CASE WHEN op = '+U' THEN rn END) OVER w AS last_u,
+             MAX(CASE WHEN op = '-D' THEN rn END) OVER w AS last_d
+      FROM pos
+      WINDOW w AS (PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), joined AS (
+      SELECT s.user_id, s.ts, s.event_id, s.value, s.op,
+             p.value AS prev_val,
+             (s.last_u IS NOT NULL
+              AND (s.last_d IS NULL OR s.last_u > s.last_d)) AS prev_exists
+      FROM st s LEFT JOIN pos p
+        ON p.user_id = s.user_id AND p.rn = s.last_u
+    )
+    SELECT user_id, ts, event_id, prev_val AS value,
+           '-U' AS __rowkind, 0 AS emit_sub
+    FROM joined WHERE op = '+U' AND prev_exists
+    UNION ALL
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN prev_exists THEN '+U' ELSE '+I' END, 1
+    FROM joined WHERE op = '+U'
+    UNION ALL
+    SELECT user_id, ts, event_id, prev_val, '-D', 1
+    FROM joined WHERE op = '-D' AND prev_exists
+    """,
+)
+def changelog_source_normalize(spark, sf_dir):
+    """Upsert/changelog SOURCE ingestion (ChangelogSourceITCase semantics;
+    runtime ChangelogNormalizeOperator): a foreign RowKind-tagged stream —
+    signups/views as +U upserts of the user's value, errors as -D deletes —
+    is normalized against per-key state into a well-formed changelog:
+    +I on first version, -U/+U pairs on change, -D only for present keys.
+    The oracle reconstructs the same emissions with last-upsert /
+    last-delete window bookkeeping."""
+    from flink_parent_spark.streaming.changelog import changelog_normalize
+
+    ev = stream_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "view", "error")
+    )
+    tagged = ev.withColumn(
+        "__rowkind",
+        F.when(F.col("event_type") == "error", F.lit("-D")).otherwise(F.lit("+U")),
+    )
+    out = changelog_normalize(
+        tagged, ["user_id"], "ts", ["value"], tiebreak_col="event_id"
+    )
+    return run_stream_to_df(out, "update")

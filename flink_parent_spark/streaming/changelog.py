@@ -97,3 +97,89 @@ def retract_aggregate(
     out = changelog.groupBy(*group_cols).agg(*aggs)
     # groups whose net count dropped to zero were fully retracted away
     return out.filter(F.col(count_alias) > 0)
+
+
+def changelog_normalize(
+    sdf: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_cols: Sequence[str],
+    rowkind_col: str = ROWKIND_COL,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Ingest a FOREIGN changelog/upsert stream (the consuming side the
+    reference exercises in ChangelogSourceITCase; runtime equivalent:
+    ChangelogNormalizeOperator over an upsert source). Input rows carry a
+    RowKind column produced elsewhere; per-key state is the current
+    version, and the output is the normalized changelog:
+
+    - +I/+U with no current version    -> +I(new)
+    - +I/+U with a current version     -> -U(old), +U(new)
+    - -D with a current version        -> -D(old); key becomes absent
+    - -D with no current version       -> dropped (delete of absent key)
+    - incoming -U                      -> dropped (normalize rebuilds
+                                          update-before from its own state,
+                                          so upsert sources need not send it)
+
+    Emitted rows carry the triggering row's (order, tiebreak) position plus
+    `emit_sub` (0 = the -U half, 1 = the +I/+U/-D half) so the changelog
+    has a deterministic total order under replay. State: one row per key."""
+    out_cols = list(dict.fromkeys([*key_cols, order_col, *value_cols]))
+    if tiebreak_col and tiebreak_col not in out_cols:
+        out_cols.append(tiebreak_col)
+    dt = dict(sdf.dtypes)
+    out_schema = (
+        ", ".join(f"`{c}` {dt[c]}" for c in out_cols)
+        + f", `{rowkind_col}` string, `emit_sub` int"
+    )
+    vschema = ", ".join(f"{c}: {dt[c]}" for c in value_cols)
+    state_schema = f"cur struct<{vschema}>, present boolean"
+    in_cols = [*out_cols, rowkind_col]
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        cur = (
+            dict(zip(value_cols, state.get[0]))
+            if state.exists and state.get[1]
+            else None
+        )
+        recs: list[dict] = []
+        for pdf in pdfs:
+            recs.extend(pdf[in_cols].to_dict("records"))
+        recs.sort(
+            key=lambda r: (r[order_col], r[tiebreak_col] if tiebreak_col else 0)
+        )
+        emitted: list[dict] = []
+
+        def emit(rec: dict, kind: str, vals: dict, sub: int) -> None:
+            row = {c: rec[c] for c in out_cols}
+            row.update({c: vals[c] for c in value_cols})
+            row[rowkind_col] = kind
+            row["emit_sub"] = sub
+            emitted.append(row)
+
+        for rec in recs:
+            kind = rec[rowkind_col]
+            if kind in (INSERT, UPDATE_AFTER):
+                new = {c: rec[c] for c in value_cols}
+                if cur is None:
+                    emit(rec, INSERT, new, 1)
+                else:
+                    emit(rec, UPDATE_BEFORE, cur, 0)
+                    emit(rec, UPDATE_AFTER, new, 1)
+                cur = new
+            elif kind == DELETE:
+                if cur is not None:
+                    emit(rec, DELETE, cur, 1)
+                    cur = None
+            # UPDATE_BEFORE from the source is dropped
+        state.update(
+            (
+                tuple((cur or {}).get(c) for c in value_cols),
+                cur is not None,
+            )
+        )
+        yield pd.DataFrame(emitted, columns=[*out_cols, rowkind_col, "emit_sub"])
+
+    return sdf.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

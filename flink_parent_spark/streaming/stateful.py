@@ -436,3 +436,89 @@ def streaming_semi_anti_join(
     return both.groupBy(*key_cols).applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_temporal_proctime_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    left_payload: Sequence[str],
+    right_payload: dict[str, str],
+    order_col: str,
+    tiebreak_col: str | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """Processing-time temporal join (TemporalProcessTimeJoinOperator.java
+    semantics, re-derived): each left row joins the LATEST right-side
+    version of its key at the moment it is processed — no right-side
+    history is kept, just the current row per key, which is exactly the
+    reference's single-value temporal state.
+
+    `right_payload` maps output column name -> right column (renaming
+    avoids clashes when both sides come from the same table). `how` is
+    'left' (emit with nulls before the first right version) or 'inner'
+    (suppress until a version exists). Rows are processed in
+    (order_col, tiebreak) order so the replayed changelog is
+    deterministic; per-key state is ONE right row regardless of stream
+    length."""
+    out_left = list(dict.fromkeys([*key_cols, order_col, *left_payload]))
+    if tiebreak_col and tiebreak_col not in out_left:
+        out_left.append(tiebreak_col)
+    right_outs = list(right_payload)
+    from pyspark.sql import functions as F
+
+    ldt = dict(left.dtypes)
+    rdt = dict(right.dtypes)
+    lsel = left.select(
+        *out_left,
+        *[F.lit(None).cast(rdt[src]).alias(o) for o, src in right_payload.items()],
+        F.lit("L").alias("__side"),
+    )
+    join_side = {*key_cols, order_col}
+    if tiebreak_col:
+        join_side.add(tiebreak_col)
+    rsel = right.select(
+        *[
+            F.col(c) if c in join_side else F.lit(None).cast(ldt[c]).alias(c)
+            for c in out_left
+        ],
+        *[F.col(src).alias(o) for o, src in right_payload.items()],
+        F.lit("R").alias("__side"),
+    )
+    both = lsel.unionByName(rsel)
+
+    rschema = ", ".join(f"`{o}` {rdt[src]}" for o, src in right_payload.items())
+    out_schema = _schema_of(left, out_left) + ", " + rschema
+    state_schema = "cur struct<" + rschema.replace("`", "") + ">, seen boolean"
+    cols = [*out_left, *right_outs, "__side"]
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        cur = tuple(state.get[0]) if state.exists and state.get[1] else None
+        emitted: list[dict] = []
+        recs: list[dict] = []
+        for pdf in pdfs:
+            recs.extend(pdf[cols].to_dict("records"))
+        recs.sort(
+            key=lambda r: (r[order_col], r[tiebreak_col] if tiebreak_col else 0)
+        )
+        for rec in recs:
+            if rec["__side"] == "R":
+                cur = tuple(rec[o] for o in right_outs)
+            else:
+                if cur is None and how == "inner":
+                    continue
+                vals = cur if cur is not None else (None,) * len(right_outs)
+                emitted.append(
+                    {
+                        **{c: rec[c] for c in out_left},
+                        **dict(zip(right_outs, vals)),
+                    }
+                )
+        state.update((cur if cur is not None else (None,) * len(right_outs), cur is not None))
+        yield pd.DataFrame(emitted, columns=[*out_left, *right_outs])
+
+    return both.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
