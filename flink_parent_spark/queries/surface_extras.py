@@ -496,3 +496,30 @@ def side_output_route_counts(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@df_query(
+    "format_avro_roundtrip",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events WHERE user_id < 50
+    """,
+)
+def format_avro_roundtrip(spark, sf_dir):
+    """Avro format coverage (flink-formats/flink-avro parity): events ->
+    Avro object container files (pure-Python OCF codec; the spark-avro
+    module jar is absent in this container) -> distributed binaryFile +
+    mapInPandas read-back. Values, nulls, and timestamp-micros must
+    round-trip bit-exactly."""
+    import shutil
+
+    from flink_parent_spark.sources.avro_format import read_avro, write_avro
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].filter(F.col("user_id") < 50).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    out = os.path.join(tempfile.gettempdir(), "fps_avro_roundtrip")
+    shutil.rmtree(out, ignore_errors=True)
+    write_avro(ev.repartition(4), out)
+    return read_avro(spark, out)

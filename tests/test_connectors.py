@@ -88,3 +88,31 @@ def test_socket_source_reads_lines(spark):
 def test_kafka_recipe_fails_clearly_without_broker(spark):
     with pytest.raises(RuntimeError, match="kafka connector requires"):
         kafka_source(spark, "localhost:9092", "topic")
+
+
+def test_avro_ocf_roundtrip_nulls_and_types(spark):
+    """Pure-Python Avro OCF codec: nullable unions, timestamps at micro
+    precision, booleans, and empty partitions all round-trip exactly."""
+    import datetime as dtm
+    import os
+    import shutil
+    import tempfile
+
+    from flink_parent_spark.sources.avro_format import read_avro, write_avro
+
+    rows = [
+        (1, dtm.datetime(2024, 1, 1, 12, 0, 0, 123456), "a", 1.5, True),
+        (2, None, None, None, None),
+        (3, dtm.datetime(2024, 6, 30, 23, 59, 59, 999999), "", -0.0, False),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, ts timestamp, s string, v double, b boolean"
+    ).repartition(5)  # more partitions than rows: empty-partition path
+    d = os.path.join(tempfile.gettempdir(), "avro_unit_rt")
+    shutil.rmtree(d, ignore_errors=True)
+    write_avro(df, d)
+    back = read_avro(spark, d)
+    assert dict(back.dtypes) == dict(df.dtypes)
+    got = sorted([tuple(r) for r in back.collect()])
+    exp = sorted([tuple(r) for r in df.collect()])
+    assert got == exp
