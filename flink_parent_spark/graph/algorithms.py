@@ -393,3 +393,82 @@ def community_detection(
         )
         state = _materialize(state)
     return state
+
+
+def adamic_adar(edges: DataFrame) -> DataFrame:
+    """Adamic-Adar vertex similarity (Gelly similarity/AdamicAdar.java):
+    for each vertex pair with >= 1 common neighbor,
+    score = sum over common neighbors w of 1/ln(deg(w)). Inverted-index
+    join on the shared neighbor (never materializes O(n^2) pairs); the
+    per-neighbor weight is quantized to 9 decimals (JVM and C libm ln()
+    differ in the last ulp) and summed through a fixed-scale decimal so
+    the total is order-independent and bit-identical across engines.
+    Output: (id_a, id_b, score) with id_a < id_b; neighbors of degree 1
+    contribute nothing and degree-1-only pairs never appear (1/ln(1)
+    undefined — Gelly filters them the same way)."""
+    und = _undirect(edges)
+    deg = und.groupBy(F.col("src").alias("w")).agg(F.count("*").alias("deg"))
+    # weight of a shared neighbor w: 1/ln(deg(w)), deg >= 2
+    w = deg.filter(F.col("deg") >= 2).withColumn(
+        "weight", F.round(F.lit(1.0) / F.log(F.col("deg").cast("double")), 9)
+    )
+    nb = und.select(F.col("dst").alias("w"), F.col("src").alias("u"))
+    a = nb.select("w", F.col("u").alias("id_a"))
+    b = nb.select("w", F.col("u").alias("id_b"))
+    pairs = (
+        a.join(b, "w")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(w.select("w", "weight"), "w")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(F.col("weight").cast("decimal(30,9)"))
+            .cast("double")
+            .alias("score")
+        )
+    )
+    return pairs
+
+
+def scatter_gather(
+    vertices: DataFrame,
+    edges: DataFrame,
+    initial_expr: str,
+    message_expr: str,
+    aggregate,
+    update_expr: str,
+    n_iter: int,
+    directed: bool = False,
+) -> DataFrame:
+    """Generic scatter-gather iteration framework (Gelly
+    spargel/ScatterGatherIteration.java re-expressed declaratively):
+
+    - scatter: every edge src->dst sends `message_expr` (an SQL expression
+      over the source's (id, value) state) to dst;
+    - gather: per-vertex `aggregate` (a pyspark aggregate function) over
+      the incoming `__msg` column;
+    - update: `update_expr` over (id, value, __agg) produces the next
+      value; vertices with no messages see __agg = NULL.
+
+    Each superstep is one shuffle-by-dst + one state join — the same
+    dataflow the per-algorithm loops in this module use, offered as the
+    reusable surface Gelly exposes. Expressions keep every superstep in
+    Catalyst (no Python in the loop body). Output: (id, value)."""
+    und = _materialize(
+        edges.select("src", "dst") if directed else _undirect(edges)
+    )
+    state = _materialize(
+        vertices.select("id").withColumn("value", F.expr(initial_expr))
+    )
+    for _ in range(n_iter):
+        msgs = (
+            und.join(state, und.src == state.id)
+            .select(F.col("dst").alias("id"), F.expr(message_expr).alias("__msg"))
+            .filter(F.col("__msg").isNotNull())
+        )
+        agg = msgs.groupBy("id").agg(aggregate(F.col("__msg")).alias("__agg"))
+        state = _materialize(
+            state.join(agg, "id", "left").select(
+                "id", F.expr(update_expr).alias("value")
+            )
+        )
+    return state

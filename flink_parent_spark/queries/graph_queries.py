@@ -430,3 +430,36 @@ def graph_community_detection(spark, sf_dir):
 
     v, e = _spark_graph(spark, sf_dir)
     return community_detection(v, e, n_iter=2, delta=0.5)
+
+
+@df_query(
+    "graph_adamic_adar",
+    oracle=f"""
+    WITH {_DUCK_EDGES},
+    deg AS (SELECT src AS w, COUNT(*) AS deg FROM und GROUP BY src),
+    wt AS (
+      SELECT w, ROUND(1.0 / LN(CAST(deg AS DOUBLE)), 9) AS weight
+      FROM deg WHERE deg >= 2
+    ),
+    nb AS (SELECT dst AS w, src AS u FROM und)
+    SELECT a.u AS id_a, b.u AS id_b,
+           CAST(SUM(CAST(wt.weight AS DECIMAL(30,9))) AS DOUBLE) AS score
+    FROM nb a JOIN nb b ON a.w = b.w AND a.u < b.u
+    JOIN wt ON wt.w = a.w
+    GROUP BY a.u, b.u
+    ORDER BY score DESC, id_a, id_b
+    LIMIT 10000
+    """,
+)
+def graph_adamic_adar(spark, sf_dir):
+    """Adamic-Adar similarity (Gelly similarity/AdamicAdar.java) on the
+    supplier-part graph; deterministic top-10k like the Jaccard query (the
+    full pair set is ~2M rows of result bloat at sf0.01)."""
+    from flink_parent_spark.graph.algorithms import adamic_adar
+
+    _, e = _spark_graph(spark, sf_dir)
+    return (
+        adamic_adar(e)
+        .orderBy(F.desc("score"), "id_a", "id_b")
+        .limit(10000)
+    )

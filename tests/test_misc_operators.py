@@ -93,3 +93,35 @@ def test_insert_into_sink(spark):
     )
     env.execute_sql("INSERT INTO sink_t SELECT * FROM src_r")
     assert spark.read.parquet(out).count() == 5
+
+
+def test_scatter_gather_framework_sssp(spark):
+    """The generic scatter-gather surface (Gelly ScatterGatherIteration
+    parity) reproduces the dedicated SSSP loop when given its scatter/
+    gather/update expressions."""
+    from pyspark.sql import functions as F
+
+    from flink_parent_spark.graph.algorithms import scatter_gather, sssp_hops
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (0, 5), (5, 3)],
+        "src long, dst long",
+    )
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    got = scatter_gather(
+        vertices,
+        edges,
+        initial_expr="CASE WHEN id = 0 THEN CAST(0 AS BIGINT) END",
+        message_expr="value + 1",
+        aggregate=F.min,
+        update_expr="LEAST(COALESCE(value, __agg), COALESCE(__agg, value))",
+        n_iter=6,
+    )
+    expected = sssp_hops(vertices, edges, source=0, max_iter=6)
+    g = {r["id"]: r["value"] for r in got.collect() if r["value"] is not None}
+    e = {r["id"]: r["dist"] for r in expected.collect()}
+    assert g == e and g[4] == 3 and 10 not in g
