@@ -24,12 +24,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 _READERS = {"parquet", "orc", "json", "csv"}
-# avro (flink-formats/flink-avro parity) maps to Spark's external
-# spark-avro module (format("avro") + from_avro/to_avro); it is not bundled
-# in a plain pyspark install — in this container the jar is absent, so the
-# surface is documented rather than registered (add
-# --packages org.apache.spark:spark-avro_2.13:<ver> on a real cluster and
-# append "avro" here; reader/writer code paths below need no other change).
+# avro (flink-formats/flink-avro parity): on a real cluster Spark's
+# external spark-avro module (format("avro") + from_avro/to_avro, add
+# --packages org.apache.spark:spark-avro_2.13:<ver>) is the native path;
+# this container lacks the jar, so a RUNNABLE fallback lives in
+# sources/avro_format.py — a pure-Python Avro OCF codec driven through
+# binaryFile + mapInPandas (distributed per-file decode, per-partition
+# encode), oracle-checked by the `format_avro_roundtrip` query.
 
 
 def read_table(
