@@ -45,6 +45,10 @@ FLINK_SQL_UDFS: dict[str, tuple[str, str]] = {
     ),
     # Flink HASH_CODE(string)
     "HASH_CODE": ("(s STRING) RETURNS INT", "hash(s)"),
+    # FlinkSqlOperatorTable PROCTIME(): processing-time attribute — maps to
+    # the session-evaluated current timestamp (nondeterministic by nature,
+    # so no oracle; surface parity for Flink-SQL queries that select it)
+    "PROCTIME": ("() RETURNS TIMESTAMP", "current_timestamp()"),
 }
 
 # helper used by SPLIT_INDEX: element_at throws past-end in ANSI mode

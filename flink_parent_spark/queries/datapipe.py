@@ -690,3 +690,149 @@ def multimodal_frame_sample(spark, sf_dir):
     return decoded.mapInPandas(
         frames, "doc_id bigint, frame_idx int, byte_offset bigint"
     )
+
+
+# --- training-data pipeline extras ------------------------------------------
+
+
+@df_query(
+    "sample_hash_stratified",
+    oracle="""
+    WITH rates(lang, pct) AS (VALUES ('en', 50), ('de', 25), ('fr', 10))
+    SELECT d.doc_id, d.lang,
+           ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+             AS bucket
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+          < r.pct
+    """,
+)
+def sample_hash_stratified(spark, sf_dir):
+    """Deterministic stratified sampling — the production alternative to
+    rand(): the keep/drop decision is a pure function of the document id
+    (md5 bucket), so the sample is reproducible across runs, engines, and
+    repartitioning, and rates vary per stratum (language). At 100 TB this
+    is a map-only filter on the scan with a broadcast rate table — no
+    shuffle, no RNG state."""
+    t = load_tables(spark, sf_dir)
+    rates = spark.createDataFrame(
+        [("en", 50), ("de", 25), ("fr", 10)], "lang string, pct int"
+    )
+    d = t["documents"].withColumn(
+        "bucket",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100,
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(F.col("bucket") < F.col("pct"))
+        .select("doc_id", "lang", "bucket")
+    )
+
+
+@df_query(
+    "dedup_best_per_source",
+    oracle=r"""
+    WITH scored AS (
+      SELECT doc_id, source, n_chars,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+               / GREATEST(length(text), 1) AS density
+      FROM documents
+    )
+    SELECT source, doc_id AS best_doc_id, n_chars AS best_n_chars
+    FROM (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY density DESC, doc_id) AS rn
+      FROM scored) t
+    WHERE rn = 1
+    """,
+)
+def dedup_best_per_source(spark, sf_dir):
+    """Per-source canonical selection — keep the best-quality document per
+    source (max_by over a quality proxy, ties to smallest id). The
+    aggregate form is one partial-aggregated shuffle on source (no window
+    over the full corpus), which is the shape that survives 10^9 sources."""
+    t = load_tables(spark, sf_dir)
+    scored = t["documents"].withColumn(
+        "density",
+        (F.size(F.split(F.trim("text"), r"\s+")).cast("double"))
+        / F.greatest(F.length("text"), F.lit(1)),
+    )
+    return scored.groupBy("source").agg(
+        F.max_by(
+            F.struct("doc_id", "n_chars"),
+            F.struct(F.col("density"), -F.col("doc_id")),
+        ).alias("best")
+    ).select(
+        "source",
+        F.col("best.doc_id").alias("best_doc_id"),
+        F.col("best.n_chars").alias("best_n_chars"),
+    )
+
+
+@df_query(
+    "text_ngram_contamination",
+    oracle=r"""
+    WITH bench AS (
+      SELECT DISTINCT tok || ' ' || t1 || ' ' || t2 || ' ' || t3 || ' ' || t4
+               AS sh
+      FROM (
+        SELECT doc_id, tok, i,
+               LEAD(tok, 1) OVER w AS t1, LEAD(tok, 2) OVER w AS t2,
+               LEAD(tok, 3) OVER w AS t3, LEAD(tok, 4) OVER w AS t4
+        FROM (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
+                 generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS i
+          FROM documents WHERE doc_id < 50)
+        WINDOW w AS (PARTITION BY doc_id ORDER BY i)) g
+      WHERE t4 IS NOT NULL
+    ), corpus AS (
+      SELECT doc_id, tok || ' ' || t1 || ' ' || t2 || ' ' || t3 || ' ' || t4 AS sh
+      FROM (
+        SELECT doc_id, tok, i,
+               LEAD(tok, 1) OVER w AS t1, LEAD(tok, 2) OVER w AS t2,
+               LEAD(tok, 3) OVER w AS t3, LEAD(tok, 4) OVER w AS t4
+        FROM (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
+                 generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS i
+          FROM documents WHERE doc_id >= 50)
+        WINDOW w AS (PARTITION BY doc_id ORDER BY i)) g
+      WHERE t4 IS NOT NULL
+    )
+    SELECT c.doc_id, COUNT(DISTINCT c.sh) AS contaminated_shingles
+    FROM corpus c JOIN bench b ON c.sh = b.sh
+    GROUP BY c.doc_id
+    """,
+)
+def text_ngram_contamination(spark, sf_dir):
+    """Benchmark-contamination detection: count each corpus document's
+    distinct 5-gram shingles that also appear in a benchmark set (docs
+    with id < 50 stand in for the eval set). Inverted-index equi-join on
+    the shingle string — the corpus side never materializes pairs, and the
+    benchmark shingle set is the small broadcast side at scale."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+
+    def shingles(df):
+        toks = F.split(F.trim("text"), r"\s+")
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 5),
+                    lambda i: F.array_join(F.slice(toks, i + 1, 5), " "),
+                )
+            ).alias("sh"),
+        )
+
+    bench = (
+        shingles(d.filter(F.col("doc_id") < 50)).select("sh").distinct()
+    )
+    corpus = shingles(d.filter(F.col("doc_id") >= 50))
+    return (
+        corpus.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("sh").alias("contaminated_shingles"))
+    )

@@ -957,7 +957,7 @@ def stream_over_range_bounded(spark, sf_dir):
     bounded by the range. Full replay must equal the batch RANGE window."""
     from flink_parent_spark.streaming.stateful import streaming_over_range_bounded
 
-    ev = stream_table(spark, sf_dir, "events")
+    ev = stream_table(spark, sf_dir, "events", watermark=("ts", "0 seconds"))
     out = streaming_over_range_bounded(
         ev, ["user_id"], "ts", "value", 3600, ["event_id"], tiebreak_col="event_id"
     )

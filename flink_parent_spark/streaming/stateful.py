@@ -196,37 +196,65 @@ def streaming_over_range_bounded(
     RowTimeRangeBoundedPrecedingFunction.java:277 parity (algorithm, not
     code): per key, a state buffer of (ts, value) inside the trailing range
     window; rows process in event-time order, all rows sharing a timestamp
-    aggregate together (SQL RANGE peer semantics — the reference fires per
-    timestamp on watermark), and buffer entries older than ts - range are
-    evicted as the window slides, so state is bounded by the range, not the
-    stream. Accumulation in integer micros (exact, restart-safe)."""
+    aggregate together (SQL RANGE peer semantics), and buffer entries older
+    than ts - range are evicted as the window slides, so state is bounded
+    by the range, not the stream. Accumulation in integer micros (exact,
+    restart-safe).
+
+    When the input carries a watermark, rows are HELD until sealed
+    (event time <= watermark) and processed in event-time order on
+    watermark advance — the reference's fire-per-timestamp-on-watermark
+    behavior, which keeps cross-batch out-of-order rows (within the delay)
+    correct; rows later than an already-fired timestamp are dropped like
+    the reference's late elements. Without a watermark the operator
+    processes each batch in event-time order immediately (arrival-order
+    semantics, exact for single-batch replay)."""
     out_cols = list(dict.fromkeys([*key_cols, ts_col, value_col, *payload_cols]))
     out_schema = _schema_of(sdf, out_cols) + ", `range_sum` double, `range_cnt` bigint"
-    state_schema = "buf array<struct<ts: timestamp, v: bigint>>"
+    state_schema = (
+        "pend array<struct<" + _schema_of(sdf, out_cols).replace("`", "") + ">>, "
+        "buf array<struct<ts: timestamp, v: bigint>>, frontier bigint"
+    )
     _Q = Decimal("0.000001")
     import datetime as _dt
 
     rng = _dt.timedelta(seconds=range_seconds)
+    held = "EventTimeWatermark" in sdf._jdf.queryExecution().logical().toString()
+
+    def to_ms(ts) -> int:
+        return int(pd.Timestamp(ts).value // 1_000_000)
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        buf: list[tuple] = list(state.get[0]) if state.exists else []
-        frames = [pdf[out_cols] for pdf in pdfs]
-        sort_cols = [ts_col, tiebreak_col] if tiebreak_col else [ts_col]
-        batch = (
-            pd.concat(frames).sort_values(sort_cols)
-            if frames
-            else pd.DataFrame(columns=out_cols)
+        pend_rows, buf, frontier = (
+            (list(state.get[0]), list(state.get[1]), state.get[2])
+            if state.exists
+            else ([], [], -(2**62))
+        )
+        pend = [dict(zip(out_cols, r)) for r in pend_rows]
+        for pdf in pdfs:
+            for rec in pdf[out_cols].to_dict("records"):
+                # late element: its timestamp already fired (reference drop)
+                if to_ms(rec[ts_col]) <= frontier:
+                    continue
+                pend.append(rec)
+        wm_ms = state.getCurrentWatermarkMs() if held else 0
+        if held:
+            sealed = [r for r in pend if to_ms(r[ts_col]) <= wm_ms]
+            pend = [r for r in pend if to_ms(r[ts_col]) > wm_ms]
+        else:
+            sealed, pend = pend, []
+        sealed.sort(
+            key=lambda r: (r[ts_col], r[tiebreak_col] if tiebreak_col else 0)
         )
         sums: list[float] = []
         cnts: list[int] = []
-        recs = batch.to_dict("records")
         i = 0
-        while i < len(recs):
+        while i < len(sealed):
             # peer group: all rows at this timestamp enter the buffer first
             j = i
-            t = recs[i][ts_col]
-            while j < len(recs) and recs[j][ts_col] == t:
-                v = recs[j][value_col]
+            t = sealed[i][ts_col]
+            while j < len(sealed) and sealed[j][ts_col] == t:
+                v = sealed[j][value_col]
                 buf.append(
                     (t, int(Decimal(float(v)).quantize(_Q, rounding=ROUND_HALF_UP) * 1_000_000))
                 )
@@ -239,14 +267,30 @@ def streaming_over_range_bounded(
                 sums.append(s)
                 cnts.append(c)
             i = j
-        out = batch.copy()
-        out["range_sum"] = pd.Series(sums, index=out.index, dtype="float64")
-        out["range_cnt"] = pd.Series(cnts, index=out.index, dtype="int64")
-        state.update((buf,))
+        if sealed:
+            frontier = max(frontier, to_ms(sealed[-1][ts_col]))
+        state.update(
+            (
+                [tuple(r[c] for c in out_cols) for r in pend],
+                buf,
+                frontier,
+            )
+        )
+        if held and pend:
+            state.setTimeoutTimestamp(
+                max(wm_ms + 1, min(to_ms(r[ts_col]) for r in pend))
+            )
+        out = pd.DataFrame(sealed, columns=out_cols)
+        out["range_sum"] = pd.Series(sums, dtype="float64")
+        out["range_cnt"] = pd.Series(cnts, dtype="int64")
         yield out
 
     return sdf.groupBy(*key_cols).applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.EventTimeTimeout if held else GroupStateTimeout.NoTimeout,
     )
 
 

@@ -161,3 +161,54 @@ def test_idleness_policy_unblocks_idle_source(spark):
     # branches
     assert len(flowing) >= 2
     assert set(flowing["k"]) == {"a", "i"}
+
+
+def test_over_range_bounded_out_of_order_across_batches(spark):
+    """Watermark-held RANGE-bounded OVER: an out-of-order row arriving in a
+    LATER micro-batch (within the delay) must aggregate against the buffer
+    as of ITS event time, not against newer already-arrived rows — full
+    scrambled replay equals the batch RANGE window."""
+    import datetime as dtm
+
+    import pandas as pd
+
+    from flink_parent_spark.streaming.stateful import (
+        streaming_over_range_bounded,
+    )
+
+    T = dtm.datetime(2024, 1, 1)
+
+    def ev(minute, eid, v):
+        return (T + dtm.timedelta(minutes=minute), 1, eid, float(v))
+
+    # event-time order: 0,10,20,30,40; arrival scrambles 10 after 20/30
+    batches = [
+        [ev(0, 0, 1.0), ev(20, 2, 4.0)],
+        [ev(30, 3, 8.0), ev(10, 1, 2.0)],   # late-but-in-delay row
+        [ev(40, 4, 16.0), ev(240, 9, 0.0)],  # advancer seals everything
+    ]
+    schema = "ts timestamp, user_id long, event_id long, value double"
+    d = _write_batches(spark, batches, schema)
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .withWatermark("ts", "30 minutes")
+    )
+    out = streaming_over_range_bounded(
+        sdf, ["user_id"], "ts", "value", 1800, ["event_id"], tiebreak_col="event_id"
+    )
+    got = run_stream_to_df(out, "append").toPandas()
+
+    # trailing 30-minute windows, boundary INCLUSIVE (SQL RANGE PRECEDING).
+    # The advancer at minute 240 never seals (wm stops 30 min behind it) and
+    # so never fires — the reference's unfired-tail behavior.
+    expect = {
+        0: (1.0, 1),    # [0]
+        1: (3.0, 2),    # [0,10]
+        2: (7.0, 3),    # [0,10,20] — includes the late row 10
+        3: (15.0, 4),   # [0,10,20,30]
+        4: (30.0, 4),   # [10,20,30,40]
+    }
+    got_m = {int(r.event_id): (r.range_sum, int(r.range_cnt)) for r in got.itertuples()}
+    assert got_m == expect

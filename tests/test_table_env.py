@@ -142,3 +142,10 @@ def test_group_window_dialect_runs(tenv):
     ).to_df()
     rows = df.collect()
     assert rows and all(r["we"] == r["ws"] + __import__("datetime").timedelta(hours=1) for r in rows)
+
+
+def test_proctime_function(tenv):
+    r = tenv.sql_query(
+        "SELECT PROCTIME() AS pt, PROCTIME() >= TIMESTAMP '2024-01-01' AS sane"
+    ).collect()
+    assert r[0]["pt"] is not None and r[0]["sane"]
