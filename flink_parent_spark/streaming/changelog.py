@@ -99,6 +99,22 @@ def retract_aggregate(
     return out.filter(F.col(count_alias) > 0)
 
 
+def normalize_step(cur, kind, new):
+    """One step of the ChangelogNormalize state machine: given the current
+    version (or None) and an incoming (RowKind, values), return
+    (next_version, emissions) where each emission is (kind, values,
+    emit_sub). Pure — shared by the stateful operator and the property
+    tests so the tested rules ARE the shipped rules."""
+    if kind in (INSERT, UPDATE_AFTER):
+        if cur is None:
+            return new, [(INSERT, new, 1)]
+        return new, [(UPDATE_BEFORE, cur, 0), (UPDATE_AFTER, new, 1)]
+    if kind == DELETE and cur is not None:
+        return None, [(DELETE, cur, 1)]
+    # DELETE of an absent key, or a source-side UPDATE_BEFORE: dropped
+    return cur, []
+
+
 def changelog_normalize(
     sdf: DataFrame,
     key_cols: Sequence[str],
@@ -158,20 +174,10 @@ def changelog_normalize(
             emitted.append(row)
 
         for rec in recs:
-            kind = rec[rowkind_col]
-            if kind in (INSERT, UPDATE_AFTER):
-                new = {c: rec[c] for c in value_cols}
-                if cur is None:
-                    emit(rec, INSERT, new, 1)
-                else:
-                    emit(rec, UPDATE_BEFORE, cur, 0)
-                    emit(rec, UPDATE_AFTER, new, 1)
-                cur = new
-            elif kind == DELETE:
-                if cur is not None:
-                    emit(rec, DELETE, cur, 1)
-                    cur = None
-            # UPDATE_BEFORE from the source is dropped
+            new = {c: rec[c] for c in value_cols}
+            cur, steps = normalize_step(cur, rec[rowkind_col], new)
+            for kind, vals, sub in steps:
+                emit(rec, kind, vals, sub)
         state.update(
             (
                 tuple((cur or {}).get(c) for c in value_cols),

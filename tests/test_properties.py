@@ -252,3 +252,74 @@ def test_minhash_signature_matches_python_model(spark):
         for i in range(8):
             expect[(doc_id, i)] = min((a[i] * h + b[i]) % MINHASH_P for h in hs)
     assert got == expect
+
+
+@given(
+    st.lists(st.sampled_from(["a", "b", "x"]), min_size=1, max_size=12)
+)
+@settings(max_examples=200, deadline=None)
+def test_cep_followed_by_any_matches_bruteforce(seq):
+    """followedByAny over random token sequences equals the brute-force
+    pair enumeration: every (first a, any later b) pair, scanned from
+    every start under NO_SKIP."""
+    from flink_parent_spark.streaming.cep import AfterMatchSkip, Pattern
+
+    rows = [
+        {"id": i, "ts": T0 + dt.timedelta(seconds=10 * i), "t": tok}
+        for i, tok in enumerate(seq)
+    ]
+    pat = (
+        Pattern.begin("a").where(lambda r: r["t"] == "a")
+        .followed_by_any("b").where(lambda r: r["t"] == "b")
+    )
+    got = [
+        (m[0][1], m[1][1])
+        for m in pat.find_matches(rows, "ts", AfterMatchSkip.NO_SKIP)
+    ]
+    expect = [
+        (i, j)
+        for i in range(len(seq))
+        if seq[i] == "a"
+        for j in range(i + 1, len(seq))
+        if seq[j] == "b"
+    ]
+    assert sorted(got) == sorted(expect)
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["U", "D"]), st.integers(0, 9)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_changelog_normalize_matches_python_fold(ops):
+    """The changelog-normalize emission rules equal a direct fold over the
+    op sequence (single key): +I on first version, -U/+U on change, -D only
+    when present, deletes of absent keys dropped."""
+    cur = None
+    expect = []
+    for kind, v in ops:
+        if kind == "U":
+            if cur is None:
+                expect.append(("+I", v))
+            else:
+                expect.append(("-U", cur))
+                expect.append(("+U", v))
+            cur = v
+        else:
+            if cur is not None:
+                expect.append(("-D", cur))
+                cur = None
+
+    # drive the SHIPPED rules (the operator's pure state-machine step)
+    from flink_parent_spark.streaming import changelog as cl
+
+    emitted = []
+    cur2 = None
+    for kind, v in ops:
+        k = cl.UPDATE_AFTER if kind == "U" else cl.DELETE
+        cur2, steps = cl.normalize_step(cur2, k, v)
+        emitted.extend((sk, vals) for sk, vals, _sub in steps)
+    assert emitted == expect
