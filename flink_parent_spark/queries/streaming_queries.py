@@ -1256,3 +1256,58 @@ def changelog_source_normalize(spark, sf_dir):
         tagged, ["user_id"], "ts", ["value"], tiebreak_col="event_id"
     )
     return run_stream_to_df(out, "update")
+
+
+@df_query(
+    "stream_session_dynamic_gap",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN event_type = 'purchase' THEN 3600 ELSE 900 END AS gap_s,
+             epoch_us(ts) AS ts_us
+      FROM events
+    ), marked AS (
+      SELECT *,
+             CASE WHEN MAX(ts_us + CAST(gap_s AS BIGINT) * 1000000) OVER w
+                    IS NULL
+                  OR ts_us >= MAX(ts_us + CAST(gap_s AS BIGINT) * 1000000)
+                    OVER w
+             THEN 1 ELSE 0 END AS is_new
+      FROM g
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, ts_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), sess AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, ts_us
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           make_timestamp(MAX(ts_us + CAST(gap_s AS BIGINT) * 1000000))
+             AS session_end,
+           COUNT(*) AS n, {dsum}
+    FROM sess GROUP BY user_id, sid
+    """.format(dsum="CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value"),
+)
+def stream_session_dynamic_gap(spark, sf_dir):
+    """STREAMING session windows with a per-element dynamic gap
+    (SessionWindows.withDynamicGap): Spark's native session_window accepts
+    a gap expression, so the plan is the stock streaming session
+    aggregation — watermark-merged state, no custom operator. Full replay
+    must equal the batch merge scan (session end = max over members of
+    ts + its own gap)."""
+    ev = stream_table(spark, sf_dir, "events", watermark=("ts", "10 minutes"))
+    gap = F.when(F.col("event_type") == "purchase", F.lit("1 hour")).otherwise(
+        F.lit("15 minutes")
+    )
+    agg = ev.groupBy(F.session_window("ts", gap), "user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+    )
+    out = run_stream_to_df(agg, "complete")
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n",
+        "sum_value",
+    )

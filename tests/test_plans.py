@@ -164,3 +164,31 @@ def test_kmeans_ivf_search_broadcasts_queries(spark):
     broadcast — candidates are never shuffled by cell."""
     plan = plan_of(QS["ann_cosine_topk_ivf_kmeans"](spark, SF))
     assert "BroadcastHashJoin" in plan
+
+
+def test_hash_sample_is_map_only(spark):
+    """Deterministic stratified sampling must be a map-only filter plus a
+    broadcast rate table — no hash/range shuffle of the corpus."""
+    plan = plan_of(QS["sample_hash_stratified"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_ngram_contamination_broadcasts_benchmark(spark):
+    """The contamination check joins corpus shingles to the benchmark set
+    via broadcast — the big corpus side is never shuffled by shingle for
+    the join itself."""
+    plan = plan_of(QS["text_ngram_contamination"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sql_tumble_single_shuffle(spark):
+    """The Flink group-window SQL dialect lowers to the stock Catalyst
+    window aggregation: partial + final HashAggregate around one exchange."""
+    import re
+
+    plan = plan_of(QS["sql_tumble_hourly"](spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
