@@ -154,3 +154,70 @@ def count_trigger_fires(
         "elements_seen",
         "fire_value",
     )
+
+
+def delta_trigger_fires(
+    df: DataFrame,
+    ts_col: str,
+    size: str,
+    value_col: str,
+    threshold: float,
+    keys: Sequence[str] = (),
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """DeltaTrigger(threshold) firing trace (DeltaTrigger.java semantics,
+    re-derived): per window buffer, scanning elements in event-time order,
+    the trigger saves the first element without firing and then fires on
+    every element whose |value - value(last fired-or-saved element)| exceeds
+    the threshold, saving it as the new reference point.
+
+    The reference point depends on the previous FIRE (not the previous
+    row), so this is a genuine per-window sequential scan — Flink runs the
+    same loop against its trigger state. Executed as one Arrow-batched
+    applyInPandas per (window, key) group: the shuffle is the same
+    (window, key) partitioning the windowed aggregation needs, and buffers
+    never exceed a window's rows. Output: one row per firing
+    (window_start, keys..., fire_ts, fire_value, elements_seen)."""
+    from collections.abc import Iterator as _It  # noqa: F401
+
+    import pandas as pd
+
+    assigned = _assigned(df, ts_col, size).withColumn(
+        "__ws", F.col("__win.start")
+    )
+    dt = dict(df.dtypes)
+    key_schema = "".join(f", `{k}` {dt[k]}" for k in keys)
+    out_schema = (
+        "`window_start` timestamp"
+        + key_schema
+        + f", `fire_ts` {dt[ts_col]}, `fire_value` {dt[value_col]}"
+        + ", `elements_seen` int"
+    )
+    sort_cols = [ts_col, *tiebreak]
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols)
+        recs = []
+        last = None
+        for i, row in enumerate(pdf.to_dict("records"), start=1):
+            v = row[value_col]
+            if last is None:
+                last = v
+                continue
+            if abs(v - last) > threshold:
+                last = v
+                recs.append(
+                    {
+                        "window_start": row["__ws"],
+                        **{k: row[k] for k in keys},
+                        "fire_ts": row[ts_col],
+                        "fire_value": v,
+                        "elements_seen": i,
+                    }
+                )
+        return pd.DataFrame(
+            recs,
+            columns=["window_start", *keys, "fire_ts", "fire_value", "elements_seen"],
+        )
+
+    return assigned.groupBy("__win", *keys).applyInPandas(scan, out_schema)

@@ -467,3 +467,47 @@ def window_session_dynamic_gap(spark, sf_dir):
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
     )
+
+
+@df_query(
+    "trigger_delta_fires",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, user_id,
+             ts, value,
+             ROW_NUMBER() OVER (PARTITION BY time_bucket(INTERVAL '1 hour', ts),
+                                             user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), scan AS (
+      SELECT window_start, user_id, rn, value AS last_ref, FALSE AS fired,
+             ts, value
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.window_start, o.user_id, o.rn,
+             CASE WHEN ABS(o.value - s.last_ref) > 75.0
+                  THEN o.value ELSE s.last_ref END,
+             ABS(o.value - s.last_ref) > 75.0,
+             o.ts, o.value
+      FROM scan s
+      JOIN ordered o ON o.window_start = s.window_start
+                    AND o.user_id = s.user_id AND o.rn = s.rn + 1
+    )
+    SELECT window_start, user_id, ts AS fire_ts, value AS fire_value,
+           CAST(rn AS INT) AS elements_seen
+    FROM scan WHERE fired
+    """,
+)
+def trigger_delta_fires(spark, sf_dir):
+    """DeltaTrigger(75) firing trace: within each (hour window, user)
+    buffer, fire on every element that moves more than 75 away from the
+    last reference point (first element saved silently — DeltaTrigger.java
+    onElement semantics). Oracle replays the same sequential scan as a
+    recursive CTE."""
+    from flink_parent_spark.operators.evictors import delta_trigger_fires
+
+    t = load_tables(spark, sf_dir)
+    return delta_trigger_fires(
+        t["events"], "ts", "1 hour", "value", 75.0,
+        keys=["user_id"], tiebreak=["event_id"],
+    )
