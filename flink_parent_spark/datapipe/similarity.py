@@ -269,3 +269,115 @@ def cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine", "rank")
     )
+
+
+def sqdist(a: Column, b: Column) -> Column:
+    """Sequential double-precision squared L2 distance of two float arrays."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    ks: int = 4,
+    query_id: str = "vec_id",
+    cand_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization approximate top-k (the compressed-domain scale
+    path beyond IVF): vectors are encoded as `m` sub-space code ids against
+    per-subspace codebooks of `ks` entries, and search ranks candidates by
+    the asymmetric distance (ADC): the sum over subspaces of the squared L2
+    distance between the query's subvector and the candidate's codeword.
+
+    Scale design:
+    - Codebooks are tiny literals (m*ks*subdim doubles) — encoding is pure
+      map-side expression work over the candidate scan, no shuffle, and the
+      stored representation is m small ints per vector (the 100 TB win:
+      the corpus compresses from d floats to m bytes per vector).
+    - ADC scoring joins the encoded corpus to the broadcast query set; the
+      per-pair cost is m lookups + m small folds instead of a d-length dot.
+    - Codebooks here are seeded deterministically (subvectors of the `ks`
+      lowest-id candidates) so the oracle can reproduce them; production
+      training would run Lloyd per subspace exactly like
+      `train_kmeans_centroids` — the encode/search plan is unchanged.
+
+    Output: (query_id, cand_id, adist, rank), rank 1 = smallest ADC."""
+    dim = len(candidates.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    subdim = dim // m
+    seeds = (
+        candidates.select(F.col(cand_id).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy("cid")
+        .limit(ks)
+        .collect()
+    )
+    cb = [
+        [
+            [float(x) for x in r["cv"][j * subdim : (j + 1) * subdim]]
+            for r in seeds
+        ]
+        for j in range(m)
+    ]
+    cb_lit = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(v) for v in code]) for code in cbj])
+            for cbj in cb
+        ]
+    )
+
+    def sub(vec: Column, j: int) -> Column:
+        return F.slice(vec, j * subdim + 1, subdim)
+
+    def code_at(vec: Column, j: int) -> Column:
+        # NB: the transform lambda must be single-parameter — a defaulted
+        # second parameter would make PySpark treat it as the (element,
+        # index) form and bind the array ordinal over the default. The
+        # closure over `j` is safe: PySpark invokes the lambda eagerly
+        # while building the expression.
+        scored = F.zip_with(
+            F.transform(cb_lit[j], lambda cv: sqdist(sub(vec, j), cv)),
+            F.sequence(F.lit(0), F.lit(ks - 1)),
+            lambda d, i: F.struct(d.alias("dist"), i.alias("code")),
+        )
+        return F.sort_array(scored)[0]["code"]
+
+    spark = candidates.sparkSession
+    c = candidates.select(
+        F.col(cand_id).alias("cand_id"),
+        F.array(
+            *[code_at(F.col(vec_col), j) for j in range(m)]
+        ).alias("__codes"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    joined = c.crossJoin(F.broadcast(q)).filter(
+        F.col("query_id") != F.col("cand_id")
+    )
+    adist = None
+    for j in range(m):  # fixed j order => deterministic left-to-right sum
+        term = sqdist(
+            sub(F.col("__qv"), j),
+            F.element_at(cb_lit[j], F.col("__codes")[j] + 1),
+        )
+        adist = term if adist is None else adist + term
+    scored = joined.withColumn("adist", adist)
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "adist", "rank")
+    )

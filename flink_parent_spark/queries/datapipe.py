@@ -836,3 +836,68 @@ def text_ngram_contamination(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.count_distinct("sh").alias("contaminated_shingles"))
     )
+
+
+_DUCK_SQD = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(list_zip({a}, {b}), "
+    "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+    " * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))), (acc, v) -> acc + v)"
+)
+
+
+def _duck_sqd(a: str, b: str) -> str:
+    return _DUCK_SQD.format(a=a, b=b)
+
+
+def _pq_oracle() -> str:
+    """ADC search unrolled: seeded codebooks (subvectors of the 4 lowest-id
+    vectors), per-candidate argmin encoding per subspace, fixed-order
+    4-term ADC sum — mirrors pq_topk's determinism contract exactly."""
+    subs = [(j, 16 * j + 1, 16 * (j + 1)) for j in range(4)]
+    enc_cols = ", ".join(
+        f"""(SELECT s.code FROM seeds s
+         ORDER BY {_duck_sqd(f'c.embedding[{lo}:{hi}]', f's.embedding[{lo}:{hi}]')} ASC,
+                  s.code ASC LIMIT 1) AS c{j}"""
+        for j, lo, hi in subs
+    )
+    ad_terms = " + ".join(
+        _duck_sqd(f"q.embedding[{lo}:{hi}]", f"s{j}.embedding[{lo}:{hi}]")
+        for j, lo, hi in subs
+    )
+    joins = " ".join(f"JOIN seeds s{j} ON s{j}.code = e.c{j}" for j, _, _ in subs)
+    return f"""
+    WITH seeds AS (
+      SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 4)
+    ), enc AS (
+      SELECT c.vec_id AS cand_id, {enc_cols}
+      FROM embeddings c
+    ), ad AS (
+      SELECT q.vec_id AS query_id, e.cand_id, {ad_terms} AS adist
+      FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) q,
+           enc e {joins}
+      WHERE q.vec_id <> e.cand_id
+    ), ranked AS (
+      SELECT query_id, cand_id, adist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adist ASC, cand_id) AS rank
+      FROM ad
+    )
+    SELECT query_id, cand_id, adist, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@df_query("ann_pq_topk", oracle=_pq_oracle())
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (compressed-domain search): 64-dim vectors
+    encode to 4 sub-space codes against seeded codebooks; queries rank by
+    the asymmetric squared-L2 distance over codewords. The corpus-side
+    representation is 4 small ints per vector — the storage/scan win that
+    makes PQ the 100 TB layer under IVF."""
+    from flink_parent_spark.datapipe.similarity import pq_topk
+
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    return pq_topk(e.filter(F.col("vec_id") < 8), e, k=5, m=4, ks=4)
