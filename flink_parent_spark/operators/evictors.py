@@ -221,3 +221,98 @@ def delta_trigger_fires(
         )
 
     return assigned.groupBy("__win", *keys).applyInPandas(scan, out_schema)
+
+
+def continuous_event_time_trigger_fires(
+    df: DataFrame,
+    ts_col: str,
+    size: str,
+    interval_seconds: int,
+    size_seconds: int,
+    value_col: str,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """ContinuousEventTimeTrigger(interval) firing trace
+    (ContinuousEventTimeTrigger.java semantics, re-derived): within each
+    window, the first element registers an event-time timer at the next
+    aligned interval boundary; every firing re-registers the next one, so
+    the window fires at EVERY boundary from the first element's bucket to
+    the window end — each firing carrying the aggregate over elements
+    strictly before its boundary (plus the final full-window firing at the
+    end boundary).
+
+    Declarative plan: bucket elements by boundary index, partial-aggregate
+    per (window, key, bucket), cumulative over the tiny bucket axis, then
+    fill the firing grid with a LAST_VALUE-ignore-nulls as-of over the
+    union of buckets and grid markers — one shuffle on (window, key), no
+    Python. Output: (window_start, keys..., fire_time, n_seen, sum_seen)."""
+    n_buckets = size_seconds // interval_seconds
+    assigned = _assigned(df, ts_col, size).select(
+        F.col("__win.start").alias("window_start"),
+        *keys,
+        (
+            F.floor(
+                (F.col(ts_col).cast("long") - F.col("__win.start").cast("long"))
+                / interval_seconds
+            )
+            + 1
+        ).cast("int").alias("bi"),
+        F.col(value_col).alias("__v"),
+    )
+    perb = assigned.groupBy("window_start", *keys, "bi").agg(
+        F.count("*").alias("c"),
+        F.sum(F.col("__v").cast("decimal(30,6)")).alias("s"),
+    )
+    w = Window.partitionBy("window_start", *keys).orderBy("bi")
+    cum = perb.select(
+        "window_start",
+        *keys,
+        "bi",
+        F.lit(0).alias("is_grid"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cn"),
+        F.sum("s").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cs"),
+    )
+    grid = (
+        perb.groupBy("window_start", *keys)
+        .agg(F.min("bi").alias("b0"))
+        .select(
+            "window_start",
+            *keys,
+            F.explode(
+                F.sequence(F.col("b0"), F.lit(int(n_buckets)))
+            ).alias("bi"),
+            F.lit(1).alias("is_grid"),
+            F.lit(None).cast("bigint").alias("cn"),
+            F.lit(None).cast("decimal(30,6)").alias("cs"),
+        )
+    )
+    both = cum.unionByName(grid)
+    # the firing at boundary index g (time start + g*interval) covers
+    # elements strictly before that time = buckets bi <= g: order each
+    # grid marker AFTER the bucket row of the same index and carry the
+    # last known cumulative forward
+    w2 = (
+        Window.partitionBy("window_start", *keys)
+        .orderBy("bi", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    filled = both.select(
+        "window_start",
+        *keys,
+        "bi",
+        "is_grid",
+        F.last("cn", ignorenulls=True).over(w2).alias("n_seen"),
+        F.last("cs", ignorenulls=True).over(w2).alias("sum_seen"),
+    )
+    return (
+        filled.filter((F.col("is_grid") == 1) & F.col("n_seen").isNotNull())
+        .select(
+            "window_start",
+            *keys,
+            (
+                F.col("window_start").cast("long") + F.col("bi") * interval_seconds
+            ).cast("timestamp").alias("fire_time"),
+            "n_seen",
+            F.col("sum_seen").cast("double").alias("sum_seen"),
+        )
+    )

@@ -511,3 +511,56 @@ def trigger_delta_fires(spark, sf_dir):
         t["events"], "ts", "1 hour", "value", 75.0,
         keys=["user_id"], tiebreak=["event_id"],
     )
+
+
+@df_query(
+    "trigger_continuous_event_time",
+    oracle="""
+    WITH assigned AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+             CAST(FLOOR((epoch(ts) - epoch(time_bucket(INTERVAL '1 hour', ts)))
+                        / 900) + 1 AS INT) AS bi,
+             value
+      FROM events
+    ), perb AS (
+      SELECT window_start, event_type, bi, COUNT(*) AS c,
+             SUM(CAST(value AS DECIMAL(30,6))) AS s
+      FROM assigned GROUP BY 1, 2, 3
+    ), cum AS (
+      SELECT window_start, event_type, bi,
+             SUM(c) OVER w AS cn, SUM(s) OVER w AS cs
+      FROM perb
+      WINDOW w AS (PARTITION BY window_start, event_type ORDER BY bi
+                   ROWS UNBOUNDED PRECEDING)
+    ), grid AS (
+      SELECT window_start, event_type, g.g AS bi
+      FROM (SELECT window_start, event_type, MIN(bi) AS b0
+            FROM perb GROUP BY 1, 2) f,
+           LATERAL (SELECT unnest(generate_series(f.b0, 4)) AS g) g
+    )
+    SELECT g.window_start, g.event_type,
+           g.window_start + g.bi * INTERVAL '900' SECOND AS fire_time,
+           c.cn AS n_seen, CAST(c.cs AS DOUBLE) AS sum_seen
+    FROM grid g
+    JOIN cum c
+      ON c.window_start = g.window_start AND c.event_type = g.event_type
+     AND c.bi = (SELECT MAX(c2.bi) FROM cum c2
+                 WHERE c2.window_start = g.window_start
+                   AND c2.event_type = g.event_type AND c2.bi <= g.bi)
+    """,
+)
+def trigger_continuous_event_time(spark, sf_dir):
+    """ContinuousEventTimeTrigger(15 min) trace inside 1-hour windows keyed
+    by event type: fires at every aligned 15-minute boundary from the first
+    element's bucket to the window end, each firing covering the elements
+    strictly before its boundary. The whole trace is declarative — bucket
+    partial aggregates, a cumulative pass over the tiny bucket axis, and a
+    grid as-of fill — one shuffle, no Python."""
+    from flink_parent_spark.operators.evictors import (
+        continuous_event_time_trigger_fires,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return continuous_event_time_trigger_fires(
+        t["events"], "ts", "1 hour", 900, 3600, "value", keys=["event_type"]
+    )
