@@ -316,3 +316,42 @@ def continuous_event_time_trigger_fires(
             F.col("sum_seen").cast("double").alias("sum_seen"),
         )
     )
+
+
+def count_trigger_purging_fires(
+    df: DataFrame,
+    ts_col: str,
+    size: str,
+    n: int,
+    keys: Sequence[str] = (),
+    tiebreak: Sequence[str] = (),
+    value_col: str = "value",
+) -> DataFrame:
+    """PurgingTrigger(CountTrigger(n)) trace (PurgingTrigger.java wraps a
+    trigger, turning FIRE into FIRE_AND_PURGE): the window buffer clears on
+    every firing, so fire #k covers ONLY elements (k-1)*n+1 .. k*n — the
+    disjoint-chunk counterpart of the accumulating count_trigger_fires.
+    Trailing elements short of n never fire (the purge leaves them waiting).
+    Declarative: chunk id = ceil(row_number/n); aggregate full chunks."""
+    w = _win_spec(keys).orderBy(F.col(ts_col).asc(), *[F.col(c).asc() for c in tiebreak])
+    chunked = (
+        _assigned(df, ts_col, size)
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("fire_seq", F.ceil(F.col("__rn") / n).cast("int"))
+    )
+    agg = chunked.groupBy(F.col("__win").alias("window"), *keys, "fire_seq").agg(
+        F.count("*").alias("chunk_n"),
+        F.sum(F.col(value_col).cast("decimal(30,6)"))
+        .cast("double")
+        .alias("fire_value"),
+    )
+    return (
+        agg.filter(F.col("chunk_n") == n)  # only full chunks fired
+        .select(
+            F.col("window.start").alias("window_start"),
+            *keys,
+            "fire_seq",
+            "chunk_n",
+            "fire_value",
+        )
+    )

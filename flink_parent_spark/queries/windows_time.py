@@ -564,3 +564,34 @@ def trigger_continuous_event_time(spark, sf_dir):
     return continuous_event_time_trigger_fires(
         t["events"], "ts", "1 hour", 900, 3600, "value", keys=["event_type"]
     )
+
+
+@df_query(
+    "trigger_count_purging",
+    oracle="""
+    SELECT window_start, event_type, fire_seq, chunk_n,
+           CAST(chunk_sum AS DOUBLE) AS fire_value
+    FROM (
+      SELECT window_start, event_type, fire_seq, COUNT(*) AS chunk_n,
+             SUM(CAST(value AS DECIMAL(30,6))) AS chunk_sum
+      FROM (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+               value,
+               CAST(CEIL(ROW_NUMBER() OVER
+                 (PARTITION BY time_bucket(INTERVAL '1 hour', ts), event_type
+                  ORDER BY ts, event_id) / 10.0) AS INT) AS fire_seq
+        FROM events) b
+      GROUP BY 1, 2, 3) c
+    WHERE chunk_n = 10
+    """,
+)
+def trigger_count_purging(spark, sf_dir):
+    """PurgingTrigger(CountTrigger(10)): each firing covers its own
+    disjoint 10-element chunk (the buffer purges on fire); partial trailing
+    chunks never fire."""
+    from flink_parent_spark.operators.evictors import count_trigger_purging_fires
+
+    t = load_tables(spark, sf_dir)
+    return count_trigger_purging_fires(
+        t["events"], "ts", "1 hour", 10, keys=["event_type"], tiebreak=["event_id"]
+    )

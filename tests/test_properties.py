@@ -323,3 +323,54 @@ def test_changelog_normalize_matches_python_fold(ops):
         cur2, steps = cl.normalize_step(cur2, k, v)
         emitted.extend((sk, vals) for sk, vals, _sub in steps)
     assert emitted == expect
+
+
+def test_pq_encoding_matches_numpy_model(spark):
+    """PQ encode (nested HOF Catalyst expressions) equals an independent
+    numpy model: per-subspace argmin squared-L2 against seeded codebooks,
+    ordinal tiebreak."""
+    import numpy as np
+
+    from flink_parent_spark.datapipe.similarity import pq_topk
+    from flink_parent_spark.tables import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    e = t["embeddings"]
+    got = {
+        (r["query_id"], r["rank"]): (r["cand_id"], r["adist"])
+        for r in pq_topk(e.filter("vec_id < 3"), e, k=3, m=4, ks=4).collect()
+    }
+
+    rows = sorted(e.collect(), key=lambda r: r["vec_id"])
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    seeds = [vecs[r["vec_id"]] for r in rows[:4]]
+    m, sub = 4, 16
+
+    def codes(v):
+        out = []
+        for j in range(m):
+            d = [
+                float(np.sum((v[j * sub : (j + 1) * sub] - s[j * sub : (j + 1) * sub]) ** 2))
+                for s in seeds
+            ]
+            out.append(min(range(4), key=lambda c: (d[c], c)))
+        return out
+
+    enc = {i: codes(v) for i, v in vecs.items()}
+    expect = {}
+    for qid in (0, 1, 2):
+        scored = []
+        for cid, v in vecs.items():
+            if cid == qid:
+                continue
+            ad = 0.0
+            for j in range(m):
+                cw = seeds[enc[cid][j]][j * sub : (j + 1) * sub]
+                ad += float(np.sum((vecs[qid][j * sub : (j + 1) * sub] - cw) ** 2))
+            scored.append((ad, cid))
+        scored.sort()
+        for rank, (ad, cid) in enumerate(scored[:3], start=1):
+            expect[(qid, rank)] = (cid, ad)
+    assert {k: v[0] for k, v in got.items()} == {k: v[0] for k, v in expect.items()}
+    for k in got:
+        assert abs(got[k][1] - expect[k][1]) < 1e-9
