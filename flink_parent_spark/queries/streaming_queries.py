@@ -1311,3 +1311,66 @@ def stream_session_dynamic_gap(spark, sf_dir):
         "n",
         "sum_value",
     )
+
+
+@df_query(
+    "stream_split_distinct_agg",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_split_distinct_agg(spark, sf_dir):
+    """Streaming COUNT(DISTINCT) via the split-aggregate rewrite
+    (SplitAggregateITCase / incremental distinct-agg semantics): Structured
+    Streaming has no native streaming distinct aggregate, so the query
+    splits into a keyed dedup state op (dropDuplicates on the distinct key
+    pair) feeding a downstream count — exactly the two-level split the
+    reference's PartialFinalType rewrite produces. Count(*) rides along
+    from a parallel unsplit branch."""
+    ev = stream_table(spark, sf_dir, "events")
+    distinct_users = (
+        ev.select("event_type", "user_id")
+        .dropDuplicates(["event_type", "user_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_users"))
+    )
+    totals = ev.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    d = run_stream_to_df(distinct_users, "complete")
+    t = run_stream_to_df(totals, "complete")
+    return d.join(t, "event_type").select("event_type", "n_users", "n_events")
+
+
+@df_query(
+    "stream_window_join",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', v.ts) AS window_start,
+           v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND time_bucket(INTERVAL '1 hour', v.ts) =
+         time_bucket(INTERVAL '1 hour', p.ts)
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+)
+def stream_window_join(spark, sf_dir):
+    """Streaming WINDOW JOIN (the reference's window-join operator over two
+    keyed streams): views and purchases co-assigned to the same tumbling
+    hour join per (window, user). Built-in stream-stream equi-join on the
+    window struct + key — state bounded by the window via the watermarks."""
+    v = stream_table(spark, sf_dir, "events", watermark=("ts", "10 minutes"))
+    p = stream_table(spark, sf_dir, "events", watermark=("ts", "10 minutes"))
+    vw = (
+        v.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("event_id").alias("view_id"), F.window("ts", "1 hour").alias("w"))
+    )
+    pw = (
+        p.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"), F.window("ts", "1 hour").alias("pw"))
+    )
+    j = vw.join(pw, (F.col("user_id") == F.col("p_user")) & (F.col("w") == F.col("pw")))
+    out = run_stream_to_df(j, "append")
+    return out.select(
+        F.col("w.start").alias("window_start"), "user_id", "view_id", "purchase_id"
+    )
