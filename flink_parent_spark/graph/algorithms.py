@@ -472,3 +472,26 @@ def scatter_gather(
             )
         )
     return state
+
+
+def gsa_iteration(
+    vertices: DataFrame,
+    edges: DataFrame,
+    initial_expr: str,
+    gather_expr: str,
+    sum_agg,
+    apply_expr: str,
+    n_iter: int,
+    directed: bool = False,
+) -> DataFrame:
+    """Gather-sum-apply iteration (Gelly gsa/GatherSumApplyIteration.java):
+    GATHER evaluates `gather_expr` per in-edge over the neighbor's (id,
+    value) state, SUM combines with `sum_agg`, APPLY updates the vertex via
+    `apply_expr` over (id, value, __agg). Identical dataflow to
+    `scatter_gather` — Gelly exposes both decompositions and so do we; the
+    per-superstep plan (one shuffle by target vertex + one state join) is
+    shared."""
+    return scatter_gather(
+        vertices, edges, initial_expr, gather_expr, sum_agg, apply_expr,
+        n_iter, directed,
+    )

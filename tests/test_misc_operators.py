@@ -125,3 +125,36 @@ def test_scatter_gather_framework_sssp(spark):
     g = {r["id"]: r["value"] for r in got.collect() if r["value"] is not None}
     e = {r["id"]: r["dist"] for r in expected.collect()}
     assert g == e and g[4] == 3 and 10 not in g
+
+
+def test_gsa_iteration_alias_cc(spark):
+    """GSA decomposition runs min-label connected components to the same
+    fixpoint as the dedicated loop."""
+    from pyspark.sql import functions as F
+
+    from flink_parent_spark.graph.algorithms import (
+        connected_components,
+        gsa_iteration,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (4, 1)], "src long, dst long"
+    )
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    got = gsa_iteration(
+        vertices,
+        edges,
+        initial_expr="id",
+        gather_expr="value",
+        sum_agg=F.min,
+        apply_expr="LEAST(value, COALESCE(__agg, value))",
+        n_iter=6,
+    )
+    expected = connected_components(vertices, edges)
+    g = {r["id"]: r["value"] for r in got.collect()}
+    e = {r["id"]: r["component"] for r in expected.collect()}
+    assert g == e
