@@ -116,3 +116,26 @@ def test_avro_ocf_roundtrip_nulls_and_types(spark):
     got = sorted([tuple(r) for r in back.collect()])
     exp = sorted([tuple(r) for r in df.collect()])
     assert got == exp
+
+
+def test_console_sink_runs(spark):
+    """Print/console sink parity: the console writer consumes a bounded
+    replay to completion (output goes to the driver log — the assertion is
+    that the query lifecycle completes cleanly)."""
+    import os
+    import tempfile
+    import uuid
+
+    from flink_parent_spark.sources.connectors import console_sink
+    from flink_parent_spark.streaming.core import stream_table
+
+    ev = stream_table(spark, "/root/testdata/sf0.001", "events").limit(5)
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_console_{uuid.uuid4().hex[:8]}")
+    q = (
+        console_sink(ev)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.lastProgress is not None
