@@ -593,7 +593,9 @@ sql_query(
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS sum_k
+           -- CAST: DuckDB SUM(BIGINT) yields HUGEINT; Spark side is BIGINT
+           CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k
     FROM events
     GROUP BY event_type
     """,

@@ -211,8 +211,8 @@ sql_query(
     "tpch_q12",
     """
     SELECT o_orderpriority,
-           SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL '60' DAY
-                    THEN 1 ELSE 0 END) AS late_count,
+           CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL '60' DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
            COUNT(*) AS total_count
     FROM orders, lineitem
     WHERE o_orderkey = l_orderkey

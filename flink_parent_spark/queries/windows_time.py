@@ -425,8 +425,11 @@ def trigger_count_fires(spark, sf_dir):
              THEN 1 ELSE 0 END AS is_new
       FROM g
     ), sess AS (
-      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS sid
+      -- CAST: DuckDB SUM(INT) yields HUGEINT; Spark side is BIGINT
+      SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS sid
       FROM marked
     )
     SELECT user_id, sid, MIN(ts) AS session_start, MAX(ts) AS session_end,
@@ -527,8 +530,9 @@ def trigger_delta_fires(spark, sf_dir):
              SUM(CAST(value AS DECIMAL(30,6))) AS s
       FROM assigned GROUP BY 1, 2, 3
     ), cum AS (
+      -- CAST: DuckDB SUM(BIGINT) yields HUGEINT; Spark side is BIGINT
       SELECT window_start, event_type, bi,
-             SUM(c) OVER w AS cn, SUM(s) OVER w AS cs
+             CAST(SUM(c) OVER w AS BIGINT) AS cn, SUM(s) OVER w AS cs
       FROM perb
       WINDOW w AS (PARTITION BY window_start, event_type ORDER BY bi
                    ROWS UNBOUNDED PRECEDING)
