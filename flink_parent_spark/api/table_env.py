@@ -231,11 +231,15 @@ class TableEnvironment:
             computed=computed,
         )
         self.catalog[name] = entry
-        # register the batch view immediately so sql_query sees it;
-        # sink-only tables (path not materialized yet) stay catalog-only
-        # until the first INSERT INTO creates data.
+        # register the view immediately so sql_query sees it — in streaming
+        # mode the view IS the streaming scan (with the DDL watermark
+        # applied), so `sql_query("... GROUP BY TUMBLE(...)")` compiles to a
+        # real streaming aggregation, matching the reference where the DDL
+        # table is a streaming source by default; sink-only tables (path not
+        # materialized yet) stay catalog-only until the first INSERT INTO
+        # creates data.
         try:
-            self._scan(entry, streaming=False).createOrReplaceTempView(name)
+            self._scan(entry, streaming=self.streaming).createOrReplaceTempView(name)
         except Exception:
             pass
         return None

@@ -149,3 +149,52 @@ def test_proctime_function(tenv):
         "SELECT PROCTIME() AS pt, PROCTIME() >= TIMESTAMP '2024-01-01' AS sane"
     ).collect()
     assert r[0]["pt"] is not None and r[0]["sane"]
+
+
+def test_streaming_sql_group_window(spark):
+    """The Flink group-window dialect works against a STREAMING DDL table:
+    CREATE TABLE with WATERMARK in streaming mode + GROUP BY TUMBLE runs as
+    a real watermark-driven streaming aggregation and converges to the
+    batch answer on full replay."""
+    from flink_parent_spark.streaming.core import run_stream_to_df
+
+    env = TableEnvironment.create(spark=spark, streaming=True)
+    env.execute_sql(
+        f"""
+        CREATE TABLE sev (
+            event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            event_type STRING, value DOUBLE, props STRING,
+            WATERMARK FOR ts AS ts - INTERVAL '10' SECOND
+        ) WITH ('connector' = 'filesystem',
+                'path' = '{SF}/events.parquet', 'format' = 'parquet')
+        """
+    )
+    sdf = env.sql_query(
+        """
+        SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS ws,
+               event_type, COUNT(*) AS n
+        FROM sev GROUP BY TUMBLE(ts, INTERVAL '1' HOUR), event_type
+        """
+    ).to_df()
+    assert sdf.isStreaming
+    got = run_stream_to_df(sdf, "complete")
+    batch = TableEnvironment.create(spark=spark)  # batch-mode view of same DDL
+    batch.execute_sql(
+        f"""
+        CREATE TABLE bev (
+            event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+            event_type STRING, value DOUBLE, props STRING
+        ) WITH ('connector' = 'filesystem',
+                'path' = '{SF}/events.parquet', 'format' = 'parquet')
+        """
+    )
+    exp = batch.sql_query(
+        """
+        SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS ws,
+               event_type, COUNT(*) AS n
+        FROM bev GROUP BY TUMBLE(ts, INTERVAL '1' HOUR), event_type
+        """
+    ).to_df()
+    g = {(r["ws"], r["event_type"]): r["n"] for r in got.collect()}
+    e = {(r["ws"], r["event_type"]): r["n"] for r in exp.collect()}
+    assert g == e and len(g) > 0
