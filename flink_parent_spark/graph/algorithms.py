@@ -495,3 +495,58 @@ def gsa_iteration(
         vertices, edges, initial_expr, gather_expr, sum_agg, apply_expr,
         n_iter, directed,
     )
+
+
+def sssp_weighted(
+    vertices: DataFrame,
+    edges: DataFrame,
+    source: int,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Weighted single-source shortest paths (the actual contract of Gelly
+    library/SingleSourceShortestPaths.java — `sssp_hops` is the unweighted
+    special case): Bellman-Ford-style frontier relaxation over directed
+    edges (src, dst, weight). Each superstep relaxes candidates through the
+    current frontier only — one shuffle per superstep, distances
+    decimal-summed for cross-engine determinism. Output: (id, dist) for
+    reachable vertices."""
+    e = _materialize(
+        edges.select("src", "dst", F.col("weight").cast("double").alias("w"))
+    )
+    dist = _materialize(
+        vertices.select("id")
+        .filter(F.col("id") == source)
+        .withColumn("dist", F.lit(0.0))
+    )
+    frontier = dist
+    for _ in range(max_iter):
+        cand = (
+            e.join(frontier, e.src == frontier.id)
+            .select(
+                F.col("dst").alias("id"),
+                (
+                    F.col("dist").cast("decimal(30,9)")
+                    + F.col("w").cast("decimal(30,9)")
+                )
+                .cast("double")
+                .alias("dist"),
+            )
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        # improvements: strictly shorter than any known distance
+        improved = _materialize(
+            cand.join(
+                dist.select(F.col("id"), F.col("dist").alias("old")), "id", "left"
+            )
+            .filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
+            .select("id", "dist")
+        )
+        if improved.isEmpty():
+            break
+        dist = _materialize(
+            dist.join(improved.select("id"), "id", "left_anti")
+            .unionByName(improved)
+        )
+        frontier = improved
+    return dist

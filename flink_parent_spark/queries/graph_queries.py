@@ -463,3 +463,70 @@ def graph_adamic_adar(spark, sf_dir):
         .orderBy(F.desc("score"), "id_a", "id_b")
         .limit(10000)
     )
+
+
+def _sssp_weighted_oracle(n_iter: int = 8) -> str:
+    """Unrolled Bellman-Ford over the weighted bipartite graph (edge weight
+    = MIN(l_quantity) per distinct part-supplier edge): d_i = min(d_{i-1},
+    min over in-edges of d_{i-1}[src] + w), decimal-added. V-rows per
+    iteration — the weighted analogue of _cc_oracle's unrolling (a
+    recursive path walk would enumerate exponentially many distinct
+    weighted path sums)."""
+    prev = "d0"
+    ctes = [
+        f"""
+    basew AS (
+      SELECT {_PART_OFFSET} + l_partkey AS src, l_suppkey AS dst,
+             MIN(l_quantity) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    undw AS (
+      SELECT src, dst, w FROM basew
+      UNION ALL
+      SELECT dst AS src, src AS dst, w FROM basew
+    ),
+    d0 AS (SELECT CAST(0 AS BIGINT) AS id, CAST(0.0 AS DOUBLE) AS dist)"""
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(f"""
+    d{i} AS (
+      SELECT id, MIN(dist) AS dist FROM (
+        SELECT id, dist FROM {prev}
+        UNION ALL
+        SELECT u.dst AS id,
+               CAST(CAST(p.dist AS DECIMAL(30,9)) + CAST(u.w AS DECIMAL(30,9))
+                    AS DOUBLE) AS dist
+        FROM {prev} p JOIN undw u ON u.src = p.id
+      ) GROUP BY id)""")
+        prev = f"d{i}"
+    return f"WITH {','.join(ctes)} SELECT id, dist FROM {prev}"
+
+
+@df_query("graph_sssp_weighted", oracle=_sssp_weighted_oracle(8))
+def graph_sssp_weighted(spark, sf_dir):
+    """WEIGHTED single-source shortest paths (the actual
+    SingleSourceShortestPaths.java contract; graph_sssp_hops is the
+    unweighted special case): frontier-relaxation Bellman-Ford over the
+    part-supplier graph with MIN(l_quantity) edge weights."""
+    from flink_parent_spark.graph.algorithms import sssp_weighted
+
+    t = load_tables(spark, sf_dir)
+    base = (
+        t["lineitem"]
+        .groupBy(
+            (F.lit(_PART_OFFSET) + F.col("l_partkey")).alias("src"),
+            F.col("l_suppkey").alias("dst"),
+        )
+        .agg(F.min("l_quantity").alias("weight"))
+    )
+    undw = base.unionByName(
+        base.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+    )
+    verts = (
+        undw.select(F.col("src").alias("id"))
+        .unionByName(undw.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return sssp_weighted(verts, undw, source=0, max_iter=8)
