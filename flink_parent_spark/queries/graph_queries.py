@@ -530,3 +530,40 @@ def graph_sssp_weighted(spark, sf_dir):
         .distinct()
     )
     return sssp_weighted(verts, undw, source=0, max_iter=8)
+
+
+@df_query(
+    "graph_vertex_degrees",
+    oracle=f"""
+    WITH {_DUCK_EDGES},
+    ind AS (SELECT dst AS id, COUNT(*) AS in_deg FROM edges GROUP BY dst),
+    outd AS (SELECT src AS id, COUNT(*) AS out_deg FROM edges GROUP BY src)
+    SELECT v.id,
+           COALESCE(i.in_deg, 0) AS in_deg,
+           COALESCE(o.out_deg, 0) AS out_deg,
+           COALESCE(i.in_deg, 0) + COALESCE(o.out_deg, 0) AS degree
+    FROM verts v
+    LEFT JOIN ind i ON v.id = i.id
+    LEFT JOIN outd o ON v.id = o.id
+    """,
+)
+def graph_vertex_degrees(spark, sf_dir):
+    """Degree annotations (Gelly asm/degree/VertexInDegree /
+    VertexOutDegree / VertexDegrees): in-, out-, and total degree per
+    vertex of the directed part->supplier graph — two partial-aggregated
+    shuffles and a vertex join, no densification."""
+    v, e = _spark_graph(spark, sf_dir)
+    ind = e.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("in_deg"))
+    outd = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_deg"))
+    return (
+        v.join(ind, "id", "left")
+        .join(outd, "id", "left")
+        .select(
+            "id",
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            (
+                F.coalesce("in_deg", F.lit(0)) + F.coalesce("out_deg", F.lit(0))
+            ).alias("degree"),
+        )
+    )
