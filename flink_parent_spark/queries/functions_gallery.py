@@ -494,3 +494,18 @@ sql_query(
 # ^ SINGLE_VALUE aggregate (SingleValueAggFunction in flink-table-planner-
 # blink aggfunctions): returns the group's only value, errors on >1 row.
 # Both engines keep the error branch lazy, so unique-keyed groups pass.
+
+sql_query(
+    "fn_string_pad_repeat",
+    """
+    SELECT n_nationkey,
+           LPAD(n_name, 20, '*') AS padded_l,
+           RPAD(n_name, 20, '*') AS padded_r,
+           REPEAT(SUBSTRING(n_name, 1, 2), 3) AS rep,
+           REVERSE(n_name) AS rev,
+           POSITION('A' IN n_name) AS pos_a,
+           ASCII(n_name) AS first_code,
+           CHR(65 + n_nationkey % 26) AS letter
+    FROM nation
+    """,
+)
