@@ -158,3 +158,51 @@ def test_gsa_iteration_alias_cc(spark):
     g = {r["id"]: r["value"] for r in got.collect()}
     e = {r["id"]: r["component"] for r in expected.collect()}
     assert g == e
+
+
+def test_gelly_graph_api_surface(spark):
+    """Graph class verbs (fromDataSet-style construction, degrees,
+    subgraph/filter, reverse/undirected, union/difference/intersect,
+    validate) behave per the Gelly Graph.java contracts."""
+    from pyspark.sql import functions as F
+
+    from flink_parent_spark.graph.graph import Graph
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    )
+    g = Graph.from_edges(e)
+    assert g.num_vertices() == 4 and g.num_edges() == 4
+    assert g.validate()
+
+    deg = {r["id"]: r["degree"] for r in g.get_degrees().collect()}
+    assert deg == {1: 2, 2: 2, 3: 3, 4: 1}
+    ind = {r["id"]: r["in_deg"] for r in g.in_degrees().collect()}
+    assert ind == {1: 1, 2: 1, 3: 1, 4: 1}
+
+    rev = g.reverse()
+    assert {(r["src"], r["dst"]) for r in rev.edges.collect()} == {
+        (2, 1), (3, 2), (1, 3), (4, 3)
+    }
+    und = g.undirected()
+    assert und.num_edges() == 8
+
+    sub = g.filter_on_vertices(F.col("id") <= 3)
+    assert sub.num_vertices() == 3
+    assert {(r["src"], r["dst"]) for r in sub.edges.collect()} == {
+        (1, 2), (2, 3), (3, 1)
+    }
+
+    h = Graph.from_edges(
+        spark.createDataFrame([(3, 4), (4, 5)], "src long, dst long")
+    )
+    assert g.union(h).num_vertices() == 5
+    assert g.union(h).num_edges() == 5
+    diff = g.difference(h)  # removes vertices {3,4,5} and touching edges
+    assert {r["id"] for r in diff.vertices.collect()} == {1, 2}
+    assert {(r["src"], r["dst"]) for r in diff.edges.collect()} == {(1, 2)}
+    inter = g.intersect(h)
+    assert {(r["src"], r["dst"]) for r in inter.edges.collect()} == {(3, 4)}
+
+    bad = Graph(spark.createDataFrame([(1,)], "id long"), e)
+    assert not bad.validate()
