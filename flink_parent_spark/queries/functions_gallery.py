@@ -509,3 +509,23 @@ sql_query(
     FROM nation
     """,
 )
+
+sql_query(
+    "fn_string_overlay_initcap",
+    """
+    SELECT c_custkey,
+           OVERLAY(c_name PLACING 'XXX' FROM 10 FOR 3) AS redacted,
+           INITCAP(LOWER(c_mktsegment)) AS seg_title,
+           TRANSLATE(c_mktsegment, 'AEIOU', 'aeiou') AS vowels_low
+    FROM customer WHERE c_custkey < 30
+    """,
+    oracle="""
+    SELECT c_custkey,
+           SUBSTRING(c_name, 1, 9) || 'XXX' || SUBSTRING(c_name, 13)
+             AS redacted,
+           UPPER(SUBSTRING(c_mktsegment, 1, 1))
+             || LOWER(SUBSTRING(c_mktsegment, 2)) AS seg_title,
+           TRANSLATE(c_mktsegment, 'AEIOU', 'aeiou') AS vowels_low
+    FROM customer WHERE c_custkey < 30
+    """,
+)
