@@ -901,3 +901,73 @@ def ann_pq_topk(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
     return pq_topk(e.filter(F.col("vec_id") < 8), e, k=5, m=4, ks=4)
+
+
+@df_query(
+    "pipeline_corpus_curation",
+    oracle=r"""
+    WITH scored AS (
+      SELECT doc_id, lang, source, text,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             CAST(length(text)
+                  - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio
+      FROM documents
+    ), filtered AS (
+      SELECT * FROM scored
+      WHERE n_tokens >= 5 AND punct_ratio <= 0.3 AND lang IN ('en', 'de', 'fr')
+    ), deduped AS (
+      SELECT md5(text) AS digest, MIN(doc_id) AS rep_id,
+             MIN(lang) AS lang, COUNT(*) AS n_copies
+      FROM filtered GROUP BY md5(text)
+    ), sampled AS (
+      SELECT * FROM deduped
+      WHERE ('0x' || substr(md5(CAST(rep_id AS VARCHAR)), 1, 8))::BIGINT % 100
+            < 80
+    )
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_copies) AS BIGINT) AS n_raw
+    FROM sampled GROUP BY lang
+    """,
+)
+def pipeline_corpus_curation(spark, sf_dir):
+    """End-to-end corpus curation — the composition story the individual
+    datapipe operators exist for, as ONE declarative plan: quality filter
+    (token count + punctuation ratio) -> language allowlist -> exact dedup
+    keeping the smallest id -> deterministic 80% hash sample -> per-language
+    corpus stats. Every stage is a Catalyst map/filter or one
+    partial-aggregated shuffle; nothing leaves the JVM and the whole
+    pipeline is a single job at any scale."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    toks = F.size(F.split(F.trim("text"), r"\s+"))
+    punct = (
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), r"[^\w\s]", ""))
+        ).cast("double")
+        / F.length("text")
+    )
+    filtered = (
+        d.withColumn("n_tokens", toks)
+        .withColumn("punct_ratio", punct)
+        .filter(
+            (F.col("n_tokens") >= 5)
+            & (F.col("punct_ratio") <= 0.3)
+            & F.col("lang").isin("en", "de", "fr")
+        )
+    )
+    deduped = filtered.groupBy(F.md5("text").alias("digest")).agg(
+        F.min("doc_id").alias("rep_id"),
+        F.min("lang").alias("lang"),
+        F.count("*").alias("n_copies"),
+    )
+    sampled = deduped.filter(
+        F.conv(F.substring(F.md5(F.col("rep_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+        < 80
+    )
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_copies").alias("n_raw"),
+    )
