@@ -189,3 +189,32 @@ sql_query(
     GROUP BY EXTRACT(YEAR FROM o_orderdate)
     """,
 )
+
+# --- rolling-average rank within segment (TPC-DS Q67/Q47 composition) -------
+sql_query(
+    "tpcds_rolling_rank",
+    f"""
+    WITH monthly AS (
+      SELECT c_mktsegment, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+             EXTRACT(MONTH FROM o_orderdate) AS o_month,
+             {dsum('o_totalprice', 'revenue')}
+      FROM orders, customer
+      WHERE o_custkey = c_custkey
+      GROUP BY c_mktsegment, EXTRACT(YEAR FROM o_orderdate),
+               EXTRACT(MONTH FROM o_orderdate)
+    ), avgd AS (
+      SELECT c_mktsegment, o_year, o_month, revenue,
+             CAST(SUM(CAST(revenue AS DECIMAL(30,6))) OVER w AS DOUBLE)
+               / COUNT(*) OVER w AS moving_avg
+      FROM monthly
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY o_year, o_month
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    )
+    SELECT c_mktsegment, o_year, o_month, revenue, moving_avg, rnk
+    FROM (
+      SELECT *, CAST(RANK() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY moving_avg DESC) AS INT) AS rnk
+      FROM avgd) r
+    WHERE rnk <= 3
+    """,
+)
