@@ -1374,3 +1374,83 @@ def stream_window_join(spark, sf_dir):
     return out.select(
         F.col("w.start").alias("window_start"), "user_id", "view_id", "purchase_id"
     )
+
+
+@df_query(
+    "stream_retract_join",
+    oracle="""
+    WITH lastv AS (
+      SELECT user_id, value AS view_value FROM (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_type = 'view') t
+      WHERE rn = 1
+    ), lastp AS (
+      SELECT user_id, value AS purchase_value FROM (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase') t
+      WHERE rn = 1
+    )
+    SELECT l.user_id, l.view_value, p.purchase_value
+    FROM lastv l JOIN lastp p ON l.user_id = p.user_id
+    """,
+)
+def stream_retract_join(spark, sf_dir):
+    """Retraction-consuming streaming JOIN (two-input StreamingJoinOperator
+    over changelog inputs): two keep-last changelogs — the user's latest
+    view and latest purchase — join with full retraction semantics (+I
+    deltas on accumulate, -D on retract against the other side's live
+    state). Spark allows one applyInPandasWithState per streaming query, so
+    the changelog producers and the joining consumer run as separate
+    streaming stages chained through materialization (the foreachBatch
+    composition model this changelog layer documents); each stage is a real
+    streaming query. The net of the emitted changelog (sum of +1/-1 per
+    joined row) must equal the batch join of the two final snapshots."""
+    import os
+    import shutil
+    import tempfile
+
+    from flink_parent_spark.streaming.changelog import (
+        changelog_keep_last,
+        retract_join,
+        rowkind_sign,
+    )
+
+    # stage 1: produce both keep-last changelogs (streaming), materialize
+    base = os.path.join(tempfile.gettempdir(), "fps_retract_join")
+    shutil.rmtree(base, ignore_errors=True)
+    ev = stream_table(spark, sf_dir, "events")
+    for side, etype, vcol in (
+        ("l", "view", "view_value"),
+        ("r", "purchase", "purchase_value"),
+    ):
+        cl = changelog_keep_last(
+            ev.filter(F.col("event_type") == etype).withColumnRenamed(
+                "value", vcol
+            ),
+            ["user_id"],
+            "ts",
+            [vcol],
+        )
+        run_stream_to_df(cl, "append").write.parquet(f"{base}/{side}")
+
+    # stage 2: re-stream the changelogs into the retraction-aware join
+    lcl = spark.readStream.schema(
+        "user_id long, ts timestamp, view_value double, __rowkind string"
+    ).parquet(f"{base}/l")
+    rcl = spark.readStream.schema(
+        "user_id long, ts timestamp, purchase_value double, __rowkind string"
+    ).parquet(f"{base}/r")
+    joined = retract_join(
+        lcl, rcl, ["user_id"], ["view_value"], ["purchase_value"], "ts"
+    )
+    out = run_stream_to_df(joined, "update")
+    net = (
+        out.groupBy("user_id", "view_value", "purchase_value")
+        .agg(F.sum(rowkind_sign()).alias("__net"))
+        .filter(F.col("__net") > 0)
+    )
+    return net.select("user_id", "view_value", "purchase_value")

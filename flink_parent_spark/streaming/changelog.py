@@ -189,3 +189,126 @@ def changelog_normalize(
     return sdf.groupBy(*key_cols).applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def retract_join(
+    left_cl: DataFrame,
+    right_cl: DataFrame,
+    key_cols: Sequence[str],
+    left_payload: Sequence[str],
+    right_payload: Sequence[str],
+    order_col: str,
+    rowkind_col: str = ROWKIND_COL,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Retraction-consuming streaming INNER join (the two-input
+    StreamingJoinOperator over changelog inputs, re-derived): both sides
+    carry RowKind; per join key the state holds each side's live-row
+    multiset, and every input row emits join deltas against the OTHER
+    side's current state — +I rows for an accumulate message, -D
+    retractions for a retract message. Downstream, the net changelog
+    (sum of +1/-1 per joined row) materializes to exactly the join of the
+    two final states.
+
+    State is the pair of live multisets per key — the same cost the
+    reference pays (JoinRecordStateView per input). Rows are processed in
+    (order_col, tiebreak) order for a deterministic replay trace."""
+    lcols = list(dict.fromkeys([*key_cols, *left_payload]))
+    rcols = list(dict.fromkeys([*key_cols, *right_payload]))
+    ldt = dict(left_cl.dtypes)
+    rdt = dict(right_cl.dtypes)
+    from pyspark.sql import functions as F
+
+    lsel = left_cl.select(
+        *lcols,
+        *[F.lit(None).cast(rdt[c]).alias(f"__r_{c}") for c in right_payload],
+        F.col(order_col).alias("__ord"),
+        *([F.col(tiebreak_col).alias("__tie")] if tiebreak_col else [F.lit(0).alias("__tie")]),
+        F.col(rowkind_col).alias("__kind"),
+        F.lit("L").alias("__side"),
+    )
+    rsel = right_cl.select(
+        *key_cols,
+        *[F.lit(None).cast(ldt[c]).alias(c) for c in left_payload],
+        *[F.col(c).alias(f"__r_{c}") for c in right_payload],
+        F.col(order_col).alias("__ord"),
+        *([F.col(tiebreak_col).alias("__tie")] if tiebreak_col else [F.lit(0).alias("__tie")]),
+        F.col(rowkind_col).alias("__kind"),
+        F.lit("R").alias("__side"),
+    )
+    both = lsel.unionByName(rsel)
+
+    l_schema = ", ".join(f"`{c}` {ldt[c]}" for c in left_payload)
+    r_schema = ", ".join(f"`{c}` {rdt[c]}" for c in right_payload)
+    key_schema = ", ".join(f"`{c}` {ldt[c]}" for c in key_cols)
+    out_schema = f"{key_schema}, {l_schema}, {r_schema}, `{rowkind_col}` string"
+    state_schema = (
+        "lbuf array<struct<" + l_schema.replace("`", "") + ">>, "
+        "rbuf array<struct<" + r_schema.replace("`", "") + ">>"
+    )
+    in_cols = [*key_cols, *left_payload,
+               *[f"__r_{c}" for c in right_payload], "__ord", "__tie",
+               "__kind", "__side"]
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        lbuf = [tuple(t) for t in (state.get[0] if state.exists else [])]
+        rbuf = [tuple(t) for t in (state.get[1] if state.exists else [])]
+        recs: list[dict] = []
+        for pdf in pdfs:
+            recs.extend(pdf[in_cols].to_dict("records"))
+        # a retraction carries ITS ROW's original timestamp, so at an equal
+        # (ord, tie) the accumulate message must process before the
+        # retract of the same row (same causal convention as
+        # streaming_retract_top_n's kind ranking)
+        kind_rank = {INSERT: 0, UPDATE_AFTER: 1, UPDATE_BEFORE: 2, DELETE: 2}
+        recs.sort(
+            key=lambda r: (
+                r["__ord"],
+                r["__tie"],
+                kind_rank.get(r["__kind"], 3),
+            )
+        )
+        emitted: list[dict] = []
+        keyd = dict(zip(key_cols, key))
+
+        def emit(lvals, rvals, op):
+            emitted.append(
+                {
+                    **keyd,
+                    **dict(zip(left_payload, lvals)),
+                    **dict(zip(right_payload, rvals)),
+                    rowkind_col: op,
+                }
+            )
+
+        for rec in recs:
+            acc = rec["__kind"] in (INSERT, UPDATE_AFTER)
+            if rec["__side"] == "L":
+                lv = tuple(rec[c] for c in left_payload)
+                if acc:
+                    lbuf.append(lv)
+                    for rv in rbuf:
+                        emit(lv, rv, INSERT)
+                elif lv in lbuf:
+                    lbuf.remove(lv)
+                    for rv in rbuf:
+                        emit(lv, rv, DELETE)
+            else:
+                rv = tuple(rec[f"__r_{c}"] for c in right_payload)
+                if acc:
+                    rbuf.append(rv)
+                    for lv in lbuf:
+                        emit(lv, rv, INSERT)
+                elif rv in rbuf:
+                    rbuf.remove(rv)
+                    for lv in lbuf:
+                        emit(lv, rv, DELETE)
+        state.update((lbuf, rbuf))
+        yield pd.DataFrame(
+            emitted,
+            columns=[*key_cols, *left_payload, *right_payload, rowkind_col],
+        )
+
+    return both.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
