@@ -32,18 +32,20 @@ PRIORITY: tuple[str, ...] = (
     # stateful streaming
     "stream_retract_topn",
     "changelog_latest_value_by_type",
+    "changelog_source_normalize",
     "stream_dedup_first",
     "stream_topn_per_type",
     # streaming joins
     "stream_interval_join",
     "stream_asof_join",
+    "stream_semi_join",
+    "stream_retract_join",
     # cep
     "cep_signup_then_purchase",
     "cep_not_followed_by",
     "stream_cep_watermark_held",
     # match_recognize
     "match_recognize_sql_clause",
-    "match_recognize_measures",
     # Flink-SQL group-window dialect
     "sql_tumble_hourly",
     "sql_hop_1h_15m",
@@ -58,11 +60,9 @@ PRIORITY: tuple[str, ...] = (
     # batch joins
     "semi_join_customers_with_orders",
     "anti_join_customers_without_orders",
-    "lookup_join_enrich_orders",
     # aggregations
     "grouping_sets_lineitem",
     "agg_distinct_mixed",
-    "flat_aggregate_top2",
     # batch time windows
     "window_session_30m_per_user",
     "window_session_dynamic_gap",
@@ -76,6 +76,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh_pairs",
     "dedup_simhash",
     "ann_cosine_topk_ivf_kmeans",
+    "ann_pq_topk",
     "embedding_neardup_pairs",
     "multimodal_frame_sample",
     # scalar-function gallery
@@ -85,7 +86,6 @@ PRIORITY: tuple[str, ...] = (
     "fn_decimal_arithmetic",
     # udf surface
     "udf_scalar_pandas",
-    "udtf_tokenize",
     # tpcds-style
     "tpcds_top_percentile_customers",
     # sinks/sources
