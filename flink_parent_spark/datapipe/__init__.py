@@ -12,7 +12,13 @@ from flink_parent_spark.datapipe.dedup import (
     minhash_lsh_pairs,
     simhash,
 )
-from flink_parent_spark.datapipe.similarity import cosine, dot, norm, cosine_topk
+from flink_parent_spark.datapipe.similarity import (
+    cosine,
+    dot,
+    norm,
+    cosine_topk,
+    ivf_pq_topk,
+)
 
 __all__ = [
     "token_count",
@@ -29,4 +35,5 @@ __all__ = [
     "dot",
     "norm",
     "cosine_topk",
+    "ivf_pq_topk",
 ]

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from flink_parent_spark.datapipe.spread import spread
 from flink_parent_spark.datapipe.text import token_hash64, tokens
 
 
@@ -55,10 +56,10 @@ def ngram_shingles(text: Column, n: int = 3) -> Column:
 
 def _spread(df: DataFrame) -> DataFrame:
     """Spread rows across cores before compute-heavy per-row expressions —
-    a single input file otherwise pins shingling/hashing to one task (at
-    cluster scale the input arrives already split; this is the local-mode
-    equivalent)."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    a single input file otherwise pins shingling/hashing to one task. The
+    check is conditional: a pre-split input (the cluster-scale case) passes
+    through without a shuffle."""
+    return spread(df)
 
 
 def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:

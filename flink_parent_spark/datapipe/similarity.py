@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from flink_parent_spark.datapipe.spread import spread
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential double-precision dot product of two float arrays."""
@@ -55,56 +57,78 @@ def _best_cells(cent_arr: Column, n_cent: int, vec: Column, n: int) -> Column:
     return F.transform(F.slice(F.sort_array(scored), 1, n), lambda s: s["cell"])
 
 
+def hash_bucket100(col: Column) -> Column:
+    """Deterministic 0-99 bucket from the md5 of a key — the repo's
+    engine-portable sampling primitive (same formula as
+    `sample_hash_stratified`; DuckDB reproduces it exactly)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint")
+        % 100
+    )
+
+
 def train_kmeans_centroids(
     candidates: DataFrame,
     n_centroids: int,
     n_iters: int,
     cand_id: str = "vec_id",
     vec_col: str = "embedding",
+    sample_pct: int | None = None,
 ) -> list[list[float]]:
     """Deterministic Lloyd iterations, DataFrame-native.
 
-    - init: the `n_centroids` lowest-id vectors (reproducible seed);
+    - sample: with `sample_pct`, training reads only the rows whose
+      md5-bucket of `cand_id` falls under the percentage — a deterministic,
+      engine-reproducible subset, so at 100 TB each Lloyd iteration scans a
+      bounded slice of the corpus instead of all of it (search still covers
+      every vector; only centroid fitting is sampled);
+    - init: the `n_centroids` lowest-id vectors of the training set
+      (reproducible seed);
     - assign: map-side argmax-cosine against a literal centroid array — no
       shuffle, whole-stage codegen;
     - update: per-(cell, dim) exact mean via posexplode + decimal-sum (the
       repo's cross-engine float-determinism contract), one shuffle of
       k*d groups; only k*d doubles ever reach the driver.
 
-    At 100 TB the same plan holds: each iteration is one scan + one tiny
-    aggregation (train on a sampled fraction for wall-clock, the plan is
-    identical). An empty cell keeps its previous centroid.
+    An empty cell keeps its previous centroid. The training set's cache is
+    released before returning.
     """
-    candidates = candidates.persist()  # scanned once per Lloyd iteration
-    init = (
-        candidates.select(F.col(cand_id).alias("cid"), F.col(vec_col).alias("cv"))
-        .orderBy("cid")
-        .limit(n_centroids)
-        .collect()
-    )
-    cent = [[float(x) for x in r["cv"]] for r in init]
-    dim = len(cent[0])
-    for _ in range(n_iters):
-        cent_arr = _cent_literal(cent)
-        # two selects: a generator (posexplode) in the same projection as the
-        # lambda-struct expression makes Catalyst's generator rewrite drop
-        # the struct field aliases inside the higher-order function
-        assigned = candidates.select(
-            _best_cells(cent_arr, len(cent), F.col(vec_col), 1)[0].alias("cell"),
-            F.col(vec_col).alias("__v"),
-        ).select("cell", F.posexplode(F.col("__v")).alias("dim", "x"))
-        agg = assigned.groupBy("cell", "dim").agg(
-            (
-                F.sum(F.col("x").cast("double").cast("decimal(38,18)")).cast("double")
-                / F.count("x").cast("double")
-            ).alias("m")
+    train = candidates
+    if sample_pct is not None:
+        train = train.filter(hash_bucket100(F.col(cand_id)) < sample_pct)
+    train = train.persist()  # scanned once per Lloyd iteration
+    try:
+        init = (
+            train.select(F.col(cand_id).alias("cid"), F.col(vec_col).alias("cv"))
+            .orderBy("cid")
+            .limit(n_centroids)
+            .collect()
         )
-        got = {(r["cell"], r["dim"]): r["m"] for r in agg.collect()}
-        cent = [
-            [got[(ci, d)] for d in range(dim)] if (ci, 0) in got else cent[ci]
-            for ci in range(len(cent))
-        ]
-    return cent
+        cent = [[float(x) for x in r["cv"]] for r in init]
+        dim = len(cent[0])
+        for _ in range(n_iters):
+            cent_arr = _cent_literal(cent)
+            # two selects: a generator (posexplode) in the same projection as
+            # the lambda-struct expression makes Catalyst's generator rewrite
+            # drop the struct field aliases inside the higher-order function
+            assigned = train.select(
+                _best_cells(cent_arr, len(cent), F.col(vec_col), 1)[0].alias("cell"),
+                F.col(vec_col).alias("__v"),
+            ).select("cell", F.posexplode(F.col("__v")).alias("dim", "x"))
+            agg = assigned.groupBy("cell", "dim").agg(
+                (
+                    F.sum(F.col("x").cast("double").cast("decimal(38,18)")).cast("double")
+                    / F.count("x").cast("double")
+                ).alias("m")
+            )
+            got = {(r["cell"], r["dim"]): r["m"] for r in agg.collect()}
+            cent = [
+                [got[(ci, d)] for d in range(dim)] if (ci, 0) in got else cent[ci]
+                for ci in range(len(cent))
+            ]
+        return cent
+    finally:
+        train.unpersist()
 
 
 def ivf_kmeans_topk(
@@ -117,21 +141,24 @@ def ivf_kmeans_topk(
     query_id: str = "vec_id",
     cand_id: str = "vec_id",
     vec_col: str = "embedding",
+    train_sample_pct: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k with k-means-TRAINED centroids (vs the seeded
     coarse quantizer of `ivf_topk`): Lloyd-refined cells fit the data
     distribution, cutting the probe miss rate for the same nprobe. Search
     plan is identical to `ivf_topk` — centroid training changes only the
-    literal centroid array."""
-    spark = candidates.sparkSession
-    cent = train_kmeans_centroids(candidates, n_centroids, n_iters, cand_id, vec_col)
+    literal centroid array. `train_sample_pct` bounds training to a
+    deterministic md5-bucket sample of the corpus (the 100 TB path)."""
+    cent = train_kmeans_centroids(
+        candidates, n_centroids, n_iters, cand_id, vec_col, sample_pct=train_sample_pct
+    )
     cent_arr = _cent_literal(cent)
     n_cent = len(cent)
-    c = candidates.select(
+    c = spread(candidates).select(
         F.col(cand_id).alias("cand_id"),
         F.col(vec_col).alias("__cv"),
         _best_cells(cent_arr, n_cent, F.col(vec_col), 1)[0].alias("__cell"),
-    ).repartition(spark.sparkContext.defaultParallelism)
+    )
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).alias("__qv"),
@@ -203,12 +230,11 @@ def ivf_topk(
             F.slice(F.sort_array(scored), 1, n), lambda s: s["cell"]
         )
 
-    c = candidates.select(
+    c = spread(candidates).select(
         F.col(cand_id).alias("cand_id"),
         F.col(vec_col).alias("__cv"),
         best_cells(F.col(vec_col), 1)[0].alias("__cell"),
     )
-    c = c.repartition(spark.sparkContext.defaultParallelism)
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).alias("__qv"),
@@ -247,14 +273,13 @@ def cosine_topk(
         F.col(vec_col).alias("__qv"),
         *([F.col(block_col).alias("__qb")] if block_col else []),
     )
-    c = candidates.select(
+    # spread candidates across cores: a single input file otherwise pins the
+    # per-candidate fold to one task (pre-split inputs pass through)
+    c = spread(candidates).select(
         F.col(cand_id).alias("cand_id"),
         F.col(vec_col).alias("__cv"),
         *([F.col(block_col).alias("__cb")] if block_col else []),
     )
-    # spread candidates across cores: a single input file otherwise pins the
-    # per-candidate fold to one task (clusters get this split for free)
-    c = c.repartition(c.sparkSession.sparkContext.defaultParallelism)
     if block_col:
         joined = c.join(F.broadcast(q), F.col("__qb") == F.col("__cb"))
     else:
@@ -314,6 +339,34 @@ def pq_topk(
       `train_kmeans_centroids` — the encode/search plan is unchanged.
 
     Output: (query_id, cand_id, adist, rank), rank 1 = smallest ADC."""
+    cb_lit, subdim = _pq_codebooks(candidates, m, ks, cand_id, vec_col)
+    c = spread(candidates).select(
+        F.col(cand_id).alias("cand_id"),
+        _pq_codes(cb_lit, subdim, m, ks, F.col(vec_col)).alias("__codes"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    joined = c.crossJoin(F.broadcast(q)).filter(
+        F.col("query_id") != F.col("cand_id")
+    )
+    scored = joined.withColumn(
+        "adist", _pq_adist(cb_lit, subdim, m, F.col("__qv"), F.col("__codes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "adist", "rank")
+    )
+
+
+def _pq_codebooks(
+    candidates: DataFrame, m: int, ks: int, cand_id: str, vec_col: str
+) -> tuple[Column, int]:
+    """Seeded PQ codebooks as a literal array<array<array<double>>> indexed
+    [subspace][code][dim]: subvectors of the `ks` lowest-id candidates —
+    deterministic and oracle-reproducible. Returns (literal, subdim)."""
     dim = len(candidates.select(vec_col).first()[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -337,44 +390,116 @@ def pq_topk(
             for cbj in cb
         ]
     )
+    return cb_lit, subdim
 
-    def sub(vec: Column, j: int) -> Column:
-        return F.slice(vec, j * subdim + 1, subdim)
 
-    def code_at(vec: Column, j: int) -> Column:
+def _pq_sub(vec: Column, j: int, subdim: int) -> Column:
+    return F.slice(vec, j * subdim + 1, subdim)
+
+
+def _pq_codes(cb_lit: Column, subdim: int, m: int, ks: int, vec: Column) -> Column:
+    """Array of `m` code ordinals: per subspace, argmin squared-L2 against
+    the codebook (ordinal tiebreak). Pure map-side expression work."""
+
+    def code_at(j: int) -> Column:
         # NB: the transform lambda must be single-parameter — a defaulted
         # second parameter would make PySpark treat it as the (element,
         # index) form and bind the array ordinal over the default. The
         # closure over `j` is safe: PySpark invokes the lambda eagerly
         # while building the expression.
         scored = F.zip_with(
-            F.transform(cb_lit[j], lambda cv: sqdist(sub(vec, j), cv)),
+            F.transform(cb_lit[j], lambda cv: sqdist(_pq_sub(vec, j, subdim), cv)),
             F.sequence(F.lit(0), F.lit(ks - 1)),
             lambda d, i: F.struct(d.alias("dist"), i.alias("code")),
         )
         return F.sort_array(scored)[0]["code"]
 
-    spark = candidates.sparkSession
-    c = candidates.select(
-        F.col(cand_id).alias("cand_id"),
-        F.array(
-            *[code_at(F.col(vec_col), j) for j in range(m)]
-        ).alias("__codes"),
-    ).repartition(spark.sparkContext.defaultParallelism)
-    q = queries.select(
-        F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv")
-    )
-    joined = c.crossJoin(F.broadcast(q)).filter(
-        F.col("query_id") != F.col("cand_id")
-    )
+    return F.array(*[code_at(j) for j in range(m)])
+
+
+def _pq_adist(
+    cb_lit: Column, subdim: int, m: int, qv: Column, codes: Column
+) -> Column:
+    """Asymmetric distance: sum over subspaces (fixed j order — a
+    deterministic left-to-right fold) of squared L2 between the query
+    subvector and the candidate's codeword."""
     adist = None
-    for j in range(m):  # fixed j order => deterministic left-to-right sum
+    for j in range(m):
         term = sqdist(
-            sub(F.col("__qv"), j),
-            F.element_at(cb_lit[j], F.col("__codes")[j] + 1),
+            _pq_sub(qv, j, subdim),
+            F.element_at(cb_lit[j], codes[j] + 1),
         )
         adist = term if adist is None else adist + term
-    scored = joined.withColumn("adist", adist)
+    return adist
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    ks: int = 4,
+    query_id: str = "vec_id",
+    cand_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF + PQ composed — the standard FAISS IVFADC layout (Jegou et al.
+    2011, public algorithm) re-expressed as DataFrame ops: a coarse
+    quantizer routes each query to `nprobe` cells, and within a cell
+    candidates rank by PQ asymmetric distance (ADC) against their
+    compressed codes. This removes the full-corpus scan plain `pq_topk`
+    pays (its crossJoin scores every candidate for every query): scanned
+    vectors per query drop to ~nprobe/n_centroids of the corpus AND each
+    scored pair costs m codeword folds instead of a d-dim dot product.
+
+    Scale design at 100 TB:
+    - cell assignment and PQ encoding are ONE map-side pass over the
+      candidate scan (literal centroid/codebook arrays, whole-stage
+      codegen, no shuffle; `spread` only kicks in for narrow local
+      inputs) — the corpus-side search representation is 1 small int +
+      m codes per vector, the compression win that makes the index fit;
+    - queries explode to nprobe cells and broadcast; the only shuffles are
+      the cell equi-join and the final per-query top-k
+      (WindowGroupLimit partial top-k map-side);
+    - no crossJoin anywhere in the plan (asserted in tests/test_plans.py).
+
+    Coarse centroids and codebooks are deterministically seeded (lowest-id
+    vectors / their subvectors) so a SQL oracle reproduces routing,
+    encoding, and ADC ranking bit-exactly; production would swap in
+    Lloyd-trained versions (`train_kmeans_centroids`) without changing the
+    search plan.
+
+    Output: (query_id, cand_id, adist, rank), rank 1 = smallest ADC."""
+    cent = (
+        candidates.select(F.col(cand_id).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy("cid")
+        .limit(n_centroids)
+        .collect()
+    )
+    cent_arr = _cent_literal([[float(x) for x in r["cv"]] for r in cent])
+    n_cent = len(cent)
+    cb_lit, subdim = _pq_codebooks(candidates, m, ks, cand_id, vec_col)
+    c = spread(candidates).select(
+        F.col(cand_id).alias("cand_id"),
+        _best_cells(cent_arr, n_cent, F.col(vec_col), 1)[0].alias("__cell"),
+        _pq_codes(cb_lit, subdim, m, ks, F.col(vec_col)).alias("__codes"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(_best_cells(cent_arr, n_cent, F.col(vec_col), nprobe)).alias(
+            "__cell"
+        ),
+    )
+    scored = (
+        c.join(F.broadcast(q), "__cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn(
+            "adist", _pq_adist(cb_lit, subdim, m, F.col("__qv"), F.col("__codes"))
+        )
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -1,0 +1,22 @@
+"""Conditional input spreading for compute-heavy map-side operators.
+
+A single local input file pins per-row expression work (shingling, hashing,
+vector folds) to one task; at cluster scale the same input arrives in
+thousands of scan splits and needs no help. `spread()` therefore
+repartitions ONLY narrow inputs — an unconditional
+`repartition(defaultParallelism)` would be a gratuitous full shuffle of a
+100 TB corpus that is already well-split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition `df` to the cluster's default parallelism iff it arrives
+    in fewer partitions (planning-time check — no job is triggered)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -528,14 +528,18 @@ def _duck_kmeans_mean(assigned: str) -> str:
 @df_query(
     "ann_cosine_topk_ivf_kmeans",
     oracle=f"""
-    WITH c0 AS (
+    WITH train AS (
+      SELECT * FROM embeddings
+      WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 50
+    ),
+    c0 AS (
       SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4)
+      FROM (SELECT vec_id, embedding FROM train ORDER BY vec_id LIMIT 4)
     ),
-    a0 AS ({_duck_kmeans_assign('embeddings', 'c0', 'vec_id', 'rn = 1')}),
+    a0 AS ({_duck_kmeans_assign('train', 'c0', 'vec_id', 'rn = 1')}),
     c1 AS ({_duck_kmeans_mean('a0')}),
-    a1 AS ({_duck_kmeans_assign('embeddings', 'c1', 'vec_id', 'rn = 1')}),
+    a1 AS ({_duck_kmeans_assign('train', 'c1', 'vec_id', 'rn = 1')}),
     c2 AS ({_duck_kmeans_mean('a1')}),
     cand_cells AS (
       {_duck_kmeans_assign('embeddings', 'c2', 'vec_id', 'rn = 1')}
@@ -560,16 +564,20 @@ def _duck_kmeans_mean(assigned: str) -> str:
 )
 def ann_cosine_topk_ivf_kmeans(spark, sf_dir):
     """IVF with k-means-trained centroids: 2 Lloyd iterations refine 4
-    seeded cells (assign = map-side argmax over a literal centroid array;
-    update = one k*d-group aggregation with exact decimal means), then the
-    standard IVF probe. The oracle unrolls both iterations in SQL and must
-    reproduce centroids, cell assignment, and ranking bit-exactly."""
+    seeded cells over a deterministic 50% md5-bucket training sample
+    (assign = map-side argmax over a literal centroid array; update = one
+    k*d-group aggregation with exact decimal means), then the standard IVF
+    probe over the FULL corpus. Sampling bounds the per-iteration training
+    scan at 100 TB; the oracle unrolls both iterations over the same sample
+    in SQL and must reproduce centroids, cell assignment, and ranking
+    bit-exactly."""
     from flink_parent_spark.datapipe.similarity import ivf_kmeans_topk
 
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
     return ivf_kmeans_topk(
-        e.filter(F.col("vec_id") < 10), e, k=5, n_centroids=4, nprobe=2, n_iters=2
+        e.filter(F.col("vec_id") < 10), e, k=5, n_centroids=4, nprobe=2, n_iters=2,
+        train_sample_pct=50,
     )
 
 
@@ -887,6 +895,81 @@ def _pq_oracle() -> str:
     SELECT query_id, cand_id, adist, CAST(rank AS INT) AS rank
     FROM ranked WHERE rank <= 5
     """
+
+
+def _ivf_pq_oracle() -> str:
+    """IVFADC unrolled: 8 seeded coarse cells route candidates (argmax
+    cosine) and queries (2 nearest cells); within a probed cell candidates
+    rank by the 4-subspace ADC sum against seeded codebooks — mirrors
+    `ivf_pq_topk`'s routing + encoding + fixed-order ADC exactly."""
+    subs = [(j, 16 * j + 1, 16 * (j + 1)) for j in range(4)]
+    enc_cols = ", ".join(
+        f"""(SELECT s.code FROM seeds s
+         ORDER BY {_duck_sqd(f'c.embedding[{lo}:{hi}]', f's.embedding[{lo}:{hi}]')} ASC,
+                  s.code ASC LIMIT 1) AS c{j}"""
+        for j, lo, hi in subs
+    )
+    ad_terms = " + ".join(
+        _duck_sqd(f"q.embedding[{lo}:{hi}]", f"s{j}.embedding[{lo}:{hi}]")
+        for j, lo, hi in subs
+    )
+    joins = " ".join(f"JOIN seeds s{j} ON s{j}.code = e.c{j}" for j, _, _ in subs)
+    return f"""
+    WITH cent AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cv
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+    ), seeds AS (
+      SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 4)
+    ), cand_cells AS (
+      SELECT cand_id, embedding, cell FROM (
+        SELECT e.vec_id AS cand_id, e.embedding, cent.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_duck_cos('cent.cv', 'e.embedding')} DESC,
+                                           cent.cell) AS rn
+        FROM embeddings e, cent
+      ) a WHERE rn = 1
+    ), enc AS (
+      SELECT c.cand_id, c.cell, {enc_cols}
+      FROM (SELECT cand_id, embedding, cell FROM cand_cells) c
+    ), query_cells AS (
+      SELECT query_id, embedding, cell FROM (
+        SELECT q.vec_id AS query_id, q.embedding, cent.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_duck_cos('cent.cv', 'q.embedding')} DESC,
+                                           cent.cell) AS rn
+        FROM embeddings q, cent WHERE q.vec_id < 8
+      ) b WHERE rn <= 2
+    ), ad AS (
+      SELECT q.query_id, e.cand_id, {ad_terms} AS adist
+      FROM query_cells q JOIN enc e USING (cell) {joins}
+      WHERE q.query_id <> e.cand_id
+    ), ranked AS (
+      SELECT query_id, cand_id, adist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adist ASC, cand_id) AS rank
+      FROM ad
+    )
+    SELECT query_id, cand_id, adist, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@df_query("ann_ivf_pq_topk", oracle=_ivf_pq_oracle())
+def ann_ivf_pq_topk(spark, sf_dir):
+    """IVF + PQ composed (FAISS IVFADC layout): coarse cells bound the scan
+    per query to nprobe/n_centroids of the corpus, PQ codes bound the cost
+    per scanned pair to m codeword folds — the flagship 100 TB ANN path,
+    with no crossJoin anywhere in the plan (asserted in test_plans.py).
+    The oracle independently reproduces cell routing, PQ encoding, and
+    ADC ranking bit-exactly."""
+    from flink_parent_spark.datapipe.similarity import ivf_pq_topk
+
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    return ivf_pq_topk(
+        e.filter(F.col("vec_id") < 8), e, k=5, n_centroids=8, nprobe=2, m=4, ks=4
+    )
 
 
 @df_query("ann_pq_topk", oracle=_pq_oracle())

@@ -192,3 +192,45 @@ def test_sql_tumble_single_shuffle(spark):
     assert plan.count("HashAggregate") >= 2
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_pq_no_crossjoin_and_broadcast_probe(spark):
+    """IVFADC search must not contain a cartesian/NL join anywhere: cell
+    routing turns the PQ scoring into a broadcast equi-join on the cell id,
+    and the final top-k is a partial WindowGroupLimit."""
+    plan = plan_of(QS["ann_ivf_pq_topk"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_spread_passes_through_presplit_input(spark):
+    """`spread()` must NOT reshuffle an input that already arrives in at
+    least defaultParallelism partitions (the 100 TB case); a narrow local
+    input still gets the round-robin spread."""
+    from flink_parent_spark.datapipe.spread import spread
+
+    target = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 1000, 1, target)  # pre-split
+    plan = plan_of(spread(wide))
+    assert "RoundRobinPartitioning" not in plan and "Exchange" not in plan
+
+    narrow = spark.range(0, 1000, 1, 1)
+    plan = plan_of(spread(narrow))
+    assert "roundrobin" in plan.lower()
+
+
+def test_kmeans_training_input_is_bounded(spark):
+    """The Lloyd training set must be the deterministic md5-bucket sample,
+    not the full corpus: the training filter appears in the assignment scan
+    when sample_pct is set."""
+    from flink_parent_spark.datapipe.similarity import hash_bucket100
+    from flink_parent_spark.tables import load_tables
+
+    t = load_tables(spark, SF)
+    e = t["embeddings"]
+    train = e.filter(hash_bucket100(F.col("vec_id")) < 50)
+    full = e.count()
+    sampled = train.count()
+    assert 0 < sampled < full
