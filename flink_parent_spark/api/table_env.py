@@ -333,22 +333,60 @@ def _gw_interval(tok: str) -> str:
     return f"'{m.group('n')} {m.group('unit').lower()}'"
 
 
+def _mask_quotes_comments(sql: str) -> str:
+    """Same-length copy of `sql` with the contents of string literals
+    (single/double/backtick, with '' escape) and comments (-- and /* */)
+    blanked, so token scans and paren matching never fire inside them."""
+    out = list(sql)
+    i, n = 0, len(sql)
+    while i < n:
+        two = sql[i : i + 2]
+        if two == "--":
+            j = sql.find("\n", i)
+            j = n if j < 0 else j
+            out[i:j] = " " * (j - i)
+            i = j
+        elif two == "/*":
+            j = sql.find("*/", i + 2)
+            j = n if j < 0 else j + 2
+            out[i:j] = " " * (j - i)
+            i = j
+        elif sql[i] in "'\"`":
+            q = sql[i]
+            j = i + 1
+            while j < n:
+                if sql[j] == q:
+                    if q == "'" and sql[j : j + 2] == "''":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            end = min(j, n)
+            out[i + 1 : end] = " " * (end - i - 1)
+            i = end + 1
+        else:
+            i += 1
+    return "".join(out)
+
+
 def rewrite_group_windows(sql: str) -> str:
     """Rewrite Flink group-window SQL into Spark SQL (identity when the
-    dialect is absent)."""
+    dialect is absent). Scans a literal/comment-masked shadow of the text
+    so TUMBLE/HOP/SESSION tokens inside strings or comments are left alone."""
+    masked = _mask_quotes_comments(sql)
     out: list[str] = []
     i = 0
     while True:
-        m = _GW_CALL.search(sql, i)
+        m = _GW_CALL.search(masked, i)
         if not m:
             out.append(sql[i:])
             return "".join(out)
         out.append(sql[i : m.start()])
         depth, j = 1, m.end()
         while depth and j < len(sql):
-            if sql[j] == "(":
+            if masked[j] == "(":
                 depth += 1
-            elif sql[j] == ")":
+            elif masked[j] == ")":
                 depth -= 1
             j += 1
         args = [a.strip() for a in _split_top_level(sql[m.end() : j - 1])]

@@ -179,6 +179,29 @@ def encode_ocf(pdf: pd.DataFrame, schema: dict) -> bytes:
     return out.getvalue()
 
 
+def decode_ocf_schema(data: bytes) -> dict:
+    """Decode only the OCF header (magic + metadata block) and return the
+    writer schema — no record blocks are read, so probing a large file on
+    the driver stays O(header)."""
+    buf = io.BytesIO(data)
+    if buf.read(4) != MAGIC:
+        raise ValueError("not an Avro object container file")
+    schema = None
+    n_meta = _read_long(buf)
+    while True:
+        if n_meta == 0:
+            break
+        for _ in range(abs(n_meta)):
+            k = _read_bytes(buf).decode()
+            v = _read_bytes(buf)
+            if k == "avro.schema":
+                schema = json.loads(v)
+        n_meta = _read_long(buf)
+    if schema is None:
+        raise ValueError("Avro OCF header has no avro.schema metadata entry")
+    return schema
+
+
 def decode_ocf(data: bytes) -> tuple[dict, pd.DataFrame]:
     buf = io.BytesIO(data)
     if buf.read(4) != MAGIC:
@@ -261,17 +284,26 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     """Distributed OCF reader: binaryFile source (one row per file) +
     mapInPandas decode, so parallelism scales with file count and the
     decode never funnels through the driver."""
+    # schema discovery from one file header (driver-side, header only)
+    if os.path.isdir(path):
+        candidates = sorted(
+            f for f in os.listdir(path)
+            if f.endswith(".avro") and not f.startswith((".", "_"))
+        )
+        if not candidates:
+            raise FileNotFoundError(f"no *.avro files under {path}")
+        probe = os.path.join(path, candidates[0])
+    else:
+        probe = path
+    with open(probe, "rb") as fh:
+        # the header (magic + metadata map + sync marker) is at the front;
+        # 64 KiB comfortably covers any real schema without reading records
+        head = fh.read(65536)
+    schema = decode_ocf_schema(head)
+    ddl = _spark_ddl_of_avro(schema)
     files = spark.read.format("binaryFile").load(
         os.path.join(path, "*.avro") if os.path.isdir(path) else path
     )
-    # schema discovery from one file header (driver-side, header only)
-    first = sorted(
-        os.listdir(path) if os.path.isdir(path) else [path]
-    )
-    probe = os.path.join(path, first[0]) if os.path.isdir(path) else path
-    with open(probe, "rb") as fh:
-        schema, _ = decode_ocf(fh.read())
-    ddl = _spark_ddl_of_avro(schema)
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

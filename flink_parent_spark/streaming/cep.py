@@ -583,6 +583,33 @@ class Pattern:
         return out
 
 
+def find_matches_any(
+    patterns: "Sequence[Pattern]",
+    rows: list[Row],
+    ts_col: str,
+    skip: str = AfterMatchSkip.SKIP_PAST_LAST,
+) -> list[list[tuple[str, int]]]:
+    """Leftmost-preferred alternation over whole patterns — the expansion
+    Calcite gives `PERMUTE(A, B)` = `(A B | B A)` (SqlMatchRecognize /
+    Flink MatchCodeGenerator.scala): at each scan position the FIRST
+    pattern in `patterns` that matches wins, then the skip strategy
+    advances exactly as in `Pattern.find_matches`."""
+    out: list[list[tuple[str, int]]] = []
+    start = 0
+    while start < len(rows):
+        m = None
+        for p in patterns:
+            m = p._match_from(rows, start, ts_col)
+            if m is not None:
+                break
+        if m is None:
+            start += 1
+            continue
+        out.append(m)
+        start = _next_start(skip, m, start)
+    return out
+
+
 MATCH_SCHEMA_SUFFIX = (
     "`match_id` bigint, `stage` string, `seq` int, `event_ts` timestamp"
 )
@@ -596,21 +623,28 @@ def cep_pattern(
     id_col: str,
     skip: str = AfterMatchSkip.SKIP_PAST_LAST,
     exclude: frozenset[str] | set[str] = frozenset(),
+    alternatives: "Sequence[Pattern] | None" = None,
 ) -> DataFrame:
     """Batch CEP: one output row per matched event:
     (key..., event id, match_id (per-key ordinal), stage, seq, event_ts).
 
     `exclude`: stage names matched but not emitted (SQL MATCH_RECOGNIZE
-    {- X -} output exclusion); seq numbers the emitted rows only."""
+    {- X -} output exclusion); seq numbers the emitted rows only.
+    `alternatives`: additional whole-pattern variants tried in preference
+    order after `pattern` at each position (PERMUTE expansion)."""
     dt = dict(df.dtypes)
     key_schema = ", ".join(f"`{c}` {dt[c]}" for c in key_cols)
     out_schema = f"{key_schema}, `{id_col}` {dt[id_col]}, " + MATCH_SCHEMA_SUFFIX
     cols = list(df.columns)
+    pats = [pattern, *(alternatives or [])]
 
     def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([ts_col, id_col])
         rows = pdf[cols].to_dict("records")
-        matches = pattern.find_matches(rows, ts_col, skip)
+        if len(pats) > 1:
+            matches = find_matches_any(pats, rows, ts_col, skip)
+        else:
+            matches = pattern.find_matches(rows, ts_col, skip)
         recs = []
         for mid, m in enumerate(matches):
             emitted = [(s, i) for s, i in m if s not in exclude]
@@ -666,11 +700,20 @@ def cep_pattern_stream(
         for pdf in pdfs:
             rows.extend(pdf[cols].to_dict("records"))
         rows.sort(key=lambda r: (r[ts_col], r[id_col]))
-        # the frontier is always open (any future arrival may extend): a
-        # minimal lower bound keeps every `within` deadline ahead of it
+        # Without a watermark the finalization clock is the max sealed event
+        # time: rows only append at the tail after sorting, so once an event
+        # past a pattern's `within` deadline arrives, partial matches behind
+        # that deadline can never complete (close them → frontier GC) and
+        # growable completed matches are final (emit them). Patterns with no
+        # `within` keep the frontier open indefinitely, as before.
+        if rows:
+            clock = rows[-1][ts_col]
+            clock_ms = int(pd.Timestamp(clock).value // 1_000_000)
+        else:
+            clock, clock_ms = pd.Timestamp.min, None
         recs, n_emitted_now, retain_from = _scan_frontier(
             pattern, rows, len(rows), key_cols, ts_col, id_col, skip,
-            emitted, future_lb=pd.Timestamp.min, wm_ms=None,
+            emitted, future_lb=clock, wm_ms=clock_ms,
         )
         remainder = rows[retain_from:]
         state.update(
@@ -685,12 +728,23 @@ def cep_pattern_stream(
     )
 
 
+def _stage_answers_to(st: _Stage, name: str) -> bool:
+    """True when `name` is this stage's own name or (recursively) the name of
+    a stage inside its group sub-pattern — matches record inner-stage names
+    while the owning top-level stage is named '<group>'."""
+    if st.name == name:
+        return True
+    if st.group is not None:
+        return any(_stage_answers_to(inner, name) for inner in st.group._stages)
+    return False
+
+
 def _final_stage_index(stages: list[_Stage], m: list[tuple[str, int]]) -> int:
     """Index in `stages` of the last *matched* stage of m (trailing optional
     stages may be absent from the match)."""
     last_name = m[-1][0]
     for i in range(len(stages) - 1, -1, -1):
-        if stages[i].name == last_name:
+        if _stage_answers_to(stages[i], last_name):
             return i
     return len(stages) - 1
 

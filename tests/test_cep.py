@@ -895,3 +895,84 @@ def test_group_pattern_optional():
     assert [names(m) for m in mk(True).find_matches(rows("A", "C"), "ts")] == [
         [("a", 0), ("c", 1)]
     ]
+
+
+# --- round-5 regressions: no-watermark finalization clock + group-stage
+# --- extendability (ADVICE r4) ----------------------------------------------
+
+
+def test_naive_stream_within_finalizes_relaxed_quantified_match(spark):
+    """No-watermark mode: a completed match ending in a relaxed quantified
+    stage with headroom, bounded by `within`, must finalize and EMIT once a
+    later sealed event passes the within deadline (the max sealed event time
+    is the finalization clock). Previously such matches were held forever
+    and their rows never GC'd."""
+    from flink_parent_spark.streaming.cep import cep_pattern_stream
+
+    pat = (
+        Pattern.begin("a").where(lambda r: r["event_type"] == "signup")
+        .followed_by("b").where(lambda r: r["event_type"] == "purchase")
+        .one_or_more()
+        .within(dt.timedelta(hours=1))
+    )
+    batches = [
+        [("2024-01-01 00:00:00", 1, 0, "signup"),
+         ("2024-01-01 00:00:10", 1, 1, "purchase")],
+        [("2024-01-01 05:00:00", 1, 2, "noise"),
+         ("2024-01-01 06:00:00", 1, 3, "noise")],
+    ]
+    cap = _cep_stream_batches(
+        spark, batches,
+        lambda sdf: cep_pattern_stream(sdf, pat, ["user_id"], "ts", "event_id"),
+    )
+    streamed = pd.concat([p for _, p in cap], ignore_index=True)
+    assert sorted(streamed["event_id"]) == [0, 1]
+    assert streamed["match_id"].nunique() == 1
+
+
+def test_naive_stream_expired_partial_match_closes_and_gcs(spark):
+    """No-watermark mode: a partial match (signup, no purchase) whose
+    `within` deadline has passed per the max sealed event time must stop
+    pinning the buffer — later matches still emit and the stale head cannot
+    complete."""
+    from flink_parent_spark.streaming.cep import cep_pattern_stream
+
+    pat = (
+        Pattern.begin("a").where(lambda r: r["event_type"] == "signup")
+        .followed_by("b").where(lambda r: r["event_type"] == "purchase")
+        .within(dt.timedelta(minutes=10))
+    )
+    batches = [
+        [("2024-01-01 00:00:00", 1, 0, "signup")],
+        [("2024-01-01 02:00:00", 1, 1, "noise")],
+        # fresh pair well past the stale head's deadline
+        [("2024-01-01 03:00:00", 1, 2, "signup"),
+         ("2024-01-01 03:00:05", 1, 3, "purchase")],
+    ]
+    cap = _cep_stream_batches(
+        spark, batches,
+        lambda sdf: cep_pattern_stream(sdf, pat, ["user_id"], "ts", "event_id"),
+    )
+    streamed = pd.concat([p for _, p in cap], ignore_index=True)
+    # exactly the fresh pair; the expired signup never matches
+    assert sorted(streamed["event_id"]) == [2, 3]
+
+
+def test_final_stage_index_resolves_group_inner_names():
+    """Matches record inner group-stage names while the owning stage is
+    named '<group>': the reverse scan must map them back to the owning
+    top-level stage, not fall through to the last stage."""
+    from flink_parent_spark.streaming.cep import _final_stage_index
+
+    inner = (
+        Pattern.begin("x").where(lambda r: r["t"] == "X")
+        .next("y").where(lambda r: r["t"] == "Y")
+    )
+    pat = (
+        Pattern.begin(inner).one_or_more()
+        .followed_by("c").where(lambda r: r["t"] == "C").optional()
+    )
+    # match ends on the group's inner stage 'y' -> owning stage index 0
+    assert _final_stage_index(pat._stages, [("x", 0), ("y", 1)]) == 0
+    # match ends on the plain trailing stage
+    assert _final_stage_index(pat._stages, [("x", 0), ("y", 1), ("c", 2)]) == 1

@@ -139,3 +139,32 @@ def test_console_sink_runs(spark):
     )
     q.awaitTermination(120)
     assert q.lastProgress is not None
+
+
+def test_read_avro_probe_filters_non_avro(spark):
+    """Schema probe must ignore _SUCCESS/hidden siblings (which sort first)
+    and fail clearly on a directory with no .avro files."""
+    import os
+    import tempfile
+
+    import pytest
+
+    from flink_parent_spark.sources.avro_format import read_avro, write_avro
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    d = os.path.join(tempfile.gettempdir(), "avro_unit_probe")
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+    write_avro(df, d)
+    # sorts before any part-*.avro file; must not be picked as the probe
+    open(os.path.join(d, "_SUCCESS"), "w").close()
+    back = read_avro(spark, d).toPandas().sort_values("id")
+    assert list(back["id"]) == [1, 2]
+
+    empty = os.path.join(tempfile.gettempdir(), "avro_unit_empty")
+    shutil.rmtree(empty, ignore_errors=True)
+    os.makedirs(empty)
+    open(os.path.join(empty, "_SUCCESS"), "w").close()
+    with pytest.raises(FileNotFoundError, match="no \\*\\.avro"):
+        read_avro(spark, empty)

@@ -198,3 +198,19 @@ def test_streaming_sql_group_window(spark):
     g = {(r["ws"], r["event_type"]): r["n"] for r in got.collect()}
     e = {(r["ws"], r["event_type"]): r["n"] for r in exp.collect()}
     assert g == e and len(g) > 0
+
+
+def test_rewrite_group_windows_skips_literals_and_comments():
+    """TUMBLE/HOP/SESSION tokens inside string literals or comments must
+    survive the rewrite untouched."""
+    from flink_parent_spark.api.table_env import rewrite_group_windows
+
+    sql = (
+        "SELECT 'TUMBLE(ts, INTERVAL ''1'' HOUR)' AS lit, x -- TUMBLE(a, b)\n"
+        "FROM t /* HOP(ts, INTERVAL '5' MINUTE, INTERVAL '1' HOUR) */ WHERE s <> 'SESSION(x)'"
+    )
+    assert rewrite_group_windows(sql) == sql
+    # a real call next to a literal mentioning one still rewrites
+    mixed = "SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS w, 'TUMBLE' AS tag"
+    out = rewrite_group_windows(mixed)
+    assert "window.start" in out and "'TUMBLE'" in out
