@@ -1454,3 +1454,196 @@ def stream_retract_join(spark, sf_dir):
         .filter(F.col("__net") > 0)
     )
     return net.select("user_id", "view_value", "purchase_value")
+
+
+@df_query(
+    "match_recognize_within",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             LEAD(event_type) OVER w AS nt, LEAD(event_id) OVER w AS nid,
+             LEAD(ts) OVER w AS nts
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), m AS (
+      SELECT user_id, event_id, ts, nid, nts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) - 1 AS match_id
+      FROM seq
+      WHERE event_type = 'view' AND nt = 'purchase'
+        AND nts <= ts + INTERVAL '5' MINUTE
+    )
+    SELECT user_id, event_id, match_id, 'V' AS stage, 0 AS seq,
+           ts AS event_ts FROM m
+    UNION ALL
+    SELECT user_id, nid, match_id, 'P', 1, nts FROM m
+    """,
+)
+def match_recognize_within(spark, sf_dir):
+    """WITHIN clause on a strict-contiguity pair: an adjacent view→purchase
+    only matches when the purchase lands inside the 5-minute window of the
+    view (Pattern.java:245 `within` surfaced through the SQL clause;
+    MatchCodeGenerator.scala's interval handling). Adjacent single-row
+    stages cannot overlap, so the LEAD-pair oracle is exact."""
+    from flink_parent_spark.streaming.match_recognize_sql import match_recognize_sql
+
+    t = load_tables(spark, sf_dir)
+    clause = """
+      PARTITION BY user_id
+      ORDER BY ts
+      PATTERN (V P)
+      WITHIN INTERVAL '5' MINUTE
+      DEFINE V AS V.event_type = 'view',
+             P AS P.event_type = 'purchase'
+    """
+    return match_recognize_sql(t["events"], clause, "event_id")
+
+
+@df_query(
+    "match_recognize_skip_to_var",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, value,
+             LEAD(value) OVER w AS nv, LEAD(event_id) OVER w AS nid,
+             LEAD(ts) OVER w AS nts
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), m AS (
+      SELECT user_id, event_id, ts, nid, nts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) - 1 AS match_id
+      FROM seq WHERE value >= 50 AND nv >= 50
+    )
+    SELECT user_id, event_id, match_id, 'A' AS stage, 0 AS seq,
+           ts AS event_ts FROM m
+    UNION ALL
+    SELECT user_id, nid, match_id, 'B', 1, nts FROM m
+    """,
+)
+def match_recognize_skip_to_var(spark, sf_dir):
+    """AFTER MATCH SKIP TO LAST B: the B row of a match is re-scanned as
+    the next potential A, so a run of k consecutive high-value rows yields
+    k-1 OVERLAPPING matches (SKIP PAST LAST ROW would halve them) —
+    aftermatch/SkipToLastStrategy.java semantics through the SQL clause.
+    The oracle is every adjacent high-high pair, which is exactly the
+    overlap this strategy permits."""
+    from flink_parent_spark.streaming.match_recognize_sql import match_recognize_sql
+
+    t = load_tables(spark, sf_dir)
+    clause = """
+      PARTITION BY user_id
+      ORDER BY ts
+      AFTER MATCH SKIP TO LAST B
+      PATTERN (A B)
+      DEFINE A AS A.value >= 50,
+             B AS B.value >= 50
+    """
+    return match_recognize_sql(t["events"], clause, "event_id")
+
+
+@df_query(
+    "match_recognize_permute",
+    oracle="""
+    WITH RECURSIVE o AS (
+      SELECT user_id, event_id, ts, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ), nmax AS (
+      SELECT user_id, MAX(rn) AS n FROM o GROUP BY user_id
+    ), scan(user_id, pos, mid) AS (
+      SELECT user_id, 1, 0 FROM nmax
+      UNION ALL
+      SELECT s.user_id,
+             CASE WHEN a.event_type <> b.event_type
+                  THEN s.pos + 2 ELSE s.pos + 1 END,
+             CASE WHEN a.event_type <> b.event_type
+                  THEN s.mid + 1 ELSE s.mid END
+      FROM scan s
+      JOIN nmax x ON x.user_id = s.user_id AND s.pos < x.n
+      JOIN o a ON a.user_id = s.user_id AND a.rn = s.pos
+      JOIN o b ON b.user_id = s.user_id AND b.rn = s.pos + 1
+    ), matches AS (
+      SELECT s.user_id, s.pos, s.mid AS match_id
+      FROM scan s
+      JOIN o a ON a.user_id = s.user_id AND a.rn = s.pos
+      JOIN o b ON b.user_id = s.user_id AND b.rn = s.pos + 1
+      WHERE a.event_type <> b.event_type
+    )
+    SELECT m.user_id, e.event_id, m.match_id,
+           CASE e.event_type WHEN 'view' THEN 'V' ELSE 'P' END AS stage,
+           CAST(e.rn - m.pos AS INT) AS seq, e.ts AS event_ts
+    FROM matches m
+    JOIN o e ON e.user_id = m.user_id AND e.rn IN (m.pos, m.pos + 1)
+    """,
+)
+def match_recognize_permute(spark, sf_dir):
+    """PATTERN (PERMUTE (V, P)): a view and a purchase on adjacent rows in
+    EITHER order — Calcite expands PERMUTE to the leftmost-preferred
+    alternation (V P | P V); the engine tries the variants per position via
+    find_matches_any and SKIP PAST LAST ROW consumes both rows. The input
+    is restricted to view/purchase rows so the oracle's sequential
+    greedy-pairing scan (a per-user recursive CTE) is exact."""
+    from flink_parent_spark.streaming.match_recognize_sql import match_recognize_sql
+
+    t = load_tables(spark, sf_dir)
+    clause = """
+      PARTITION BY user_id
+      ORDER BY ts
+      PATTERN (PERMUTE (V, P))
+      DEFINE V AS V.event_type = 'view',
+             P AS P.event_type = 'purchase'
+    """
+    ev = t["events"].filter(F.col("event_type").isin("view", "purchase"))
+    return match_recognize_sql(ev, clause, "event_id")
+
+
+@df_query(
+    "match_recognize_subset_measures",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, ts, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), v AS (
+      SELECT a.user_id, a.rn, a.event_id,
+             COALESCE((SELECT MIN(x.rn) FROM o x
+                       WHERE x.user_id = a.user_id AND x.rn > a.rn
+                         AND x.event_type <> 'purchase'),
+                      (SELECT MAX(y.rn) + 1 FROM o y
+                       WHERE y.user_id = a.user_id)) AS stop
+      FROM o a WHERE a.event_type = 'view'
+    ), m AS (
+      SELECT user_id, rn, event_id, stop,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) - 1
+               AS match_id
+      FROM v WHERE stop > rn + 1
+    )
+    SELECT m.user_id, m.match_id, m.event_id AS first_view,
+           m.stop - m.rn AS n_rows, e.ts AS last_ts
+    FROM m JOIN o e ON e.user_id = m.user_id AND e.rn = m.stop - 1
+    """,
+)
+def match_recognize_subset_measures(spark, sf_dir):
+    """SUBSET U = (V, P) with ONE ROW PER MATCH: union-variable navigation
+    in MEASURES (COUNT(U.*) spans the view row and the whole greedy
+    purchase run; LAST(U.ts) is the final matched row's timestamp) —
+    Calcite's SUBSET clause as wired through StreamExecMatch.scala. The
+    oracle finds each view immediately followed by >=1 purchases and
+    measures the maximal run."""
+    from flink_parent_spark.streaming.match_recognize_sql import match_recognize_sql
+
+    t = load_tables(spark, sf_dir)
+    clause = """
+      PARTITION BY user_id
+      ORDER BY ts
+      MEASURES FIRST(V.event_id) AS first_view,
+               COUNT(U.*) AS n_rows,
+               LAST(U.ts) AS last_ts
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (V P+)
+      SUBSET U = (V, P)
+      DEFINE V AS V.event_type = 'view',
+             P AS P.event_type = 'purchase'
+    """
+    return match_recognize_sql(t["events"], clause, "event_id")

@@ -12,9 +12,11 @@ Supported clause surface:
     MATCH_RECOGNIZE (
       PARTITION BY k [, ...]
       ORDER BY ts
-      [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
-      PATTERN ( A B+ C? [D*] )
+      [MEASURES ... [ONE ROW PER MATCH]]
+      [AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW | TO FIRST v | TO LAST v]
+      PATTERN ( A B+ C? [D*] [{- X -}] ) | PATTERN ( PERMUTE (A, B, ...) )
       [WITHIN INTERVAL 'n' unit]
+      [SUBSET U = (A, B) [, ...]]
       DEFINE A AS <sql bool expr>, B AS <sql bool expr> [, ...]
     )
 
@@ -43,11 +45,15 @@ _SECTION_RE = re.compile(
     r"(?:\s+(?P<per_match>ONE\s+ROW\s+PER\s+MATCH|ALL\s+ROWS\s+PER\s+MATCH))?"
     r"(?:\s+AFTER\s+MATCH\s+SKIP\s+(?P<skip>PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW"
     r"|TO\s+FIRST\s+\w+|TO\s+LAST\s+\w+))?"
-    r"\s+PATTERN\s*\(\s*(?P<pattern>[^)]+)\)"
+    r"\s+PATTERN\s*\(\s*(?P<pattern>(?:PERMUTE\s*\([^)]*\)|[^)])+)\)"
     r"(?:\s+WITHIN\s+INTERVAL\s+'(?P<wn>[\d.]+)'\s+(?P<wu>\w+))?"
+    r"(?:\s+SUBSET\s+(?P<subset>(?:\w+\s*=\s*\([^)]*\)\s*,?\s*)+))?"
     r"\s+DEFINE\s+(?P<define>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+
+# SUBSET entry: U = (A, B)
+_SUBSET_RE = re.compile(r"(\w+)\s*=\s*\(([^)]*)\)")
 
 # MEASURES entry: FIRST(S.col) | LAST(S.col) | COUNT(S.*) | S.col, AS alias
 _MEASURE_RE = re.compile(
@@ -206,56 +212,92 @@ def match_recognize_sql(
         work = work.withColumn(col, F.expr(bare))
         pred_cols[name] = col
 
-    # SQL-standard contiguity: the pattern is a regex over CONSECUTIVE rows
-    # (Calcite/Flink semantics) — gaps must be written as explicit catch-all
-    # stages, e.g. PATTERN (V {- X*? -} P). `{- ... -}` is output exclusion:
-    # those stages match rows but are not emitted. Quantifiers are greedy by
-    # default; a trailing `?` (`*?`, `+?`) makes them reluctant.
-    pat: Pattern | None = None
-    excluded: set[str] = set()
-    in_exclusion = False
-    for token in tokens:
-        if token == "{-":
-            in_exclusion = True
-            continue
-        if token == "-}":
-            in_exclusion = False
-            continue
-        tm = re.match(r"^(?P<name>\w+)(?P<suf>\+\??|\*\??|\?)?$", token)
-        if not tm:
-            raise ValueError(f"bad PATTERN token: {token!r}")
-        name, suffix = tm.group("name"), tm.group("suf") or ""
-        if in_exclusion:
-            excluded.add(name)
-        pat = Pattern.begin(name) if pat is None else pat.next(name)
+    # SUBSET U = (A, B): union variables usable in MEASURES navigation
+    # (Calcite SqlMatchRecognize SUBSET clause / Flink MatchRecognizeITCase)
+    subsets: dict[str, list[str]] = {}
+    if m.group("subset"):
+        for sm in _SUBSET_RE.finditer(m.group("subset")):
+            subsets[sm.group(1)] = [
+                v.strip() for v in sm.group(2).split(",") if v.strip()
+            ]
+
+    def attach_pred(p: Pattern, name: str) -> Pattern:
         if name in nav_preds:
-            pat = pat.where(nav_preds[name])
-        elif name in pred_cols:
+            return p.where(nav_preds[name])
+        if name in pred_cols:
             c = pred_cols[name]
             # NULL (None/NaN) from e.g. LAG past the partition edge is FALSE
-            pat = pat.where(
+            return p.where(
                 lambda r, c=c: r[c] is not None and r[c] == r[c] and bool(r[c])
             )
-        if suffix.startswith("+"):
-            # SQL MATCH_RECOGNIZE quantifiers bind consecutive rows
-            pat = pat.one_or_more().consecutive()
-            if suffix != "+?":
-                pat = pat.greedy()
-        elif suffix.startswith("*"):
-            pat = pat.times(0, None).consecutive()
-            pat._stages[-1].max_times = -1
-            pat._stages[-1].greedy = suffix != "*?"
-        elif suffix == "?":
-            pat = pat.optional()
-    if within is not None:
-        pat = pat.within(within)
+        return p  # undefined variable matches any row (SQL default)
+
+    # PERMUTE(A, B, ...): Calcite expands to the alternation of all
+    # orderings with the declared order preferred — built here as one
+    # pattern per permutation, tried leftmost-first by find_matches_any.
+    pm = re.match(
+        r"^PERMUTE\s*\(([^)]*)\)$", m.group("pattern").strip(), re.IGNORECASE
+    )
+    alternatives: list[Pattern] = []
+    excluded: set[str] = set()
+    if pm:
+        import itertools  # noqa: PLC0415
+
+        pvars = [v.strip() for v in pm.group(1).split(",") if v.strip()]
+
+        def chain(order: tuple[str, ...]) -> Pattern:
+            p: Pattern | None = None
+            for name in order:
+                p = Pattern.begin(name) if p is None else p.next(name)
+                p = attach_pred(p, name)
+            return p.within(within) if within is not None else p
+
+        variants = [chain(o) for o in itertools.permutations(pvars)]
+        pat, alternatives = variants[0], variants[1:]
+    else:
+        # SQL-standard contiguity: the pattern is a regex over CONSECUTIVE
+        # rows (Calcite/Flink semantics) — gaps must be written as explicit
+        # catch-all stages, e.g. PATTERN (V {- X*? -} P). `{- ... -}` is
+        # output exclusion: those stages match rows but are not emitted.
+        # Quantifiers are greedy by default; a trailing `?` (`*?`, `+?`)
+        # makes them reluctant.
+        pat = None
+        in_exclusion = False
+        for token in tokens:
+            if token == "{-":
+                in_exclusion = True
+                continue
+            if token == "-}":
+                in_exclusion = False
+                continue
+            tm = re.match(r"^(?P<name>\w+)(?P<suf>\+\??|\*\??|\?)?$", token)
+            if not tm:
+                raise ValueError(f"bad PATTERN token: {token!r}")
+            name, suffix = tm.group("name"), tm.group("suf") or ""
+            if in_exclusion:
+                excluded.add(name)
+            pat = Pattern.begin(name) if pat is None else pat.next(name)
+            pat = attach_pred(pat, name)
+            if suffix.startswith("+"):
+                # SQL MATCH_RECOGNIZE quantifiers bind consecutive rows
+                pat = pat.one_or_more().consecutive()
+                if suffix != "+?":
+                    pat = pat.greedy()
+            elif suffix.startswith("*"):
+                pat = pat.times(0, None).consecutive()
+                pat._stages[-1].max_times = -1
+                pat._stages[-1].greedy = suffix != "*?"
+            elif suffix == "?":
+                pat = pat.optional()
+        if within is not None:
+            pat = pat.within(within)
 
     one_row = bool(m.group("per_match")) and "ONE" in m.group("per_match").upper()
     measures_src = m.group("measures")
     if not (one_row and measures_src):
         return cep_pattern(
             work, pat, partition_by, order_by, id_col, skip,
-            exclude=frozenset(excluded),
+            exclude=frozenset(excluded), alternatives=alternatives,
         )
 
     # ONE ROW PER MATCH with MEASURES: run the matcher per key and emit one
@@ -289,13 +331,25 @@ def match_recognize_sql(
     def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([order_by, id_col])
         rows = pdf[cols].to_dict("records")
-        matches = pat.find_matches(rows, order_by, skip)
+        if alternatives:
+            from flink_parent_spark.streaming.cep import (  # noqa: PLC0415
+                find_matches_any,
+            )
+
+            matches = find_matches_any([pat, *alternatives], rows, order_by, skip)
+        else:
+            matches = pat.find_matches(rows, order_by, skip)
         recs = []
         for mid, match in enumerate(matches):
             rec = {k: rows[match[0][1]][k] for k in partition_by}
             rec["match_id"] = mid
             for fn, stage, col, alias in measures:
-                staged = [rows[idx] for s, idx in match if s == stage]
+                members = subsets.get(stage)
+                staged = [
+                    rows[idx]
+                    for s, idx in match
+                    if (s in members if members else s == stage)
+                ]
                 if fn == "COUNT":
                     rec[alias] = len(staged)
                 elif not staged:
