@@ -1647,3 +1647,39 @@ def match_recognize_subset_measures(spark, sf_dir):
              P AS P.event_type = 'purchase'
     """
     return match_recognize_sql(t["events"], clause, "event_id")
+
+
+@df_query(
+    "stream_topn_updatable",
+    oracle="""
+    WITH latest AS (
+      SELECT event_type, user_id, value, event_id FROM (
+        SELECT event_type, user_id, value, event_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type, user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t
+      WHERE rn = 1
+    )
+    SELECT event_type, user_id, value, event_id, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT event_type, user_id, value, event_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, user_id) AS rank
+      FROM latest) x
+    WHERE rank <= 3
+    """,
+)
+def stream_topn_updatable(spark, sf_dir):
+    """Updatable streaming Top-N (UpdatableTopNFunction.java): events are
+    an upsert stream keyed by (event_type, user_id) — each arrival replaces
+    the user's value in place, no retraction round-trip — and the top-3
+    users per type re-rank on change, emitting only changed assignments.
+    The oracle ranks each user's LATEST value per type."""
+    from flink_parent_spark.streaming.stateful import streaming_updatable_top_n
+
+    ev = stream_table(spark, sf_dir, "events")
+    tn = streaming_updatable_top_n(
+        ev, ["event_type"], "user_id", "value", 3, ["event_id"],
+        arrival_cols=("ts", "event_id"),
+    )
+    return run_stream_to_df(tn, "update")

@@ -84,33 +84,152 @@ def streaming_dedup(
     order_col: str,
     payload_cols: Sequence[str],
     keep: str = "first",
+    ttl_seconds: int | None = None,
 ) -> DataFrame:
     """Streaming dedup per key. keep='first': emit only the first-seen row
     per key (by order_col, then arrival); keep='last': emit the latest row
-    per key each time it changes (update semantics)."""
+    per key each time it changes (update semantics).
+
+    ttl_seconds: state time-to-live in event time (StateTtlConfig.java /
+    idle-state retention, TableConfig.java:266 — semantics mirrored, clock
+    differs: Flink's SQL retention uses processing time, here expiry is
+    driven by the watermark so tests and replays are deterministic).
+    Visibility is NeverReturnExpired with OnCreateAndWrite update: state
+    written at event time T is invisible once the watermark passes
+    T + ttl — a key re-arriving after expiry is treated as NEW and
+    re-emits — and an EventTimeTimeout physically removes the entry when
+    the watermark passes without new input (the background cleanup of
+    StateTtlConfig.cleanupInRocksdbCompactFilter / incremental cleanup).
+    Requires a watermark on `sdf`; `order_col` must be the event-time
+    column."""
     out_cols = list(dict.fromkeys([*key_cols, order_col, *payload_cols]))
     out_schema = _schema_of(sdf, out_cols)
-    state_schema = "cur struct<" + _schema_of(sdf, out_cols).replace("`", "") + ">"
+    state_schema = (
+        "cur struct<" + _schema_of(sdf, out_cols).replace("`", "") + ">, "
+        "written_ms bigint"
+    )
 
     first = keep == "first"
+    ttl_ms = ttl_seconds * 1000 if ttl_seconds is not None else None
+
+    def to_ms(ts) -> int:
+        return int(pd.Timestamp(ts).value // 1_000_000)
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        cur = dict(zip(out_cols, state.get[0])) if state.exists else None
+        if state.hasTimedOut:
+            # watermark passed written_ms + ttl with no new input: physical
+            # cleanup (the state entry is gone, not merely invisible)
+            state.remove()
+            yield pd.DataFrame(columns=out_cols)
+            return
+        cur, written_ms = None, 0
+        if state.exists:
+            cur = dict(zip(out_cols, state.get[0]))
+            written_ms = state.get[1]
+        if ttl_ms is not None and cur is not None:
+            wm = state.getCurrentWatermarkMs()
+            if wm > written_ms + ttl_ms:
+                cur = None  # NeverReturnExpired: expired-but-present is absent
         emitted = []
         for pdf in pdfs:
             for rec in pdf[out_cols].sort_values(order_col).to_dict("records"):
                 if cur is None:
                     cur = rec
+                    written_ms = to_ms(rec[order_col]) if ttl_ms is not None else 0
                     emitted = [rec]
                 elif first:
                     continue
                 elif rec[order_col] >= cur[order_col]:
                     cur = rec
+                    written_ms = to_ms(rec[order_col]) if ttl_ms is not None else 0
                     emitted = [rec]
-        state.update((tuple(cur[c] for c in out_cols),))
+        state.update((tuple(cur[c] for c in out_cols), written_ms))
+        if ttl_ms is not None:
+            state.setTimeoutTimestamp(written_ms + ttl_ms)
         yield pd.DataFrame(emitted, columns=out_cols)
+
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return sdf.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", timeout
+    )
+
+
+def streaming_updatable_top_n(
+    sdf: DataFrame,
+    key_cols: Sequence[str],
+    unique_col: str,
+    order_col: str,
+    n: int,
+    payload_cols: Sequence[str],
+    descending: bool = True,
+    arrival_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Updatable streaming Top-N (UpdatableTopNFunction.java parity —
+    flink-table-runtime-blink/.../operators/rank/): the input is an UPSERT
+    stream with a unique key per row (`unique_col`) and NO retractions — a
+    new row for an existing unique key replaces it in place, halving the
+    changelog traffic the retractable path needs (-U then +U per change)
+    and skipping the delete/re-insert state round-trip.
+
+    State per key group: the live row per unique key (the reference's
+    dataState map) plus the last emitted top-n assignment; each batch
+    applies upserts in `arrival_cols` order (last write wins), re-ranks,
+    and emits ONLY the (rank, row) assignments that changed — an update
+    that leaves the top-n untouched emits nothing, the reference's
+    emit-on-change behavior that makes this strategy cheaper than
+    retractable Top-N on update-heavy streams (asserted in
+    tests/test_streaming_semantics.py). Ties on order_col break by
+    unique_col ascending."""
+    data_cols = list(dict.fromkeys([*key_cols, unique_col, order_col, *payload_cols]))
+    in_cols = list(dict.fromkeys([*data_cols, *arrival_cols]))
+    dt = dict(sdf.dtypes)
+    out_schema = ", ".join(f"`{c}` {dt[c]}" for c in data_cols) + ", `rank` int"
+    state_schema = (
+        "live array<struct<" + ", ".join(f"{c}: {dt[c]}" for c in data_cols) + ">>, "
+        "emitted array<struct<"
+        + ", ".join(f"{c}: {dt[c]}" for c in data_cols)
+        + ", rank: int>>"
+    )
+    sign = -1.0 if descending else 1.0
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        live: dict[Any, dict] = {}
+        prev_emitted: list[tuple] = []
+        if state.exists:
+            for r in state.get[0]:
+                rec = dict(zip(data_cols, r))
+                live[rec[unique_col]] = rec
+            prev_emitted = [tuple(r) for r in state.get[1]]
+        for pdf in pdfs:
+            recs = pdf[in_cols].to_dict("records")
+            if arrival_cols:
+                recs.sort(key=lambda r: tuple(r[c] for c in arrival_cols))
+            for rec in recs:
+                live[rec[unique_col]] = {c: rec[c] for c in data_cols}
+        ranked = sorted(
+            live.values(), key=lambda r: (sign * r[order_col], r[unique_col])
+        )[:n]
+        top = [
+            (*(r[c] for c in data_cols), i + 1) for i, r in enumerate(ranked)
+        ]
+        changed = [t for t in top if t not in set(prev_emitted)]
+        state.update(
+            (
+                [tuple(r[c] for c in data_cols) for r in live.values()],
+                top,
+            )
+        )
+        out = pd.DataFrame(
+            [dict(zip([*data_cols, "rank"], t)) for t in changed],
+            columns=[*data_cols, "rank"],
+        )
+        yield out
 
     return sdf.groupBy(*key_cols).applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout

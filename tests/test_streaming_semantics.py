@@ -212,3 +212,131 @@ def test_over_range_bounded_out_of_order_across_batches(spark):
     }
     got_m = {int(r.event_id): (r.range_sum, int(r.range_cnt)) for r in got.itertuples()}
     assert got_m == expect
+
+
+def test_updatable_topn_emits_less_than_retractable(spark):
+    """UpdatableTopNFunction parity: on an update-heavy upsert stream where
+    most updates do not change the top-n, the updatable strategy emits only
+    changed assignments (and consumes 1 upsert row per change instead of a
+    -U/+U pair), while the retractable path re-emits the refreshed top-n
+    every batch."""
+    import datetime as dtm
+
+    from flink_parent_spark.streaming.stateful import (
+        streaming_retract_top_n,
+        streaming_updatable_top_n,
+    )
+
+    t0 = dtm.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dtm.timedelta(seconds=s)
+
+    # key group 'g': u1 leads with 100; u2 keeps updating below the top-1
+    upsert_schema = "grp string, uid long, value double, ts timestamp"
+    upsert_batches = [
+        [("g", 1, 100.0, ts(0)), ("g", 2, 50.0, ts(1))],
+        [("g", 2, 60.0, ts(2))],
+        [("g", 2, 70.0, ts(3))],
+    ]
+    d = _write_batches(spark, upsert_batches, upsert_schema)
+    sdf = (
+        spark.readStream.schema(upsert_schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(d)
+    )
+    up = streaming_updatable_top_n(
+        sdf, ["grp"], "uid", "value", 1, [], arrival_cols=("ts",)
+    )
+    up_rows = _collect_stream(spark, up)
+
+    # same logical updates as a retraction changelog (-U old, +U new)
+    cl_schema = "grp string, uid long, value double, __rowkind string, seq long"
+    cl_batches = [
+        [("g", 1, 100.0, "+I", 0), ("g", 2, 50.0, "+I", 1)],
+        [("g", 2, 50.0, "-U", 2), ("g", 2, 60.0, "+U", 3)],
+        [("g", 2, 60.0, "-U", 4), ("g", 2, 70.0, "+U", 5)],
+    ]
+    d2 = _write_batches(spark, cl_batches, cl_schema)
+    sdf2 = (
+        spark.readStream.schema(cl_schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(d2)
+    )
+    rt = streaming_retract_top_n(
+        sdf2, ["grp"], "value", 1, ["uid"], sequence_col="seq",
+        tiebreak_col="uid",
+    )
+    rt_rows = _collect_stream(spark, rt)
+
+    # updatable: only batch 1 changes the top-1 -> a single emission;
+    # retractable: refreshed top-1 re-emitted on every batch
+    assert len(up_rows) == 1
+    assert up_rows.iloc[0]["uid"] == 1 and up_rows.iloc[0]["rank"] == 1
+    assert len(rt_rows) == 3
+    # both agree on the final top-1
+    assert set(rt_rows["uid"]) == {1}
+
+
+def _collect_stream(spark, sdf):
+    """Run a stateful streaming DataFrame to completion (separate batches)
+    and return ALL emitted rows across batches as one pandas frame."""
+    import uuid as _uuid
+
+    captured = []
+
+    def sink(bdf, bid):
+        captured.append(bdf.toPandas())
+
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"ckpt_upd_{_uuid.uuid4().hex[:8]}"
+    )
+    q = (
+        sdf.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    import pandas as pd
+
+    return pd.concat(captured, ignore_index=True) if captured else pd.DataFrame()
+
+
+def test_dedup_keep_first_state_ttl_expires_and_reemits(spark):
+    """StateTtlConfig parity on dedup keep-first: a key re-arriving BEFORE
+    the TTL is suppressed; once the watermark passes written-time + TTL the
+    state is invisible/removed and the key re-emits as new."""
+    import datetime as dtm
+
+    from flink_parent_spark.streaming.stateful import streaming_dedup
+
+    t0 = dtm.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dtm.timedelta(minutes=m)
+
+    schema = "uid long, ts timestamp, value double"
+    batches = [
+        [(1, ts(0), 10.0)],            # first arrival -> emit
+        [(1, ts(2), 20.0)],            # within TTL (5 min) -> suppressed
+        [(9, ts(30), 0.0)],            # advancer: watermark -> ~min 30
+        [(1, ts(31), 30.0)],           # after expiry -> re-emit as new
+    ]
+    d = _write_batches(spark, batches, schema)
+    sdf = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(d)
+        .withWatermark("ts", "1 second")
+    )
+    out = streaming_dedup(sdf, ["uid"], "ts", ["value"], keep="first",
+                          ttl_seconds=300)
+    rows = _collect_stream(spark, out)
+    u1 = rows[rows["uid"] == 1].sort_values("value")
+    # exactly two emissions for uid 1: the original and the post-TTL rebirth
+    assert list(u1["value"]) == [10.0, 30.0]
