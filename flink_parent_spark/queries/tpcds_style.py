@@ -6,8 +6,13 @@ test-scripts/test_tpcds.sh). The fixture set has no TPC-DS tables, so this
 battery reproduces the *query shapes* that distinguish TPC-DS from TPC-H —
 channel unions with rollup, year-over-year self-joins over CTEs, percentile
 gating, CASE-pivoted cross-tabs, repeat-buyer cohorts with scalar-subquery
-thresholds, moving-window trend analysis, channel INTERSECTs, and
-multi-distinct aggregates — over the TPC-H-ish fixture tables.
+thresholds, moving-window trend analysis, channel INTERSECTs,
+multi-distinct aggregates, returns-style anti joins, correlated EXISTS /
+scalar-subquery gates, windowed share-of-total, cumulative cross-channel
+FULL OUTER comparison (Q51), consecutive-month islands (Q54), same-day
+multi-channel self-joins (Q64), NTILE quartiles (Q49), CASE matrices
+(Q66), and YoY-decline self-joins (Q75) — 25 shapes over the TPC-H-ish
+fixture tables.
 
 Every query is written in the Spark/DuckDB-common dialect (used verbatim as
 its own oracle) with the decimal-accumulation contract for float sums.
@@ -17,11 +22,12 @@ them at 100 TB — dimension joins broadcast, CASE-pivots fold into one
 aggregation pass, rollups expand map-side (Expand), the year-over-year
 self-join joins two already-aggregated (tiny) CTEs, and the multi-distinct
 aggregate relies on Catalyst's RewriteDistinctAggregates expansion. Two
-queries use unpartitioned windows — `monthly_moving_avg` over year-month
-aggregates (bounded cardinality, fine at any scale) and
-`top_percentile_customers` whose global PERCENT_RANK sorts the per-customer
-aggregate; at 100 TB the gate would switch to approx_percentile of the same
-aggregate (one pass, no global sort) at the cost of exactness.
+queries use unpartitioned windows — `monthly_moving_avg` and
+`cumulative_channel_cross` over year-month aggregates (bounded
+cardinality, fine at any scale) and `top_percentile_customers` whose
+global PERCENT_RANK sorts the per-customer aggregate; at 100 TB the gate
+would switch to approx_percentile of the same aggregate (one pass, no
+global sort) at the cost of exactness.
 """
 
 from __future__ import annotations
@@ -216,5 +222,313 @@ sql_query(
                                   ORDER BY moving_avg DESC) AS INT) AS rnk
       FROM avgd) r
     WHERE rnk <= 3
+    """,
+)
+
+
+# --- returns analysis via anti join (TPC-DS Q93/returns flavor) -------------
+# "Returned" lineitems are l_returnflag = 'R'; customers whose orders never
+# had a returned item. Anti join distributes as a broadcast/shuffled-hash
+# anti per Catalyst; the returned-orders side is pre-aggregated (DISTINCT
+# orderkey) so the probe is small.
+sql_query(
+    "tpcds_returns_anti_join",
+    f"""
+    WITH returned_orders AS (
+      SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    )
+    SELECT c_custkey, c_mktsegment, COUNT(*) AS n_clean_orders,
+           {dsum('o_totalprice', 'clean_revenue')}
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey NOT IN (SELECT l_orderkey FROM returned_orders)
+    GROUP BY c_custkey, c_mktsegment
+    HAVING COUNT(*) >= 3
+    """,
+)
+
+# --- correlated EXISTS per channel (TPC-DS Q10 shape) -----------------------
+sql_query(
+    "tpcds_correlated_exists_channel",
+    """
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority IN ('1-URGENT', '2-HIGH'))
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '5-LOW')
+    """,
+)
+
+# --- windowed share-of-total (TPC-DS Q67 flavor) ----------------------------
+# Nation revenue as a share of its region's total: the share window runs
+# over the already-aggregated nation relation (25 rows at any scale).
+sql_query(
+    "tpcds_share_of_total_window",
+    f"""
+    WITH nat AS (
+      SELECT r_name, n_name, {dsum('o_totalprice', 'revenue')}
+      FROM orders, customer, nation, region
+      WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+        AND n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+    )
+    SELECT r_name, n_name, revenue,
+           revenue / SUM(revenue) OVER (PARTITION BY r_name) AS region_share
+    FROM nat
+    """,
+)
+
+# --- correlated scalar-subquery quantity gate (TPC-DS Q25 / TPC-H Q17) ------
+sql_query(
+    "tpcds_inventory_correlated_subquery",
+    f"""
+    SELECT p_brand, COUNT(*) AS n_small_orders,
+           {dsum('l_extendedprice', 'small_order_revenue')}
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_quantity < (
+      SELECT 0.5 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE))
+      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY p_brand
+    """,
+)
+
+# --- cross-channel ratio per nation (TPC-DS Q90 shape) ----------------------
+sql_query(
+    "tpcds_cross_channel_ratio",
+    """
+    WITH per_nation AS (
+      SELECT n_name,
+             COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 END) AS urgent_cnt,
+             COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 END) AS standard_cnt
+      FROM orders, customer, nation
+      WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name, urgent_cnt, standard_cnt,
+           CAST(urgent_cnt AS DOUBLE) / CAST(standard_cnt AS DOUBLE)
+             AS urgent_ratio
+    FROM per_nation WHERE standard_cnt > 0
+    """,
+)
+
+# --- GROUPING SETS with grouping id over channels (TPC-DS Q80 flavor) -------
+sql_query(
+    "tpcds_grouping_sets_channel",
+    f"""
+    WITH channels AS (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 'urgent' ELSE 'standard' END AS channel,
+             EXTRACT(YEAR FROM o_orderdate) AS o_year, o_totalprice
+      FROM orders
+    )
+    SELECT channel, o_year,
+           CAST(GROUPING(channel) AS INT) AS g_channel,
+           CAST(GROUPING(o_year) AS INT) AS g_year,
+           {dsum('o_totalprice', 'revenue')}, COUNT(*) AS n_orders
+    FROM channels
+    GROUP BY GROUPING SETS ((channel, o_year), (channel), (o_year), ())
+    """,
+)
+
+# --- lifetime-value buckets per segment (TPC-DS Q3/Q65 flavor) --------------
+sql_query(
+    "tpcds_customer_ltv_buckets",
+    f"""
+    WITH per_cust AS (
+      SELECT c_custkey, c_mktsegment, {dsum('o_totalprice', 'revenue')}
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_mktsegment
+    )
+    SELECT c_mktsegment,
+           CAST(FLOOR(revenue / 250000.0) AS BIGINT) AS ltv_bucket,
+           COUNT(*) AS n_customers,
+           {dsum('revenue', 'bucket_revenue')}
+    FROM per_cust
+    GROUP BY c_mktsegment, CAST(FLOOR(revenue / 250000.0) AS BIGINT)
+    """,
+)
+
+# --- cumulative channel comparison via FULL OUTER JOIN (TPC-DS Q51) ---------
+sql_query(
+    "tpcds_cumulative_channel_cross",
+    f"""
+    WITH urgent AS (
+      SELECT EXTRACT(YEAR FROM o_orderdate) * 12
+             + EXTRACT(MONTH FROM o_orderdate) AS midx,
+             {dsum('o_totalprice', 'rev')}
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      GROUP BY 1
+    ), standard AS (
+      SELECT EXTRACT(YEAR FROM o_orderdate) * 12
+             + EXTRACT(MONTH FROM o_orderdate) AS midx,
+             {dsum('o_totalprice', 'rev')}
+      FROM orders WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      GROUP BY 1
+    ), joined AS (
+      SELECT COALESCE(u.midx, s.midx) AS midx, u.rev AS u_rev, s.rev AS s_rev
+      FROM urgent u FULL OUTER JOIN standard s ON u.midx = s.midx
+    ), cum AS (
+      SELECT midx,
+             SUM(COALESCE(u_rev, 0)) OVER w AS cum_urgent,
+             SUM(COALESCE(s_rev, 0)) OVER w AS cum_standard
+      FROM joined WINDOW w AS (ORDER BY midx)
+    )
+    SELECT midx, cum_urgent, cum_standard
+    FROM cum WHERE cum_urgent > cum_standard
+    """,
+)
+
+# --- top items per channel with rank ties (TPC-DS Q98 flavor) ---------------
+sql_query(
+    "tpcds_top_items_per_channel",
+    f"""
+    WITH item_rev AS (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 'urgent' ELSE 'standard' END AS channel,
+             p_brand, {dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+      FROM lineitem, orders, part
+      WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+      GROUP BY 1, p_brand
+    )
+    SELECT channel, p_brand, revenue, rnk FROM (
+      SELECT channel, p_brand, revenue,
+             CAST(RANK() OVER (PARTITION BY channel
+                               ORDER BY revenue DESC, p_brand) AS INT) AS rnk
+      FROM item_rev) t
+    WHERE rnk <= 3
+    """,
+)
+
+# --- above-segment-average returns (TPC-DS Q1 shape) ------------------------
+sql_query(
+    "tpcds_above_avg_returns",
+    """
+    WITH per_cust AS (
+      SELECT c_custkey, c_mktsegment, COUNT(*) AS n_returns
+      FROM lineitem, orders, customer
+      WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_mktsegment
+    ), seg_avg AS (
+      SELECT c_mktsegment,
+             CAST(SUM(n_returns) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS v
+      FROM per_cust GROUP BY c_mktsegment
+    )
+    SELECT p.c_custkey, p.c_mktsegment, p.n_returns
+    FROM per_cust p JOIN seg_avg a ON p.c_mktsegment = a.c_mktsegment
+    WHERE CAST(p.n_returns AS DOUBLE) > 1.2 * a.v
+    """,
+)
+
+# --- customers active in >= 3 consecutive months (TPC-DS Q54 flavor) --------
+# Islands: month_index - dense_rank is constant within a consecutive run.
+sql_query(
+    "tpcds_consecutive_months_active",
+    """
+    WITH months AS (
+      SELECT DISTINCT o_custkey,
+             EXTRACT(YEAR FROM o_orderdate) * 12
+             + EXTRACT(MONTH FROM o_orderdate) AS midx
+      FROM orders
+    ), runs AS (
+      SELECT o_custkey, midx,
+             midx - DENSE_RANK() OVER (PARTITION BY o_custkey
+                                       ORDER BY midx) AS grp
+      FROM months
+    )
+    SELECT o_custkey, COUNT(*) AS run_months,
+           MIN(midx) AS run_start, MAX(midx) AS run_end
+    FROM runs
+    GROUP BY o_custkey, grp
+    HAVING COUNT(*) >= 3
+    """,
+)
+
+# --- same-day multi-channel customers (TPC-DS Q64 flavor) -------------------
+sql_query(
+    "tpcds_same_day_multichannel",
+    """
+    SELECT DISTINCT u.o_custkey, u.o_orderdate
+    FROM orders u JOIN orders s
+      ON u.o_custkey = s.o_custkey AND u.o_orderdate = s.o_orderdate
+    WHERE u.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND s.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+    """,
+)
+
+# --- revenue quartiles within segment via NTILE (TPC-DS Q49 flavor) ---------
+sql_query(
+    "tpcds_quantile_by_segment",
+    f"""
+    WITH per_cust AS (
+      SELECT c_custkey, c_mktsegment, {dsum('o_totalprice', 'revenue')}
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_mktsegment
+    ), tiled AS (
+      SELECT c_mktsegment, revenue,
+             NTILE(4) OVER (PARTITION BY c_mktsegment
+                            ORDER BY revenue, c_custkey) AS quartile
+      FROM per_cust
+    )
+    SELECT c_mktsegment, quartile, COUNT(*) AS n_customers,
+           {dsum('revenue', 'quartile_revenue')}
+    FROM tiled GROUP BY c_mktsegment, quartile
+    """,
+)
+
+# --- supplier revenue matrix by region (TPC-DS Q66 flavor) ------------------
+sql_query(
+    "tpcds_supplier_region_matrix",
+    f"""
+    SELECT s_name,
+           {dsum("CASE WHEN r_name = 'AMERICA' THEN l_extendedprice ELSE 0 END", 'america_rev')},
+           {dsum("CASE WHEN r_name = 'ASIA' THEN l_extendedprice ELSE 0 END", 'asia_rev')},
+           {dsum("CASE WHEN r_name = 'EUROPE' THEN l_extendedprice ELSE 0 END", 'europe_rev')},
+           {dsum("CASE WHEN r_name NOT IN ('AMERICA','ASIA','EUROPE') THEN l_extendedprice ELSE 0 END", 'other_rev')}
+    FROM lineitem, supplier, nation, region
+    WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+    GROUP BY s_name
+    """,
+)
+
+# --- priority funnel with share of total (TPC-DS Q96 flavor) ----------------
+sql_query(
+    "tpcds_order_priority_funnel",
+    """
+    WITH counts AS (
+      SELECT o_orderpriority, COUNT(*) AS n
+      FROM orders GROUP BY o_orderpriority
+    ), total AS (SELECT SUM(n) AS t FROM counts)
+    SELECT o_orderpriority, n,
+           CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS share
+    FROM counts, total
+    """,
+)
+
+# --- brands with year-over-year decline (TPC-DS Q75 shape) ------------------
+sql_query(
+    "tpcds_brand_yoy_decline",
+    f"""
+    WITH yearly AS (
+      SELECT p_brand, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+             {dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+      FROM lineitem, orders, part
+      WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+      GROUP BY p_brand, EXTRACT(YEAR FROM o_orderdate)
+    )
+    SELECT cur.p_brand, cur.o_year, cur.revenue AS cur_revenue,
+           prev.revenue AS prev_revenue,
+           cur.revenue - prev.revenue AS delta
+    FROM yearly cur JOIN yearly prev
+      ON cur.p_brand = prev.p_brand AND cur.o_year = prev.o_year + 1
+    WHERE cur.revenue < prev.revenue
     """,
 )
