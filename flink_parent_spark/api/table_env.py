@@ -128,7 +128,9 @@ class Table:
             return self._wrap(self._df.crossJoin(right._df))
         return self._wrap(self._df.join(right._df, F.expr(on) if isinstance(on, str) else on, how))
 
-    def join(self, right: "Table", on=None, how: str = "inner") -> "Table":
+    def join(self, right, on=None, how: str = "inner") -> "Table":
+        if isinstance(right, _AppliedTemporalTableFunction):
+            return self._temporal_join(right, on)
         return self._join(right, on, how)
 
     def left_outer_join(self, right: "Table", on=None) -> "Table":
@@ -157,6 +159,65 @@ class Table:
 
     def minus_all(self, other: "Table") -> "Table":
         return self._wrap(self._df.exceptAll(other._df))
+
+    # -- temporal table function (Table.java:133) ---------------------------
+    def create_temporal_table_function(
+        self, time_attr: str, primary_key: str
+    ) -> "TemporalTableFunction":
+        """Table.createTemporalTableFunction parity: this table becomes a
+        versioned table keyed by `primary_key` with version time
+        `time_attr`; applying the returned function to the probe side's
+        time attribute inside `join` runs the event-time as-of join
+        (TemporalRowTimeJoinOperator semantics via `asof_join`)."""
+        return TemporalTableFunction(self, time_attr, primary_key)
+
+    def join_lateral(self, applied: "_AppliedTemporalTableFunction", on: str) -> "Table":
+        """Flink's `orders.joinLateral(rates(o_rowtime), "o_cur = r_cur")`
+        verb for temporal table functions (also reachable via join())."""
+        return self._temporal_join(applied, on)
+
+    def _temporal_join(self, applied: "_AppliedTemporalTableFunction", on: str) -> "Table":
+        from flink_parent_spark.operators.joins import asof_join  # noqa: PLC0415
+
+        em = re.match(r"\s*(\w+)\s*=\s*(\w+)\s*$", on or "")
+        if not em:
+            raise ValueError(
+                "temporal table function join needs a single equality "
+                "condition 'left_key = right_key'"
+            )
+        a, b = em.group(1), em.group(2)
+        right = applied.fn.table._df
+        # accept the condition in either order
+        lkey, rkey = (a, b) if b in right.columns else (b, a)
+        payload = [
+            c for c in right.columns
+            if c not in (rkey, applied.fn.time_attr)
+        ]
+        out = asof_join(
+            self._df,
+            right,
+            keys=[(lkey, rkey)],
+            left_ts=applied.left_time_attr,
+            right_ts=applied.fn.time_attr,
+            right_payload=payload,
+        )
+        return self._wrap(out)
+
+
+class TemporalTableFunction:
+    """The value returned by create_temporal_table_function: call it with
+    the probe side's time attribute to apply it in a join."""
+
+    def __init__(self, table: Table, time_attr: str, primary_key: str):
+        self.table, self.time_attr, self.primary_key = table, time_attr, primary_key
+
+    def __call__(self, left_time_attr: str) -> "_AppliedTemporalTableFunction":
+        return _AppliedTemporalTableFunction(self, left_time_attr)
+
+
+class _AppliedTemporalTableFunction:
+    def __init__(self, fn: TemporalTableFunction, left_time_attr: str):
+        self.fn, self.left_time_attr = fn, left_time_attr
 
 
 class GroupedTable:
@@ -191,6 +252,9 @@ class TableEnvironment:
 
     # -- DDL -----------------------------------------------------------------
     def execute_sql(self, stmt: str):
+        """Statement dispatcher (TableEnvironmentImpl.executeSql:686
+        dispatches ~20 Operation kinds; the ones meaningful on Spark are
+        handled here, the rest pass through to spark.sql)."""
         s = stmt.strip().rstrip(";")
         m = _CREATE_RE.match(s)
         if m:
@@ -199,8 +263,62 @@ class TableEnvironment:
             return self.spark.sql(s)
         if re.match(r"INSERT\s+INTO", s, re.IGNORECASE):
             return self._insert_into(s)
-        # plain SQL (SELECT, DROP, ...) passes straight through
+        if re.match(r"SHOW\s+TABLES$", s, re.IGNORECASE):
+            return self._show_tables()
+        dm = re.match(r"(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?(\w+)$", s, re.IGNORECASE)
+        if dm:
+            return self._describe(dm.group(1))
+        dr = re.match(
+            r"DROP\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)$",
+            s,
+            re.IGNORECASE,
+        )
+        if dr:
+            name = dr.group(1)
+            self.catalog.pop(name, None)
+            self.spark.catalog.dropTempView(name)
+            return None
+        # plain SQL (SELECT, SHOW VIEWS/FUNCTIONS, DROP VIEW, ...) passes
+        # straight through
         return Table(self.spark.sql(s), self)
+
+    def _show_tables(self) -> Table:
+        """SHOW TABLES: DDL catalog entries (including sink-only tables not
+        yet materialized) merged with Spark temp views."""
+        names = set(self.catalog)
+        names.update(r.viewName for r in self.spark.sql("SHOW VIEWS").collect())
+        df = self.spark.createDataFrame(
+            [(n,) for n in sorted(names)], "table_name string"
+        )
+        return Table(df, self)
+
+    def _describe(self, name: str) -> Table:
+        """DESCRIBE: Flink-style rows (name, type, null, key, extras,
+        watermark) — computed columns and the WATERMARK FOR annotation come
+        from the DDL catalog entry; physical types from the scan schema."""
+        entry = self.catalog.get(name)
+        if entry is None:
+            return Table(self.spark.sql(f"DESCRIBE {name}"), self)
+        dtypes = dict(self.spark.table(name).dtypes)
+        computed = dict(entry.computed)
+        wm_col, wm_spec = entry.watermark if entry.watermark else (None, None)
+        rows = [
+            (
+                col,
+                typ,
+                True,
+                "",
+                f"AS {computed[col]}" if col in computed else "",
+                f"`{col}` - INTERVAL '{wm_spec}'" if col == wm_col else "",
+            )
+            for col, typ in dtypes.items()
+        ]
+        df = self.spark.createDataFrame(
+            rows,
+            "name string, type string, `null` boolean, key string, "
+            "extras string, watermark string",
+        )
+        return Table(df, self)
 
     def _create_table(self, m: re.Match):
         name = m.group("name")

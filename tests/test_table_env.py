@@ -214,3 +214,95 @@ def test_rewrite_group_windows_skips_literals_and_comments():
     mixed = "SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS w, 'TUMBLE' AS tag"
     out = rewrite_group_windows(mixed)
     assert "window.start" in out and "'TUMBLE'" in out
+
+
+def test_show_tables_and_describe(tenv):
+    names = {r["table_name"] for r in tenv.execute_sql("SHOW TABLES").collect()}
+    assert {"li", "ev"} <= names
+
+    rows = {r["name"]: r for r in tenv.execute_sql("DESCRIBE ev").collect()}
+    assert "ts" in rows and "value" in rows
+    # the WATERMARK FOR annotation appears on the event-time column
+    assert "INTERVAL" in rows["ts"]["watermark"]
+    # the computed column shows its generating expression
+    assert rows["day_part"]["extras"].startswith("AS ")
+
+
+def test_view_over_view(tenv):
+    tenv.execute_sql(
+        "CREATE OR REPLACE TEMPORARY VIEW v1 AS "
+        "SELECT l_returnflag, l_quantity FROM li WHERE l_quantity > 40"
+    )
+    tenv.execute_sql(
+        "CREATE OR REPLACE TEMPORARY VIEW v2 AS "
+        "SELECT l_returnflag, count(*) AS n FROM v1 GROUP BY l_returnflag"
+    )
+    out = {r["l_returnflag"]: r["n"] for r in tenv.sql_query("SELECT * FROM v2").collect()}
+    direct = {
+        r["l_returnflag"]: r["n"]
+        for r in tenv.sql_query(
+            "SELECT l_returnflag, count(*) AS n FROM li "
+            "WHERE l_quantity > 40 GROUP BY l_returnflag"
+        ).collect()
+    }
+    assert out == direct and out
+
+
+def test_drop_table_removes_catalog_entry(tenv, spark):
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE tmp_drop (l_orderkey BIGINT)
+        WITH ('connector' = 'filesystem',
+              'path' = '{SF}/lineitem.parquet', 'format' = 'parquet')
+        """
+    )
+    assert "tmp_drop" in tenv.catalog
+    tenv.execute_sql("DROP TABLE tmp_drop")
+    assert "tmp_drop" not in tenv.catalog
+    names = {r["table_name"] for r in tenv.execute_sql("SHOW TABLES").collect()}
+    assert "tmp_drop" not in names
+
+
+def test_temporal_table_function_join(tenv, spark):
+    """Table.createTemporalTableFunction parity: the fluent TTF join must
+    reproduce the asof_join verb's result (latest version with
+    version_ts <= probe_ts per key)."""
+    import datetime as dtm
+
+    from flink_parent_spark.api.table_env import Table
+    from flink_parent_spark.operators.joins import asof_join
+
+    t0 = dtm.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dtm.timedelta(minutes=m)
+
+    rates_df = spark.createDataFrame(
+        [("EUR", 1.0, ts(0)), ("EUR", 1.2, ts(10)), ("USD", 2.0, ts(5))],
+        "currency string, rate double, r_ts timestamp",
+    )
+    orders_df = spark.createDataFrame(
+        [(1, "EUR", ts(5)), (2, "EUR", ts(15)), (3, "USD", ts(1))],
+        "order_id long, o_currency string, o_ts timestamp",
+    )
+    rates = Table(rates_df, tenv)
+    orders = Table(orders_df, tenv)
+    ttf = rates.create_temporal_table_function("r_ts", "currency")
+    out = (
+        orders.join(ttf("o_ts"), "o_currency = currency")
+        .to_df()
+        .toPandas()
+        .sort_values("order_id")
+    )
+    expected = (
+        asof_join(
+            orders_df, rates_df, [("o_currency", "currency")],
+            "o_ts", "r_ts", ["rate"],
+        )
+        .toPandas()
+        .sort_values("order_id")
+    )
+    import pandas as pd
+
+    assert list(out["rate"][:2]) == list(expected["rate"][:2]) == [1.0, 1.2]
+    assert pd.isna(out["rate"].iloc[2]) and pd.isna(expected["rate"].iloc[2])
