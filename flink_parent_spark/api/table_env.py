@@ -47,6 +47,7 @@ class CatalogTable:
     schema_ddl: str | None
     watermark: tuple[str, str] | None = None  # (col, "10 seconds")
     computed: list[tuple[str, str]] = field(default_factory=list)  # (name, expr)
+    props: dict = field(default_factory=dict)  # full WITH (...) options
 
 
 class Table:
@@ -340,13 +341,17 @@ class TableEnvironment:
                 computed.append((cm.group("n"), cm.group("e")))
             else:
                 col_defs.append(p)
+        fmt = props.get("format", props.get("connector", "parquet"))
+        if props.get("connector") == "kafka":
+            fmt = "kafka"
         entry = CatalogTable(
             name=name,
-            fmt=props.get("format", props.get("connector", "parquet")),
+            fmt=fmt,
             path=props.get("path", ""),
             schema_ddl=", ".join(col_defs) if col_defs else None,
             watermark=watermark,
             computed=computed,
+            props=props,
         )
         self.catalog[name] = entry
         # register the view immediately so sql_query sees it — in streaming
@@ -364,6 +369,8 @@ class TableEnvironment:
 
     def _scan(self, entry: CatalogTable, streaming: bool) -> DataFrame:
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if entry.fmt == "kafka":
+            return self._scan_kafka(entry, streaming)
         fmt = "parquet" if entry.fmt in ("filesystem", "parquet") else entry.fmt
         if streaming:
             from flink_parent_spark.streaming.core import stream_table  # noqa: PLC0415
@@ -383,6 +390,53 @@ class TableEnvironment:
 
         base = entry.path.rsplit("/", 1)[-1].replace(".parquet", "")
         df = normalize_timestamps(df, base)
+        for name_, expr_ in entry.computed:
+            df = df.withColumn(name_, F.expr(expr_))
+        if streaming and entry.watermark:
+            df = df.withWatermark(*entry.watermark)
+        return df
+
+    def _scan_kafka(self, entry: CatalogTable, streaming: bool) -> DataFrame:
+        """connector=kafka DDL path (Flink kafka table options → Spark).
+
+        With 'properties.bootstrap.servers' set and no 'path', the real
+        `format("kafka")` source is used; with 'path' the file-backed fake
+        honors the same (topic, starting offsets) contract, so the full
+        DDL → options translation → value decode → watermark chain runs
+        end-to-end without a broker (tests/test_connectors.py)."""
+        import json  # noqa: PLC0415
+
+        from flink_parent_spark.sources.connectors import (  # noqa: PLC0415
+            decode_kafka_json_value,
+            kafka_file_source,
+            kafka_source,
+        )
+
+        topic = entry.props.get("topic", entry.name)
+        mode = entry.props.get("scan.startup.mode", "earliest-offset")
+        so = {"earliest-offset": "earliest", "latest-offset": "latest"}.get(
+            mode, "earliest"
+        )
+        if mode == "specific-offsets":
+            pairs = re.findall(
+                r"partition:\s*(\d+)\s*,\s*offset:\s*(\d+)",
+                entry.props.get("scan.startup.specific-offsets", ""),
+            )
+            so = json.dumps({topic: {p: int(o) for p, o in pairs}})
+        if entry.props.get("properties.bootstrap.servers") and not entry.path:
+            df = kafka_source(
+                self.spark,
+                entry.props["properties.bootstrap.servers"],
+                topic,
+                so,
+                streaming=streaming,
+            )
+        else:
+            df = kafka_file_source(
+                self.spark, entry.path, topic, so, streaming=streaming
+            )
+        if entry.props.get("format") == "json" and entry.schema_ddl:
+            df = decode_kafka_json_value(df, entry.schema_ddl)
         for name_, expr_ in entry.computed:
             df = df.withColumn(name_, F.expr(expr_))
         if streaming and entry.watermark:

@@ -75,3 +75,94 @@ def rate_source(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
 def console_sink(sdf: DataFrame, truncate: bool = False):
     """PrintSinkFunction parity."""
     return sdf.writeStream.format("console").option("truncate", truncate)
+
+
+# --- file-backed Kafka fake -------------------------------------------------
+# The container has no broker, so the kafka DDL path is exercised against a
+# directory that mimics a topic: <path>/<topic>/ holds parquet files with
+# Spark's kafka source schema (key/value binary, partition, offset,
+# timestamp). The reader honors the same (topic, startingOffsets) options
+# the real `format("kafka")` source takes, so swapping in a broker later
+# only changes the physical source, not the query or DDL.
+
+KAFKA_RECORD_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+def write_kafka_file_topic(
+    records, spark: SparkSession, path: str, topic: str
+) -> None:
+    """Test/producer helper: append (key, value) string pairs to the fake
+    topic with per-partition monotone offsets (single partition 0)."""
+    import datetime as _dt  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    base = os.path.join(path, topic)
+    existing = 0
+    if os.path.isdir(base):
+        existing = spark.read.schema(KAFKA_RECORD_SCHEMA).parquet(base).count()
+    rows = [
+        (
+            (k.encode() if k is not None else None),
+            v.encode(),
+            topic,
+            0,
+            existing + i,
+            _dt.datetime(2024, 1, 1) + _dt.timedelta(seconds=existing + i),
+            0,
+        )
+        for i, (k, v) in enumerate(records)
+    ]
+    spark.createDataFrame(rows, KAFKA_RECORD_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(base)
+
+
+def kafka_file_source(
+    spark: SparkSession,
+    path: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    streaming: bool = True,
+) -> DataFrame:
+    """Kafka-shaped source over the file-backed topic. `starting_offsets`
+    accepts 'earliest', 'latest' (batch: nothing — the log is fully
+    consumed), or Spark's per-partition JSON ({"<topic>": {"0": 5}},
+    -2=earliest, -1=latest)."""
+    import json  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    base = os.path.join(path, topic)
+    if streaming:
+        df = spark.readStream.schema(KAFKA_RECORD_SCHEMA).format("parquet").load(base)
+    else:
+        df = spark.read.schema(KAFKA_RECORD_SCHEMA).parquet(base)
+    if starting_offsets == "latest":
+        return df.filter(F.lit(False)) if not streaming else df
+    if starting_offsets.strip().startswith("{"):
+        spec = json.loads(starting_offsets).get(topic, {})
+        cond = None
+        for part, off in spec.items():
+            off = 0 if off == -2 else off
+            c = (F.col("partition") == int(part)) & (F.col("offset") >= int(off))
+            cond = c if cond is None else cond | c
+        if cond is not None:
+            df = df.filter(cond)
+    return df
+
+
+def decode_kafka_json_value(df: DataFrame, schema_ddl: str) -> DataFrame:
+    """format='json' decode step: parse the binary value per the declared
+    DDL schema — the Flink kafka+json table layout."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    return df.select(
+        F.from_json(F.col("value").cast("string"), schema_ddl).alias("v"),
+        "timestamp",
+        "partition",
+        "offset",
+    ).select("v.*", "timestamp", "partition", "offset")

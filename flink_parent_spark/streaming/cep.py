@@ -102,6 +102,18 @@ def _arity(p: Predicate) -> int:
         return 1
 
 
+# Guard rail for the backtracking matcher: max iter_seq invocations per
+# match anchor. The reference's NFA is polynomial in (events x states); the
+# backtracker is exponential on adversarial quantifier nests, so it fails
+# loudly past this budget rather than hanging a task.
+MAX_MATCH_STEPS = 1_000_000
+
+
+class CepComplexityError(RuntimeError):
+    """Raised when one match attempt exceeds MAX_MATCH_STEPS backtracking
+    steps (adversarial pattern for the backtracking matcher)."""
+
+
 class AfterMatchSkip:
     """After-match skip strategies (flink-cep/.../nfa/aftermatch/ — NoSkip,
     SkipToNextStrategy, SkipPastLastStrategy, SkipToFirstStrategy,
@@ -332,6 +344,7 @@ class Pattern:
             deadline = rows[start][ts_col] + self._within
         n = len(rows)
         open_ended = future_lb is not None
+        steps = [0]
 
         def frontier_open() -> bool:
             return open_ended and (deadline is None or deadline > future_lb)
@@ -400,6 +413,19 @@ class Pattern:
             """Match stages[si:] from row `pos`; on completion delegate to
             `cont(pos_after, acc)`. `anchor` pins stage si's start (pattern
             head / group repetition head)."""
+            # backtracking guard: the reference's NFA (NFA.java) stays
+            # polynomial in (events x states); this matcher is worst-case
+            # exponential on adversarial quantifier nests — fail loudly
+            # instead of hanging.
+            steps[0] += 1
+            if steps[0] > MAX_MATCH_STEPS:
+                raise CepComplexityError(
+                    f"CEP match exceeded {MAX_MATCH_STEPS} backtracking "
+                    f"steps at one anchor (rows={n}); the pattern's "
+                    "quantifier structure is adversarial for the "
+                    "backtracking matcher — simplify it (consecutive() on "
+                    "loops, a within() bound) or raise cep.MAX_MATCH_STEPS"
+                )
             if si == len(stages):
                 yield from cont(pos, acc)
                 return

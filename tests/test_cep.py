@@ -976,3 +976,36 @@ def test_final_stage_index_resolves_group_inner_names():
     assert _final_stage_index(pat._stages, [("x", 0), ("y", 1)]) == 0
     # match ends on the plain trailing stage
     assert _final_stage_index(pat._stages, [("x", 0), ("y", 1), ("c", 2)]) == 1
+
+
+def test_backtracking_guard_trips_on_adversarial_pattern():
+    """Guard rail: a (A+)+-style nested enumeration over a long all-A input
+    with an unsatisfiable tail explodes exponentially in the backtracking
+    matcher — it must raise CepComplexityError instead of hanging (the
+    reference's NFA stays polynomial here; we fail loudly)."""
+    from flink_parent_spark.streaming.cep import CepComplexityError
+
+    inner = (
+        Pattern.begin("a").where(lambda r: r["t"] == "A")
+        .one_or_more().allow_combinations()
+    )
+    pat = (
+        Pattern.begin(inner).one_or_more().allow_combinations()
+        .followed_by("b").where(lambda r: r["t"] == "B")
+    )
+    rs = rows(*(["A"] * 26))  # no B anywhere -> full exploration
+    with pytest.raises(CepComplexityError, match="backtracking"):
+        pat.find_matches(rs, "ts")
+
+
+def test_backtracking_guard_budget_is_per_anchor():
+    """Ordinary patterns over long inputs stay far under the budget: the
+    step counter resets per anchor, so a benign scan of many rows does not
+    trip the guard."""
+    pat = (
+        Pattern.begin("a").where(lambda r: r["t"] == "A")
+        .followed_by("b").where(lambda r: r["t"] == "B")
+    )
+    rs = rows(*(["A", "X", "B"] * 400))
+    ms = pat.find_matches(rs, "ts")
+    assert len(ms) == 400
