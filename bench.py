@@ -43,6 +43,9 @@ HEADLINE = [
     "tpcds_multi_distinct_year",
     "ann_cosine_topk_ivf_kmeans",
     "window_session_dynamic_gap",
+    # round-5 additions
+    "ann_ivf_pq_topk",
+    "tpcds_returns_anti_join",
 ]
 
 

@@ -31,6 +31,7 @@ PRIORITY: tuple[str, ...] = (
     "stream_session_window",
     # stateful streaming
     "stream_retract_topn",
+    "stream_topn_updatable",
     "changelog_latest_value_by_type",
     "changelog_source_normalize",
     "stream_dedup_first",
@@ -44,12 +45,12 @@ PRIORITY: tuple[str, ...] = (
     "cep_signup_then_purchase",
     "cep_not_followed_by",
     "stream_cep_watermark_held",
-    # match_recognize
+    # match_recognize (round-5 additions: WITHIN + SKIP TO var in the gate)
     "match_recognize_sql_clause",
+    "match_recognize_within",
+    "match_recognize_skip_to_var",
     # Flink-SQL group-window dialect
     "sql_tumble_hourly",
-    "sql_hop_1h_15m",
-    "sql_session_30m_user",
     # batch topn
     "topn_orders_per_customer",
     # set operations
@@ -64,30 +65,29 @@ PRIORITY: tuple[str, ...] = (
     "grouping_sets_lineitem",
     "agg_distinct_mixed",
     # batch time windows
-    "window_session_30m_per_user",
     "window_session_dynamic_gap",
     # graph
     "graph_connected_components",
     "graph_pagerank",
-    "graph_community_detection",
     # datapipe
     "text_token_stats",
     "dedup_exact_digest",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash",
     "ann_cosine_topk_ivf_kmeans",
-    "ann_pq_topk",
+    "ann_ivf_pq_topk",
     "embedding_neardup_pairs",
     "multimodal_frame_sample",
     # scalar-function gallery
     "fn_math",
     "fn_collections",
     "fn_array_hof",
-    "fn_decimal_arithmetic",
     # udf surface
     "udf_scalar_pandas",
-    # tpcds-style
+    # tpcds-style (round-5: anti-join returns + cumulative channel cross)
     "tpcds_top_percentile_customers",
+    "tpcds_returns_anti_join",
+    "tpcds_cumulative_channel_cross",
     # sinks/sources
     "sink_partitioned_roundtrip",
 )
