@@ -37,6 +37,13 @@ _WATERMARK_RE = re.compile(
     re.IGNORECASE,
 )
 _PROP_RE = re.compile(r"'(?P<k>[^']+)'\s*=\s*'(?P<v>[^']*)'")
+_SYSTIME_RE = re.compile(
+    r"FROM\s+(?P<lt>\w+)(?:\s+AS)?\s+(?P<la>\w+)\s+"
+    r"JOIN\s+(?P<rt>\w+)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+"
+    r"(?P<lq>\w+)\.(?P<lts>\w+)(?:\s+(?:AS\s+)?(?P<ra>\w+))?\s+"
+    r"ON\s+(?P<c1>\w+)\.(?P<k1>\w+)\s*=\s*(?P<c2>\w+)\.(?P<k2>\w+)",
+    re.IGNORECASE,
+)
 
 
 @dataclass
@@ -332,17 +339,26 @@ class TableEnvironment:
             watermark = (wm.group("col"), f"{wm.group('n')} {unit}")
         # column list without the WATERMARK clause / computed cols
         col_defs, computed = [], []
+        primary_key: list[str] = []
         for part in _split_top_level(cols_block):
             p = part.strip()
             if not p or p.upper().startswith("WATERMARK"):
+                continue
+            pkm = re.match(
+                r"PRIMARY\s+KEY\s*\(([^)]*)\)", p, re.IGNORECASE
+            )
+            if pkm:
+                primary_key = [c.strip() for c in pkm.group(1).split(",")]
                 continue
             cm = re.match(r"(?P<n>\w+)\s+AS\s+(?P<e>.+)", p, re.IGNORECASE)
             if cm and not re.match(r"\w+\s+(AS\s+)?(ROW|MAP|ARRAY)\b", p, re.IGNORECASE):
                 computed.append((cm.group("n"), cm.group("e")))
             else:
                 col_defs.append(p)
+        if primary_key:
+            props["__primary_key"] = ",".join(primary_key)
         fmt = props.get("format", props.get("connector", "parquet"))
-        if props.get("connector") == "kafka":
+        if props.get("connector") in ("kafka", "upsert-kafka"):
             fmt = "kafka"
         entry = CatalogTable(
             name=name,
@@ -435,7 +451,24 @@ class TableEnvironment:
             df = kafka_file_source(
                 self.spark, entry.path, topic, so, streaming=streaming
             )
-        if entry.props.get("format") == "json" and entry.schema_ddl:
+        if entry.props.get("connector") == "upsert-kafka" and entry.schema_ddl:
+            from flink_parent_spark.sources.connectors import (  # noqa: PLC0415
+                upsert_kafka_normalize,
+            )
+
+            if streaming:
+                raise ValueError(
+                    "upsert-kafka streaming reads need the changelog ops "
+                    "(streaming/changelog.py changelog_keep_last); the DDL "
+                    "path materializes the batch-normalized latest rows"
+                )
+            pk = [
+                c for c in entry.props.get("__primary_key", "").split(",") if c
+            ]
+            if not pk:
+                raise ValueError("upsert-kafka requires PRIMARY KEY (...) in DDL")
+            df = upsert_kafka_normalize(df, entry.schema_ddl, pk)
+        elif entry.props.get("format") == "json" and entry.schema_ddl:
             df = decode_kafka_json_value(df, entry.schema_ddl)
         for name_, expr_ in entry.computed:
             df = df.withColumn(name_, F.expr(expr_))
@@ -453,7 +486,53 @@ class TableEnvironment:
 
     # -- queries -------------------------------------------------------------
     def sql_query(self, sql: str) -> Table:
+        m = _SYSTIME_RE.search(_mask_quotes_comments(sql))
+        if m:
+            return Table(self._system_time_join(sql, m), self)
         return Table(self.spark.sql(rewrite_group_windows(sql)), self)
+
+    def _system_time_join(self, sql: str, m: re.Match) -> DataFrame:
+        """SQL temporal join: `FROM L l JOIN R FOR SYSTEM_TIME AS OF l.ts
+        [AS] r ON l.k = r.k` (Flink's versioned-table join syntax —
+        LogicalCorrelateToJoinFromTemporalTableRule.scala /
+        TemporalRowTimeJoinOperator.java) lowered onto the `asof_join`
+        verb. The right side's version time is its DDL WATERMARK column
+        when declared, else the probe's time column name. One temporal
+        join per statement; alias-qualified right columns that collide
+        with left columns are exposed as `<alias>_<col>`."""
+        import uuid as _uuid  # noqa: PLC0415
+
+        from flink_parent_spark.operators.joins import asof_join  # noqa: PLC0415
+
+        lt, la = m.group("lt"), m.group("la")
+        rt = m.group("rt")
+        ra = m.group("ra") or rt
+        left = self.spark.table(lt)
+        right = self.spark.table(rt)
+        if m.group("c1") == la:
+            lkey, rkey = m.group("k1"), m.group("k2")
+        else:
+            lkey, rkey = m.group("k2"), m.group("k1")
+        entry = self.catalog.get(rt)
+        rts = entry.watermark[0] if entry and entry.watermark else m.group("lts")
+        payload = {
+            (f"{ra}_{c}" if c in left.columns else c): c
+            for c in right.columns
+            if c != rkey
+        }
+        out = asof_join(
+            left, right, [(lkey, rkey)], m.group("lts"), rts, payload
+        )
+        view = f"__systime_{_uuid.uuid4().hex[:8]}"
+        out.createOrReplaceTempView(view)
+        reduced = sql[: m.start()] + f"FROM {view}" + sql[m.end():]
+        # left refs drop their qualifier; right refs become the exposed
+        # (possibly collision-prefixed) names
+        for c in right.columns:
+            exposed = f"{ra}_{c}" if c in left.columns else c
+            reduced = re.sub(rf"\b{ra}\.{c}\b", exposed, reduced)
+        reduced = re.sub(rf"\b{la}\.(\w+)\b", r"\1", reduced)
+        return self.spark.sql(rewrite_group_windows(reduced))
 
     def explain_sql(self, sql: str, mode: str = "formatted") -> str:
         """TableEnvironment.explainSql parity (TableEnvironment.java /

@@ -1683,3 +1683,47 @@ def stream_topn_updatable(spark, sf_dir):
         arrival_cols=("ts", "event_id"),
     )
     return run_stream_to_df(tn, "update")
+
+
+@df_query(
+    "stream_match_recognize_sql",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             LEAD(event_type) OVER w AS nt, LEAD(event_id) OVER w AS nid,
+             LEAD(ts) OVER w AS nts
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), m AS (
+      SELECT user_id, event_id, ts, nid, nts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) - 1 AS match_id
+      FROM seq
+      WHERE event_type = 'view' AND nt = 'purchase'
+        AND nts <= ts + INTERVAL '5' MINUTE
+    )
+    SELECT user_id, event_id, match_id, 'V' AS stage, 0 AS seq,
+           ts AS event_ts FROM m
+    UNION ALL
+    SELECT user_id, nid, match_id, 'P', 1, nts FROM m
+    """,
+)
+def stream_match_recognize_sql(spark, sf_dir):
+    """MATCH_RECOGNIZE on a STREAM: the clause parses identically but the
+    match runs in the watermark-held streaming CEP operator
+    (StreamExecMatch.scala's deployment mode) — rows seal at the
+    watermark, matches flush via the event-time timeout, and a full replay
+    must equal the batch clause / SQL oracle (same result set as
+    match_recognize_within)."""
+    from flink_parent_spark.streaming.match_recognize_sql import match_recognize_sql
+
+    ev = stream_table(spark, sf_dir, "events", watermark=("ts", "0 seconds"))
+    clause = """
+      PARTITION BY user_id
+      ORDER BY ts
+      PATTERN (V P)
+      WITHIN INTERVAL '5' MINUTE
+      DEFINE V AS V.event_type = 'view',
+             P AS P.event_type = 'purchase'
+    """
+    out = match_recognize_sql(ev, clause, "event_id", streaming=True)
+    return run_stream_to_df(out, "update")

@@ -599,3 +599,40 @@ def trigger_count_purging(spark, sf_dir):
     return count_trigger_purging_fires(
         t["events"], "ts", "1 hour", 10, keys=["event_type"], tiebreak=["event_id"]
     )
+
+
+@df_query(
+    "sql_temporal_join_system_time",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           v.event_id AS view_event_id, v.value AS view_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+)
+def sql_temporal_join_system_time(spark, sf_dir):
+    """Flink's SQL temporal-join syntax — `JOIN R FOR SYSTEM_TIME AS OF
+    l.ts ON l.k = r.k` (LogicalCorrelateToJoinFromTemporalTableRule /
+    TemporalRowTimeJoinOperator) — parsed by the TableEnvironment and
+    lowered onto the asof_join verb; DuckDB's native ASOF JOIN is the
+    oracle."""
+    from flink_parent_spark.api.table_env import TableEnvironment
+
+    t = load_tables(spark, sf_dir)
+    t["events"].filter(F.col("event_type") == "purchase").createOrReplaceTempView(
+        "systime_purchases"
+    )
+    t["events"].filter(F.col("event_type") == "view").createOrReplaceTempView(
+        "systime_views"
+    )
+    env = TableEnvironment.create(spark=spark)
+    return env.sql_query(
+        """
+        SELECT p.event_id, p.user_id, p.ts,
+               v.event_id AS view_event_id, v.value AS view_value
+        FROM systime_purchases p
+        JOIN systime_views FOR SYSTEM_TIME AS OF p.ts v
+          ON p.user_id = v.user_id
+        """
+    ).to_df()

@@ -106,7 +106,7 @@ def write_kafka_file_topic(
     rows = [
         (
             (k.encode() if k is not None else None),
-            v.encode(),
+            (v.encode() if v is not None else None),  # None = tombstone
             topic,
             0,
             existing + i,
@@ -166,3 +166,45 @@ def decode_kafka_json_value(df: DataFrame, schema_ddl: str) -> DataFrame:
         "partition",
         "offset",
     ).select("v.*", "timestamp", "partition", "offset")
+
+
+def upsert_kafka_normalize(
+    raw: DataFrame, schema_ddl: str, primary_key: list[str]
+) -> DataFrame:
+    """connector='upsert-kafka' read path (Flink's upsert-kafka table): the
+    topic is a keyed changelog — the kafka KEY carries the primary key
+    (json), the VALUE the full row, and a NULL value is a tombstone
+    deleting the key. Normalizing = latest record per key by offset, minus
+    tombstoned keys (the same ChangelogNormalize the planner inserts for
+    upsert sources). Per-key ranking shuffles by the primary key once —
+    the scan itself stays map-side."""
+    from pyspark.sql import Window, functions as F  # noqa: PLC0415
+
+    fields = {}
+    for part in schema_ddl.split(","):
+        bits = part.strip().split()
+        if len(bits) >= 2:
+            fields[bits[0].strip("`")] = " ".join(bits[1:])
+    key_ddl = ", ".join(f"{k} {fields[k]}" for k in primary_key)
+    decoded = raw.select(
+        F.from_json(F.col("key").cast("string"), key_ddl).alias("k"),
+        F.from_json(F.col("value").cast("string"), schema_ddl).alias("v"),
+        F.col("value").isNull().alias("__tombstone"),
+        "offset",
+        "partition",
+        "timestamp",
+    )
+    w = Window.partitionBy(*[F.col(f"k.{c}") for c in primary_key]).orderBy(
+        F.col("offset").desc()
+    )
+    latest = (
+        decoded.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter(~F.col("__tombstone"))
+    )
+    value_cols = [c for c in fields if c not in primary_key]
+    return latest.select(
+        *[F.col(f"k.{c}").alias(c) for c in primary_key],
+        *[F.col(f"v.{c}").alias(c) for c in value_cols],
+        "offset",
+    )

@@ -137,10 +137,19 @@ def _compile_nav_predicate(expr: str):
 
 
 def match_recognize_sql(
-    df: DataFrame, clause: str, id_col: str
+    df: DataFrame, clause: str, id_col: str, streaming: bool = False
 ) -> DataFrame:
     """Execute a MATCH_RECOGNIZE clause body over df. Output: one row per
-    matched event (key cols, id, match_id, stage, seq, event_ts)."""
+    matched event (key cols, id, match_id, stage, seq, event_ts).
+
+    streaming=True runs the match in the watermark-held streaming CEP
+    operator (StreamExecMatch.scala's deployment mode — `df` must be a
+    streaming DataFrame with a watermark on the ORDER BY column).
+    Restrictions in that mode: append-all output (no MEASURES / ONE ROW
+    PER MATCH), no `{- -}` output exclusion or PERMUTE, and DEFINE must
+    not use PREV (its LAG precompute needs a batch window; use
+    FIRST/LAST/NEXT navigation, which compile to matcher-side
+    predicates)."""
     m = _SECTION_RE.search(clause.strip())
     if not m:
         raise ValueError("unsupported MATCH_RECOGNIZE clause shape")
@@ -202,6 +211,12 @@ def match_recognize_sql(
     pred_cols: dict[str, str] = {}
     nav_preds: dict[str, object] = {}
     for name, expr in defines.items():
+        if streaming and re.search(r"\bPREV\s*\(", expr, re.IGNORECASE):
+            raise ValueError(
+                "streaming MATCH_RECOGNIZE cannot precompute PREV() (batch "
+                "LAG window); rewrite the condition with matcher-side "
+                "navigation or run in batch mode"
+            )
         if re.search(r"\b(FIRST|LAST|NEXT)\s*\(", expr, re.IGNORECASE):
             # match-state navigation: needs the matcher's MatchCtx — cannot
             # precompute as a Catalyst column
@@ -294,6 +309,20 @@ def match_recognize_sql(
 
     one_row = bool(m.group("per_match")) and "ONE" in m.group("per_match").upper()
     measures_src = m.group("measures")
+    if streaming:
+        if excluded or alternatives or (one_row and measures_src):
+            raise ValueError(
+                "streaming MATCH_RECOGNIZE supports the append-all output "
+                "path only (no {- -} exclusion, PERMUTE, or ONE ROW PER "
+                "MATCH with MEASURES)"
+            )
+        from flink_parent_spark.streaming.cep import (  # noqa: PLC0415
+            cep_pattern_stream_watermarked,
+        )
+
+        return cep_pattern_stream_watermarked(
+            work, pat, partition_by, order_by, id_col, skip
+        )
     if not (one_row and measures_src):
         return cep_pattern(
             work, pat, partition_by, order_by, id_col, skip,

@@ -234,3 +234,45 @@ def test_kafka_file_fake_ddl_roundtrip(spark):
     )
     again = env.sql_query("SELECT max(offset) AS mo FROM payments").collect()
     assert again[0]["mo"] == 10
+
+
+def test_upsert_kafka_ddl_normalizes_changelog(spark):
+    """connector='upsert-kafka': the topic is a keyed changelog — the
+    latest value per PRIMARY KEY wins and a NULL value tombstones the key
+    (ChangelogNormalize parity on the DDL read path)."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from flink_parent_spark.api.table_env import TableEnvironment
+    from flink_parent_spark.sources.connectors import write_kafka_file_topic
+
+    base = os.path.join(tempfile.gettempdir(), "upsert_kafka_unit")
+    shutil.rmtree(base, ignore_errors=True)
+    key = lambda i: json.dumps({"uid": i})  # noqa: E731
+    val = lambda i, a: json.dumps({"uid": i, "amount": a})  # noqa: E731
+    write_kafka_file_topic(
+        [
+            (key(1), val(1, 10.0)),
+            (key(2), val(2, 20.0)),
+            (key(1), val(1, 11.0)),   # upsert: uid 1 -> 11.0
+            (key(3), val(3, 30.0)),
+            (key(2), None),           # tombstone: uid 2 deleted
+        ],
+        spark, base, "balances",
+    )
+    env = TableEnvironment.create(spark=spark)
+    env.execute_sql(
+        f"""
+        CREATE TABLE balances (
+            uid BIGINT, amount DOUBLE, PRIMARY KEY (uid) NOT ENFORCED
+        ) WITH ('connector' = 'upsert-kafka', 'topic' = 'balances',
+                'path' = '{base}', 'format' = 'json')
+        """
+    )
+    rows = {
+        r["uid"]: r["amount"]
+        for r in env.sql_query("SELECT uid, amount FROM balances").collect()
+    }
+    assert rows == {1: 11.0, 3: 30.0}
