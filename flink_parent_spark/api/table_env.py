@@ -387,6 +387,23 @@ class TableEnvironment:
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         if entry.fmt == "kafka":
             return self._scan_kafka(entry, streaming)
+        if entry.props.get("connector") == "jdbc":
+            # Flink JDBC table options -> Spark JDBC reader (exercised
+            # against embedded Derby in tests/test_connectors.py)
+            reader = (
+                self.spark.read.format("jdbc")
+                .option("url", entry.props["url"])
+                .option("dbtable", entry.props["table-name"])
+            )
+            for opt in ("driver", "username", "password"):
+                if opt in entry.props:
+                    reader = reader.option(
+                        {"username": "user"}.get(opt, opt), entry.props[opt]
+                    )
+            df = reader.load()
+            for name_, expr_ in entry.computed:
+                df = df.withColumn(name_, F.expr(expr_))
+            return df
         fmt = "parquet" if entry.fmt in ("filesystem", "parquet") else entry.fmt
         if streaming:
             from flink_parent_spark.streaming.core import stream_table  # noqa: PLC0415

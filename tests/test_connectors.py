@@ -276,3 +276,76 @@ def test_upsert_kafka_ddl_normalizes_changelog(spark):
         for r in env.sql_query("SELECT uid, amount FROM balances").collect()
     }
     assert rows == {1: 11.0, 3: 30.0}
+
+
+def test_jdbc_roundtrip_embedded_derby(spark):
+    """Real JDBC connector exercise against the Derby embedded database
+    that ships in Spark's jars — write via df.write.jdbc, read back via
+    the jdbc_source recipe including the partitioned parallel-read path
+    (partitionColumn/bounds), no external service needed."""
+    import os
+    import shutil
+    import tempfile
+
+    from flink_parent_spark.sources.connectors import jdbc_source
+
+    db = os.path.join(tempfile.gettempdir(), "derby_unit_db")
+    shutil.rmtree(db, ignore_errors=True)
+    url = f"jdbc:derby:{db};create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+
+    df = spark.range(0, 100).selectExpr(
+        "id", "CAST(id * 1.5 AS DOUBLE) AS amount",
+        "CONCAT('user_', CAST(id AS STRING)) AS name",
+    )
+    df.write.format("jdbc").option("url", url).option("driver", driver).option(
+        "dbtable", "accounts"
+    ).mode("overwrite").save()
+
+    back = jdbc_source(spark, url, "accounts", driver=driver)
+    assert back.count() == 100
+    row = back.filter("id = 42").collect()[0]
+    assert row["amount"] == 63.0 and row["name"] == "user_42"
+
+    # partitioned parallel read: same rows, split across 4 JDBC partitions
+    par = jdbc_source(
+        spark, url, "accounts", partition_column="id",
+        num_partitions=4, lower_bound=0, upper_bound=100, driver=driver,
+    )
+    assert par.rdd.getNumPartitions() == 4
+    assert par.count() == 100
+    assert sorted(r["id"] for r in par.collect()) == list(range(100))
+
+
+def test_jdbc_ddl_table(spark):
+    """connector='jdbc' DDL resolves through the Spark JDBC reader against
+    embedded Derby (Flink JDBC table options -> Spark)."""
+    import os
+    import tempfile
+
+    from flink_parent_spark.api.table_env import TableEnvironment
+
+    db = os.path.join(tempfile.gettempdir(), "derby_unit_db")  # from the
+    # roundtrip test; re-create if running standalone
+    url = f"jdbc:derby:{db};create=true"
+    if not os.path.isdir(db):
+        spark.range(0, 100).selectExpr(
+            "id", "CAST(id * 1.5 AS DOUBLE) AS amount",
+            "CONCAT('user_', CAST(id AS STRING)) AS name",
+        ).write.format("jdbc").option("url", url).option(
+            "driver", "org.apache.derby.jdbc.EmbeddedDriver"
+        ).option("dbtable", "accounts").mode("overwrite").save()
+
+    env = TableEnvironment.create(spark=spark)
+    env.execute_sql(
+        f"""
+        CREATE TABLE jdbc_accounts (id BIGINT, amount DOUBLE, name STRING)
+        WITH ('connector' = 'jdbc', 'url' = '{url}',
+              'table-name' = 'accounts',
+              'driver' = 'org.apache.derby.jdbc.EmbeddedDriver')
+        """
+    )
+    n = env.sql_query(
+        "SELECT count(*) AS n FROM jdbc_accounts WHERE amount > 75"
+    ).collect()[0]["n"]
+    assert n == 49  # ids 51..99

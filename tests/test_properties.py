@@ -374,3 +374,47 @@ def test_pq_encoding_matches_numpy_model(spark):
     assert {k: v[0] for k, v in got.items()} == {k: v[0] for k, v in expect.items()}
     for k in got:
         assert abs(got[k][1] - expect[k][1]) < 1e-9
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.sampled_from("VPX"), min_size=0, max_size=14))
+def test_permute_alternation_matches_greedy_pairing_model(seq):
+    """find_matches_any over the PERMUTE(V, P) expansion == the sequential
+    greedy-pairing model (scan left to right; any adjacent heterogeneous
+    V/P pair matches and consumes both rows under SKIP PAST LAST ROW)."""
+    from flink_parent_spark.streaming.cep import (
+        AfterMatchSkip,
+        Pattern,
+        find_matches_any,
+    )
+
+    rows_ = [
+        {"id": i, "ts": T0 + dt.timedelta(seconds=10 * i), "t": t}
+        for i, t in enumerate(seq)
+    ]
+
+    def stage(name, want):
+        return lambda r, w=want: r["t"] == w
+
+    vp = (
+        Pattern.begin("v").where(stage("v", "V")).next("p").where(stage("p", "P"))
+    )
+    pv = (
+        Pattern.begin("p").where(stage("p", "P")).next("v").where(stage("v", "V"))
+    )
+    got = find_matches_any([vp, pv], rows_, "ts", AfterMatchSkip.SKIP_PAST_LAST)
+    got_pairs = [(m[0][1], m[1][1]) for m in got]
+
+    model = []
+    i = 0
+    while i + 1 < len(seq):
+        if {seq[i], seq[i + 1]} == {"V", "P"}:
+            model.append((i, i + 1))
+            i += 2
+        else:
+            i += 1
+    assert got_pairs == model
+    # stage labels attach to the right rows regardless of order
+    for m in got:
+        for name, idx in m:
+            assert seq[idx] == name.upper()
