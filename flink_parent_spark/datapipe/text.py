@@ -100,3 +100,56 @@ def doc_fingerprint(text: Column | str, base: int = 131, mod: int = (1 << 31) - 
         F.lit(0).cast("bigint"),
         lambda acc, t: (acc * base + token_hash64(t) % mod) % mod,
     )
+
+
+def pack_documents(
+    df,
+    text_col: str,
+    id_col: str,
+    capacity: int,
+    n_buckets: int = 32,
+):
+    """Sequence packing for training pipelines: greedy first-fit-in-order
+    packing of documents into fixed-token-capacity bins.
+
+    Distribution strategy: documents hash into `n_buckets` independent
+    packing groups (md5 bucket of the id — deterministic, engine-portable),
+    each group packs sequentially by id order inside one applyInPandas
+    task. At 100 TB, n_buckets scales with the cluster (each group is an
+    independent unit of parallelism) and the only shuffle is the group-by;
+    the sequential fill that packing fundamentally requires is confined to
+    a group, never the driver.
+
+    A document that would overflow the current bin closes it and starts
+    the next (greedy first-fit-in-order, the standard streaming packing);
+    documents larger than `capacity` get a bin of their own. Output:
+    (doc_id, bucket, bin_id, n_tokens) — deterministic, so a recursive-CTE
+    oracle can replay the walk exactly."""
+    import pandas as pd  # noqa: PLC0415
+
+    work = df.select(
+        F.col(id_col).alias("doc_id"),
+        (
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+            .cast("bigint") % n_buckets
+        ).alias("bucket"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, fill = [], 0
+        cur = 0
+        for i, n in enumerate(pdf["n_tokens"]):
+            if i == 0 or fill + n <= capacity:
+                fill += n
+            else:
+                cur += 1
+                fill = n
+            bins.append(cur)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        return pdf[["doc_id", "bucket", "n_tokens", "bin_id"]]
+
+    return work.groupBy("bucket").applyInPandas(
+        pack, "doc_id long, bucket bigint, n_tokens int, bin_id long"
+    )

@@ -1054,3 +1054,43 @@ def pipeline_corpus_curation(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum("n_copies").alias("n_raw"),
     )
+
+
+@df_query(
+    "datapipe_pack_documents",
+    oracle=r"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+               AS bucket,
+             len(string_split_regex(trim(text), '\s+')) AS n_tok
+      FROM documents
+    ), o AS (
+      SELECT doc_id, bucket, n_tok,
+             ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+      FROM d
+    ), walk(bucket, rn, doc_id, n_tok, bin_id, fill) AS (
+      SELECT bucket, rn, doc_id, n_tok, CAST(0 AS BIGINT), n_tok
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.bucket, o.rn, o.doc_id, o.n_tok,
+             CASE WHEN w.fill + o.n_tok <= 256
+                  THEN w.bin_id ELSE w.bin_id + 1 END,
+             CASE WHEN w.fill + o.n_tok <= 256
+                  THEN w.fill + o.n_tok ELSE o.n_tok END
+      FROM walk w JOIN o ON o.bucket = w.bucket AND o.rn = w.rn + 1
+    )
+    SELECT doc_id, bucket, CAST(n_tok AS INT) AS n_tokens, bin_id FROM walk
+    """,
+)
+def datapipe_pack_documents(spark, sf_dir):
+    """Sequence packing: greedy first-fit-in-order packing of documents
+    into 256-token bins inside 8 deterministic hash buckets (each bucket
+    is an independent parallel packing group — the 100 TB layout). The
+    oracle replays the sequential fill with a recursive CTE and must match
+    every bin assignment exactly."""
+    from flink_parent_spark.datapipe.text import pack_documents
+
+    t = load_tables(spark, sf_dir)
+    return pack_documents(t["documents"], "text", "doc_id", capacity=256,
+                          n_buckets=8)

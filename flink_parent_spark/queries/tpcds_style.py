@@ -277,7 +277,8 @@ sql_query(
       GROUP BY r_name, n_name
     )
     SELECT r_name, n_name, revenue,
-           revenue / SUM(revenue) OVER (PARTITION BY r_name) AS region_share
+           revenue / CAST(SUM(CAST(revenue AS DECIMAL(30,6)))
+                          OVER (PARTITION BY r_name) AS DOUBLE) AS region_share
     FROM nat
     """,
 )
