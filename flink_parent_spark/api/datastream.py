@@ -1,0 +1,290 @@
+"""DataStream API veneer: the PyFlink-shaped programming surface mapped
+onto Spark DataFrames / Structured Streaming.
+
+Reference surface:
+- `StreamExecutionEnvironment` — flink-streaming-java/.../environment/
+  StreamExecutionEnvironment.java (fromCollection:919, addSource:1502,
+  execute:1643); PyFlink pyflink/datastream/stream_execution_environment.py.
+- `DataStream` verbs — .../datastream/DataStream.java (map:578, flatMap:614,
+  filter:708, union:217, keyBy:289, print:939).
+- `KeyedStream` — .../datastream/KeyedStream.java (reduce:372, sum/min/max
+  :404-474, window:440, process:530).
+- `WindowedStream` — .../datastream/WindowedStream.java (reduce/aggregate).
+
+Mapping decisions (Spark-first, not a runtime port):
+- A bounded `from_collection` stream is a DataFrame with an `__arrival`
+  ordinal so order-sensitive verbs (running reduce) replay Flink's
+  arrival-order semantics deterministically.
+- `map`/`filter`/`flat_map` accept either SQL expression strings (the fast
+  path — stays in whole-stage codegen) or Python callables (Arrow-batched
+  mapInPandas over row dicts — the UDF path, same trade the reference's
+  Python DataStream API makes via its Beam runners).
+- Keyed running reduce emits one output PER INPUT ELEMENT (Flink's
+  KeyedStream.reduce contract), computed per key in arrival order inside
+  one applyInPandas task per key group.
+- Windows delegate to `window()`/`session_window` like the Table layer.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Sequence
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+ARRIVAL = "__arrival"
+
+
+class StreamExecutionEnvironment:
+    """Bounded-mode execution environment (the DataSet-style replay of the
+    DataStream API — every verb also works on a real readStream DataFrame
+    wrapped via `from_data_frame`)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    @staticmethod
+    def get_execution_environment(
+        spark: SparkSession | None = None,
+    ) -> "StreamExecutionEnvironment":
+        from flink_parent_spark.session import get_spark  # noqa: PLC0415
+
+        return StreamExecutionEnvironment(spark or get_spark("datastream"))
+
+    def set_parallelism(self, n: int) -> "StreamExecutionEnvironment":
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        return self
+
+    def from_collection(self, data: Sequence, schema: str) -> "DataStream":
+        rows = [(i, *r) if isinstance(r, tuple) else (i, r) for i, r in enumerate(data)]
+        df = self.spark.createDataFrame(rows, f"{ARRIVAL} long, {schema}")
+        return DataStream(df, self)
+
+    def from_data_frame(self, df: DataFrame) -> "DataStream":
+        if ARRIVAL not in df.columns:
+            df = df.withColumn(ARRIVAL, F.monotonically_increasing_id())
+        return DataStream(df, self)
+
+    def read_text_file(self, path: str) -> "DataStream":
+        df = self.spark.read.text(path).withColumn(
+            ARRIVAL, F.monotonically_increasing_id()
+        )
+        return DataStream(df, self)
+
+
+def _user_cols(df: DataFrame) -> list[str]:
+    return [c for c in df.columns if c != ARRIVAL]
+
+
+class DataStream:
+    def __init__(self, df: DataFrame, env: StreamExecutionEnvironment):
+        self._df = df
+        self._env = env
+
+    # -- conversions --------------------------------------------------------
+    def to_df(self) -> DataFrame:
+        return self._df.drop(ARRIVAL)
+
+    def execute_and_collect(self) -> list:
+        """execute + collect in arrival order (DataStream.executeAndCollect)."""
+        cols = _user_cols(self._df)
+        rows = self._df.orderBy(ARRIVAL).select(*cols).collect()
+        return [tuple(r) if len(cols) > 1 else r[0] for r in rows]
+
+    def print(self) -> None:  # noqa: A003 - Flink verb name
+        for r in self.execute_and_collect():
+            print(r)
+
+    # -- stateless verbs ----------------------------------------------------
+    def _wrap(self, df: DataFrame) -> "DataStream":
+        return DataStream(df, self._env)
+
+    def map(self, fn: "str | Callable", output_type: str | None = None) -> "DataStream":
+        """map(expr) stays JVM-side; map(callable, output_type) runs the
+        function per row dict via Arrow-batched mapInPandas."""
+        if isinstance(fn, str):
+            return self._wrap(self._df.select(ARRIVAL, F.expr(fn)))
+        if output_type is None:
+            raise ValueError("map(callable) needs output_type (DDL schema)")
+        cols = _user_cols(self._df)
+        out_names = [f.split()[0].strip("`") for f in output_type.split(",")]
+
+        def run(batches):
+            for pdf in batches:
+                recs = []
+                for rec in pdf.to_dict("records"):
+                    arr = rec.pop(ARRIVAL)
+                    out = fn({c: rec[c] for c in cols})
+                    if not isinstance(out, dict):
+                        out = dict(zip(out_names, out if isinstance(out, tuple) else (out,)))
+                    recs.append({ARRIVAL: arr, **out})
+                yield pd.DataFrame(recs, columns=[ARRIVAL, *out_names])
+
+        return self._wrap(
+            self._df.mapInPandas(run, f"{ARRIVAL} long, {output_type}")
+        )
+
+    def filter(self, fn: "str | Callable") -> "DataStream":
+        if isinstance(fn, str):
+            return self._wrap(self._df.filter(fn))
+        cols = _user_cols(self._df)
+
+        def run(batches):
+            for pdf in batches:
+                keep = [fn({c: rec[c] for c in cols}) for rec in pdf.to_dict("records")]
+                yield pdf[pd.Series(keep, index=pdf.index)]
+
+        return self._wrap(self._df.mapInPandas(run, self._df.schema))
+
+    def flat_map(self, fn: Callable, output_type: str) -> "DataStream":
+        cols = _user_cols(self._df)
+        out_names = [f.split()[0].strip("`") for f in output_type.split(",")]
+
+        def run(batches):
+            for pdf in batches:
+                recs = []
+                for rec in pdf.to_dict("records"):
+                    arr = rec.pop(ARRIVAL)
+                    for j, out in enumerate(fn({c: rec[c] for c in cols})):
+                        if not isinstance(out, dict):
+                            out = dict(
+                                zip(out_names, out if isinstance(out, tuple) else (out,))
+                            )
+                        # sub-ordinal keeps flat-mapped rows in emit order
+                        recs.append({ARRIVAL: arr * 1_000_000 + j, **out})
+                yield pd.DataFrame(recs, columns=[ARRIVAL, *out_names])
+
+        return self._wrap(self._df.mapInPandas(run, f"{ARRIVAL} long, {output_type}"))
+
+    def union(self, *others: "DataStream") -> "DataStream":
+        df = self._df
+        for o in others:
+            df = df.unionByName(o._df)
+        return self._wrap(df)
+
+    def key_by(self, *keys: str) -> "KeyedStream":
+        return KeyedStream(self._df, list(keys), self._env)
+
+
+class KeyedStream:
+    def __init__(self, df: DataFrame, keys: list[str], env: StreamExecutionEnvironment):
+        self._df, self._keys, self._env = df, keys, env
+
+    def _dtypes(self) -> dict[str, str]:
+        return dict(self._df.dtypes)
+
+    def reduce(self, fn: Callable[[dict, dict], dict]) -> DataStream:
+        """Running reduce per key: one output per input element, folding in
+        arrival order (KeyedStream.reduce:372 contract)."""
+        cols = _user_cols(self._df)
+        dt = self._dtypes()
+        schema = f"{ARRIVAL} long, " + ", ".join(f"`{c}` {dt[c]}" for c in cols)
+
+        def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(ARRIVAL)
+            acc: dict | None = None
+            out = []
+            for rec in pdf.to_dict("records"):
+                arr = rec.pop(ARRIVAL)
+                acc = rec if acc is None else fn(dict(acc), rec)
+                out.append({ARRIVAL: arr, **{c: acc[c] for c in cols}})
+            return pd.DataFrame(out, columns=[ARRIVAL, *cols])
+
+        return DataStream(
+            self._df.groupBy(*self._keys).applyInPandas(per_key, schema), self._env
+        )
+
+    def _agg_field(self, field: str, how: str) -> DataStream:
+        def fn(acc: dict, cur: dict) -> dict:
+            out = dict(cur)
+            if how == "sum":
+                out[field] = acc[field] + cur[field]
+            elif how == "min":
+                out[field] = min(acc[field], cur[field])
+            else:
+                out[field] = max(acc[field], cur[field])
+            return out
+
+        return self.reduce(fn)
+
+    def sum(self, field: str) -> DataStream:  # noqa: A003
+        return self._agg_field(field, "sum")
+
+    def min(self, field: str) -> DataStream:  # noqa: A003
+        return self._agg_field(field, "min")
+
+    def max(self, field: str) -> DataStream:  # noqa: A003
+        return self._agg_field(field, "max")
+
+    def process(self, fn: Callable[[tuple, pd.DataFrame], pd.DataFrame],
+                output_type: str) -> DataStream:
+        """KeyedProcessFunction (bounded replay): fn(key, rows-in-arrival-
+        order) -> output rows. Timers/live state need the streaming ops in
+        flink_parent_spark.streaming.stateful instead."""
+        def per_key(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            out = fn(key, pdf.sort_values(ARRIVAL).drop(columns=[ARRIVAL]))
+            out = out.copy()
+            out[ARRIVAL] = range(len(out))
+            return out
+
+        return DataStream(
+            self._df.groupBy(*self._keys).applyInPandas(
+                per_key, f"{output_type}, {ARRIVAL} long"
+            ),
+            self._env,
+        )
+
+    def window(self, ts_col: str, size: str, slide: str | None = None) -> "WindowedStream":
+        return WindowedStream(self._df, self._keys, ts_col, size, slide, self._env)
+
+    def count_window(self, n: int) -> "CountWindowedStream":
+        return CountWindowedStream(self._df, self._keys, n, self._env)
+
+
+class WindowedStream:
+    """Tumbling/sliding event-time windows (WindowedStream.java → Spark
+    `window()`)."""
+
+    def __init__(self, df, keys, ts_col, size, slide, env):
+        self._df, self._keys, self._env = df, keys, env
+        self._win = (
+            F.window(ts_col, size, slide) if slide else F.window(ts_col, size)
+        )
+
+    def aggregate(self, *agg_exprs: str) -> DataStream:
+        out = (
+            self._df.groupBy(self._win.alias("w"), *self._keys)
+            .agg(*[F.expr(e) for e in agg_exprs])
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "*",
+            )
+            .drop("w")
+            .withColumn(ARRIVAL, F.monotonically_increasing_id())
+        )
+        return DataStream(out, self._env)
+
+
+class CountWindowedStream:
+    """Count windows (CountTumblingWindowAssigner): every `n` elements per
+    key form a window, numbered in arrival order."""
+
+    def __init__(self, df, keys, n, env):
+        self._df, self._keys, self._n, self._env = df, keys, n, env
+
+    def aggregate(self, *agg_exprs: str) -> DataStream:
+        from pyspark.sql import Window  # noqa: PLC0415
+
+        w = Window.partitionBy(*self._keys).orderBy(ARRIVAL)
+        df = self._df.withColumn(
+            "window_id", ((F.row_number().over(w) - 1) / self._n).cast("long")
+        )
+        out = (
+            df.groupBy(*self._keys, "window_id")
+            .agg(*[F.expr(e) for e in agg_exprs])
+            .withColumn(ARRIVAL, F.monotonically_increasing_id())
+        )
+        return DataStream(out, self._env)

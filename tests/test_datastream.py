@@ -1,0 +1,107 @@
+"""DataStream API veneer tests (DataStream.java / KeyedStream.java verb
+parity at the Python surface, bounded-replay semantics checked against
+plain-Python models)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from flink_parent_spark.api.datastream import StreamExecutionEnvironment
+
+
+@pytest.fixture(scope="module")
+def env(spark):
+    return StreamExecutionEnvironment.get_execution_environment(spark)
+
+
+def test_map_filter_expr_and_callable(env):
+    ds = env.from_collection([(1, "a"), (2, "b"), (3, "c")], "n int, s string")
+    # SQL-expression fast path
+    out = ds.map("n * 10 AS n10").filter("n10 > 10").execute_and_collect()
+    assert out == [20, 30]
+    # Python-callable path (Arrow-batched)
+    out2 = (
+        ds.map(lambda r: {"v": r["n"] + 100, "tag": r["s"].upper()},
+               "v int, tag string")
+        .filter(lambda r: r["v"] % 2 == 1)
+        .execute_and_collect()
+    )
+    assert out2 == [(101, "A"), (103, "C")]
+
+
+def test_flat_map_emits_in_order(env):
+    ds = env.from_collection([("x y",), ("z",)], "line string")
+    out = ds.flat_map(
+        lambda r: [{"w": w} for w in r["line"].split()], "w string"
+    ).execute_and_collect()
+    assert out == ["x", "y", "z"]
+
+
+def test_keyed_running_reduce_emits_per_element(env):
+    """KeyedStream.reduce emits a running result for EVERY input element in
+    arrival order (DataStream semantics, not a final-only aggregate)."""
+    data = [("a", 1), ("b", 10), ("a", 2), ("a", 3), ("b", 20)]
+    ds = env.from_collection(data, "k string, v int")
+    out = (
+        ds.key_by("k")
+        .reduce(lambda acc, cur: {"k": cur["k"], "v": acc["v"] + cur["v"]})
+        .execute_and_collect()
+    )
+    assert out == [("a", 1), ("b", 10), ("a", 3), ("a", 6), ("b", 30)]
+
+    sums = ds.key_by("k").sum("v").execute_and_collect()
+    assert sums == out
+    assert ds.key_by("k").max("v").execute_and_collect()[-1] == ("b", 20)
+
+
+def test_union_and_print_order(env, capsys):
+    a = env.from_collection([(1,)], "n int")
+    b = env.from_collection([(2,)], "n int")
+    assert sorted(a.union(b).to_df().collect()) == [(1,), (2,)]
+
+
+def test_keyed_process_function(env):
+    ds = env.from_collection(
+        [("a", 5), ("a", 7), ("b", 1)], "k string, v int"
+    )
+
+    def top_value(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": [key[0]], "best": [int(pdf["v"].max())]})
+
+    out = sorted(
+        ds.key_by("k").process(top_value, "k string, best long")
+        .execute_and_collect()
+    )
+    assert out == [("a", 7), ("b", 1)]
+
+
+def test_event_time_window_aggregate(env, spark):
+    import datetime as dtm
+
+    t0 = dtm.datetime(2024, 1, 1)
+    rows = [
+        ("u", t0 + dtm.timedelta(minutes=m), float(v))
+        for m, v in [(1, 1.0), (2, 2.0), (61, 10.0)]
+    ]
+    ds = env.from_collection(rows, "k string, ts timestamp, v double")
+    out = (
+        ds.key_by("k")
+        .window("ts", "1 hour")
+        .aggregate("sum(v) AS total", "count(*) AS n")
+        .to_df()
+        .orderBy("window_start")
+        .collect()
+    )
+    assert [(r["total"], r["n"]) for r in out] == [(3.0, 2), (10.0, 1)]
+
+
+def test_count_window(env):
+    data = [("a", i) for i in range(5)]
+    ds = env.from_collection(data, "k string, v int")
+    out = (
+        ds.key_by("k").count_window(2).aggregate("sum(v) AS s")
+        .to_df().orderBy("window_id").collect()
+    )
+    # windows [0,1] [2,3] [4]
+    assert [(r["window_id"], r["s"]) for r in out] == [(0, 1), (1, 5), (2, 4)]
