@@ -212,6 +212,28 @@ class Table:
         return self._wrap(out)
 
 
+class StatementSet:
+    """Collected INSERT statements executed together (StatementSetImpl —
+    on Spark each insert is an independent batch write, so 'one unit'
+    means sequential execution with a single call site; a failed statement
+    stops the set)."""
+
+    def __init__(self, env: "TableEnvironment"):
+        self._env = env
+        self._stmts: list[str] = []
+
+    def add_insert_sql(self, stmt: str) -> "StatementSet":
+        if not re.match(r"\s*INSERT\s+(INTO|OVERWRITE)\b", stmt, re.IGNORECASE):
+            raise ValueError("StatementSet accepts INSERT statements only")
+        self._stmts.append(stmt)
+        return self
+
+    def execute(self) -> None:
+        for stmt in self._stmts:
+            self._env.execute_sql(stmt)
+        self._stmts = []
+
+
 class TemporalTableFunction:
     """The value returned by create_temporal_table_function: call it with
     the probe side's time attribute to apply it in a join."""
@@ -269,7 +291,7 @@ class TableEnvironment:
             return self._create_table(m)
         if re.match(r"CREATE\s+(OR\s+REPLACE\s+)?(TEMPORARY\s+)?VIEW", s, re.IGNORECASE):
             return self.spark.sql(s)
-        if re.match(r"INSERT\s+INTO", s, re.IGNORECASE):
+        if re.match(r"INSERT\s+(INTO|OVERWRITE)\b", s, re.IGNORECASE):
             return self._insert_into(s)
         if re.match(r"SHOW\s+TABLES$", s, re.IGNORECASE):
             return self._show_tables()
@@ -494,12 +516,23 @@ class TableEnvironment:
         return df
 
     def _insert_into(self, s: str):
-        m = re.match(r"INSERT\s+INTO\s+(?P<t>\w+)\s+(?P<q>.*)", s, re.IGNORECASE | re.DOTALL)
+        m = re.match(
+            r"INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?(?P<t>\w+)\s+(?P<q>.*)",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
         target = self.catalog[m.group("t")]
         df = self.spark.sql(m.group("q"))
         fmt = "parquet" if target.fmt in ("filesystem", "parquet") else target.fmt
-        getattr(df.write.mode("append"), fmt)(target.path)
+        mode = "overwrite" if m.group("mode").upper() == "OVERWRITE" else "append"
+        getattr(df.write.mode(mode), fmt)(target.path)
         return None
+
+    def create_statement_set(self) -> "StatementSet":
+        """TableEnvironment.createStatementSet (TableEnvironmentImpl.java /
+        StatementSetImpl): batch several INSERT statements and execute them
+        as one unit."""
+        return StatementSet(self)
 
     # -- queries -------------------------------------------------------------
     def sql_query(self, sql: str) -> Table:

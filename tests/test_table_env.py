@@ -306,3 +306,43 @@ def test_temporal_table_function_join(tenv, spark):
 
     assert list(out["rate"][:2]) == list(expected["rate"][:2]) == [1.0, 1.2]
     assert pd.isna(out["rate"].iloc[2]) and pd.isna(expected["rate"].iloc[2])
+
+
+def test_insert_overwrite_and_statement_set(tenv, spark):
+    import os
+    import shutil
+    import tempfile
+
+    sink = os.path.join(tempfile.gettempdir(), "fps_stmtset_sink")
+    shutil.rmtree(sink, ignore_errors=True)
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE stmt_sink (l_returnflag STRING, n BIGINT)
+        WITH ('connector' = 'filesystem', 'path' = '{sink}',
+              'format' = 'parquet')
+        """
+    )
+    ss = tenv.create_statement_set()
+    ss.add_insert_sql(
+        "INSERT INTO stmt_sink "
+        "SELECT l_returnflag, count(*) AS n FROM li GROUP BY l_returnflag"
+    ).add_insert_sql(
+        "INSERT INTO stmt_sink "
+        "SELECT 'X' AS l_returnflag, CAST(-1 AS BIGINT) AS n"
+    )
+    ss.execute()
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == 4  # 3 return flags + sentinel
+
+    # INSERT OVERWRITE replaces the table contents
+    tenv.execute_sql(
+        "INSERT OVERWRITE stmt_sink "
+        "SELECT 'Y' AS l_returnflag, CAST(7 AS BIGINT) AS n"
+    )
+    rows = spark.read.parquet(sink).collect()
+    assert len(rows) == 1 and rows[0]["n"] == 7
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="INSERT statements only"):
+        tenv.create_statement_set().add_insert_sql("SELECT 1")
