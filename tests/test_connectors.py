@@ -349,3 +349,55 @@ def test_jdbc_ddl_table(spark):
         "SELECT count(*) AS n FROM jdbc_accounts WHERE amount > 75"
     ).collect()[0]["n"]
     assert n == 49  # ids 51..99
+
+
+def test_managed_catalog_table_roundtrip(spark):
+    """Hive-connector analog: Spark's session catalog managed table
+    (saveAsTable -> warehouse parquet + catalog entry), queryable by name
+    and listable — the reference's Hive catalog maps onto this."""
+    df = spark.range(0, 50).selectExpr("id", "id % 5 AS grp")
+    df.write.mode("overwrite").saveAsTable("managed_groups")
+    try:
+        back = spark.sql(
+            "SELECT grp, count(*) AS n FROM managed_groups GROUP BY grp"
+        ).collect()
+        assert sorted((r["grp"], r["n"]) for r in back) == [
+            (i, 10) for i in range(5)
+        ]
+        assert any(
+            t.name == "managed_groups" for t in spark.catalog.listTables()
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS managed_groups")
+
+
+def test_sequence_file_roundtrip(spark):
+    """flink-formats sequence-file parity via the Hadoop-native RDD path."""
+    import os
+    import shutil
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "fps_seqfile")
+    shutil.rmtree(d, ignore_errors=True)
+    sc = spark.sparkContext
+    sc.parallelize([(i, f"v{i}") for i in range(20)], 2).saveAsSequenceFile(d)
+    back = sorted(sc.sequenceFile(d).collect())
+    assert back == [(i, f"v{i}") for i in range(20)]
+
+
+def test_compressed_text_roundtrip(spark):
+    """flink-formats compress parity: gzip-codec text writes read back
+    transparently (codec inferred from extension)."""
+    import os
+    import shutil
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "fps_gzip_text")
+    shutil.rmtree(d, ignore_errors=True)
+    lines = [f"row-{i}" for i in range(100)]
+    spark.createDataFrame([(l,) for l in lines], "value string").coalesce(
+        1
+    ).write.option("compression", "gzip").text(d)
+    assert any(f.endswith(".gz") for f in os.listdir(d))
+    back = sorted(r["value"] for r in spark.read.text(d).collect())
+    assert back == sorted(lines)

@@ -234,3 +234,10 @@ def test_kmeans_training_input_is_bounded(spark):
     full = e.count()
     sampled = train.count()
     assert 0 < sampled < full
+
+
+def test_returns_anti_join_broadcasts(spark):
+    """The returns anti join must hash-broadcast the (small, distinct)
+    returned-orders side rather than shuffling the orders scan for it."""
+    plan = plan_of(QS["tpcds_returns_anti_join"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
