@@ -1,0 +1,90 @@
+"""Scale levers: bucketed co-located joins and skew salting.
+
+Reference analogs:
+- Bucketing ↔ Flink's pre-partitioned table sources / reinterpretAsKeyedStream
+  (exchange elimination when the data is already hash-distributed on the
+  join key; blink's `FlinkRelDistribution` satisfies-check does the same
+  reasoning at plan time).
+- Salting ↔ the skew-handling half of `SplitAggregateRule.scala` (partial
+  aggregates over a synthetic bucket key) generalized to joins; Spark's AQE
+  skew-join split covers sort-merge joins at runtime, salting covers the
+  cases AQE can't see (e.g. aggregations, broadcast-ineligible hot keys).
+
+Both are *levers a 100 TB deployment reaches for explicitly*: bucketing
+trades a one-time shuffle at write time for shuffle-free joins on every
+read; salting trades key cardinality for even task sizes under power-law
+keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Persist `df` as a bucketed (and optionally sort-ordered) catalog
+    table. Joins and aggregations on `bucket_cols` between tables bucketed
+    the same way run WITHOUT a shuffle (plan-asserted in
+    tests/test_plans.py) — at 100 TB this converts every recurring join on
+    the bucket key from an O(data) network exchange into local stitching.
+    `n_buckets` should be sized so one bucket ≈ one task's worth of data."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the (large, skewed) left side spreads each
+    key across `n_salts` sub-keys via a deterministic hash of the whole
+    row; the (smaller) right side replicates each row to all sub-keys.
+    A hot key's rows then land on `n_salts` tasks instead of one.
+
+    Equivalent rows to `left.join(right, left[left_key]==right[right_key])`
+    — the salt column never leaves the operator. Use when one build-side
+    key dominates and the join is not broadcastable; plain AQE skew-join
+    already covers the sort-merge case, salting also covers hash
+    aggregation built on top of the join output."""
+    salt = (
+        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+        .cast("int")
+        .alias("__salt")
+    )
+    l = left.withColumn("__salt", salt)
+    r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    cond = (l[left_key] == r[right_key]) & (l["__salt"] == r["__salt"])
+    out = l.join(r, cond, how)
+    return out.drop(l["__salt"]).drop(r["__salt"])
+
+
+def salted_group_count(
+    df: DataFrame, key_cols: Sequence[str], n_salts: int = 16
+) -> DataFrame:
+    """Two-stage skew-resistant count: partial count per (key, salt) then
+    final sum per key — the SplitAggregateRule shape as an explicit verb
+    for engines/queries where Catalyst's RewriteDistinctAggregates doesn't
+    apply. Output: key cols + `cnt`."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*key_cols, "__salt")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    return partial.groupBy(*key_cols).agg(F.sum("__c").alias("cnt"))

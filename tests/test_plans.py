@@ -241,3 +241,75 @@ def test_returns_anti_join_broadcasts(spark):
     returned-orders side rather than shuffling the orders scan for it."""
     plan = plan_of(QS["tpcds_returns_anti_join"](spark, SF))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """Tables bucketed on the join key stitch locally: the join plan has NO
+    Exchange on either side (the write-time shuffle bought every future
+    join)."""
+    from flink_parent_spark.operators.scale import write_bucketed
+    from flink_parent_spark.tables import load_tables
+
+    t = load_tables(spark, SF)
+    try:
+        write_bucketed(
+            t["orders"].select("o_orderkey", "o_custkey", "o_totalprice"),
+            "b_orders", ["o_custkey"], n_buckets=8, sort_cols=["o_custkey"],
+        )
+        write_bucketed(
+            t["customer"].select("c_custkey", "c_mktsegment"),
+            "b_customer", ["c_custkey"], n_buckets=8, sort_cols=["c_custkey"],
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = plan_of(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # sanity: result matches the unbucketed join
+        expected = (
+            t["orders"].join(t["customer"],
+                             F.col("o_custkey") == F.col("c_custkey")).count()
+        )
+        assert j.count() == expected
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_salted_join_matches_plain_join(spark):
+    """salted_join returns exactly the plain equi-join's rows while
+    splitting each key across n_salts sub-keys."""
+    from flink_parent_spark.operators.scale import (
+        salted_group_count,
+        salted_join,
+    )
+    from flink_parent_spark.tables import load_tables
+
+    t = load_tables(spark, SF)
+    orders = t["orders"].select("o_orderkey", "o_custkey")
+    customer = t["customer"].select("c_custkey", "c_mktsegment")
+    plain = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).select("o_orderkey", "c_mktsegment")
+    salted = salted_join(orders, customer, "o_custkey", "c_custkey").select(
+        "o_orderkey", "c_mktsegment"
+    )
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, salted.collect()))
+    assert a == b
+
+    counts = {
+        tuple(r)[:-1]: r["cnt"]
+        for r in salted_group_count(orders, ["o_custkey"], n_salts=8).collect()
+    }
+    expected = {
+        tuple(r)[:-1]: r["n"]
+        for r in orders.groupBy("o_custkey").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert counts == expected
