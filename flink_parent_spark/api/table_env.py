@@ -295,6 +295,37 @@ class TableEnvironment:
             return self._insert_into(s)
         if re.match(r"SHOW\s+TABLES$", s, re.IGNORECASE):
             return self._show_tables()
+        em = re.match(r"EXPLAIN\s+PLAN\s+FOR\s+(?P<q>.+)$", s, re.IGNORECASE | re.DOTALL)
+        if em:
+            # Flink's EXPLAIN PLAN FOR syntax -> the Spark plan string
+            plan = self.explain_sql(em.group("q"))
+            return Table(
+                self.spark.createDataFrame([(plan,)], "plan string"), self
+            )
+        sc = re.match(r"SHOW\s+CREATE\s+TABLE\s+(\w+)$", s, re.IGNORECASE)
+        if sc and sc.group(1) in self.catalog:
+            entry = self.catalog[sc.group(1)]
+            props = ", ".join(
+                f"'{k}' = '{v}'" for k, v in entry.props.items()
+                if not k.startswith("__")
+            )
+            parts = [entry.schema_ddl or ""]
+            parts += [f"{n} AS {e}" for n, e in entry.computed]
+            if entry.watermark:
+                col, spec = entry.watermark
+                n_, unit = spec.split()
+                parts.append(
+                    f"WATERMARK FOR {col} AS {col} - INTERVAL '{n_}' {unit.upper()}"
+                )
+            ddl = (
+                f"CREATE TABLE {entry.name} ("
+                + ", ".join(p for p in parts if p)
+                + f") WITH ({props})"
+            )
+            return Table(
+                self.spark.createDataFrame([(ddl,)], "`create table` string"),
+                self,
+            )
         dm = re.match(r"(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?(\w+)$", s, re.IGNORECASE)
         if dm:
             return self._describe(dm.group(1))

@@ -105,3 +105,21 @@ def test_count_window(env):
     )
     # windows [0,1] [2,3] [4]
     assert [(r["window_id"], r["s"]) for r in out] == [(0, 1), (1, 5), (2, 4)]
+
+
+def test_connected_streams_co_map(env):
+    """CoMapFunction parity: each side of a connected pair routes through
+    its own function into one output type."""
+    nums = env.from_collection([(1,), (2,)], "n int")
+    words = env.from_collection([("abc",), ("de",)], "s string")
+    out = sorted(
+        nums.connect(words)
+        .map(
+            lambda r: {"v": r["n"] * 10},
+            lambda r: {"v": len(r["s"])},
+            "v int",
+        )
+        .to_df()
+        .collect()
+    )
+    assert [r["v"] for r in out] == [2, 3, 10, 20]

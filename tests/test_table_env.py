@@ -346,3 +346,15 @@ def test_insert_overwrite_and_statement_set(tenv, spark):
 
     with _pytest.raises(ValueError, match="INSERT statements only"):
         tenv.create_statement_set().add_insert_sql("SELECT 1")
+
+
+def test_explain_plan_for_and_show_create_table(tenv):
+    plan = tenv.execute_sql(
+        "EXPLAIN PLAN FOR SELECT l_returnflag, count(*) FROM li GROUP BY l_returnflag"
+    ).collect()[0]["plan"]
+    assert "Aggregate" in plan or "HashAggregate" in plan
+
+    ddl = tenv.execute_sql("SHOW CREATE TABLE ev").collect()[0][0]
+    assert ddl.startswith("CREATE TABLE ev (")
+    assert "WATERMARK FOR ts AS ts - INTERVAL '10' SECONDS" in ddl
+    assert "'connector' = 'filesystem'" in ddl and "day_part AS" in ddl
