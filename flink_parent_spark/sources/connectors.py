@@ -181,7 +181,21 @@ def upsert_kafka_normalize(
     from pyspark.sql import Window, functions as F  # noqa: PLC0415
 
     fields = {}
-    for part in schema_ddl.split(","):
+    # split on top-level commas only (DECIMAL(10,2) etc. contain commas)
+    depth, cur, parts = 0, [], []
+    for ch in schema_ddl:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    for part in parts:
         bits = part.strip().split()
         if len(bits) >= 2:
             fields[bits[0].strip("`")] = " ".join(bits[1:])
