@@ -129,8 +129,10 @@ def kafka_file_source(
 ) -> DataFrame:
     """Kafka-shaped source over the file-backed topic. `starting_offsets`
     accepts 'earliest', 'latest' (batch: nothing — the log is fully
-    consumed), or Spark's per-partition JSON ({"<topic>": {"0": 5}},
-    -2=earliest, -1=latest)."""
+    consumed; streaming: the replay still surfaces existing files, since a
+    file source has no broker-side head position — a real broker swap
+    restores exact 'latest' semantics), or Spark's per-partition JSON
+    ({"<topic>": {"0": 5}}, -2=earliest, -1=latest)."""
     import json  # noqa: PLC0415
     import os  # noqa: PLC0415
 
