@@ -15,8 +15,19 @@ from pyspark.sql import DataFrame
 
 def spread(df: DataFrame) -> DataFrame:
     """Repartition `df` to the cluster's default parallelism iff it arrives
-    in fewer partitions (planning-time check — no job is triggered)."""
+    narrow (planning-time check — no job is triggered).
+
+    The primary signal is the scan's file count (`inputFiles`, a few ms —
+    at cluster scale a well-split input has orders of magnitude more files
+    than cores and passes through untouched); only non-file inputs fall
+    back to the costlier physical-partition probe."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= target:
+        return df
+    if n_files == 0 and df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
