@@ -275,3 +275,67 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 63) -> DataFr
             F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0)
         ).alias("simhash")
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = 63,
+) -> DataFrame:
+    """SimHash near-duplicate pairs at scale (Manku/Jain/Sarma WWW'07,
+    public algorithm): fingerprints split into `bands` contiguous bit
+    bands; candidate pairs share at least one exact band value (an
+    equi-join on (band, value) — never all-pairs) and verify by full
+    Hamming distance.
+
+    EXACTNESS: with `max_hamming < bands`, the pigeonhole principle
+    guarantees every pair within the Hamming threshold leaves at least one
+    band untouched, so banding finds ALL qualifying pairs — the banded
+    search equals a brute-force Hamming scan, at equi-join cost.
+
+    Output: (id_a, id_b, hamming) with id_a < id_b.
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs > {max_hamming} bands for "
+            "the pigeonhole completeness guarantee"
+        )
+    sh = simhash(df, text_col, id_col, bits=bits).persist()
+    width = -(-bits // bands)  # ceil
+    banded = sh.select(
+        "id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).withColumn(
+        "bval",
+        F.expr(
+            f"shiftright(simhash, band * {width}) & CAST({(1 << width) - 1} AS BIGINT)"
+        ),
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

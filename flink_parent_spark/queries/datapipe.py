@@ -1094,3 +1094,39 @@ def datapipe_pack_documents(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     return pack_documents(t["documents"], "text", "doc_id", capacity=256,
                           n_buckets=8)
+
+
+@df_query(
+    "dedup_simhash_pairs",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, {_duck_h64('tok')} AS h
+      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+            FROM documents) t
+    ), votes AS (
+      SELECT doc_id, bit,
+             SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM tok, (SELECT unnest(generate_series(0, 62)) AS bit) b
+      GROUP BY doc_id, bit
+    ), sh AS (
+      SELECT doc_id AS id,
+             CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sh a JOIN sh b ON a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: banded candidate generation (equi-join on
+    (band, 16-bit value), never all-pairs) + full-Hamming verify. The
+    4-band / hamming<=3 configuration is pigeonhole-complete, so the
+    oracle's brute-force Hamming scan over all pairs must agree EXACTLY —
+    the banding is a pure cost optimization, not an approximation."""
+    from flink_parent_spark.datapipe.dedup import simhash_pairs
+
+    t = load_tables(spark, sf_dir)
+    return simhash_pairs(t["documents"], "text", "doc_id", max_hamming=3, bands=4)
