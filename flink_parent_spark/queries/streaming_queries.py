@@ -1727,3 +1727,45 @@ def stream_match_recognize_sql(spark, sf_dir):
     """
     out = match_recognize_sql(ev, clause, "event_id", streaming=True)
     return run_stream_to_df(out, "update")
+
+
+@df_query(
+    "datastream_running_reduce",
+    oracle="""
+    SELECT user_id, event_id,
+           -- trunc(): DuckDB's double->BIGINT cast rounds, Spark's
+           -- truncates; make both truncate
+           CAST(SUM(CAST(trunc(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id
+                      ORDER BY event_id) AS BIGINT) AS cents
+    FROM events
+    """,
+)
+def datastream_running_reduce(spark, sf_dir):
+    """DataStream API veneer under the oracle: keyed running reduce emits
+    one output PER INPUT ELEMENT folding in arrival order
+    (KeyedStream.reduce:372). Arrival = event_id (injected as the ordinal)
+    so the SQL running-sum window reproduces the fold exactly; amounts are
+    truncated to integer cents so the accumulation is engine-exact."""
+    from flink_parent_spark.api.datastream import StreamExecutionEnvironment
+
+    t = load_tables(spark, sf_dir)
+    ev = (
+        t["events"]
+        .select(
+            "user_id",
+            "event_id",
+            (F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .withColumn("__arrival", F.col("event_id"))
+    )
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    ds = env.from_data_frame(ev)
+    out = ds.key_by("user_id").reduce(
+        lambda acc, cur: {
+            "user_id": cur["user_id"],
+            "event_id": cur["event_id"],
+            "cents": acc["cents"] + cur["cents"],
+        }
+    )
+    return out.to_df()
