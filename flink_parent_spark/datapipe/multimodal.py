@@ -107,3 +107,78 @@ def frame_sample_stub(n_frames: int = 4):
         return [i * step for i in range(min(n_frames, byte_len))]
 
     return plan
+
+
+def resize_plan(
+    df: DataFrame,
+    meta_col: str = "media_meta",
+    max_side: int = 512,
+) -> DataFrame:
+    """Image resize planning: aspect-preserving fit of the decoded
+    dimensions into a `max_side` bounding box (integer floor math — the
+    deterministic part every real resize shares; the pixel resample itself
+    is the stubbed decoder's job). Pure codegen expressions over the
+    metadata struct — the payload column is never read, so at 100 TB this
+    is a metadata-only scan."""
+    w = F.col(f"{meta_col}.width")
+    h = F.col(f"{meta_col}.height")
+    long_side = F.greatest(w, h)
+    needs = long_side > max_side
+    new_w = F.when(needs, (w * max_side / long_side).cast("int")).otherwise(w)
+    new_h = F.when(needs, (h * max_side / long_side).cast("int")).otherwise(h)
+    return df.withColumn(
+        "resize",
+        F.struct(
+            new_w.alias("new_width"),
+            new_h.alias("new_height"),
+            (new_w.cast("double") / w.cast("double")).alias("scale_x"),
+            (new_h.cast("double") / h.cast("double")).alias("scale_y"),
+        ),
+    )
+
+
+def audio_chunks(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    chunk_bytes: int = 64,
+    hop_bytes: int = 48,
+) -> DataFrame:
+    """Audio chunking plumbing: split each payload into overlapping
+    fixed-size windows (chunk `chunk_bytes`, hop `hop_bytes` — the standard
+    STFT-style framing), emitting per-chunk byte ranges and digests. The
+    fan-out is an Arrow-batched mapInPandas (one input row -> n_chunks
+    rows), the same shape a real feature extractor (fbank/MFCC) plugs
+    into; digests make the fake path oracle-checkable."""
+    dt = dict(df.dtypes)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for rec in pdf.to_dict("records"):
+                b = bytes(rec[payload_col])
+                start = 0
+                idx = 0
+                while start < len(b):
+                    chunk = b[start : start + chunk_bytes]
+                    recs.append(
+                        {
+                            id_col: rec[id_col],
+                            "chunk_idx": idx,
+                            "start_byte": start,
+                            "n_bytes": len(chunk),
+                            "digest": hashlib.md5(chunk).hexdigest(),
+                        }
+                    )
+                    start += hop_bytes
+                    idx += 1
+            yield pd.DataFrame(
+                recs,
+                columns=[id_col, "chunk_idx", "start_byte", "n_bytes", "digest"],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches,
+        f"`{id_col}` {dt[id_col]}, chunk_idx int, start_byte long, "
+        "n_bytes int, digest string",
+    )

@@ -1130,3 +1130,77 @@ def dedup_simhash_pairs(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return simhash_pairs(t["documents"], "text", "doc_id", max_hamming=3, bands=4)
+
+
+@df_query(
+    "multimodal_resize_plan",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 1920 + 1 AS INT)
+               AS width,
+             CAST(('0x' || substr(md5(text), 9, 8))::BIGINT % 1080 + 1 AS INT)
+               AS height
+      FROM documents
+    )
+    SELECT doc_id, width, height,
+           -- trunc(): DuckDB's double->INT cast rounds, Spark's truncates
+           CAST(trunc(CASE WHEN GREATEST(width, height) > 512
+                THEN CAST(width AS DOUBLE) * 512 / GREATEST(width, height)
+                ELSE width END) AS INT) AS new_width,
+           CAST(trunc(CASE WHEN GREATEST(width, height) > 512
+                THEN CAST(height AS DOUBLE) * 512 / GREATEST(width, height)
+                ELSE height END) AS INT) AS new_height
+    FROM meta
+    """,
+)
+def multimodal_resize_plan(spark, sf_dir):
+    """Aspect-preserving resize planning over decoded metadata only (the
+    payload bytes stay unread — column pruning makes this a metadata scan
+    at 100 TB). The fake decoder's md5-derived dimensions let the oracle
+    recompute the whole plan."""
+    from flink_parent_spark.datapipe.multimodal import (
+        attach_payload,
+        decode_media,
+        resize_plan,
+    )
+
+    t = load_tables(spark, sf_dir)
+    d = attach_payload(t["documents"].select("doc_id", "text"), "text")
+    d = decode_media(d)
+    d = resize_plan(d, max_side=512)
+    return d.select(
+        "doc_id",
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+        F.col("resize.new_width").alias("new_width"),
+        F.col("resize.new_height").alias("new_height"),
+    )
+
+
+@df_query(
+    "multimodal_audio_chunks",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(i.i AS INT) AS chunk_idx,
+           CAST(i.i * 48 AS BIGINT) AS start_byte,
+           CAST(LEAST(64, length(d.text) - i.i * 48) AS INT) AS n_bytes,
+           md5(substr(d.text, i.i * 48 + 1, 64)) AS digest
+    FROM documents d,
+         UNNEST(generate_series(0,
+                CAST(CEIL(CAST(length(d.text) AS DOUBLE) / 48) AS BIGINT) - 1))
+           AS i(i)
+    WHERE i.i * 48 < length(d.text)
+    """,
+)
+def multimodal_audio_chunks(spark, sf_dir):
+    """Overlapping fixed-size chunking of binary payloads (STFT-style
+    framing: 64-byte windows, 48-byte hop) via Arrow-batched mapInPandas
+    fan-out — the plumbing a real audio feature extractor plugs into. The
+    fixture payloads are utf-8 text bytes (ASCII), so the oracle re-frames
+    with substr + md5 exactly."""
+    from flink_parent_spark.datapipe.multimodal import attach_payload, audio_chunks
+
+    t = load_tables(spark, sf_dir)
+    d = attach_payload(t["documents"].select("doc_id", "text"), "text")
+    return audio_chunks(d, chunk_bytes=64, hop_bytes=48)
