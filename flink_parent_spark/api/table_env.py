@@ -168,6 +168,18 @@ class Table:
     def minus_all(self, other: "Table") -> "Table":
         return self._wrap(self._df.exceptAll(other._df))
 
+    # -- windows (Table.window / Table.over_window, PyFlink table.py) -------
+    def window(self, group_window: "GroupWindow") -> "GroupWindowedTable":
+        """table.window(Tumble.over('1 hour').on('ts').alias('w'))
+        (Table.java window(GroupWindow), PyFlink Table.window)."""
+        return GroupWindowedTable(self, group_window)
+
+    def over_window(self, over: "OverWindow") -> "OverWindowedTable":
+        """table.over_window(Over.partition_by('k').order_by('ts')
+        .preceding('unbounded_row').alias('w')) (Table.java
+        window(OverWindow...), PyFlink Table.over_window)."""
+        return OverWindowedTable(self, over)
+
     # -- temporal table function (Table.java:133) ---------------------------
     def create_temporal_table_function(
         self, time_attr: str, primary_key: str
@@ -264,6 +276,198 @@ class GroupedTable:
             if not (isinstance(e, str) and e.strip() in keys)
         ]
         return Table(self._df.groupBy(*self._keys).agg(*cols), self._env)
+
+
+class GroupWindow:
+    """Fluent group-window descriptors (PyFlink pyflink/table/window.py:
+    Tumble/Slide/Session .over/.every/.with_gap/.on/.alias) lowered onto
+    Spark's window()/session_window()."""
+
+    def __init__(self, kind: str):
+        self.kind = kind
+        self.size: str | None = None
+        self.slide: str | None = None
+        self.time_col: str | None = None
+        self.name = "w"
+
+    def on(self, time_col: str) -> "GroupWindow":
+        self.time_col = time_col
+        return self
+
+    def alias(self, name: str) -> "GroupWindow":
+        self.name = name
+        return self
+
+    def _spark_window(self) -> "F.Column":
+        if self.kind == "session":
+            return F.session_window(self.time_col, self.size)
+        if self.kind == "slide":
+            return F.window(self.time_col, self.size, self.slide)
+        return F.window(self.time_col, self.size)
+
+
+class Tumble:
+    @staticmethod
+    def over(size: str) -> GroupWindow:
+        w = GroupWindow("tumble")
+        w.size = size
+        return w
+
+
+class Slide:
+    @staticmethod
+    def over(size: str) -> GroupWindow:
+        w = GroupWindow("slide")
+        w.size = size
+        return w
+
+
+# PyFlink's Slide.over(...).every(...): attach as a method on GroupWindow
+def _every(self: GroupWindow, slide: str) -> GroupWindow:
+    self.slide = slide
+    return self
+
+
+GroupWindow.every = _every  # type: ignore[attr-defined]
+
+
+class Session:
+    @staticmethod
+    def with_gap(gap: str) -> GroupWindow:
+        w = GroupWindow("session")
+        w.size = gap
+        return w
+
+
+class GroupWindowedTable:
+    """table.window(Tumble.over(...).on(...).alias("w")) result — group_by
+    must include the window alias (PyFlink GroupWindowedTable.group_by)."""
+
+    def __init__(self, table: Table, window: GroupWindow):
+        self._table, self._window = table, window
+
+    def group_by(self, *keys: str) -> "WindowGroupedTable":
+        names = [k.strip() for k in keys]
+        if self._window.name not in names:
+            raise ValueError(
+                f"group_by must include the window alias '{self._window.name}'"
+            )
+        keys_wo_window = [k for k in names if k != self._window.name]
+        return WindowGroupedTable(self._table, self._window, keys_wo_window)
+
+
+class WindowGroupedTable:
+    def __init__(self, table: Table, window: GroupWindow, keys: list[str]):
+        self._table, self._window, self._keys = table, window, keys
+
+    def select(self, *exprs: str) -> Table:
+        """Aggregate select; `<alias>.start` / `<alias>.end` /
+        `<alias>.rowtime` project the window bounds (rowtime = end - 1ms,
+        Flink's window rowtime attribute)."""
+        w = self._window
+        grouped = self._table._df.groupBy(
+            w._spark_window().alias("__gw"), *self._keys
+        )
+        keyset = set(self._keys)
+        aggs, posts = [], []
+        for e in exprs:
+            s = e.strip()
+            low = s.lower()
+            if low == f"{w.name}.start":
+                posts.append(F.col("__gw.start").alias(f"{w.name}_start"))
+            elif low == f"{w.name}.end":
+                posts.append(F.col("__gw.end").alias(f"{w.name}_end"))
+            elif low == f"{w.name}.rowtime":
+                posts.append(
+                    (F.col("__gw.end") - F.expr("INTERVAL 1 MILLISECOND")).alias(
+                        f"{w.name}_rowtime"
+                    )
+                )
+            elif s in keyset:
+                posts.append(F.col(s))
+            else:
+                aggs.append(F.expr(s))
+        out = grouped.agg(*aggs) if aggs else grouped.count().drop("count")
+        agg_names = [
+            c for c in out.columns if c != "__gw" and c not in self._keys
+        ]
+        return Table(
+            out.select(*posts, *[F.col(c) for c in agg_names]),
+            self._table._env,
+        )
+
+
+class Over:
+    """Fluent OVER-window descriptor (PyFlink Over.partition_by(...)
+    .order_by(...).preceding(...).alias("w")); select() compiles to one
+    SQL WINDOW clause so Catalyst plans the frames."""
+
+    @staticmethod
+    def partition_by(*cols: str) -> "OverWindow":
+        w = OverWindow()
+        w.parts = list(cols)
+        return w
+
+    @staticmethod
+    def order_by(col: str) -> "OverWindow":
+        return OverWindow().order_by(col)
+
+
+class OverWindow:
+    def __init__(self):
+        self.parts: list[str] = []
+        self.order: str | None = None
+        self.frame: str = (
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        )
+        self.name = "w"
+
+    def order_by(self, col: str) -> "OverWindow":
+        self.order = col
+        return self
+
+    def preceding(self, spec: str) -> "OverWindow":
+        # 'unbounded_range' | 'unbounded_row' | '<n> rows' | 'interval ...'
+        s = spec.strip().lower()
+        if s == "unbounded_range":
+            self.frame = "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        elif s == "unbounded_row":
+            self.frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        elif s.endswith("rows"):
+            n = s.split()[0]
+            self.frame = f"ROWS BETWEEN {n} PRECEDING AND CURRENT ROW"
+        else:
+            self.frame = f"RANGE BETWEEN {spec} PRECEDING AND CURRENT ROW"
+        return self
+
+    def alias(self, name: str) -> "OverWindow":
+        self.name = name
+        return self
+
+
+class OverWindowedTable:
+    def __init__(self, table: Table, window: OverWindow):
+        self._table, self._window = table, window
+
+    def select(self, *exprs: str) -> Table:
+        """Each expr may use `OVER <alias>` (e.g. 'SUM(v) OVER w AS s');
+        plain columns pass through."""
+        import uuid as _uuid  # noqa: PLC0415
+
+        w = self._window
+        view = f"__over_{_uuid.uuid4().hex[:8]}"
+        self._table._df.createOrReplaceTempView(view)
+        spec = []
+        if w.parts:
+            spec.append("PARTITION BY " + ", ".join(w.parts))
+        if w.order:
+            spec.append(f"ORDER BY {w.order}")
+        spec.append(w.frame)
+        sql = (
+            f"SELECT {', '.join(exprs)} FROM {view} "
+            f"WINDOW {w.name} AS ({' '.join(spec)})"
+        )
+        return Table(self._table._env.spark.sql(sql), self._table._env)
 
 
 class TableEnvironment:

@@ -358,3 +358,83 @@ def test_explain_plan_for_and_show_create_table(tenv):
     assert ddl.startswith("CREATE TABLE ev (")
     assert "WATERMARK FOR ts AS ts - INTERVAL '10' SECONDS" in ddl
     assert "'connector' = 'filesystem'" in ddl and "day_part AS" in ddl
+
+
+def test_fluent_group_window_tumble(tenv):
+    """table.window(Tumble...).group_by('w', key).select(...) equals the
+    SQL tumbling aggregation."""
+    from flink_parent_spark.api.table_env import Tumble
+
+    t = tenv.from_path("ev")
+    got = (
+        t.window(Tumble.over("1 hour").on("ts").alias("w"))
+        .group_by("w", "event_type")
+        .select("w.start", "event_type", "count(1) AS n")
+        .to_df()
+        .collect()
+    )
+    exp = tenv.spark.sql(
+        """
+        SELECT window(ts, '1 hour').start AS w_start, event_type,
+               count(1) AS n
+        FROM ev GROUP BY window(ts, '1 hour'), event_type
+        """
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp)) and got
+
+
+def test_fluent_group_window_slide_and_session(tenv):
+    from flink_parent_spark.api.table_env import Session, Slide
+
+    t = tenv.from_path("ev")
+    slide = (
+        t.window(Slide.over("1 hour").every("15 minutes").on("ts").alias("w"))
+        .group_by("w")
+        .select("w.start", "w.end", "count(1) AS n")
+        .to_df()
+    )
+    n_slide = slide.count()
+    exp = tenv.spark.sql(
+        "SELECT window(ts, '1 hour', '15 minutes'), count(1) FROM ev "
+        "GROUP BY window(ts, '1 hour', '15 minutes')"
+    ).count()
+    assert n_slide == exp
+
+    sess = (
+        t.window(Session.with_gap("30 minutes").on("ts").alias("s"))
+        .group_by("s", "user_id")
+        .select("s.start", "s.rowtime", "user_id", "count(1) AS n")
+        .to_df()
+    )
+    r = sess.limit(1).collect()[0]
+    assert r["s_rowtime"] is not None
+
+
+def test_fluent_over_window(tenv):
+    from flink_parent_spark.api.table_env import Over
+
+    t = tenv.from_path("ev")
+    got = (
+        t.over_window(
+            Over.partition_by("user_id").order_by("ts, event_id")
+            .preceding("unbounded_row").alias("w")
+        )
+        .select(
+            "user_id", "event_id",
+            "COUNT(*) OVER w AS running_n",
+            "MAX(value) OVER w AS running_max",
+        )
+        .to_df()
+    )
+    exp = tenv.spark.sql(
+        """
+        SELECT user_id, event_id,
+               COUNT(*) OVER w AS running_n, MAX(value) OVER w AS running_max
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """
+    )
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, exp.collect()))
+    assert a == b and a
