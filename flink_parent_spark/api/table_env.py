@@ -168,6 +168,55 @@ class Table:
     def minus_all(self, other: "Table") -> "Table":
         return self._wrap(self._df.exceptAll(other._df))
 
+    # -- row-level function verbs (PyFlink Table.map/flat_map) --------------
+    def map(self, fn, output_type: str | None = None) -> "Table":  # noqa: A003
+        """Table.map: a SQL projection string (fast path) or a Python
+        callable over row dicts via Arrow-batched mapInPandas
+        (PyFlink Table.map with a general/vectorized function)."""
+        if isinstance(fn, str):
+            return self.select(*[e.strip() for e in fn.split(",")])
+        if output_type is None:
+            raise ValueError("map(callable) needs output_type (DDL schema)")
+        import pandas as pd  # noqa: PLC0415
+
+        cols = list(self._df.columns)
+        out_names = [f.split()[0].strip("`") for f in output_type.split(",")]
+
+        def run(batches):
+            for pdf in batches:
+                recs = []
+                for rec in pdf.to_dict("records"):
+                    out = fn({c: rec[c] for c in cols})
+                    if not isinstance(out, dict):
+                        out = dict(
+                            zip(out_names, out if isinstance(out, tuple) else (out,))
+                        )
+                    recs.append(out)
+                yield pd.DataFrame(recs, columns=out_names)
+
+        return self._wrap(self._df.mapInPandas(run, output_type))
+
+    def flat_map(self, fn, output_type: str) -> "Table":
+        """Table.flatMap: callable yields 0..n output rows per input row."""
+        import pandas as pd  # noqa: PLC0415
+
+        cols = list(self._df.columns)
+        out_names = [f.split()[0].strip("`") for f in output_type.split(",")]
+
+        def run(batches):
+            for pdf in batches:
+                recs = []
+                for rec in pdf.to_dict("records"):
+                    for out in fn({c: rec[c] for c in cols}):
+                        if not isinstance(out, dict):
+                            out = dict(
+                                zip(out_names, out if isinstance(out, tuple) else (out,))
+                            )
+                        recs.append(out)
+                yield pd.DataFrame(recs, columns=out_names)
+
+        return self._wrap(self._df.mapInPandas(run, output_type))
+
     # -- windows (Table.window / Table.over_window, PyFlink table.py) -------
     def window(self, group_window: "GroupWindow") -> "GroupWindowedTable":
         """table.window(Tumble.over('1 hour').on('ts').alias('w'))
@@ -276,6 +325,44 @@ class GroupedTable:
             if not (isinstance(e, str) and e.strip() in keys)
         ]
         return Table(self._df.groupBy(*self._keys).agg(*cols), self._env)
+
+    def aggregate(self, fn, output_type: str) -> Table:
+        """GroupedTable.aggregate (PyFlink AggregateFunction path): the
+        callable maps (key tuple, group pandas frame) -> ONE output row
+        dict; key columns are prepended automatically."""
+        return self._apply(fn, output_type, single_row=True)
+
+    def flat_aggregate(self, fn, output_type: str) -> Table:
+        """GroupedTable.flat_aggregate (TableAggregateFunction /
+        FlatAggregateTable.java): the callable emits 0..n output rows per
+        group as a pandas frame or list of dicts."""
+        return self._apply(fn, output_type, single_row=False)
+
+    def _apply(self, fn, output_type: str, single_row: bool) -> Table:
+        import pandas as pd  # noqa: PLC0415
+
+        dt = dict(self._df.dtypes)
+        key_ddl = ", ".join(f"`{k}` {dt[k]}" for k in self._keys)
+        schema = f"{key_ddl}, {output_type}" if key_ddl else output_type
+        keys = list(self._keys)
+
+        def per_key(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            out = fn(key, pdf)
+            if isinstance(out, dict):
+                out = [out]
+            out = pd.DataFrame(out) if not isinstance(out, pd.DataFrame) else out
+            if single_row and len(out) != 1:
+                raise ValueError(
+                    f"aggregate() must emit exactly one row, got {len(out)}"
+                )
+            out = out.copy()
+            for i, k in enumerate(keys):
+                out.insert(i, k, key[i])
+            return out
+
+        return Table(
+            self._df.groupBy(*keys).applyInPandas(per_key, schema), self._env
+        )
 
 
 class GroupWindow:

@@ -438,3 +438,50 @@ def test_fluent_over_window(tenv):
     a = sorted(map(tuple, got.collect()))
     b = sorted(map(tuple, exp.collect()))
     assert a == b and a
+
+
+def test_table_map_flat_map_verbs(tenv):
+    t = tenv.from_path("li").fetch(5)
+    out = t.map(
+        lambda r: {"k": r["l_orderkey"], "q2": r["l_quantity"] * 2},
+        "k long, q2 double",
+    ).collect()
+    assert len(out) == 5 and all(r["q2"] is not None for r in out)
+
+    fm = t.flat_map(
+        lambda r: [{"k": r["l_orderkey"]}] * int(min(r["l_linenumber"], 2)),
+        "k long",
+    ).collect()
+    assert len(fm) >= 5
+
+
+def test_grouped_aggregate_and_flat_aggregate(tenv):
+    import pandas as pd
+
+    t = tenv.from_path("li")
+    agg = (
+        t.group_by("l_returnflag")
+        .aggregate(
+            lambda key, pdf: {"n": len(pdf), "maxq": float(pdf["l_quantity"].max())},
+            "n long, maxq double",
+        )
+        .collect()
+    )
+    exp = {
+        r["l_returnflag"]: (r["n"], r["maxq"])
+        for r in tenv.sql_query(
+            "SELECT l_returnflag, count(*) AS n, max(l_quantity) AS maxq "
+            "FROM li GROUP BY l_returnflag"
+        ).collect()
+    }
+    assert {r["l_returnflag"]: (r["n"], r["maxq"]) for r in agg} == exp
+
+    top2 = (
+        t.group_by("l_returnflag")
+        .flat_aggregate(
+            lambda key, pdf: pdf.nlargest(2, "l_quantity")[["l_orderkey", "l_quantity"]],
+            "l_orderkey long, l_quantity double",
+        )
+        .to_df()
+    )
+    assert top2.count() == 3 * 2
