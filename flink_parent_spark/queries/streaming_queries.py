@@ -1769,3 +1769,38 @@ def datastream_running_reduce(spark, sf_dir):
         }
     )
     return out.to_df()
+
+
+@df_query(
+    "stream_pipeline_curation",
+    oracle=r"""
+    WITH kept AS (
+      SELECT md5(text) AS digest, MIN(doc_id) AS doc_id
+      FROM documents GROUP BY md5(text)
+    ), tok AS (
+      SELECT k.doc_id,
+             len(string_split_regex(trim(d.text), '\s+')) AS n_tokens
+      FROM kept k JOIN documents d ON d.doc_id = k.doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens
+    FROM tok WHERE n_tokens >= 20
+    """,
+)
+def stream_pipeline_curation(spark, sf_dir):
+    """Streaming training-corpus curation: documents arrive as a stream,
+    exact-dedup keep-first on the content digest (stateful, one row of
+    state per distinct digest) feeds a token-count quality gate — the
+    streaming half of pipeline_corpus_curation. Full replay must equal the
+    batch keep-first (min doc_id per digest) + filter."""
+    from flink_parent_spark.datapipe.text import token_count
+    from flink_parent_spark.streaming.core import run_stream_to_df, stream_table
+    from flink_parent_spark.streaming.stateful import streaming_dedup
+
+    docs = stream_table(spark, sf_dir, "documents").withColumn(
+        "digest", F.md5(F.col("text"))
+    )
+    kept = streaming_dedup(docs, ["digest"], "doc_id", ["text"], keep="first")
+    out = kept.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    ).filter(F.col("n_tokens") >= 20)
+    return run_stream_to_df(out, "update")
