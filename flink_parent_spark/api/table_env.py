@@ -46,6 +46,43 @@ _SYSTIME_RE = re.compile(
 )
 
 
+def normalize_flink_types(col_ddl: str) -> str:
+    """Map Flink-only LogicalTypes in DDL column definitions onto Spark
+    types (SURVEY §1.2 / LogicalTypeRoot.java:54-138):
+    - TIME [WITHOUT TIME ZONE] -> INT (millis-of-day convention, documented);
+    - TIMESTAMP(p) [WITHOUT TIME ZONE] -> TIMESTAMP (precision collapses to
+      micros, Spark's native resolution);
+    - TIMESTAMP_LTZ / TIMESTAMP(p) WITH LOCAL TIME ZONE -> TIMESTAMP;
+    - MULTISET<t> -> MAP<t, INT> (element -> multiplicity);
+    - RAW / BYTES -> BINARY;
+    - numeric synonyms NUMERIC/DEC -> DECIMAL.
+    Types Spark already understands (VARCHAR(n), CHAR(n), DECIMAL(p,s),
+    ARRAY/MAP/ROW...) pass through untouched."""
+    s = col_ddl
+    s = re.sub(
+        r"\bTIMESTAMP(?:\s*\(\s*\d+\s*\))?\s+WITH\s+LOCAL\s+TIME\s+ZONE\b",
+        "TIMESTAMP", s, flags=re.IGNORECASE,
+    )
+    s = re.sub(r"\bTIMESTAMP_LTZ(?:\s*\(\s*\d+\s*\))?\b", "TIMESTAMP", s,
+               flags=re.IGNORECASE)
+    s = re.sub(
+        r"\bTIMESTAMP\s*\(\s*\d+\s*\)(?:\s+WITHOUT\s+TIME\s+ZONE)?",
+        "TIMESTAMP", s, flags=re.IGNORECASE,
+    )
+    s = re.sub(r"\bTIMESTAMP\s+WITHOUT\s+TIME\s+ZONE\b", "TIMESTAMP", s,
+               flags=re.IGNORECASE)
+    s = re.sub(
+        r"\bTIME\b(?:\s*\(\s*\d+\s*\))?(?:\s+WITHOUT\s+TIME\s+ZONE)?"
+        r"(?!\s*ZONE|STAMP)",
+        "INT", s, flags=re.IGNORECASE,
+    )
+    s = re.sub(r"\bMULTISET\s*<\s*([^>]+?)\s*>", r"MAP<\1, INT>", s,
+               flags=re.IGNORECASE)
+    s = re.sub(r"\bRAW\b|\bBYTES\b", "BINARY", s, flags=re.IGNORECASE)
+    s = re.sub(r"\bNUMERIC\b|\bDEC\b(?!IMAL)", "DECIMAL", s, flags=re.IGNORECASE)
+    return s
+
+
 @dataclass
 class CatalogTable:
     name: str
@@ -698,6 +735,11 @@ class TableEnvironment:
             if cm and not re.match(r"\w+\s+(AS\s+)?(ROW|MAP|ARRAY)\b", p, re.IGNORECASE):
                 computed.append((cm.group("n"), cm.group("e")))
             else:
+                # normalize Flink-only types in the TYPE part only (never
+                # the column name, which may legitimately be 'time' etc.)
+                nm = re.match(r"(?P<n>`?\w+`?)\s+(?P<t>.+)$", p, re.DOTALL)
+                if nm:
+                    p = f"{nm.group('n')} {normalize_flink_types(nm.group('t'))}"
                 col_defs.append(p)
         if primary_key:
             props["__primary_key"] = ",".join(primary_key)

@@ -485,3 +485,50 @@ def test_grouped_aggregate_and_flat_aggregate(tenv):
         .to_df()
     )
     assert top2.count() == 3 * 2
+
+
+def test_flink_type_normalization(tenv, spark):
+    """Flink-only DDL types (LogicalTypeRoot lattice) map onto Spark types:
+    TIME->INT millis-of-day, TIMESTAMP(3)->TIMESTAMP, TIMESTAMP_LTZ->
+    TIMESTAMP, MULTISET<t> -> MAP<t,INT>, BYTES->BINARY; names like a
+    column called `time` are untouched."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from flink_parent_spark.api.table_env import normalize_flink_types
+
+    assert normalize_flink_types("TIME") == "INT"
+    assert normalize_flink_types("TIMESTAMP(3)") == "TIMESTAMP"
+    assert normalize_flink_types("TIMESTAMP_LTZ(3)") == "TIMESTAMP"
+    assert (
+        normalize_flink_types("TIMESTAMP(9) WITHOUT TIME ZONE") == "TIMESTAMP"
+    )
+    assert normalize_flink_types("MULTISET<STRING>") == "MAP<STRING, INT>"
+    assert normalize_flink_types("BYTES") == "BINARY"
+    assert normalize_flink_types("DECIMAL(10,2)") == "DECIMAL(10,2)"
+
+    # end-to-end: a DDL table using Flink types parses and scans (json so
+    # the declared schema is authoritative)
+    d = os.path.join(tempfile.gettempdir(), "fps_flinktypes")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    with open(os.path.join(d, "part.json"), "w") as fh:
+        fh.write(json.dumps({"id": 1, "time": "2024-01-01T00:00:00",
+                             "t_of_day": 3600000}) + "\n")
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE flink_typed (
+            id BIGINT, time TIMESTAMP(3), t_of_day TIME
+        ) WITH ('connector' = 'filesystem', 'path' = '{d}',
+                'format' = 'json')
+        """
+    )
+    entry = tenv.catalog["flink_typed"]
+    assert "TIMESTAMP(3)" not in entry.schema_ddl
+    assert "t_of_day INT" in entry.schema_ddl
+    rows = tenv.sql_query(
+        "SELECT id, time, t_of_day FROM flink_typed"
+    ).collect()
+    assert rows[0]["t_of_day"] == 3600000 and rows[0]["time"] is not None
