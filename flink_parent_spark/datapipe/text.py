@@ -118,7 +118,10 @@ def pack_documents(
     task. At 100 TB, n_buckets scales with the cluster (each group is an
     independent unit of parallelism) and the only shuffle is the group-by;
     the sequential fill that packing fundamentally requires is confined to
-    a group, never the driver.
+    a group, never the driver. SIZE n_buckets so one group's (id, count)
+    rows fit a task comfortably — only those two columns reach the packer,
+    so even 10^7 docs/group is tens of MB; corpus_docs / 10^6 is a sane
+    default at scale (the 32 default is a local-test convenience).
 
     A document that would overflow the current bin closes it and starts
     the next (greedy first-fit-in-order, the standard streaming packing);

@@ -636,3 +636,32 @@ def sql_temporal_join_system_time(spark, sf_dir):
           ON p.user_id = v.user_id
         """
     ).to_df()
+
+
+@df_query(
+    "table_api_tumble_fluent",
+    oracle="""
+    SELECT CAST(ws AS TIMESTAMP) AS w_start, event_type, n FROM (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2) t
+    """,
+)
+def table_api_tumble_fluent(spark, sf_dir):
+    """Fluent Table-API group window (Table.window(Tumble...) — PyFlink
+    window descriptors) under the oracle gate: equal to the SQL tumbling
+    aggregation."""
+    from flink_parent_spark.api.table_env import Table, TableEnvironment, Tumble
+
+    t = load_tables(spark, sf_dir)
+    env = TableEnvironment.create(spark=spark)
+    tbl = Table(t["events"], env)
+    return (
+        tbl.window(Tumble.over("1 hour").on("ts").alias("w"))
+        .group_by("w", "event_type")
+        .select("w.start", "event_type", "count(1) AS n")
+        .to_df()
+        .select(
+            F.col("w_start"), F.col("event_type"), F.col("n")
+        )
+    )
