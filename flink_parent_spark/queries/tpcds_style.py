@@ -11,8 +11,15 @@ multi-distinct aggregates, returns-style anti joins, correlated EXISTS /
 scalar-subquery gates, windowed share-of-total, cumulative cross-channel
 FULL OUTER comparison (Q51), consecutive-month islands (Q54), same-day
 multi-channel self-joins (Q64), NTILE quartiles (Q49), CASE matrices
-(Q66), and YoY-decline self-joins (Q75) — 25 shapes over the TPC-H-ish
-fixture tables.
+(Q66), and YoY-decline self-joins (Q75) — plus a round-5 widening with
+correlated-average price gates (Q6), bucketed scalar-subquery stat rows
+(Q9/Q88/Q90), multi-supplier-unreturned semi/anti pairs (Q16/Q94),
+coefficient-of-variation stats (Q17), frequent-items x best-customers
+funnels (Q23), channel growth-rate comparison (Q31), ticket-size cohorts
+(Q34/Q73), best/worst opposite-ranked joins (Q44), balanced-channel items
+(Q58), quarterly YoY pivots (Q59), below-average supplier-part pairs
+(Q65), returns-excluded ratios (Q78/Q93), and within-class revenue share
+(Q98/Q12/Q20) — 41 shapes over the TPC-H-ish fixture tables.
 
 Every query is written in the Spark/DuckDB-common dialect (used verbatim as
 its own oracle) with the decimal-accumulation contract for float sums.
@@ -531,5 +538,329 @@ sql_query(
     FROM yearly cur JOIN yearly prev
       ON cur.p_brand = prev.p_brand AND cur.o_year = prev.o_year + 1
     WHERE cur.revenue < prev.revenue
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Round-5 widening (25 -> 41 shapes). Same contract as above: every query is
+# written once in the Spark/DuckDB-common dialect and used verbatim as its
+# own oracle; double accumulation goes through the decimal contract.
+# Reference inventory: TpcdsTestProgram.java:75-86 runs queries 1..99.
+
+# --- parts priced >= 1.2x their type average (TPC-DS Q6 shape) --------------
+# Correlated-scalar-subquery gate rewritten as a join against the (tiny)
+# per-type average relation; at 100 TB the per-type aggregate broadcasts.
+sql_query(
+    "tpcds_q6_above_avg_priced_parts",
+    """
+    WITH type_avg AS (
+      SELECT p_type,
+             CAST(SUM(CAST(p_retailprice AS DECIMAL(30,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_price
+      FROM part GROUP BY p_type
+    )
+    SELECT p.p_type, COUNT(*) AS n_premium_parts,
+           MIN(p.p_retailprice) AS min_premium_price
+    FROM part p JOIN type_avg a ON p.p_type = a.p_type
+    WHERE p.p_retailprice > 1.2 * a.avg_price
+    GROUP BY p.p_type
+    HAVING COUNT(*) >= 2
+    """,
+)
+
+# --- bucketed scalar-subquery stats in one row (TPC-DS Q9 shape) ------------
+# Q9 selects 5 CASE branches each backed by scalar subqueries over quantity
+# ranges; the single-row cross joins are broadcast-trivial at any scale.
+sql_query(
+    "tpcds_q9_bucketed_scalar_counts",
+    """
+    SELECT b1.n AS n_q_0_10, b2.n AS n_q_10_25, b3.n AS n_q_25_40,
+           b4.n AS n_q_40_plus, b1.avg_price AS avg_price_0_10,
+           b4.avg_price AS avg_price_40_plus
+    FROM
+      (SELECT COUNT(*) AS n,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE) AS avg_price
+       FROM lineitem WHERE l_quantity < 10) b1,
+      (SELECT COUNT(*) AS n FROM lineitem
+       WHERE l_quantity >= 10 AND l_quantity < 25) b2,
+      (SELECT COUNT(*) AS n FROM lineitem
+       WHERE l_quantity >= 25 AND l_quantity < 40) b3,
+      (SELECT COUNT(*) AS n,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE) AS avg_price
+       FROM lineitem WHERE l_quantity >= 40) b4
+    """,
+)
+
+# --- multi-supplier orders never returned (TPC-DS Q16/Q94 shape) ------------
+# EXISTS(a second supplier on the order) + NOT EXISTS(a returned line):
+# both compile to semi/anti joins on l_orderkey sharing one shuffle key.
+sql_query(
+    "tpcds_q16_multi_supplier_unreturned",
+    f"""
+    SELECT COUNT(DISTINCT l1.l_orderkey) AS n_orders,
+           {dsum('l1.l_extendedprice', 'total_revenue')}
+    FROM lineitem l1
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_returnflag = 'R'
+      )
+    """,
+)
+
+# --- quantity coefficient of variation per part (TPC-DS Q17 shape) ----------
+# Q17's mean/stddev ratio; stddev is derived from decimal-exact (n, sum,
+# sumsq) so both engines do the identical final IEEE arithmetic.
+sql_query(
+    "tpcds_q17_quantity_cov",
+    """
+    WITH stats AS (
+      SELECT l_partkey, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sq
+      FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 5
+    )
+    SELECT l_partkey, n, s / CAST(n AS DOUBLE) AS mean_qty,
+           SQRT((sq - s * s / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))
+           / (s / CAST(n AS DOUBLE)) AS cov_qty
+    FROM stats
+    WHERE s > 0
+    """,
+)
+
+# --- frequent parts x best customers (TPC-DS Q23 shape) ---------------------
+sql_query(
+    "tpcds_q23_frequent_best_customers",
+    f"""
+    WITH frequent_parts AS (
+      SELECT l_partkey FROM lineitem
+      GROUP BY l_partkey HAVING COUNT(DISTINCT l_orderkey) >= 4
+    ), best_customers AS (
+      SELECT o_custkey FROM orders
+      GROUP BY o_custkey
+      HAVING SUM(CAST(o_totalprice AS DECIMAL(30,6))) >= 500000
+    )
+    SELECT {dsum('l_extendedprice * (1 - l_discount)', 'frequent_best_revenue')},
+           COUNT(*) AS n_lines
+    FROM lineitem li
+    JOIN orders o ON li.l_orderkey = o.o_orderkey
+    JOIN frequent_parts fp ON li.l_partkey = fp.l_partkey
+    JOIN best_customers bc ON o.o_custkey = bc.o_custkey
+    """,
+)
+
+# --- channel growth-rate comparison across quarters (TPC-DS Q31 shape) ------
+sql_query(
+    "tpcds_q31_channel_growth_compare",
+    f"""
+    WITH q AS (
+      SELECT n_name,
+             EXTRACT(YEAR FROM o_orderdate) * 4
+             + EXTRACT(QUARTER FROM o_orderdate) AS qidx,
+             {dsum("CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN o_totalprice ELSE 0 END", 'urgent_rev')},
+             {dsum("CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN o_totalprice ELSE 0 END", 'std_rev')}
+      FROM orders, customer, nation
+      WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+      GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate) * 4
+               + EXTRACT(QUARTER FROM o_orderdate)
+    )
+    SELECT cur.n_name, cur.qidx,
+           cur.urgent_rev / prev.urgent_rev AS urgent_growth,
+           cur.std_rev / prev.std_rev AS std_growth
+    FROM q cur JOIN q prev
+      ON cur.n_name = prev.n_name AND cur.qidx = prev.qidx + 1
+    WHERE prev.urgent_rev > 0 AND prev.std_rev > 0
+      AND cur.urgent_rev / prev.urgent_rev > cur.std_rev / prev.std_rev
+    """,
+)
+
+# --- ticket-size cohort (TPC-DS Q34/Q73 shape) ------------------------------
+sql_query(
+    "tpcds_q34_ticket_size_cohort",
+    """
+    WITH ticket AS (
+      SELECT l_orderkey, COUNT(*) AS n_lines
+      FROM lineitem GROUP BY l_orderkey
+      HAVING COUNT(*) BETWEEN 5 AND 7
+    )
+    SELECT c_custkey, c_name, COUNT(*) AS n_big_tickets,
+           MAX(t.n_lines) AS max_lines
+    FROM ticket t
+    JOIN orders ON t.l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    HAVING COUNT(*) >= 2
+    """,
+)
+
+# --- best and worst parts by avg discount (TPC-DS Q44 shape) ----------------
+# Two opposite-direction ranked subqueries joined on rank position.
+sql_query(
+    "tpcds_q44_best_worst_parts",
+    """
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_disc
+      FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 3
+    ), best AS (
+      SELECT l_partkey AS best_part, avg_disc AS best_disc,
+             ROW_NUMBER() OVER (ORDER BY avg_disc ASC, l_partkey) AS rnk
+      FROM per_part
+    ), worst AS (
+      SELECT l_partkey AS worst_part, avg_disc AS worst_disc,
+             ROW_NUMBER() OVER (ORDER BY avg_disc DESC, l_partkey) AS rnk
+      FROM per_part
+    )
+    SELECT b.rnk AS rnk, b.best_part, b.best_disc, w.worst_part, w.worst_disc
+    FROM best b JOIN worst w ON b.rnk = w.rnk
+    WHERE b.rnk <= 10
+    """,
+)
+
+# --- items with balanced revenue across channels (TPC-DS Q58 shape) ---------
+sql_query(
+    "tpcds_q58_balanced_channel_parts",
+    f"""
+    WITH ch AS (
+      SELECT l_partkey,
+             {dsum("CASE WHEN o_orderpriority = '1-URGENT' THEN l_extendedprice ELSE 0 END", 'c1')},
+             {dsum("CASE WHEN o_orderpriority = '2-HIGH' THEN l_extendedprice ELSE 0 END", 'c2')},
+             {dsum("CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN l_extendedprice ELSE 0 END", 'c3')}
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, c1, c2, c3,
+           (c1 + c2 + c3) / 3.0 AS avg_channel_rev
+    FROM ch
+    WHERE c1 > 0 AND c2 > 0 AND c3 > 0
+      AND c1 BETWEEN 0.5 * ((c1 + c2 + c3) / 3.0) AND 1.5 * ((c1 + c2 + c3) / 3.0)
+      AND c2 BETWEEN 0.5 * ((c1 + c2 + c3) / 3.0) AND 1.5 * ((c1 + c2 + c3) / 3.0)
+      AND c3 BETWEEN 0.5 * ((c1 + c2 + c3) / 3.0) AND 1.5 * ((c1 + c2 + c3) / 3.0)
+    """,
+)
+
+# --- monthly pivot with year-over-year join (TPC-DS Q59 shape) --------------
+sql_query(
+    "tpcds_q59_monthly_yoy_pivot",
+    f"""
+    WITH m AS (
+      SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+             {dsum("CASE WHEN EXTRACT(MONTH FROM o_orderdate) <= 3 THEN o_totalprice ELSE 0 END", 'm_q1')},
+             {dsum("CASE WHEN EXTRACT(MONTH FROM o_orderdate) BETWEEN 4 AND 6 THEN o_totalprice ELSE 0 END", 'm_q2')},
+             {dsum("CASE WHEN EXTRACT(MONTH FROM o_orderdate) BETWEEN 7 AND 9 THEN o_totalprice ELSE 0 END", 'm_q3')},
+             {dsum("CASE WHEN EXTRACT(MONTH FROM o_orderdate) >= 10 THEN o_totalprice ELSE 0 END", 'm_q4')}
+      FROM orders GROUP BY EXTRACT(YEAR FROM o_orderdate)
+    )
+    SELECT cur.o_year, cur.m_q1 / prev.m_q1 AS q1_ratio,
+           cur.m_q2 / prev.m_q2 AS q2_ratio,
+           cur.m_q3 / prev.m_q3 AS q3_ratio,
+           cur.m_q4 / prev.m_q4 AS q4_ratio
+    FROM m cur JOIN m prev ON cur.o_year = prev.o_year + 1
+    WHERE prev.m_q1 > 0 AND prev.m_q2 > 0 AND prev.m_q3 > 0 AND prev.m_q4 > 0
+    """,
+)
+
+# --- supplier-part pairs far below the supplier's average (TPC-DS Q65) ------
+sql_query(
+    "tpcds_q65_low_revenue_pairs",
+    """
+    WITH pair AS (
+      SELECT l_suppkey, l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS rev
+      FROM lineitem GROUP BY l_suppkey, l_partkey
+    ), supp_avg AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(rev AS DECIMAL(30,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_rev
+      FROM pair GROUP BY l_suppkey
+    )
+    SELECT s_name, p.l_partkey, p.rev, a.avg_rev
+    FROM pair p
+    JOIN supp_avg a ON p.l_suppkey = a.l_suppkey
+    JOIN supplier ON p.l_suppkey = s_suppkey
+    WHERE p.rev <= 0.5 * a.avg_rev
+    """,
+)
+
+# --- kept-vs-total ratio per customer-year, returns excluded (Q78 shape) ----
+sql_query(
+    "tpcds_q78_unreturned_ratio",
+    f"""
+    SELECT o_custkey, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+           {dsum("CASE WHEN l_returnflag <> 'R' THEN l_extendedprice ELSE 0 END", 'kept_rev')},
+           {dsum('l_extendedprice', 'total_rev')},
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_custkey, EXTRACT(YEAR FROM o_orderdate)
+    HAVING SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) > 0
+    """,
+)
+
+# --- many scalar counts as one wide row (TPC-DS Q88 shape) ------------------
+sql_query(
+    "tpcds_q88_hour_bucket_counts",
+    """
+    SELECT h1.n AS n_h0_3, h2.n AS n_h3_6, h3.n AS n_h6_9, h4.n AS n_h9_12,
+           h5.n AS n_h12_15, h6.n AS n_h15_18, h7.n AS n_h18_21, h8.n AS n_h21_24
+    FROM
+      (SELECT COUNT(*) AS n FROM events WHERE EXTRACT(HOUR FROM ts) < 3) h1,
+      (SELECT COUNT(*) AS n FROM events WHERE EXTRACT(HOUR FROM ts) BETWEEN 3 AND 5) h2,
+      (SELECT COUNT(*) AS n FROM events WHERE EXTRACT(HOUR FROM ts) BETWEEN 6 AND 8) h3,
+      (SELECT COUNT(*) AS n FROM events WHERE EXTRACT(HOUR FROM ts) BETWEEN 9 AND 11) h4,
+      (SELECT COUNT(*) AS n FROM events WHERE EXTRACT(HOUR FROM ts) BETWEEN 12 AND 14) h5,
+      (SELECT COUNT(*) AS n FROM events WHERE EXTRACT(HOUR FROM ts) BETWEEN 15 AND 17) h6,
+      (SELECT COUNT(*) AS n FROM events WHERE EXTRACT(HOUR FROM ts) BETWEEN 18 AND 20) h7,
+      (SELECT COUNT(*) AS n FROM events WHERE EXTRACT(HOUR FROM ts) >= 21) h8
+    """,
+)
+
+# --- am/pm activity ratio (TPC-DS Q90 shape) --------------------------------
+sql_query(
+    "tpcds_q90_am_pm_ratio",
+    """
+    SELECT CAST(am.n AS DOUBLE) / CAST(pm.n AS DOUBLE) AS am_pm_ratio,
+           am.n AS n_am, pm.n AS n_pm
+    FROM
+      (SELECT COUNT(*) AS n FROM events WHERE EXTRACT(HOUR FROM ts) < 12) am,
+      (SELECT COUNT(*) AS n FROM events WHERE EXTRACT(HOUR FROM ts) >= 12) pm
+    WHERE pm.n > 0
+    """,
+)
+
+# --- effective revenue after returns (TPC-DS Q93 shape) ---------------------
+sql_query(
+    "tpcds_q93_effective_sales",
+    f"""
+    SELECT o_custkey,
+           {dsum("CASE WHEN l_returnflag = 'R' THEN 0 ELSE l_extendedprice * (1 - l_discount) END", 'effective_rev')}
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_custkey
+    HAVING SUM(CAST(CASE WHEN l_returnflag = 'R' THEN 0
+                    ELSE l_extendedprice * (1 - l_discount) END
+                    AS DECIMAL(30,6))) >= 100000
+    """,
+)
+
+# --- revenue share within part type via window (TPC-DS Q98/Q12/Q20 shape) ---
+sql_query(
+    "tpcds_q98_revenue_share_in_type",
+    f"""
+    WITH per_part AS (
+      SELECT p_type, p_partkey,
+             {dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_type, p_partkey
+    )
+    SELECT p_type, p_partkey, revenue,
+           revenue * 100.0
+           / CAST(SUM(CAST(revenue AS DECIMAL(30,6)))
+                  OVER (PARTITION BY p_type) AS DOUBLE) AS revenue_ratio
+    FROM per_part
     """,
 )
