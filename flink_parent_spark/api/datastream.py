@@ -82,6 +82,9 @@ class DataStream:
     def __init__(self, df: DataFrame, env: StreamExecutionEnvironment):
         self._df = df
         self._env = env
+        # replayable lineage (set by _wrap) for IterativeStream.close_with
+        self._parent: DataStream | None = None
+        self._builder: Callable[[DataFrame], DataFrame] | None = None
 
     # -- conversions --------------------------------------------------------
     def to_df(self) -> DataFrame:
@@ -98,14 +101,26 @@ class DataStream:
             print(r)
 
     # -- stateless verbs ----------------------------------------------------
-    def _wrap(self, df: DataFrame) -> "DataStream":
-        return DataStream(df, self._env)
+    def _wrap(
+        self,
+        df: DataFrame,
+        builder: "Callable[[DataFrame], DataFrame] | None" = None,
+    ) -> "DataStream":
+        """Wrap a derived DataFrame; `builder` (src_df -> derived_df) records
+        replayable lineage so `IterativeStream.close_with` can re-apply the
+        same transformation chain to each feedback frontier."""
+        ds = DataStream(df, self._env)
+        ds._parent, ds._builder = self, builder
+        return ds
 
     def map(self, fn: "str | Callable", output_type: str | None = None) -> "DataStream":
         """map(expr) stays JVM-side; map(callable, output_type) runs the
         function per row dict via Arrow-batched mapInPandas."""
         if isinstance(fn, str):
-            return self._wrap(self._df.select(ARRIVAL, F.expr(fn)))
+            def build_expr(src: DataFrame) -> DataFrame:
+                return src.select(ARRIVAL, F.expr(fn))
+
+            return self._wrap(build_expr(self._df), build_expr)
         if output_type is None:
             raise ValueError("map(callable) needs output_type (DDL schema)")
         cols = _user_cols(self._df)
@@ -122,13 +137,17 @@ class DataStream:
                     recs.append({ARRIVAL: arr, **out})
                 yield pd.DataFrame(recs, columns=[ARRIVAL, *out_names])
 
-        return self._wrap(
-            self._df.mapInPandas(run, f"{ARRIVAL} long, {output_type}")
-        )
+        def build(src: DataFrame) -> DataFrame:
+            return src.mapInPandas(run, f"{ARRIVAL} long, {output_type}")
+
+        return self._wrap(build(self._df), build)
 
     def filter(self, fn: "str | Callable") -> "DataStream":
         if isinstance(fn, str):
-            return self._wrap(self._df.filter(fn))
+            def build_expr(src: DataFrame) -> DataFrame:
+                return src.filter(fn)
+
+            return self._wrap(build_expr(self._df), build_expr)
         cols = _user_cols(self._df)
 
         def run(batches):
@@ -136,7 +155,10 @@ class DataStream:
                 keep = [fn({c: rec[c] for c in cols}) for rec in pdf.to_dict("records")]
                 yield pdf[pd.Series(keep, index=pdf.index)]
 
-        return self._wrap(self._df.mapInPandas(run, self._df.schema))
+        def build(src: DataFrame) -> DataFrame:
+            return src.mapInPandas(run, src.schema)
+
+        return self._wrap(build(self._df), build)
 
     def flat_map(self, fn: Callable, output_type: str) -> "DataStream":
         cols = _user_cols(self._df)
@@ -156,7 +178,19 @@ class DataStream:
                         recs.append({ARRIVAL: arr * 1_000_000 + j, **out})
                 yield pd.DataFrame(recs, columns=[ARRIVAL, *out_names])
 
-        return self._wrap(self._df.mapInPandas(run, f"{ARRIVAL} long, {output_type}"))
+        def build(src: DataFrame) -> DataFrame:
+            return src.mapInPandas(run, f"{ARRIVAL} long, {output_type}")
+
+        return self._wrap(build(self._df), build)
+
+    def iterate(self, max_iterations: int = 100) -> "IterativeStream":
+        """DataStream.iterate (DataStream.java:536): open an iterative part
+        of the program whose feedback edge is closed by
+        `IterativeStream.close_with`. See IterativeStream for the Spark
+        mapping (driver-side frontier loop — Spark's DAG is acyclic, so the
+        feedback edge becomes iteration, exactly like Flink's own batch
+        iterations and this repo's graph supersteps)."""
+        return IterativeStream(self._df, self._env, max_iterations)
 
     def union(self, *others: "DataStream") -> "DataStream":
         df = self._df
@@ -171,6 +205,66 @@ class DataStream:
         """DataStream.connect (ConnectedStreams.java): co-process two
         differently-typed streams with one function per side."""
         return ConnectedStreams(self, other)
+
+
+class IterativeStream(DataStream):
+    """Streaming iterations (IterativeStream.java:37, closeWith:65).
+
+    Flink wires a physical feedback edge: records selected into the feedback
+    stream re-enter the iteration head alongside new inputs, forever (or
+    until `maxWaitTime` sees no data). Spark's execution graph is acyclic,
+    so the feedback edge is expressed as a driver-side frontier loop — the
+    same translation Flink itself applies to bounded/DataSet iterations and
+    the one this repo's graph algorithms use for supersteps:
+
+        frontier_0 = head input
+        frontier_i = feedback-chain(frontier_{i-1})   # recorded lineage
+        closed     = union of all frontiers
+
+    `close_with(feedback)` requires `feedback` to be derived from this head
+    through replayable verbs (map/filter/flat_map); it re-applies that chain
+    until the feedback is empty or `max_iterations` is reached (the bounded
+    analog of maxWaitTime termination). The returned stream is everything
+    that ever entered the head — deriving the body/output from it replays
+    Flink's semantics where the head's downstream sees originals + all
+    feedback. Each frontier is localCheckpoint()ed: lineage would otherwise
+    double per iteration.
+    """
+
+    _ITER_OFFSET = 1 << 40  # arrival-order offset per iteration round
+
+    def __init__(self, df: DataFrame, env: StreamExecutionEnvironment, max_iterations: int):
+        super().__init__(df, env)
+        self._max_iterations = max_iterations
+
+    def close_with(self, feedback: DataStream) -> DataStream:
+        chain: list[Callable[[DataFrame], DataFrame]] = []
+        node: DataStream | None = feedback
+        while node is not self:
+            if node is None or node._builder is None:
+                raise ValueError(
+                    "close_with: feedback must derive from the iteration head "
+                    "via map/filter/flat_map (replayable lineage)"
+                )
+            chain.append(node._builder)
+            node = node._parent
+        chain.reverse()
+
+        frontier = self._df
+        acc = self._df
+        for i in range(1, self._max_iterations + 1):
+            nxt = frontier
+            for build in chain:
+                nxt = build(nxt)
+            # later-iteration rows order after earlier ones; truncate lineage
+            nxt = nxt.withColumn(
+                ARRIVAL, F.col(ARRIVAL) + F.lit(self._ITER_OFFSET)
+            ).localCheckpoint(eager=True)
+            if nxt.isEmpty():
+                break
+            acc = acc.unionByName(nxt)
+            frontier = nxt
+        return DataStream(acc, self._env)
 
 
 class ConnectedStreams:

@@ -123,3 +123,38 @@ def test_connected_streams_co_map(env):
         .collect()
     )
     assert [r["v"] for r in out] == [2, 3, 10, 20]
+
+
+def test_iterative_stream_decrement_until_zero(env):
+    """The reference's canonical iteration example (IterativeStream javadoc /
+    Flink docs): subtract one, feed back while still positive, emit at zero.
+    Every input must exit exactly once with value 0, after `n` feedback
+    rounds for input n."""
+    ds = env.from_collection([(1,), (3,), (5,), (2,)], "n int")
+    it = ds.iterate(max_iterations=10)
+    minus_one = it.map("n - 1 AS n")
+    still_positive = minus_one.filter("n > 0")
+    closed = it.close_with(still_positive)
+    # body over originals + all feedback; terminal elements exit at <= 0
+    out = closed.map("n - 1 AS n").filter("n <= 0").execute_and_collect()
+    assert sorted(out) == [0, 0, 0, 0]
+    # head saw originals + every feedback round: chains 1 | 3,2,1 | 5,4,3,2,1 | 2,1
+    assert sorted(closed.execute_and_collect()) == [1, 1, 1, 1, 2, 2, 2, 3, 3, 4, 5]
+
+
+def test_iterative_stream_max_iterations_bounds_loop(env):
+    """An always-true feedback predicate terminates at max_iterations (the
+    bounded analog of the reference's maxWaitTime shutdown)."""
+    ds = env.from_collection([(0,)], "n int")
+    it = ds.iterate(max_iterations=3)
+    fb = it.map("n + 1 AS n").filter("n > -999")
+    closed = it.close_with(fb)
+    assert sorted(closed.execute_and_collect()) == [0, 1, 2, 3]
+
+
+def test_iterative_stream_rejects_foreign_feedback(env):
+    ds = env.from_collection([(1,)], "n int")
+    other = env.from_collection([(2,)], "n int")
+    it = ds.iterate()
+    with pytest.raises(ValueError, match="replayable lineage"):
+        it.close_with(other)

