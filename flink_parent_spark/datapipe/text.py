@@ -156,3 +156,48 @@ def pack_documents(
     return work.groupBy("bucket").applyInPandas(
         pack, "doc_id long, bucket bigint, n_tokens int, bin_id long"
     )
+
+
+def token_ngrams(text: Column | str, n: int) -> Column:
+    """Token n-grams as space-joined strings; empty array when the document
+    has fewer than `n` tokens (guards Spark's descending `sequence`)."""
+    toks = tokens(text)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style repetition signals (Rae et al. 2021, table A1): the
+    share of the most frequent 2-gram, the fraction of 3-gram occurrences
+    belonging to duplicated 3-grams, and the distinct-token ratio. High
+    top-n-gram share / duplicate fraction flags boilerplate and degenerate
+    repetition; low distinct-token ratio flags looping generations.
+
+    Scale shape: each signal is one explode + two aggregations keyed by
+    (id, gram) then id — partial aggregation combines map-side, the only
+    shuffles are on the id-keyed aggregates, and the three signal relations
+    join on the same id key (one exchange reused under AQE)."""
+    toks = tokens(text_col)
+    bi = df.select(id_col, F.explode(token_ngrams(text_col, 2)).alias("g"))
+    bic = bi.groupBy(id_col, "g").agg(F.count("*").alias("c"))
+    bstat = bic.groupBy(id_col).agg(
+        (F.max("c") / F.sum("c")).alias("top_bigram_share")
+    )
+    tri = df.select(id_col, F.explode(token_ngrams(text_col, 3)).alias("g"))
+    tric = tri.groupBy(id_col, "g").agg(F.count("*").alias("c"))
+    tstat = tric.groupBy(id_col).agg(
+        (
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+            / F.sum("c")
+        ).alias("dup_trigram_frac")
+    )
+    tok = df.select(id_col, F.explode(toks).alias("tok"))
+    dstat = tok.groupBy(id_col).agg(
+        (F.count_distinct("tok") / F.count("*")).alias("distinct_token_ratio")
+    )
+    return bstat.join(tstat, id_col).join(dstat, id_col)

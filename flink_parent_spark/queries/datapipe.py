@@ -1204,3 +1204,117 @@ def multimodal_audio_chunks(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     d = attach_payload(t["documents"].select("doc_id", "text"), "text")
     return audio_chunks(d, chunk_bytes=64, hop_bytes=48)
+
+
+_DUCK_GRAMS2 = r"""
+      SELECT doc_id, tok || ' ' || t1 AS g
+      FROM (
+        SELECT doc_id, tok, i, LEAD(tok, 1) OVER w AS t1
+        FROM (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
+                 generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS i
+          FROM documents)
+        WINDOW w AS (PARTITION BY doc_id ORDER BY i)) g2
+      WHERE t1 IS NOT NULL
+"""
+
+_DUCK_GRAMS3 = r"""
+      SELECT doc_id, tok || ' ' || t1 || ' ' || t2 AS g
+      FROM (
+        SELECT doc_id, tok, i,
+               LEAD(tok, 1) OVER w AS t1, LEAD(tok, 2) OVER w AS t2
+        FROM (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
+                 generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS i
+          FROM documents)
+        WINDOW w AS (PARTITION BY doc_id ORDER BY i)) g3
+      WHERE t2 IS NOT NULL
+"""
+
+_REPETITION_ORACLE = rf"""
+    WITH bi AS ({_DUCK_GRAMS2}
+    ), bic AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY doc_id, g
+    ), bstat AS (
+      SELECT doc_id,
+             CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_bigram_share
+      FROM bic GROUP BY doc_id
+    ), tri AS ({_DUCK_GRAMS3}
+    ), tric AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY doc_id, g
+    ), tstat AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(c) AS DOUBLE) AS dup_trigram_frac
+      FROM tric GROUP BY doc_id
+    ), dstat AS (
+      SELECT doc_id,
+             CAST(COUNT(DISTINCT tok) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS distinct_token_ratio
+      FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents) toks
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.top_bigram_share, t.dup_trigram_frac,
+           d.distinct_token_ratio
+    FROM bstat b JOIN tstat t ON b.doc_id = t.doc_id
+    JOIN dstat d ON b.doc_id = d.doc_id
+"""
+
+
+@df_query("text_repetition_stats", oracle=_REPETITION_ORACLE)
+def text_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals per document (Rae et al. 2021):
+    top-2-gram share, duplicated-3-gram occurrence fraction, distinct-token
+    ratio. Pure explode+aggregate plans keyed by doc_id — scales as three
+    map-side-combined aggregations over the corpus scan."""
+    from flink_parent_spark.datapipe.text import repetition_stats
+
+    t = load_tables(spark, sf_dir)
+    return repetition_stats(t["documents"])
+
+
+@df_query(
+    "text_gopher_quality_filter",
+    oracle=_REPETITION_ORACLE.replace(
+        """    SELECT b.doc_id, b.top_bigram_share, t.dup_trigram_frac,
+           d.distinct_token_ratio
+    FROM bstat b JOIN tstat t ON b.doc_id = t.doc_id
+    JOIN dstat d ON b.doc_id = d.doc_id
+""",
+        """    SELECT b.doc_id, b.top_bigram_share, t.dup_trigram_frac,
+           d.distinct_token_ratio
+    FROM bstat b JOIN tstat t ON b.doc_id = t.doc_id
+    JOIN dstat d ON b.doc_id = d.doc_id
+    JOIN documents doc ON b.doc_id = doc.doc_id
+    WHERE doc.n_chars BETWEEN 120 AND 520
+      AND b.top_bigram_share <= 0.06
+      AND t.dup_trigram_frac <= 0.35
+      AND d.distinct_token_ratio >= 0.45
+""",
+    ),
+)
+def text_gopher_quality_filter(spark, sf_dir):
+    """Gopher rule-based quality gate: length band + repetition thresholds.
+    The thresholds are the operator contract (tuned to split the synthetic
+    corpus non-trivially); the shape — cheap per-doc signals then a
+    conjunctive filter — is the standard pretraining-curation pass."""
+    from flink_parent_spark.datapipe.text import repetition_stats
+
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    stats = repetition_stats(d)
+    return (
+        stats.join(d.select("doc_id", "n_chars"), "doc_id")
+        .where(
+            (F.col("n_chars").between(120, 520))
+            & (F.col("top_bigram_share") <= 0.06)
+            & (F.col("dup_trigram_frac") <= 0.35)
+            & (F.col("distinct_token_ratio") >= 0.45)
+        )
+        .select(
+            "doc_id", "top_bigram_share", "dup_trigram_frac",
+            "distinct_token_ratio",
+        )
+    )
