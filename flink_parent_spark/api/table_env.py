@@ -948,6 +948,55 @@ class TableEnvironment:
         reduced = re.sub(rf"\b{la}\.(\w+)\b", r"\1", reduced)
         return self.spark.sql(rewrite_group_windows(reduced))
 
+    # -- Table <-> DataStream bridge -----------------------------------------
+    # StreamTableEnvironment bridge verbs (flink-table-api-java-bridge/.../
+    # bridge/java/StreamTableEnvironment.java: fromDataStream,
+    # toAppendStream, toRetractStream:560).
+
+    def from_data_stream(self, ds, *field_names: str) -> Table:
+        """fromDataStream(stream[, fields...]): interpret a DataStream as a
+        Table; optional field names rename positionally."""
+        df = ds.to_df()
+        if field_names:
+            df = df.toDF(*field_names)
+        return Table(df, self)
+
+    def to_append_stream(self, table: Table):
+        """toAppendStream: only valid for insert-only tables — the
+        reference throws TableException when the table is updating
+        (carries retractions); same contract here via the `__rowkind`
+        changelog marker."""
+        from flink_parent_spark.api.datastream import (  # noqa: PLC0415
+            StreamExecutionEnvironment,
+        )
+        from flink_parent_spark.streaming.changelog import ROWKIND_COL  # noqa: PLC0415
+
+        df = table.to_df()
+        if ROWKIND_COL in df.columns:
+            raise ValueError(
+                "toAppendStream doesn't support consuming update changes "
+                f"(table carries {ROWKIND_COL}); use to_retract_stream"
+            )
+        return StreamExecutionEnvironment(self.spark).from_data_frame(df)
+
+    def to_retract_stream(self, table: Table):
+        """toRetractStream: (flag, row) pairs — True = add, False = retract
+        (RowKind.java: +I/+U add, -U/-D retract). Insert-only tables emit
+        all-True; changelog tables map their `__rowkind` tag."""
+        from flink_parent_spark.api.datastream import (  # noqa: PLC0415
+            StreamExecutionEnvironment,
+        )
+        from flink_parent_spark.streaming.changelog import ROWKIND_COL  # noqa: PLC0415
+
+        df = table.to_df()
+        if ROWKIND_COL in df.columns:
+            df = df.withColumn(
+                "accumulate", F.col(ROWKIND_COL).isin("+I", "+U")
+            ).drop(ROWKIND_COL)
+        else:
+            df = df.withColumn("accumulate", F.lit(True))
+        return StreamExecutionEnvironment(self.spark).from_data_frame(df)
+
     def explain_sql(self, sql: str, mode: str = "formatted") -> str:
         """TableEnvironment.explainSql parity (TableEnvironment.java /
         TableEnvironmentImpl.explainInternal): return the optimizer's plan

@@ -532,3 +532,38 @@ def test_flink_type_normalization(tenv, spark):
         "SELECT id, time, t_of_day FROM flink_typed"
     ).collect()
     assert rows[0]["t_of_day"] == 3600000 and rows[0]["time"] is not None
+
+
+def test_table_datastream_bridge(tenv, spark):
+    """StreamTableEnvironment bridge verbs (StreamTableEnvironment.java:560):
+    fromDataStream renames positionally; toAppendStream rejects updating
+    tables; toRetractStream maps RowKind to the (add?, row) boolean."""
+    import pytest as _pytest
+
+    from flink_parent_spark.api.datastream import StreamExecutionEnvironment
+    from flink_parent_spark.api.table_env import Table
+
+    env = StreamExecutionEnvironment(spark)
+    ds = env.from_collection([(1, "a"), (2, "b")], "n int, s string")
+    t = tenv.from_data_stream(ds, "num", "tag")
+    assert t.to_df().columns == ["num", "tag"]
+    assert sorted(r["num"] for r in t.collect()) == [1, 2]
+
+    # insert-only round trip: all rows accumulate
+    back = tenv.to_retract_stream(t)
+    rows = back.execute_and_collect()
+    assert all(r[-1] is True for r in rows) and len(rows) == 2
+    assert len(tenv.to_append_stream(t).execute_and_collect()) == 2
+
+    # a changelog (updating) table: +I/+U accumulate, -U/-D retract
+    chg = Table(
+        spark.createDataFrame(
+            [("x", 1, "+I"), ("x", 1, "-U"), ("x", 2, "+U"), ("y", 9, "-D")],
+            "k string, v int, __rowkind string",
+        ),
+        tenv,
+    )
+    flags = {(r[0], r[1], r[2]) for r in tenv.to_retract_stream(chg).execute_and_collect()}
+    assert flags == {("x", 1, True), ("x", 1, False), ("x", 2, True), ("y", 9, False)}
+    with _pytest.raises(ValueError, match="toAppendStream"):
+        tenv.to_append_stream(chg)
