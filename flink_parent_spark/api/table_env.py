@@ -871,6 +871,31 @@ class TableEnvironment:
             if not pk:
                 raise ValueError("upsert-kafka requires PRIMARY KEY (...) in DDL")
             df = upsert_kafka_normalize(df, entry.schema_ddl, pk)
+        elif entry.props.get("format") in ("debezium-json", "canal-json") and entry.schema_ddl:
+            # CDC changelog formats (flink-formats/flink-json debezium/canal
+            # factories): the kafka value column parses into a
+            # __rowkind-tagged relation
+            from flink_parent_spark.sources.changelog_formats import (  # noqa: PLC0415
+                canal_json_to_changelog,
+                debezium_json_to_changelog,
+            )
+
+            ignore = entry.props.get(
+                f"{entry.props['format'].split('-')[0]}-json.ignore-parse-errors",
+                "false",
+            ).lower() == "true"
+            if entry.props["format"] == "debezium-json":
+                include = entry.props.get(
+                    "debezium-json.schema-include", "false"
+                ).lower() == "true"
+                df = debezium_json_to_changelog(
+                    df, "value", entry.schema_ddl,
+                    schema_include=include, ignore_parse_errors=ignore,
+                )
+            else:
+                df = canal_json_to_changelog(
+                    df, "value", entry.schema_ddl, ignore_parse_errors=ignore
+                )
         elif entry.props.get("format") == "json" and entry.schema_ddl:
             df = decode_kafka_json_value(df, entry.schema_ddl)
         for name_, expr_ in entry.computed:

@@ -523,3 +523,64 @@ def format_avro_roundtrip(spark, sf_dir):
     shutil.rmtree(out, ignore_errors=True)
     write_avro(ev.repartition(4), out)
     return read_avro(spark, out)
+
+
+@df_query(
+    "format_debezium_json",
+    oracle="""
+    SELECT o_orderkey, o_totalprice AS price, '+I' AS op_kind
+    FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey, o_totalprice AS price, '-U' AS op_kind
+    FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT o_orderkey, o_totalprice * 1.1 AS price, '+U' AS op_kind
+    FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT o_orderkey, o_totalprice AS price, '-D' AS op_kind
+    FROM orders WHERE o_orderstatus NOT IN ('F', 'O')
+    """,
+)
+def format_debezium_json(spark, sf_dir):
+    """debezium-json CDC format (flink-formats/flink-json
+    DebeziumJsonDeserializationSchema.java:126-144): fabricate a Debezium
+    message per order (F -> create, O -> update with a 10% price bump,
+    else -> delete), parse through the format operator, and emit the
+    RowKind-tagged relation. Round-trips doubles through JSON bit-exactly;
+    the oracle derives the same relation directly — proving op->RowKind
+    mapping and row multiplicity over the whole table. Pure codegen: one
+    scan, to_json/from_json/explode, no shuffle until the gate's sort."""
+    from flink_parent_spark.sources.changelog_formats import (
+        debezium_json_to_changelog,
+    )
+
+    t = load_tables(spark, sf_dir)
+    row = lambda price: F.to_json(  # noqa: E731
+        F.struct(
+            F.col("o_orderkey").alias("o_orderkey"), price.alias("price")
+        )
+    )
+    msg = F.concat(
+        F.lit('{"before": '),
+        F.when(F.col("o_orderstatus") == "F", F.lit("null")).otherwise(
+            row(F.col("o_totalprice"))
+        ),
+        F.lit(', "after": '),
+        F.when(
+            F.col("o_orderstatus") == "F", row(F.col("o_totalprice"))
+        )
+        .when(F.col("o_orderstatus") == "O", row(F.col("o_totalprice") * 1.1))
+        .otherwise(F.lit("null")),
+        F.lit(', "op": "'),
+        F.when(F.col("o_orderstatus") == "F", F.lit("c"))
+        .when(F.col("o_orderstatus") == "O", F.lit("u"))
+        .otherwise(F.lit("d")),
+        F.lit('"}'),
+    )
+    msgs = t["orders"].select(msg.alias("value"))
+    tagged = debezium_json_to_changelog(
+        msgs, "value", "o_orderkey BIGINT, price DOUBLE"
+    )
+    return tagged.select(
+        "o_orderkey", "price", F.col("__rowkind").alias("op_kind")
+    )

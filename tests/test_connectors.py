@@ -401,3 +401,49 @@ def test_compressed_text_roundtrip(spark):
     assert any(f.endswith(".gz") for f in os.listdir(d))
     back = sorted(r["value"] for r in spark.read.text(d).collect())
     assert back == sorted(lines)
+
+
+def test_kafka_ddl_debezium_json_format(spark):
+    """CREATE TABLE ... WITH (format='debezium-json') over the file-backed
+    topic parses CDC messages into the __rowkind-tagged relation (the
+    reference's kafka + debezium-json table factory composition)."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from flink_parent_spark.api.table_env import TableEnvironment
+    from flink_parent_spark.sources.connectors import write_kafka_file_topic
+
+    base = os.path.join(tempfile.gettempdir(), "kafka_fake_dbz")
+    shutil.rmtree(base, ignore_errors=True)
+    msgs = [
+        {"before": None, "after": {"pid": 1, "price": 3.14}, "op": "c"},
+        {
+            "before": {"pid": 1, "price": 3.14},
+            "after": {"pid": 1, "price": 5.18},
+            "op": "u",
+        },
+        {"before": {"pid": 1, "price": 5.18}, "after": None, "op": "d"},
+    ]
+    write_kafka_file_topic(
+        [(str(i), json.dumps(m)) for i, m in enumerate(msgs)],
+        spark, base, "products",
+    )
+    env = TableEnvironment.create(spark=spark)
+    env.execute_sql(
+        f"""
+        CREATE TABLE products (pid BIGINT, price DOUBLE)
+        WITH ('connector' = 'kafka', 'topic' = 'products',
+              'path' = '{base}', 'format' = 'debezium-json',
+              'scan.startup.mode' = 'earliest-offset')
+        """
+    )
+    rows = [
+        (r["pid"], r["price"], r["__rowkind"])
+        for r in env.sql_query("SELECT * FROM products").collect()
+    ]
+    assert sorted(rows, key=str) == sorted(
+        [(1, 3.14, "+I"), (1, 3.14, "-U"), (1, 5.18, "+U"), (1, 5.18, "-D")],
+        key=str,
+    )
