@@ -70,7 +70,7 @@ PRIORITY: tuple[str, ...] = (
     "graph_connected_components",
     "graph_pagerank",
     # datapipe
-    "text_token_stats",
+    "text_repetition_stats",
     "dedup_exact_digest",
     "dedup_minhash_lsh_pairs",
     "dedup_simhash",
@@ -81,7 +81,8 @@ PRIORITY: tuple[str, ...] = (
     # scalar-function gallery
     "fn_math",
     "fn_collections",
-    "fn_array_hof",
+    # CDC changelog format (round-5)
+    "format_debezium_json",
     # udf surface
     "udf_scalar_pandas",
     # tpcds-style (round-5: anti-join returns + cumulative channel cross)
