@@ -19,7 +19,12 @@ funnels (Q23), channel growth-rate comparison (Q31), ticket-size cohorts
 (Q34/Q73), best/worst opposite-ranked joins (Q44), balanced-channel items
 (Q58), quarterly YoY pivots (Q59), below-average supplier-part pairs
 (Q65), returns-excluded ratios (Q78/Q93), and within-class revenue share
-(Q98/Q12/Q20) — 41 shapes over the TPC-H-ish fixture tables.
+(Q98/Q12/Q20), scalar-max top selection (Q15/Q55), price-band + EXISTS
+activity gates (Q37/Q82), OR-of-ANDs predicate pushdown (Q41), IN-list OR
+IN-subquery disjunctions (Q45), per-ticket totals joined to detail (Q68),
+date-arithmetic join gates (Q72), returns loss matrices (Q91), excess
+discount vs per-part average (Q92), and shipping-delay bucket matrices
+(Q99) — 50 shapes over the TPC-H-ish fixture tables.
 
 Every query is written in the Spark/DuckDB-common dialect (used verbatim as
 its own oracle) with the decimal-accumulation contract for float sums.
@@ -862,5 +867,150 @@ sql_query(
            / CAST(SUM(CAST(revenue AS DECIMAL(30,6)))
                   OVER (PARTITION BY p_type) AS DOUBLE) AS revenue_ratio
     FROM per_part
+    """,
+)
+
+# --- top nations matching the max revenue (TPC-DS Q15/Q55 flavor) -----------
+sql_query(
+    "tpcds_q15_top_nation_by_scalar_max",
+    """
+    WITH per_nation AS (
+      SELECT n_name,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+      FROM orders, customer, nation
+      WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name, revenue
+    FROM per_nation
+    WHERE revenue = (SELECT MAX(revenue) FROM per_nation)
+    """,
+)
+
+# --- price-band parts with recent-activity EXISTS gate (TPC-DS Q37/Q82) -----
+sql_query(
+    "tpcds_q37_priceband_active_parts",
+    """
+    SELECT p.p_partkey, p.p_name, p.p_retailprice
+    FROM part p
+    WHERE p.p_retailprice BETWEEN 1200 AND 1400
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_partkey = p.p_partkey
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      )
+    """,
+)
+
+# --- OR-of-ANDs predicate pushdown (TPC-DS Q41 shape) -----------------------
+sql_query(
+    "tpcds_q41_predicate_maze",
+    """
+    SELECT DISTINCT p_name
+    FROM part
+    WHERE (p_brand LIKE 'Brand#1%' AND p_size BETWEEN 1 AND 15
+           AND p_retailprice < 1200)
+       OR (p_brand LIKE 'Brand#3%' AND p_size BETWEEN 20 AND 40
+           AND p_retailprice > 1500)
+       OR (p_type LIKE '%BRASS%' AND p_size >= 45)
+    """,
+)
+
+# --- IN-list OR IN-subquery disjunction (TPC-DS Q45 shape) ------------------
+sql_query(
+    "tpcds_q45_inlist_or_insubquery",
+    f"""
+    SELECT n_name, {dsum('o_totalprice', 'revenue')}, COUNT(*) AS n_orders
+    FROM orders, customer, nation
+    WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+      AND (c_custkey % 97 IN (3, 5, 11, 13)
+           OR c_custkey IN (SELECT o_custkey FROM orders
+                            GROUP BY o_custkey HAVING COUNT(*) >= 12))
+    GROUP BY n_name
+    """,
+)
+
+# --- per-ticket aggregate joined back to customer detail (TPC-DS Q68) -------
+sql_query(
+    "tpcds_q68_ticket_totals_detail",
+    """
+    WITH ticket AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS ext_total,
+             CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS disc_total
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT c_name, c_custkey, t.l_orderkey, t.ext_total, t.disc_total
+    FROM ticket t
+    JOIN orders ON t.l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE t.ext_total > 400000
+    """,
+)
+
+# --- date-arithmetic join gate (TPC-DS Q72 flavor) --------------------------
+# Fixture has no commit/receipt dates; the Q72 shape — a join predicate on
+# date arithmetic across tables — is expressed as ship-lag > 90 days.
+sql_query(
+    "tpcds_q72_ship_lag_gate",
+    f"""
+    SELECT n_name, COUNT(*) AS n_late_lines,
+           {dsum('l_extendedprice', 'late_revenue')}
+    FROM lineitem, orders, customer, nation
+    WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      AND c_nationkey = n_nationkey
+      AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+    GROUP BY n_name
+    """,
+)
+
+# --- monthly returns loss matrix by priority (TPC-DS Q91 shape) -------------
+sql_query(
+    "tpcds_q91_returns_loss_matrix",
+    f"""
+    SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+           EXTRACT(MONTH FROM o_orderdate) AS o_month,
+           {dsum("CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') AND l_returnflag = 'R' THEN l_extendedprice ELSE 0 END", 'urgent_loss')},
+           {dsum("CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') AND l_returnflag = 'R' THEN l_extendedprice ELSE 0 END", 'std_loss')}
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY EXTRACT(YEAR FROM o_orderdate), EXTRACT(MONTH FROM o_orderdate)
+    HAVING SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) > 0
+    """,
+)
+
+# --- excess discount vs 1.3x part average (TPC-DS Q92 shape) ----------------
+sql_query(
+    "tpcds_q92_excess_discount",
+    f"""
+    WITH part_avg AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_disc
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {dsum('l.l_extendedprice * l.l_discount', 'excess_discount_amount')},
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part_avg a ON l.l_partkey = a.l_partkey
+    WHERE l.l_discount > 1.3 * a.avg_disc
+    """,
+)
+
+# --- shipping-delay bucket matrix (TPC-DS Q99 shape) ------------------------
+sql_query(
+    "tpcds_q99_ship_delay_buckets",
+    """
+    SELECT o_orderpriority,
+           SUM(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY
+                    THEN 1 ELSE 0 END) AS d_0_30,
+           SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+                     AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+                    THEN 1 ELSE 0 END) AS d_31_60,
+           SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                     AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+                    THEN 1 ELSE 0 END) AS d_61_90,
+           SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                    THEN 1 ELSE 0 END) AS d_over_90
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
     """,
 )
