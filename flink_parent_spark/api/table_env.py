@@ -37,6 +37,13 @@ _WATERMARK_RE = re.compile(
     re.IGNORECASE,
 )
 _PROP_RE = re.compile(r"'(?P<k>[^']+)'\s*=\s*'(?P<v>[^']*)'")
+_CREATE_LIKE_RE = re.compile(
+    r"CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*"
+    r"(?:\((?P<cols>.*?)\)\s*)?"
+    r"(?:WITH\s*\((?P<props>.*?)\)\s*)?"
+    r"LIKE\s+(?P<base>\w+)\s*(?:\((?P<opts>[^)]*)\))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _SYSTIME_RE = re.compile(
     r"FROM\s+(?P<lt>\w+)(?:\s+AS)?\s+(?P<la>\w+)\s+"
     r"JOIN\s+(?P<rt>\w+)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+"
@@ -614,6 +621,9 @@ class TableEnvironment:
         dispatches ~20 Operation kinds; the ones meaningful on Spark are
         handled here, the rest pass through to spark.sql)."""
         s = stmt.strip().rstrip(";")
+        lm = _CREATE_LIKE_RE.match(s)
+        if lm:
+            return self._create_table_like(lm)
         m = _CREATE_RE.match(s)
         if m:
             return self._create_table(m)
@@ -709,16 +719,15 @@ class TableEnvironment:
         )
         return Table(df, self)
 
-    def _create_table(self, m: re.Match):
-        name = m.group("name")
-        cols_block = m.group("cols")
-        props = {p.group("k"): p.group("v") for p in _PROP_RE.finditer(m.group("props"))}
+    @staticmethod
+    def _parse_cols_block(cols_block: str):
+        """Parse a DDL column block into (physical col defs, computed cols,
+        watermark, primary key)."""
         watermark = None
         wm = _WATERMARK_RE.search(cols_block)
         if wm:
             unit = wm.group("unit").lower().rstrip("s") + "s"
             watermark = (wm.group("col"), f"{wm.group('n')} {unit}")
-        # column list without the WATERMARK clause / computed cols
         col_defs, computed = [], []
         primary_key: list[str] = []
         for part in _split_top_level(cols_block):
@@ -741,6 +750,14 @@ class TableEnvironment:
                 if nm:
                     p = f"{nm.group('n')} {normalize_flink_types(nm.group('t'))}"
                 col_defs.append(p)
+        return col_defs, computed, watermark, primary_key
+
+    def _create_table(self, m: re.Match):
+        name = m.group("name")
+        props = {p.group("k"): p.group("v") for p in _PROP_RE.finditer(m.group("props"))}
+        col_defs, computed, watermark, primary_key = self._parse_cols_block(
+            m.group("cols")
+        )
         if primary_key:
             props["__primary_key"] = ",".join(primary_key)
         fmt = props.get("format", props.get("connector", "parquet"))
@@ -765,6 +782,98 @@ class TableEnvironment:
         # creates data.
         try:
             self._scan(entry, streaming=self.streaming).createOrReplaceTempView(name)
+        except Exception:
+            pass
+        return None
+
+    def _create_table_like(self, m: re.Match):
+        """CREATE TABLE ... LIKE (Flink 1.11, SqlTableLike.java:70-110):
+        derive a table from a registered base, merging features per the
+        strategies in the LIKE option list. Defaults to INCLUDING ALL;
+        per-feature overrides: OPTIONS (INCLUDING fails on conflicting
+        duplicate keys, OVERWRITING lets the new table win, EXCLUDING drops
+        base options), WATERMARKS / GENERATED (computed columns) /
+        CONSTRAINTS (primary key) support INCLUDING/EXCLUDING. New physical
+        columns append to the base schema; a new watermark/computed column
+        overrides the inherited one."""
+        base_name = m.group("base")
+        if base_name not in self.catalog:
+            raise ValueError(f"LIKE base table not in catalog: {base_name}")
+        base = self.catalog[base_name]
+        strategies: dict[str, str] = {}
+        default = "INCLUDING"
+        for part in (m.group("opts") or "").split(","):
+            p = part.strip().upper()
+            if not p:
+                continue
+            om = re.match(r"(INCLUDING|EXCLUDING|OVERWRITING)\s+(\w+)", p)
+            if not om:
+                raise ValueError(f"bad LIKE option: {part.strip()}")
+            strat, feature = om.groups()
+            if feature == "ALL":
+                default = strat
+            else:
+                strategies[feature] = strat
+
+        def strat(feature: str) -> str:
+            return strategies.get(feature, default)
+
+        new_props = {
+            p.group("k"): p.group("v")
+            for p in _PROP_RE.finditer(m.group("props") or "")
+        }
+        opt_strat = strat("OPTIONS")
+        base_props = {
+            k: v for k, v in base.props.items() if not k.startswith("__")
+        }
+        if opt_strat == "EXCLUDING":
+            props = dict(new_props)
+        elif opt_strat == "OVERWRITING":
+            props = {**base_props, **new_props}
+        else:  # INCLUDING: duplicate keys with different values are errors
+            dup = {
+                k for k in base_props.keys() & new_props.keys()
+                if base_props[k] != new_props[k]
+            }
+            if dup:
+                raise ValueError(
+                    f"LIKE INCLUDING OPTIONS: conflicting keys {sorted(dup)}"
+                )
+            props = {**base_props, **new_props}
+
+        col_defs, computed, watermark, primary_key = self._parse_cols_block(
+            m.group("cols") or ""
+        )
+        base_cols = _split_top_level(base.schema_ddl) if base.schema_ddl else []
+        schema_ddl = ", ".join([*(c.strip() for c in base_cols), *col_defs]) or None
+        if watermark is None and strat("WATERMARKS") != "EXCLUDING":
+            watermark = base.watermark
+        if strat("GENERATED") != "EXCLUDING":
+            mine = {n for n, _ in computed}
+            computed = [(n, e) for n, e in base.computed if n not in mine] + computed
+        if not primary_key and strat("CONSTRAINTS") != "EXCLUDING":
+            primary_key = [
+                c for c in base.props.get("__primary_key", "").split(",") if c
+            ]
+        if primary_key:
+            props["__primary_key"] = ",".join(primary_key)
+        fmt = props.get("format", props.get("connector", "parquet"))
+        if props.get("connector") in ("kafka", "upsert-kafka"):
+            fmt = "kafka"
+        entry = CatalogTable(
+            name=m.group("name"),
+            fmt=fmt,
+            path=props.get("path", ""),
+            schema_ddl=schema_ddl,
+            watermark=watermark,
+            computed=computed,
+            props=props,
+        )
+        self.catalog[entry.name] = entry
+        try:
+            self._scan(entry, streaming=self.streaming).createOrReplaceTempView(
+                entry.name
+            )
         except Exception:
             pass
         return None

@@ -567,3 +567,71 @@ def test_table_datastream_bridge(tenv, spark):
     assert flags == {("x", 1, True), ("x", 1, False), ("x", 2, True), ("y", 9, False)}
     with _pytest.raises(ValueError, match="toAppendStream"):
         tenv.to_append_stream(chg)
+
+
+def test_create_table_like(spark, tmp_path):
+    """CREATE TABLE ... LIKE (SqlTableLike.java): INCLUDING ALL inherits
+    schema/options/computed/watermark; OVERWRITING OPTIONS lets the new
+    table repoint the path; EXCLUDING OPTIONS drops inherited options;
+    INCLUDING OPTIONS errors on conflicting duplicate keys; new physical
+    columns append."""
+    import json
+    import os
+
+    from flink_parent_spark.api.table_env import TableEnvironment
+
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    os.makedirs(d1), os.makedirs(d2)
+    with open(os.path.join(d1, "p.json"), "w") as fh:
+        fh.write(json.dumps({"id": 1, "amount": 2.5,
+                             "ts": "2024-01-01T00:00:10"}) + "\n")
+    with open(os.path.join(d2, "p.json"), "w") as fh:
+        fh.write(json.dumps({"id": 9, "amount": 1.0,
+                             "ts": "2024-01-02T00:00:10"}) + "\n")
+
+    tenv = TableEnvironment.create(spark=spark)
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE base_t (
+            id BIGINT, amount DOUBLE, ts TIMESTAMP(3),
+            doubled AS amount * 2,
+            WATERMARK FOR ts AS ts - INTERVAL '5' SECOND
+        ) WITH ('connector' = 'filesystem', 'path' = '{d1}',
+                'format' = 'json')
+        """
+    )
+    # INCLUDING ALL (implicit)
+    tenv.execute_sql("CREATE TABLE derived_all LIKE base_t")
+    e = tenv.catalog["derived_all"]
+    assert e.schema_ddl == tenv.catalog["base_t"].schema_ddl
+    assert e.watermark == ("ts", "5 seconds") and ("doubled", "amount * 2") in e.computed
+    assert [r["doubled"] for r in tenv.sql_query("SELECT doubled FROM derived_all").collect()] == [5.0]
+
+    # OVERWRITING OPTIONS repoints the path; new column appends
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE derived_b (flag AS amount > 2)
+        WITH ('path' = '{d2}')
+        LIKE base_t (OVERWRITING OPTIONS, EXCLUDING WATERMARKS)
+        """
+    )
+    e2 = tenv.catalog["derived_b"]
+    assert e2.watermark is None and e2.props["path"] == d2
+    rows = tenv.sql_query("SELECT id, flag, doubled FROM derived_b").collect()
+    assert [(r["id"], r["flag"], r["doubled"]) for r in rows] == [(9, False, 2.0)]
+
+    # INCLUDING OPTIONS with a conflicting duplicate errors
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="conflicting"):
+        tenv.execute_sql(
+            f"CREATE TABLE bad WITH ('path' = '{d2}') LIKE base_t (INCLUDING OPTIONS)"
+        )
+    # EXCLUDING OPTIONS keeps only the new table's own options
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE derived_c
+        WITH ('connector' = 'filesystem', 'path' = '{d2}', 'format' = 'json')
+        LIKE base_t (EXCLUDING OPTIONS)
+        """
+    )
+    assert tenv.catalog["derived_c"].props["path"] == d2
