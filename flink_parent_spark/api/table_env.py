@@ -609,7 +609,15 @@ class TableEnvironment:
         self.spark = apply_runtime_confs(spark)
         self.streaming = streaming
         self.catalog: dict[str, CatalogTable] = {}
+        # TableConfig subset (TableConfigOptions.java) — reference defaults
+        self.config: dict[str, str] = {
+            "table.dynamic-table-options.enabled": "false",
+        }
         register_flink_functions(spark)
+
+    def get_config(self) -> dict[str, str]:
+        """TableEnvironment.getConfig parity (mutate entries to configure)."""
+        return self.config
 
     @staticmethod
     def create(streaming: bool = False, spark: SparkSession | None = None) -> "TableEnvironment":
@@ -1033,7 +1041,56 @@ class TableEnvironment:
         return StatementSet(self)
 
     # -- queries -------------------------------------------------------------
+    _OPTIONS_HINT_RE = re.compile(
+        r"(?P<t>\b\w+)\s*/\*\+\s*OPTIONS\s*\((?P<kv>[^)]*)\)\s*\*/",
+        re.IGNORECASE,
+    )
+
+    def _apply_options_hints(self, sql: str) -> str:
+        """FLIP-113 dynamic table options: `t /*+ OPTIONS('k'='v') */`
+        overrides the table's catalog options for this query only
+        (FlinkHints.java HINT_NAME_OPTIONS / mergeTableOptions; gated by
+        table.dynamic-table-options.enabled, default false, exception when
+        disabled — TableConfigOptions.java:38). The hinted scan resolves
+        into a per-query temp view substituted for the reference+hint."""
+        import uuid as _uuid  # noqa: PLC0415
+
+        def sub(hm: re.Match) -> str:
+            tname = hm.group("t")
+            if self.config.get("table.dynamic-table-options.enabled") != "true":
+                raise ValueError(
+                    "OPTIONS hint on table '%s' but dynamic table options are "
+                    "disabled; set table.dynamic-table-options.enabled=true"
+                    % tname
+                )
+            if tname not in self.catalog:
+                raise ValueError(f"OPTIONS hint on unknown table: {tname}")
+            base = self.catalog[tname]
+            overrides = {
+                p.group("k"): p.group("v")
+                for p in _PROP_RE.finditer(hm.group("kv"))
+            }
+            merged = {**base.props, **overrides}
+            entry = CatalogTable(
+                name=base.name,
+                fmt=merged.get("format", merged.get("connector", base.fmt)),
+                path=merged.get("path", base.path),
+                schema_ddl=base.schema_ddl,
+                watermark=base.watermark,
+                computed=base.computed,
+                props=merged,
+            )
+            if entry.props.get("connector") in ("kafka", "upsert-kafka"):
+                entry.fmt = "kafka"
+            view = f"__hinted_{tname}_{_uuid.uuid4().hex[:8]}"
+            self._scan(entry, streaming=self.streaming).createOrReplaceTempView(view)
+            return view
+
+        return self._OPTIONS_HINT_RE.sub(sub, sql)
+
     def sql_query(self, sql: str) -> Table:
+        if "OPTIONS" in sql.upper() and self._OPTIONS_HINT_RE.search(sql):
+            sql = self._apply_options_hints(sql)
         m = _SYSTIME_RE.search(_mask_quotes_comments(sql))
         if m:
             return Table(self._system_time_join(sql, m), self)

@@ -635,3 +635,39 @@ def test_create_table_like(spark, tmp_path):
         """
     )
     assert tenv.catalog["derived_c"].props["path"] == d2
+
+
+def test_dynamic_table_options_hint(spark, tmp_path):
+    """FLIP-113 OPTIONS hint: disabled by default (exception, matching
+    table.dynamic-table-options.enabled=false); once enabled, the hint
+    overrides the table's options for that query only — here repointing
+    the path — while the catalog entry stays untouched."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from flink_parent_spark.api.table_env import TableEnvironment
+
+    d1, d2 = str(tmp_path / "h1"), str(tmp_path / "h2")
+    os.makedirs(d1), os.makedirs(d2)
+    for d, uid in ((d1, 1), (d2, 2)):
+        with open(os.path.join(d, "p.json"), "w") as fh:
+            fh.write(json.dumps({"uid": uid}) + "\n")
+    tenv = TableEnvironment.create(spark=spark)
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE hinted (uid BIGINT)
+        WITH ('connector' = 'filesystem', 'path' = '{d1}', 'format' = 'json')
+        """
+    )
+    with _pytest.raises(ValueError, match="dynamic table options are disabled"):
+        tenv.sql_query(f"SELECT uid FROM hinted /*+ OPTIONS('path'='{d2}') */")
+
+    tenv.get_config()["table.dynamic-table-options.enabled"] = "true"
+    rows = tenv.sql_query(
+        f"SELECT uid FROM hinted /*+ OPTIONS('path'='{d2}') */"
+    ).collect()
+    assert [r["uid"] for r in rows] == [2]
+    # the hint is per-query: the catalog table still reads its own path
+    assert [r["uid"] for r in tenv.sql_query("SELECT uid FROM hinted").collect()] == [1]
