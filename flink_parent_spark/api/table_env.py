@@ -1139,6 +1139,30 @@ class TableEnvironment:
         reduced = re.sub(rf"\b{la}\.(\w+)\b", r"\1", reduced)
         return self.spark.sql(rewrite_group_windows(reduced))
 
+    # -- catalog verbs -------------------------------------------------------
+    # TableEnvironment.java surface: createTemporaryView, from/fromPath,
+    # listTables, listFunctions, dropTemporaryView.
+
+    def create_temporary_view(self, name: str, table: "Table | DataFrame") -> None:
+        df = table.to_df() if isinstance(table, Table) else table
+        df.createOrReplaceTempView(name)
+
+    def from_path(self, name: str) -> Table:
+        """TableEnvironment.from(path): a Table over a registered table."""
+        return Table(self.spark.table(name), self)
+
+    def list_tables(self) -> list[str]:
+        return [r["table_name"] for r in self._show_tables().collect()]
+
+    def list_functions(self) -> list[str]:
+        return [
+            r["function"].split(".")[-1]
+            for r in self.spark.sql("SHOW FUNCTIONS").collect()
+        ]
+
+    def drop_temporary_view(self, name: str) -> bool:
+        return self.spark.catalog.dropTempView(name)
+
     # -- Table <-> DataStream bridge -----------------------------------------
     # StreamTableEnvironment bridge verbs (flink-table-api-java-bridge/.../
     # bridge/java/StreamTableEnvironment.java: fromDataStream,

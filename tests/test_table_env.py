@@ -671,3 +671,17 @@ def test_dynamic_table_options_hint(spark, tmp_path):
     assert [r["uid"] for r in rows] == [2]
     # the hint is per-query: the catalog table still reads its own path
     assert [r["uid"] for r in tenv.sql_query("SELECT uid FROM hinted").collect()] == [1]
+
+
+def test_catalog_verbs(tenv, spark):
+    """createTemporaryView / from(path) / listTables / listFunctions /
+    dropTemporaryView parity."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "n int, s string")
+    tenv.create_temporary_view("tmp_v", df)
+    assert "tmp_v" in tenv.list_tables()
+    t = tenv.from_path("tmp_v")
+    assert sorted(r["n"] for r in t.collect()) == [1, 2]
+    fns = tenv.list_functions()
+    assert "split_index" in [f.lower() for f in fns]  # Flink residue registered
+    assert tenv.drop_temporary_view("tmp_v") is True
+    assert "tmp_v" not in tenv.list_tables()
