@@ -201,3 +201,89 @@ def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
         (F.count_distinct("tok") / F.count("*")).alias("distinct_token_ratio")
     )
     return bstat.join(tstat, id_col).join(dstat, id_col)
+
+
+def chunk_documents(
+    df,
+    chunk_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Context-window chunking: split each document into fixed-size token
+    chunks with optional overlap (the standard pretraining/RAG windowing
+    pass). Pure Catalyst — tokens split once, chunk starts generated by
+    `sequence` with stride (chunk_tokens - overlap), each chunk re-joined
+    with a single space; runs map-side inside codegen over the corpus scan
+    (no shuffle, no Python).
+
+    Output: (id, chunk_id, chunk_text, n_chunk_tokens); the final chunk may
+    be short (kept — training pipelines pad or pack it downstream)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(text_col)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(toks) - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_id"),
+            F.array_join(F.slice(toks, s + 1, chunk_tokens), " ").alias(
+                "chunk_text"
+            ),
+            F.least(F.size(toks) - s, F.lit(chunk_tokens)).alias(
+                "n_chunk_tokens"
+            ),
+        ),
+    )
+    return df.select(id_col, F.explode(chunks).alias("c")).select(
+        id_col,
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
+    )
+
+
+def rebalance_source_mix(
+    df,
+    targets: dict[str, float],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+):
+    """Domain/source-mix rebalancing: deterministically downsample each
+    source so the KEPT corpus approaches the target mix `targets`
+    (source -> target fraction of the output). The binding source (the one
+    whose full volume yields the largest total under its target share) is
+    kept whole; every other source keeps the md5-bucket fraction that
+    matches its target relative to the binding source — the standard
+    "downsample-only" mix correction (no upsampling/duplication).
+
+    Deterministic: keep decisions hash on the document id (same rows kept
+    on every engine and every run; DuckDB reproduces the md5 bucket).
+    Scale shape: one count-by-source aggregate (tiny), then a map-side
+    filter over the corpus scan — no shuffle of the corpus itself."""
+    counts = {
+        r[source_col]: r["n"]
+        for r in df.groupBy(source_col).agg(F.count("*").alias("n")).collect()
+    }
+    unknown = set(counts) - set(targets)
+    if unknown:
+        raise ValueError(f"sources without a target share: {sorted(unknown)}")
+    # binding source: max total corpus size implied by keeping it whole
+    binding_total = min(counts[s] / targets[s] for s in counts)
+    import math
+
+    keep_pct = {
+        s: min(100, int(math.floor(100 * targets[s] * binding_total / counts[s])))
+        for s in counts
+    }
+    pct_col = F.lit(None).cast("int")
+    for s, p in sorted(keep_pct.items()):
+        pct_col = F.when(F.col(source_col) == s, F.lit(p)).otherwise(pct_col)
+    from flink_parent_spark.datapipe.similarity import hash_bucket100
+
+    return df.where(hash_bucket100(F.col(id_col)) < pct_col)

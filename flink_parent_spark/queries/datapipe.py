@@ -1318,3 +1318,71 @@ def text_gopher_quality_filter(spark, sf_dir):
             "distinct_token_ratio",
         )
     )
+
+
+@df_query(
+    "text_chunk_windows",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ), st AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, greatest(len(toks) - 1, 0), 48)) AS s
+      FROM base
+    )
+    SELECT doc_id, CAST(s / 48 AS INT) AS chunk_id,
+           array_to_string(list_slice(toks, s + 1, s + 64), ' ') AS chunk_text,
+           CAST(least(len(toks) - s, 64) AS INT) AS n_chunk_tokens
+    FROM st
+    """,
+)
+def text_chunk_windows(spark, sf_dir):
+    """Context-window chunking: 64-token chunks with 16-token overlap
+    (stride 48) — the standard pretraining/RAG windowing pass. Map-side
+    sequence+slice+explode inside codegen; no shuffle, no Python."""
+    from flink_parent_spark.datapipe.text import chunk_documents
+
+    t = load_tables(spark, sf_dir)
+    return chunk_documents(t["documents"], chunk_tokens=64, overlap=16)
+
+
+@df_query(
+    "sample_rebalance_source_mix",
+    oracle="""
+    WITH targets(source, t) AS (
+      VALUES ('src0', 3.0), ('src1', 3.0), ('src2', 3.0), ('src3', 3.0),
+             ('src4', 3.0), ('src5', 1.0), ('src6', 1.0), ('src7', 1.0),
+             ('src8', 1.0), ('src9', 1.0), ('src10', 1.0), ('src11', 1.0),
+             ('src12', 1.0), ('src13', 1.0), ('src14', 1.0), ('src15', 1.0),
+             ('src16', 1.0), ('src17', 1.0), ('src18', 1.0), ('src19', 1.0)
+    ), counts AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ), bind AS (
+      SELECT MIN(c.n / t.t) AS total
+      FROM counts c JOIN targets t ON c.source = t.source
+    ), pct AS (
+      SELECT c.source,
+             least(100, CAST(floor(100 * t.t * b.total / c.n) AS INT)) AS p
+      FROM counts c, targets t, bind b
+      WHERE c.source = t.source
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN pct ON d.source = pct.source
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+          < pct.p
+    """,
+)
+def sample_rebalance_source_mix(spark, sf_dir):
+    """Source/domain-mix rebalancing by deterministic downsampling: target
+    weights 3:1 for src0-4 vs the rest; the binding source keeps 100%,
+    every other source keeps the md5-bucket fraction matching its relative
+    target. One tiny count aggregate + a map-side filter on the corpus
+    scan."""
+    from flink_parent_spark.datapipe.text import rebalance_source_mix
+
+    t = load_tables(spark, sf_dir)
+    targets = {f"src{i}": (3.0 if i < 5 else 1.0) for i in range(20)}
+    return rebalance_source_mix(
+        t["documents"].select("doc_id", "source"), targets
+    )
