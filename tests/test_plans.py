@@ -313,3 +313,32 @@ def test_salted_join_matches_plain_join(spark):
         ).collect()
     }
     assert counts == expected
+
+
+def test_debezium_parser_stays_codegen(spark):
+    """The CDC format parse is a single whole-stage-codegen pass: no Python
+    eval, no Exchange (from_json + CASE array + explode are row-local)."""
+    from flink_parent_spark.queries.registry import QUERIES
+
+    plan = plan_of(QUERIES["format_debezium_json"](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_chunking_is_map_only(spark):
+    """Context-window chunking never shuffles: sequence+slice+explode run
+    map-side over the corpus scan."""
+    from flink_parent_spark.queries.registry import QUERIES
+
+    plan = plan_of(QUERIES["text_chunk_windows"](spark, SF))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rebalance_filter_is_map_only(spark):
+    """Source-mix rebalancing: after the tiny count collect, the kept-rows
+    plan is a scan + filter (no shuffle of the corpus)."""
+    from flink_parent_spark.queries.registry import QUERIES
+
+    plan = plan_of(QUERIES["sample_rebalance_source_mix"](spark, SF))
+    assert "Exchange hashpartitioning" not in plan
