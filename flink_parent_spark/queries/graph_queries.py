@@ -567,3 +567,34 @@ def graph_vertex_degrees(spark, sf_dir):
             ).alias("degree"),
         )
     )
+
+
+@df_query(
+    "graph_bipartite_projection",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT l_suppkey AS t, l_partkey AS b
+      FROM lineitem WHERE l_partkey < 50
+    )
+    SELECT a.t AS src, b.t AS dst, COUNT(*) AS n_shared
+    FROM e a JOIN e b ON a.b = b.b AND a.t <> b.t
+    GROUP BY a.t, b.t
+    """,
+)
+def graph_bipartite_projection(spark, sf_dir):
+    """Bipartite top projection (BipartiteGraph.projectionTopSimple:130):
+    suppliers connected when they supply the same part, weighted by the
+    number of shared parts. One equi-self-join on the bottom key."""
+    from flink_parent_spark.graph.bipartite import bipartite_projection_simple
+
+    t = load_tables(spark, sf_dir)
+    edges = (
+        t["lineitem"].where(F.col("l_partkey") < 50)
+        .select(
+            F.col("l_suppkey").alias("top_id"),
+            F.col("l_partkey").alias("bottom_id"),
+        )
+        .distinct()
+    )
+    proj = bipartite_projection_simple(edges)
+    return proj.groupBy("src", "dst").agg(F.count("*").alias("n_shared"))
