@@ -339,3 +339,76 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def winnow_fingerprints(
+    df,
+    k: int = 4,
+    w: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm; public): hash every token k-gram,
+    then keep the minimum hash of each sliding window of w consecutive
+    k-gram hashes. The selected set is a position-robust fingerprint —
+    guaranteed to share a fingerprint with any copy of a sufficiently long
+    passage (length >= w + k - 1 tokens).
+
+    Set semantics (DISTINCT of per-window minima) match the classic
+    algorithm's output; ties collapse in the set as in the reference
+    formulation. Plan: one explode + a doc-partitioned window MIN +
+    DISTINCT — shuffles only on doc_id.
+
+    Output: (id, fp) distinct fingerprint rows."""
+    from pyspark.sql import Window
+
+    from flink_parent_spark.datapipe.text import token_hash64, tokens
+
+    toks = tokens(text_col)
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: token_hash64(F.array_join(F.slice(toks, i + 1, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    g = df.select(
+        id_col,
+        F.posexplode(grams).alias("pos", "h"),
+        (F.size(grams)).alias("__n"),
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        g.withColumn("fp", F.min("h").over(win))
+        .where(F.col("pos") <= F.col("__n") - w)
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
+def winnow_pairs(
+    df,
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Near-duplicate pairs by shared winnowed fingerprints: inverted-index
+    equi-join on the fingerprint value (never materializes doc x doc),
+    pairs ranked by the number of shared fingerprints."""
+    fps = winnow_fingerprints(df, k, w, id_col, text_col)
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )

@@ -1386,3 +1386,46 @@ def sample_rebalance_source_mix(spark, sf_dir):
     return rebalance_source_mix(
         t["documents"].select("doc_id", "source"), targets
     )
+
+
+@df_query(
+    "dedup_winnow_pairs",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
+             generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS i
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, i,
+             ('0x' || substr(md5(tok || ' ' || t1 || ' ' || t2 || ' ' || t3),
+                             1, 15))::BIGINT AS h
+      FROM (
+        SELECT doc_id, tok, i,
+               LEAD(tok, 1) OVER w AS t1, LEAD(tok, 2) OVER w AS t2,
+               LEAD(tok, 3) OVER w AS t3
+        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)) g
+      WHERE t3 IS NOT NULL
+    ), win AS (
+      SELECT doc_id, i,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n
+      FROM grams
+    ), fps AS (
+      SELECT DISTINCT doc_id, fp FROM win WHERE i <= n - 4
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fps
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_winnow_pairs(spark, sf_dir):
+    """Winnowing (MOSS) near-dup pairs: token 4-gram hashes, window-5
+    minima as the fingerprint set, pairs sharing >= 2 fingerprints via the
+    inverted-index join. The oracle replays hashing, window minima, and
+    set semantics exactly."""
+    from flink_parent_spark.datapipe.dedup import winnow_pairs
+
+    t = load_tables(spark, sf_dir)
+    return winnow_pairs(t["documents"], k=4, w=5, min_shared=2)
