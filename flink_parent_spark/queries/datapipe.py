@@ -1429,3 +1429,60 @@ def dedup_winnow_pairs(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     return winnow_pairs(t["documents"], k=4, w=5, min_shared=2)
+
+
+@df_query(
+    "text_unigram_logprob",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+    ), freq AS (
+      SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
+    ), total AS (
+      SELECT SUM(c) AS t FROM freq
+    ), logp AS (
+      SELECT f.tok, ln(CAST(f.c AS DOUBLE) / CAST(total.t AS DOUBLE)) AS lp
+      FROM freq f, total
+    )
+    SELECT t.doc_id,
+           CAST(SUM(CAST(l.lp AS DECIMAL(30,12))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_logprob,
+           COUNT(*) AS n_tokens
+    FROM tok t JOIN logp l ON t.tok = l.tok
+    GROUP BY t.doc_id
+    """,
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Unigram-LM quality scoring (the KenLM-style perplexity filter
+    reduced to its order-1 core): fit token frequencies over the corpus,
+    score each document by its mean token log-probability. Unusually low
+    scores flag gibberish; unusually high flag degenerate repetition —
+    the standard band-pass quality signal.
+
+    Plan: one token-frequency aggregate (map-side combined), the log-prob
+    table broadcast back onto the token stream, one per-doc aggregate.
+    Decimal-summed log-probs keep the mean bit-exact cross-engine."""
+    from flink_parent_spark.datapipe.text import tokens
+
+    t = load_tables(spark, sf_dir)
+    tok = t["documents"].select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    )
+    freq = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("t"))
+    logp = freq.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.log(F.col("c").cast("double") / F.col("t").cast("double")).alias("lp"),
+    )
+    return (
+        tok.join(F.broadcast(logp), "tok")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.col("lp").cast("decimal(30,12)")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("avg_logprob"),
+            F.count("*").alias("n_tokens"),
+        )
+    )

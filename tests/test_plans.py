@@ -342,3 +342,23 @@ def test_rebalance_filter_is_map_only(spark):
 
     plan = plan_of(QUERIES["sample_rebalance_source_mix"](spark, SF))
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_partitioned_sink_scan_prunes_partitions(spark, tmp_path):
+    """A filter on the partition column of a partitioned filesystem-sink
+    table must prune at planning time (PartitionFilters on the scan, not a
+    post-scan Filter over all files)."""
+    from flink_parent_spark.tables import load_tables
+
+    t = load_tables(spark, SF)
+    out = str(tmp_path / "part_orders")
+    t["orders"].withColumn(
+        "o_year", F.year("o_orderdate")
+    ).write.partitionBy("o_year").parquet(out)
+    scan = spark.read.parquet(out).where("o_year = 1996")
+    plan = plan_of(scan)
+    assert "PartitionFilters: [" in plan and "o_year" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
+    years = [r["o_year"] for r in scan.select("o_year").distinct().collect()]
+    assert years == [1996]
