@@ -105,3 +105,23 @@ class QueryableStateClient:
         for col, v in key.items():
             df = df.where(F.col(col) == F.lit(v))
         return df.collect()
+
+
+def read_keyed_state(
+    spark: SparkSession,
+    checkpoint_location: str,
+    operator_id: int | None = None,
+    batch_id: int | None = None,
+) -> DataFrame:
+    """State Processor API read-side parity
+    (flink-libraries/flink-state-processing-api — Savepoint.load(...)
+    .readKeyedState): load the keyed state of an offline checkpoint as a
+    batch DataFrame for analysis/migration. One-call form of
+    QueryableStateClient.state() without the registry. (The write side —
+    bootstrapping new savepoints — has no Spark analog: state stores are
+    only written by a running query.)"""
+    reg = QueryableStateRegistry(spark)
+    reg.register("__offline", checkpoint_location)
+    return reg.client().state(
+        "__offline", operator_id=operator_id, batch_id=batch_id
+    )
