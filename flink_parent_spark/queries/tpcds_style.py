@@ -24,7 +24,9 @@ activity gates (Q37/Q82), OR-of-ANDs predicate pushdown (Q41), IN-list OR
 IN-subquery disjunctions (Q45), per-ticket totals joined to detail (Q68),
 date-arithmetic join gates (Q72), returns loss matrices (Q91), excess
 discount vs per-part average (Q92), and shipping-delay bucket matrices
-(Q99) — 50 shapes over the TPC-H-ish fixture tables.
+(Q99), above-nation-average spenders (Q30/Q81), order-count demographic
+distributions (Q35), and brand-vs-own-average monthly trends (Q53/Q63)
+— 53 shapes over the TPC-H-ish fixture tables.
 
 Every query is written in the Spark/DuckDB-common dialect (used verbatim as
 its own oracle) with the decimal-accumulation contract for float sums.
@@ -1012,5 +1014,70 @@ sql_query(
                     THEN 1 ELSE 0 END) AS d_over_90
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
+    """,
+)
+
+# --- customers above their nation's average spend (TPC-DS Q30/Q81 shape) ----
+sql_query(
+    "tpcds_q30_above_nation_avg_spend",
+    f"""
+    WITH per_cust AS (
+      SELECT c_custkey, c_nationkey, {dsum('o_totalprice', 'spend')}
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_nationkey
+    ), nat_avg AS (
+      SELECT c_nationkey,
+             CAST(SUM(CAST(spend AS DECIMAL(30,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_spend
+      FROM per_cust GROUP BY c_nationkey
+    )
+    SELECT p.c_custkey, p.spend, a.avg_spend
+    FROM per_cust p JOIN nat_avg a ON p.c_nationkey = a.c_nationkey
+    WHERE p.spend > 1.2 * a.avg_spend
+    """,
+)
+
+# --- store-count bucketed customer distribution (TPC-DS Q35 shape) ----------
+sql_query(
+    "tpcds_q35_order_count_demographics",
+    """
+    WITH per_cust AS (
+      SELECT c_custkey, c_mktsegment, c_nationkey, COUNT(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_mktsegment, c_nationkey
+    )
+    SELECT c_mktsegment, c_nationkey,
+           COUNT(*) AS n_customers,
+           MIN(n_orders) AS min_orders, MAX(n_orders) AS max_orders,
+           CAST(SUM(CAST(n_orders AS DECIMAL(30,6))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS avg_orders
+    FROM per_cust
+    GROUP BY c_mktsegment, c_nationkey
+    HAVING COUNT(*) >= 3
+    """,
+)
+
+# --- manufacturer monthly rank trend (TPC-DS Q53/Q63 shape) -----------------
+sql_query(
+    "tpcds_q53_brand_monthly_vs_avg",
+    f"""
+    WITH monthly AS (
+      SELECT p_brand, EXTRACT(YEAR FROM o_orderdate) * 12
+             + EXTRACT(MONTH FROM o_orderdate) AS midx,
+             {dsum('l_extendedprice', 'rev')}
+      FROM lineitem, orders, part
+      WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+      GROUP BY p_brand, EXTRACT(YEAR FROM o_orderdate) * 12
+               + EXTRACT(MONTH FROM o_orderdate)
+    ), with_avg AS (
+      SELECT p_brand, midx, rev,
+             CAST(SUM(CAST(rev AS DECIMAL(30,6)))
+                  OVER (PARTITION BY p_brand) AS DOUBLE)
+             / COUNT(*) OVER (PARTITION BY p_brand) AS brand_avg
+      FROM monthly
+    )
+    SELECT p_brand, midx, rev, brand_avg, rev / brand_avg AS ratio
+    FROM with_avg
+    WHERE brand_avg > 0 AND rev / brand_avg > 1.5
     """,
 )
