@@ -685,3 +685,27 @@ def test_catalog_verbs(tenv, spark):
     assert "split_index" in [f.lower() for f in fns]  # Flink residue registered
     assert tenv.drop_temporary_view("tmp_v") is True
     assert "tmp_v" not in tenv.list_tables()
+
+
+def test_expression_dsl(tenv, spark):
+    """Expressions.java DSL parity: col/lit/and_/if_then_else/call compose
+    with the fluent Table verbs exactly like SQL strings."""
+    from flink_parent_spark.api import expressions as expr
+    from flink_parent_spark.api.table_env import Table
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)], "id int, k string, v double"
+    )
+    t = Table(df, tenv)
+    out = (
+        t.filter(expr.and_(expr.col("v") > 10.0, expr.col("k") == expr.lit("a")))
+        .add_columns(flag=expr.if_then_else(expr.col("id") > 2, "hi", "lo"))
+        .select(expr.col("id"), expr.col("flag"))
+        .collect()
+    )
+    assert [(r["id"], r["flag"]) for r in out] == [(3, "hi")]
+    # call() reaches registered residue functions
+    got = Table(df, tenv).select(
+        expr.call("SPLIT_INDEX", expr.lit("a,b,c"), expr.lit(","), expr.lit(1)).alias("s")
+    ).collect()
+    assert got[0]["s"] == "b"
