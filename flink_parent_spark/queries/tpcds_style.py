@@ -25,8 +25,12 @@ IN-subquery disjunctions (Q45), per-ticket totals joined to detail (Q68),
 date-arithmetic join gates (Q72), returns loss matrices (Q91), excess
 discount vs per-part average (Q92), and shipping-delay bucket matrices
 (Q99), above-nation-average spenders (Q30/Q81), order-count demographic
-distributions (Q35), and brand-vs-own-average monthly trends (Q53/Q63)
-— 53 shapes over the TPC-H-ish fixture tables.
+distributions (Q35), brand-vs-own-average monthly trends (Q53/Q63),
+INTERSECT-gated revenue (Q8), OR-of-AND demographic average bands (Q13),
+before/after date-split ratios (Q21), product-hierarchy ROLLUP averages
+(Q22), variance-gated consecutive-month pairs (Q39), channel unions with
+class accounting (Q76), and returns-adjusted channel profit ROLLUPs
+(Q80) — 60 shapes over the TPC-H-ish fixture tables.
 
 Every query is written in the Spark/DuckDB-common dialect (used verbatim as
 its own oracle) with the decimal-accumulation contract for float sums.
@@ -1079,5 +1083,142 @@ sql_query(
     SELECT p_brand, midx, rev, brand_avg, rev / brand_avg AS ratio
     FROM with_avg
     WHERE brand_avg > 0 AND rev / brand_avg > 1.5
+    """,
+)
+
+# --- INTERSECT-gated nation revenue (TPC-DS Q8 shape) -----------------------
+sql_query(
+    "tpcds_q8_intersect_gated_revenue",
+    f"""
+    WITH big_cust_nations AS (
+      SELECT DISTINCT c_nationkey AS nk FROM customer WHERE c_acctbal > 5000
+      INTERSECT
+      SELECT DISTINCT s_nationkey AS nk FROM supplier WHERE s_acctbal > 5000
+    )
+    SELECT n_name, {dsum('o_totalprice', 'revenue')}
+    FROM orders, customer, nation
+    WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+      AND c_nationkey IN (SELECT nk FROM big_cust_nations)
+    GROUP BY n_name
+    """,
+)
+
+# --- OR-of-ANDs demographic average buckets (TPC-DS Q13 shape) --------------
+sql_query(
+    "tpcds_q13_or_band_averages",
+    """
+    SELECT COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS avg_price
+    FROM lineitem, orders, customer
+    WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      AND ((c_mktsegment = 'BUILDING' AND l_quantity BETWEEN 10 AND 30
+            AND l_discount BETWEEN 0.02 AND 0.06)
+        OR (c_mktsegment = 'MACHINERY' AND l_quantity BETWEEN 20 AND 40
+            AND l_discount BETWEEN 0.04 AND 0.08)
+        OR (c_mktsegment = 'AUTOMOBILE' AND l_quantity BETWEEN 1 AND 15
+            AND l_discount BETWEEN 0.00 AND 0.03))
+    """,
+)
+
+# --- before/after date-split ratio per supplier-part (TPC-DS Q21 shape) -----
+sql_query(
+    "tpcds_q21_before_after_split",
+    """
+    WITH split_qty AS (
+      SELECT l_suppkey, l_partkey,
+             CAST(SUM(CAST(CASE WHEN l_shipdate < TIMESTAMP '1995-06-01 00:00:00'
+                      THEN l_quantity ELSE 0 END AS DECIMAL(30,6))) AS DOUBLE) AS qty_before,
+             CAST(SUM(CAST(CASE WHEN l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
+                      THEN l_quantity ELSE 0 END AS DECIMAL(30,6))) AS DOUBLE) AS qty_after
+      FROM lineitem GROUP BY l_suppkey, l_partkey
+    )
+    SELECT l_suppkey, l_partkey, qty_before, qty_after
+    FROM split_qty
+    WHERE qty_before > 0 AND qty_after > 0
+      AND 3 * qty_after >= 2 * qty_before
+      AND 2 * qty_after <= 3 * qty_before
+    """,
+)
+
+# --- product-hierarchy ROLLUP averages (TPC-DS Q22 shape) -------------------
+sql_query(
+    "tpcds_q22_hierarchy_rollup_avg",
+    """
+    SELECT p_type, p_brand, p_size,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY ROLLUP (p_type, p_brand, p_size)
+    """,
+)
+
+# --- high-variance parts active in consecutive months (TPC-DS Q39 shape) ----
+sql_query(
+    "tpcds_q39_cov_consecutive_months",
+    """
+    WITH monthly AS (
+      SELECT l_partkey,
+             EXTRACT(YEAR FROM l_shipdate) * 12
+             + EXTRACT(MONTH FROM l_shipdate) AS midx,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sq
+      FROM lineitem
+      GROUP BY l_partkey, EXTRACT(YEAR FROM l_shipdate) * 12
+               + EXTRACT(MONTH FROM l_shipdate)
+      HAVING COUNT(*) >= 2
+    ), cov AS (
+      SELECT l_partkey, midx,
+             SQRT((sq - s * s / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))
+             / (s / CAST(n AS DOUBLE)) AS c
+      FROM monthly WHERE s > 0
+    )
+    SELECT a.l_partkey, a.midx AS m1, b.midx AS m2, a.c AS cov1, b.c AS cov2
+    FROM cov a JOIN cov b
+      ON a.l_partkey = b.l_partkey AND b.midx = a.midx + 1
+    WHERE a.c > 0.5 AND b.c > 0.5
+    """,
+)
+
+# --- channel union with per-column null accounting (TPC-DS Q76 shape) -------
+sql_query(
+    "tpcds_q76_null_class_union",
+    f"""
+    WITH all_ch AS (
+      SELECT 'returned' AS channel, EXTRACT(YEAR FROM l_shipdate) AS s_year,
+             l_extendedprice AS price
+      FROM lineitem WHERE l_returnflag = 'R'
+      UNION ALL
+      SELECT 'kept' AS channel, EXTRACT(YEAR FROM l_shipdate) AS s_year,
+             l_extendedprice AS price
+      FROM lineitem WHERE l_returnflag <> 'R'
+    )
+    SELECT channel, s_year, COUNT(*) AS n, {dsum('price', 'total_price')}
+    FROM all_ch
+    GROUP BY channel, s_year
+    """,
+)
+
+# --- per-channel profit after returns with ROLLUP (TPC-DS Q80 shape) --------
+sql_query(
+    "tpcds_q80_channel_profit_rollup",
+    f"""
+    WITH profit AS (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                  THEN 'urgent' ELSE 'standard' END AS channel,
+             n_name,
+             CASE WHEN l_returnflag = 'R' THEN -l_extendedprice * (1 - l_discount)
+                  ELSE l_extendedprice * (1 - l_discount) END AS net
+      FROM lineitem, orders, customer, nation
+      WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n_nationkey
+    )
+    SELECT channel, n_name, {dsum('net', 'net_profit')}, COUNT(*) AS n_lines
+    FROM profit
+    GROUP BY ROLLUP (channel, n_name)
     """,
 )
