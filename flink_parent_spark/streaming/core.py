@@ -93,3 +93,88 @@ def run_stream_to_df(
     )
     q.awaitTermination(timeout_s)
     return sdf.sparkSession.table(name)
+
+
+def streaming_partitioned_sink(
+    sdf: DataFrame,
+    path: str,
+    partition_col: str,
+    ts_col: str,
+    commit_delay: str = "0 seconds",
+    policy: str = "success-file",
+    checkpoint: str | None = None,
+):
+    """Streaming filesystem sink with PARTITION COMMIT (the Flink 1.11
+    filesystem-connector headline: FileSystemTableSink.java +
+    PartitionCommitPolicy.java:46 — policy 'success-file'
+    (SuccessFileCommitPolicy.java) drops a `_SUCCESS` marker into a
+    partition once the watermark passes partition-time + commit delay,
+    signalling downstream batch readers that the partition is complete).
+
+    Spark mapping: `foreachBatch` writes each micro-batch partitioned by
+    `partition_col` (append — Spark's file sink is already exactly-once
+    via the WAL; the 2PC role of the reference's committer), then commits
+    every partition whose partition time is <= the batch's max event time
+    minus the watermark delay and commit delay. Partition values must be
+    the event-time bucket (the reference's default partition.time-extractor
+    reads the partition value as the time), e.g. a date or hour string.
+
+    Returns the StreamingQuery; the caller awaits termination."""
+    import datetime as _dt
+    import uuid as _uuid
+
+    from pyspark.sql import functions as _F
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    delay = _parse_delay(commit_delay)
+    ckpt = checkpoint or os.path.join(
+        tempfile.gettempdir(), f"ckpt_psink_{_uuid.uuid4().hex[:8]}"
+    )
+
+    def commit_partitions(batch_df, batch_id: int) -> None:
+        rows = batch_df.persist()
+        try:
+            if rows.isEmpty():
+                return
+            rows.write.mode("append").partitionBy(partition_col).parquet(path)
+            max_ts = rows.agg(_F.max(ts_col)).collect()[0][0]
+            if max_ts is None:
+                return
+            cutoff = max_ts - delay
+            for part in rows.select(partition_col).distinct().collect():
+                val = part[partition_col]
+                # default PartitionTimeExtractor: the partition VALUE is its
+                # time (yyyy-MM-dd[ HH] formats)
+                try:
+                    pt = _dt.datetime.fromisoformat(str(val))
+                except ValueError:
+                    continue
+                pt_end = pt + _dt.timedelta(days=1)
+                if pt_end <= cutoff and policy == "success-file":
+                    marker = os.path.join(path, f"{partition_col}={val}", "_SUCCESS")
+                    with open(marker, "w"):
+                        pass
+        finally:
+            rows.unpersist()
+
+    return (
+        sdf.writeStream.foreachBatch(commit_partitions)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _parse_delay(spec: str):
+    import datetime as _dt
+
+    n, unit = spec.split()
+    n = float(n)
+    unit = unit.rstrip("s")
+    return _dt.timedelta(
+        **{
+            {"second": "seconds", "minute": "minutes", "hour": "hours", "day": "days"}[
+                unit
+            ]: n
+        }
+    )

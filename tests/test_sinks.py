@@ -70,3 +70,39 @@ def test_dedup_within_watermark_ttl(spark):
     out = run_stream_to_df(sdf, "append")
     got = sorted(r["k"] for r in out.collect())
     assert got == ["a", "b"]
+
+
+def test_streaming_partition_commit_success_file(spark, tmp_path):
+    """Partition-commit policy 'success-file' (FileSystemTableSink /
+    SuccessFileCommitPolicy.java): complete partitions (watermark past
+    partition end + delay) get a _SUCCESS marker; the still-open trailing
+    partition does not."""
+    import datetime as dtm
+    import os
+
+    from flink_parent_spark.streaming.core import streaming_partitioned_sink
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    rows = []
+    for day, n in (("2024-01-01", 3), ("2024-01-02", 3), ("2024-01-03", 2)):
+        base = dtm.datetime.fromisoformat(day)
+        rows += [(day, base + dtm.timedelta(hours=h), float(h)) for h in range(n)]
+    schema = "d string, ts timestamp, v double"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(src)
+
+    sdf = (
+        spark.readStream.schema(schema).parquet(src).withWatermark("ts", "1 hour")
+    )
+    q = streaming_partitioned_sink(
+        sdf, out, partition_col="d", ts_col="ts", commit_delay="0 seconds"
+    )
+    q.awaitTermination(120)
+
+    # data landed partitioned
+    back = spark.read.parquet(out)
+    assert back.count() == 8
+    # day 1 and 2 are complete (max ts = Jan 3 01:00 > their end), day 3 open
+    assert os.path.exists(os.path.join(out, "d=2024-01-01", "_SUCCESS"))
+    assert os.path.exists(os.path.join(out, "d=2024-01-02", "_SUCCESS"))
+    assert not os.path.exists(os.path.join(out, "d=2024-01-03", "_SUCCESS"))
