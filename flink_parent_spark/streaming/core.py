@@ -114,8 +114,10 @@ def streaming_partitioned_sink(
     Spark mapping: `foreachBatch` writes each micro-batch partitioned by
     `partition_col` (append — Spark's file sink is already exactly-once
     via the WAL; the 2PC role of the reference's committer), then commits
-    every partition whose partition time is <= the batch's max event time
-    minus the watermark delay and commit delay. Partition values must be
+    every partition whose partition END time is <= the batch's max
+    observed event time minus the commit delay (the max sealed event time
+    stands in for the watermark clock, as in the engine's other
+    AvailableNow-replay operators). Partition values must be
     the event-time bucket (the reference's default partition.time-extractor
     reads the partition value as the time), e.g. a date or hour string.
 
