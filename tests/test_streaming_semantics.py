@@ -392,3 +392,29 @@ def test_queryable_state_snapshot_and_point_lookup(spark):
     assert len(hit) == 1 and (hit[0]["count"], hit[0]["sum"]) == expected[3]
     miss = client.get_kv_state("per_key_totals", {"k": 99})
     assert miss == []
+
+
+def test_read_keyed_state_offline(spark):
+    """State Processor API read side: an offline checkpoint's keyed state
+    loads as a batch DataFrame without any registry setup."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_parent_spark.streaming.queryable_state import read_keyed_state
+
+    src = tempfile.mkdtemp(prefix="spapi_src_")
+    ckpt = os.path.join(tempfile.gettempdir(), "spapi_ckpt_" + os.path.basename(src))
+    spark.createDataFrame([(i, i % 3) for i in range(30)], "id bigint, k bigint") \
+        .coalesce(1).write.mode("overwrite").parquet(src)
+    q = (
+        spark.readStream.schema("id bigint, k bigint").parquet(src)
+        .groupBy("k").agg(F.count("*").alias("count"))
+        .writeStream.format("memory").queryName("spapi_agg")
+        .outputMode("complete").option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    state = read_keyed_state(spark, ckpt)
+    assert {r["k"]: r["count"] for r in state.collect()} == {0: 10, 1: 10, 2: 10}
