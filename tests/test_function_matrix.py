@@ -197,10 +197,6 @@ def test_mappings_resolve_and_run(spark, kind):
     from flink_parent_spark.functions.registry import register_flink_functions
 
     register_flink_functions(spark)
-    probes = {
-        "spark": "SELECT {fn}",  # resolution probe built per-function below
-    }
-    del probes
     for flink_name, how in MAPPING.items():
         tag, _, val = how.partition(":")
         if tag != kind:
