@@ -30,7 +30,12 @@ INTERSECT-gated revenue (Q8), OR-of-AND demographic average bands (Q13),
 before/after date-split ratios (Q21), product-hierarchy ROLLUP averages
 (Q22), variance-gated consecutive-month pairs (Q39), channel unions with
 class accounting (Q76), and returns-adjusted channel profit ROLLUPs
-(Q80) — 60 shapes over the TPC-H-ish fixture tables.
+(Q80), multi-measure demographic ROLLUPs (Q18/Q27), sale-return-resale
+temporal chains (Q25/Q29), margin ROLLUPs ranked within grouping level
+via GROUPING() (Q36), category-restricted channel re-aggregation
+(Q33/Q56/Q60), promo-share scalar ratios (Q61), rollup-then-rank top-N
+(Q67), and EXCEPT-gated counts (Q87) — 67 shapes over the TPC-H-ish
+fixture tables.
 
 Every query is written in the Spark/DuckDB-common dialect (used verbatim as
 its own oracle) with the decimal-accumulation contract for float sums.
@@ -1220,5 +1225,151 @@ sql_query(
     SELECT channel, n_name, {dsum('net', 'net_profit')}, COUNT(*) AS n_lines
     FROM profit
     GROUP BY ROLLUP (channel, n_name)
+    """,
+)
+
+# --- multi-measure demographic ROLLUP (TPC-DS Q18/Q27 shape) ----------------
+sql_query(
+    "tpcds_q18_multi_measure_rollup",
+    """
+    SELECT c_mktsegment, n_name,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+           COUNT(*) AS n_lines
+    FROM lineitem, orders, customer, nation
+    WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      AND c_nationkey = n_nationkey
+    GROUP BY ROLLUP (c_mktsegment, n_name)
+    """,
+)
+
+# --- sold, returned, then re-sold chain (TPC-DS Q25/Q29 shape) --------------
+sql_query(
+    "tpcds_q25_sale_return_resale_chain",
+    f"""
+    WITH sold AS (
+      SELECT l_partkey, MIN(l_shipdate) AS first_sale
+      FROM lineitem WHERE l_returnflag <> 'R' GROUP BY l_partkey
+    ), returned AS (
+      SELECT l_partkey, MIN(l_shipdate) AS first_return
+      FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_partkey
+    ), resold AS (
+      SELECT l.l_partkey, {dsum('l.l_extendedprice', 'resale_revenue')},
+             COUNT(*) AS n_resales
+      FROM lineitem l
+      JOIN returned r ON l.l_partkey = r.l_partkey
+      WHERE l.l_returnflag <> 'R' AND l.l_shipdate > r.first_return
+      GROUP BY l.l_partkey
+    )
+    SELECT s.l_partkey, s.first_sale, r.first_return,
+           re.resale_revenue, re.n_resales
+    FROM sold s
+    JOIN returned r ON s.l_partkey = r.l_partkey
+    JOIN resold re ON s.l_partkey = re.l_partkey
+    WHERE s.first_sale < r.first_return
+    """,
+)
+
+# --- margin ROLLUP ranked within grouping level (TPC-DS Q36 shape) ----------
+sql_query(
+    "tpcds_q36_margin_rollup_rank",
+    """
+    WITH rolled AS (
+      SELECT p_type, p_brand,
+             GROUPING(p_type) AS g_type, GROUPING(p_brand) AS g_brand,
+             CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+               AS discount_ratio
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY ROLLUP (p_type, p_brand)
+    )
+    SELECT p_type, p_brand, g_type, g_brand, discount_ratio,
+           RANK() OVER (PARTITION BY g_type, g_brand, p_type
+                        ORDER BY discount_ratio DESC, p_brand) AS rank_in_parent
+    FROM rolled
+    """,
+)
+
+# --- category-restricted channel re-aggregation (TPC-DS Q33/Q56/Q60) --------
+sql_query(
+    "tpcds_q60_category_channel_reagg",
+    f"""
+    WITH cat_parts AS (
+      SELECT p_partkey FROM part WHERE p_type LIKE '%BRASS%'
+    ), by_channel AS (
+      SELECT l_partkey, 'urgent' AS channel,
+             {dsum('l_extendedprice', 'rev')}
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN cat_parts cp ON l_partkey = cp.p_partkey
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      GROUP BY l_partkey
+      UNION ALL
+      SELECT l_partkey, 'standard' AS channel,
+             {dsum('l_extendedprice', 'rev')}
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN cat_parts cp ON l_partkey = cp.p_partkey
+      WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, {dsum('rev', 'total_rev')}, COUNT(*) AS n_channels
+    FROM by_channel
+    GROUP BY l_partkey
+    HAVING COUNT(*) = 2
+    """,
+)
+
+# --- promo-share scalar ratio (TPC-DS Q61 shape) ----------------------------
+sql_query(
+    "tpcds_q61_promo_share",
+    """
+    SELECT CAST(promo.r AS DOUBLE) / CAST(total.r AS DOUBLE) AS promo_share,
+           promo.r AS promo_rev, total.r AS total_rev
+    FROM
+      (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS r
+       FROM lineitem WHERE l_discount >= 0.05) promo,
+      (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS r
+       FROM lineitem) total
+    WHERE total.r > 0
+    """,
+)
+
+# --- rollup revenue ranked, top rows (TPC-DS Q67 shape) ---------------------
+sql_query(
+    "tpcds_q67_rollup_topn",
+    """
+    WITH rolled AS (
+      SELECT p_type, p_brand,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY ROLLUP (p_type, p_brand)
+    )
+    SELECT p_type, p_brand, rev, rnk
+    FROM (
+      SELECT p_type, p_brand, rev,
+             ROW_NUMBER() OVER (ORDER BY rev DESC,
+                                p_type NULLS FIRST,
+                                p_brand NULLS FIRST) AS rnk
+      FROM rolled) x
+    WHERE rnk <= 25
+    """,
+)
+
+# --- EXCEPT-gated customer count (TPC-DS Q87 shape) -------------------------
+sql_query(
+    "tpcds_q87_except_count",
+    """
+    SELECT COUNT(*) AS n_urgent_only FROM (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      EXCEPT
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+    ) u
     """,
 )
