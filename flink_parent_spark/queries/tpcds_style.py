@@ -34,8 +34,11 @@ class accounting (Q76), and returns-adjusted channel profit ROLLUPs
 temporal chains (Q25/Q29), margin ROLLUPs ranked within grouping level
 via GROUPING() (Q36), category-restricted channel re-aggregation
 (Q33/Q56/Q60), promo-share scalar ratios (Q61), rollup-then-rank top-N
-(Q67), and EXCEPT-gated counts (Q87) — 67 shapes over the TPC-H-ish
-fixture tables.
+(Q67), EXCEPT-gated counts (Q87), week-over-week ISO-week pivots (Q2),
+all-channel INTERSECT membership with an above-average gate (Q14), and
+distinct-count bucket rows (Q28) — 70 shapes over the TPC-H-ish fixture
+tables (the remaining 33 reference queries reuse shapes already
+represented here or need TPC-DS-only tables absent from the fixtures).
 
 Every query is written in the Spark/DuckDB-common dialect (used verbatim as
 its own oracle) with the decimal-accumulation contract for float sums.
@@ -1371,5 +1374,76 @@ sql_query(
       SELECT DISTINCT o_custkey FROM orders
       WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
     ) u
+    """,
+)
+
+# --- weekly revenue with week-over-week join (TPC-DS Q2 shape) --------------
+# (YEAR, ISO-WEEK) pairs agree between Spark and DuckDB; the year-boundary
+# mixing of ISO week 1 is identical in both engines.
+sql_query(
+    "tpcds_q2_weekly_wow",
+    f"""
+    WITH weekly AS (
+      SELECT EXTRACT(YEAR FROM o_orderdate) * 100
+             + EXTRACT(WEEK FROM o_orderdate) AS widx,
+             {dsum("CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN o_totalprice ELSE 0 END", 'urgent_rev')},
+             {dsum("CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN o_totalprice ELSE 0 END", 'std_rev')}
+      FROM orders
+      GROUP BY EXTRACT(YEAR FROM o_orderdate) * 100
+               + EXTRACT(WEEK FROM o_orderdate)
+    )
+    SELECT cur.widx, cur.urgent_rev / prev.urgent_rev AS urgent_wow,
+           cur.std_rev / prev.std_rev AS std_wow
+    FROM weekly cur JOIN weekly prev ON cur.widx = prev.widx + 1
+    WHERE prev.urgent_rev > 0 AND prev.std_rev > 0
+    """,
+)
+
+# --- parts in ALL channels, above-average gate (TPC-DS Q14 shape) -----------
+sql_query(
+    "tpcds_q14_cross_channel_above_avg",
+    """
+    WITH c1 AS (SELECT DISTINCT l_partkey FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderpriority = '1-URGENT'),
+    c2 AS (SELECT DISTINCT l_partkey FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_orderpriority = '2-HIGH'),
+    c3 AS (SELECT DISTINCT l_partkey FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')),
+    all_ch AS (
+      SELECT l_partkey FROM c1
+      INTERSECT SELECT l_partkey FROM c2
+      INTERSECT SELECT l_partkey FROM c3
+    ), per_part AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS rev
+      FROM lineitem GROUP BY l_partkey
+    ), overall AS (
+      SELECT CAST(SUM(CAST(rev AS DECIMAL(30,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_rev
+      FROM per_part
+    )
+    SELECT p.l_partkey, p.rev
+    FROM per_part p
+    JOIN all_ch a ON p.l_partkey = a.l_partkey, overall o
+    WHERE p.rev > o.avg_rev
+    """,
+)
+
+# --- distinct-count buckets as one wide row (TPC-DS Q28 shape) --------------
+sql_query(
+    "tpcds_q28_distinct_bucket_row",
+    """
+    SELECT b1.n AS n_lo, b1.nd AS nd_lo, b2.n AS n_mid, b2.nd AS nd_mid,
+           b3.n AS n_hi, b3.nd AS nd_hi
+    FROM
+      (SELECT COUNT(*) AS n, COUNT(DISTINCT l_partkey) AS nd
+       FROM lineitem WHERE l_quantity < 15) b1,
+      (SELECT COUNT(*) AS n, COUNT(DISTINCT l_partkey) AS nd
+       FROM lineitem WHERE l_quantity >= 15 AND l_quantity < 35) b2,
+      (SELECT COUNT(*) AS n, COUNT(DISTINCT l_partkey) AS nd
+       FROM lineitem WHERE l_quantity >= 35) b3
     """,
 )
