@@ -478,3 +478,39 @@ def test_jdbc_catalog_lists_and_resolves(spark):
     assert "jc_products" in views
     got = spark.sql("SELECT COUNT(*) AS n FROM jc_products").collect()[0]["n"]
     assert got == 7
+
+
+def test_hive_catalog_managed_table_roundtrip():
+    """Hive connector exercise (flink-connectors/flink-connector-hive /
+    HiveCatalog.java role): Spark's Hive catalog with the embedded Derby
+    metastore creates, writes, and reads a Hive-format managed table plus
+    a partitioned variant. Runs in a subprocess because the catalog
+    implementation is fixed at JVM session creation (the shared test
+    session is in-memory-catalog)."""
+    import subprocess
+    import sys
+    import tempfile
+
+    wh = tempfile.mkdtemp(prefix="hive_wh_t_")
+    code = f"""
+from pyspark.sql import SparkSession
+s = (SparkSession.builder.master("local[2]")
+     .config("spark.sql.warehouse.dir", {wh!r})
+     .config("spark.sql.shuffle.partitions", "2")
+     .enableHiveSupport().getOrCreate())
+s.sql("CREATE TABLE hv (id INT, v DOUBLE) USING hive")
+s.sql("INSERT INTO hv VALUES (1, 1.5), (2, 2.5)")
+assert sorted(r["id"] for r in s.sql("SELECT * FROM hv").collect()) == [1, 2]
+s.sql("CREATE TABLE hvp (id INT) USING hive PARTITIONED BY (d STRING)")
+s.sql("INSERT INTO hvp PARTITION (d='2024-01-01') VALUES (10)")
+s.sql("INSERT INTO hvp PARTITION (d='2024-01-02') VALUES (20)")
+got = s.sql("SELECT id FROM hvp WHERE d = '2024-01-02'").collect()
+assert [r["id"] for r in got] == [20]
+parts = s.sql("SHOW PARTITIONS hvp").collect()
+assert len(parts) == 2
+print("HIVE-ROUNDTRIP-OK")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=240
+    )
+    assert "HIVE-ROUNDTRIP-OK" in out.stdout, out.stderr[-2000:]
