@@ -492,10 +492,13 @@ def test_hive_catalog_managed_table_roundtrip():
     import tempfile
 
     wh = tempfile.mkdtemp(prefix="hive_wh_t_")
+    ms = tempfile.mkdtemp(prefix="hive_ms_t_")
     code = f"""
 from pyspark.sql import SparkSession
 s = (SparkSession.builder.master("local[2]")
      .config("spark.sql.warehouse.dir", {wh!r})
+     .config("spark.hadoop.javax.jdo.option.ConnectionURL",
+             "jdbc:derby:;databaseName=" + {ms!r} + "/metastore_db;create=true")
      .config("spark.sql.shuffle.partitions", "2")
      .enableHiveSupport().getOrCreate())
 s.sql("CREATE TABLE hv (id INT, v DOUBLE) USING hive")
