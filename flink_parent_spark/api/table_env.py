@@ -1029,8 +1029,44 @@ class TableEnvironment:
         )
         target = self.catalog[m.group("t")]
         df = self.spark.sql(m.group("q"))
-        fmt = "parquet" if target.fmt in ("filesystem", "parquet") else target.fmt
         mode = "overwrite" if m.group("mode").upper() == "OVERWRITE" else "append"
+        if target.fmt == "kafka":
+            # kafka table sink: rows serialize per the declared format
+            # (json value; PRIMARY KEY column -> message key when present)
+            # into the file-backed topic — the producer half of the fake
+            # (FlinkKafkaProducer / kafka DynamicTableSink role). Broker
+            # option sets would route to format("kafka") writeStream; the
+            # file-backed path appends with monotone offsets like the
+            # reader expects.
+            from flink_parent_spark.sources.connectors import (  # noqa: PLC0415
+                write_kafka_file_topic,
+            )
+
+            if not target.path:
+                raise ValueError(
+                    "kafka sink without 'path' needs a live broker "
+                    "(properties.bootstrap.servers)"
+                )
+            pk = [c for c in target.props.get("__primary_key", "").split(",") if c]
+            key_col = (
+                F.col(pk[0]).cast("string") if pk else F.lit(None).cast("string")
+            )
+            recs = df.select(
+                key_col.alias("k"),
+                F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("v"),
+            ).collect()
+            write_kafka_file_topic(
+                [(r["k"], r["v"]) for r in recs],
+                self.spark,
+                target.path,
+                target.props.get("topic", target.name),
+            )
+            # refresh the reader view so subsequent queries see the rows
+            self._scan(target, streaming=self.streaming).createOrReplaceTempView(
+                target.name
+            )
+            return None
+        fmt = "parquet" if target.fmt in ("filesystem", "parquet") else target.fmt
         getattr(df.write.mode(mode), fmt)(target.path)
         return None
 

@@ -517,3 +517,39 @@ print("HIVE-ROUNDTRIP-OK")
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=240
     )
     assert "HIVE-ROUNDTRIP-OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_kafka_sink_insert_roundtrip(spark):
+    """INSERT INTO a kafka table (the producer half of the file-backed
+    fake): rows serialize as json values with the PRIMARY KEY column as
+    the message key, offsets continue monotonically, and a subsequent
+    SELECT over the same table reads them back decoded."""
+    import os
+    import shutil
+    import tempfile
+
+    from flink_parent_spark.api.table_env import TableEnvironment
+
+    base = os.path.join(tempfile.gettempdir(), "kafka_sink_rt")
+    shutil.rmtree(base, ignore_errors=True)
+    env = TableEnvironment.create(spark=spark)
+    env.execute_sql(
+        f"""
+        CREATE TABLE clicks (uid BIGINT, amount DOUBLE, PRIMARY KEY (uid) NOT ENFORCED)
+        WITH ('connector' = 'kafka', 'topic' = 'clicks',
+              'path' = '{base}', 'format' = 'json',
+              'scan.startup.mode' = 'earliest-offset')
+        """
+    )
+    env.execute_sql("INSERT INTO clicks SELECT 1 AS uid, 2.5 AS amount")
+    env.execute_sql(
+        "INSERT INTO clicks SELECT id AS uid, CAST(id AS DOUBLE) AS amount "
+        "FROM range(10, 13)"
+    )
+    rows = env.sql_query(
+        "SELECT uid, amount, offset FROM clicks ORDER BY offset"
+    ).collect()
+    assert [(r["uid"], r["amount"]) for r in rows] == [
+        (1, 2.5), (10, 10.0), (11, 11.0), (12, 12.0)
+    ]
+    assert [r["offset"] for r in rows] == [0, 1, 2, 3]
