@@ -36,9 +36,18 @@ via GROUPING() (Q36), category-restricted channel re-aggregation
 (Q33/Q56/Q60), promo-share scalar ratios (Q61), rollup-then-rank top-N
 (Q67), EXCEPT-gated counts (Q87), week-over-week ISO-week pivots (Q2),
 all-channel INTERSECT membership with an above-average gate (Q14), and
-distinct-count bucket rows (Q28) — 70 shapes over the TPC-H-ish fixture
-tables (the remaining 33 reference queries reuse shapes already
-represented here or need TPC-DS-only tables absent from the fixtures).
+distinct-count bucket rows (Q28), channel growth races over per-customer
+yearly CTEs (Q4/Q74's full form), LAG/LEAD deviation-from-average trend
+scans (Q57/Q47's full form), single-pass day-bucket pivots (Q43),
+order-to-ship latency bucket matrices (Q50), and EXISTS + double
+NOT-EXISTS demographic gates (Q69) — 75 shapes over the TPC-H-ish
+fixture tables. The remaining reference queries reuse shapes already
+represented here (e.g. Q42/Q52 = Q55's dim group-by, Q19/Q24/Q26 = the
+Q7/Q13 demographic-average family, Q32 = Q92, Q46/Q79 = Q68, Q48 = Q13/
+Q41, Q70/Q86 = Q36's GROUPING() rank, Q71 = Q5/Q76 channel unions,
+Q83-Q85 = Q91's returns matrices, Q89 = Q53, Q95 = Q94's EXISTS chain)
+or need TPC-DS-only tables (catalog page, web site, inventory)
+absent from the fixtures.
 
 Every query is written in the Spark/DuckDB-common dialect (used verbatim as
 its own oracle) with the decimal-accumulation contract for float sums.
@@ -58,7 +67,7 @@ global sort) at the cost of exactness.
 
 from __future__ import annotations
 
-from flink_parent_spark.queries.registry import dsum, sql_query
+from flink_parent_spark.queries.registry import davg, dsum, sql_query
 
 # --- channel union + rollup (TPC-DS Q5/Q77 shape) ---------------------------
 sql_query(
@@ -1445,5 +1454,128 @@ sql_query(
        FROM lineitem WHERE l_quantity >= 15 AND l_quantity < 35) b2,
       (SELECT COUNT(*) AS n, COUNT(DISTINCT l_partkey) AS nd
        FROM lineitem WHERE l_quantity >= 35) b3
+    """,
+)
+
+# --- multi-channel YoY growth comparison (TPC-DS Q4/Q11 full shape) ---------
+# Q4 keeps customers whose growth in one channel outpaces growth in another;
+# the fixture's two "channels" are urgent-priority vs standard-priority spend.
+sql_query(
+    "tpcds_q4_channel_growth_race",
+    f"""
+    WITH yearly AS (
+      SELECT o_custkey, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+             {dsum("CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN o_totalprice ELSE 0 END", 'urgent_rev')},
+             {dsum("CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN o_totalprice ELSE 0 END", 'std_rev')}
+      FROM orders
+      GROUP BY o_custkey, EXTRACT(YEAR FROM o_orderdate)
+    )
+    SELECT cur.o_custkey, cur.o_year,
+           cur.urgent_rev / prev.urgent_rev AS urgent_growth,
+           cur.std_rev / prev.std_rev AS std_growth
+    FROM yearly cur
+    JOIN yearly prev
+      ON cur.o_custkey = prev.o_custkey AND cur.o_year = prev.o_year + 1
+    WHERE prev.urgent_rev > 0 AND prev.std_rev > 0
+      AND cur.urgent_rev / prev.urgent_rev > cur.std_rev / prev.std_rev
+    """,
+)
+
+# --- deviation-from-average with LAG/LEAD neighbors (TPC-DS Q57/Q47 shape) --
+# Monthly nation revenue where the month deviates >10% from the nation-year
+# average, reported with the neighboring months' revenue (LAG/LEAD over the
+# per-month aggregate — tiny after aggregation, scales at 100 TB).
+sql_query(
+    "tpcds_q57_monthly_deviation",
+    f"""
+    WITH monthly AS (
+      SELECT n_name, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+             EXTRACT(MONTH FROM o_orderdate) AS o_month,
+             {dsum('o_totalprice', 'rev')}
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate),
+               EXTRACT(MONTH FROM o_orderdate)
+    ), with_avg AS (
+      SELECT m.n_name, m.o_year, m.o_month, m.rev, y.avg_rev,
+             LAG(m.rev) OVER (PARTITION BY m.n_name
+                              ORDER BY m.o_year, m.o_month) AS prev_rev,
+             LEAD(m.rev) OVER (PARTITION BY m.n_name
+                               ORDER BY m.o_year, m.o_month) AS next_rev
+      FROM monthly m
+      JOIN (SELECT n_name, o_year, {davg('rev', 'avg_rev')}
+            FROM monthly GROUP BY n_name, o_year) y
+        ON m.n_name = y.n_name AND m.o_year = y.o_year
+    )
+    SELECT n_name, o_year, o_month, rev, avg_rev, prev_rev, next_rev
+    FROM with_avg
+    WHERE ABS(rev - avg_rev) > 0.1 * avg_rev
+    """,
+)
+
+# --- 7-bucket day pivot per nation (TPC-DS Q43 shape) -----------------------
+# Q43 pivots store sales into weekday columns; EXTRACT(DOW) disagrees between
+# engines (Sunday=0 vs 1), so the 7 buckets key on MOD(DOY, 7), which both
+# engines compute identically — the shape (single-pass CASE pivot into a wide
+# row per dimension value) is what Q43 exercises.
+sql_query(
+    "tpcds_q43_day_bucket_pivot",
+    f"""
+    SELECT n_name,
+           {dsum("CASE WHEN MOD(EXTRACT(DOY FROM o_orderdate), 7) = 0 THEN o_totalprice ELSE 0 END", 'd0_rev')},
+           {dsum("CASE WHEN MOD(EXTRACT(DOY FROM o_orderdate), 7) = 1 THEN o_totalprice ELSE 0 END", 'd1_rev')},
+           {dsum("CASE WHEN MOD(EXTRACT(DOY FROM o_orderdate), 7) = 2 THEN o_totalprice ELSE 0 END", 'd2_rev')},
+           {dsum("CASE WHEN MOD(EXTRACT(DOY FROM o_orderdate), 7) = 3 THEN o_totalprice ELSE 0 END", 'd3_rev')},
+           {dsum("CASE WHEN MOD(EXTRACT(DOY FROM o_orderdate), 7) = 4 THEN o_totalprice ELSE 0 END", 'd4_rev')},
+           {dsum("CASE WHEN MOD(EXTRACT(DOY FROM o_orderdate), 7) = 5 THEN o_totalprice ELSE 0 END", 'd5_rev')},
+           {dsum("CASE WHEN MOD(EXTRACT(DOY FROM o_orderdate), 7) = 6 THEN o_totalprice ELSE 0 END", 'd6_rev')}
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+
+# --- order-to-ship delay bucket matrix (TPC-DS Q50 shape) -------------------
+# Q50 buckets sale->return latency into 30/60/90/120/120+ day columns per
+# store; the fixture analog buckets order->ship latency in whole months
+# (computed via YEAR*12+MONTH arithmetic, identical in both engines) per
+# return flag. Integer counts, so the pivot is exact.
+sql_query(
+    "tpcds_q50_ship_delay_matrix",
+    """
+    WITH delays AS (
+      SELECT l_returnflag,
+             (EXTRACT(YEAR FROM l_shipdate) - EXTRACT(YEAR FROM o_orderdate)) * 12
+             + (EXTRACT(MONTH FROM l_shipdate) - EXTRACT(MONTH FROM o_orderdate))
+             AS mdelay
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT l_returnflag,
+           SUM(CASE WHEN mdelay <= 0 THEN 1 ELSE 0 END) AS same_month,
+           SUM(CASE WHEN mdelay = 1 THEN 1 ELSE 0 END) AS one_month,
+           SUM(CASE WHEN mdelay = 2 THEN 1 ELSE 0 END) AS two_months,
+           SUM(CASE WHEN mdelay = 3 THEN 1 ELSE 0 END) AS three_months,
+           SUM(CASE WHEN mdelay >= 4 THEN 1 ELSE 0 END) AS four_plus
+    FROM delays
+    GROUP BY l_returnflag
+    """,
+)
+
+# --- EXISTS + double NOT EXISTS demographic gate (TPC-DS Q69 shape) ---------
+sql_query(
+    "tpcds_q69_exists_notexists_gate",
+    f"""
+    SELECT c_mktsegment, COUNT(*) AS n_customers,
+           {davg('c_acctbal', 'avg_bal')}
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '2-HIGH')
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '5-LOW')
+    GROUP BY c_mktsegment
     """,
 )
