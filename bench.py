@@ -84,12 +84,27 @@ def main() -> None:
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 3)
 
+    # VM-speed calibration: a fixed, data-independent Spark job (range-sum,
+    # all codegen, no I/O) timed the same way as the headline queries.
+    # Wall-times vary 20-60% between benchmark hosts; dividing `value` by
+    # `calib_sec` (or comparing calib_sec across BENCH_r{N}.json files)
+    # separates engine changes from machine changes. Not part of `value`.
+    calib_best = None
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, 2_000_000_000, 1, 32).selectExpr(
+            "sum(id * 3 % 7)"
+        ).collect()
+        dt = time.time() - t0
+        calib_best = dt if calib_best is None or dt < calib_best else calib_best
+
     out = {
         "metric": "headline_query_wall_time_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "calib_sec": round(calib_best, 3),
     }
     print(json.dumps(out))
 
