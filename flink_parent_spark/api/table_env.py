@@ -1130,6 +1130,24 @@ class TableEnvironment:
         m = _SYSTIME_RE.search(_mask_quotes_comments(sql))
         if m:
             return Table(self._system_time_join(sql, m), self)
+        if self.streaming:
+            # FlinkLogicalRankRule / StreamExecDeduplicateRule parity: the
+            # ROW_NUMBER-subquery idiom on a streaming scan routes to the
+            # stateful Top-N / Deduplicate operators (a plain row-number
+            # window over an unbounded stream is rejected by both engines).
+            from flink_parent_spark.streaming.rank_recognition import (  # noqa: PLC0415
+                apply_rank_spec,
+                recognize_rank_query,
+            )
+
+            spec = recognize_rank_query(sql)
+            if spec is not None:
+                try:
+                    src = self.spark.table(spec.source)
+                except Exception:
+                    src = None
+                if src is not None and src.isStreaming:
+                    return Table(apply_rank_spec(src, spec), self)
         return Table(self.spark.sql(rewrite_group_windows(sql)), self)
 
     def _system_time_join(self, sql: str, m: re.Match) -> DataFrame:

@@ -35,7 +35,9 @@ PRIORITY: tuple[str, ...] = (
     "changelog_latest_value_by_type",
     "changelog_source_normalize",
     "stream_dedup_first",
-    "stream_topn_per_type",
+    # rank-pattern recognition: same Top-N state op as stream_topn_per_type
+    # but planned from the ROW_NUMBER SQL idiom (FlinkLogicalRankRule parity)
+    "sql_stream_topn_rank",
     # streaming joins
     "stream_interval_join",
     "stream_asof_join",

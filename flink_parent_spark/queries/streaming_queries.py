@@ -1804,3 +1804,39 @@ def stream_pipeline_curation(spark, sf_dir):
         "doc_id", token_count(F.col("text")).alias("n_tokens")
     ).filter(F.col("n_tokens") >= 20)
     return run_stream_to_df(out, "update")
+
+
+@df_query(
+    "sql_stream_topn_rank",
+    oracle="""
+    SELECT event_type, value, event_id, user_id, CAST(rn AS INT) AS rn
+    FROM (
+      SELECT event_type, value, event_id, user_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events) t
+    WHERE rn <= 3
+    """,
+)
+def sql_stream_topn_rank(spark, sf_dir):
+    """The rank-pattern SQL idiom on a STREAMING table, recognized by the
+    planner rule (streaming/rank_recognition.py — FlinkLogicalRankRule /
+    StreamExecRank parity) and routed to the stateful Top-N operator; the
+    statement itself is the batch oracle. A plain row-number window over an
+    unbounded stream is rejected by both engines, so recognition is what
+    makes this statement runnable at all."""
+    from flink_parent_spark.api.table_env import TableEnvironment  # noqa: PLC0415
+
+    t_env = TableEnvironment(spark, streaming=True)
+    ev = stream_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_rank_src")
+    tbl = t_env.sql_query(
+        """
+        SELECT event_type, value, event_id, user_id, rn FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY value DESC, event_id) AS rn
+          FROM events_rank_src) WHERE rn <= 3
+        """
+    )
+    out = run_stream_to_df(tbl.to_df(), "update")
+    return out.withColumn("rn", F.col("rn").cast("int"))
