@@ -665,3 +665,33 @@ def table_api_tumble_fluent(spark, sf_dir):
             F.col("w_start"), F.col("event_type"), F.col("n")
         )
     )
+
+
+@df_query(
+    "window_hop_paned_1h_15m",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) - j * INTERVAL '15' MINUTE
+             AS window_start,
+           event_type, COUNT(*) AS n, {dsum('value', 'sum_value')},
+           MAX(value) AS max_value
+    FROM events, (SELECT unnest(generate_series(0, 3)) AS j) offs
+    WHERE ts < time_bucket(INTERVAL '15 minutes', ts) - j * INTERVAL '15' MINUTE
+               + INTERVAL '1' HOUR
+    GROUP BY 1, 2
+    """,
+)
+def window_hop_paned_1h_15m(spark, sf_dir):
+    """Same HOP semantics as window_hop_1h_slide_15m, but planned with pane
+    sharing (PanedWindowAssigner/HeapWindowsGrouping parity): rows aggregate
+    once into 15-minute panes, pane partials fan out to the 4 covering
+    windows — the shuffle carries pane partials, not 4x-replicated rows.
+    The oracle is the naive per-row window assignment, so the value-exact
+    match proves the shared plan computes the identical answer."""
+    from flink_parent_spark.operators.windows import hop_paned_agg  # noqa: PLC0415
+
+    t = load_tables(spark, sf_dir)
+    return hop_paned_agg(
+        t["events"], "ts", "1 hour", "15 minutes", keys=["event_type"],
+        count_alias="n", sum_cols=[("value", "sum_value")],
+        max_cols=[("value", "max_value")],
+    ).select("window_start", "event_type", "n", "sum_value", "max_value")

@@ -362,3 +362,18 @@ def test_partitioned_sink_scan_prunes_partitions(spark, tmp_path):
     )[1][:200]
     years = [r["o_year"] for r in scan.select("o_year").distinct().collect()]
     assert years == [1996]
+
+
+def test_hop_paned_aggregates_before_fanout(spark):
+    """Pane-based sliding-window sharing (PanedWindowAssigner parity): the
+    row-level aggregation must sit BELOW the window fan-out, so the Generate
+    replicates pane partials, not input rows — and the input is scanned
+    exactly once."""
+    plan = plan_of(QS["window_hop_paned_1h_15m"](spark, SF))
+    header = plan.split("\n\n")[0]
+    assert "Generate" in header
+    below_fanout = header.split("Generate")[1]
+    assert "HashAggregate" in below_fanout  # pane agg feeds the fan-out
+    assert "Scan parquet" in below_fanout
+    assert header.count("Scan parquet") == 1  # panes shared, no second read
+    assert header.count("HashAggregate") >= 4  # partial+final at both levels
