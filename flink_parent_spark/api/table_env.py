@@ -1039,7 +1039,7 @@ class TableEnvironment:
             # file-backed path appends with monotone offsets like the
             # reader expects.
             from flink_parent_spark.sources.connectors import (  # noqa: PLC0415
-                write_kafka_file_topic,
+                write_kafka_file_topic_df,
             )
 
             if not target.path:
@@ -1048,16 +1048,19 @@ class TableEnvironment:
                     "(properties.bootstrap.servers)"
                 )
             pk = [c for c in target.props.get("__primary_key", "").split(",") if c]
-            key_col = (
-                F.col(pk[0]).cast("string") if pk else F.lit(None).cast("string")
-            )
-            recs = df.select(
-                key_col.alias("k"),
-                F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("v"),
-            ).collect()
-            write_kafka_file_topic(
-                [(r["k"], r["v"]) for r in recs],
-                self.spark,
+            if not pk:
+                key_col = F.lit(None).cast("string")
+            elif len(pk) == 1:
+                key_col = F.col(pk[0]).cast("string")
+            else:
+                # composite PRIMARY KEY: serialize ALL key columns (json
+                # struct, matching the upsert-kafka reader's key decode)
+                key_col = F.to_json(F.struct(*[F.col(c) for c in pk]))
+            write_kafka_file_topic_df(
+                df.select(
+                    key_col.alias("k"),
+                    F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("v"),
+                ),
                 target.path,
                 target.props.get("topic", target.name),
             )

@@ -273,12 +273,19 @@ def rebalance_source_mix(
     unknown = set(counts) - set(targets)
     if unknown:
         raise ValueError(f"sources without a target share: {sorted(unknown)}")
-    # binding source: max total corpus size implied by keeping it whole
-    binding_total = min(counts[s] / targets[s] for s in counts)
+    # binding source: max total corpus size implied by keeping it whole.
+    # Zero-share sources are legitimate (drop that source entirely) — they
+    # can't bind and get keep_pct 0.
+    positive = [s for s in counts if targets[s] > 0]
+    if not positive:
+        raise ValueError("all target shares are zero")
+    binding_total = min(counts[s] / targets[s] for s in positive)
     import math
 
     keep_pct = {
         s: min(100, int(math.floor(100 * targets[s] * binding_total / counts[s])))
+        if targets[s] > 0
+        else 0
         for s in counts
     }
     pct_col = F.lit(None).cast("int")

@@ -120,6 +120,45 @@ def write_kafka_file_topic(
     ).parquet(base)
 
 
+def write_kafka_file_topic_df(kv_df: DataFrame, path: str, topic: str) -> None:
+    """Distributed producer half of the file-backed topic: `kv_df` carries
+    string columns (k, v); rows append with monotone offsets WITHOUT
+    materializing on the driver (FlinkKafkaProducer's executor-side write
+    role). A kafka partition is a serial log, so offset assignment
+    coalesces the batch into one task — partition 0 of the fake — but the
+    row data stays executor-side end-to-end; only the existing-offset
+    count (a scalar) touches the driver."""
+    import os  # noqa: PLC0415
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    spark = kv_df.sparkSession
+    base = os.path.join(path, topic)
+    existing = 0
+    if os.path.isdir(base):
+        existing = spark.read.schema(KAFKA_RECORD_SCHEMA).parquet(base).count()
+    # Single partition -> monotonically_increasing_id is 0..n-1 contiguous.
+    out = (
+        kv_df.coalesce(1)
+        .select(
+            F.encode(F.col("k"), "UTF-8").alias("key"),
+            F.encode(F.col("v"), "UTF-8").alias("value"),
+            F.lit(topic).alias("topic"),
+            F.lit(0).alias("partition"),
+            (F.monotonically_increasing_id() + F.lit(existing)).alias("offset"),
+        )
+        .withColumn(
+            "timestamp",
+            F.expr(
+                "timestamp'2024-01-01 00:00:00'"
+                " + make_interval(0, 0, 0, 0, 0, 0, offset)"
+            ),
+        )
+        .withColumn("timestampType", F.lit(0))
+    )
+    out.write.mode("append").parquet(base)
+
+
 def kafka_file_source(
     spark: SparkSession,
     path: str,

@@ -147,13 +147,31 @@ def streaming_partitioned_sink(
                 val = part[partition_col]
                 # default PartitionTimeExtractor: the partition VALUE is its
                 # time (yyyy-MM-dd[ HH] formats)
+                sval = str(val)
                 try:
-                    pt = _dt.datetime.fromisoformat(str(val))
+                    pt = _dt.datetime.fromisoformat(sval)
                 except ValueError:
                     continue
-                pt_end = pt + _dt.timedelta(days=1)
+                # Granularity follows the parsed value, mirroring the
+                # reference's PartitionTimeExtractor defaults: a bare date
+                # spans a day, a value carrying an hour component spans an
+                # hour (otherwise hourly partitions would commit ~23h late).
+                has_hour = len(sval) > 10
+                pt_end = pt + (
+                    _dt.timedelta(hours=1) if has_hour else _dt.timedelta(days=1)
+                )
                 if pt_end <= cutoff and policy == "success-file":
-                    marker = os.path.join(path, f"{partition_col}={val}", "_SUCCESS")
+                    # Spark escapes special chars in partition dir names
+                    # (':' -> '%3A'); resolve the on-disk directory by
+                    # unquoting candidates rather than guessing the quoting.
+                    from urllib.parse import unquote  # noqa: PLC0415
+
+                    pdir = f"{partition_col}={val}"
+                    for d in os.listdir(path):
+                        if unquote(d) == pdir:
+                            pdir = d
+                            break
+                    marker = os.path.join(path, pdir, "_SUCCESS")
                     with open(marker, "w"):
                         pass
         finally:

@@ -106,6 +106,12 @@ def recognize_rank_query(sql: str) -> RankSpec | None:
     n = int(pm.group("n"))
     if pm.group("op") in ("<", ">"):
         n -= 1  # rn < N  ==  rn <= N-1
+    elif pm.group("op") == "=" and n != 1:
+        # `rn = N` with N > 1 is ConstantRankRange(N, N) in the reference
+        # (FlinkLogicalRankRule) — only rank N is emitted, which Top-N's
+        # rank-range (1, N) semantics would silently widen. Bail to the
+        # generic plan rather than return the wrong rows.
+        return None
     if n < 1:
         return None
     parsed = _parse_order(m.group("ord"))

@@ -60,13 +60,12 @@ def streaming_top_n(
         for pdf in pdfs:
             for rec in pdf[out_cols].to_dict("records"):
                 buf.append(rec)
-        sign = -1.0 if descending else 1.0
-        buf.sort(
-            key=lambda r: (
-                sign * r[order_col],
-                r[tiebreak_col] if tiebreak_col else 0,
-            )
-        )
+        # Two-pass stable sort: tiebreak ascending, then order_col in the
+        # requested direction. Avoids `sign * value`, which only works for
+        # numerics (timestamps/strings order fine under plain comparison).
+        if tiebreak_col is not None:
+            buf.sort(key=lambda r: r[tiebreak_col])
+        buf.sort(key=lambda r: r[order_col], reverse=descending)
         buf = buf[:n]
         state.update(([tuple(r[c] for c in out_cols) for r in buf],))
         out = pd.DataFrame(buf, columns=out_cols)

@@ -206,3 +206,18 @@ def test_gelly_graph_api_surface(spark):
 
     bad = Graph(spark.createDataFrame([(1,)], "id long"), e)
     assert not bad.validate()
+
+
+def test_rebalance_zero_share_drops_source(spark):
+    """A target share of 0.0 legitimately drops that source entirely
+    instead of raising ZeroDivisionError (round-5 ADVICE, low)."""
+    from flink_parent_spark.datapipe.text import rebalance_source_mix
+
+    df = spark.createDataFrame(
+        [(f"d{i}", "web" if i % 2 else "books") for i in range(40)],
+        "doc_id string, source string",
+    )
+    out = rebalance_source_mix(df, {"web": 1.0, "books": 0.0})
+    srcs = {r["source"] for r in out.select("source").distinct().collect()}
+    assert srcs == {"web"}
+    assert out.count() == 20  # binding source kept whole

@@ -126,3 +126,35 @@ def test_batch_mode_unaffected(spark):
     assert not rows.isStreaming
     got = {(r.event_type, r.event_id, r.rn) for r in rows.collect()}
     assert got == {("view", 2, 1), ("view", 3, 2), ("click", 5, 1), ("click", 4, 2)}
+
+
+def test_rank_eq_n_bails_to_generic_plan():
+    """`rn = N` with N > 1 is ConstantRankRange(N, N) in the reference —
+    only rank N is emitted. Top-N would silently widen it to ranks 1..N,
+    so recognition must bail (round-5 ADVICE, high)."""
+    assert recognize_rank_query(TOPN_SQL.replace("rn <= 3", "rn = 3")) is None
+    assert recognize_rank_query(TOPN_SQL.replace("rn <= 3", "3 = rn")) is None
+    # rn = 1 stays recognized (the two semantics coincide)
+    assert recognize_rank_query(TOPN_SQL.replace("rn <= 3", "rn = 1")).n == 1
+
+
+def test_topn_timestamp_order_column(spark):
+    """Top-N ordered by a TIMESTAMP column (n > 1, rank referenced — dedup
+    ineligible) must not crash in the worker: the sort is a stable
+    two-pass comparison, not `sign * value` (round-5 ADVICE, medium)."""
+    from flink_parent_spark.api.table_env import TableEnvironment
+    from flink_parent_spark.streaming.core import run_stream_to_df
+
+    t_env = TableEnvironment(spark, streaming=True)
+    sdf = _events_stream(spark, _ROWS)
+    sdf.createOrReplaceTempView("rank_rec_ts_src")
+    tbl = t_env.sql_query(
+        """
+        SELECT user_id, event_id, rn FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+          FROM rank_rec_ts_src) WHERE rn <= 2
+        """
+    )
+    rows = run_stream_to_df(tbl.to_df(), "update").collect()
+    got = {(r.user_id, r.event_id, r.rn) for r in rows}
+    assert got == {(10, 1, 1), (10, 3, 2), (20, 4, 1), (20, 5, 2)}

@@ -106,3 +106,45 @@ def test_streaming_partition_commit_success_file(spark, tmp_path):
     assert os.path.exists(os.path.join(out, "d=2024-01-01", "_SUCCESS"))
     assert os.path.exists(os.path.join(out, "d=2024-01-02", "_SUCCESS"))
     assert not os.path.exists(os.path.join(out, "d=2024-01-03", "_SUCCESS"))
+
+
+def test_streaming_partition_commit_hourly_granularity(spark, tmp_path):
+    """Hourly partition values commit as soon as the watermark passes
+    partition-time + 1 HOUR + delay — not + 1 day (round-5 ADVICE: the
+    granularity follows the parsed value, PartitionTimeExtractor parity)."""
+    import datetime as dtm
+    import os
+
+    from flink_parent_spark.streaming.core import streaming_partitioned_sink
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    base = dtm.datetime(2024, 1, 1)
+    rows = []
+    for h, n in ((0, 3), (1, 2), (2, 1)):
+        start = base + dtm.timedelta(hours=h)
+        rows += [
+            (start.strftime("%Y-%m-%d %H:00:00"),
+             start + dtm.timedelta(minutes=10 * i), float(i))
+            for i in range(n)
+        ]
+    schema = "hr string, ts timestamp, v double"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(src)
+
+    sdf = spark.readStream.schema(schema).parquet(src).withWatermark("ts", "1 minute")
+    q = streaming_partitioned_sink(
+        sdf, out, partition_col="hr", ts_col="ts", commit_delay="0 seconds"
+    )
+    q.awaitTermination(120)
+
+    assert spark.read.parquet(out).count() == 6
+    # max ts = 02:00; hours 00 and 01 end at 01:00/02:00 <= cutoff -> committed
+    assert os.path.exists(os.path.join(out, "hr=2024-01-01 00%3A00%3A00", "_SUCCESS")) or \
+        os.path.exists(os.path.join(out, "hr=2024-01-01 00:00:00", "_SUCCESS"))
+    hr2 = [
+        p for p in os.listdir(out)
+        if p.startswith("hr=") and ("02%3A00" in p or "02:00" in p)
+    ]
+    assert hr2 and not any(
+        os.path.exists(os.path.join(out, p, "_SUCCESS")) for p in hr2
+    )
