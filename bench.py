@@ -98,13 +98,21 @@ def main() -> None:
         dt = time.time() - t0
         calib_best = dt if calib_best is None or dt < calib_best else calib_best
 
+    total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_query_wall_time_total",
-        "value": round(sum(timings.values()), 3),
+        "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
         "calib_sec": round(calib_best, 3),
+        # Calibration-normalized values (dimensionless multiples of the
+        # fixed-work calibration job): THE cross-round comparison numbers —
+        # see BASELINE.md "Cross-round comparison rule".
+        "value_norm": round(total / calib_best, 2),
+        "queries_norm": {
+            k: round(v / calib_best, 2) for k, v in timings.items()
+        },
     }
     print(json.dumps(out))
 

@@ -261,13 +261,26 @@ def cosine_topk(
     cand_id: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = None,
+    allow_full_scan: bool = False,
 ) -> DataFrame:
     """Top-k candidates per query by cosine similarity.
 
     block_col: if set, only candidates sharing the query's block value are
     scanned (IVF-style bucketed search — the scale path). Output:
     (query_id, cand_id, cosine, rank), excluding self-matches.
+
+    Without block_col the plan is a corpus x queries crossJoin — a
+    deliberate brute-force baseline that is O(|corpus| * |queries|) and
+    must never run by accident at scale. It is fenced: pass
+    allow_full_scan=True to opt in, otherwise ValueError. The scale-safe
+    siblings are the blocked form here, `ivf_topk`, and `ivf_pq_topk`.
     """
+    if block_col is None and not allow_full_scan:
+        raise ValueError(
+            "cosine_topk without block_col is a full corpus x queries scan; "
+            "pass allow_full_scan=True to run the brute-force baseline, or "
+            "use block_col / ivf_topk / ivf_pq_topk for the indexed path"
+        )
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).alias("__qv"),
@@ -319,6 +332,7 @@ def pq_topk(
     query_id: str = "vec_id",
     cand_id: str = "vec_id",
     vec_col: str = "embedding",
+    allow_full_scan: bool = False,
 ) -> DataFrame:
     """Product-quantization approximate top-k (the compressed-domain scale
     path beyond IVF): vectors are encoded as `m` sub-space code ids against
@@ -338,7 +352,18 @@ def pq_topk(
       training would run Lloyd per subspace exactly like
       `train_kmeans_centroids` — the encode/search plan is unchanged.
 
-    Output: (query_id, cand_id, adist, rank), rank 1 = smallest ADC."""
+    Output: (query_id, cand_id, adist, rank), rank 1 = smallest ADC.
+
+    Like the un-blocked cosine_topk, plain IndexPQ scans every encoded
+    candidate per query (ADC crossJoin) — cheap per pair but still a full
+    scan. Fenced behind allow_full_scan=True; the composed cell-pruned
+    form is `ivf_pq_topk` (FAISS IVFADC)."""
+    if not allow_full_scan:
+        raise ValueError(
+            "pq_topk scans every encoded candidate per query (ADC "
+            "crossJoin); pass allow_full_scan=True to run the flat-PQ "
+            "baseline, or use ivf_pq_topk for the cell-pruned path"
+        )
     cb_lit, subdim = _pq_codebooks(candidates, m, ks, cand_id, vec_col)
     c = spread(candidates).select(
         F.col(cand_id).alias("cand_id"),

@@ -17,17 +17,18 @@ def spread(df: DataFrame) -> DataFrame:
     """Repartition `df` to the cluster's default parallelism iff it arrives
     narrow (planning-time check — no job is triggered).
 
-    The primary signal is the scan's file count (`inputFiles`, a few ms —
-    at cluster scale a well-split input has orders of magnitude more files
-    than cores and passes through untouched); only non-file inputs fall
-    back to the costlier physical-partition probe."""
+    The signal is the scan's file count (`inputFiles`, a few ms — at
+    cluster scale a well-split input has orders of magnitude more files
+    than cores and passes through untouched). Non-file inputs (n_files=0:
+    in-memory relations, streaming scans) also pass through: touching
+    `df.rdd` to probe their partitioning would force plan analysis and a
+    deserialization boundary at planning time (round-5 verdict), and those
+    inputs are either tiny or already parallelized by their source."""
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
         n_files = len(df.inputFiles())
     except Exception:
         n_files = 0
-    if n_files >= target:
-        return df
-    if n_files == 0 and df.rdd.getNumPartitions() >= target:
+    if n_files == 0 or n_files >= target:
         return df
     return df.repartition(target)

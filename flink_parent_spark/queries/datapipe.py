@@ -428,7 +428,7 @@ def _duck_cos(a: str, b: str) -> str:
 def ann_cosine_topk_bruteforce(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
-    return cosine_topk(e.filter(F.col("vec_id") < 8), e, k=5)
+    return cosine_topk(e.filter(F.col("vec_id") < 8), e, k=5, allow_full_scan=True)
 
 
 @df_query(
@@ -983,7 +983,7 @@ def ann_pq_topk(spark, sf_dir):
 
     t = load_tables(spark, sf_dir)
     e = t["embeddings"]
-    return pq_topk(e.filter(F.col("vec_id") < 8), e, k=5, m=4, ks=4)
+    return pq_topk(e.filter(F.col("vec_id") < 8), e, k=5, m=4, ks=4, allow_full_scan=True)
 
 
 @df_query(

@@ -75,11 +75,25 @@ def debezium_json_to_changelog(
         parsed = F.from_json(F.col(value_col).cast("string"), row_t)
     # kafka-shaped sources carry value as BINARY; accept both
     v = F.col(value_col).cast("string")
-    # tombstones (null/empty) are skipped before any validation
+    # tombstones (null/empty) are skipped before any validation.
+    # The envelope fields are extracted to TOP-LEVEL columns here (not
+    # accessed as nested fields of one struct column downstream): Spark's
+    # GeneratorNestedColumnAliasing mis-prunes nested from_json fields
+    # referenced only inside a generator when a downstream projection
+    # needs none of them (e.g. a bare count()), failing with
+    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND; a plain Project over from_json
+    # takes the well-trodden pruning path.
     out = df.where(v.isNotNull() & (F.length(F.trim(v)) > 0)).select(
-        parsed.alias("m"), v.alias("__raw")
+        parsed["op"].alias("__op"),
+        parsed["before"].alias("__before"),
+        parsed["after"].alias("__after"),
+        v.alias("__raw"),
     )
-    m = F.col("m")
+    m = {
+        "op": F.col("__op"),
+        "before": F.col("__before"),
+        "after": F.col("__after"),
+    }
     known = m["op"].isin("c", "r", "u", "d")
     checks = [
         F.assert_true(
@@ -135,10 +149,20 @@ def canal_json_to_changelog(
         f"old: array<struct<{payload_ddl}>>, type: string>"
     )
     parsed = F.from_json(F.col(value_col).cast("string"), row_t)
+    # top-level extraction: same GeneratorNestedColumnAliasing workaround
+    # as debezium_json_to_changelog (nested from_json fields referenced
+    # only inside a generator mis-prune under a bare count())
     out = df.where(F.col(value_col).isNotNull()).select(
-        parsed.alias("m"), F.col(value_col).cast("string").alias("__raw")
+        parsed["type"].alias("__type"),
+        parsed["data"].alias("__data"),
+        parsed["old"].alias("__old"),
+        F.col(value_col).cast("string").alias("__raw"),
     )
-    m = F.col("m")
+    m = {
+        "type": F.col("__type"),
+        "data": F.col("__data"),
+        "old": F.col("__old"),
+    }
     known = m["type"].isin("INSERT", "UPDATE", "DELETE")
     check = F.assert_true(
         known | F.lit(ignore_parse_errors),

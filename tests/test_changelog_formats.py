@@ -160,3 +160,29 @@ def test_debezium_feeds_changelog_normalize(spark):
     )
     rows = [(r["id"], r["weight"]) for r in live.collect()]
     assert rows == [(1, 2.0)]
+
+
+def test_cdc_parsers_survive_bare_count(spark):
+    """Regression: a bare count() over the CDC parse plan prunes every
+    output column; Spark's GeneratorNestedColumnAliasing mis-prunes nested
+    from_json fields referenced only inside the generator
+    (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND) unless the envelope fields are
+    extracted to top-level columns first."""
+    from flink_parent_spark.sources.changelog_formats import (
+        canal_json_to_changelog,
+        debezium_json_to_changelog,
+    )
+
+    dbz = spark.createDataFrame(
+        [('{"before": null, "after": {"id": 1}, "op": "c"}',),
+         ('{"before": {"id": 1}, "after": {"id": 1}, "op": "u"}',)],
+        "value string",
+    )
+    assert debezium_json_to_changelog(dbz, "value", "id BIGINT").count() == 3
+
+    canal = spark.createDataFrame(
+        [('{"data": [{"id": 1}], "old": null, "type": "INSERT"}',),
+         ('{"data": [{"id": 1}], "old": [{"id": null}], "type": "UPDATE"}',)],
+        "value string",
+    )
+    assert canal_json_to_changelog(canal, "value", "id BIGINT").count() == 3

@@ -338,7 +338,7 @@ def test_pq_encoding_matches_numpy_model(spark):
     e = t["embeddings"]
     got = {
         (r["query_id"], r["rank"]): (r["cand_id"], r["adist"])
-        for r in pq_topk(e.filter("vec_id < 3"), e, k=3, m=4, ks=4).collect()
+        for r in pq_topk(e.filter("vec_id < 3"), e, k=3, m=4, ks=4, allow_full_scan=True).collect()
     }
 
     rows = sorted(e.collect(), key=lambda r: r["vec_id"])
@@ -418,3 +418,22 @@ def test_permute_alternation_matches_greedy_pairing_model(seq):
     for m in got:
         for name, idx in m:
             assert seq[idx] == name.upper()
+
+
+def test_full_scan_ann_baselines_are_fenced(spark):
+    """The brute-force corpus x queries paths must not run by accident at
+    scale: cosine_topk without block_col and plain pq_topk raise unless
+    the caller opts in with allow_full_scan=True (round-5 verdict #3)."""
+    import pytest
+
+    from flink_parent_spark.datapipe.similarity import cosine_topk, pq_topk
+
+    e = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="full"):
+        cosine_topk(e, e, k=2)
+    with pytest.raises(ValueError, match="full"):
+        pq_topk(e, e, k=2, m=2, ks=2)
+    # explicit opt-in still runs
+    assert cosine_topk(e, e, k=2, allow_full_scan=True).count() > 0

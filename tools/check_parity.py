@@ -6,7 +6,13 @@ parquet tables, then compares: row count, column names, and values
 for floats — the engine's determinism contract targets EXACT float equality,
 so any nonzero float delta is flagged).
 
-Usage: python tools/check_parity.py [sf_dir] [query_name ...]
+Usage: python tools/check_parity.py [--gate] [--json] [sf_dir] [query_name ...]
+
+--gate: run exactly the driver's 50-query gate prefix (the first 50
+        registered queries — the PRIORITY order in queries/catalog.py) and
+        print a CORRECTNESS_r*.json-shaped JSON object at the end, so gate
+        drift is caught before the driver runs.
+--json: print the same JSON object for whatever subset ran.
 """
 
 from __future__ import annotations
@@ -54,12 +60,14 @@ def normalize(rows, cols):
     return [cols[i] for i in order], out
 
 
-def compare(name, spark_df, duck_rel) -> list[str]:
+def compare(name, spark_df, duck_rel, counts=None) -> list[str]:
     issues = []
     s_cols = list(spark_df.columns)
     s_rows = [tuple(r) for r in spark_df.collect()]
     d_cols = list(duck_rel.columns)
     d_rows = duck_rel.fetchall()
+    if counts is not None:
+        counts["spark"], counts["oracle"] = len(s_rows), len(d_rows)
     if sorted(c.lower() for c in s_cols) != sorted(c.lower() for c in d_cols):
         issues.append(f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}")
         return issues
@@ -94,37 +102,67 @@ def compare(name, spark_df, duck_rel) -> list[str]:
     return issues
 
 
+GATE_SIZE = 50  # the driver checks the first 50 registered queries
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    import json
+
+    args = sys.argv[1:]
+    gate = "--gate" in args
+    as_json = "--json" in args or gate
+    args = [a for a in args if a not in ("--gate", "--json")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     queries, oracles = all_queries(), all_oracles()
+    if gate:
+        names = list(queries)[:GATE_SIZE]
+    else:
+        names = sorted(queries)
     spark = get_spark("parity")
     con = duck_connect(sf_dir)
     n_pass = n_fail = n_noracle = 0
-    for name, fn in sorted(queries.items()):
+    report: dict[str, dict] = {}
+    for name in names:
+        fn = queries[name]
         if only and name not in only:
             continue
         t0 = time.time()
+        rec = {
+            "rows_match": False, "schema_match": False, "hash_match": False,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
         try:
             df = fn(spark, sf_dir)
             if name not in oracles:
                 cnt = df.count()
                 n_noracle += 1
+                rec.update(spark_rows=cnt, rows_match=True)
+                report[name] = rec
                 print(f"  [rows-only] {name}: {cnt} rows ({time.time()-t0:.1f}s)")
                 continue
-            issues = compare(name, df, con.sql(oracles[name]))
+            counts: dict = {}
+            issues = compare(name, df, con.sql(oracles[name]), counts)
+            rec["spark_rows"] = counts.get("spark")
+            rec["oracle_rows"] = counts.get("oracle")
         except Exception as e:
             issues = [f"EXCEPTION: {type(e).__name__}: {e}"]
+            rec["err"] = f"{type(e).__name__}: {e}"
         dt = time.time() - t0
         if issues:
             n_fail += 1
+            rec["err"] = rec["err"] or "; ".join(issues[:3])
             print(f"  [FAIL] {name} ({dt:.1f}s)")
             for msg in issues[:6]:
                 print(f"         {msg}")
         else:
             n_pass += 1
+            rec.update(rows_match=True, schema_match=True, hash_match=True)
             print(f"  [ok]   {name} ({dt:.1f}s)")
+        report[name] = rec
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only @ {sf_dir}")
+    if as_json:
+        print(json.dumps(report))
     return 1 if n_fail else 0
 
 
