@@ -8,6 +8,7 @@ import flink_parent_spark.queries.graph_queries  # noqa: F401
 import flink_parent_spark.queries.operators_batch  # noqa: F401
 import flink_parent_spark.queries.streaming_queries  # noqa: F401
 import flink_parent_spark.queries.surface_extras  # noqa: F401
+import flink_parent_spark.queries.tpcds_real  # noqa: F401
 import flink_parent_spark.queries.tpcds_style  # noqa: F401
 import flink_parent_spark.queries.tpch  # noqa: F401
 import flink_parent_spark.queries.windows_time  # noqa: F401
