@@ -314,3 +314,247 @@ WHERE ss_item_sk = i_item_sk
 GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price
 ORDER BY i_category, i_class, i_item_id, i_item_desc, revenueratio
 """)
+
+tpcds_query("tpcds_q25", """
+SELECT i_item_id, i_item_desc, s_store_id, s_store_name,
+       CAST(SUM(ss_net_profit) AS DOUBLE) AS store_sales_profit,
+       CAST(SUM(sr_net_loss) AS DOUBLE) AS store_returns_loss,
+       CAST(SUM(cs_net_profit) AS DOUBLE) AS catalog_sales_profit
+FROM store_sales, store_returns, catalog_sales,
+     date_dim d1, date_dim d2, date_dim d3, store, item
+WHERE d1.d_year = 2001
+  AND d1.d_date_sk = ss_sold_date_sk
+  AND i_item_sk = ss_item_sk
+  AND s_store_sk = ss_store_sk
+  AND ss_customer_sk = sr_customer_sk
+  AND ss_item_sk = sr_item_sk
+  AND ss_ticket_number = sr_ticket_number
+  AND sr_returned_date_sk = d2.d_date_sk
+  AND d2.d_year IN (2001, 2002)
+  AND sr_customer_sk = cs_bill_customer_sk
+  AND sr_item_sk = cs_item_sk
+  AND cs_sold_date_sk = d3.d_date_sk
+  AND d3.d_year IN (2001, 2002)
+GROUP BY i_item_id, i_item_desc, s_store_id, s_store_name
+ORDER BY i_item_id, i_item_desc, s_store_id, s_store_name
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q26", """
+SELECT i_item_id,
+       AVG(cs_quantity) AS agg1,
+       CAST(SUM(CAST(cs_list_price AS DECIMAL(30,6))) AS DOUBLE)
+         / COUNT(cs_list_price) AS agg2,
+       CAST(SUM(CAST(cs_ext_discount_amt AS DECIMAL(30,6))) AS DOUBLE)
+         / COUNT(cs_ext_discount_amt) AS agg3,
+       CAST(SUM(CAST(cs_sales_price AS DECIMAL(30,6))) AS DOUBLE)
+         / COUNT(cs_sales_price) AS agg4
+FROM catalog_sales, customer_demographics, date_dim, item, promotion
+WHERE cs_sold_date_sk = d_date_sk
+  AND cs_item_sk = i_item_sk
+  AND cs_bill_cdemo_sk = cd_demo_sk
+  AND cs_promo_sk = p_promo_sk
+  AND cd_gender = 'M'
+  AND cd_marital_status = 'S'
+  AND cd_education_status = 'College'
+  AND (p_channel_email = 'N' OR p_channel_event = 'N')
+  AND d_year = 2000
+GROUP BY i_item_id
+ORDER BY i_item_id
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q27", """
+SELECT i_item_id, s_state, CAST(GROUPING(s_state) AS INT) AS g_state,
+       AVG(ss_quantity) AS agg1,
+       CAST(SUM(CAST(ss_list_price AS DECIMAL(30,6))) AS DOUBLE)
+         / COUNT(ss_list_price) AS agg2,
+       CAST(SUM(CAST(ss_coupon_amt AS DECIMAL(30,6))) AS DOUBLE)
+         / COUNT(ss_coupon_amt) AS agg3,
+       CAST(SUM(CAST(ss_sales_price AS DECIMAL(30,6))) AS DOUBLE)
+         / COUNT(ss_sales_price) AS agg4
+FROM store_sales, customer_demographics, date_dim, store, item
+WHERE ss_sold_date_sk = d_date_sk
+  AND ss_item_sk = i_item_sk
+  AND ss_store_sk = s_store_sk
+  AND ss_cdemo_sk = cd_demo_sk
+  AND cd_gender = 'M'
+  AND cd_marital_status = 'S'
+  AND cd_education_status = 'College'
+  AND d_year = 2002
+  AND s_state IN ('TN', 'SD', 'TX', 'GA', 'OH', 'IL')
+GROUP BY ROLLUP (i_item_id, s_state)
+ORDER BY i_item_id NULLS FIRST, s_state NULLS FIRST
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q28", """
+SELECT *
+FROM (SELECT CAST(SUM(CAST(ss_list_price AS DECIMAL(30,6))) AS DOUBLE)
+               / COUNT(ss_list_price) AS b1_lp,
+             COUNT(ss_list_price) AS b1_cnt,
+             COUNT(DISTINCT ss_list_price) AS b1_cntd
+      FROM store_sales
+      WHERE ss_quantity BETWEEN 0 AND 5
+        AND (ss_list_price BETWEEN 8 AND 8 + 10
+             OR ss_coupon_amt BETWEEN 459 AND 459 + 1000
+             OR ss_wholesale_cost BETWEEN 57 AND 57 + 20)) b1,
+     (SELECT CAST(SUM(CAST(ss_list_price AS DECIMAL(30,6))) AS DOUBLE)
+               / COUNT(ss_list_price) AS b2_lp,
+             COUNT(ss_list_price) AS b2_cnt,
+             COUNT(DISTINCT ss_list_price) AS b2_cntd
+      FROM store_sales
+      WHERE ss_quantity BETWEEN 6 AND 10
+        AND (ss_list_price BETWEEN 90 AND 90 + 10
+             OR ss_coupon_amt BETWEEN 2323 AND 2323 + 1000
+             OR ss_wholesale_cost BETWEEN 31 AND 31 + 20)) b2,
+     (SELECT CAST(SUM(CAST(ss_list_price AS DECIMAL(30,6))) AS DOUBLE)
+               / COUNT(ss_list_price) AS b3_lp,
+             COUNT(ss_list_price) AS b3_cnt,
+             COUNT(DISTINCT ss_list_price) AS b3_cntd
+      FROM store_sales
+      WHERE ss_quantity BETWEEN 11 AND 15
+        AND (ss_list_price BETWEEN 142 AND 142 + 10
+             OR ss_coupon_amt BETWEEN 12214 AND 12214 + 1000
+             OR ss_wholesale_cost BETWEEN 79 AND 79 + 20)) b3,
+     (SELECT CAST(SUM(CAST(ss_list_price AS DECIMAL(30,6))) AS DOUBLE)
+               / COUNT(ss_list_price) AS b4_lp,
+             COUNT(ss_list_price) AS b4_cnt,
+             COUNT(DISTINCT ss_list_price) AS b4_cntd
+      FROM store_sales
+      WHERE ss_quantity BETWEEN 16 AND 20
+        AND (ss_list_price BETWEEN 135 AND 135 + 10
+             OR ss_coupon_amt BETWEEN 6071 AND 6071 + 1000
+             OR ss_wholesale_cost BETWEEN 38 AND 38 + 20)) b4,
+     (SELECT CAST(SUM(CAST(ss_list_price AS DECIMAL(30,6))) AS DOUBLE)
+               / COUNT(ss_list_price) AS b5_lp,
+             COUNT(ss_list_price) AS b5_cnt,
+             COUNT(DISTINCT ss_list_price) AS b5_cntd
+      FROM store_sales
+      WHERE ss_quantity BETWEEN 21 AND 25
+        AND (ss_list_price BETWEEN 122 AND 122 + 10
+             OR ss_coupon_amt BETWEEN 836 AND 836 + 1000
+             OR ss_wholesale_cost BETWEEN 17 AND 17 + 20)) b5,
+     (SELECT CAST(SUM(CAST(ss_list_price AS DECIMAL(30,6))) AS DOUBLE)
+               / COUNT(ss_list_price) AS b6_lp,
+             COUNT(ss_list_price) AS b6_cnt,
+             COUNT(DISTINCT ss_list_price) AS b6_cntd
+      FROM store_sales
+      WHERE ss_quantity BETWEEN 26 AND 30
+        AND (ss_list_price BETWEEN 154 AND 154 + 10
+             OR ss_coupon_amt BETWEEN 7326 AND 7326 + 1000
+             OR ss_wholesale_cost BETWEEN 7 AND 7 + 20)) b6
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q36", """
+SELECT CAST(SUM(ss_net_profit) AS DOUBLE)
+         / CAST(SUM(ss_ext_sales_price) AS DOUBLE) AS gross_margin,
+       i_category, i_class,
+       CAST(GROUPING(i_category) + GROUPING(i_class) AS INT) AS lochierarchy,
+       RANK() OVER (
+         PARTITION BY GROUPING(i_category) + GROUPING(i_class),
+                      CASE WHEN GROUPING(i_class) = 0 THEN i_category END
+         ORDER BY CAST(SUM(ss_net_profit) AS DOUBLE)
+                    / CAST(SUM(ss_ext_sales_price) AS DOUBLE) ASC,
+                  i_class NULLS FIRST
+       ) AS rank_within_parent
+FROM store_sales, date_dim d1, item, store
+WHERE d1.d_year = 2001
+  AND d1.d_date_sk = ss_sold_date_sk
+  AND i_item_sk = ss_item_sk
+  AND s_store_sk = ss_store_sk
+  AND s_state IN ('TN', 'SD', 'TX', 'GA', 'OH', 'IL')
+GROUP BY ROLLUP (i_category, i_class)
+ORDER BY lochierarchy DESC,
+         CASE WHEN lochierarchy = 0 THEN i_category END NULLS FIRST,
+         rank_within_parent,
+         i_category NULLS FIRST, i_class NULLS FIRST
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q46", """
+SELECT c_last_name, c_first_name, ca_city, bought_city, ss_ticket_number,
+       amt, profit
+FROM (SELECT ss_ticket_number, ss_customer_sk, ca_city AS bought_city,
+             CAST(SUM(ss_coupon_amt) AS DOUBLE) AS amt,
+             CAST(SUM(ss_net_profit) AS DOUBLE) AS profit
+      FROM store_sales, date_dim, store, household_demographics,
+           customer_address
+      WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        AND store_sales.ss_store_sk = store.s_store_sk
+        AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        AND store_sales.ss_addr_sk = customer_address.ca_address_sk
+        AND (household_demographics.hd_dep_count = 4
+             OR household_demographics.hd_vehicle_count = 3)
+        AND date_dim.d_dow IN (6, 0)
+        AND date_dim.d_year IN (1999, 2000, 2001)
+        AND store.s_city IN ('Fairview', 'Midway')
+      GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, ca_city) dn,
+     customer, customer_address current_addr
+WHERE ss_customer_sk = c_customer_sk
+  AND customer.c_current_addr_sk = current_addr.ca_address_sk
+  AND current_addr.ca_city <> bought_city
+ORDER BY c_last_name, c_first_name, ca_city, bought_city, ss_ticket_number
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q48", """
+SELECT SUM(ss_quantity) AS total_quantity
+FROM store_sales, store, customer_demographics, customer_address, date_dim
+WHERE s_store_sk = ss_store_sk
+  AND ss_sold_date_sk = d_date_sk AND d_year = 2000
+  AND ((cd_demo_sk = ss_cdemo_sk
+        AND cd_marital_status = 'M'
+        AND cd_education_status = '4 yr Degree'
+        AND ss_sales_price BETWEEN 100.00 AND 150.00)
+    OR (cd_demo_sk = ss_cdemo_sk
+        AND cd_marital_status = 'D'
+        AND cd_education_status = '2 yr Degree'
+        AND ss_sales_price BETWEEN 50.00 AND 100.00)
+    OR (cd_demo_sk = ss_cdemo_sk
+        AND cd_marital_status = 'S'
+        AND cd_education_status = 'College'
+        AND ss_sales_price BETWEEN 150.00 AND 200.00))
+  AND ((ss_addr_sk = ca_address_sk
+        AND ca_country = 'United States'
+        AND ca_state IN ('TN', 'OH', 'TX')
+        AND ss_net_profit BETWEEN 0 AND 2000)
+    OR (ss_addr_sk = ca_address_sk
+        AND ca_country = 'United States'
+        AND ca_state IN ('SD', 'GA', 'IL')
+        AND ss_net_profit BETWEEN 150 AND 3000)
+    OR (ss_addr_sk = ca_address_sk
+        AND ca_country = 'United States'
+        AND ca_state IN ('TX', 'GA', 'IL')
+        AND ss_net_profit BETWEEN 50 AND 25000))
+""")
+
+tpcds_query("tpcds_q50", """
+SELECT s_store_name, s_store_id, s_city, s_state, s_zip,
+       SUM(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk <= 30)
+                THEN 1 ELSE 0 END) AS d30,
+       SUM(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 30)
+                 AND (sr_returned_date_sk - ss_sold_date_sk <= 60)
+                THEN 1 ELSE 0 END) AS d31_60,
+       SUM(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 60)
+                 AND (sr_returned_date_sk - ss_sold_date_sk <= 90)
+                THEN 1 ELSE 0 END) AS d61_90,
+       SUM(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 90)
+                 AND (sr_returned_date_sk - ss_sold_date_sk <= 120)
+                THEN 1 ELSE 0 END) AS d91_120,
+       SUM(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 120)
+                THEN 1 ELSE 0 END) AS d_gt_120
+FROM store_sales, store_returns, store, date_dim d1, date_dim d2
+WHERE d2.d_year = 2001
+  AND d2.d_moy = 8
+  AND ss_ticket_number = sr_ticket_number
+  AND ss_item_sk = sr_item_sk
+  AND ss_customer_sk = sr_customer_sk
+  AND ss_sold_date_sk = d1.d_date_sk
+  AND sr_returned_date_sk = d2.d_date_sk
+  AND ss_store_sk = s_store_sk
+GROUP BY s_store_name, s_store_id, s_city, s_state, s_zip
+ORDER BY s_store_name, s_store_id, s_city, s_state, s_zip
+LIMIT 100
+""")
