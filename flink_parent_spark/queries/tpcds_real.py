@@ -558,3 +558,457 @@ GROUP BY s_store_name, s_store_id, s_city, s_state, s_zip
 ORDER BY s_store_name, s_store_id, s_city, s_state, s_zip
 LIMIT 100
 """)
+
+tpcds_query("tpcds_q9", """
+SELECT CASE WHEN (SELECT COUNT(*) FROM store_sales
+                  WHERE ss_quantity BETWEEN 1 AND 20) > 25000
+            THEN (SELECT CAST(SUM(CAST(ss_ext_discount_amt AS DECIMAL(30,6)))
+                              AS DOUBLE) / COUNT(ss_ext_discount_amt)
+                  FROM store_sales WHERE ss_quantity BETWEEN 1 AND 20)
+            ELSE (SELECT CAST(SUM(CAST(ss_net_paid AS DECIMAL(30,6)))
+                              AS DOUBLE) / COUNT(ss_net_paid)
+                  FROM store_sales WHERE ss_quantity BETWEEN 1 AND 20)
+       END AS bucket1,
+       CASE WHEN (SELECT COUNT(*) FROM store_sales
+                  WHERE ss_quantity BETWEEN 21 AND 40) > 22000
+            THEN (SELECT CAST(SUM(CAST(ss_ext_discount_amt AS DECIMAL(30,6)))
+                              AS DOUBLE) / COUNT(ss_ext_discount_amt)
+                  FROM store_sales WHERE ss_quantity BETWEEN 21 AND 40)
+            ELSE (SELECT CAST(SUM(CAST(ss_net_paid AS DECIMAL(30,6)))
+                              AS DOUBLE) / COUNT(ss_net_paid)
+                  FROM store_sales WHERE ss_quantity BETWEEN 21 AND 40)
+       END AS bucket2,
+       CASE WHEN (SELECT COUNT(*) FROM store_sales
+                  WHERE ss_quantity BETWEEN 41 AND 60) > 30000
+            THEN (SELECT CAST(SUM(CAST(ss_ext_discount_amt AS DECIMAL(30,6)))
+                              AS DOUBLE) / COUNT(ss_ext_discount_amt)
+                  FROM store_sales WHERE ss_quantity BETWEEN 41 AND 60)
+            ELSE (SELECT CAST(SUM(CAST(ss_net_paid AS DECIMAL(30,6)))
+                              AS DOUBLE) / COUNT(ss_net_paid)
+                  FROM store_sales WHERE ss_quantity BETWEEN 41 AND 60)
+       END AS bucket3,
+       CASE WHEN (SELECT COUNT(*) FROM store_sales
+                  WHERE ss_quantity BETWEEN 61 AND 80) > 18000
+            THEN (SELECT CAST(SUM(CAST(ss_ext_discount_amt AS DECIMAL(30,6)))
+                              AS DOUBLE) / COUNT(ss_ext_discount_amt)
+                  FROM store_sales WHERE ss_quantity BETWEEN 61 AND 80)
+            ELSE (SELECT CAST(SUM(CAST(ss_net_paid AS DECIMAL(30,6)))
+                              AS DOUBLE) / COUNT(ss_net_paid)
+                  FROM store_sales WHERE ss_quantity BETWEEN 61 AND 80)
+       END AS bucket4,
+       CASE WHEN (SELECT COUNT(*) FROM store_sales
+                  WHERE ss_quantity BETWEEN 81 AND 100) > 20000
+            THEN (SELECT CAST(SUM(CAST(ss_ext_discount_amt AS DECIMAL(30,6)))
+                              AS DOUBLE) / COUNT(ss_ext_discount_amt)
+                  FROM store_sales WHERE ss_quantity BETWEEN 81 AND 100)
+            ELSE (SELECT CAST(SUM(CAST(ss_net_paid AS DECIMAL(30,6)))
+                              AS DOUBLE) / COUNT(ss_net_paid)
+                  FROM store_sales WHERE ss_quantity BETWEEN 81 AND 100)
+       END AS bucket5
+FROM reason
+WHERE r_reason_sk = 1
+""")
+
+tpcds_query("tpcds_q51", """
+WITH web_v1 AS (
+  SELECT ws_item_sk AS item_sk, d_date,
+         SUM(SUM(ws_sales_price))
+           OVER (PARTITION BY ws_item_sk ORDER BY d_date
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cume_sales
+  FROM web_sales, date_dim
+  WHERE ws_sold_date_sk = d_date_sk
+    AND d_month_seq BETWEEN 1200 AND 1211
+    AND ws_item_sk IS NOT NULL
+  GROUP BY ws_item_sk, d_date),
+store_v1 AS (
+  SELECT ss_item_sk AS item_sk, d_date,
+         SUM(SUM(ss_sales_price))
+           OVER (PARTITION BY ss_item_sk ORDER BY d_date
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cume_sales
+  FROM store_sales, date_dim
+  WHERE ss_sold_date_sk = d_date_sk
+    AND d_month_seq BETWEEN 1200 AND 1211
+    AND ss_item_sk IS NOT NULL
+  GROUP BY ss_item_sk, d_date)
+SELECT item_sk, d_date,
+       CAST(web_sales AS DOUBLE) AS web_sales,
+       CAST(store_sales AS DOUBLE) AS store_sales,
+       CAST(web_cumulative AS DOUBLE) AS web_cumulative,
+       CAST(store_cumulative AS DOUBLE) AS store_cumulative
+FROM (SELECT item_sk, d_date, web_sales, store_sales,
+             MAX(web_sales)
+               OVER (PARTITION BY item_sk ORDER BY d_date
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS web_cumulative,
+             MAX(store_sales)
+               OVER (PARTITION BY item_sk ORDER BY d_date
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS store_cumulative
+      FROM (SELECT CASE WHEN web.item_sk IS NOT NULL
+                        THEN web.item_sk ELSE store.item_sk END AS item_sk,
+                   CASE WHEN web.d_date IS NOT NULL
+                        THEN web.d_date ELSE store.d_date END AS d_date,
+                   web.cume_sales AS web_sales,
+                   store.cume_sales AS store_sales
+            FROM web_v1 web FULL OUTER JOIN store_v1 store
+                 ON (web.item_sk = store.item_sk
+                     AND web.d_date = store.d_date)) x) y
+WHERE web_cumulative > store_cumulative
+ORDER BY item_sk, d_date
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q59", """
+WITH wss AS (
+  SELECT d_week_seq, ss_store_sk,
+         SUM(CASE WHEN d_day_name = 'Sunday'
+                  THEN ss_sales_price ELSE NULL END) AS sun_sales,
+         SUM(CASE WHEN d_day_name = 'Monday'
+                  THEN ss_sales_price ELSE NULL END) AS mon_sales,
+         SUM(CASE WHEN d_day_name = 'Tuesday'
+                  THEN ss_sales_price ELSE NULL END) AS tue_sales,
+         SUM(CASE WHEN d_day_name = 'Wednesday'
+                  THEN ss_sales_price ELSE NULL END) AS wed_sales,
+         SUM(CASE WHEN d_day_name = 'Thursday'
+                  THEN ss_sales_price ELSE NULL END) AS thu_sales,
+         SUM(CASE WHEN d_day_name = 'Friday'
+                  THEN ss_sales_price ELSE NULL END) AS fri_sales,
+         SUM(CASE WHEN d_day_name = 'Saturday'
+                  THEN ss_sales_price ELSE NULL END) AS sat_sales
+  FROM store_sales, date_dim
+  WHERE d_date_sk = ss_sold_date_sk
+  GROUP BY d_week_seq, ss_store_sk)
+SELECT s_store_name1, s_store_id1, d_week_seq1,
+       CAST(sun_sales1 AS DOUBLE) / CAST(sun_sales2 AS DOUBLE) AS sun_r,
+       CAST(mon_sales1 AS DOUBLE) / CAST(mon_sales2 AS DOUBLE) AS mon_r,
+       CAST(tue_sales1 AS DOUBLE) / CAST(tue_sales2 AS DOUBLE) AS tue_r,
+       CAST(wed_sales1 AS DOUBLE) / CAST(wed_sales2 AS DOUBLE) AS wed_r,
+       CAST(thu_sales1 AS DOUBLE) / CAST(thu_sales2 AS DOUBLE) AS thu_r,
+       CAST(fri_sales1 AS DOUBLE) / CAST(fri_sales2 AS DOUBLE) AS fri_r,
+       CAST(sat_sales1 AS DOUBLE) / CAST(sat_sales2 AS DOUBLE) AS sat_r
+FROM (SELECT s_store_name AS s_store_name1, wss.d_week_seq AS d_week_seq1,
+             s_store_id AS s_store_id1, sun_sales AS sun_sales1,
+             mon_sales AS mon_sales1, tue_sales AS tue_sales1,
+             wed_sales AS wed_sales1, thu_sales AS thu_sales1,
+             fri_sales AS fri_sales1, sat_sales AS sat_sales1
+      FROM wss, store, date_dim d
+      WHERE d.d_week_seq = wss.d_week_seq
+        AND ss_store_sk = s_store_sk
+        AND d_month_seq BETWEEN 1200 AND 1211) y,
+     (SELECT s_store_name AS s_store_name2, wss.d_week_seq AS d_week_seq2,
+             s_store_id AS s_store_id2, sun_sales AS sun_sales2,
+             mon_sales AS mon_sales2, tue_sales AS tue_sales2,
+             wed_sales AS wed_sales2, thu_sales AS thu_sales2,
+             fri_sales AS fri_sales2, sat_sales AS sat_sales2
+      FROM wss, store, date_dim d
+      WHERE d.d_week_seq = wss.d_week_seq
+        AND ss_store_sk = s_store_sk
+        AND d_month_seq BETWEEN 1212 AND 1223) x
+WHERE s_store_id1 = s_store_id2
+  AND d_week_seq1 = d_week_seq2 - 52
+ORDER BY s_store_name1, s_store_id1, d_week_seq1
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q62", """
+SELECT substr(w_warehouse_name, 1, 20) AS wh, sm_type, web_name,
+       SUM(CASE WHEN (ws_ship_date_sk - ws_sold_date_sk <= 30)
+                THEN 1 ELSE 0 END) AS d30,
+       SUM(CASE WHEN (ws_ship_date_sk - ws_sold_date_sk > 30)
+                 AND (ws_ship_date_sk - ws_sold_date_sk <= 60)
+                THEN 1 ELSE 0 END) AS d31_60,
+       SUM(CASE WHEN (ws_ship_date_sk - ws_sold_date_sk > 60)
+                 AND (ws_ship_date_sk - ws_sold_date_sk <= 90)
+                THEN 1 ELSE 0 END) AS d61_90,
+       SUM(CASE WHEN (ws_ship_date_sk - ws_sold_date_sk > 90)
+                 AND (ws_ship_date_sk - ws_sold_date_sk <= 120)
+                THEN 1 ELSE 0 END) AS d91_120,
+       SUM(CASE WHEN (ws_ship_date_sk - ws_sold_date_sk > 120)
+                THEN 1 ELSE 0 END) AS d_gt_120
+FROM web_sales, warehouse, ship_mode, web_site, date_dim
+WHERE d_month_seq BETWEEN 1200 AND 1211
+  AND ws_ship_date_sk = d_date_sk
+  AND ws_warehouse_sk = w_warehouse_sk
+  AND ws_ship_mode_sk = sm_ship_mode_sk
+  AND ws_web_site_sk = web_site_sk
+GROUP BY substr(w_warehouse_name, 1, 20), sm_type, web_name
+ORDER BY wh NULLS FIRST, sm_type, web_name
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q65", """
+SELECT s_store_name, i_item_desc, sc.revenue, i_current_price,
+       i_wholesale_cost, i_brand
+FROM store, item,
+     (SELECT ss_store_sk,
+             CAST(SUM(CAST(revenue AS DECIMAL(30,6))) AS DOUBLE)
+               / COUNT(revenue) AS ave
+      FROM (SELECT ss_store_sk, ss_item_sk,
+                   CAST(SUM(ss_sales_price) AS DOUBLE) AS revenue
+            FROM store_sales, date_dim
+            WHERE ss_sold_date_sk = d_date_sk
+              AND d_month_seq BETWEEN 1200 AND 1211
+            GROUP BY ss_store_sk, ss_item_sk) sa
+      GROUP BY ss_store_sk) sb,
+     (SELECT ss_store_sk, ss_item_sk,
+             CAST(SUM(ss_sales_price) AS DOUBLE) AS revenue
+      FROM store_sales, date_dim
+      WHERE ss_sold_date_sk = d_date_sk
+        AND d_month_seq BETWEEN 1200 AND 1211
+      GROUP BY ss_store_sk, ss_item_sk) sc
+WHERE sb.ss_store_sk = sc.ss_store_sk
+  AND sc.revenue <= 0.1 * sb.ave
+  AND s_store_sk = sc.ss_store_sk
+  AND i_item_sk = sc.ss_item_sk
+ORDER BY s_store_name, i_item_desc, s_store_id
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q68", """
+SELECT c_last_name, c_first_name, ca_city, bought_city, ss_ticket_number,
+       extended_price, extended_tax, list_price
+FROM (SELECT ss_ticket_number, ss_customer_sk, ca_city AS bought_city,
+             CAST(SUM(ss_ext_sales_price) AS DOUBLE) AS extended_price,
+             CAST(SUM(ss_ext_list_price) AS DOUBLE) AS list_price,
+             CAST(SUM(ss_ext_tax) AS DOUBLE) AS extended_tax
+      FROM store_sales, date_dim, store, household_demographics,
+           customer_address
+      WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        AND store_sales.ss_store_sk = store.s_store_sk
+        AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        AND store_sales.ss_addr_sk = customer_address.ca_address_sk
+        AND date_dim.d_dom BETWEEN 1 AND 2
+        AND (household_demographics.hd_dep_count = 4
+             OR household_demographics.hd_vehicle_count = 3)
+        AND date_dim.d_year IN (1999, 2000, 2001)
+        AND store.s_city IN ('Midway', 'Fairview')
+      GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, ca_city) dn,
+     customer, customer_address current_addr
+WHERE ss_customer_sk = c_customer_sk
+  AND customer.c_current_addr_sk = current_addr.ca_address_sk
+  AND current_addr.ca_city <> bought_city
+ORDER BY c_last_name, ss_ticket_number
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q73", """
+SELECT c_last_name, c_first_name, c_salutation, c_preferred_cust_flag,
+       ss_ticket_number, cnt
+FROM (SELECT ss_ticket_number, ss_customer_sk, COUNT(*) AS cnt
+      FROM store_sales, date_dim, store, household_demographics
+      WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        AND store_sales.ss_store_sk = store.s_store_sk
+        AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        AND date_dim.d_dom BETWEEN 1 AND 2
+        AND (household_demographics.hd_buy_potential = '>10000'
+             OR household_demographics.hd_buy_potential = 'Unknown')
+        AND household_demographics.hd_vehicle_count > 0
+        AND CASE WHEN household_demographics.hd_vehicle_count > 0
+                 THEN CAST(household_demographics.hd_dep_count AS DOUBLE)
+                      / household_demographics.hd_vehicle_count
+                 ELSE NULL END > 1
+        AND date_dim.d_year IN (1999, 2000, 2001)
+        AND store.s_county IN ('Williamson County', 'Ziebach County',
+                               'Walker County', 'Barrow County')
+      GROUP BY ss_ticket_number, ss_customer_sk) dj, customer
+WHERE ss_customer_sk = c_customer_sk
+  AND cnt BETWEEN 1 AND 5
+ORDER BY cnt DESC, c_last_name ASC, ss_ticket_number
+""")
+
+tpcds_query("tpcds_q79", """
+SELECT c_last_name, c_first_name,
+       substr(s_city, 1, 30) AS city30, ss_ticket_number, amt, profit
+FROM (SELECT ss_ticket_number, ss_customer_sk, store.s_city,
+             CAST(SUM(ss_coupon_amt) AS DOUBLE) AS amt,
+             CAST(SUM(ss_net_profit) AS DOUBLE) AS profit
+      FROM store_sales, date_dim, store, household_demographics
+      WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        AND store_sales.ss_store_sk = store.s_store_sk
+        AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        AND (household_demographics.hd_dep_count = 6
+             OR household_demographics.hd_vehicle_count > 2)
+        AND date_dim.d_dow = 1
+        AND date_dim.d_year IN (1999, 2000, 2001)
+        AND store.s_number_employees BETWEEN 200 AND 295
+      GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk,
+               store.s_city) ms, customer
+WHERE ss_customer_sk = c_customer_sk
+ORDER BY c_last_name, c_first_name, city30, profit, ss_ticket_number
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q82", """
+SELECT i_item_id, i_item_desc, i_current_price
+FROM item, inventory, date_dim, store_sales
+WHERE i_current_price BETWEEN 62 AND 62 + 30
+  AND inv_item_sk = i_item_sk
+  AND d_date_sk = inv_date_sk
+  AND d_date BETWEEN DATE '2000-05-25' AND DATE '2000-07-24'
+  AND i_manufact_id BETWEEN 100 AND 400
+  AND inv_quantity_on_hand BETWEEN 100 AND 500
+  AND ss_item_sk = i_item_sk
+GROUP BY i_item_id, i_item_desc, i_current_price
+ORDER BY i_item_id
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q86", """
+SELECT CAST(SUM(ws_net_paid) AS DOUBLE) AS total_sum,
+       i_category, i_class,
+       CAST(GROUPING(i_category) + GROUPING(i_class) AS INT) AS lochierarchy,
+       RANK() OVER (
+         PARTITION BY GROUPING(i_category) + GROUPING(i_class),
+                      CASE WHEN GROUPING(i_class) = 0 THEN i_category END
+         ORDER BY CAST(SUM(ws_net_paid) AS DOUBLE) DESC,
+                  i_class NULLS FIRST
+       ) AS rank_within_parent
+FROM web_sales, date_dim d1, item
+WHERE d1.d_month_seq BETWEEN 1200 AND 1211
+  AND d1.d_date_sk = ws_sold_date_sk
+  AND i_item_sk = ws_item_sk
+GROUP BY ROLLUP (i_category, i_class)
+ORDER BY lochierarchy DESC,
+         CASE WHEN lochierarchy = 0 THEN i_category END NULLS FIRST,
+         rank_within_parent,
+         i_category NULLS FIRST, i_class NULLS FIRST
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q88", """
+SELECT *
+FROM (SELECT COUNT(*) AS h8_30_to_9
+      FROM store_sales, household_demographics, time_dim, store
+      WHERE ss_sold_time_sk = time_dim.t_time_sk
+        AND ss_hdemo_sk = household_demographics.hd_demo_sk
+        AND ss_store_sk = s_store_sk
+        AND time_dim.t_hour = 8 AND time_dim.t_minute >= 30
+        AND ((household_demographics.hd_dep_count = 4
+              AND household_demographics.hd_vehicle_count <= 4 + 2)
+          OR (household_demographics.hd_dep_count = 2
+              AND household_demographics.hd_vehicle_count <= 2 + 2)
+          OR (household_demographics.hd_dep_count = 0
+              AND household_demographics.hd_vehicle_count <= 0 + 2))
+        AND store.s_store_name = 'ese') s1,
+     (SELECT COUNT(*) AS h9_to_9_30
+      FROM store_sales, household_demographics, time_dim, store
+      WHERE ss_sold_time_sk = time_dim.t_time_sk
+        AND ss_hdemo_sk = household_demographics.hd_demo_sk
+        AND ss_store_sk = s_store_sk
+        AND time_dim.t_hour = 9 AND time_dim.t_minute < 30
+        AND ((household_demographics.hd_dep_count = 4
+              AND household_demographics.hd_vehicle_count <= 4 + 2)
+          OR (household_demographics.hd_dep_count = 2
+              AND household_demographics.hd_vehicle_count <= 2 + 2)
+          OR (household_demographics.hd_dep_count = 0
+              AND household_demographics.hd_vehicle_count <= 0 + 2))
+        AND store.s_store_name = 'ese') s2,
+     (SELECT COUNT(*) AS h9_30_to_10
+      FROM store_sales, household_demographics, time_dim, store
+      WHERE ss_sold_time_sk = time_dim.t_time_sk
+        AND ss_hdemo_sk = household_demographics.hd_demo_sk
+        AND ss_store_sk = s_store_sk
+        AND time_dim.t_hour = 9 AND time_dim.t_minute >= 30
+        AND ((household_demographics.hd_dep_count = 4
+              AND household_demographics.hd_vehicle_count <= 4 + 2)
+          OR (household_demographics.hd_dep_count = 2
+              AND household_demographics.hd_vehicle_count <= 2 + 2)
+          OR (household_demographics.hd_dep_count = 0
+              AND household_demographics.hd_vehicle_count <= 0 + 2))
+        AND store.s_store_name = 'ese') s3,
+     (SELECT COUNT(*) AS h10_to_10_30
+      FROM store_sales, household_demographics, time_dim, store
+      WHERE ss_sold_time_sk = time_dim.t_time_sk
+        AND ss_hdemo_sk = household_demographics.hd_demo_sk
+        AND ss_store_sk = s_store_sk
+        AND time_dim.t_hour = 10 AND time_dim.t_minute < 30
+        AND ((household_demographics.hd_dep_count = 4
+              AND household_demographics.hd_vehicle_count <= 4 + 2)
+          OR (household_demographics.hd_dep_count = 2
+              AND household_demographics.hd_vehicle_count <= 2 + 2)
+          OR (household_demographics.hd_dep_count = 0
+              AND household_demographics.hd_vehicle_count <= 0 + 2))
+        AND store.s_store_name = 'ese') s4,
+     (SELECT COUNT(*) AS h10_30_to_11
+      FROM store_sales, household_demographics, time_dim, store
+      WHERE ss_sold_time_sk = time_dim.t_time_sk
+        AND ss_hdemo_sk = household_demographics.hd_demo_sk
+        AND ss_store_sk = s_store_sk
+        AND time_dim.t_hour = 10 AND time_dim.t_minute >= 30
+        AND ((household_demographics.hd_dep_count = 4
+              AND household_demographics.hd_vehicle_count <= 4 + 2)
+          OR (household_demographics.hd_dep_count = 2
+              AND household_demographics.hd_vehicle_count <= 2 + 2)
+          OR (household_demographics.hd_dep_count = 0
+              AND household_demographics.hd_vehicle_count <= 0 + 2))
+        AND store.s_store_name = 'ese') s5,
+     (SELECT COUNT(*) AS h11_to_11_30
+      FROM store_sales, household_demographics, time_dim, store
+      WHERE ss_sold_time_sk = time_dim.t_time_sk
+        AND ss_hdemo_sk = household_demographics.hd_demo_sk
+        AND ss_store_sk = s_store_sk
+        AND time_dim.t_hour = 11 AND time_dim.t_minute < 30
+        AND ((household_demographics.hd_dep_count = 4
+              AND household_demographics.hd_vehicle_count <= 4 + 2)
+          OR (household_demographics.hd_dep_count = 2
+              AND household_demographics.hd_vehicle_count <= 2 + 2)
+          OR (household_demographics.hd_dep_count = 0
+              AND household_demographics.hd_vehicle_count <= 0 + 2))
+        AND store.s_store_name = 'ese') s6,
+     (SELECT COUNT(*) AS h11_30_to_12
+      FROM store_sales, household_demographics, time_dim, store
+      WHERE ss_sold_time_sk = time_dim.t_time_sk
+        AND ss_hdemo_sk = household_demographics.hd_demo_sk
+        AND ss_store_sk = s_store_sk
+        AND time_dim.t_hour = 11 AND time_dim.t_minute >= 30
+        AND ((household_demographics.hd_dep_count = 4
+              AND household_demographics.hd_vehicle_count <= 4 + 2)
+          OR (household_demographics.hd_dep_count = 2
+              AND household_demographics.hd_vehicle_count <= 2 + 2)
+          OR (household_demographics.hd_dep_count = 0
+              AND household_demographics.hd_vehicle_count <= 0 + 2))
+        AND store.s_store_name = 'ese') s7,
+     (SELECT COUNT(*) AS h12_to_12_30
+      FROM store_sales, household_demographics, time_dim, store
+      WHERE ss_sold_time_sk = time_dim.t_time_sk
+        AND ss_hdemo_sk = household_demographics.hd_demo_sk
+        AND ss_store_sk = s_store_sk
+        AND time_dim.t_hour = 12 AND time_dim.t_minute < 30
+        AND ((household_demographics.hd_dep_count = 4
+              AND household_demographics.hd_vehicle_count <= 4 + 2)
+          OR (household_demographics.hd_dep_count = 2
+              AND household_demographics.hd_vehicle_count <= 2 + 2)
+          OR (household_demographics.hd_dep_count = 0
+              AND household_demographics.hd_vehicle_count <= 0 + 2))
+        AND store.s_store_name = 'ese') s8
+""")
+
+tpcds_query("tpcds_q97", """
+WITH ssci AS (
+  SELECT ss_customer_sk AS customer_sk, ss_item_sk AS item_sk
+  FROM store_sales, date_dim
+  WHERE ss_sold_date_sk = d_date_sk
+    AND d_month_seq BETWEEN 1200 AND 1211
+  GROUP BY ss_customer_sk, ss_item_sk),
+csci AS (
+  SELECT cs_bill_customer_sk AS customer_sk, cs_item_sk AS item_sk
+  FROM catalog_sales, date_dim
+  WHERE cs_sold_date_sk = d_date_sk
+    AND d_month_seq BETWEEN 1200 AND 1211
+  GROUP BY cs_bill_customer_sk, cs_item_sk)
+SELECT SUM(CASE WHEN ssci.customer_sk IS NOT NULL
+                 AND csci.customer_sk IS NULL THEN 1 ELSE 0 END)
+         AS store_only,
+       SUM(CASE WHEN ssci.customer_sk IS NULL
+                 AND csci.customer_sk IS NOT NULL THEN 1 ELSE 0 END)
+         AS catalog_only,
+       SUM(CASE WHEN ssci.customer_sk IS NOT NULL
+                 AND csci.customer_sk IS NOT NULL THEN 1 ELSE 0 END)
+         AS store_and_catalog
+FROM ssci FULL OUTER JOIN csci
+     ON (ssci.customer_sk = csci.customer_sk
+         AND ssci.item_sk = csci.item_sk)
+LIMIT 100
+""")
