@@ -88,10 +88,11 @@ PRIORITY: tuple[str, ...] = (
     "format_debezium_json",
     # udf surface
     "udf_scalar_pandas",
-    # tpcds-style (round-5: anti-join returns + cumulative channel cross)
-    "tpcds_top_percentile_customers",
-    "tpcds_returns_anti_join",
-    "tpcds_cumulative_channel_cross",
+    # REAL TPC-DS query texts on the real schema (round 6; the shape
+    # battery stays oracle-checked outside the prefix)
+    "tpcds_q3",
+    "tpcds_q36",
+    "tpcds_q51",
     # sinks/sources
     "sink_partitioned_roundtrip",
 )
