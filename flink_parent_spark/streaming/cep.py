@@ -821,6 +821,8 @@ def _scan_frontier(
     emitted: int,
     future_lb,
     wm_ms: int | None,
+    alternatives: "Sequence[Pattern] | None" = None,
+    emit=None,
 ) -> tuple[list[dict], int, int]:
     """Shared frontier scan for both streaming CEP operators.
 
@@ -830,14 +832,33 @@ def _scan_frontier(
     retain_from) where `retain_from` is the first row index that must remain
     in keyed state — everything before it is garbage-collected by the
     caller, for every skip strategy (the frontier-GC the reference gets
-    from NFA run pruning + state cleanup in CepOperator)."""
+    from NFA run pruning + state cleanup in CepOperator).
+
+    `alternatives`: further whole-pattern variants in preference order
+    (PERMUTE expansion, find_matches_any parity). A later-preference match
+    is NOT finalized while an earlier-preference pattern is still pending
+    at the same position — the preferred alternative must get its chance
+    to complete with future events.
+    `emit(match, sealed_rows, match_ordinal) -> list[dict]`: custom match
+    emission (ONE ROW PER MATCH + MEASURES); default is per-event rows."""
     sealed = rows[:n_sealed]
+    pats = [pattern, *(alternatives or [])]
     recs: list[dict] = []
     start = 0
     retain_from = None
     n_emitted_now = 0
     while start < n_sealed:
-        m, pend = pattern._match_from2(sealed, start, ts_col, future_lb=future_lb)
+        m, matched_pat, pend = None, None, False
+        for p in pats:
+            pm, ppend = p._match_from2(sealed, start, ts_col, future_lb=future_lb)
+            if pm is not None and m is None:
+                m, matched_pat = pm, p
+            pend = pend or ppend
+            if pm is None and ppend:
+                # a higher-preference alternative could still complete here:
+                # hold before accepting any later-preference match
+                m, matched_pat = None, None
+                break
         if m is None:
             if pend:
                 # future events could still complete a match from this row —
@@ -847,27 +868,30 @@ def _scan_frontier(
                 break
             start += 1
             continue
-        growable = _match_extendable(pattern, m, n_sealed)
-        if growable and pattern._within is not None and wm_ms is not None:
+        growable = _match_extendable(matched_pat, m, n_sealed)
+        if growable and matched_pat._within is not None and wm_ms is not None:
             # window closed per watermark => the match is final after all
             first_ts = sealed[m[0][1]][ts_col]
-            if wm_ms > int(pd.Timestamp(first_ts + pattern._within).value // 1_000_000):
+            if wm_ms > int(pd.Timestamp(first_ts + matched_pat._within).value // 1_000_000):
                 growable = False
         if growable:
             retain_from = m[0][1] if skip != AfterMatchSkip.SKIP_PAST_LAST else start
             break
-        for seq, (stage, idx) in enumerate(m):
-            r = sealed[idx]
-            recs.append(
-                {
-                    **{k: r[k] for k in key_cols},
-                    id_col: r[id_col],
-                    "match_id": emitted + n_emitted_now,
-                    "stage": stage,
-                    "seq": seq,
-                    "event_ts": r[ts_col],
-                }
-            )
+        if emit is not None:
+            recs.extend(emit(m, sealed, emitted + n_emitted_now))
+        else:
+            for seq, (stage, idx) in enumerate(m):
+                r = sealed[idx]
+                recs.append(
+                    {
+                        **{k: r[k] for k in key_cols},
+                        id_col: r[id_col],
+                        "match_id": emitted + n_emitted_now,
+                        "stage": stage,
+                        "seq": seq,
+                        "event_ts": r[ts_col],
+                    }
+                )
         n_emitted_now += 1
         start = _next_start(skip, m, start)
     if retain_from is None:
@@ -882,6 +906,11 @@ def cep_pattern_stream_watermarked(
     ts_col: str,
     id_col: str,
     skip: str = AfterMatchSkip.SKIP_PAST_LAST,
+    exclude: frozenset[str] | set[str] = frozenset(),
+    alternatives: "Sequence[Pattern] | None" = None,
+    emit=None,
+    emit_schema_suffix: str | None = None,
+    emit_columns: "Sequence[str] | None" = None,
 ) -> DataFrame:
     """Watermark-held streaming CEP (the hardened variant of
     `cep_pattern_stream`).
@@ -903,10 +932,40 @@ def cep_pattern_stream_watermarked(
       buffer, so matches flush without needing new per-key input.
 
     `sdf` must already carry `withWatermark(ts_col, delay)`.
+
+    `exclude` ({- -} output exclusion), `alternatives` (PERMUTE), and
+    `emit`/`emit_schema_suffix`/`emit_columns` (ONE ROW PER MATCH +
+    MEASURES) complete the streaming clause set (StreamExecMatch.scala:68
+    runs the full set on streams).
     """
     dt = dict(sdf.dtypes)
     key_schema = ", ".join(f"`{c}` {dt[c]}" for c in key_cols)
-    out_schema = f"{key_schema}, `{id_col}` {dt[id_col]}, " + MATCH_SCHEMA_SUFFIX
+    if emit is not None:
+        out_schema = f"{key_schema}, " + emit_schema_suffix
+        out_columns = [*key_cols, *emit_columns]
+    else:
+        out_schema = f"{key_schema}, `{id_col}` {dt[id_col]}, " + MATCH_SCHEMA_SUFFIX
+        out_columns = [*key_cols, id_col, "match_id", "stage", "seq", "event_ts"]
+        if exclude:
+            base_emit_exclude = frozenset(exclude)
+
+            def emit(m, sealed, match_ordinal, _ex=base_emit_exclude):  # noqa: A001
+                out = []
+                kept = [(s, i) for s, i in m if s not in _ex]
+                for seq, (stage, idx) in enumerate(kept):
+                    r = sealed[idx]
+                    out.append(
+                        {
+                            **{k: r[k] for k in key_cols},
+                            id_col: r[id_col],
+                            "match_id": match_ordinal,
+                            "stage": stage,
+                            "seq": seq,
+                            "event_ts": r[ts_col],
+                        }
+                    )
+                return out
+
     cols = list(sdf.columns)
     buf_schema = (
         "buf array<struct<" + ", ".join(f"{c}: {dt[c]}" for c in cols) + ">>, emitted bigint"
@@ -935,6 +994,7 @@ def cep_pattern_stream_watermarked(
         recs, n_emitted_now, retain_from = _scan_frontier(
             pattern, rows, n_sealed, key_cols, ts_col, id_col, skip,
             emitted, future_lb=wm_ts, wm_ms=wm_ms,
+            alternatives=alternatives, emit=emit,
         )
         remainder = rows[min(retain_from, n_sealed) :]
         if remainder:
@@ -945,9 +1005,7 @@ def cep_pattern_stream_watermarked(
             state.setTimeoutTimestamp(max(wm_ms + 1, to_ms(remainder[0][ts_col])))
         elif state.exists:
             state.remove()
-        yield pd.DataFrame(
-            recs, columns=[*key_cols, id_col, "match_id", "stage", "seq", "event_ts"]
-        )
+        yield pd.DataFrame(recs, columns=out_columns)
 
     return sdf.groupBy(*key_cols).applyInPandasWithState(
         fn, out_schema, buf_schema, "update", GroupStateTimeout.EventTimeTimeout

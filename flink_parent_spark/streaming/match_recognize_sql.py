@@ -309,19 +309,18 @@ def match_recognize_sql(
 
     one_row = bool(m.group("per_match")) and "ONE" in m.group("per_match").upper()
     measures_src = m.group("measures")
-    if streaming:
-        if excluded or alternatives or (one_row and measures_src):
-            raise ValueError(
-                "streaming MATCH_RECOGNIZE supports the append-all output "
-                "path only (no {- -} exclusion, PERMUTE, or ONE ROW PER "
-                "MATCH with MEASURES)"
-            )
+    if streaming and not (one_row and measures_src):
+        # streaming clause set completed (StreamExecMatch.scala:68 parity):
+        # {- -} exclusion and PERMUTE run in the watermark-held operator;
+        # ONE ROW PER MATCH + MEASURES takes the emit-at-finalization path
+        # below.
         from flink_parent_spark.streaming.cep import (  # noqa: PLC0415
             cep_pattern_stream_watermarked,
         )
 
         return cep_pattern_stream_watermarked(
-            work, pat, partition_by, order_by, id_col, skip
+            work, pat, partition_by, order_by, id_col, skip,
+            exclude=frozenset(excluded), alternatives=alternatives,
         )
     if not (one_row and measures_src):
         return cep_pattern(
@@ -357,6 +356,48 @@ def match_recognize_sql(
     out_schema = ", ".join(out_fields)
     cols = list(work.columns)
 
+    def measures_of(match, rows_by_idx):
+        rec = {}
+        for fn, stage, col, alias in measures:
+            members = subsets.get(stage)
+            staged = [
+                rows_by_idx[idx]
+                for s, idx in match
+                if (s in members if members else s == stage)
+            ]
+            if fn == "COUNT":
+                rec[alias] = len(staged)
+            elif not staged:
+                rec[alias] = None
+            elif fn == "LAST":
+                rec[alias] = staged[-1][col]
+            else:  # FIRST / bare S.col
+                rec[alias] = staged[0][col]
+        return rec
+
+    if streaming:
+        # ONE ROW PER MATCH + MEASURES on the watermark-held path: the
+        # single measures row is emitted when the match finalizes (its
+        # growable tail is closed per the watermark) — the reference's
+        # StreamExecMatch output contract.
+        from flink_parent_spark.streaming.cep import (  # noqa: PLC0415
+            cep_pattern_stream_watermarked,
+        )
+
+        def emit(match, sealed, match_ordinal):
+            rec = {k: sealed[match[0][1]][k] for k in partition_by}
+            rec["match_id"] = match_ordinal
+            rec.update(measures_of(match, sealed))
+            return [rec]
+
+        return cep_pattern_stream_watermarked(
+            work, pat, partition_by, order_by, id_col, skip,
+            alternatives=alternatives,
+            emit=emit,
+            emit_schema_suffix=", ".join(out_fields[len(partition_by):]),
+            emit_columns=["match_id", *[a for *_, a in measures]],
+        )
+
     def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([order_by, id_col])
         rows = pdf[cols].to_dict("records")
@@ -372,21 +413,7 @@ def match_recognize_sql(
         for mid, match in enumerate(matches):
             rec = {k: rows[match[0][1]][k] for k in partition_by}
             rec["match_id"] = mid
-            for fn, stage, col, alias in measures:
-                members = subsets.get(stage)
-                staged = [
-                    rows[idx]
-                    for s, idx in match
-                    if (s in members if members else s == stage)
-                ]
-                if fn == "COUNT":
-                    rec[alias] = len(staged)
-                elif not staged:
-                    rec[alias] = None
-                elif fn == "LAST":
-                    rec[alias] = staged[-1][col]
-                else:  # FIRST / bare S.col
-                    rec[alias] = staged[0][col]
+            rec.update(measures_of(match, rows))
             recs.append(rec)
         return pd.DataFrame(
             recs, columns=[*partition_by, "match_id", *[a for *_, a in measures]]

@@ -1009,3 +1009,56 @@ def test_backtracking_guard_budget_is_per_anchor():
     rs = rows(*(["A", "X", "B"] * 400))
     ms = pat.find_matches(rs, "ts")
     assert len(ms) == 400
+
+
+def test_stream_permute_alternation_and_exclusion(spark):
+    """Round-6: PERMUTE (whole-pattern alternation) and {- -} exclusion run
+    in the watermark-held streaming operator (StreamExecMatch.scala:68 runs
+    the full clause set on streams). PERMUTE(signup, purchase) matches both
+    orderings; excluding the purchase stage emits only the signup rows."""
+    from flink_parent_spark.streaming.cep import (
+        Pattern,
+        cep_pattern_stream_watermarked,
+    )
+
+    def pat(a, b):
+        return (
+            Pattern.begin(a).where(lambda r: r["event_type"] == a)
+            .next(b).where(lambda r: r["event_type"] == b)
+        )
+
+    batches = [
+        [("2024-01-01 00:00:00", 1, 1, "signup"),
+         ("2024-01-01 00:00:10", 1, 2, "purchase"),   # S P -> first variant
+         ("2024-01-01 00:01:00", 2, 3, "purchase"),
+         ("2024-01-01 00:01:10", 2, 4, "signup")],    # P S -> second variant
+        [("2024-01-01 00:05:00", 1, 9, "noise")],
+    ]
+    cap = _cep_stream_batches(
+        spark,
+        batches,
+        lambda sdf: cep_pattern_stream_watermarked(
+            sdf, pat("signup", "purchase"), ["user_id"], "ts", "event_id",
+            alternatives=[pat("purchase", "signup")],
+        ),
+    )
+    rows = [r for _, p in cap for r in p.to_dict("records")]
+    got = {(r["user_id"], r["event_id"], r["stage"]) for r in rows}
+    assert got == {
+        (1, 1, "signup"), (1, 2, "purchase"),
+        (2, 3, "purchase"), (2, 4, "signup"),
+    }
+
+    cap_ex = _cep_stream_batches(
+        spark,
+        batches,
+        lambda sdf: cep_pattern_stream_watermarked(
+            sdf, pat("signup", "purchase"), ["user_id"], "ts", "event_id",
+            alternatives=[pat("purchase", "signup")],
+            exclude=frozenset(["purchase"]),
+        ),
+    )
+    rows_ex = [r for _, p in cap_ex for r in p.to_dict("records")]
+    assert {(r["user_id"], r["event_id"], r["stage"], r["seq"]) for r in rows_ex} == {
+        (1, 1, "signup", 0), (2, 4, "signup", 0),
+    }
