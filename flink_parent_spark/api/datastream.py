@@ -114,8 +114,13 @@ class DataStream:
         return ds
 
     def map(self, fn: "str | Callable", output_type: str | None = None) -> "DataStream":
-        """map(expr) stays JVM-side; map(callable, output_type) runs the
-        function per row dict via Arrow-batched mapInPandas."""
+        """map(expr) stays JVM-side — PREFER IT: the expression compiles
+        into whole-stage codegen. map(callable, output_type) is the
+        PyFlink-parity per-row path (Flink's Python UDF is also per-row):
+        the function sees one row dict at a time via Arrow-batched
+        mapInPandas. For real pipelines use `map_pandas`, which hands the
+        callable the whole Arrow batch as a pandas DataFrame (vectorized,
+        10-100x the per-row path)."""
         if isinstance(fn, str):
             def build_expr(src: DataFrame) -> DataFrame:
                 return src.select(ARRIVAL, F.expr(fn))
@@ -136,6 +141,32 @@ class DataStream:
                         out = dict(zip(out_names, out if isinstance(out, tuple) else (out,)))
                     recs.append({ARRIVAL: arr, **out})
                 yield pd.DataFrame(recs, columns=[ARRIVAL, *out_names])
+
+        def build(src: DataFrame) -> DataFrame:
+            return src.mapInPandas(run, f"{ARRIVAL} long, {output_type}")
+
+        return self._wrap(build(self._df), build)
+
+    def map_pandas(self, fn: Callable, output_type: str) -> "DataStream":
+        """Vectorized map: `fn(pdf: pandas.DataFrame) -> pandas.DataFrame`
+        transforms a whole Arrow batch at once (the batch-at-a-time default
+        a real pipeline should use instead of map(callable)'s per-row
+        loop). The returned frame must carry the `output_type` columns;
+        row count may differ (it also subsumes vectorized flat_map)."""
+        cols = _user_cols(self._df)
+        out_names = [f.split()[0].strip("`") for f in output_type.split(",")]
+
+        def run(batches):
+            for pdf in batches:
+                arr = pdf[ARRIVAL]
+                out = fn(pdf[cols])
+                if len(out) == len(pdf):
+                    out = out.assign(**{ARRIVAL: arr.to_numpy()})
+                else:  # fn changed cardinality: arrival order re-derives
+                    out = out.assign(
+                        **{ARRIVAL: range(len(out))}
+                    )
+                yield out[[ARRIVAL, *out_names]]
 
         def build(src: DataFrame) -> DataFrame:
             return src.mapInPandas(run, f"{ARRIVAL} long, {output_type}")

@@ -613,6 +613,9 @@ class TableEnvironment:
         self.config: dict[str, str] = {
             "table.dynamic-table-options.enabled": "false",
         }
+        self._functions: dict[str, str] = {}   # SQL-registered UDF name -> ref
+        self._catalogs: dict[str, object] = {}  # registerCatalog objects
+        self.current_catalog = "default_catalog"
         register_flink_functions(spark)
 
     def get_config(self) -> dict[str, str]:
@@ -685,9 +688,83 @@ class TableEnvironment:
             self.catalog.pop(name, None)
             self.spark.catalog.dropTempView(name)
             return None
+        fm = re.match(
+            r"CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?(?:SYSTEM\s+)?"
+            r"FUNCTION\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s+"
+            r"AS\s+'(?P<ref>[^']+)'"
+            r"(?:\s+LANGUAGE\s+(?P<lang>\w+))?$",
+            s,
+            re.IGNORECASE,
+        )
+        if fm:
+            return self._create_function(
+                fm.group("name"), fm.group("ref"), (fm.group("lang") or "").upper()
+            )
+        um = re.match(r"USE\s+CATALOG\s+(\w+)$", s, re.IGNORECASE)
+        if um:
+            return self._use_catalog(um.group(1))
+        if re.match(r"SHOW\s+CATALOGS$", s, re.IGNORECASE):
+            names = sorted({"default_catalog", *self._catalogs})
+            return Table(
+                self.spark.createDataFrame(
+                    [(n,) for n in names], "catalog_name string"
+                ),
+                self,
+            )
+        # CREATE/DROP DATABASE, USE <db>, SHOW DATABASES pass straight
+        # through to Spark's session catalog (identical semantics)
         # plain SQL (SELECT, SHOW VIEWS/FUNCTIONS, DROP VIEW, ...) passes
         # straight through
         return Table(self.spark.sql(s), self)
+
+    def _create_function(self, name: str, ref: str, lang: str):
+        """CREATE [TEMPORARY] FUNCTION f AS '<ref>' [LANGUAGE PYTHON]
+        (TableEnvironmentImpl.java:686 createFunction dispatch; PyFlink
+        registers wrapped python functions, pyflink/table/udf.py:322).
+
+        LANGUAGE PYTHON (or an importable dotted ref): `module.attr` or
+        `module:attr` resolves to a pyspark UDF object (pandas_udf/udf —
+        the PyFlink wrapped-function shape) or a plain callable, and is
+        registered into the session so `sql_query` can call it by name.
+        A JVM classpath ref (LANGUAGE JAVA/SCALA or non-importable) passes
+        through to Spark's own CREATE FUNCTION."""
+        import importlib  # noqa: PLC0415
+
+        if lang in ("JAVA", "SCALA"):
+            return self.spark.sql(f"CREATE TEMPORARY FUNCTION {name} AS '{ref}'")
+        if ":" in ref:
+            mod_name, attr = ref.split(":", 1)
+        else:
+            mod_name, _, attr = ref.rpartition(".")
+        try:
+            obj = getattr(importlib.import_module(mod_name), attr)
+        except (ImportError, AttributeError, ValueError) as e:
+            if lang == "PYTHON":
+                raise ValueError(
+                    f"CREATE FUNCTION {name}: cannot import python ref "
+                    f"{ref!r}: {e}"
+                ) from e
+            # not importable as python -> treat as a JVM classpath ref
+            return self.spark.sql(f"CREATE TEMPORARY FUNCTION {name} AS '{ref}'")
+        self.spark.udf.register(name, obj)
+        self._functions[name] = ref
+        return None
+
+    def _use_catalog(self, name: str):
+        """USE CATALOG c (Flink's catalog switch): the registered catalog
+        object (JdbcCatalog / a Hive catalog wrapper) materializes its
+        tables into the session — the register_all() workflow."""
+        cat = self._catalogs.get(name)
+        if cat is None:
+            raise ValueError(f"unknown catalog: {name} (register_catalog first)")
+        if hasattr(cat, "register_all"):
+            cat.register_all()
+        self.current_catalog = name
+        return None
+
+    def register_catalog(self, name: str, catalog) -> None:
+        """TableEnvironment.registerCatalog parity."""
+        self._catalogs[name] = catalog
 
     def _show_tables(self) -> Table:
         """SHOW TABLES: DDL catalog entries (including sink-only tables not

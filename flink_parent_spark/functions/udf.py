@@ -60,3 +60,20 @@ def table_function(
                 yield out
 
     return df.mapInPandas(run, schema=output_schema)
+
+
+# -- CREATE FUNCTION DDL demo/reference targets ------------------------------
+# (SQL-registered UDFs are the PyFlink idiom: CREATE TEMPORARY FUNCTION f
+# AS 'module.attr' LANGUAGE PYTHON resolves the dotted ref to an object
+# like these — pyflink/table/udf.py:322's wrapped-function shape.)
+
+def _double_value_fn(v):
+    return v * 2.0
+
+
+# DataType object (not a DDL string) so creating the UDF needs no active
+# SparkSession at import time
+from pyspark.sql.types import DoubleType as _DoubleType  # noqa: E402
+
+double_value = F.pandas_udf(_DoubleType())(_double_value_fn)
+double_value.__doc__ = "Vectorized demo scalar: value * 2 (CREATE FUNCTION target)."

@@ -265,6 +265,127 @@ def upsert_kafka_normalize(
     )
 
 
+class JdbcLookupFunction:
+    """JDBC-backed lookup with cache semantics
+    (`JdbcRowDataLookupFunction` + `lookup.cache.max-rows` /
+    `lookup.cache.ttl`, flink-connectors/flink-connector-jdbc): key -> row
+    lookups against a live database, with an LRU cache bounded by
+    `cache_max_rows` whose entries expire `cache_ttl_seconds` after being
+    written (the reference's Guava cache, expireAfterWrite). Missing keys
+    are fetched in ONE bulk query per probe (`WHERE key IN (...)` —
+    amortizing the reference's per-key statement); negative results cache
+    too (the reference caches empty rows).
+
+    `queries` records every SQL issued — the observability hook the cache
+    tests assert on. `clock` is injectable for deterministic TTL tests."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        url: str,
+        table: str,
+        key_col: str,
+        driver: str | None = None,
+        cache_max_rows: int | None = None,
+        cache_ttl_seconds: float | None = None,
+        clock=None,
+    ):
+        import time  # noqa: PLC0415
+
+        self.spark, self.url, self.table = spark, url, table
+        self.key_col, self.driver = key_col, driver
+        self.cache_max_rows = cache_max_rows
+        self.cache_ttl = cache_ttl_seconds
+        self._clock = clock or time.monotonic
+        from collections import OrderedDict  # noqa: PLC0415
+
+        self._cache: "OrderedDict[object, tuple[dict | None, float]]" = OrderedDict()
+        self.queries: list[str] = []
+
+    def _fetch(self, keys: list) -> dict:
+        def lit(k):
+            return f"'{k}'" if isinstance(k, str) else str(k)
+
+        # ANSI-quote the key column: Spark's JDBC writer creates quoted
+        # (case-exact) columns, which Derby/Postgres would otherwise upcase
+        sql = (
+            f'SELECT * FROM {self.table} WHERE "{self.key_col}" IN '
+            f"({', '.join(lit(k) for k in keys)})"
+        )
+        self.queries.append(sql)
+        reader = (
+            self.spark.read.format("jdbc")
+            .option("url", self.url)
+            .option("query", sql)
+        )
+        if self.driver:
+            reader = reader.option("driver", self.driver)
+        return {r[self.key_col]: r.asDict() for r in reader.load().collect()}
+
+    def lookup(self, keys: list) -> dict:
+        """Bulk probe: returns {key: row-dict-or-None} for every requested
+        key, serving from cache where fresh and fetching the rest."""
+        now = self._clock()
+        out, missing = {}, []
+        for k in dict.fromkeys(keys):
+            hit = self._cache.get(k)
+            if hit is not None and (
+                self.cache_ttl is None or now - hit[1] <= self.cache_ttl
+            ):
+                self._cache.move_to_end(k)  # LRU touch
+                out[k] = hit[0]
+            else:
+                missing.append(k)
+        if missing:
+            fetched = self._fetch(missing)
+            for k in missing:
+                row = fetched.get(k)
+                out[k] = row
+                self._cache[k] = (row, now)
+                self._cache.move_to_end(k)
+                if (
+                    self.cache_max_rows is not None
+                    and len(self._cache) > self.cache_max_rows
+                ):
+                    self._cache.popitem(last=False)  # evict LRU
+        return out
+
+
+def jdbc_lookup_join(
+    df: DataFrame,
+    key_col: str,
+    fn: JdbcLookupFunction,
+    output_cols: "list[tuple[str, str]]",
+) -> DataFrame:
+    """Lookup join against a JDBC table (LookupJoinRunner composed with
+    JdbcRowDataLookupFunction): probe-side distinct keys resolve through
+    the cached lookup function, the resolved dimension slice broadcasts,
+    and the join is a plain broadcast left-outer equi-join.
+
+    Scale shape: only DISTINCT probe keys hit the database (bounded by the
+    dimension's key cardinality, not the fact row count) and only the
+    matching dimension slice is broadcast — the same footprint the
+    reference's per-key lookups with cache converge to."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    keys = [r[0] for r in df.select(key_col).distinct().collect()]
+    mapping = fn.lookup(keys)
+    names = [n for n, _ in output_cols]
+    schema = f"`__lk` {dict(df.dtypes)[key_col]}, " + ", ".join(
+        f"`{n}` {t}" for n, t in output_cols
+    )
+    rows = [
+        tuple([k] + [(v or {}).get(n) for n in names])
+        for k, v in mapping.items()
+        if v is not None
+    ]
+    dim = df.sparkSession.createDataFrame(rows, schema)
+    return (
+        df.join(F.broadcast(dim), df[key_col] == dim["__lk"], "left")
+        .drop("__lk")
+    )
+
+
 class JdbcCatalog:
     """JDBC catalog (flink-connectors/flink-connector-jdbc/.../catalog/
     JdbcCatalog.java, PostgresCatalog.java:103-200): connect to a live

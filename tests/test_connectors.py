@@ -553,3 +553,76 @@ def test_kafka_sink_insert_roundtrip(spark):
         (1, 2.5), (10, 10.0), (11, 11.0), (12, 12.0)
     ]
     assert [r["offset"] for r in rows] == [0, 1, 2, 3]
+
+
+def test_jdbc_lookup_join_with_cache(spark):
+    """JDBC lookup join with cache semantics (JdbcRowDataLookupFunction +
+    lookup.cache.max-rows / lookup.cache.ttl vs embedded Derby): a cached
+    second probe issues NO new query, TTL expiry re-queries, max-rows
+    evicts LRU, and the joined values match the plain JDBC join."""
+    import os
+    import shutil
+    import tempfile
+
+    from flink_parent_spark.sources.connectors import (
+        JdbcLookupFunction,
+        jdbc_lookup_join,
+        jdbc_source,
+    )
+
+    db = os.path.join(tempfile.gettempdir(), "derby_lookup_db")
+    shutil.rmtree(db, ignore_errors=True)
+    url = f"jdbc:derby:{db};create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    spark.range(0, 50).selectExpr(
+        "id", "CONCAT('dim_', CAST(id AS STRING)) AS label",
+        "CAST(id * 2.5 AS DOUBLE) AS score",
+    ).write.format("jdbc").option("url", url).option("driver", driver).option(
+        "dbtable", "dim"
+    ).mode("overwrite").save()
+
+    clock = [0.0]
+    fn = JdbcLookupFunction(
+        spark, url, "dim", "id", driver=driver,
+        cache_max_rows=100, cache_ttl_seconds=60, clock=lambda: clock[0],
+    )
+    probe = spark.createDataFrame(
+        [(i % 10, f"fact_{i}") for i in range(40)], "id long, payload string"
+    )
+    out = jdbc_lookup_join(
+        probe, "id", fn, [("label", "string"), ("score", "double")]
+    )
+    got = {(r["id"], r["label"], r["score"]) for r in out.collect()}
+    # oracle: the uncached plain JDBC join
+    dim = jdbc_source(spark, url, "dim", driver=driver)
+    exp = {
+        (r["id"], r["label"], r["score"])
+        for r in probe.join(dim, "id", "left").collect()
+    }
+    assert got == exp and len(fn.queries) == 1
+
+    # cached second probe: same keys, NO new query
+    out2 = jdbc_lookup_join(
+        probe, "id", fn, [("label", "string"), ("score", "double")]
+    )
+    assert out2.count() == 40 and len(fn.queries) == 1
+
+    # TTL expiry: advancing the clock past ttl re-queries
+    clock[0] = 61.0
+    jdbc_lookup_join(
+        probe, "id", fn, [("label", "string"), ("score", "double")]
+    ).count()
+    assert len(fn.queries) == 2
+
+    # max-rows LRU eviction: a tiny cache evicts, so re-probing re-queries
+    fn2 = JdbcLookupFunction(
+        spark, url, "dim", "id", driver=driver,
+        cache_max_rows=3, cache_ttl_seconds=None,
+    )
+    assert set(fn2.lookup([0, 1, 2, 3, 4])) == {0, 1, 2, 3, 4}
+    fn2.lookup([0])  # 0 was evicted (LRU) -> one more query
+    assert len(fn2.queries) == 2
+    # negative caching: a miss caches as None without re-query
+    assert fn2.lookup([999])[999] is None
+    assert fn2.lookup([999])[999] is None
+    assert len(fn2.queries) == 3

@@ -158,3 +158,30 @@ def test_iterative_stream_rejects_foreign_feedback(env):
     it = ds.iterate()
     with pytest.raises(ValueError, match="replayable lineage"):
         it.close_with(other)
+
+
+def test_map_pandas_vectorized_equals_per_row(env):
+    """map_pandas hands the callable the whole Arrow batch (vectorized
+    default for real pipelines, round-5 verdict #7): same results as the
+    per-row map(callable) path, arrival order preserved."""
+    data = [(float(i), f"r{i}") for i in range(50)]
+    ds = env.from_collection(data, "v double, tag string")
+
+    per_row = ds.map(
+        lambda r: {"v2": r["v"] * 2 + 1, "tag": r["tag"]},
+        "v2 double, tag string",
+    ).execute_and_collect()
+    vec = ds.map_pandas(
+        lambda pdf: pdf.assign(v2=pdf["v"] * 2 + 1)[["v2", "tag"]],
+        "v2 double, tag string",
+    ).execute_and_collect()
+    assert vec == per_row
+
+    # cardinality-changing batch fn (vectorized flat_map)
+    import pandas as pd
+
+    doubled = ds.map_pandas(
+        lambda pdf: pd.concat([pdf, pdf])[["v"]].rename(columns={"v": "v2"}),
+        "v2 double",
+    ).execute_and_collect()
+    assert len(doubled) == 100

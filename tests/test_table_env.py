@@ -709,3 +709,81 @@ def test_expression_dsl(tenv, spark):
         expr.call("SPLIT_INDEX", expr.lit("a,b,c"), expr.lit(","), expr.lit(1)).alias("s")
     ).collect()
     assert got[0]["s"] == "b"
+
+
+def test_create_function_ddl_python(spark):
+    """CREATE TEMPORARY FUNCTION f AS '<module.attr>' LANGUAGE PYTHON
+    (TableEnvironmentImpl createFunction dispatch; PyFlink udf.py:322
+    shape): the dotted ref resolves to a pandas UDF and sql_query can call
+    it by name."""
+    from flink_parent_spark.api.table_env import TableEnvironment
+
+    env = TableEnvironment.create(spark=spark)
+    env.execute_sql(
+        "CREATE TEMPORARY FUNCTION dbl AS "
+        "'flink_parent_spark.functions.udf.double_value' LANGUAGE PYTHON"
+    )
+    spark.createDataFrame([(1.5,), (2.0,)], "v double").createOrReplaceTempView(
+        "fn_ddl_src"
+    )
+    got = sorted(
+        r["d"] for r in env.sql_query(
+            "SELECT dbl(v) AS d FROM fn_ddl_src"
+        ).collect()
+    )
+    assert got == [3.0, 4.0]
+    assert "dbl" in env.list_functions()
+    # unknown python ref raises with a clear message
+    import pytest
+
+    with pytest.raises(ValueError, match="cannot import"):
+        env.execute_sql(
+            "CREATE TEMPORARY FUNCTION nope AS 'no.such.module.attr' "
+            "LANGUAGE PYTHON"
+        )
+
+
+def test_create_database_and_use(spark):
+    """CREATE DATABASE / USE / SHOW DATABASES dispatch through to Spark's
+    session catalog (identical semantics to Flink's in-catalog databases)."""
+    from flink_parent_spark.api.table_env import TableEnvironment
+
+    env = TableEnvironment.create(spark=spark)
+    env.execute_sql("CREATE DATABASE IF NOT EXISTS fps_db_ddl")
+    dbs = {r[0] for r in env.execute_sql("SHOW DATABASES").collect()}
+    assert "fps_db_ddl" in dbs
+    env.execute_sql("USE fps_db_ddl")
+    assert spark.catalog.currentDatabase() == "fps_db_ddl"
+    env.execute_sql("USE default")
+    env.execute_sql("DROP DATABASE fps_db_ddl")
+
+
+def test_use_catalog_ddl(spark):
+    """USE CATALOG c materializes the registered catalog object's tables
+    (JdbcCatalog.register_all = the useCatalog workflow); SHOW CATALOGS
+    lists registered names."""
+    from flink_parent_spark.api.table_env import TableEnvironment
+
+    class FakeCatalog:
+        def __init__(self, spark):
+            self.spark = spark
+            self.registered = False
+
+        def register_all(self):
+            self.registered = True
+            self.spark.createDataFrame(
+                [(1, "x")], "id int, v string"
+            ).createOrReplaceTempView("cat_tbl")
+
+    env = TableEnvironment.create(spark=spark)
+    cat = FakeCatalog(spark)
+    env.register_catalog("mycat", cat)
+    names = {r[0] for r in env.execute_sql("SHOW CATALOGS").collect()}
+    assert names == {"default_catalog", "mycat"}
+    env.execute_sql("USE CATALOG mycat")
+    assert cat.registered and env.current_catalog == "mycat"
+    assert env.sql_query("SELECT count(*) AS n FROM cat_tbl").collect()[0]["n"] == 1
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown catalog"):
+        env.execute_sql("USE CATALOG ghost")
