@@ -1012,3 +1012,206 @@ FROM ssci FULL OUTER JOIN csci
          AND ssci.item_sk = csci.item_sk)
 LIMIT 100
 """)
+
+tpcds_query("tpcds_q6", """
+SELECT a.ca_state AS state, COUNT(*) AS cnt
+FROM customer_address a, customer c, store_sales s, date_dim d, item i
+WHERE a.ca_address_sk = c.c_current_addr_sk
+  AND c.c_customer_sk = s.ss_customer_sk
+  AND s.ss_sold_date_sk = d.d_date_sk
+  AND s.ss_item_sk = i.i_item_sk
+  AND d.d_month_seq = (SELECT DISTINCT d_month_seq FROM date_dim
+                       WHERE d_year = 2001 AND d_moy = 1)
+  AND CAST(i.i_current_price AS DOUBLE) >
+      1.2 * (SELECT CAST(SUM(CAST(j.i_current_price AS DECIMAL(30,6)))
+                         AS DOUBLE) / COUNT(j.i_current_price)
+             FROM item j WHERE j.i_category = i.i_category)
+GROUP BY a.ca_state
+HAVING COUNT(*) >= 10
+ORDER BY cnt, state
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q29", """
+SELECT i_item_id, i_item_desc, s_store_id, s_store_name,
+       SUM(ss_quantity) AS store_sales_quantity,
+       SUM(sr_return_quantity) AS store_returns_quantity,
+       SUM(cs_quantity) AS catalog_sales_quantity
+FROM store_sales, store_returns, catalog_sales,
+     date_dim d1, date_dim d2, date_dim d3, store, item
+WHERE d1.d_moy BETWEEN 4 AND 10
+  AND d1.d_year = 2001
+  AND d1.d_date_sk = ss_sold_date_sk
+  AND i_item_sk = ss_item_sk
+  AND s_store_sk = ss_store_sk
+  AND ss_customer_sk = sr_customer_sk
+  AND ss_item_sk = sr_item_sk
+  AND ss_ticket_number = sr_ticket_number
+  AND sr_returned_date_sk = d2.d_date_sk
+  AND d2.d_year IN (2001, 2002)
+  AND sr_customer_sk = cs_bill_customer_sk
+  AND sr_item_sk = cs_item_sk
+  AND cs_sold_date_sk = d3.d_date_sk
+  AND d3.d_year IN (2001, 2002)
+GROUP BY i_item_id, i_item_desc, s_store_id, s_store_name
+ORDER BY i_item_id, i_item_desc, s_store_id, s_store_name
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q33", """
+WITH ss AS (
+  SELECT i_manufact_id, SUM(ss_ext_sales_price) AS total_sales
+  FROM store_sales, date_dim, customer_address, item
+  WHERE i_manufact_id IN (SELECT i_manufact_id FROM item
+                          WHERE i_category = 'Books')
+    AND ss_item_sk = i_item_sk
+    AND ss_sold_date_sk = d_date_sk
+    AND d_year = 1998 AND d_moy = 3
+    AND ss_addr_sk = ca_address_sk
+    AND ca_gmt_offset = -5
+  GROUP BY i_manufact_id),
+cs AS (
+  SELECT i_manufact_id, SUM(cs_ext_sales_price) AS total_sales
+  FROM catalog_sales, date_dim, customer_address, item
+  WHERE i_manufact_id IN (SELECT i_manufact_id FROM item
+                          WHERE i_category = 'Books')
+    AND cs_item_sk = i_item_sk
+    AND cs_sold_date_sk = d_date_sk
+    AND d_year = 1998 AND d_moy = 3
+    AND cs_bill_addr_sk = ca_address_sk
+    AND ca_gmt_offset = -5
+  GROUP BY i_manufact_id),
+ws AS (
+  SELECT i_manufact_id, SUM(ws_ext_sales_price) AS total_sales
+  FROM web_sales, date_dim, customer_address, item
+  WHERE i_manufact_id IN (SELECT i_manufact_id FROM item
+                          WHERE i_category = 'Books')
+    AND ws_item_sk = i_item_sk
+    AND ws_sold_date_sk = d_date_sk
+    AND d_year = 1998 AND d_moy = 3
+    AND ws_bill_addr_sk = ca_address_sk
+    AND ca_gmt_offset = -5
+  GROUP BY i_manufact_id)
+SELECT i_manufact_id, CAST(SUM(total_sales) AS DOUBLE) AS total_sales
+FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs
+      UNION ALL SELECT * FROM ws) tmp1
+GROUP BY i_manufact_id
+ORDER BY total_sales, i_manufact_id
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q45", """
+SELECT ca_zip, ca_city, CAST(SUM(ws_sales_price) AS DOUBLE) AS sum_sales
+FROM web_sales, customer, customer_address, date_dim, item
+WHERE ws_bill_customer_sk = c_customer_sk
+  AND c_current_addr_sk = ca_address_sk
+  AND ws_item_sk = i_item_sk
+  AND (substr(ca_zip, 1, 5) IN ('85669', '86197', '88274', '83405',
+                                '86475', '85392', '85460', '80348', '81792')
+       OR i_item_id IN (SELECT i_item_id FROM item
+                        WHERE i_item_sk IN (2, 3, 5, 7, 11, 13, 17, 19, 23, 29)))
+  AND ws_sold_date_sk = d_date_sk
+  AND d_qoy = 2 AND d_year = 2001
+GROUP BY ca_zip, ca_city
+ORDER BY ca_zip, ca_city
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q47", """
+WITH v1 AS (
+  SELECT i_category, i_brand, s_store_name, d_year, d_moy,
+         SUM(ss_sales_price) AS sum_sales,
+         CAST(SUM(SUM(ss_sales_price))
+              OVER (PARTITION BY i_category, i_brand, s_store_name, d_year)
+              AS DOUBLE)
+           / COUNT(SUM(ss_sales_price))
+              OVER (PARTITION BY i_category, i_brand, s_store_name, d_year)
+           AS avg_monthly_sales,
+         RANK() OVER (PARTITION BY i_category, i_brand, s_store_name
+                      ORDER BY d_year, d_moy) AS rn
+  FROM item, store_sales, date_dim, store
+  WHERE ss_item_sk = i_item_sk
+    AND ss_sold_date_sk = d_date_sk
+    AND ss_store_sk = s_store_sk
+    AND (d_year = 2000
+         OR (d_year = 1999 AND d_moy = 12)
+         OR (d_year = 2001 AND d_moy = 1))
+  GROUP BY i_category, i_brand, s_store_name, d_year, d_moy),
+v2 AS (
+  SELECT v1.i_category, v1.i_brand, v1.s_store_name, v1.d_year, v1.d_moy,
+         v1.avg_monthly_sales, v1.sum_sales,
+         v1_lag.sum_sales AS psum, v1_lead.sum_sales AS nsum
+  FROM v1, v1 v1_lag, v1 v1_lead
+  WHERE v1.i_category = v1_lag.i_category
+    AND v1.i_category = v1_lead.i_category
+    AND v1.i_brand = v1_lag.i_brand
+    AND v1.i_brand = v1_lead.i_brand
+    AND v1.s_store_name = v1_lag.s_store_name
+    AND v1.s_store_name = v1_lead.s_store_name
+    AND v1.rn = v1_lag.rn + 1
+    AND v1.rn = v1_lead.rn - 1)
+SELECT i_category, i_brand, s_store_name, d_year, d_moy,
+       avg_monthly_sales,
+       CAST(sum_sales AS DOUBLE) AS sum_sales,
+       CAST(psum AS DOUBLE) AS psum, CAST(nsum AS DOUBLE) AS nsum
+FROM v2
+WHERE d_year = 2000
+  AND avg_monthly_sales > 0
+  AND ABS(CAST(sum_sales AS DOUBLE) - avg_monthly_sales)
+        / avg_monthly_sales > 0.1
+ORDER BY CAST(sum_sales AS DOUBLE) - avg_monthly_sales,
+         i_category, i_brand, s_store_name, d_year, d_moy
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q61", """
+SELECT CAST(promotions AS DOUBLE) AS promotions,
+       CAST(total AS DOUBLE) AS total,
+       CAST(promotions AS DOUBLE) / CAST(total AS DOUBLE) * 100 AS pct
+FROM (SELECT SUM(ss_ext_sales_price) AS promotions
+      FROM store_sales, store, promotion, date_dim, customer,
+           customer_address, item
+      WHERE ss_sold_date_sk = d_date_sk
+        AND ss_store_sk = s_store_sk
+        AND ss_promo_sk = p_promo_sk
+        AND ss_customer_sk = c_customer_sk
+        AND ca_address_sk = c_current_addr_sk
+        AND ss_item_sk = i_item_sk
+        AND ca_gmt_offset = -5
+        AND i_category = 'Jewelry'
+        AND (p_channel_dmail = 'Y' OR p_channel_email = 'Y'
+             OR p_channel_tv = 'Y')
+        AND s_gmt_offset = -5
+        AND d_year = 1998 AND d_moy = 11) promotional_sales,
+     (SELECT SUM(ss_ext_sales_price) AS total
+      FROM store_sales, store, date_dim, customer, customer_address, item
+      WHERE ss_sold_date_sk = d_date_sk
+        AND ss_store_sk = s_store_sk
+        AND ss_customer_sk = c_customer_sk
+        AND ca_address_sk = c_current_addr_sk
+        AND ss_item_sk = i_item_sk
+        AND ca_gmt_offset = -5
+        AND i_category = 'Jewelry'
+        AND s_gmt_offset = -5
+        AND d_year = 1998 AND d_moy = 11) all_sales
+ORDER BY promotions, total
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q93", """
+SELECT ss_customer_sk, CAST(SUM(act_sales) AS DOUBLE) AS sumsales
+FROM (SELECT ss_item_sk, ss_ticket_number, ss_customer_sk,
+             CASE WHEN sr_return_quantity IS NOT NULL
+                  THEN (ss_quantity - sr_return_quantity) * ss_sales_price
+                  ELSE ss_quantity * ss_sales_price END AS act_sales
+      FROM store_sales
+           LEFT OUTER JOIN store_returns
+             ON (sr_item_sk = ss_item_sk
+                 AND sr_ticket_number = ss_ticket_number),
+           reason
+      WHERE sr_reason_sk = r_reason_sk
+        AND r_reason_desc = 'reason 28') t
+GROUP BY ss_customer_sk
+ORDER BY sumsales, ss_customer_sk NULLS FIRST
+LIMIT 100
+""")

@@ -5,8 +5,10 @@ Reference mapping:
 - SourceFunction / FLIP-27 Source -> spark.readStream (file source here;
   kafka/rate/socket are the same surface with format swapped).
 - WatermarkStrategy.forBoundedOutOfOrderness (WatermarkStrategy.java:169)
-  -> df.withWatermark(ts, delay). Per-partition idleness and punctuated
-  watermarks have no Spark equivalent (documented limitation, SURVEY §1.5).
+  -> df.withWatermark(ts, delay). Per-partition idleness maps to the
+  multipleWatermarkPolicy conf (with_idleness_policy); punctuated / custom
+  generators have no Spark hook — `punctuated_replay` below is the
+  deterministic-replay emulation (SURVEY §1.5).
 - The test harness replays a bounded parquet table through a real streaming
   query (Trigger.AvailableNow) into a memory sink — the reference does the
   same with its ITCase mini-cluster collect sinks.
@@ -198,3 +200,70 @@ def _parse_delay(spec: str):
             ]: n
         }
     )
+
+
+def punctuated_replay(
+    sdf: DataFrame,
+    ts_col: str,
+    on_event,
+    process,
+    delay_seconds: float = 0.0,
+    timeout_s: int = 300,
+):
+    """Punctuated / custom watermark emulation on the replay source
+    (WatermarkStrategy.java:55 custom generators, WatermarkGenerator
+    onEvent/onPeriodicEmit). Spark exposes no user watermark hook, so this
+    is the deterministic-replay emulation (SURVEY §1.5): a per-batch
+    computation that threads the watermark clock across micro-batches.
+
+    For every row, in batch arrival order:
+    - rows at/behind the current watermark are LATE (Flink's drop path) and
+      are routed to `process` separately;
+    - `on_event(row, current_wm_ts) -> ts | None` is the punctuated
+      generator — returning a timestamp advances the watermark immediately
+      (e.g. an event carrying an end-of-interval marker); None defers to
+      the periodic bounded-out-of-orderness bound `ts - delay_seconds`.
+    The watermark is monotone (max of both signals, never regressing).
+
+    `process(on_time_rows, late_rows, wm_ts, batch_id)` receives each
+    batch's outcome. Driver-side by design: this is the semantics harness
+    (the reference's generators run per subtask; a distributed deployment
+    would host the same generator per key inside applyInPandasWithState).
+    Returns the per-batch watermark trace [(batch_id, wm_ts), ...]."""
+    import datetime as _dt  # noqa: PLC0415
+
+    state: dict = {"wm": None}
+    trace: list = []
+
+    def handle(bdf, bid: int) -> None:
+        wm = state["wm"]
+        on_time, late = [], []
+        for r in bdf.collect():
+            row = r.asDict()
+            ts = row[ts_col]
+            if wm is not None and ts <= wm:
+                late.append(row)
+                continue
+            on_time.append(row)
+            candidates = [ts - _dt.timedelta(seconds=delay_seconds)]
+            punct = on_event(row, wm)
+            if punct is not None:
+                candidates.append(punct)
+            if wm is not None:
+                candidates.append(wm)
+            wm = max(candidates)
+        state["wm"] = wm
+        trace.append((bid, wm))
+        process(on_time, late, wm, bid)
+
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"ckpt_punct_{uuid.uuid4().hex[:8]}"
+    )
+    q = (
+        sdf.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return trace

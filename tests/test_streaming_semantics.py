@@ -418,3 +418,53 @@ def test_read_keyed_state_offline(spark):
     q.awaitTermination(120)
     state = read_keyed_state(spark, ckpt)
     assert {r["k"]: r["count"] for r in state.collect()} == {0: 10, 1: 10, 2: 10}
+
+
+def test_punctuated_watermark_advances_ahead_of_bounded(spark):
+    """WatermarkStrategy custom-generator parity (round-6 stretch): a
+    punctuation event advances the watermark ahead of the
+    bounded-out-of-orderness bound, so a subsequent event that the bounded
+    policy would still accept is dropped as late."""
+    import datetime as dtm
+
+    from flink_parent_spark.streaming.core import punctuated_replay
+
+    schema = "ts timestamp, k string, marker_to timestamp"
+    t0 = dtm.datetime(2024, 1, 1)
+    batches = [
+        # batch 0: normal event, then a punctuation carrying an explicit
+        # end-of-interval marker far ahead of its own timestamp
+        [(t0, "a", None),
+         (t0 + dtm.timedelta(seconds=10), "punct",
+          t0 + dtm.timedelta(minutes=10))],
+        # batch 1: an event at +60s — within the 30s bounded delay of the
+        # punctuation event, but far behind the punctuated watermark
+        [(t0 + dtm.timedelta(seconds=60), "b", None),
+         (t0 + dtm.timedelta(minutes=11), "c", None)],
+    ]
+    d = _write_batches(spark, batches, schema)
+    sdf = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(d)
+    )
+
+    seen = []
+    trace = punctuated_replay(
+        sdf,
+        "ts",
+        on_event=lambda row, wm: row["marker_to"],
+        process=lambda ot, late, wm, bid: seen.append(
+            (bid, sorted(r["k"] for r in ot), sorted(r["k"] for r in late))
+        ),
+        delay_seconds=30,
+    )
+    assert seen == [
+        (0, ["a", "punct"], []),
+        (1, ["c"], ["b"]),   # b is late only because the punctuation advanced
+    ]
+    # the watermark after batch 0 is the marker, not max_ts - 30s
+    assert trace[0][1] == dtm.datetime(2024, 1, 1, 0, 10)
+    # monotone afterwards
+    assert trace[1][1] >= trace[0][1]
