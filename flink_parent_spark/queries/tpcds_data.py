@@ -492,6 +492,8 @@ def _generate(d: str) -> None:  # noqa: PLR0915 - one linear build per table
         ext_w = q * wc
         ext_l = q * lc
         ship_cost = q * rng.randint(10, 500, n)
+        coup = np.where(rng.random_sample(n) < 0.1,
+                        ext_s * rng.randint(0, 30, n) // 100, 0)
         cols = {
             f"{prefix}_sold_date_sk": _maybe_null(rng, sold, 0.02),
             f"{prefix}_sold_time_sk": rng.randint(0, 86400, n),
@@ -509,8 +511,9 @@ def _generate(d: str) -> None:  # noqa: PLR0915 - one linear build per table
             f"{prefix}_ext_wholesale_cost": _dec(ext_w),
             f"{prefix}_ext_list_price": _dec(ext_l),
             f"{prefix}_ext_ship_cost": _dec(ship_cost),
-            f"{prefix}_net_paid": _dec(ext_s),
-            f"{prefix}_net_profit": _dec(ext_s - ext_w),
+            f"{prefix}_coupon_amt": _dec(coup),
+            f"{prefix}_net_paid": _dec(ext_s - coup),
+            f"{prefix}_net_profit": _dec(ext_s - coup - ext_w),
         }
         cols.update(extra(n))
         return cols

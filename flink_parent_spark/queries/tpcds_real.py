@@ -1215,3 +1215,236 @@ GROUP BY ss_customer_sk
 ORDER BY sumsales, ss_customer_sk NULLS FIRST
 LIMIT 100
 """)
+
+tpcds_query("tpcds_q1", """
+WITH customer_total_return AS (
+  SELECT sr_customer_sk AS ctr_customer_sk, sr_store_sk AS ctr_store_sk,
+         CAST(SUM(sr_return_amt) AS DOUBLE) AS ctr_total_return
+  FROM store_returns, date_dim
+  WHERE sr_returned_date_sk = d_date_sk AND d_year = 2000
+  GROUP BY sr_customer_sk, sr_store_sk)
+SELECT c_customer_id
+FROM customer_total_return ctr1, store, customer
+WHERE ctr1.ctr_total_return >
+      (SELECT CAST(SUM(CAST(ctr2.ctr_total_return AS DECIMAL(30,6)))
+                   AS DOUBLE) / COUNT(ctr2.ctr_total_return) * 1.2
+       FROM customer_total_return ctr2
+       WHERE ctr1.ctr_store_sk = ctr2.ctr_store_sk)
+  AND s_store_sk = ctr1.ctr_store_sk
+  AND s_state = 'TN'
+  AND ctr1.ctr_customer_sk = c_customer_sk
+ORDER BY c_customer_id
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q2", """
+WITH wscs AS (
+  SELECT sold_date_sk, sales_price
+  FROM (SELECT ws_sold_date_sk AS sold_date_sk,
+               ws_ext_sales_price AS sales_price FROM web_sales
+        UNION ALL
+        SELECT cs_sold_date_sk, cs_ext_sales_price FROM catalog_sales) t),
+wswscs AS (
+  SELECT d_week_seq,
+         SUM(CASE WHEN d_day_name = 'Sunday'
+                  THEN sales_price ELSE NULL END) AS sun_sales,
+         SUM(CASE WHEN d_day_name = 'Monday'
+                  THEN sales_price ELSE NULL END) AS mon_sales,
+         SUM(CASE WHEN d_day_name = 'Tuesday'
+                  THEN sales_price ELSE NULL END) AS tue_sales,
+         SUM(CASE WHEN d_day_name = 'Wednesday'
+                  THEN sales_price ELSE NULL END) AS wed_sales,
+         SUM(CASE WHEN d_day_name = 'Thursday'
+                  THEN sales_price ELSE NULL END) AS thu_sales,
+         SUM(CASE WHEN d_day_name = 'Friday'
+                  THEN sales_price ELSE NULL END) AS fri_sales,
+         SUM(CASE WHEN d_day_name = 'Saturday'
+                  THEN sales_price ELSE NULL END) AS sat_sales
+  FROM wscs, date_dim
+  WHERE d_date_sk = sold_date_sk
+  GROUP BY d_week_seq)
+SELECT d_week_seq1,
+       ROUND(CAST(sun_sales1 AS DOUBLE) / CAST(sun_sales2 AS DOUBLE), 2) AS sun_r,
+       ROUND(CAST(mon_sales1 AS DOUBLE) / CAST(mon_sales2 AS DOUBLE), 2) AS mon_r,
+       ROUND(CAST(tue_sales1 AS DOUBLE) / CAST(tue_sales2 AS DOUBLE), 2) AS tue_r,
+       ROUND(CAST(wed_sales1 AS DOUBLE) / CAST(wed_sales2 AS DOUBLE), 2) AS wed_r,
+       ROUND(CAST(thu_sales1 AS DOUBLE) / CAST(thu_sales2 AS DOUBLE), 2) AS thu_r,
+       ROUND(CAST(fri_sales1 AS DOUBLE) / CAST(fri_sales2 AS DOUBLE), 2) AS fri_r,
+       ROUND(CAST(sat_sales1 AS DOUBLE) / CAST(sat_sales2 AS DOUBLE), 2) AS sat_r
+FROM (SELECT wswscs.d_week_seq AS d_week_seq1, sun_sales AS sun_sales1,
+             mon_sales AS mon_sales1, tue_sales AS tue_sales1,
+             wed_sales AS wed_sales1, thu_sales AS thu_sales1,
+             fri_sales AS fri_sales1, sat_sales AS sat_sales1
+      FROM wswscs, date_dim
+      WHERE date_dim.d_week_seq = wswscs.d_week_seq AND d_year = 2000
+        AND d_dom = 1) y,
+     (SELECT wswscs.d_week_seq AS d_week_seq2, sun_sales AS sun_sales2,
+             mon_sales AS mon_sales2, tue_sales AS tue_sales2,
+             wed_sales AS wed_sales2, thu_sales AS thu_sales2,
+             fri_sales AS fri_sales2, sat_sales AS sat_sales2
+      FROM wswscs, date_dim
+      WHERE date_dim.d_week_seq = wswscs.d_week_seq AND d_year = 2001
+        AND d_dom = 1) z
+WHERE d_week_seq1 = d_week_seq2 - 53
+ORDER BY d_week_seq1
+""")
+
+tpcds_query("tpcds_q8", """
+SELECT s_store_name, CAST(SUM(ss_net_profit) AS DOUBLE) AS net_profit
+FROM store_sales, date_dim, store,
+     (SELECT ca_zip
+      FROM (SELECT substr(ca_zip, 1, 5) AS ca_zip
+            FROM customer_address
+            WHERE substr(ca_zip, 1, 5) IN ('10144', '12345', '19999',
+                                           '24128', '35709', '46244',
+                                           '58218', '67621', '76614',
+                                           '83085', '94983')
+            INTERSECT
+            SELECT ca_zip
+            FROM (SELECT substr(ca_zip, 1, 5) AS ca_zip, COUNT(*) AS cnt
+                  FROM customer_address, customer
+                  WHERE ca_address_sk = c_current_addr_sk
+                    AND c_preferred_cust_flag = 'Y'
+                  GROUP BY ca_zip
+                  HAVING COUNT(*) > 1) a1) a2) v1
+WHERE ss_store_sk = s_store_sk
+  AND ss_sold_date_sk = d_date_sk
+  AND d_qoy = 2 AND d_year = 1998
+  AND substr(s_zip, 1, 2) = substr(v1.ca_zip, 1, 2)
+GROUP BY s_store_name
+ORDER BY s_store_name
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q18", """
+SELECT i_item_id, ca_country, ca_state, ca_county,
+       CAST(SUM(CAST(cs_quantity AS DECIMAL(30,6))) AS DOUBLE)
+         / COUNT(cs_quantity) AS agg1,
+       CAST(SUM(CAST(cs_list_price AS DECIMAL(30,6))) AS DOUBLE)
+         / COUNT(cs_list_price) AS agg2,
+       CAST(SUM(CAST(cs_coupon_amt AS DECIMAL(30,6))) AS DOUBLE)
+         / COUNT(cs_coupon_amt) AS agg3,
+       CAST(SUM(CAST(cs_sales_price AS DECIMAL(30,6))) AS DOUBLE)
+         / COUNT(cs_sales_price) AS agg4,
+       CAST(SUM(CAST(cs_net_profit AS DECIMAL(30,6))) AS DOUBLE)
+         / COUNT(cs_net_profit) AS agg5,
+       CAST(SUM(CAST(c_birth_year AS DECIMAL(30,6))) AS DOUBLE)
+         / COUNT(c_birth_year) AS agg6,
+       CAST(SUM(CAST(cd1.cd_dep_count AS DECIMAL(30,6))) AS DOUBLE)
+         / COUNT(cd1.cd_dep_count) AS agg7
+FROM catalog_sales, customer_demographics cd1, customer_demographics cd2,
+     customer, customer_address, date_dim, item
+WHERE cs_sold_date_sk = d_date_sk
+  AND cs_item_sk = i_item_sk
+  AND cs_bill_cdemo_sk = cd1.cd_demo_sk
+  AND cs_bill_customer_sk = c_customer_sk
+  AND cd1.cd_gender = 'F'
+  AND cd1.cd_education_status = 'Unknown'
+  AND c_current_cdemo_sk = cd2.cd_demo_sk
+  AND c_current_addr_sk = ca_address_sk
+  AND c_birth_month IN (1, 6, 8, 9, 12, 2)
+  AND d_year = 1998
+  AND ca_state IN ('TN', 'SD', 'TX', 'GA', 'OH', 'IL')
+GROUP BY ROLLUP (i_item_id, ca_country, ca_state, ca_county)
+ORDER BY ca_country NULLS FIRST, ca_state NULLS FIRST,
+         ca_county NULLS FIRST, i_item_id NULLS FIRST
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q20", """
+SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
+       CAST(SUM(cs_ext_sales_price) AS DOUBLE) AS itemrevenue,
+       CAST(SUM(cs_ext_sales_price) AS DOUBLE) * 100
+         / CAST(SUM(SUM(cs_ext_sales_price))
+                OVER (PARTITION BY i_class) AS DOUBLE) AS revenueratio
+FROM catalog_sales, item, date_dim
+WHERE cs_item_sk = i_item_sk
+  AND i_category IN ('Sports', 'Books', 'Home')
+  AND cs_sold_date_sk = d_date_sk
+  AND d_date BETWEEN DATE '1999-02-22' AND DATE '1999-03-24'
+GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price
+ORDER BY i_category, i_class, i_item_id, i_item_desc, revenueratio
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q22", """
+SELECT i_product_name, i_brand, i_class, i_category,
+       AVG(inv_quantity_on_hand) AS qoh
+FROM inventory, date_dim, item
+WHERE inv_date_sk = d_date_sk
+  AND inv_item_sk = i_item_sk
+  AND d_month_seq BETWEEN 1200 AND 1211
+GROUP BY ROLLUP (i_product_name, i_brand, i_class, i_category)
+ORDER BY qoh, i_product_name NULLS FIRST, i_brand NULLS FIRST,
+         i_class NULLS FIRST, i_category NULLS FIRST
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q31", """
+WITH ss AS (
+  SELECT ca_county, d_qoy, d_year,
+         SUM(ss_ext_sales_price) AS store_sales
+  FROM store_sales, date_dim, customer_address
+  WHERE ss_sold_date_sk = d_date_sk AND ss_addr_sk = ca_address_sk
+  GROUP BY ca_county, d_qoy, d_year),
+ws AS (
+  SELECT ca_county, d_qoy, d_year,
+         SUM(ws_ext_sales_price) AS web_sales
+  FROM web_sales, date_dim, customer_address
+  WHERE ws_sold_date_sk = d_date_sk AND ws_bill_addr_sk = ca_address_sk
+  GROUP BY ca_county, d_qoy, d_year)
+SELECT ss1.ca_county, ss1.d_year,
+       CAST(ws2.web_sales AS DOUBLE) / CAST(ws1.web_sales AS DOUBLE)
+         AS web_q1_q2_increase,
+       CAST(ss2.store_sales AS DOUBLE) / CAST(ss1.store_sales AS DOUBLE)
+         AS store_q1_q2_increase,
+       CAST(ws3.web_sales AS DOUBLE) / CAST(ws2.web_sales AS DOUBLE)
+         AS web_q2_q3_increase,
+       CAST(ss3.store_sales AS DOUBLE) / CAST(ss2.store_sales AS DOUBLE)
+         AS store_q2_q3_increase
+FROM ss ss1, ss ss2, ss ss3, ws ws1, ws ws2, ws ws3
+WHERE ss1.d_qoy = 1 AND ss1.d_year = 2000
+  AND ss1.ca_county = ss2.ca_county
+  AND ss2.d_qoy = 2 AND ss2.d_year = 2000
+  AND ss2.ca_county = ss3.ca_county
+  AND ss3.d_qoy = 3 AND ss3.d_year = 2000
+  AND ss1.ca_county = ws1.ca_county
+  AND ws1.d_qoy = 1 AND ws1.d_year = 2000
+  AND ws1.ca_county = ws2.ca_county
+  AND ws2.d_qoy = 2 AND ws2.d_year = 2000
+  AND ws1.ca_county = ws3.ca_county
+  AND ws3.d_qoy = 3 AND ws3.d_year = 2000
+  AND CASE WHEN ws1.web_sales > 0
+           THEN CAST(ws2.web_sales AS DOUBLE) / CAST(ws1.web_sales AS DOUBLE)
+           ELSE NULL END
+      > CASE WHEN ss1.store_sales > 0
+             THEN CAST(ss2.store_sales AS DOUBLE)
+                  / CAST(ss1.store_sales AS DOUBLE)
+             ELSE NULL END
+  AND CASE WHEN ws2.web_sales > 0
+           THEN CAST(ws3.web_sales AS DOUBLE) / CAST(ws2.web_sales AS DOUBLE)
+           ELSE NULL END
+      > CASE WHEN ss2.store_sales > 0
+             THEN CAST(ss3.store_sales AS DOUBLE)
+                  / CAST(ss2.store_sales AS DOUBLE)
+             ELSE NULL END
+ORDER BY ss1.ca_county
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q32", """
+SELECT CAST(SUM(cs_ext_discount_amt) AS DOUBLE) AS excess_discount_amount
+FROM catalog_sales, item, date_dim
+WHERE i_manufact_id = 77
+  AND i_item_sk = cs_item_sk
+  AND d_date BETWEEN DATE '2000-01-27' AND DATE '2000-04-26'
+  AND d_date_sk = cs_sold_date_sk
+  AND CAST(cs_ext_discount_amt AS DOUBLE) >
+      (SELECT 1.3 * (CAST(SUM(CAST(cs_ext_discount_amt AS DECIMAL(30,6)))
+                          AS DOUBLE) / COUNT(cs_ext_discount_amt))
+       FROM catalog_sales, date_dim
+       WHERE cs_item_sk = i_item_sk
+         AND d_date BETWEEN DATE '2000-01-27' AND DATE '2000-04-26'
+         AND d_date_sk = cs_sold_date_sk)
+LIMIT 100
+""")
