@@ -262,7 +262,7 @@ def _generate(d: str) -> None:  # noqa: PLR0915 - one linear build per table
                       for c in rng.randint(0, len(_COUNTIES), _N_ADDR)],
         "ca_state": [_STATES[s] for s in rng.randint(0, len(_STATES), _N_ADDR)],
         "ca_zip": [f"{10000 + int(z):05d}"
-                   for z in rng.randint(0, 89999, _N_ADDR)],
+                   for z in rng.randint(0, 500, _N_ADDR)],
         "ca_country": ["United States"] * _N_ADDR,
         "ca_gmt_offset": _dec(
             rng.choice(np.array([-500, -600, -700, -800]), _N_ADDR), 5
@@ -324,7 +324,7 @@ def _generate(d: str) -> None:  # noqa: PLR0915 - one linear build per table
                      for c in rng.randint(0, len(_COUNTIES), _N_STORE)],
         "s_state": [_STATES[s] for s in rng.randint(0, len(_STATES), _N_STORE)],
         "s_zip": [f"{10000 + int(z):05d}"
-                  for z in rng.randint(0, 89999, _N_STORE)],
+                  for z in rng.randint(0, 500, _N_STORE)],
         "s_country": ["United States"] * _N_STORE,
         "s_gmt_offset": _dec(
             rng.choice(np.array([-500, -600]), _N_STORE), 5),

@@ -162,8 +162,8 @@ SELECT ca_zip, CAST(SUM(cs_sales_price) AS DOUBLE) AS sum_sales
 FROM catalog_sales, customer, customer_address, date_dim
 WHERE cs_bill_customer_sk = c_customer_sk
   AND c_current_addr_sk = ca_address_sk
-  AND (substr(ca_zip, 1, 5) IN ('85669', '86197', '88274', '83405',
-                                '86475', '85392', '85460', '80348', '81792')
+  AND (substr(ca_zip, 1, 5) IN ('10042', '10113', '10157', '10200',
+                                '10244', '10288', '10317', '10362', '10399')
        OR ca_state IN ('TN', 'GA', 'OH')
        OR cs_sales_price > 500)
   AND cs_sold_date_sk = d_date_sk
@@ -1106,8 +1106,8 @@ FROM web_sales, customer, customer_address, date_dim, item
 WHERE ws_bill_customer_sk = c_customer_sk
   AND c_current_addr_sk = ca_address_sk
   AND ws_item_sk = i_item_sk
-  AND (substr(ca_zip, 1, 5) IN ('85669', '86197', '88274', '83405',
-                                '86475', '85392', '85460', '80348', '81792')
+  AND (substr(ca_zip, 1, 5) IN ('10042', '10113', '10157', '10200',
+                                '10244', '10288', '10317', '10362', '10399')
        OR i_item_id IN (SELECT i_item_id FROM item
                         WHERE i_item_sk IN (2, 3, 5, 7, 11, 13, 17, 19, 23, 29)))
   AND ws_sold_date_sk = d_date_sk
@@ -1295,10 +1295,10 @@ FROM store_sales, date_dim, store,
      (SELECT ca_zip
       FROM (SELECT substr(ca_zip, 1, 5) AS ca_zip
             FROM customer_address
-            WHERE substr(ca_zip, 1, 5) IN ('10144', '12345', '19999',
-                                           '24128', '35709', '46244',
-                                           '58218', '67621', '76614',
-                                           '83085', '94983')
+            WHERE substr(ca_zip, 1, 5) IN ('10042', '10113', '10157',
+                                           '10200', '10244', '10288',
+                                           '10317', '10362', '10399',
+                                           '10441', '10483')
             INTERSECT
             SELECT ca_zip
             FROM (SELECT substr(ca_zip, 1, 5) AS ca_zip, COUNT(*) AS cnt
