@@ -1448,3 +1448,281 @@ WHERE i_manufact_id = 77
          AND d_date_sk = cs_sold_date_sk)
 LIMIT 100
 """)
+
+tpcds_query("tpcds_q34", """
+SELECT c_last_name, c_first_name, c_salutation, c_preferred_cust_flag,
+       ss_ticket_number, cnt
+FROM (SELECT ss_ticket_number, ss_customer_sk, COUNT(*) AS cnt
+      FROM store_sales, date_dim, store, household_demographics
+      WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        AND store_sales.ss_store_sk = store.s_store_sk
+        AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        AND (date_dim.d_dom BETWEEN 1 AND 3
+             OR date_dim.d_dom BETWEEN 25 AND 28)
+        AND (household_demographics.hd_buy_potential = '>10000'
+             OR household_demographics.hd_buy_potential = 'Unknown')
+        AND household_demographics.hd_vehicle_count > 0
+        AND (CASE WHEN household_demographics.hd_vehicle_count > 0
+                  THEN CAST(household_demographics.hd_dep_count AS DOUBLE)
+                       / household_demographics.hd_vehicle_count
+                  ELSE NULL END) > 1.2
+        AND date_dim.d_year IN (1999, 2000, 2001)
+        AND store.s_county IN ('Williamson County', 'Ziebach County',
+                               'Walker County', 'Barrow County',
+                               'Franklin Parish', 'Luce County')
+      GROUP BY ss_ticket_number, ss_customer_sk) dn, customer
+WHERE ss_customer_sk = c_customer_sk
+  AND cnt BETWEEN 2 AND 5
+ORDER BY c_last_name, c_first_name, c_salutation,
+         c_preferred_cust_flag DESC, ss_ticket_number
+""")
+
+tpcds_query("tpcds_q35", """
+SELECT ca_state, cd_gender, cd_marital_status, cd_dep_count,
+       COUNT(*) AS cnt1,
+       MIN(cd_dep_count) AS min1, MAX(cd_dep_count) AS max1,
+       AVG(cd_dep_count) AS avg1,
+       cd_dep_employed_count,
+       COUNT(*) AS cnt2,
+       MIN(cd_dep_employed_count) AS min2,
+       MAX(cd_dep_employed_count) AS max2,
+       AVG(cd_dep_employed_count) AS avg2,
+       cd_dep_college_count,
+       COUNT(*) AS cnt3,
+       MIN(cd_dep_college_count) AS min3,
+       MAX(cd_dep_college_count) AS max3,
+       AVG(cd_dep_college_count) AS avg3
+FROM customer c, customer_address ca, customer_demographics
+WHERE c.c_current_addr_sk = ca.ca_address_sk
+  AND cd_demo_sk = c.c_current_cdemo_sk
+  AND EXISTS (SELECT * FROM store_sales, date_dim
+              WHERE c.c_customer_sk = ss_customer_sk
+                AND ss_sold_date_sk = d_date_sk
+                AND d_year = 2002 AND d_qoy < 4)
+  AND (EXISTS (SELECT * FROM web_sales, date_dim
+               WHERE c.c_customer_sk = ws_bill_customer_sk
+                 AND ws_sold_date_sk = d_date_sk
+                 AND d_year = 2002 AND d_qoy < 4)
+       OR EXISTS (SELECT * FROM catalog_sales, date_dim
+                  WHERE c.c_customer_sk = cs_ship_customer_sk
+                    AND cs_sold_date_sk = d_date_sk
+                    AND d_year = 2002 AND d_qoy < 4))
+GROUP BY ca_state, cd_gender, cd_marital_status, cd_dep_count,
+         cd_dep_employed_count, cd_dep_college_count
+ORDER BY ca_state, cd_gender, cd_marital_status, cd_dep_count,
+         cd_dep_employed_count, cd_dep_college_count
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q37", """
+SELECT i_item_id, i_item_desc, i_current_price
+FROM item, inventory, date_dim, catalog_sales
+WHERE i_current_price BETWEEN 68 AND 68 + 30
+  AND inv_item_sk = i_item_sk
+  AND d_date_sk = inv_date_sk
+  AND d_date BETWEEN DATE '2000-02-01' AND DATE '2000-04-01'
+  AND i_manufact_id BETWEEN 100 AND 400
+  AND inv_quantity_on_hand BETWEEN 100 AND 500
+  AND cs_item_sk = i_item_sk
+GROUP BY i_item_id, i_item_desc, i_current_price
+ORDER BY i_item_id
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q38", """
+SELECT COUNT(*) AS cnt FROM (
+  SELECT DISTINCT c_last_name, c_first_name, d_date
+  FROM store_sales, date_dim, customer
+  WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+    AND store_sales.ss_customer_sk = customer.c_customer_sk
+    AND d_month_seq BETWEEN 1200 AND 1211
+  INTERSECT
+  SELECT DISTINCT c_last_name, c_first_name, d_date
+  FROM catalog_sales, date_dim, customer
+  WHERE catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+    AND catalog_sales.cs_bill_customer_sk = customer.c_customer_sk
+    AND d_month_seq BETWEEN 1200 AND 1211
+  INTERSECT
+  SELECT DISTINCT c_last_name, c_first_name, d_date
+  FROM web_sales, date_dim, customer
+  WHERE web_sales.ws_sold_date_sk = date_dim.d_date_sk
+    AND web_sales.ws_bill_customer_sk = customer.c_customer_sk
+    AND d_month_seq BETWEEN 1200 AND 1211
+) hot_cust
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q41", """
+SELECT DISTINCT i_product_name
+FROM item i1
+WHERE i_manufact_id BETWEEN 700 AND 740
+  AND (SELECT COUNT(*) AS item_cnt
+       FROM item
+       WHERE (i_manufact = i1.i_manufact
+              AND ((i_category = 'Women'
+                    AND (i_color = 'red' OR i_color = 'blue')
+                    AND (i_units = 'Each' OR i_units = 'Dozen')
+                    AND (i_size = 'small' OR i_size = 'medium'))
+                OR (i_category = 'Men'
+                    AND (i_color = 'green' OR i_color = 'white')
+                    AND (i_units = 'Case' OR i_units = 'Pallet')
+                    AND (i_size = 'large' OR i_size = 'extra large'))))
+          OR (i_manufact = i1.i_manufact
+              AND ((i_category = 'Women'
+                    AND (i_color = 'black' OR i_color = 'yellow')
+                    AND (i_units = 'Each' OR i_units = 'Case')
+                    AND (i_size = 'small' OR i_size = 'N/A'))
+                OR (i_category = 'Men'
+                    AND (i_color = 'purple' OR i_color = 'orange')
+                    AND (i_units = 'Dozen' OR i_units = 'Pallet')
+                    AND (i_size = 'medium' OR i_size = 'large')))))
+      > 0
+ORDER BY i_product_name
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q44", """
+SELECT asceding.rnk,
+       i1.i_product_name AS best_performing,
+       i2.i_product_name AS worst_performing
+FROM (SELECT * FROM (
+        SELECT item_sk, RANK() OVER (ORDER BY rank_col ASC, item_sk) AS rnk
+        FROM (SELECT ss_item_sk AS item_sk,
+                     CAST(SUM(CAST(ss_net_profit AS DECIMAL(30,6)))
+                          AS DOUBLE) / COUNT(ss_net_profit) AS rank_col
+              FROM store_sales ss1
+              WHERE ss_store_sk = 4
+              GROUP BY ss_item_sk
+              HAVING CAST(SUM(CAST(ss_net_profit AS DECIMAL(30,6)))
+                          AS DOUBLE) / COUNT(ss_net_profit)
+                     > 0.9 * (SELECT CAST(SUM(CAST(ss_net_profit
+                                                   AS DECIMAL(30,6)))
+                                          AS DOUBLE)
+                                     / COUNT(ss_net_profit) AS rank_col
+                              FROM store_sales
+                              WHERE ss_store_sk = 4
+                                AND ss_addr_sk IS NULL
+                              GROUP BY ss_store_sk)) v1) v11
+      WHERE rnk < 11) asceding,
+     (SELECT * FROM (
+        SELECT item_sk, RANK() OVER (ORDER BY rank_col DESC, item_sk) AS rnk
+        FROM (SELECT ss_item_sk AS item_sk,
+                     CAST(SUM(CAST(ss_net_profit AS DECIMAL(30,6)))
+                          AS DOUBLE) / COUNT(ss_net_profit) AS rank_col
+              FROM store_sales ss1
+              WHERE ss_store_sk = 4
+              GROUP BY ss_item_sk
+              HAVING CAST(SUM(CAST(ss_net_profit AS DECIMAL(30,6)))
+                          AS DOUBLE) / COUNT(ss_net_profit)
+                     > 0.9 * (SELECT CAST(SUM(CAST(ss_net_profit
+                                                   AS DECIMAL(30,6)))
+                                          AS DOUBLE)
+                                     / COUNT(ss_net_profit) AS rank_col
+                              FROM store_sales
+                              WHERE ss_store_sk = 4
+                                AND ss_addr_sk IS NULL
+                              GROUP BY ss_store_sk)) v2) v21
+      WHERE rnk < 11) descending,
+     item i1, item i2
+WHERE asceding.rnk = descending.rnk
+  AND i1.i_item_sk = asceding.item_sk
+  AND i2.i_item_sk = descending.item_sk
+ORDER BY asceding.rnk
+""")
+
+tpcds_query("tpcds_q58", """
+WITH ss_items AS (
+  SELECT i_item_id AS item_id, SUM(ss_ext_sales_price) AS ss_item_rev
+  FROM store_sales, item, date_dim
+  WHERE ss_item_sk = i_item_sk
+    AND d_date IN (SELECT d_date FROM date_dim
+                   WHERE d_week_seq BETWEEN
+                         (SELECT d_week_seq FROM date_dim
+                          WHERE d_date = DATE '2000-01-03')
+                     AND (SELECT d_week_seq FROM date_dim
+                          WHERE d_date = DATE '2000-01-03') + 25)
+    AND ss_sold_date_sk = d_date_sk
+  GROUP BY i_item_id),
+cs_items AS (
+  SELECT i_item_id AS item_id, SUM(cs_ext_sales_price) AS cs_item_rev
+  FROM catalog_sales, item, date_dim
+  WHERE cs_item_sk = i_item_sk
+    AND d_date IN (SELECT d_date FROM date_dim
+                   WHERE d_week_seq BETWEEN
+                         (SELECT d_week_seq FROM date_dim
+                          WHERE d_date = DATE '2000-01-03')
+                     AND (SELECT d_week_seq FROM date_dim
+                          WHERE d_date = DATE '2000-01-03') + 25)
+    AND cs_sold_date_sk = d_date_sk
+  GROUP BY i_item_id),
+ws_items AS (
+  SELECT i_item_id AS item_id, SUM(ws_ext_sales_price) AS ws_item_rev
+  FROM web_sales, item, date_dim
+  WHERE ws_item_sk = i_item_sk
+    AND d_date IN (SELECT d_date FROM date_dim
+                   WHERE d_week_seq BETWEEN
+                         (SELECT d_week_seq FROM date_dim
+                          WHERE d_date = DATE '2000-01-03')
+                     AND (SELECT d_week_seq FROM date_dim
+                          WHERE d_date = DATE '2000-01-03') + 25)
+    AND ws_sold_date_sk = d_date_sk
+  GROUP BY i_item_id)
+SELECT ss_items.item_id,
+       CAST(ss_item_rev AS DOUBLE) AS ss_item_rev,
+       CAST(ss_item_rev AS DOUBLE)
+         / ((CAST(ss_item_rev AS DOUBLE) + CAST(cs_item_rev AS DOUBLE)
+             + CAST(ws_item_rev AS DOUBLE)) / 3) * 100 AS ss_dev,
+       CAST(cs_item_rev AS DOUBLE) AS cs_item_rev,
+       CAST(cs_item_rev AS DOUBLE)
+         / ((CAST(ss_item_rev AS DOUBLE) + CAST(cs_item_rev AS DOUBLE)
+             + CAST(ws_item_rev AS DOUBLE)) / 3) * 100 AS cs_dev,
+       CAST(ws_item_rev AS DOUBLE) AS ws_item_rev,
+       CAST(ws_item_rev AS DOUBLE)
+         / ((CAST(ss_item_rev AS DOUBLE) + CAST(cs_item_rev AS DOUBLE)
+             + CAST(ws_item_rev AS DOUBLE)) / 3) * 100 AS ws_dev,
+       (CAST(ss_item_rev AS DOUBLE) + CAST(cs_item_rev AS DOUBLE)
+        + CAST(ws_item_rev AS DOUBLE)) / 3 AS average
+FROM ss_items, cs_items, ws_items
+WHERE ss_items.item_id = cs_items.item_id
+  AND ss_items.item_id = ws_items.item_id
+  AND CAST(ss_item_rev AS DOUBLE)
+      BETWEEN 0.2 * CAST(cs_item_rev AS DOUBLE)
+          AND 5.0 * CAST(cs_item_rev AS DOUBLE)
+  AND CAST(cs_item_rev AS DOUBLE)
+      BETWEEN 0.2 * CAST(ss_item_rev AS DOUBLE)
+          AND 5.0 * CAST(ss_item_rev AS DOUBLE)
+  AND CAST(ss_item_rev AS DOUBLE)
+      BETWEEN 0.2 * CAST(ws_item_rev AS DOUBLE)
+          AND 5.0 * CAST(ws_item_rev AS DOUBLE)
+  AND CAST(ws_item_rev AS DOUBLE)
+      BETWEEN 0.2 * CAST(ss_item_rev AS DOUBLE)
+          AND 5.0 * CAST(ss_item_rev AS DOUBLE)
+ORDER BY ss_items.item_id, ss_item_rev
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q63", """
+SELECT * FROM (
+  SELECT i_manager_id,
+         CAST(SUM(ss_sales_price) AS DOUBLE) AS sum_sales,
+         CAST(SUM(SUM(ss_sales_price))
+              OVER (PARTITION BY i_manager_id) AS DOUBLE)
+           / COUNT(SUM(ss_sales_price))
+              OVER (PARTITION BY i_manager_id) AS avg_monthly_sales
+  FROM item, store_sales, date_dim, store
+  WHERE ss_item_sk = i_item_sk
+    AND ss_sold_date_sk = d_date_sk
+    AND ss_store_sk = s_store_sk
+    AND d_month_seq IN (1200, 1201, 1202, 1203, 1204, 1205, 1206,
+                        1207, 1208, 1209, 1210, 1211)
+    AND ((i_category IN ('Books', 'Children', 'Electronics')
+          AND i_class IN ('accessories', 'classical', 'fiction'))
+      OR (i_category IN ('Women', 'Music', 'Men')
+          AND i_class IN ('pants', 'pop', 'shirts')))
+  GROUP BY i_manager_id, d_moy) tmp1
+WHERE CASE WHEN avg_monthly_sales > 0
+           THEN ABS(sum_sales - avg_monthly_sales) / avg_monthly_sales
+           ELSE NULL END > 0.1
+ORDER BY i_manager_id, avg_monthly_sales, sum_sales
+LIMIT 100
+""")
