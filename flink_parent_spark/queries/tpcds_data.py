@@ -127,15 +127,27 @@ def tpcds_dir() -> str:
 
 
 def ensure_tpcds() -> str:
-    """Generate the dataset once per machine; return its directory."""
+    """Generate the dataset once per machine; return its directory.
+
+    Generation goes into a staging dir that is atomically renamed into
+    place, so a concurrent reader never sees a half-written dataset (a
+    mid-generation read would silently diverge the two engines)."""
     d = tpcds_dir()
     marker = os.path.join(d, "_COMPLETE")
     if os.path.exists(marker):
         return d
-    os.makedirs(d, exist_ok=True)
-    _generate(d)
-    with open(marker, "w"):
+    stage = f"{d}.stage.{os.getpid()}"
+    os.makedirs(stage, exist_ok=True)
+    _generate(stage)
+    with open(os.path.join(stage, "_COMPLETE"), "w"):
         pass
+    try:
+        os.rename(stage, d)
+    except OSError:
+        # another process won the race; use its complete copy
+        import shutil  # noqa: PLC0415
+
+        shutil.rmtree(stage, ignore_errors=True)
     return d
 
 
@@ -546,6 +558,7 @@ def _generate(d: str) -> None:  # noqa: PLR0915 - one linear build per table
         "ws_bill_customer_sk": _maybe_null(
             rng, rng.randint(1, _N_CUSTOMER + 1, n), 0.02),
         "ws_bill_addr_sk": rng.randint(1, _N_ADDR + 1, n),
+        "ws_ship_hdemo_sk": rng.randint(1, _N_HD + 1, n),
         "ws_ship_customer_sk": rng.randint(1, _N_CUSTOMER + 1, n),
         "ws_ship_addr_sk": rng.randint(1, _N_ADDR + 1, n),
         "ws_web_site_sk": rng.randint(1, 11, n),

@@ -1726,3 +1726,289 @@ WHERE CASE WHEN avg_monthly_sales > 0
 ORDER BY i_manager_id, avg_monthly_sales, sum_sales
 LIMIT 100
 """)
+
+tpcds_query("tpcds_q67", """
+SELECT * FROM (
+  SELECT i_category, i_class, i_brand, i_product_name, d_year, d_qoy,
+         d_moy, s_store_id, sumsales,
+         RANK() OVER (PARTITION BY i_category
+                      ORDER BY sumsales DESC) AS rk
+  FROM (SELECT i_category, i_class, i_brand, i_product_name, d_year,
+               d_qoy, d_moy, s_store_id,
+               CAST(SUM(COALESCE(ss_sales_price * ss_quantity, 0))
+                    AS DOUBLE) AS sumsales
+        FROM store_sales, date_dim, store, item
+        WHERE ss_sold_date_sk = d_date_sk
+          AND ss_item_sk = i_item_sk
+          AND ss_store_sk = s_store_sk
+          AND d_month_seq BETWEEN 1200 AND 1211
+        GROUP BY ROLLUP (i_category, i_class, i_brand, i_product_name,
+                         d_year, d_qoy, d_moy, s_store_id)) dw1) dw2
+WHERE rk <= 100
+ORDER BY i_category NULLS FIRST, i_class NULLS FIRST, i_brand NULLS FIRST,
+         i_product_name NULLS FIRST, d_year NULLS FIRST, d_qoy NULLS FIRST,
+         d_moy NULLS FIRST, s_store_id NULLS FIRST, sumsales, rk
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q69", """
+SELECT cd_gender, cd_marital_status, cd_education_status,
+       COUNT(*) AS cnt1,
+       cd_purchase_estimate,
+       COUNT(*) AS cnt2,
+       cd_credit_rating,
+       COUNT(*) AS cnt3
+FROM customer c, customer_address ca, customer_demographics
+WHERE c.c_current_addr_sk = ca.ca_address_sk
+  AND ca_state IN ('TN', 'GA', 'OH')
+  AND cd_demo_sk = c.c_current_cdemo_sk
+  AND EXISTS (SELECT * FROM store_sales, date_dim
+              WHERE c.c_customer_sk = ss_customer_sk
+                AND ss_sold_date_sk = d_date_sk
+                AND d_year = 2001 AND d_qoy < 4)
+  AND NOT EXISTS (SELECT * FROM web_sales, date_dim
+                  WHERE c.c_customer_sk = ws_bill_customer_sk
+                    AND ws_sold_date_sk = d_date_sk
+                    AND d_year = 2001 AND d_qoy < 4)
+  AND NOT EXISTS (SELECT * FROM catalog_sales, date_dim
+                  WHERE c.c_customer_sk = cs_ship_customer_sk
+                    AND cs_sold_date_sk = d_date_sk
+                    AND d_year = 2001 AND d_qoy < 4)
+GROUP BY cd_gender, cd_marital_status, cd_education_status,
+         cd_purchase_estimate, cd_credit_rating
+ORDER BY cd_gender, cd_marital_status, cd_education_status,
+         cd_purchase_estimate, cd_credit_rating
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q70", """
+SELECT CAST(SUM(ss_net_profit) AS DOUBLE) AS total_sum,
+       s_state, s_county,
+       CAST(GROUPING(s_state) + GROUPING(s_county) AS INT) AS lochierarchy,
+       RANK() OVER (
+         PARTITION BY GROUPING(s_state) + GROUPING(s_county),
+                      CASE WHEN GROUPING(s_county) = 0 THEN s_state END
+         ORDER BY CAST(SUM(ss_net_profit) AS DOUBLE) DESC,
+                  s_county NULLS FIRST
+       ) AS rank_within_parent
+FROM store_sales, date_dim d1, store
+WHERE d1.d_month_seq BETWEEN 1200 AND 1211
+  AND d1.d_date_sk = ss_sold_date_sk
+  AND s_store_sk = ss_store_sk
+  AND s_state IN (SELECT s_state
+                  FROM (SELECT s_state,
+                               RANK() OVER (PARTITION BY s_state
+                                            ORDER BY CAST(SUM(ss_net_profit)
+                                                          AS DOUBLE) DESC)
+                                 AS ranking
+                        FROM store_sales, store, date_dim
+                        WHERE d_month_seq BETWEEN 1200 AND 1211
+                          AND d_date_sk = ss_sold_date_sk
+                          AND s_store_sk = ss_store_sk
+                        GROUP BY s_state) tmp1
+                  WHERE ranking <= 5)
+GROUP BY ROLLUP (s_state, s_county)
+ORDER BY lochierarchy DESC,
+         CASE WHEN lochierarchy = 0 THEN s_state END NULLS FIRST,
+         rank_within_parent, s_state NULLS FIRST, s_county NULLS FIRST
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q71", """
+SELECT i_brand_id AS brand_id, i_brand AS brand, t_hour, t_minute,
+       CAST(SUM(ext_price) AS DOUBLE) AS ext_price
+FROM item,
+     (SELECT ws_ext_sales_price AS ext_price,
+             ws_sold_date_sk AS sold_date_sk,
+             ws_item_sk AS sold_item_sk,
+             ws_sold_time_sk AS time_sk
+      FROM web_sales, date_dim
+      WHERE d_date_sk = ws_sold_date_sk
+        AND d_moy = 11 AND d_year = 1999
+      UNION ALL
+      SELECT cs_ext_sales_price, cs_sold_date_sk, cs_item_sk,
+             cs_sold_time_sk
+      FROM catalog_sales, date_dim
+      WHERE d_date_sk = cs_sold_date_sk
+        AND d_moy = 11 AND d_year = 1999
+      UNION ALL
+      SELECT ss_ext_sales_price, ss_sold_date_sk, ss_item_sk,
+             ss_sold_time_sk
+      FROM store_sales, date_dim
+      WHERE d_date_sk = ss_sold_date_sk
+        AND d_moy = 11 AND d_year = 1999) tmp, time_dim
+WHERE sold_item_sk = i_item_sk
+  AND i_manager_id = 1
+  AND time_sk = t_time_sk
+  AND (t_meal_time = 'breakfast' OR t_meal_time = 'dinner')
+GROUP BY i_brand, i_brand_id, t_hour, t_minute
+ORDER BY ext_price DESC, i_brand_id, t_hour, t_minute
+""")
+
+tpcds_query("tpcds_q74", """
+WITH year_total AS (
+  SELECT c_customer_id AS customer_id,
+         c_first_name AS customer_first_name,
+         c_last_name AS customer_last_name,
+         d_year AS year_,
+         CAST(SUM(ss_net_paid) AS DOUBLE) AS year_total,
+         's' AS sale_type
+  FROM customer, store_sales, date_dim
+  WHERE c_customer_sk = ss_customer_sk
+    AND ss_sold_date_sk = d_date_sk
+    AND d_year IN (2001, 2002)
+  GROUP BY c_customer_id, c_first_name, c_last_name, d_year
+  UNION ALL
+  SELECT c_customer_id, c_first_name, c_last_name, d_year,
+         CAST(SUM(ws_net_paid) AS DOUBLE), 'w'
+  FROM customer, web_sales, date_dim
+  WHERE c_customer_sk = ws_bill_customer_sk
+    AND ws_sold_date_sk = d_date_sk
+    AND d_year IN (2001, 2002)
+  GROUP BY c_customer_id, c_first_name, c_last_name, d_year)
+SELECT t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+       t_s_secyear.customer_last_name
+FROM year_total t_s_firstyear, year_total t_s_secyear,
+     year_total t_w_firstyear, year_total t_w_secyear
+WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+  AND t_s_firstyear.sale_type = 's'
+  AND t_w_firstyear.sale_type = 'w'
+  AND t_s_secyear.sale_type = 's'
+  AND t_w_secyear.sale_type = 'w'
+  AND t_s_firstyear.year_ = 2001
+  AND t_s_secyear.year_ = 2002
+  AND t_w_firstyear.year_ = 2001
+  AND t_w_secyear.year_ = 2002
+  AND t_s_firstyear.year_total > 0
+  AND t_w_firstyear.year_total > 0
+  AND CASE WHEN t_w_firstyear.year_total > 0
+           THEN t_w_secyear.year_total / t_w_firstyear.year_total
+           ELSE NULL END
+      > CASE WHEN t_s_firstyear.year_total > 0
+             THEN t_s_secyear.year_total / t_s_firstyear.year_total
+             ELSE NULL END
+ORDER BY 1, 2, 3
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q76", """
+SELECT channel, col_name, d_year, d_qoy, i_category,
+       COUNT(*) AS sales_cnt,
+       CAST(SUM(ext_sales_price) AS DOUBLE) AS sales_amt
+FROM (SELECT 'store' AS channel, 'ss_store_sk' AS col_name,
+             d_year, d_qoy, i_category,
+             ss_ext_sales_price AS ext_sales_price
+      FROM store_sales, item, date_dim
+      WHERE ss_store_sk IS NULL
+        AND ss_sold_date_sk = d_date_sk
+        AND ss_item_sk = i_item_sk
+      UNION ALL
+      SELECT 'web', 'ws_promo_sk', d_year, d_qoy, i_category,
+             ws_ext_sales_price
+      FROM web_sales, item, date_dim
+      WHERE ws_promo_sk IS NULL
+        AND ws_sold_date_sk = d_date_sk
+        AND ws_item_sk = i_item_sk
+      UNION ALL
+      SELECT 'catalog', 'cs_warehouse_sk', d_year, d_qoy, i_category,
+             cs_ext_sales_price
+      FROM catalog_sales, item, date_dim
+      WHERE cs_warehouse_sk IS NULL
+        AND cs_sold_date_sk = d_date_sk
+        AND cs_item_sk = i_item_sk) foo
+GROUP BY channel, col_name, d_year, d_qoy, i_category
+ORDER BY channel, col_name, d_year, d_qoy, i_category
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q87", """
+SELECT COUNT(*) AS cnt FROM (
+  (SELECT DISTINCT c_last_name, c_first_name, d_date
+   FROM store_sales, date_dim, customer
+   WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+     AND store_sales.ss_customer_sk = customer.c_customer_sk
+     AND d_month_seq BETWEEN 1200 AND 1211)
+  EXCEPT
+  (SELECT DISTINCT c_last_name, c_first_name, d_date
+   FROM catalog_sales, date_dim, customer
+   WHERE catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+     AND catalog_sales.cs_bill_customer_sk = customer.c_customer_sk
+     AND d_month_seq BETWEEN 1200 AND 1211)
+  EXCEPT
+  (SELECT DISTINCT c_last_name, c_first_name, d_date
+   FROM web_sales, date_dim, customer
+   WHERE web_sales.ws_sold_date_sk = date_dim.d_date_sk
+     AND web_sales.ws_bill_customer_sk = customer.c_customer_sk
+     AND d_month_seq BETWEEN 1200 AND 1211)
+) cool_cust
+""")
+
+tpcds_query("tpcds_q89", """
+SELECT * FROM (
+  SELECT i_category, i_class, i_brand, s_store_name, d_moy,
+         CAST(SUM(ss_sales_price) AS DOUBLE) AS sum_sales,
+         CAST(SUM(SUM(ss_sales_price))
+              OVER (PARTITION BY i_category, i_brand, s_store_name)
+              AS DOUBLE)
+           / COUNT(SUM(ss_sales_price))
+              OVER (PARTITION BY i_category, i_brand, s_store_name)
+           AS avg_monthly_sales
+  FROM item, store_sales, date_dim, store
+  WHERE ss_item_sk = i_item_sk
+    AND ss_sold_date_sk = d_date_sk
+    AND ss_store_sk = s_store_sk
+    AND d_year = 1999
+    AND ((i_category IN ('Books', 'Electronics', 'Sports')
+          AND i_class IN ('fiction', 'accessories', 'fitness'))
+      OR (i_category IN ('Men', 'Jewelry', 'Women')
+          AND i_class IN ('shirts', 'romance', 'dresses')))
+  GROUP BY i_category, i_class, i_brand, s_store_name, d_moy) tmp1
+WHERE CASE WHEN avg_monthly_sales <> 0
+           THEN ABS(sum_sales - avg_monthly_sales) / avg_monthly_sales
+           ELSE NULL END > 0.1
+ORDER BY sum_sales - avg_monthly_sales, s_store_name, i_category,
+         i_class, i_brand, d_moy
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q90", """
+SELECT CAST(amc AS DOUBLE) / CAST(pmc AS DOUBLE) AS am_pm_ratio
+FROM (SELECT COUNT(*) AS amc
+      FROM web_sales, household_demographics, time_dim, web_page
+      WHERE ws_sold_time_sk = time_dim.t_time_sk
+        AND ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+        AND ws_web_page_sk = web_page.wp_web_page_sk
+        AND time_dim.t_hour BETWEEN 8 AND 9
+        AND household_demographics.hd_dep_count = 6
+        AND web_page.wp_char_count BETWEEN 5000 AND 5200) at_,
+     (SELECT COUNT(*) AS pmc
+      FROM web_sales, household_demographics, time_dim, web_page
+      WHERE ws_sold_time_sk = time_dim.t_time_sk
+        AND ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+        AND ws_web_page_sk = web_page.wp_web_page_sk
+        AND time_dim.t_hour BETWEEN 19 AND 20
+        AND household_demographics.hd_dep_count = 6
+        AND web_page.wp_char_count BETWEEN 5000 AND 5200) pt
+ORDER BY am_pm_ratio
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q92", """
+SELECT CAST(SUM(ws_ext_discount_amt) AS DOUBLE) AS excess_discount_amount
+FROM web_sales, item, date_dim
+WHERE i_manufact_id = 350
+  AND i_item_sk = ws_item_sk
+  AND d_date BETWEEN DATE '2000-01-27' AND DATE '2000-04-26'
+  AND d_date_sk = ws_sold_date_sk
+  AND CAST(ws_ext_discount_amt AS DOUBLE) >
+      (SELECT 1.3 * (CAST(SUM(CAST(ws_ext_discount_amt AS DECIMAL(30,6)))
+                          AS DOUBLE) / COUNT(ws_ext_discount_amt))
+       FROM web_sales, date_dim
+       WHERE ws_item_sk = i_item_sk
+         AND d_date BETWEEN DATE '2000-01-27' AND DATE '2000-04-26'
+         AND d_date_sk = ws_sold_date_sk)
+ORDER BY excess_discount_amount
+LIMIT 100
+""")
