@@ -40,7 +40,9 @@ TPCDS_TABLES = (
     "date_dim", "time_dim", "item", "customer", "customer_address",
     "customer_demographics", "household_demographics", "store", "warehouse",
     "promotion", "reason", "ship_mode", "web_site", "web_page",
-    "store_sales", "store_returns", "catalog_sales", "web_sales", "inventory",
+    "call_center", "income_band",
+    "store_sales", "store_returns", "catalog_sales", "catalog_returns",
+    "web_sales", "web_returns", "inventory",
 )
 
 # row counts (qualification scale)
@@ -393,6 +395,18 @@ def _generate(d: str) -> None:  # noqa: PLR0915 - one linear build per table
         "web_company_name": [("pri", "able", "ese", "bar", "anti")[i % 5]
                              for i in range(10)],
     })
+    _write(d, "call_center", {
+        "cc_call_center_sk": np.arange(1, 7),
+        "cc_call_center_id": [f"AAAAAAAA{i:08d}" for i in range(1, 7)],
+        "cc_name": [f"call center {i}" for i in range(1, 7)],
+        "cc_manager": [f"CC Manager {i}" for i in range(1, 7)],
+        "cc_county": [_COUNTIES[i % len(_COUNTIES)] for i in range(6)],
+    })
+    _write(d, "income_band", {
+        "ib_income_band_sk": np.arange(1, 21),
+        "ib_lower_bound": [(i - 1) * 10000 for i in range(1, 21)],
+        "ib_upper_bound": [i * 10000 for i in range(1, 21)],
+    })
     _write(d, "web_page", {
         "wp_web_page_sk": np.arange(1, 61),
         "wp_web_page_id": [f"AAAAAAAA{i:08d}" for i in range(1, 61)],
@@ -493,7 +507,7 @@ def _generate(d: str) -> None:  # noqa: PLR0915 - one linear build per table
     })
 
     # ---- catalog_sales / web_sales --------------------------------------
-    def channel_sales(n: int, prefix: str, extra: dict) -> dict:
+    def channel_sales(n: int, prefix: str, extra: dict) -> tuple[dict, dict]:
         sold = _BASE_DATE_SK + rng.randint(0, _SALES_DAYS, n)
         ship = sold + rng.randint(1, 61, n)
         q = rng.randint(1, 101, n)
@@ -513,7 +527,9 @@ def _generate(d: str) -> None:  # noqa: PLR0915 - one linear build per table
             f"{prefix}_item_sk": rng.randint(1, _N_ITEM + 1, n),
             f"{prefix}_promo_sk": _maybe_null(
                 rng, rng.randint(1, _N_PROMO + 1, n), 0.02),
-            f"{prefix}_order_number": np.arange(1, n + 1),
+            # ~2 lines per order: the multi-line structure q16/q94-style
+            # same-order-different-warehouse EXISTS subqueries probe
+            f"{prefix}_order_number": np.arange(n) // 2 + 1,
             f"{prefix}_quantity": q,
             f"{prefix}_wholesale_cost": _dec(wc),
             f"{prefix}_list_price": _dec(lc),
@@ -528,7 +544,7 @@ def _generate(d: str) -> None:  # noqa: PLR0915 - one linear build per table
             f"{prefix}_net_profit": _dec(ext_s - coup - ext_w),
         }
         cols.update(extra(n))
-        return cols
+        return cols, {"sold": sold, "q": q, "sc": sc}
 
     # repeat-customer correlation: 30% of catalog orders are by a
     # (customer, item) pair that also appears in store_sales — without it
@@ -536,7 +552,7 @@ def _generate(d: str) -> None:  # noqa: PLR0915 - one linear build per table
     # this scale
     cs_pair_src = rng.choice(n_ss, _N_CS)
     cs_copy = rng.random_sample(_N_CS) < 0.3
-    cs_cols = channel_sales(_N_CS, "cs", lambda n: {
+    cs_cols, cs_raw = channel_sales(_N_CS, "cs", lambda n: {
         "cs_bill_customer_sk": _maybe_null(
             rng,
             np.where(cs_copy, ss_cust_full[cs_pair_src],
@@ -548,13 +564,14 @@ def _generate(d: str) -> None:  # noqa: PLR0915 - one linear build per table
         "cs_ship_customer_sk": rng.randint(1, _N_CUSTOMER + 1, n),
         "cs_ship_addr_sk": rng.randint(1, _N_ADDR + 1, n),
         "cs_ship_mode_sk": rng.randint(1, 21, n),
+        "cs_call_center_sk": rng.randint(1, 7, n),
         "cs_warehouse_sk": _maybe_null(
             rng, rng.randint(1, _N_WAREHOUSE + 1, n), 0.02),
     })
     cs_cols["cs_item_sk"] = np.where(
         cs_copy, item_sk[cs_pair_src], cs_cols["cs_item_sk"])
     _write(d, "catalog_sales", cs_cols)
-    _write(d, "web_sales", channel_sales(_N_WS, "ws", lambda n: {
+    ws_cols, ws_raw = channel_sales(_N_WS, "ws", lambda n: {
         "ws_bill_customer_sk": _maybe_null(
             rng, rng.randint(1, _N_CUSTOMER + 1, n), 0.02),
         "ws_bill_addr_sk": rng.randint(1, _N_ADDR + 1, n),
@@ -566,7 +583,73 @@ def _generate(d: str) -> None:  # noqa: PLR0915 - one linear build per table
         "ws_ship_mode_sk": rng.randint(1, 21, n),
         "ws_warehouse_sk": _maybe_null(
             rng, rng.randint(1, _N_WAREHOUSE + 1, n), 0.02),
-    }))
+    })
+    _write(d, "web_sales", ws_cols)
+
+    # ---- catalog_returns / web_returns (correlated samples) -------------
+    def channel_returns(
+        name: str, prefix: str, n_ret: int, sales_cols: dict, raw: dict,
+        extra: dict,
+    ) -> None:
+        n_sales = len(raw["q"])
+        ridx = rng.choice(n_sales, n_ret, replace=False)
+        ret_date = raw["sold"][ridx] + rng.randint(1, 90, n_ret)
+        ret_date = np.minimum(ret_date, _BASE_DATE_SK + _N_DAYS - 1)
+        rq = np.maximum(
+            1, raw["q"][ridx] * rng.randint(10, 100, n_ret) // 100)
+        ramt = rq * raw["sc"][ridx]
+        rtax = ramt * rng.randint(0, 9, n_ret) // 100
+        fee = rng.randint(100, 10000, n_ret)
+        cols = {
+            f"{prefix}_returned_date_sk": _maybe_null(rng, ret_date, 0.02),
+            f"{prefix}_returned_time_sk": rng.randint(0, 86400, n_ret),
+            f"{prefix}_item_sk": np.asarray(
+                sales_cols[f"{prefix[0]}s_item_sk"])[ridx],
+            f"{prefix}_order_number": np.asarray(
+                sales_cols[f"{prefix[0]}s_order_number"])[ridx],
+            f"{prefix}_reason_sk": rng.randint(1, 36, n_ret),
+            f"{prefix}_return_quantity": rq,
+            f"{prefix}_return_amt": _dec(ramt),
+            f"{prefix}_return_tax": _dec(rtax),
+            f"{prefix}_return_amt_inc_tax": _dec(ramt + rtax),
+            f"{prefix}_fee": _dec(fee),
+            f"{prefix}_return_ship_cost": _dec(fee // 2),
+            f"{prefix}_refunded_cash": _dec(ramt * 8 // 10),
+            f"{prefix}_reversed_charge": _dec(ramt // 10),
+            f"{prefix}_store_credit": _dec(ramt // 10),
+            f"{prefix}_net_loss": _dec(ramt // 2 + fee),
+        }
+        cols.update(extra(n_ret))
+        _write(d, name, cols)
+
+    channel_returns("catalog_returns", "cr", 6000, cs_cols, cs_raw, lambda n: {
+        "cr_returning_customer_sk": _maybe_null(
+            rng, rng.randint(1, _N_CUSTOMER + 1, n), 0.02),
+        "cr_refunded_customer_sk": rng.randint(1, _N_CUSTOMER + 1, n),
+        "cr_returning_addr_sk": rng.randint(1, _N_ADDR + 1, n),
+        "cr_refunded_addr_sk": rng.randint(1, _N_ADDR + 1, n),
+        "cr_call_center_sk": rng.randint(1, 7, n),
+    })
+    def wr_extra(n: int) -> dict:
+        refunded_cd = rng.randint(1, n_cd + 1, n)
+        # the returning party is usually the refunded party (the q85-family
+        # cd1 = cd2 attribute-equality predicates probe this)
+        returning_cd = np.where(
+            rng.random_sample(n) < 0.5, refunded_cd,
+            rng.randint(1, n_cd + 1, n),
+        )
+        return {
+            "wr_returning_customer_sk": _maybe_null(
+                rng, rng.randint(1, _N_CUSTOMER + 1, n), 0.02),
+            "wr_refunded_customer_sk": rng.randint(1, _N_CUSTOMER + 1, n),
+            "wr_returning_addr_sk": rng.randint(1, _N_ADDR + 1, n),
+            "wr_refunded_addr_sk": rng.randint(1, _N_ADDR + 1, n),
+            "wr_refunded_cdemo_sk": refunded_cd,
+            "wr_returning_cdemo_sk": returning_cd,
+            "wr_web_page_sk": rng.randint(1, 61, n),
+        }
+
+    channel_returns("web_returns", "wr", 6000, ws_cols, ws_raw, wr_extra)
 
     # ---- inventory (weekly snapshots) -----------------------------------
     week_dates = np.array(

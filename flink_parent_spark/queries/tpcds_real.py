@@ -2012,3 +2012,300 @@ WHERE i_manufact_id = 350
 ORDER BY excess_discount_amount
 LIMIT 100
 """)
+
+tpcds_query("tpcds_q16", """
+SELECT COUNT(DISTINCT cs_order_number) AS order_count,
+       CAST(SUM(cs_ext_ship_cost) AS DOUBLE) AS total_shipping_cost,
+       CAST(SUM(cs_net_profit) AS DOUBLE) AS total_net_profit
+FROM catalog_sales cs1, date_dim, customer_address, call_center
+WHERE d_date BETWEEN DATE '2002-02-01' AND DATE '2002-04-02'
+  AND cs1.cs_ship_date_sk = d_date_sk
+  AND cs1.cs_ship_addr_sk = ca_address_sk
+  AND ca_state = 'GA'
+  AND cs1.cs_call_center_sk = cc_call_center_sk
+  AND cc_county IN ('Williamson County', 'Ziebach County', 'Walker County',
+                    'Barrow County', 'Franklin Parish')
+  AND EXISTS (SELECT * FROM catalog_sales cs2
+              WHERE cs1.cs_order_number = cs2.cs_order_number
+                AND cs1.cs_warehouse_sk <> cs2.cs_warehouse_sk)
+  AND NOT EXISTS (SELECT * FROM catalog_returns cr1
+                  WHERE cs1.cs_order_number = cr1.cr_order_number)
+ORDER BY COUNT(DISTINCT cs_order_number)
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q30", """
+WITH customer_total_return AS (
+  SELECT wr_returning_customer_sk AS ctr_customer_sk,
+         ca_state AS ctr_state,
+         SUM(wr_return_amt) AS ctr_total_return
+  FROM web_returns, date_dim, customer_address
+  WHERE wr_returned_date_sk = d_date_sk
+    AND d_year = 2002
+    AND wr_returning_addr_sk = ca_address_sk
+  GROUP BY wr_returning_customer_sk, ca_state)
+SELECT c_customer_id, c_salutation, c_first_name, c_last_name,
+       c_preferred_cust_flag, c_birth_month, c_birth_year,
+       CAST(ctr_total_return AS DOUBLE) AS ctr_total_return
+FROM customer_total_return ctr1, customer_address, customer
+WHERE ctr1.ctr_total_return >
+      (SELECT CAST(SUM(CAST(ctr2.ctr_total_return AS DECIMAL(30,6)))
+                   AS DOUBLE) / COUNT(ctr2.ctr_total_return) * 1.2
+       FROM customer_total_return ctr2
+       WHERE ctr1.ctr_state = ctr2.ctr_state)
+  AND ca_address_sk = c_current_addr_sk
+  AND ca_state = 'GA'
+  AND ctr1.ctr_customer_sk = c_customer_sk
+ORDER BY c_customer_id, c_salutation, c_first_name, c_last_name,
+         c_preferred_cust_flag, c_birth_month, c_birth_year,
+         ctr_total_return
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q49", """
+SELECT channel, item, return_ratio, return_rank, currency_rank FROM (
+  SELECT 'web' AS channel, web.item, web.return_ratio,
+         web.return_rank, web.currency_rank
+  FROM (SELECT item, return_ratio, currency_ratio,
+               RANK() OVER (ORDER BY return_ratio, item) AS return_rank,
+               RANK() OVER (ORDER BY currency_ratio, item) AS currency_rank
+        FROM (SELECT ws.ws_item_sk AS item,
+                     CAST(SUM(COALESCE(wr.wr_return_quantity, 0)) AS DOUBLE)
+                       / CAST(SUM(COALESCE(ws.ws_quantity, 0)) AS DOUBLE)
+                       AS return_ratio,
+                     CAST(SUM(COALESCE(wr.wr_return_amt, 0)) AS DOUBLE)
+                       / CAST(SUM(COALESCE(ws.ws_net_paid, 0)) AS DOUBLE)
+                       AS currency_ratio
+              FROM web_sales ws
+                   LEFT OUTER JOIN web_returns wr
+                     ON (ws.ws_order_number = wr.wr_order_number
+                         AND ws.ws_item_sk = wr.wr_item_sk),
+                   date_dim
+              WHERE wr.wr_return_amt > 100
+                AND ws.ws_net_profit > 1
+                AND ws.ws_net_paid > 0
+                AND ws.ws_quantity > 0
+                AND ws_sold_date_sk = d_date_sk
+                AND d_year = 2001 AND d_moy = 12
+              GROUP BY ws.ws_item_sk) in_web) web
+  WHERE web.return_rank <= 10 OR web.currency_rank <= 10
+  UNION
+  SELECT 'catalog', catalog.item, catalog.return_ratio,
+         catalog.return_rank, catalog.currency_rank
+  FROM (SELECT item, return_ratio, currency_ratio,
+               RANK() OVER (ORDER BY return_ratio, item) AS return_rank,
+               RANK() OVER (ORDER BY currency_ratio, item) AS currency_rank
+        FROM (SELECT cs.cs_item_sk AS item,
+                     CAST(SUM(COALESCE(cr.cr_return_quantity, 0)) AS DOUBLE)
+                       / CAST(SUM(COALESCE(cs.cs_quantity, 0)) AS DOUBLE)
+                       AS return_ratio,
+                     CAST(SUM(COALESCE(cr.cr_return_amt, 0)) AS DOUBLE)
+                       / CAST(SUM(COALESCE(cs.cs_net_paid, 0)) AS DOUBLE)
+                       AS currency_ratio
+              FROM catalog_sales cs
+                   LEFT OUTER JOIN catalog_returns cr
+                     ON (cs.cs_order_number = cr.cr_order_number
+                         AND cs.cs_item_sk = cr.cr_item_sk),
+                   date_dim
+              WHERE cr.cr_return_amt > 100
+                AND cs.cs_net_profit > 1
+                AND cs.cs_net_paid > 0
+                AND cs.cs_quantity > 0
+                AND cs_sold_date_sk = d_date_sk
+                AND d_year = 2001 AND d_moy = 12
+              GROUP BY cs.cs_item_sk) in_cat) catalog
+  WHERE catalog.return_rank <= 10 OR catalog.currency_rank <= 10
+  UNION
+  SELECT 'store', store.item, store.return_ratio,
+         store.return_rank, store.currency_rank
+  FROM (SELECT item, return_ratio, currency_ratio,
+               RANK() OVER (ORDER BY return_ratio, item) AS return_rank,
+               RANK() OVER (ORDER BY currency_ratio, item) AS currency_rank
+        FROM (SELECT sts.ss_item_sk AS item,
+                     CAST(SUM(COALESCE(sr.sr_return_quantity, 0)) AS DOUBLE)
+                       / CAST(SUM(COALESCE(sts.ss_quantity, 0)) AS DOUBLE)
+                       AS return_ratio,
+                     CAST(SUM(COALESCE(sr.sr_return_amt, 0)) AS DOUBLE)
+                       / CAST(SUM(COALESCE(sts.ss_net_paid, 0)) AS DOUBLE)
+                       AS currency_ratio
+              FROM store_sales sts
+                   LEFT OUTER JOIN store_returns sr
+                     ON (sts.ss_ticket_number = sr.sr_ticket_number
+                         AND sts.ss_item_sk = sr.sr_item_sk),
+                   date_dim
+              WHERE sr.sr_return_amt > 100
+                AND sts.ss_net_profit > 1
+                AND sts.ss_net_paid > 0
+                AND sts.ss_quantity > 0
+                AND ss_sold_date_sk = d_date_sk
+                AND d_year = 2001 AND d_moy = 12
+              GROUP BY sts.ss_item_sk) in_store) store
+  WHERE store.return_rank <= 10 OR store.currency_rank <= 10
+) sq1
+ORDER BY 1, 4, 5, 2
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q81", """
+WITH customer_total_return AS (
+  SELECT cr_returning_customer_sk AS ctr_customer_sk,
+         ca_state AS ctr_state,
+         SUM(cr_return_amt_inc_tax) AS ctr_total_return
+  FROM catalog_returns, date_dim, customer_address
+  WHERE cr_returned_date_sk = d_date_sk
+    AND d_year = 2000
+    AND cr_returning_addr_sk = ca_address_sk
+  GROUP BY cr_returning_customer_sk, ca_state)
+SELECT c_customer_id, c_salutation, c_first_name, c_last_name,
+       ca_street_number, ca_street_name, ca_city, ca_state, ca_zip,
+       CAST(ctr_total_return AS DOUBLE) AS ctr_total_return
+FROM customer_total_return ctr1, customer_address, customer
+WHERE ctr1.ctr_total_return >
+      (SELECT CAST(SUM(CAST(ctr2.ctr_total_return AS DECIMAL(30,6)))
+                   AS DOUBLE) / COUNT(ctr2.ctr_total_return) * 1.2
+       FROM customer_total_return ctr2
+       WHERE ctr1.ctr_state = ctr2.ctr_state)
+  AND ca_address_sk = c_current_addr_sk
+  AND ca_state = 'TN'
+  AND ctr1.ctr_customer_sk = c_customer_sk
+ORDER BY c_customer_id, c_salutation, c_first_name, c_last_name,
+         ca_street_number, ca_street_name, ca_city, ca_state, ca_zip,
+         ctr_total_return
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q84", """
+SELECT c_customer_id AS customer_id,
+       COALESCE(c_last_name, '') || ', ' || COALESCE(c_first_name, '')
+         AS customername
+FROM customer, customer_address, customer_demographics,
+     household_demographics, income_band, store_returns
+WHERE ca_city = 'Midway'
+  AND c_current_addr_sk = ca_address_sk
+  AND ib_lower_bound >= 30000
+  AND ib_upper_bound <= 80000
+  AND ib_income_band_sk = hd_income_band_sk
+  AND cd_demo_sk = c_current_cdemo_sk
+  AND hd_demo_sk = c_current_hdemo_sk
+  AND sr_cdemo_sk = cd_demo_sk
+ORDER BY c_customer_id
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q85", """
+SELECT substr(r_reason_desc, 1, 20) AS r20,
+       AVG(ws_quantity) AS avg_qty,
+       CAST(SUM(CAST(wr_refunded_cash AS DECIMAL(30,6))) AS DOUBLE)
+         / COUNT(wr_refunded_cash) AS avg_refunded,
+       CAST(SUM(CAST(wr_fee AS DECIMAL(30,6))) AS DOUBLE)
+         / COUNT(wr_fee) AS avg_fee
+FROM web_sales, web_returns, web_page, customer_demographics cd1,
+     customer_demographics cd2, customer_address, date_dim, reason
+WHERE ws_web_page_sk = wp_web_page_sk
+  AND ws_item_sk = wr_item_sk
+  AND ws_order_number = wr_order_number
+  AND ws_sold_date_sk = d_date_sk AND d_year = 2000
+  AND cd1.cd_demo_sk = wr_refunded_cdemo_sk
+  AND cd2.cd_demo_sk = wr_returning_cdemo_sk
+  AND ca_address_sk = wr_refunded_addr_sk
+  AND r_reason_sk = wr_reason_sk
+  AND ((cd1.cd_marital_status = 'M'
+        AND cd1.cd_marital_status = cd2.cd_marital_status
+        AND cd1.cd_education_status = 'Advanced Degree'
+        AND cd1.cd_education_status = cd2.cd_education_status
+        AND ws_sales_price BETWEEN 100.00 AND 150.00)
+    OR (cd1.cd_marital_status = 'S'
+        AND cd1.cd_marital_status = cd2.cd_marital_status
+        AND cd1.cd_education_status = 'College'
+        AND cd1.cd_education_status = cd2.cd_education_status
+        AND ws_sales_price BETWEEN 50.00 AND 100.00)
+    OR (cd1.cd_marital_status = 'W'
+        AND cd1.cd_marital_status = cd2.cd_marital_status
+        AND cd1.cd_education_status = '2 yr Degree'
+        AND cd1.cd_education_status = cd2.cd_education_status
+        AND ws_sales_price BETWEEN 150.00 AND 200.00))
+  AND ((ca_country = 'United States'
+        AND ca_state IN ('TN', 'OH', 'TX')
+        AND ws_net_profit BETWEEN 100 AND 200)
+    OR (ca_country = 'United States'
+        AND ca_state IN ('SD', 'GA', 'IL')
+        AND ws_net_profit BETWEEN 150 AND 300)
+    OR (ca_country = 'United States'
+        AND ca_state IN ('TX', 'GA', 'IL')
+        AND ws_net_profit BETWEEN 50 AND 250))
+GROUP BY r_reason_desc
+ORDER BY r20, avg_qty, avg_refunded, avg_fee
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q94", """
+SELECT COUNT(DISTINCT ws_order_number) AS order_count,
+       CAST(SUM(ws_ext_ship_cost) AS DOUBLE) AS total_shipping_cost,
+       CAST(SUM(ws_net_profit) AS DOUBLE) AS total_net_profit
+FROM web_sales ws1, date_dim, customer_address, web_site
+WHERE d_date BETWEEN DATE '1999-02-01' AND DATE '1999-04-02'
+  AND ws1.ws_ship_date_sk = d_date_sk
+  AND ws1.ws_ship_addr_sk = ca_address_sk
+  AND ca_state = 'IL'
+  AND ws1.ws_web_site_sk = web_site_sk
+  AND web_company_name = 'pri'
+  AND EXISTS (SELECT * FROM web_sales ws2
+              WHERE ws1.ws_order_number = ws2.ws_order_number
+                AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+  AND NOT EXISTS (SELECT * FROM web_returns wr1
+                  WHERE ws1.ws_order_number = wr1.wr_order_number)
+ORDER BY COUNT(DISTINCT ws_order_number)
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q95", """
+WITH ws_wh AS (
+  SELECT ws1.ws_order_number, ws1.ws_warehouse_sk AS wh1,
+         ws2.ws_warehouse_sk AS wh2
+  FROM web_sales ws1, web_sales ws2
+  WHERE ws1.ws_order_number = ws2.ws_order_number
+    AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+SELECT COUNT(DISTINCT ws_order_number) AS order_count,
+       CAST(SUM(ws_ext_ship_cost) AS DOUBLE) AS total_shipping_cost,
+       CAST(SUM(ws_net_profit) AS DOUBLE) AS total_net_profit
+FROM web_sales ws1, date_dim, customer_address, web_site
+WHERE d_date BETWEEN DATE '1999-02-01' AND DATE '1999-04-02'
+  AND ws1.ws_ship_date_sk = d_date_sk
+  AND ws1.ws_ship_addr_sk = ca_address_sk
+  AND ca_state = 'IL'
+  AND ws1.ws_web_site_sk = web_site_sk
+  AND web_company_name = 'pri'
+  AND ws1.ws_order_number IN (SELECT ws_order_number FROM ws_wh)
+  AND ws1.ws_order_number IN (SELECT wr_order_number
+                              FROM web_returns, ws_wh
+                              WHERE wr_order_number = ws_wh.ws_order_number)
+ORDER BY COUNT(DISTINCT ws_order_number)
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q99", """
+SELECT substr(w_warehouse_name, 1, 20) AS wh, sm_type, cc_name,
+       SUM(CASE WHEN (cs_ship_date_sk - cs_sold_date_sk <= 30)
+                THEN 1 ELSE 0 END) AS d30,
+       SUM(CASE WHEN (cs_ship_date_sk - cs_sold_date_sk > 30)
+                 AND (cs_ship_date_sk - cs_sold_date_sk <= 60)
+                THEN 1 ELSE 0 END) AS d31_60,
+       SUM(CASE WHEN (cs_ship_date_sk - cs_sold_date_sk > 60)
+                 AND (cs_ship_date_sk - cs_sold_date_sk <= 90)
+                THEN 1 ELSE 0 END) AS d61_90,
+       SUM(CASE WHEN (cs_ship_date_sk - cs_sold_date_sk > 90)
+                 AND (cs_ship_date_sk - cs_sold_date_sk <= 120)
+                THEN 1 ELSE 0 END) AS d91_120,
+       SUM(CASE WHEN (cs_ship_date_sk - cs_sold_date_sk > 120)
+                THEN 1 ELSE 0 END) AS d_gt_120
+FROM catalog_sales, warehouse, ship_mode, call_center, date_dim
+WHERE d_month_seq BETWEEN 1200 AND 1211
+  AND cs_ship_date_sk = d_date_sk
+  AND cs_warehouse_sk = w_warehouse_sk
+  AND cs_ship_mode_sk = sm_ship_mode_sk
+  AND cs_call_center_sk = cc_call_center_sk
+GROUP BY substr(w_warehouse_name, 1, 20), sm_type, cc_name
+ORDER BY wh NULLS FIRST, sm_type, cc_name, d30, d31_60, d61_90,
+         d91_120, d_gt_120
+LIMIT 100
+""")
