@@ -620,6 +620,10 @@ def _generate(d: str) -> None:  # noqa: PLR0915 - one linear build per table
             f"{prefix}_net_loss": _dec(ramt // 2 + fee),
         }
         cols.update(extra(n_ret))
+        if prefix == "cr":
+            # the spec's naming inconsistency is part of the schema:
+            # catalog_returns has cr_return_AMOUNT (but cr_return_amt_inc_tax)
+            cols["cr_return_amount"] = cols.pop("cr_return_amt")
         _write(d, name, cols)
 
     channel_returns("catalog_returns", "cr", 6000, cs_cols, cs_raw, lambda n: {

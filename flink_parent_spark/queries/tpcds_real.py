@@ -2099,7 +2099,7 @@ SELECT channel, item, return_ratio, return_rank, currency_rank FROM (
                      CAST(SUM(COALESCE(cr.cr_return_quantity, 0)) AS DOUBLE)
                        / CAST(SUM(COALESCE(cs.cs_quantity, 0)) AS DOUBLE)
                        AS return_ratio,
-                     CAST(SUM(COALESCE(cr.cr_return_amt, 0)) AS DOUBLE)
+                     CAST(SUM(COALESCE(cr.cr_return_amount, 0)) AS DOUBLE)
                        / CAST(SUM(COALESCE(cs.cs_net_paid, 0)) AS DOUBLE)
                        AS currency_ratio
               FROM catalog_sales cs
@@ -2107,7 +2107,7 @@ SELECT channel, item, return_ratio, return_rank, currency_rank FROM (
                      ON (cs.cs_order_number = cr.cr_order_number
                          AND cs.cs_item_sk = cr.cr_item_sk),
                    date_dim
-              WHERE cr.cr_return_amt > 100
+              WHERE cr.cr_return_amount > 100
                 AND cs.cs_net_profit > 1
                 AND cs.cs_net_paid > 0
                 AND cs.cs_quantity > 0
@@ -2308,4 +2308,332 @@ GROUP BY substr(w_warehouse_name, 1, 20), sm_type, cc_name
 ORDER BY wh NULLS FIRST, sm_type, cc_name, d30, d31_60, d61_90,
          d91_120, d_gt_120
 LIMIT 100
+""")
+
+tpcds_query("tpcds_q10", """
+SELECT cd_gender, cd_marital_status, cd_education_status,
+       COUNT(*) AS cnt1,
+       cd_purchase_estimate, COUNT(*) AS cnt2,
+       cd_credit_rating, COUNT(*) AS cnt3,
+       cd_dep_count, COUNT(*) AS cnt4,
+       cd_dep_employed_count, COUNT(*) AS cnt5,
+       cd_dep_college_count, COUNT(*) AS cnt6
+FROM customer c, customer_address ca, customer_demographics
+WHERE c.c_current_addr_sk = ca.ca_address_sk
+  AND ca_county IN ('Williamson County', 'Ziebach County', 'Walker County',
+                    'Barrow County', 'Franklin Parish')
+  AND cd_demo_sk = c.c_current_cdemo_sk
+  AND EXISTS (SELECT * FROM store_sales, date_dim
+              WHERE c.c_customer_sk = ss_customer_sk
+                AND ss_sold_date_sk = d_date_sk
+                AND d_year = 2002 AND d_moy BETWEEN 1 AND 4)
+  AND (EXISTS (SELECT * FROM web_sales, date_dim
+               WHERE c.c_customer_sk = ws_bill_customer_sk
+                 AND ws_sold_date_sk = d_date_sk
+                 AND d_year = 2002 AND d_moy BETWEEN 1 AND 4)
+       OR EXISTS (SELECT * FROM catalog_sales, date_dim
+                  WHERE c.c_customer_sk = cs_ship_customer_sk
+                    AND cs_sold_date_sk = d_date_sk
+                    AND d_year = 2002 AND d_moy BETWEEN 1 AND 4))
+GROUP BY cd_gender, cd_marital_status, cd_education_status,
+         cd_purchase_estimate, cd_credit_rating, cd_dep_count,
+         cd_dep_employed_count, cd_dep_college_count
+ORDER BY cd_gender, cd_marital_status, cd_education_status,
+         cd_purchase_estimate, cd_credit_rating, cd_dep_count,
+         cd_dep_employed_count, cd_dep_college_count
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q12", """
+SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
+       CAST(SUM(ws_ext_sales_price) AS DOUBLE) AS itemrevenue,
+       CAST(SUM(ws_ext_sales_price) AS DOUBLE) * 100
+         / CAST(SUM(SUM(ws_ext_sales_price))
+                OVER (PARTITION BY i_class) AS DOUBLE) AS revenueratio
+FROM web_sales, item, date_dim
+WHERE ws_item_sk = i_item_sk
+  AND i_category IN ('Sports', 'Books', 'Home')
+  AND ws_sold_date_sk = d_date_sk
+  AND d_date BETWEEN DATE '1999-02-22' AND DATE '1999-03-24'
+GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price
+ORDER BY i_category, i_class, i_item_id, i_item_desc, revenueratio
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q40", """
+SELECT w_state, i_item_id,
+       CAST(SUM(CASE WHEN d_date < DATE '2000-03-11'
+                     THEN cs_sales_price - COALESCE(cr_refunded_cash, 0)
+                     ELSE 0 END) AS DOUBLE) AS sales_before,
+       CAST(SUM(CASE WHEN d_date >= DATE '2000-03-11'
+                     THEN cs_sales_price - COALESCE(cr_refunded_cash, 0)
+                     ELSE 0 END) AS DOUBLE) AS sales_after
+FROM catalog_sales
+     LEFT OUTER JOIN catalog_returns
+       ON (cs_order_number = cr_order_number AND cs_item_sk = cr_item_sk),
+     warehouse, item, date_dim
+WHERE i_current_price BETWEEN 0.99 AND 31.49
+  AND i_item_sk = cs_item_sk
+  AND cs_warehouse_sk = w_warehouse_sk
+  AND cs_sold_date_sk = d_date_sk
+  AND d_date BETWEEN DATE '2000-02-10' AND DATE '2000-04-10'
+GROUP BY w_state, i_item_id
+ORDER BY w_state, i_item_id
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q53", """
+SELECT * FROM (
+  SELECT i_manufact_id,
+         CAST(SUM(ss_sales_price) AS DOUBLE) AS sum_sales,
+         CAST(SUM(SUM(ss_sales_price))
+              OVER (PARTITION BY i_manufact_id) AS DOUBLE)
+           / COUNT(SUM(ss_sales_price))
+              OVER (PARTITION BY i_manufact_id) AS avg_quarterly_sales
+  FROM item, store_sales, date_dim, store
+  WHERE ss_item_sk = i_item_sk
+    AND ss_sold_date_sk = d_date_sk
+    AND ss_store_sk = s_store_sk
+    AND d_month_seq IN (1200, 1201, 1202, 1203, 1204, 1205, 1206,
+                        1207, 1208, 1209, 1210, 1211)
+    AND ((i_category IN ('Books', 'Children', 'Electronics')
+          AND i_class IN ('classical', 'fiction', 'accessories'))
+      OR (i_category IN ('Women', 'Music', 'Men')
+          AND i_class IN ('pants', 'pop', 'shirts')))
+  GROUP BY i_manufact_id, d_qoy) tmp1
+WHERE CASE WHEN avg_quarterly_sales > 0
+           THEN ABS(sum_sales - avg_quarterly_sales) / avg_quarterly_sales
+           ELSE NULL END > 0.1
+ORDER BY avg_quarterly_sales, sum_sales, i_manufact_id
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q56", """
+WITH ss AS (
+  SELECT i_item_id, SUM(ss_ext_sales_price) AS total_sales
+  FROM store_sales, date_dim, customer_address, item
+  WHERE i_item_id IN (SELECT i_item_id FROM item
+                      WHERE i_color IN ('red', 'blue', 'green'))
+    AND ss_item_sk = i_item_sk
+    AND ss_sold_date_sk = d_date_sk
+    AND d_year = 2001 AND d_moy = 2
+    AND ss_addr_sk = ca_address_sk
+    AND ca_gmt_offset = -5
+  GROUP BY i_item_id),
+cs AS (
+  SELECT i_item_id, SUM(cs_ext_sales_price) AS total_sales
+  FROM catalog_sales, date_dim, customer_address, item
+  WHERE i_item_id IN (SELECT i_item_id FROM item
+                      WHERE i_color IN ('red', 'blue', 'green'))
+    AND cs_item_sk = i_item_sk
+    AND cs_sold_date_sk = d_date_sk
+    AND d_year = 2001 AND d_moy = 2
+    AND cs_bill_addr_sk = ca_address_sk
+    AND ca_gmt_offset = -5
+  GROUP BY i_item_id),
+ws AS (
+  SELECT i_item_id, SUM(ws_ext_sales_price) AS total_sales
+  FROM web_sales, date_dim, customer_address, item
+  WHERE i_item_id IN (SELECT i_item_id FROM item
+                      WHERE i_color IN ('red', 'blue', 'green'))
+    AND ws_item_sk = i_item_sk
+    AND ws_sold_date_sk = d_date_sk
+    AND d_year = 2001 AND d_moy = 2
+    AND ws_bill_addr_sk = ca_address_sk
+    AND ca_gmt_offset = -5
+  GROUP BY i_item_id)
+SELECT i_item_id, CAST(SUM(total_sales) AS DOUBLE) AS total_sales
+FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs
+      UNION ALL SELECT * FROM ws) tmp1
+GROUP BY i_item_id
+ORDER BY total_sales, i_item_id
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q60", """
+WITH ss AS (
+  SELECT i_item_id, SUM(ss_ext_sales_price) AS total_sales
+  FROM store_sales, date_dim, customer_address, item
+  WHERE i_item_id IN (SELECT i_item_id FROM item
+                      WHERE i_category = 'Music')
+    AND ss_item_sk = i_item_sk
+    AND ss_sold_date_sk = d_date_sk
+    AND d_year = 1998 AND d_moy = 9
+    AND ss_addr_sk = ca_address_sk
+    AND ca_gmt_offset = -5
+  GROUP BY i_item_id),
+cs AS (
+  SELECT i_item_id, SUM(cs_ext_sales_price) AS total_sales
+  FROM catalog_sales, date_dim, customer_address, item
+  WHERE i_item_id IN (SELECT i_item_id FROM item
+                      WHERE i_category = 'Music')
+    AND cs_item_sk = i_item_sk
+    AND cs_sold_date_sk = d_date_sk
+    AND d_year = 1998 AND d_moy = 9
+    AND cs_bill_addr_sk = ca_address_sk
+    AND ca_gmt_offset = -5
+  GROUP BY i_item_id),
+ws AS (
+  SELECT i_item_id, SUM(ws_ext_sales_price) AS total_sales
+  FROM web_sales, date_dim, customer_address, item
+  WHERE i_item_id IN (SELECT i_item_id FROM item
+                      WHERE i_category = 'Music')
+    AND ws_item_sk = i_item_sk
+    AND ws_sold_date_sk = d_date_sk
+    AND d_year = 1998 AND d_moy = 9
+    AND ws_bill_addr_sk = ca_address_sk
+    AND ca_gmt_offset = -5
+  GROUP BY i_item_id)
+SELECT i_item_id, CAST(SUM(total_sales) AS DOUBLE) AS total_sales
+FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs
+      UNION ALL SELECT * FROM ws) tmp1
+GROUP BY i_item_id
+ORDER BY i_item_id, total_sales
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q77", """
+WITH ss AS (
+  SELECT s_store_sk, SUM(ss_ext_sales_price) AS sales,
+         SUM(ss_net_profit) AS profit
+  FROM store_sales, date_dim, store
+  WHERE ss_sold_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-03' AND DATE '2000-09-02'
+    AND ss_store_sk = s_store_sk
+  GROUP BY s_store_sk),
+sr AS (
+  SELECT s_store_sk, SUM(sr_return_amt) AS returns_,
+         SUM(sr_net_loss) AS profit_loss
+  FROM store_returns, date_dim, store
+  WHERE sr_returned_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-03' AND DATE '2000-09-02'
+    AND sr_store_sk = s_store_sk
+  GROUP BY s_store_sk),
+cs AS (
+  SELECT cs_call_center_sk, SUM(cs_ext_sales_price) AS sales,
+         SUM(cs_net_profit) AS profit
+  FROM catalog_sales, date_dim
+  WHERE cs_sold_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-03' AND DATE '2000-09-02'
+  GROUP BY cs_call_center_sk),
+cr AS (
+  SELECT cr_call_center_sk, SUM(cr_return_amount) AS returns_,
+         SUM(cr_net_loss) AS profit_loss
+  FROM catalog_returns, date_dim
+  WHERE cr_returned_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-03' AND DATE '2000-09-02'
+  GROUP BY cr_call_center_sk),
+ws AS (
+  SELECT wp_web_page_sk, SUM(ws_ext_sales_price) AS sales,
+         SUM(ws_net_profit) AS profit
+  FROM web_sales, date_dim, web_page
+  WHERE ws_sold_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-03' AND DATE '2000-09-02'
+    AND ws_web_page_sk = wp_web_page_sk
+  GROUP BY wp_web_page_sk),
+wr AS (
+  SELECT wp_web_page_sk, SUM(wr_return_amt) AS returns_,
+         SUM(wr_net_loss) AS profit_loss
+  FROM web_returns, date_dim, web_page
+  WHERE wr_returned_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-03' AND DATE '2000-09-02'
+    AND wr_web_page_sk = wp_web_page_sk
+  GROUP BY wp_web_page_sk)
+SELECT channel, id,
+       CAST(SUM(sales) AS DOUBLE) AS sales,
+       CAST(SUM(returns_) AS DOUBLE) AS returns_,
+       CAST(SUM(profit) AS DOUBLE) AS profit
+FROM (SELECT 'store channel' AS channel, ss.s_store_sk AS id, sales,
+             COALESCE(returns_, 0) AS returns_,
+             (profit - COALESCE(profit_loss, 0)) AS profit
+      FROM ss LEFT JOIN sr ON ss.s_store_sk = sr.s_store_sk
+      UNION ALL
+      SELECT 'catalog channel', cs_call_center_sk, sales, returns_,
+             (profit - profit_loss)
+      FROM cs, cr
+      UNION ALL
+      SELECT 'web channel', ws.wp_web_page_sk, sales,
+             COALESCE(returns_, 0),
+             (profit - COALESCE(profit_loss, 0))
+      FROM ws LEFT JOIN wr ON ws.wp_web_page_sk = wr.wp_web_page_sk) x
+GROUP BY ROLLUP (channel, id)
+ORDER BY channel NULLS FIRST, id NULLS FIRST, sales
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q83", """
+WITH sr_items AS (
+  SELECT i_item_id AS item_id, SUM(sr_return_quantity) AS sr_item_qty
+  FROM store_returns, item, date_dim
+  WHERE sr_item_sk = i_item_sk
+    AND d_date IN (SELECT d_date FROM date_dim
+                   WHERE d_week_seq IN (SELECT d_week_seq FROM date_dim
+                                        WHERE d_date BETWEEN
+                                              DATE '2000-01-01'
+                                          AND DATE '2000-06-30'))
+    AND sr_returned_date_sk = d_date_sk
+  GROUP BY i_item_id),
+cr_items AS (
+  SELECT i_item_id AS item_id, SUM(cr_return_quantity) AS cr_item_qty
+  FROM catalog_returns, item, date_dim
+  WHERE cr_item_sk = i_item_sk
+    AND d_date IN (SELECT d_date FROM date_dim
+                   WHERE d_week_seq IN (SELECT d_week_seq FROM date_dim
+                                        WHERE d_date BETWEEN
+                                              DATE '2000-01-01'
+                                          AND DATE '2000-06-30'))
+    AND cr_returned_date_sk = d_date_sk
+  GROUP BY i_item_id),
+wr_items AS (
+  SELECT i_item_id AS item_id, SUM(wr_return_quantity) AS wr_item_qty
+  FROM web_returns, item, date_dim
+  WHERE wr_item_sk = i_item_sk
+    AND d_date IN (SELECT d_date FROM date_dim
+                   WHERE d_week_seq IN (SELECT d_week_seq FROM date_dim
+                                        WHERE d_date BETWEEN
+                                              DATE '2000-01-01'
+                                          AND DATE '2000-06-30'))
+    AND wr_returned_date_sk = d_date_sk
+  GROUP BY i_item_id)
+SELECT sr_items.item_id, sr_item_qty,
+       CAST(sr_item_qty AS DOUBLE)
+         / CAST(sr_item_qty + cr_item_qty + wr_item_qty AS DOUBLE)
+         / 3.0 * 100 AS sr_dev,
+       cr_item_qty,
+       CAST(cr_item_qty AS DOUBLE)
+         / CAST(sr_item_qty + cr_item_qty + wr_item_qty AS DOUBLE)
+         / 3.0 * 100 AS cr_dev,
+       wr_item_qty,
+       CAST(wr_item_qty AS DOUBLE)
+         / CAST(sr_item_qty + cr_item_qty + wr_item_qty AS DOUBLE)
+         / 3.0 * 100 AS wr_dev,
+       CAST(sr_item_qty + cr_item_qty + wr_item_qty AS DOUBLE) / 3.0
+         AS average
+FROM sr_items, cr_items, wr_items
+WHERE sr_items.item_id = cr_items.item_id
+  AND sr_items.item_id = wr_items.item_id
+ORDER BY sr_items.item_id, sr_item_qty
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q91", """
+SELECT cc_call_center_id AS call_center, cc_name, cc_manager,
+       CAST(SUM(cr_net_loss) AS DOUBLE) AS returns_loss
+FROM call_center, catalog_returns, date_dim, customer,
+     customer_address, customer_demographics, household_demographics
+WHERE cr_call_center_sk = cc_call_center_sk
+  AND cr_returned_date_sk = d_date_sk
+  AND cr_returning_customer_sk = c_customer_sk
+  AND cd_demo_sk = c_current_cdemo_sk
+  AND hd_demo_sk = c_current_hdemo_sk
+  AND ca_address_sk = c_current_addr_sk
+  AND d_year = 1998
+  AND ((cd_marital_status = 'M' AND cd_education_status = 'Unknown')
+    OR (cd_marital_status = 'W'
+        AND cd_education_status = 'Advanced Degree'))
+  AND hd_buy_potential LIKE 'Unknown%'
+  AND ca_gmt_offset = -7
+GROUP BY cc_call_center_id, cc_name, cc_manager,
+         cd_marital_status, cd_education_status
+ORDER BY returns_loss DESC, call_center
 """)
