@@ -2637,3 +2637,197 @@ GROUP BY cc_call_center_id, cc_name, cc_manager,
          cd_marital_status, cd_education_status
 ORDER BY returns_loss DESC, call_center
 """)
+
+tpcds_query("tpcds_q11", """
+WITH year_total AS (
+  SELECT c_customer_id AS customer_id,
+         c_first_name AS customer_first_name,
+         c_last_name AS customer_last_name,
+         c_preferred_cust_flag AS customer_preferred_cust_flag,
+         c_birth_country AS customer_birth_country,
+         c_email_address AS customer_email_address,
+         d_year AS dyear,
+         CAST(SUM(ss_ext_list_price - ss_ext_discount_amt) AS DOUBLE)
+           AS year_total,
+         's' AS sale_type
+  FROM customer, store_sales, date_dim
+  WHERE c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+  GROUP BY c_customer_id, c_first_name, c_last_name,
+           c_preferred_cust_flag, c_birth_country, c_email_address, d_year
+  UNION ALL
+  SELECT c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+         c_birth_country, c_email_address, d_year,
+         CAST(SUM(ws_ext_list_price - ws_ext_discount_amt) AS DOUBLE),
+         'w'
+  FROM customer, web_sales, date_dim
+  WHERE c_customer_sk = ws_bill_customer_sk AND ws_sold_date_sk = d_date_sk
+  GROUP BY c_customer_id, c_first_name, c_last_name,
+           c_preferred_cust_flag, c_birth_country, c_email_address, d_year)
+SELECT t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+       t_s_secyear.customer_last_name,
+       t_s_secyear.customer_email_address
+FROM year_total t_s_firstyear, year_total t_s_secyear,
+     year_total t_w_firstyear, year_total t_w_secyear
+WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+  AND t_s_firstyear.sale_type = 's'
+  AND t_w_firstyear.sale_type = 'w'
+  AND t_s_secyear.sale_type = 's'
+  AND t_w_secyear.sale_type = 'w'
+  AND t_s_firstyear.dyear = 2001
+  AND t_s_secyear.dyear = 2002
+  AND t_w_firstyear.dyear = 2001
+  AND t_w_secyear.dyear = 2002
+  AND t_s_firstyear.year_total > 0
+  AND t_w_firstyear.year_total > 0
+  AND CASE WHEN t_w_firstyear.year_total > 0
+           THEN t_w_secyear.year_total / t_w_firstyear.year_total
+           ELSE 0.0 END
+      > CASE WHEN t_s_firstyear.year_total > 0
+             THEN t_s_secyear.year_total / t_s_firstyear.year_total
+             ELSE 0.0 END
+ORDER BY t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+         t_s_secyear.customer_last_name,
+         t_s_secyear.customer_email_address
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q17", """
+SELECT i_item_id, i_item_desc, s_state,
+       COUNT(ss_quantity) AS store_sales_quantitycount,
+       CAST(SUM(ss_quantity) AS DOUBLE) / COUNT(ss_quantity)
+         AS store_sales_quantityave,
+       SQRT((CAST(COUNT(ss_quantity) AS DOUBLE)
+               * CAST(SUM(ss_quantity * ss_quantity) AS DOUBLE)
+             - CAST(SUM(ss_quantity) AS DOUBLE)
+               * CAST(SUM(ss_quantity) AS DOUBLE))
+            / (CAST(COUNT(ss_quantity) AS DOUBLE)
+               * (CAST(COUNT(ss_quantity) AS DOUBLE) - 1)))
+         AS store_sales_quantitystdev,
+       COUNT(sr_return_quantity) AS store_returns_quantitycount,
+       CAST(SUM(sr_return_quantity) AS DOUBLE)
+         / COUNT(sr_return_quantity) AS store_returns_quantityave,
+       SQRT((CAST(COUNT(sr_return_quantity) AS DOUBLE)
+               * CAST(SUM(sr_return_quantity * sr_return_quantity)
+                      AS DOUBLE)
+             - CAST(SUM(sr_return_quantity) AS DOUBLE)
+               * CAST(SUM(sr_return_quantity) AS DOUBLE))
+            / (CAST(COUNT(sr_return_quantity) AS DOUBLE)
+               * (CAST(COUNT(sr_return_quantity) AS DOUBLE) - 1)))
+         AS store_returns_quantitystdev,
+       COUNT(cs_quantity) AS catalog_sales_quantitycount,
+       CAST(SUM(cs_quantity) AS DOUBLE) / COUNT(cs_quantity)
+         AS catalog_sales_quantityave
+FROM store_sales, store_returns, catalog_sales,
+     date_dim d1, date_dim d2, date_dim d3, store, item
+WHERE d1.d_quarter_name = '2001Q1'
+  AND d1.d_date_sk = ss_sold_date_sk
+  AND i_item_sk = ss_item_sk
+  AND s_store_sk = ss_store_sk
+  AND ss_customer_sk = sr_customer_sk
+  AND ss_item_sk = sr_item_sk
+  AND ss_ticket_number = sr_ticket_number
+  AND sr_returned_date_sk = d2.d_date_sk
+  AND d2.d_quarter_name IN ('2001Q1', '2001Q2', '2001Q3')
+  AND sr_customer_sk = cs_bill_customer_sk
+  AND sr_item_sk = cs_item_sk
+  AND cs_sold_date_sk = d3.d_date_sk
+  AND d3.d_quarter_name IN ('2001Q1', '2001Q2', '2001Q3')
+GROUP BY i_item_id, i_item_desc, s_state
+HAVING COUNT(ss_quantity) > 1
+ORDER BY i_item_id, i_item_desc, s_state
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q72", """
+SELECT i_item_desc, w_warehouse_name, d1.d_week_seq,
+       SUM(CASE WHEN p_promo_sk IS NULL THEN 1 ELSE 0 END) AS no_promo,
+       SUM(CASE WHEN p_promo_sk IS NOT NULL THEN 1 ELSE 0 END) AS promo,
+       COUNT(*) AS total_cnt
+FROM catalog_sales
+     JOIN inventory ON (cs_item_sk = inv_item_sk)
+     JOIN warehouse ON (w_warehouse_sk = inv_warehouse_sk)
+     JOIN item ON (i_item_sk = cs_item_sk)
+     JOIN customer_demographics ON (cs_bill_cdemo_sk = cd_demo_sk)
+     JOIN household_demographics ON (cs_bill_hdemo_sk = hd_demo_sk)
+     JOIN date_dim d1 ON (cs_sold_date_sk = d1.d_date_sk)
+     JOIN date_dim d2 ON (inv_date_sk = d2.d_date_sk)
+     JOIN date_dim d3 ON (cs_ship_date_sk = d3.d_date_sk)
+     LEFT OUTER JOIN promotion ON (cs_promo_sk = p_promo_sk)
+     LEFT OUTER JOIN catalog_returns
+       ON (cr_item_sk = cs_item_sk AND cr_order_number = cs_order_number)
+WHERE d1.d_week_seq = d2.d_week_seq
+  AND inv_quantity_on_hand < cs_quantity
+  AND d3.d_date > d1.d_date + 5
+  AND hd_buy_potential = '>10000'
+  AND d1.d_year = 1999
+  AND cd_marital_status = 'D'
+GROUP BY i_item_desc, w_warehouse_name, d1.d_week_seq
+ORDER BY total_cnt DESC, i_item_desc, w_warehouse_name, d1.d_week_seq
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q78", """
+WITH ws AS (
+  SELECT d_year AS ws_sold_year, ws_item_sk,
+         ws_bill_customer_sk AS ws_customer_sk,
+         SUM(ws_quantity) AS ws_qty,
+         SUM(ws_wholesale_cost) AS ws_wc,
+         SUM(ws_sales_price) AS ws_sp
+  FROM web_sales
+       LEFT JOIN web_returns
+         ON wr_order_number = ws_order_number AND ws_item_sk = wr_item_sk
+       JOIN date_dim ON ws_sold_date_sk = d_date_sk
+  WHERE wr_order_number IS NULL
+  GROUP BY d_year, ws_item_sk, ws_bill_customer_sk),
+cs AS (
+  SELECT d_year AS cs_sold_year, cs_item_sk,
+         cs_bill_customer_sk AS cs_customer_sk,
+         SUM(cs_quantity) AS cs_qty,
+         SUM(cs_wholesale_cost) AS cs_wc,
+         SUM(cs_sales_price) AS cs_sp
+  FROM catalog_sales
+       LEFT JOIN catalog_returns
+         ON cr_order_number = cs_order_number AND cs_item_sk = cr_item_sk
+       JOIN date_dim ON cs_sold_date_sk = d_date_sk
+  WHERE cr_order_number IS NULL
+  GROUP BY d_year, cs_item_sk, cs_bill_customer_sk),
+ss AS (
+  SELECT d_year AS ss_sold_year, ss_item_sk,
+         ss_customer_sk,
+         SUM(ss_quantity) AS ss_qty,
+         SUM(ss_wholesale_cost) AS ss_wc,
+         SUM(ss_sales_price) AS ss_sp
+  FROM store_sales
+       LEFT JOIN store_returns
+         ON sr_ticket_number = ss_ticket_number
+            AND ss_item_sk = sr_item_sk
+       JOIN date_dim ON ss_sold_date_sk = d_date_sk
+  WHERE sr_ticket_number IS NULL
+  GROUP BY d_year, ss_item_sk, ss_customer_sk)
+SELECT ss_sold_year, ss.ss_item_sk, ss_customer_sk,
+       ROUND(CAST(ss_qty AS DOUBLE)
+             / CAST(COALESCE(ws_qty, 0) + COALESCE(cs_qty, 0) AS DOUBLE),
+             2) AS ratio,
+       ss_qty AS store_qty,
+       CAST(ss_wc AS DOUBLE) AS store_wholesale_cost,
+       CAST(ss_sp AS DOUBLE) AS store_sales_price,
+       COALESCE(ws_qty, 0) + COALESCE(cs_qty, 0) AS other_chan_qty,
+       CAST(COALESCE(ws_wc, 0) + COALESCE(cs_wc, 0) AS DOUBLE)
+         AS other_chan_wholesale_cost,
+       CAST(COALESCE(ws_sp, 0) + COALESCE(cs_sp, 0) AS DOUBLE)
+         AS other_chan_sales_price
+FROM ss
+     LEFT JOIN ws ON (ws_sold_year = ss_sold_year
+                      AND ws.ws_item_sk = ss.ss_item_sk
+                      AND ws_customer_sk = ss_customer_sk)
+     LEFT JOIN cs ON (cs_sold_year = ss_sold_year
+                      AND cs.cs_item_sk = ss.ss_item_sk
+                      AND cs_customer_sk = ss_customer_sk)
+WHERE (COALESCE(ws_qty, 0) > 0 OR COALESCE(cs_qty, 0) > 0)
+  AND ss_sold_year = 2000
+ORDER BY ss_sold_year, ss.ss_item_sk, ss_customer_sk NULLS FIRST,
+         ss_qty DESC, ss_wc DESC, ss_sp DESC
+LIMIT 100
+""")
