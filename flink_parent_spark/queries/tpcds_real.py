@@ -2698,30 +2698,32 @@ SELECT i_item_id, i_item_desc, s_state,
        COUNT(ss_quantity) AS store_sales_quantitycount,
        CAST(SUM(ss_quantity) AS DOUBLE) / COUNT(ss_quantity)
          AS store_sales_quantityave,
-       SQRT((CAST(COUNT(ss_quantity) AS DOUBLE)
-               * CAST(SUM(ss_quantity * ss_quantity) AS DOUBLE)
-             - CAST(SUM(ss_quantity) AS DOUBLE)
-               * CAST(SUM(ss_quantity) AS DOUBLE))
-            / (CAST(COUNT(ss_quantity) AS DOUBLE)
-               * (CAST(COUNT(ss_quantity) AS DOUBLE) - 1)))
-         AS store_sales_quantitystdev,
+       CASE WHEN COUNT(ss_quantity) > 1 THEN
+         SQRT((CAST(COUNT(ss_quantity) AS DOUBLE)
+                 * CAST(SUM(ss_quantity * ss_quantity) AS DOUBLE)
+               - CAST(SUM(ss_quantity) AS DOUBLE)
+                 * CAST(SUM(ss_quantity) AS DOUBLE))
+              / (CAST(COUNT(ss_quantity) AS DOUBLE)
+                 * (CAST(COUNT(ss_quantity) AS DOUBLE) - 1)))
+       ELSE NULL END AS store_sales_quantitystdev,
        COUNT(sr_return_quantity) AS store_returns_quantitycount,
        CAST(SUM(sr_return_quantity) AS DOUBLE)
          / COUNT(sr_return_quantity) AS store_returns_quantityave,
-       SQRT((CAST(COUNT(sr_return_quantity) AS DOUBLE)
-               * CAST(SUM(sr_return_quantity * sr_return_quantity)
-                      AS DOUBLE)
-             - CAST(SUM(sr_return_quantity) AS DOUBLE)
-               * CAST(SUM(sr_return_quantity) AS DOUBLE))
-            / (CAST(COUNT(sr_return_quantity) AS DOUBLE)
-               * (CAST(COUNT(sr_return_quantity) AS DOUBLE) - 1)))
-         AS store_returns_quantitystdev,
+       CASE WHEN COUNT(sr_return_quantity) > 1 THEN
+         SQRT((CAST(COUNT(sr_return_quantity) AS DOUBLE)
+                 * CAST(SUM(sr_return_quantity * sr_return_quantity)
+                        AS DOUBLE)
+               - CAST(SUM(sr_return_quantity) AS DOUBLE)
+                 * CAST(SUM(sr_return_quantity) AS DOUBLE))
+              / (CAST(COUNT(sr_return_quantity) AS DOUBLE)
+                 * (CAST(COUNT(sr_return_quantity) AS DOUBLE) - 1)))
+       ELSE NULL END AS store_returns_quantitystdev,
        COUNT(cs_quantity) AS catalog_sales_quantitycount,
        CAST(SUM(cs_quantity) AS DOUBLE) / COUNT(cs_quantity)
          AS catalog_sales_quantityave
 FROM store_sales, store_returns, catalog_sales,
      date_dim d1, date_dim d2, date_dim d3, store, item
-WHERE d1.d_quarter_name = '2001Q1'
+WHERE d1.d_quarter_name IN ('2001Q1', '2001Q2', '2001Q3')
   AND d1.d_date_sk = ss_sold_date_sk
   AND i_item_sk = ss_item_sk
   AND s_store_sk = ss_store_sk
@@ -2729,13 +2731,12 @@ WHERE d1.d_quarter_name = '2001Q1'
   AND ss_item_sk = sr_item_sk
   AND ss_ticket_number = sr_ticket_number
   AND sr_returned_date_sk = d2.d_date_sk
-  AND d2.d_quarter_name IN ('2001Q1', '2001Q2', '2001Q3')
+  AND d2.d_quarter_name IN ('2001Q1', '2001Q2', '2001Q3', '2001Q4')
   AND sr_customer_sk = cs_bill_customer_sk
   AND sr_item_sk = cs_item_sk
   AND cs_sold_date_sk = d3.d_date_sk
-  AND d3.d_quarter_name IN ('2001Q1', '2001Q2', '2001Q3')
+  AND d3.d_quarter_name IN ('2001Q1', '2001Q2', '2001Q3', '2001Q4')
 GROUP BY i_item_id, i_item_desc, s_state
-HAVING COUNT(ss_quantity) > 1
 ORDER BY i_item_id, i_item_desc, s_state
 LIMIT 100
 """)
