@@ -40,7 +40,7 @@ TPCDS_TABLES = (
     "date_dim", "time_dim", "item", "customer", "customer_address",
     "customer_demographics", "household_demographics", "store", "warehouse",
     "promotion", "reason", "ship_mode", "web_site", "web_page",
-    "call_center", "income_band",
+    "call_center", "income_band", "catalog_page",
     "store_sales", "store_returns", "catalog_sales", "catalog_returns",
     "web_sales", "web_returns", "inventory",
 )
@@ -308,7 +308,11 @@ def _generate(d: str) -> None:  # noqa: PLR0915 - one linear build per table
         ],
         "c_birth_month": rng.randint(1, 13, _N_CUSTOMER),
         "c_birth_year": rng.randint(1930, 1993, _N_CUSTOMER),
-        "c_birth_country": ["United States"] * _N_CUSTOMER,
+        "c_birth_country": [
+            ("UNITED STATES", "CANADA", "MEXICO", "GERMANY", "FRANCE",
+             "JAPAN", "BRAZIL", "INDIA")[x]
+            for x in rng.randint(0, 8, _N_CUSTOMER)
+        ],
         "c_salutation": [("Mr.", "Mrs.", "Ms.", "Dr.")[x]
                          for x in rng.randint(0, 4, _N_CUSTOMER)],
         "c_email_address": [f"customer{i}@example.org"
@@ -394,6 +398,13 @@ def _generate(d: str) -> None:  # noqa: PLR0915 - one linear build per table
         "web_name": [f"site_{i}" for i in range(10)],
         "web_company_name": [("pri", "able", "ese", "bar", "anti")[i % 5]
                              for i in range(10)],
+    })
+    _write(d, "catalog_page", {
+        "cp_catalog_page_sk": np.arange(1, 101),
+        "cp_catalog_page_id": [f"AAAAAAAA{i:08d}" for i in range(1, 101)],
+        "cp_description": [f"catalog page {i}" for i in range(1, 101)],
+        "cp_type": [("bi-annual", "quarterly", "monthly")[i % 3]
+                    for i in range(100)],
     })
     _write(d, "call_center", {
         "cc_call_center_sk": np.arange(1, 7),
@@ -565,6 +576,7 @@ def _generate(d: str) -> None:  # noqa: PLR0915 - one linear build per table
         "cs_ship_addr_sk": rng.randint(1, _N_ADDR + 1, n),
         "cs_ship_mode_sk": rng.randint(1, 21, n),
         "cs_call_center_sk": rng.randint(1, 7, n),
+        "cs_catalog_page_sk": rng.randint(1, 101, n),
         "cs_warehouse_sk": _maybe_null(
             rng, rng.randint(1, _N_WAREHOUSE + 1, n), 0.02),
     })
@@ -633,6 +645,7 @@ def _generate(d: str) -> None:  # noqa: PLR0915 - one linear build per table
         "cr_returning_addr_sk": rng.randint(1, _N_ADDR + 1, n),
         "cr_refunded_addr_sk": rng.randint(1, _N_ADDR + 1, n),
         "cr_call_center_sk": rng.randint(1, 7, n),
+        "cr_catalog_page_sk": rng.randint(1, 101, n),
     })
     def wr_extra(n: int) -> dict:
         refunded_cd = rng.randint(1, n_cd + 1, n)

@@ -2832,3 +2832,314 @@ ORDER BY ss_sold_year, ss.ss_item_sk, ss_customer_sk NULLS FIRST,
          ss_qty DESC, ss_wc DESC, ss_sp DESC
 LIMIT 100
 """)
+
+tpcds_query("tpcds_q4", """
+WITH year_total AS (
+  SELECT c_customer_id AS customer_id,
+         c_first_name AS customer_first_name,
+         c_last_name AS customer_last_name,
+         c_preferred_cust_flag AS customer_preferred_cust_flag,
+         c_birth_country AS customer_birth_country,
+         c_email_address AS customer_email_address,
+         d_year AS dyear,
+         CAST(SUM((ss_ext_list_price - ss_ext_wholesale_cost
+                   - ss_ext_discount_amt) + ss_ext_sales_price)
+              AS DOUBLE) / 2 AS year_total,
+         's' AS sale_type
+  FROM customer, store_sales, date_dim
+  WHERE c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+  GROUP BY c_customer_id, c_first_name, c_last_name,
+           c_preferred_cust_flag, c_birth_country, c_email_address, d_year
+  UNION ALL
+  SELECT c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+         c_birth_country, c_email_address, d_year,
+         CAST(SUM((cs_ext_list_price - cs_ext_wholesale_cost
+                   - cs_ext_discount_amt) + cs_ext_sales_price)
+              AS DOUBLE) / 2,
+         'c'
+  FROM customer, catalog_sales, date_dim
+  WHERE c_customer_sk = cs_bill_customer_sk
+    AND cs_sold_date_sk = d_date_sk
+  GROUP BY c_customer_id, c_first_name, c_last_name,
+           c_preferred_cust_flag, c_birth_country, c_email_address, d_year
+  UNION ALL
+  SELECT c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+         c_birth_country, c_email_address, d_year,
+         CAST(SUM((ws_ext_list_price - ws_ext_wholesale_cost
+                   - ws_ext_discount_amt) + ws_ext_sales_price)
+              AS DOUBLE) / 2,
+         'w'
+  FROM customer, web_sales, date_dim
+  WHERE c_customer_sk = ws_bill_customer_sk
+    AND ws_sold_date_sk = d_date_sk
+  GROUP BY c_customer_id, c_first_name, c_last_name,
+           c_preferred_cust_flag, c_birth_country, c_email_address, d_year)
+SELECT t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+       t_s_secyear.customer_last_name,
+       t_s_secyear.customer_preferred_cust_flag
+FROM year_total t_s_firstyear, year_total t_s_secyear,
+     year_total t_c_firstyear, year_total t_c_secyear,
+     year_total t_w_firstyear, year_total t_w_secyear
+WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_c_secyear.customer_id
+  AND t_s_firstyear.customer_id = t_c_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+  AND t_s_firstyear.sale_type = 's'
+  AND t_c_firstyear.sale_type = 'c'
+  AND t_w_firstyear.sale_type = 'w'
+  AND t_s_secyear.sale_type = 's'
+  AND t_c_secyear.sale_type = 'c'
+  AND t_w_secyear.sale_type = 'w'
+  AND t_s_firstyear.dyear = 2001
+  AND t_s_secyear.dyear = 2002
+  AND t_c_firstyear.dyear = 2001
+  AND t_c_secyear.dyear = 2002
+  AND t_w_firstyear.dyear = 2001
+  AND t_w_secyear.dyear = 2002
+  AND t_s_firstyear.year_total > 0
+  AND t_c_firstyear.year_total > 0
+  AND t_w_firstyear.year_total > 0
+  AND CASE WHEN t_c_firstyear.year_total > 0
+           THEN t_c_secyear.year_total / t_c_firstyear.year_total
+           ELSE NULL END
+      > CASE WHEN t_s_firstyear.year_total > 0
+             THEN t_s_secyear.year_total / t_s_firstyear.year_total
+             ELSE NULL END
+  AND CASE WHEN t_c_firstyear.year_total > 0
+           THEN t_c_secyear.year_total / t_c_firstyear.year_total
+           ELSE NULL END
+      > CASE WHEN t_w_firstyear.year_total > 0
+             THEN t_w_secyear.year_total / t_w_firstyear.year_total
+             ELSE NULL END
+ORDER BY t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+         t_s_secyear.customer_last_name,
+         t_s_secyear.customer_preferred_cust_flag
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q5", """
+WITH ssr AS (
+  SELECT s_store_id, SUM(sales_price) AS sales, SUM(profit) AS profit,
+         SUM(return_amt) AS returns_, SUM(net_loss) AS profit_loss
+  FROM (SELECT ss_store_sk AS store_sk, ss_sold_date_sk AS date_sk,
+               ss_ext_sales_price AS sales_price,
+               ss_net_profit AS profit,
+               CAST(0 AS DECIMAL(7,2)) AS return_amt,
+               CAST(0 AS DECIMAL(7,2)) AS net_loss
+        FROM store_sales
+        UNION ALL
+        SELECT sr_store_sk, sr_returned_date_sk,
+               CAST(0 AS DECIMAL(7,2)), CAST(0 AS DECIMAL(7,2)),
+               sr_return_amt, sr_net_loss
+        FROM store_returns) salesreturns, date_dim, store
+  WHERE date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-06'
+    AND store_sk = s_store_sk
+  GROUP BY s_store_id),
+csr AS (
+  SELECT cp_catalog_page_id, SUM(sales_price) AS sales,
+         SUM(profit) AS profit, SUM(return_amt) AS returns_,
+         SUM(net_loss) AS profit_loss
+  FROM (SELECT cs_catalog_page_sk AS page_sk,
+               cs_sold_date_sk AS date_sk,
+               cs_ext_sales_price AS sales_price,
+               cs_net_profit AS profit,
+               CAST(0 AS DECIMAL(7,2)) AS return_amt,
+               CAST(0 AS DECIMAL(7,2)) AS net_loss
+        FROM catalog_sales
+        UNION ALL
+        SELECT cr_catalog_page_sk, cr_returned_date_sk,
+               CAST(0 AS DECIMAL(7,2)), CAST(0 AS DECIMAL(7,2)),
+               cr_return_amount, cr_net_loss
+        FROM catalog_returns) salesreturns, date_dim, catalog_page
+  WHERE date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-06'
+    AND page_sk = cp_catalog_page_sk
+  GROUP BY cp_catalog_page_id),
+wsr AS (
+  SELECT web_site_id, SUM(sales_price) AS sales, SUM(profit) AS profit,
+         SUM(return_amt) AS returns_, SUM(net_loss) AS profit_loss
+  FROM (SELECT ws_web_site_sk AS wsr_web_site_sk,
+               ws_sold_date_sk AS date_sk,
+               ws_ext_sales_price AS sales_price,
+               ws_net_profit AS profit,
+               CAST(0 AS DECIMAL(7,2)) AS return_amt,
+               CAST(0 AS DECIMAL(7,2)) AS net_loss
+        FROM web_sales
+        UNION ALL
+        SELECT ws_web_site_sk, wr_returned_date_sk,
+               CAST(0 AS DECIMAL(7,2)), CAST(0 AS DECIMAL(7,2)),
+               wr_return_amt, wr_net_loss
+        FROM web_returns
+             LEFT OUTER JOIN web_sales
+               ON (wr_item_sk = ws_item_sk
+                   AND wr_order_number = ws_order_number)) salesreturns,
+       date_dim, web_site
+  WHERE date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-06'
+    AND wsr_web_site_sk = web_site_sk
+  GROUP BY web_site_id)
+SELECT channel, id,
+       CAST(SUM(sales) AS DOUBLE) AS sales,
+       CAST(SUM(returns_) AS DOUBLE) AS returns_,
+       CAST(SUM(profit) AS DOUBLE) AS profit
+FROM (SELECT 'store channel' AS channel, 'store' || s_store_id AS id,
+             sales, returns_, (profit - profit_loss) AS profit
+      FROM ssr
+      UNION ALL
+      SELECT 'catalog channel', 'catalog_page' || cp_catalog_page_id,
+             sales, returns_, (profit - profit_loss)
+      FROM csr
+      UNION ALL
+      SELECT 'web channel', 'web_site' || web_site_id,
+             sales, returns_, (profit - profit_loss)
+      FROM wsr) x
+GROUP BY ROLLUP (channel, id)
+ORDER BY channel NULLS FIRST, id NULLS FIRST, sales
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q24", """
+WITH ssales AS (
+  SELECT c_last_name, c_first_name, s_store_name, ca_state, s_state,
+         i_color, i_current_price, i_manager_id, i_units, i_size,
+         SUM(ss_net_paid) AS netpaid
+  FROM store_sales, store_returns, store, item, customer, customer_address
+  WHERE ss_ticket_number = sr_ticket_number
+    AND ss_item_sk = sr_item_sk
+    AND ss_customer_sk = c_customer_sk
+    AND ss_item_sk = i_item_sk
+    AND ss_store_sk = s_store_sk
+    AND c_current_addr_sk = ca_address_sk
+    AND c_birth_country <> upper(ca_country)
+    AND s_market_id BETWEEN 5 AND 10
+  GROUP BY c_last_name, c_first_name, s_store_name, ca_state, s_state,
+           i_color, i_current_price, i_manager_id, i_units, i_size)
+SELECT c_last_name, c_first_name, s_store_name,
+       CAST(SUM(netpaid) AS DOUBLE) AS paid
+FROM ssales
+WHERE i_color = 'red'
+GROUP BY c_last_name, c_first_name, s_store_name
+HAVING CAST(SUM(netpaid) AS DOUBLE) >
+       (SELECT 0.05 * (CAST(SUM(CAST(netpaid AS DECIMAL(30,6)))
+                            AS DOUBLE) / COUNT(netpaid))
+        FROM ssales)
+ORDER BY c_last_name, c_first_name, s_store_name, paid
+""")
+
+tpcds_query("tpcds_q54", """
+WITH my_customers AS (
+  SELECT DISTINCT c_customer_sk, c_current_addr_sk
+  FROM (SELECT cs_sold_date_sk AS sold_date_sk,
+               cs_bill_customer_sk AS customer_sk,
+               cs_item_sk AS item_sk
+        FROM catalog_sales
+        UNION ALL
+        SELECT ws_sold_date_sk, ws_bill_customer_sk, ws_item_sk
+        FROM web_sales) cs_or_ws_sales, item, date_dim, customer
+  WHERE sold_date_sk = d_date_sk
+    AND item_sk = i_item_sk
+    AND i_category = 'Women'
+    AND i_class = 'pants'
+    AND c_customer_sk = cs_or_ws_sales.customer_sk
+    AND d_moy = 12 AND d_year = 1998),
+my_revenue AS (
+  SELECT c_customer_sk, SUM(ss_ext_sales_price) AS revenue
+  FROM my_customers, store_sales, customer_address, store, date_dim
+  WHERE c_current_addr_sk = ca_address_sk
+    AND ca_county = s_county
+    AND ca_state = s_state
+    AND ss_customer_sk = c_customer_sk
+    AND ss_sold_date_sk = d_date_sk
+    AND d_month_seq BETWEEN (SELECT DISTINCT d_month_seq + 1
+                             FROM date_dim
+                             WHERE d_year = 1998 AND d_moy = 12)
+                        AND (SELECT DISTINCT d_month_seq + 3
+                             FROM date_dim
+                             WHERE d_year = 1998 AND d_moy = 12)
+  GROUP BY c_customer_sk),
+segments AS (
+  SELECT CAST(FLOOR(CAST(revenue AS DOUBLE) / 50) AS INT) AS segment
+  FROM my_revenue)
+SELECT segment, COUNT(*) AS num_customers, segment * 50 AS segment_base
+FROM segments
+GROUP BY segment
+ORDER BY segment, num_customers
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q80", """
+WITH ssr AS (
+  SELECT s_store_id AS store_id,
+         SUM(ss_ext_sales_price) AS sales,
+         SUM(COALESCE(sr_return_amt, 0)) AS returns_,
+         SUM(ss_net_profit - COALESCE(sr_net_loss, 0)) AS profit
+  FROM store_sales
+       LEFT OUTER JOIN store_returns
+         ON (ss_item_sk = sr_item_sk
+             AND ss_ticket_number = sr_ticket_number),
+       date_dim, store, item, promotion
+  WHERE ss_sold_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-22'
+    AND ss_store_sk = s_store_sk
+    AND ss_item_sk = i_item_sk
+    AND i_current_price > 50
+    AND ss_promo_sk = p_promo_sk
+    AND p_channel_tv = 'N'
+  GROUP BY s_store_id),
+csr AS (
+  SELECT cp_catalog_page_id AS catalog_page_id,
+         SUM(cs_ext_sales_price) AS sales,
+         SUM(COALESCE(cr_return_amount, 0)) AS returns_,
+         SUM(cs_net_profit - COALESCE(cr_net_loss, 0)) AS profit
+  FROM catalog_sales
+       LEFT OUTER JOIN catalog_returns
+         ON (cs_item_sk = cr_item_sk
+             AND cs_order_number = cr_order_number),
+       date_dim, catalog_page, item, promotion
+  WHERE cs_sold_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-22'
+    AND cs_catalog_page_sk = cp_catalog_page_sk
+    AND cs_item_sk = i_item_sk
+    AND i_current_price > 50
+    AND cs_promo_sk = p_promo_sk
+    AND p_channel_tv = 'N'
+  GROUP BY cp_catalog_page_id),
+wsr AS (
+  SELECT web_site_id,
+         SUM(ws_ext_sales_price) AS sales,
+         SUM(COALESCE(wr_return_amt, 0)) AS returns_,
+         SUM(ws_net_profit - COALESCE(wr_net_loss, 0)) AS profit
+  FROM web_sales
+       LEFT OUTER JOIN web_returns
+         ON (ws_item_sk = wr_item_sk
+             AND ws_order_number = wr_order_number),
+       date_dim, web_site, item, promotion
+  WHERE ws_sold_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-22'
+    AND ws_web_site_sk = web_site_sk
+    AND ws_item_sk = i_item_sk
+    AND i_current_price > 50
+    AND ws_promo_sk = p_promo_sk
+    AND p_channel_tv = 'N'
+  GROUP BY web_site_id)
+SELECT channel, id,
+       CAST(SUM(sales) AS DOUBLE) AS sales,
+       CAST(SUM(returns_) AS DOUBLE) AS returns_,
+       CAST(SUM(profit) AS DOUBLE) AS profit
+FROM (SELECT 'store channel' AS channel, 'store' || store_id AS id,
+             sales, returns_, profit
+      FROM ssr
+      UNION ALL
+      SELECT 'catalog channel', 'catalog_page' || catalog_page_id,
+             sales, returns_, profit
+      FROM csr
+      UNION ALL
+      SELECT 'web channel', 'web_site' || web_site_id,
+             sales, returns_, profit
+      FROM wsr) x
+GROUP BY ROLLUP (channel, id)
+ORDER BY channel NULLS FIRST, id NULLS FIRST, sales
+LIMIT 100
+""")
