@@ -3043,7 +3043,7 @@ WITH my_customers AS (
     AND i_category = 'Women'
     AND i_class = 'pants'
     AND c_customer_sk = cs_or_ws_sales.customer_sk
-    AND d_moy = 12 AND d_year = 1998),
+    AND d_moy BETWEEN 10 AND 12 AND d_year = 1998),
 my_revenue AS (
   SELECT c_customer_sk, SUM(ss_ext_sales_price) AS revenue
   FROM my_customers, store_sales, customer_address, store, date_dim
