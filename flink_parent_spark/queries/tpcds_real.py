@@ -3143,3 +3143,272 @@ GROUP BY ROLLUP (channel, id)
 ORDER BY channel NULLS FIRST, id NULLS FIRST, sales
 LIMIT 100
 """)
+
+tpcds_query("tpcds_q23", """
+WITH frequent_ss_items AS (
+  SELECT substr(i_item_desc, 1, 30) AS itemdesc, i_item_sk AS item_sk,
+         d_date AS solddate, COUNT(*) AS cnt
+  FROM store_sales, date_dim, item
+  WHERE ss_sold_date_sk = d_date_sk
+    AND ss_item_sk = i_item_sk
+    AND d_year IN (2000, 2001, 2002, 2003)
+  GROUP BY substr(i_item_desc, 1, 30), i_item_sk, d_date
+  HAVING COUNT(*) > 1),
+max_store_sales AS (
+  SELECT MAX(csales) AS tpcds_cmax
+  FROM (SELECT c_customer_sk, SUM(ss_quantity * ss_sales_price) AS csales
+        FROM store_sales, customer, date_dim
+        WHERE ss_customer_sk = c_customer_sk
+          AND ss_sold_date_sk = d_date_sk
+          AND d_year IN (2000, 2001, 2002, 2003)
+        GROUP BY c_customer_sk) t),
+best_ss_customer AS (
+  SELECT c_customer_sk, SUM(ss_quantity * ss_sales_price) AS ssales
+  FROM store_sales, customer
+  WHERE ss_customer_sk = c_customer_sk
+  GROUP BY c_customer_sk
+  HAVING CAST(SUM(ss_quantity * ss_sales_price) AS DOUBLE) >
+         0.5 * (SELECT CAST(tpcds_cmax AS DOUBLE) FROM max_store_sales))
+SELECT CAST(SUM(sales) AS DOUBLE) AS sum_sales
+FROM (SELECT cs_quantity * cs_list_price AS sales
+      FROM catalog_sales, date_dim
+      WHERE d_year = 2000 AND d_moy = 2
+        AND cs_sold_date_sk = d_date_sk
+        AND cs_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+        AND cs_bill_customer_sk IN (SELECT c_customer_sk
+                                    FROM best_ss_customer)
+      UNION ALL
+      SELECT ws_quantity * ws_list_price
+      FROM web_sales, date_dim
+      WHERE d_year = 2000 AND d_moy = 2
+        AND ws_sold_date_sk = d_date_sk
+        AND ws_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+        AND ws_bill_customer_sk IN (SELECT c_customer_sk
+                                    FROM best_ss_customer)) y
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q39", """
+WITH inv AS (
+  SELECT w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy, stdev, mean,
+         CASE mean WHEN 0 THEN NULL ELSE stdev / mean END AS cov
+  FROM (SELECT w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy,
+               CASE WHEN COUNT(inv_quantity_on_hand) > 1 THEN
+                 SQRT((CAST(COUNT(inv_quantity_on_hand) AS DOUBLE)
+                         * CAST(SUM(inv_quantity_on_hand
+                                    * inv_quantity_on_hand) AS DOUBLE)
+                       - CAST(SUM(inv_quantity_on_hand) AS DOUBLE)
+                         * CAST(SUM(inv_quantity_on_hand) AS DOUBLE))
+                      / (CAST(COUNT(inv_quantity_on_hand) AS DOUBLE)
+                         * (CAST(COUNT(inv_quantity_on_hand) AS DOUBLE)
+                            - 1)))
+               ELSE NULL END AS stdev,
+               CAST(SUM(inv_quantity_on_hand) AS DOUBLE)
+                 / COUNT(inv_quantity_on_hand) AS mean
+        FROM inventory, item, warehouse, date_dim
+        WHERE inv_item_sk = i_item_sk
+          AND inv_warehouse_sk = w_warehouse_sk
+          AND inv_date_sk = d_date_sk
+          AND d_year = 2001
+        GROUP BY w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy) foo
+  WHERE CASE mean WHEN 0 THEN 0 ELSE stdev / mean END > 1)
+SELECT inv1.w_warehouse_sk AS wsk1, inv1.i_item_sk AS isk1,
+       inv1.d_moy AS moy1, inv1.mean AS mean1, inv1.cov AS cov1,
+       inv2.w_warehouse_sk AS wsk2, inv2.i_item_sk AS isk2,
+       inv2.d_moy AS moy2, inv2.mean AS mean2, inv2.cov AS cov2
+FROM inv inv1, inv inv2
+WHERE inv1.i_item_sk = inv2.i_item_sk
+  AND inv1.w_warehouse_sk = inv2.w_warehouse_sk
+  AND inv1.d_moy = 1
+  AND inv2.d_moy = 1 + 1
+ORDER BY inv1.w_warehouse_sk, inv1.i_item_sk, inv1.d_moy, inv1.mean,
+         inv1.cov, inv2.d_moy, inv2.mean, inv2.cov
+""")
+
+tpcds_query("tpcds_q75", """
+WITH all_sales AS (
+  SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+         SUM(sales_cnt) AS sales_cnt, SUM(sales_amt) AS sales_amt
+  FROM (SELECT d_year, i_brand_id, i_class_id, i_category_id,
+               i_manufact_id,
+               cs_quantity - COALESCE(cr_return_quantity, 0) AS sales_cnt,
+               cs_ext_sales_price
+                 - COALESCE(cr_return_amount, CAST(0 AS DECIMAL(7,2)))
+                 AS sales_amt
+        FROM catalog_sales
+             JOIN item ON i_item_sk = cs_item_sk
+             JOIN date_dim ON d_date_sk = cs_sold_date_sk
+             LEFT JOIN catalog_returns
+               ON (cs_order_number = cr_order_number
+                   AND cs_item_sk = cr_item_sk)
+        WHERE i_category = 'Books'
+        UNION
+        SELECT d_year, i_brand_id, i_class_id, i_category_id,
+               i_manufact_id,
+               ss_quantity - COALESCE(sr_return_quantity, 0),
+               ss_ext_sales_price
+                 - COALESCE(sr_return_amt, CAST(0 AS DECIMAL(7,2)))
+        FROM store_sales
+             JOIN item ON i_item_sk = ss_item_sk
+             JOIN date_dim ON d_date_sk = ss_sold_date_sk
+             LEFT JOIN store_returns
+               ON (ss_ticket_number = sr_ticket_number
+                   AND ss_item_sk = sr_item_sk)
+        WHERE i_category = 'Books'
+        UNION
+        SELECT d_year, i_brand_id, i_class_id, i_category_id,
+               i_manufact_id,
+               ws_quantity - COALESCE(wr_return_quantity, 0),
+               ws_ext_sales_price
+                 - COALESCE(wr_return_amt, CAST(0 AS DECIMAL(7,2)))
+        FROM web_sales
+             JOIN item ON i_item_sk = ws_item_sk
+             JOIN date_dim ON d_date_sk = ws_sold_date_sk
+             LEFT JOIN web_returns
+               ON (ws_order_number = wr_order_number
+                   AND ws_item_sk = wr_item_sk)
+        WHERE i_category = 'Books') sales_detail
+  GROUP BY d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id)
+SELECT prev_yr.d_year AS prev_year, curr_yr.d_year AS year_,
+       curr_yr.i_brand_id, curr_yr.i_class_id, curr_yr.i_category_id,
+       curr_yr.i_manufact_id,
+       prev_yr.sales_cnt AS prev_yr_cnt,
+       curr_yr.sales_cnt AS curr_yr_cnt,
+       curr_yr.sales_cnt - prev_yr.sales_cnt AS sales_cnt_diff,
+       CAST(curr_yr.sales_amt - prev_yr.sales_amt AS DOUBLE)
+         AS sales_amt_diff
+FROM all_sales curr_yr, all_sales prev_yr
+WHERE curr_yr.i_brand_id = prev_yr.i_brand_id
+  AND curr_yr.i_class_id = prev_yr.i_class_id
+  AND curr_yr.i_category_id = prev_yr.i_category_id
+  AND curr_yr.i_manufact_id = prev_yr.i_manufact_id
+  AND curr_yr.d_year = 2002
+  AND prev_yr.d_year = 2002 - 1
+  AND CAST(curr_yr.sales_cnt AS DOUBLE)
+      / CAST(prev_yr.sales_cnt AS DOUBLE) < 0.9
+ORDER BY sales_cnt_diff, sales_amt_diff, curr_yr.i_brand_id,
+         curr_yr.i_class_id, curr_yr.i_category_id, curr_yr.i_manufact_id
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q66", """
+SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+       w_country, ship_carriers, year_,
+       CAST(SUM(jan_sales) AS DOUBLE) AS jan_sales,
+       CAST(SUM(feb_sales) AS DOUBLE) AS feb_sales,
+       CAST(SUM(mar_sales) AS DOUBLE) AS mar_sales,
+       CAST(SUM(apr_sales) AS DOUBLE) AS apr_sales,
+       CAST(SUM(may_sales) AS DOUBLE) AS may_sales,
+       CAST(SUM(jun_sales) AS DOUBLE) AS jun_sales,
+       CAST(SUM(jul_sales) AS DOUBLE) AS jul_sales,
+       CAST(SUM(aug_sales) AS DOUBLE) AS aug_sales,
+       CAST(SUM(sep_sales) AS DOUBLE) AS sep_sales,
+       CAST(SUM(oct_sales) AS DOUBLE) AS oct_sales,
+       CAST(SUM(nov_sales) AS DOUBLE) AS nov_sales,
+       CAST(SUM(dec_sales) AS DOUBLE) AS dec_sales,
+       CAST(SUM(jan_sales) AS DOUBLE) / w_warehouse_sq_ft AS jan_sales_per_sq_foot,
+       CAST(SUM(feb_sales) AS DOUBLE) / w_warehouse_sq_ft AS feb_sales_per_sq_foot,
+       CAST(SUM(mar_sales) AS DOUBLE) / w_warehouse_sq_ft AS mar_sales_per_sq_foot,
+       CAST(SUM(apr_sales) AS DOUBLE) / w_warehouse_sq_ft AS apr_sales_per_sq_foot,
+       CAST(SUM(may_sales) AS DOUBLE) / w_warehouse_sq_ft AS may_sales_per_sq_foot,
+       CAST(SUM(jun_sales) AS DOUBLE) / w_warehouse_sq_ft AS jun_sales_per_sq_foot,
+       CAST(SUM(jul_sales) AS DOUBLE) / w_warehouse_sq_ft AS jul_sales_per_sq_foot,
+       CAST(SUM(aug_sales) AS DOUBLE) / w_warehouse_sq_ft AS aug_sales_per_sq_foot,
+       CAST(SUM(sep_sales) AS DOUBLE) / w_warehouse_sq_ft AS sep_sales_per_sq_foot,
+       CAST(SUM(oct_sales) AS DOUBLE) / w_warehouse_sq_ft AS oct_sales_per_sq_foot,
+       CAST(SUM(nov_sales) AS DOUBLE) / w_warehouse_sq_ft AS nov_sales_per_sq_foot,
+       CAST(SUM(dec_sales) AS DOUBLE) / w_warehouse_sq_ft AS dec_sales_per_sq_foot,
+       CAST(SUM(jan_net) AS DOUBLE) AS jan_net,
+       CAST(SUM(feb_net) AS DOUBLE) AS feb_net,
+       CAST(SUM(mar_net) AS DOUBLE) AS mar_net,
+       CAST(SUM(apr_net) AS DOUBLE) AS apr_net,
+       CAST(SUM(may_net) AS DOUBLE) AS may_net,
+       CAST(SUM(jun_net) AS DOUBLE) AS jun_net,
+       CAST(SUM(jul_net) AS DOUBLE) AS jul_net,
+       CAST(SUM(aug_net) AS DOUBLE) AS aug_net,
+       CAST(SUM(sep_net) AS DOUBLE) AS sep_net,
+       CAST(SUM(oct_net) AS DOUBLE) AS oct_net,
+       CAST(SUM(nov_net) AS DOUBLE) AS nov_net,
+       CAST(SUM(dec_net) AS DOUBLE) AS dec_net
+FROM (
+  SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county,
+         w_state, w_country,
+         'DHL,USPS' AS ship_carriers, d_year AS year_,
+         SUM(CASE WHEN d_moy = 1 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS jan_sales,
+         SUM(CASE WHEN d_moy = 2 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS feb_sales,
+         SUM(CASE WHEN d_moy = 3 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS mar_sales,
+         SUM(CASE WHEN d_moy = 4 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS apr_sales,
+         SUM(CASE WHEN d_moy = 5 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS may_sales,
+         SUM(CASE WHEN d_moy = 6 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS jun_sales,
+         SUM(CASE WHEN d_moy = 7 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS jul_sales,
+         SUM(CASE WHEN d_moy = 8 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS aug_sales,
+         SUM(CASE WHEN d_moy = 9 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS sep_sales,
+         SUM(CASE WHEN d_moy = 10 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS oct_sales,
+         SUM(CASE WHEN d_moy = 11 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS nov_sales,
+         SUM(CASE WHEN d_moy = 12 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS dec_sales,
+         SUM(CASE WHEN d_moy = 1 THEN ws_net_paid * ws_quantity ELSE 0 END) AS jan_net,
+         SUM(CASE WHEN d_moy = 2 THEN ws_net_paid * ws_quantity ELSE 0 END) AS feb_net,
+         SUM(CASE WHEN d_moy = 3 THEN ws_net_paid * ws_quantity ELSE 0 END) AS mar_net,
+         SUM(CASE WHEN d_moy = 4 THEN ws_net_paid * ws_quantity ELSE 0 END) AS apr_net,
+         SUM(CASE WHEN d_moy = 5 THEN ws_net_paid * ws_quantity ELSE 0 END) AS may_net,
+         SUM(CASE WHEN d_moy = 6 THEN ws_net_paid * ws_quantity ELSE 0 END) AS jun_net,
+         SUM(CASE WHEN d_moy = 7 THEN ws_net_paid * ws_quantity ELSE 0 END) AS jul_net,
+         SUM(CASE WHEN d_moy = 8 THEN ws_net_paid * ws_quantity ELSE 0 END) AS aug_net,
+         SUM(CASE WHEN d_moy = 9 THEN ws_net_paid * ws_quantity ELSE 0 END) AS sep_net,
+         SUM(CASE WHEN d_moy = 10 THEN ws_net_paid * ws_quantity ELSE 0 END) AS oct_net,
+         SUM(CASE WHEN d_moy = 11 THEN ws_net_paid * ws_quantity ELSE 0 END) AS nov_net,
+         SUM(CASE WHEN d_moy = 12 THEN ws_net_paid * ws_quantity ELSE 0 END) AS dec_net
+  FROM web_sales, warehouse, date_dim, time_dim, ship_mode
+  WHERE ws_warehouse_sk = w_warehouse_sk
+    AND ws_sold_date_sk = d_date_sk
+    AND ws_sold_time_sk = t_time_sk
+    AND ws_ship_mode_sk = sm_ship_mode_sk
+    AND d_year = 2001
+    AND t_time BETWEEN 30838 AND 30838 + 28800
+    AND sm_carrier IN ('DHL', 'USPS')
+  GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county,
+           w_state, w_country, d_year
+  UNION ALL
+  SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county,
+         w_state, w_country,
+         'DHL,USPS' AS ship_carriers, d_year AS year_,
+         SUM(CASE WHEN d_moy = 1 THEN cs_ext_sales_price * cs_quantity ELSE 0 END) AS jan_sales,
+         SUM(CASE WHEN d_moy = 2 THEN cs_ext_sales_price * cs_quantity ELSE 0 END) AS feb_sales,
+         SUM(CASE WHEN d_moy = 3 THEN cs_ext_sales_price * cs_quantity ELSE 0 END) AS mar_sales,
+         SUM(CASE WHEN d_moy = 4 THEN cs_ext_sales_price * cs_quantity ELSE 0 END) AS apr_sales,
+         SUM(CASE WHEN d_moy = 5 THEN cs_ext_sales_price * cs_quantity ELSE 0 END) AS may_sales,
+         SUM(CASE WHEN d_moy = 6 THEN cs_ext_sales_price * cs_quantity ELSE 0 END) AS jun_sales,
+         SUM(CASE WHEN d_moy = 7 THEN cs_ext_sales_price * cs_quantity ELSE 0 END) AS jul_sales,
+         SUM(CASE WHEN d_moy = 8 THEN cs_ext_sales_price * cs_quantity ELSE 0 END) AS aug_sales,
+         SUM(CASE WHEN d_moy = 9 THEN cs_ext_sales_price * cs_quantity ELSE 0 END) AS sep_sales,
+         SUM(CASE WHEN d_moy = 10 THEN cs_ext_sales_price * cs_quantity ELSE 0 END) AS oct_sales,
+         SUM(CASE WHEN d_moy = 11 THEN cs_ext_sales_price * cs_quantity ELSE 0 END) AS nov_sales,
+         SUM(CASE WHEN d_moy = 12 THEN cs_ext_sales_price * cs_quantity ELSE 0 END) AS dec_sales,
+         SUM(CASE WHEN d_moy = 1 THEN cs_net_paid * cs_quantity ELSE 0 END) AS jan_net,
+         SUM(CASE WHEN d_moy = 2 THEN cs_net_paid * cs_quantity ELSE 0 END) AS feb_net,
+         SUM(CASE WHEN d_moy = 3 THEN cs_net_paid * cs_quantity ELSE 0 END) AS mar_net,
+         SUM(CASE WHEN d_moy = 4 THEN cs_net_paid * cs_quantity ELSE 0 END) AS apr_net,
+         SUM(CASE WHEN d_moy = 5 THEN cs_net_paid * cs_quantity ELSE 0 END) AS may_net,
+         SUM(CASE WHEN d_moy = 6 THEN cs_net_paid * cs_quantity ELSE 0 END) AS jun_net,
+         SUM(CASE WHEN d_moy = 7 THEN cs_net_paid * cs_quantity ELSE 0 END) AS jul_net,
+         SUM(CASE WHEN d_moy = 8 THEN cs_net_paid * cs_quantity ELSE 0 END) AS aug_net,
+         SUM(CASE WHEN d_moy = 9 THEN cs_net_paid * cs_quantity ELSE 0 END) AS sep_net,
+         SUM(CASE WHEN d_moy = 10 THEN cs_net_paid * cs_quantity ELSE 0 END) AS oct_net,
+         SUM(CASE WHEN d_moy = 11 THEN cs_net_paid * cs_quantity ELSE 0 END) AS nov_net,
+         SUM(CASE WHEN d_moy = 12 THEN cs_net_paid * cs_quantity ELSE 0 END) AS dec_net
+  FROM catalog_sales, warehouse, date_dim, time_dim, ship_mode
+  WHERE cs_warehouse_sk = w_warehouse_sk
+    AND cs_sold_date_sk = d_date_sk
+    AND cs_sold_time_sk = t_time_sk
+    AND cs_ship_mode_sk = sm_ship_mode_sk
+    AND d_year = 2001
+    AND t_time BETWEEN 30838 AND 30838 + 28800
+    AND sm_carrier IN ('DHL', 'USPS')
+  GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county,
+           w_state, w_country, d_year
+) x
+GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+         w_country, ship_carriers, year_
+ORDER BY w_warehouse_name
+LIMIT 100
+""")
