@@ -3412,3 +3412,213 @@ GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
 ORDER BY w_warehouse_name
 LIMIT 100
 """)
+
+tpcds_query("tpcds_q57", """
+WITH v1 AS (
+  SELECT i_category, i_brand, cc_name, d_year, d_moy,
+         SUM(cs_sales_price) AS sum_sales,
+         CAST(SUM(SUM(cs_sales_price))
+              OVER (PARTITION BY i_category, i_brand, cc_name, d_year)
+              AS DOUBLE)
+           / COUNT(SUM(cs_sales_price))
+              OVER (PARTITION BY i_category, i_brand, cc_name, d_year)
+           AS avg_monthly_sales,
+         RANK() OVER (PARTITION BY i_category, i_brand, cc_name
+                      ORDER BY d_year, d_moy) AS rn
+  FROM item, catalog_sales, date_dim, call_center
+  WHERE cs_item_sk = i_item_sk
+    AND cs_sold_date_sk = d_date_sk
+    AND cc_call_center_sk = cs_call_center_sk
+    AND (d_year = 2000
+         OR (d_year = 1999 AND d_moy = 12)
+         OR (d_year = 2001 AND d_moy = 1))
+  GROUP BY i_category, i_brand, cc_name, d_year, d_moy),
+v2 AS (
+  SELECT v1.i_category, v1.i_brand, v1.cc_name, v1.d_year, v1.d_moy,
+         v1.avg_monthly_sales, v1.sum_sales,
+         v1_lag.sum_sales AS psum, v1_lead.sum_sales AS nsum
+  FROM v1, v1 v1_lag, v1 v1_lead
+  WHERE v1.i_category = v1_lag.i_category
+    AND v1.i_category = v1_lead.i_category
+    AND v1.i_brand = v1_lag.i_brand
+    AND v1.i_brand = v1_lead.i_brand
+    AND v1.cc_name = v1_lag.cc_name
+    AND v1.cc_name = v1_lead.cc_name
+    AND v1.rn = v1_lag.rn + 1
+    AND v1.rn = v1_lead.rn - 1)
+SELECT i_category, i_brand, cc_name, d_year, d_moy,
+       avg_monthly_sales,
+       CAST(sum_sales AS DOUBLE) AS sum_sales,
+       CAST(psum AS DOUBLE) AS psum, CAST(nsum AS DOUBLE) AS nsum
+FROM v2
+WHERE d_year = 2000
+  AND avg_monthly_sales > 0
+  AND ABS(CAST(sum_sales AS DOUBLE) - avg_monthly_sales)
+        / avg_monthly_sales > 0.1
+ORDER BY CAST(sum_sales AS DOUBLE) - avg_monthly_sales,
+         i_category, i_brand, cc_name, d_year, d_moy
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q14", """
+WITH cross_items AS (
+  SELECT i_item_sk AS ss_item_sk
+  FROM item,
+       (SELECT iss.i_brand_id AS brand_id, iss.i_class_id AS class_id,
+               iss.i_category_id AS category_id
+        FROM store_sales, item iss, date_dim d1
+        WHERE ss_item_sk = iss.i_item_sk
+          AND ss_sold_date_sk = d1.d_date_sk
+          AND d1.d_year BETWEEN 1999 AND 1999 + 2
+        INTERSECT
+        SELECT ics.i_brand_id, ics.i_class_id, ics.i_category_id
+        FROM catalog_sales, item ics, date_dim d2
+        WHERE cs_item_sk = ics.i_item_sk
+          AND cs_sold_date_sk = d2.d_date_sk
+          AND d2.d_year BETWEEN 1999 AND 1999 + 2
+        INTERSECT
+        SELECT iws.i_brand_id, iws.i_class_id, iws.i_category_id
+        FROM web_sales, item iws, date_dim d3
+        WHERE ws_item_sk = iws.i_item_sk
+          AND ws_sold_date_sk = d3.d_date_sk
+          AND d3.d_year BETWEEN 1999 AND 1999 + 2) x
+  WHERE i_brand_id = brand_id
+    AND i_class_id = class_id
+    AND i_category_id = category_id),
+avg_sales AS (
+  SELECT CAST(SUM(CAST(quantity * list_price AS DECIMAL(30,6)))
+              AS DOUBLE) / COUNT(*) AS average_sales
+  FROM (SELECT ss_quantity AS quantity, ss_list_price AS list_price
+        FROM store_sales, date_dim
+        WHERE ss_sold_date_sk = d_date_sk
+          AND d_year BETWEEN 1999 AND 1999 + 2
+        UNION ALL
+        SELECT cs_quantity, cs_list_price
+        FROM catalog_sales, date_dim
+        WHERE cs_sold_date_sk = d_date_sk
+          AND d_year BETWEEN 1999 AND 1999 + 2
+        UNION ALL
+        SELECT ws_quantity, ws_list_price
+        FROM web_sales, date_dim
+        WHERE ws_sold_date_sk = d_date_sk
+          AND d_year BETWEEN 1999 AND 1999 + 2) x)
+SELECT channel, i_brand_id, i_class_id, i_category_id,
+       CAST(SUM(sales) AS DOUBLE) AS sum_sales,
+       SUM(number_sales) AS number_sales
+FROM (SELECT 'store' AS channel, i_brand_id, i_class_id, i_category_id,
+             SUM(ss_quantity * ss_list_price) AS sales,
+             COUNT(*) AS number_sales
+      FROM store_sales, item, date_dim
+      WHERE ss_item_sk IN (SELECT ss_item_sk FROM cross_items)
+        AND ss_item_sk = i_item_sk
+        AND ss_sold_date_sk = d_date_sk
+        AND d_year = 1999 + 2 AND d_moy = 11
+      GROUP BY i_brand_id, i_class_id, i_category_id
+      HAVING CAST(SUM(ss_quantity * ss_list_price) AS DOUBLE) >
+             (SELECT average_sales FROM avg_sales)
+      UNION ALL
+      SELECT 'catalog', i_brand_id, i_class_id, i_category_id,
+             SUM(cs_quantity * cs_list_price), COUNT(*)
+      FROM catalog_sales, item, date_dim
+      WHERE cs_item_sk IN (SELECT ss_item_sk FROM cross_items)
+        AND cs_item_sk = i_item_sk
+        AND cs_sold_date_sk = d_date_sk
+        AND d_year = 1999 + 2 AND d_moy = 11
+      GROUP BY i_brand_id, i_class_id, i_category_id
+      HAVING CAST(SUM(cs_quantity * cs_list_price) AS DOUBLE) >
+             (SELECT average_sales FROM avg_sales)
+      UNION ALL
+      SELECT 'web', i_brand_id, i_class_id, i_category_id,
+             SUM(ws_quantity * ws_list_price), COUNT(*)
+      FROM web_sales, item, date_dim
+      WHERE ws_item_sk IN (SELECT ss_item_sk FROM cross_items)
+        AND ws_item_sk = i_item_sk
+        AND ws_sold_date_sk = d_date_sk
+        AND d_year = 1999 + 2 AND d_moy = 11
+      GROUP BY i_brand_id, i_class_id, i_category_id
+      HAVING CAST(SUM(ws_quantity * ws_list_price) AS DOUBLE) >
+             (SELECT average_sales FROM avg_sales)) y
+GROUP BY ROLLUP (channel, i_brand_id, i_class_id, i_category_id)
+ORDER BY channel NULLS FIRST, i_brand_id NULLS FIRST,
+         i_class_id NULLS FIRST, i_category_id NULLS FIRST
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q64", """
+WITH cs_ui AS (
+  SELECT cs_item_sk,
+         SUM(cs_ext_list_price) AS sale,
+         SUM(cr_refunded_cash + cr_reversed_charge + cr_store_credit)
+           AS refund
+  FROM catalog_sales, catalog_returns
+  WHERE cs_item_sk = cr_item_sk
+    AND cs_order_number = cr_order_number
+  GROUP BY cs_item_sk
+  HAVING SUM(cs_ext_list_price) >
+         2 * SUM(cr_refunded_cash + cr_reversed_charge + cr_store_credit)),
+cross_sales AS (
+  SELECT i_product_name AS product_name, i_item_sk AS item_sk,
+         s_store_name AS store_name, s_zip AS store_zip,
+         ad1.ca_street_number AS b_street_number,
+         ad1.ca_street_name AS b_street_name,
+         ad1.ca_city AS b_city, ad1.ca_zip AS b_zip,
+         ad2.ca_street_number AS c_street_number,
+         ad2.ca_street_name AS c_street_name,
+         ad2.ca_city AS c_city, ad2.ca_zip AS c_zip,
+         d1.d_year AS syear, d2.d_year AS fsyear, d3.d_year AS s2year,
+         COUNT(*) AS cnt,
+         SUM(ss_wholesale_cost) AS s1,
+         SUM(ss_list_price) AS s2,
+         SUM(ss_coupon_amt) AS s3
+  FROM store_sales, store_returns, cs_ui,
+       date_dim d1, date_dim d2, date_dim d3,
+       store, customer,
+       customer_demographics cd1, customer_demographics cd2,
+       promotion, household_demographics hd1, household_demographics hd2,
+       customer_address ad1, customer_address ad2,
+       income_band ib1, income_band ib2, item
+  WHERE ss_store_sk = s_store_sk
+    AND ss_sold_date_sk = d1.d_date_sk
+    AND ss_customer_sk = c_customer_sk
+    AND ss_cdemo_sk = cd1.cd_demo_sk
+    AND ss_hdemo_sk = hd1.hd_demo_sk
+    AND ss_addr_sk = ad1.ca_address_sk
+    AND ss_item_sk = i_item_sk
+    AND ss_item_sk = sr_item_sk
+    AND ss_ticket_number = sr_ticket_number
+    AND ss_item_sk = cs_ui.cs_item_sk
+    AND c_current_cdemo_sk = cd2.cd_demo_sk
+    AND c_current_hdemo_sk = hd2.hd_demo_sk
+    AND c_current_addr_sk = ad2.ca_address_sk
+    AND c_first_sales_date_sk = d2.d_date_sk
+    AND c_first_shipto_date_sk = d3.d_date_sk
+    AND ss_promo_sk = p_promo_sk
+    AND hd1.hd_income_band_sk = ib1.ib_income_band_sk
+    AND hd2.hd_income_band_sk = ib2.ib_income_band_sk
+    AND cd1.cd_marital_status <> cd2.cd_marital_status
+    AND i_color IN ('purple', 'red', 'blue', 'green', 'white', 'black')
+    AND i_current_price BETWEEN 0.99 AND 85
+    AND i_current_price BETWEEN 1.99 AND 90
+  GROUP BY i_product_name, i_item_sk, s_store_name, s_zip,
+           ad1.ca_street_number, ad1.ca_street_name, ad1.ca_city,
+           ad1.ca_zip, ad2.ca_street_number, ad2.ca_street_name,
+           ad2.ca_city, ad2.ca_zip, d1.d_year, d2.d_year, d3.d_year)
+SELECT cs1.product_name, cs1.store_name, cs1.store_zip,
+       cs1.b_street_number, cs1.b_street_name, cs1.b_city, cs1.b_zip,
+       cs1.c_street_number, cs1.c_street_name, cs1.c_city, cs1.c_zip,
+       cs1.syear AS syear1, cs1.cnt AS cnt1,
+       CAST(cs1.s1 AS DOUBLE) AS s11, CAST(cs1.s2 AS DOUBLE) AS s21,
+       CAST(cs1.s3 AS DOUBLE) AS s31,
+       cs2.s1 AS s12_raw, cs2.s2 AS s22_raw, cs2.s3 AS s32_raw,
+       cs2.syear AS syear2, cs2.cnt AS cnt2
+FROM cross_sales cs1, cross_sales cs2
+WHERE cs1.item_sk = cs2.item_sk
+  AND cs1.syear = 1999
+  AND cs2.syear = 1999 + 1
+  AND cs2.cnt <= cs1.cnt
+  AND cs1.store_name = cs2.store_name
+  AND cs1.store_zip = cs2.store_zip
+ORDER BY cs1.product_name, cs1.store_name, cnt2, cs1.b_zip, cs1.c_zip,
+         cs1.b_street_number, cs1.c_street_number, syear1, cnt1
+LIMIT 100
+""")
