@@ -389,3 +389,32 @@ def test_hop_paned_aggregates_before_fanout(spark):
     assert "Scan parquet" in below_fanout
     assert header.count("Scan parquet") == 1  # panes shared, no second read
     assert header.count("HashAggregate") >= 4  # partial+final at both levels
+
+
+def test_tpcds_real_star_join_broadcasts_dims(spark):
+    """Real TPC-DS q3 (date_dim x store_sales x item): both dims must
+    broadcast — the fact table is scanned once and never shuffled before
+    the partial aggregation (the plan that survives a 100 TB store_sales)."""
+    from flink_parent_spark.queries.catalog import all_queries
+
+    plan = plan_of(all_queries()["tpcds_q3"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_gate_prefix_structure(spark):
+    """Gate-drift guard (round-5 verdict #9): the driver checks the FIRST
+    50 registered queries — every PRIORITY name must resolve, carry an
+    oracle, and be exactly what check_parity --gate selects."""
+    from flink_parent_spark.queries.catalog import (
+        PRIORITY,
+        all_oracles,
+        all_queries,
+    )
+
+    qs, os_ = all_queries(), all_oracles()
+    assert len(PRIORITY) >= 50
+    gate = list(qs)[:50]
+    assert gate == [n for n in PRIORITY if n in qs][:50]
+    missing_oracle = [n for n in gate if n not in os_]
+    assert not missing_oracle, f"gate entries without oracle: {missing_oracle}"
