@@ -3622,3 +3622,210 @@ ORDER BY cs1.product_name, cs1.store_name, cnt2, cs1.b_zip, cs1.c_zip,
          cs1.b_street_number, cs1.c_street_number, syear1, cnt1
 LIMIT 100
 """)
+
+# the reference's 103-query battery = 99 numbers + the a/b variant pairs
+# (TpcdsTestProgram.java:75-86: 14a/b, 23a/b, 24a/b, 39a/b). The plain
+# tpcds_qNN entries above are the a-variants; these are the b-variants.
+
+tpcds_query("tpcds_q14b", """
+WITH cross_items AS (
+  SELECT i_item_sk AS ss_item_sk
+  FROM item,
+       (SELECT iss.i_brand_id AS brand_id, iss.i_class_id AS class_id,
+               iss.i_category_id AS category_id
+        FROM store_sales, item iss, date_dim d1
+        WHERE ss_item_sk = iss.i_item_sk
+          AND ss_sold_date_sk = d1.d_date_sk
+          AND d1.d_year BETWEEN 1999 AND 1999 + 2
+        INTERSECT
+        SELECT ics.i_brand_id, ics.i_class_id, ics.i_category_id
+        FROM catalog_sales, item ics, date_dim d2
+        WHERE cs_item_sk = ics.i_item_sk
+          AND cs_sold_date_sk = d2.d_date_sk
+          AND d2.d_year BETWEEN 1999 AND 1999 + 2
+        INTERSECT
+        SELECT iws.i_brand_id, iws.i_class_id, iws.i_category_id
+        FROM web_sales, item iws, date_dim d3
+        WHERE ws_item_sk = iws.i_item_sk
+          AND ws_sold_date_sk = d3.d_date_sk
+          AND d3.d_year BETWEEN 1999 AND 1999 + 2) x
+  WHERE i_brand_id = brand_id
+    AND i_class_id = class_id
+    AND i_category_id = category_id),
+avg_sales AS (
+  SELECT CAST(SUM(CAST(quantity * list_price AS DECIMAL(30,6)))
+              AS DOUBLE) / COUNT(*) AS average_sales
+  FROM (SELECT ss_quantity AS quantity, ss_list_price AS list_price
+        FROM store_sales, date_dim
+        WHERE ss_sold_date_sk = d_date_sk
+          AND d_year BETWEEN 1999 AND 1999 + 2
+        UNION ALL
+        SELECT cs_quantity, cs_list_price
+        FROM catalog_sales, date_dim
+        WHERE cs_sold_date_sk = d_date_sk
+          AND d_year BETWEEN 1999 AND 1999 + 2
+        UNION ALL
+        SELECT ws_quantity, ws_list_price
+        FROM web_sales, date_dim
+        WHERE ws_sold_date_sk = d_date_sk
+          AND d_year BETWEEN 1999 AND 1999 + 2) x)
+SELECT this_year.channel AS ty_channel,
+       this_year.i_brand_id AS ty_brand,
+       this_year.i_class_id AS ty_class,
+       this_year.i_category_id AS ty_category,
+       this_year.sales AS ty_sales,
+       this_year.number_sales AS ty_number_sales,
+       last_year.channel AS ly_channel,
+       last_year.i_brand_id AS ly_brand,
+       last_year.i_class_id AS ly_class,
+       last_year.i_category_id AS ly_category,
+       last_year.sales AS ly_sales,
+       last_year.number_sales AS ly_number_sales
+FROM (SELECT 'store' AS channel, i_brand_id, i_class_id, i_category_id,
+             CAST(SUM(ss_quantity * ss_list_price) AS DOUBLE) AS sales,
+             COUNT(*) AS number_sales
+      FROM store_sales, item, date_dim
+      WHERE ss_item_sk IN (SELECT ss_item_sk FROM cross_items)
+        AND ss_item_sk = i_item_sk
+        AND ss_sold_date_sk = d_date_sk
+        AND d_week_seq = (SELECT d_week_seq FROM date_dim
+                          WHERE d_year = 1999 + 1
+                            AND d_moy = 12 AND d_dom = 11)
+      GROUP BY i_brand_id, i_class_id, i_category_id
+      HAVING CAST(SUM(ss_quantity * ss_list_price) AS DOUBLE) >
+             (SELECT average_sales FROM avg_sales)) this_year,
+     (SELECT 'store' AS channel, i_brand_id, i_class_id, i_category_id,
+             CAST(SUM(ss_quantity * ss_list_price) AS DOUBLE) AS sales,
+             COUNT(*) AS number_sales
+      FROM store_sales, item, date_dim
+      WHERE ss_item_sk IN (SELECT ss_item_sk FROM cross_items)
+        AND ss_item_sk = i_item_sk
+        AND ss_sold_date_sk = d_date_sk
+        AND d_week_seq = (SELECT d_week_seq FROM date_dim
+                          WHERE d_year = 1999
+                            AND d_moy = 12 AND d_dom = 11)
+      GROUP BY i_brand_id, i_class_id, i_category_id
+      HAVING CAST(SUM(ss_quantity * ss_list_price) AS DOUBLE) >
+             (SELECT average_sales FROM avg_sales)) last_year
+WHERE this_year.i_brand_id = last_year.i_brand_id
+  AND this_year.i_class_id = last_year.i_class_id
+  AND this_year.i_category_id = last_year.i_category_id
+ORDER BY this_year.channel, this_year.i_brand_id, this_year.i_class_id,
+         this_year.i_category_id
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q23b", """
+WITH frequent_ss_items AS (
+  SELECT substr(i_item_desc, 1, 30) AS itemdesc, i_item_sk AS item_sk,
+         d_date AS solddate, COUNT(*) AS cnt
+  FROM store_sales, date_dim, item
+  WHERE ss_sold_date_sk = d_date_sk
+    AND ss_item_sk = i_item_sk
+    AND d_year IN (2000, 2001, 2002, 2003)
+  GROUP BY substr(i_item_desc, 1, 30), i_item_sk, d_date
+  HAVING COUNT(*) > 1),
+max_store_sales AS (
+  SELECT MAX(csales) AS tpcds_cmax
+  FROM (SELECT c_customer_sk, SUM(ss_quantity * ss_sales_price) AS csales
+        FROM store_sales, customer, date_dim
+        WHERE ss_customer_sk = c_customer_sk
+          AND ss_sold_date_sk = d_date_sk
+          AND d_year IN (2000, 2001, 2002, 2003)
+        GROUP BY c_customer_sk) t),
+best_ss_customer AS (
+  SELECT c_customer_sk, SUM(ss_quantity * ss_sales_price) AS ssales
+  FROM store_sales, customer
+  WHERE ss_customer_sk = c_customer_sk
+  GROUP BY c_customer_sk
+  HAVING CAST(SUM(ss_quantity * ss_sales_price) AS DOUBLE) >
+         0.5 * (SELECT CAST(tpcds_cmax AS DOUBLE) FROM max_store_sales))
+SELECT c_last_name, c_first_name, CAST(SUM(sales) AS DOUBLE) AS sales_
+FROM (SELECT c_last_name, c_first_name,
+             cs_quantity * cs_list_price AS sales
+      FROM catalog_sales, customer, date_dim
+      WHERE d_year = 2000 AND d_moy = 2
+        AND cs_sold_date_sk = d_date_sk
+        AND cs_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+        AND cs_bill_customer_sk IN (SELECT c_customer_sk
+                                    FROM best_ss_customer)
+        AND cs_bill_customer_sk = c_customer_sk
+      UNION ALL
+      SELECT c_last_name, c_first_name, ws_quantity * ws_list_price
+      FROM web_sales, customer, date_dim
+      WHERE d_year = 2000 AND d_moy = 2
+        AND ws_sold_date_sk = d_date_sk
+        AND ws_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+        AND ws_bill_customer_sk IN (SELECT c_customer_sk
+                                    FROM best_ss_customer)
+        AND ws_bill_customer_sk = c_customer_sk) y
+GROUP BY c_last_name, c_first_name
+ORDER BY c_last_name, c_first_name, sales_
+LIMIT 100
+""")
+
+tpcds_query("tpcds_q24b", """
+WITH ssales AS (
+  SELECT c_last_name, c_first_name, s_store_name, ca_state, s_state,
+         i_color, i_current_price, i_manager_id, i_units, i_size,
+         SUM(ss_net_paid) AS netpaid
+  FROM store_sales, store_returns, store, item, customer, customer_address
+  WHERE ss_ticket_number = sr_ticket_number
+    AND ss_item_sk = sr_item_sk
+    AND ss_customer_sk = c_customer_sk
+    AND ss_item_sk = i_item_sk
+    AND ss_store_sk = s_store_sk
+    AND c_current_addr_sk = ca_address_sk
+    AND c_birth_country <> upper(ca_country)
+    AND s_market_id BETWEEN 5 AND 10
+  GROUP BY c_last_name, c_first_name, s_store_name, ca_state, s_state,
+           i_color, i_current_price, i_manager_id, i_units, i_size)
+SELECT c_last_name, c_first_name, s_store_name,
+       CAST(SUM(netpaid) AS DOUBLE) AS paid
+FROM ssales
+WHERE i_color = 'blue'
+GROUP BY c_last_name, c_first_name, s_store_name
+HAVING CAST(SUM(netpaid) AS DOUBLE) >
+       (SELECT 0.05 * (CAST(SUM(CAST(netpaid AS DECIMAL(30,6)))
+                            AS DOUBLE) / COUNT(netpaid))
+        FROM ssales)
+ORDER BY c_last_name, c_first_name, s_store_name, paid
+""")
+
+tpcds_query("tpcds_q39b", """
+WITH inv AS (
+  SELECT w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy, stdev, mean,
+         CASE mean WHEN 0 THEN NULL ELSE stdev / mean END AS cov
+  FROM (SELECT w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy,
+               CASE WHEN COUNT(inv_quantity_on_hand) > 1 THEN
+                 SQRT((CAST(COUNT(inv_quantity_on_hand) AS DOUBLE)
+                         * CAST(SUM(inv_quantity_on_hand
+                                    * inv_quantity_on_hand) AS DOUBLE)
+                       - CAST(SUM(inv_quantity_on_hand) AS DOUBLE)
+                         * CAST(SUM(inv_quantity_on_hand) AS DOUBLE))
+                      / (CAST(COUNT(inv_quantity_on_hand) AS DOUBLE)
+                         * (CAST(COUNT(inv_quantity_on_hand) AS DOUBLE)
+                            - 1)))
+               ELSE NULL END AS stdev,
+               CAST(SUM(inv_quantity_on_hand) AS DOUBLE)
+                 / COUNT(inv_quantity_on_hand) AS mean
+        FROM inventory, item, warehouse, date_dim
+        WHERE inv_item_sk = i_item_sk
+          AND inv_warehouse_sk = w_warehouse_sk
+          AND inv_date_sk = d_date_sk
+          AND d_year = 2001
+        GROUP BY w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy) foo
+  WHERE CASE mean WHEN 0 THEN 0 ELSE stdev / mean END > 1)
+SELECT inv1.w_warehouse_sk AS wsk1, inv1.i_item_sk AS isk1,
+       inv1.d_moy AS moy1, inv1.mean AS mean1, inv1.cov AS cov1,
+       inv2.w_warehouse_sk AS wsk2, inv2.i_item_sk AS isk2,
+       inv2.d_moy AS moy2, inv2.mean AS mean2, inv2.cov AS cov2
+FROM inv inv1, inv inv2
+WHERE inv1.i_item_sk = inv2.i_item_sk
+  AND inv1.w_warehouse_sk = inv2.w_warehouse_sk
+  AND inv1.d_moy = 1
+  AND inv2.d_moy = 1 + 1
+  AND inv1.cov > 1.5
+ORDER BY inv1.w_warehouse_sk, inv1.i_item_sk, inv1.d_moy, inv1.mean,
+         inv1.cov, inv2.d_moy, inv2.mean, inv2.cov
+""")
