@@ -669,18 +669,23 @@ def _generate(d: str) -> None:  # noqa: PLR0915 - one linear build per table
     channel_returns("web_returns", "wr", 6000, ws_cols, ws_raw, wr_extra)
 
     # ---- inventory (weekly snapshots) -----------------------------------
+    # full weekly (item x warehouse) grid, like the real table: every
+    # tracked item has a snapshot in every warehouse every week — the
+    # month-over-month same-pair joins (q39) need the pair to persist
     week_dates = np.array(
         [_BASE_DATE_SK + i for i in range(0, _SALES_DAYS, 7)])
     inv_items = rng.choice(np.arange(1, _N_ITEM + 1), _N_INV_ITEMS,
                            replace=False)
-    grid_date = np.repeat(week_dates, _N_INV_ITEMS)
-    grid_item = np.tile(inv_items, len(week_dates))
+    pair_item = np.tile(inv_items, _N_WAREHOUSE)
+    pair_wh = np.repeat(np.arange(1, _N_WAREHOUSE + 1), _N_INV_ITEMS)
+    grid_date = np.repeat(week_dates, len(pair_item))
+    grid_item = np.tile(pair_item, len(week_dates))
+    grid_wh = np.tile(pair_wh, len(week_dates))
     n_inv_base = len(grid_date)
-    wh = rng.randint(1, _N_WAREHOUSE + 1, n_inv_base)
     _write(d, "inventory", {
         "inv_date_sk": grid_date,
         "inv_item_sk": grid_item,
-        "inv_warehouse_sk": wh,
+        "inv_warehouse_sk": grid_wh,
         "inv_quantity_on_hand": _maybe_null(
             rng, rng.randint(0, 1001, n_inv_base), 0.03),
     })

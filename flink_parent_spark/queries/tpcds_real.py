@@ -3825,7 +3825,7 @@ WHERE inv1.i_item_sk = inv2.i_item_sk
   AND inv1.w_warehouse_sk = inv2.w_warehouse_sk
   AND inv1.d_moy = 1
   AND inv2.d_moy = 1 + 1
-  AND inv1.cov > 1.5
+  AND inv1.cov > 1.25
 ORDER BY inv1.w_warehouse_sk, inv1.i_item_sk, inv1.d_moy, inv1.mean,
          inv1.cov, inv2.d_moy, inv2.mean, inv2.cov
 """)
