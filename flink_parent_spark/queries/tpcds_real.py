@@ -52,8 +52,11 @@ def _spark_runner(sql: str):
     def run(spark, sf_dir):
         d = ensure_tpcds()
         for t in TPCDS_TABLES:
-            if t not in [v.name for v in spark.catalog.listTables()]:
-                spark.read.parquet(f"{d}/{t}.parquet").createOrReplaceTempView(t)
+            # unconditional re-register: `customer` (and any same-named
+            # fixture view a previous query registered via load_tables)
+            # must resolve to the TPC-DS table here — load_tables applies
+            # the same always-replace discipline on its side
+            spark.read.parquet(f"{d}/{t}.parquet").createOrReplaceTempView(t)
         return spark.sql(sql)
 
     return run
