@@ -53,6 +53,8 @@ class RankSpec:
     select: list[str] | None  # None = SELECT *
     inner_where: str | None = None
     payload_override: list[str] = field(default_factory=list)
+    # ConstantRankRange(N, N) (`rn = N`, N > 1): emit only rank N
+    rank_eq: int | None = None
 
 
 _PATTERN = re.compile(
@@ -104,14 +106,14 @@ def recognize_rank_query(sql: str) -> RankSpec | None:
     if pm is None or pm.group("a").lower() != m.group("alias").lower():
         return None
     n = int(pm.group("n"))
+    rank_eq = None
     if pm.group("op") in ("<", ">"):
         n -= 1  # rn < N  ==  rn <= N-1
     elif pm.group("op") == "=" and n != 1:
         # `rn = N` with N > 1 is ConstantRankRange(N, N) in the reference
-        # (FlinkLogicalRankRule) — only rank N is emitted, which Top-N's
-        # rank-range (1, N) semantics would silently widen. Bail to the
-        # generic plan rather than return the wrong rows.
-        return None
+        # (FlinkLogicalRankRule) — only rank N is emitted. Plan Top-N
+        # with state bound N and filter the output to rank = N.
+        rank_eq = n
     if n < 1:
         return None
     parsed = _parse_order(m.group("ord"))
@@ -132,6 +134,7 @@ def recognize_rank_query(sql: str) -> RankSpec | None:
         rank_alias=m.group("alias"),
         select=select,
         inner_where=m.group("iwhere"),
+        rank_eq=rank_eq,
     )
 
 
@@ -153,6 +156,8 @@ def apply_rank_spec(df: DataFrame, spec: RankSpec) -> DataFrame:
     wants_rank = spec.select is None or any(
         c.lower() == spec.rank_alias.lower() for c in spec.select
     )
+    if spec.rank_eq is not None:
+        wants_rank = True  # the range filter needs the rank column
     is_time_order = isinstance(
         src.schema[spec.order_col].dataType,
         (T.TimestampType, T.TimestampNTZType),
@@ -177,6 +182,10 @@ def apply_rank_spec(df: DataFrame, spec: RankSpec) -> DataFrame:
             tiebreak_col=spec.tiebreak,
         )
         rank_out = "rank"
+        if spec.rank_eq is not None:
+            # ConstantRankRange(N, N): state still bounds at N rows/key,
+            # only the row AT rank N is emitted (FlinkLogicalRankRule)
+            out = out.filter(F.col(rank_out) == spec.rank_eq)
 
     if spec.select is None:
         if rank_out is not None and spec.rank_alias != rank_out:

@@ -128,14 +128,17 @@ def test_batch_mode_unaffected(spark):
     assert got == {("view", 2, 1), ("view", 3, 2), ("click", 5, 1), ("click", 4, 2)}
 
 
-def test_rank_eq_n_bails_to_generic_plan():
+def test_rank_eq_n_recognized_as_constant_range():
     """`rn = N` with N > 1 is ConstantRankRange(N, N) in the reference —
-    only rank N is emitted. Top-N would silently widen it to ranks 1..N,
-    so recognition must bail (round-5 ADVICE, high)."""
-    assert recognize_rank_query(TOPN_SQL.replace("rn <= 3", "rn = 3")) is None
-    assert recognize_rank_query(TOPN_SQL.replace("rn <= 3", "3 = rn")) is None
-    # rn = 1 stays recognized (the two semantics coincide)
-    assert recognize_rank_query(TOPN_SQL.replace("rn <= 3", "rn = 1")).n == 1
+    recognition records rank_eq so the plan emits ONLY rank N, never the
+    widened 1..N (round-5 ADVICE, high)."""
+    spec = recognize_rank_query(TOPN_SQL.replace("rn <= 3", "rn = 3"))
+    assert spec.n == 3 and spec.rank_eq == 3
+    spec2 = recognize_rank_query(TOPN_SQL.replace("rn <= 3", "3 = rn"))
+    assert spec2.n == 3 and spec2.rank_eq == 3
+    # rn = 1 keeps the plain Top-1/dedup route (range (1,1) == top-1)
+    one = recognize_rank_query(TOPN_SQL.replace("rn <= 3", "rn = 1"))
+    assert one.n == 1 and one.rank_eq is None
 
 
 def test_topn_timestamp_order_column(spark):
@@ -158,3 +161,25 @@ def test_topn_timestamp_order_column(spark):
     rows = run_stream_to_df(tbl.to_df(), "update").collect()
     got = {(r.user_id, r.event_id, r.rn) for r in rows}
     assert got == {(10, 1, 1), (10, 3, 2), (20, 4, 1), (20, 5, 2)}
+
+
+def test_rank_eq_n_plans_constant_rank_range(spark):
+    """`rn = N` (N > 1) plans as ConstantRankRange(N, N): Top-N state bound
+    at N per key, only the row AT rank N emitted (FlinkLogicalRankRule) —
+    not ranks 1..N."""
+    spec = recognize_rank_query(TOPN_SQL.replace("rn <= 3", "rn = 2"))
+    assert spec is not None and spec.n == 2 and spec.rank_eq == 2
+
+    from flink_parent_spark.api.table_env import TableEnvironment
+    from flink_parent_spark.streaming.core import run_stream_to_df
+
+    t_env = TableEnvironment(spark, streaming=True)
+    sdf = _events_stream(spark, _ROWS)
+    sdf.createOrReplaceTempView("rank_rec_eq_src")
+    tbl = t_env.sql_query(
+        TOPN_SQL.replace("src", "rank_rec_eq_src").replace("rn <= 3", "rn = 2")
+    )
+    rows = run_stream_to_df(tbl.to_df(), "update").collect()
+    got = {(r.event_type, r.event_id, r.rn) for r in rows}
+    # only the SECOND-ranked row per event_type
+    assert got == {("view", 3, 2), ("click", 4, 2)}
