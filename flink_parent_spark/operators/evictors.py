@@ -173,17 +173,27 @@ def delta_trigger_fires(
 
     The reference point depends on the previous FIRE (not the previous
     row), so this is a genuine per-window sequential scan — Flink runs the
-    same loop against its trigger state. Executed as one Arrow-batched
-    applyInPandas per (window, key) group: the shuffle is the same
-    (window, key) partitioning the windowed aggregation needs, and buffers
-    never exceed a window's rows. Output: one row per firing
-    (window_start, keys..., fire_ts, fire_value, elements_seen)."""
-    from collections.abc import Iterator as _It  # noqa: F401
+    same loop against its trigger state.
 
+    Execution shape: (window, key) groups are near-singletons (hour
+    windows x fine-grained keys), and applyInPandas pays milliseconds of
+    pandas overhead PER GROUP — a naive per-group deployment spends ~6 ms
+    x groups on fixed cost. Instead groups hash into
+    spark.sql.shuffle.partitions buckets (complete groups per bucket) and
+    ONE numpy scan per bucket walks all its groups with boundary
+    detection; per-bucket memory is total/buckets, the same sizing
+    discipline as any shuffle at scale. Output: one row per firing
+    (window_start, keys..., fire_ts, fire_value, elements_seen)."""
     import pandas as pd
 
     assigned = _assigned(df, ts_col, size).withColumn(
         "__ws", F.col("__win.start")
+    )
+    n_buckets = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    assigned = assigned.withColumn(
+        "__bkt", F.pmod(F.hash("__ws", *keys), F.lit(n_buckets))
     )
     dt = dict(df.dtypes)
     key_schema = "".join(f", `{k}` {dt[k]}" for k in keys)
@@ -193,34 +203,33 @@ def delta_trigger_fires(
         + f", `fire_ts` {dt[ts_col]}, `fire_value` {dt[value_col]}"
         + ", `elements_seen` int"
     )
-    sort_cols = [ts_col, *tiebreak]
+    out_cols = ["window_start", *keys, "fire_ts", "fire_value", "elements_seen"]
+    group_cols = ["__ws", *keys]
 
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(sort_cols)
+        pdf = pdf.sort_values([*group_cols, ts_col, *tiebreak],
+                              kind="mergesort")
+        cols = [pdf[c].to_numpy() for c in group_cols]
+        vals = pdf[value_col].to_numpy()
+        ts = pdf[ts_col].to_numpy()
         recs = []
-        last = None
-        for i, row in enumerate(pdf.to_dict("records"), start=1):
-            v = row[value_col]
-            if last is None:
-                last = v
+        prev_group = None
+        last = 0.0
+        seen = 0
+        for i in range(len(pdf)):
+            grp = tuple(c[i] for c in cols)
+            if grp != prev_group:
+                prev_group = grp
+                last = vals[i]
+                seen = 1
                 continue
-            if abs(v - last) > threshold:
-                last = v
-                recs.append(
-                    {
-                        "window_start": row["__ws"],
-                        **{k: row[k] for k in keys},
-                        "fire_ts": row[ts_col],
-                        "fire_value": v,
-                        "elements_seen": i,
-                    }
-                )
-        return pd.DataFrame(
-            recs,
-            columns=["window_start", *keys, "fire_ts", "fire_value", "elements_seen"],
-        )
+            seen += 1
+            if abs(vals[i] - last) > threshold:
+                last = vals[i]
+                recs.append((*grp, ts[i], vals[i], seen))
+        return pd.DataFrame(recs, columns=out_cols)
 
-    return assigned.groupBy("__win", *keys).applyInPandas(scan, out_schema)
+    return assigned.groupBy("__bkt").applyInPandas(scan, out_schema)
 
 
 def continuous_event_time_trigger_fires(
