@@ -395,7 +395,7 @@ def community_detection(
     return state
 
 
-def adamic_adar(edges: DataFrame) -> DataFrame:
+def adamic_adar(edges: DataFrame, hub_cap: int | None = None) -> DataFrame:
     """Adamic-Adar vertex similarity (Gelly similarity/AdamicAdar.java):
     for each vertex pair with >= 1 common neighbor,
     score = sum over common neighbors w of 1/ln(deg(w)). Inverted-index
@@ -405,14 +405,27 @@ def adamic_adar(edges: DataFrame) -> DataFrame:
     the total is order-independent and bit-identical across engines.
     Output: (id_a, id_b, score) with id_a < id_b; neighbors of degree 1
     contribute nothing and degree-1-only pairs never appear (1/ln(1)
-    undefined — Gelly filters them the same way)."""
+    undefined — Gelly filters them the same way).
+
+    hub_cap: optional degree ceiling for the SHARED-neighbor join (the
+    100 TB guard — a degree-d hub fans out d^2/2 candidate pairs; capping
+    drops neighbors above the ceiling like the Jaccard verb's
+    MaximumScore/hub-cap knob). Default None = the reference's exact
+    uncapped semantics; a hub's 1/ln(deg) weight is tiny anyway, so the
+    cap trades a vanishing score term for bounded fan-out."""
     und = _undirect(edges)
     deg = und.groupBy(F.col("src").alias("w")).agg(F.count("*").alias("deg"))
     # weight of a shared neighbor w: 1/ln(deg(w)), deg >= 2
     w = deg.filter(F.col("deg") >= 2).withColumn(
         "weight", F.round(F.lit(1.0) / F.log(F.col("deg").cast("double")), 9)
     )
+    if hub_cap is not None:
+        w = w.filter(F.col("deg") <= hub_cap)
     nb = und.select(F.col("dst").alias("w"), F.col("src").alias("u"))
+    if hub_cap is not None:
+        # filter BEFORE the self-join so the hub fan-out never happens;
+        # the semi-join shuffles on w, which the self-join needs anyway
+        nb = nb.join(w.select("w"), "w", "left_semi")
     a = nb.select("w", F.col("u").alias("id_a"))
     b = nb.select("w", F.col("u").alias("id_b"))
     pairs = (

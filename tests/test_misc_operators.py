@@ -221,3 +221,30 @@ def test_rebalance_zero_share_drops_source(spark):
     srcs = {r["source"] for r in out.select("source").distinct().collect()}
     assert srcs == {"web"}
     assert out.count() == 20  # binding source kept whole
+
+
+def test_adamic_adar_hub_cap(spark):
+    """hub_cap bounds the shared-neighbor fan-out: capped output equals
+    the uncapped scores recomputed without the over-cap neighbors'
+    contributions; default (None) keeps exact Gelly semantics."""
+    from flink_parent_spark.graph.algorithms import adamic_adar
+
+    # star hub 1 connected to 2..6 (deg 5), plus a triangle 2-3-7
+    edges = spark.createDataFrame(
+        [(1, x) for x in (2, 3, 4, 5, 6)] + [(2, 7), (3, 7)],
+        "src long, dst long",
+    )
+    full = {(r.id_a, r.id_b): r.score for r in adamic_adar(edges).collect()}
+    capped = {
+        (r.id_a, r.id_b): r.score
+        for r in adamic_adar(edges, hub_cap=3).collect()
+    }
+    # hub 1 (deg 5 > 3) no longer contributes: pairs whose ONLY shared
+    # neighbor was the hub disappear
+    assert (4, 5) in full and (4, 5) not in capped
+    # pair (2,3) shares hub 1 AND vertex 7 (deg 2): capped keeps only 7's
+    # term, 1/ln(2)
+    import math
+
+    assert abs(capped[(2, 3)] - round(1 / math.log(2), 9)) < 1e-9
+    assert full[(2, 3)] > capped[(2, 3)]
