@@ -267,3 +267,25 @@ def punctuated_replay(
     )
     q.awaitTermination(timeout_s)
     return trace
+
+
+def use_rocksdb_state_backend(spark: SparkSession, enabled: bool = True) -> SparkSession:
+    """Flink RocksDB state backend parity
+    (flink-state-backends/flink-statebackend-rocksdb — large keyed state
+    spills to local disk instead of heap): Spark ships the same trade-off
+    as the RocksDB state store provider (Spark 3.2+). All of the engine's
+    applyInPandasWithState operators (Top-N, dedup, CEP, OVER, temporal
+    join) run unchanged on either backend — state layout is the store's
+    concern, exactly as in the reference.
+
+    `enabled=False` restores the default HDFS-backed (heap) provider —
+    the heap-spillable backend analog."""
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+        if enabled
+        else "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    )
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    return spark

@@ -468,3 +468,51 @@ def test_punctuated_watermark_advances_ahead_of_bounded(spark):
     assert trace[0][1] == dtm.datetime(2024, 1, 1, 0, 10)
     # monotone afterwards
     assert trace[1][1] >= trace[0][1]
+
+
+def test_rocksdb_state_backend(spark):
+    """RocksDB state backend parity (flink-statebackend-rocksdb): the
+    stateful streaming operators run unchanged on Spark's RocksDB state
+    store provider and produce identical results; the checkpoint carries
+    RocksDB SST state."""
+    import datetime as dtm
+    import glob
+    import os
+    import tempfile
+    import uuid
+
+    from flink_parent_spark.streaming.core import use_rocksdb_state_backend
+    from flink_parent_spark.streaming.stateful import streaming_top_n
+
+    schema = "ts timestamp, k string, v double, i long"
+    t0 = dtm.datetime(2024, 1, 1)
+    rows = [
+        (t0, "a", 5.0, 1), (t0, "a", 9.0, 2), (t0, "a", 7.0, 3),
+        (t0, "b", 1.0, 4), (t0, "b", 3.0, 5),
+    ]
+    d = tempfile.mkdtemp(prefix="fps_rocks_")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{d}/in")
+    use_rocksdb_state_backend(spark)
+    try:
+        sdf = spark.readStream.schema(schema).parquet(f"{d}/in")
+        tn = streaming_top_n(sdf, ["k"], "v", 2, ["i"])
+        name = f"rocks_{uuid.uuid4().hex[:6]}"
+        ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
+        q = (
+            tn.writeStream.outputMode("update").format("memory")
+            .queryName(name).option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = {(r.k, r.i, r.rank) for r in spark.table(name).collect()}
+        assert got == {("a", 2, 1), ("a", 3, 2), ("b", 5, 1), ("b", 4, 2)}
+        # the state checkpoint is RocksDB-format (sst/changelog zips), not
+        # the HDFS-backed provider's .delta files
+        deltas = glob.glob(f"{ckpt}/state/**/*.delta", recursive=True)
+        assert not deltas
+        rocks = glob.glob(f"{ckpt}/state/**/*.zip", recursive=True) + glob.glob(
+            f"{ckpt}/state/**/*.sst", recursive=True
+        )
+        assert rocks
+    finally:
+        use_rocksdb_state_backend(spark, enabled=False)
