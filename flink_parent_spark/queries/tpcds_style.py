@@ -1,9 +1,16 @@
 """TPC-DS-style query battery adapted to the fixture star schema.
 
+NOTE (round 6): the REAL queries now exist too — `tpcds_real.py` registers
+all 103 (99 base numbers + 14b/23b/24b/39b) as actual dialect-adjusted
+query texts over the real TPC-DS schema from `tpcds_data.py`, each
+value-checked against DuckDB. This shape battery remains as the
+fixture-schema counterpart (same idioms exercised against the gate's
+TPC-H-ish tables, useful because it scales with sf_dir).
+
 The reference's second end-to-end correctness harness runs all 103 TPC-DS
 queries (flink-end-to-end-tests/flink-tpcds-test/.../TpcdsTestProgram.java:75-86,
-test-scripts/test_tpcds.sh). The fixture set has no TPC-DS tables, so this
-battery reproduces the *query shapes* that distinguish TPC-DS from TPC-H —
+test-scripts/test_tpcds.sh). This battery reproduces the *query shapes*
+that distinguish TPC-DS from TPC-H —
 channel unions with rollup, year-over-year self-joins over CTEs, percentile
 gating, CASE-pivoted cross-tabs, repeat-buyer cohorts with scalar-subquery
 thresholds, moving-window trend analysis, channel INTERSECTs,

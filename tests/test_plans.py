@@ -418,3 +418,17 @@ def test_gate_prefix_structure(spark):
     assert gate == [n for n in PRIORITY if n in qs][:50]
     missing_oracle = [n for n in gate if n not in os_]
     assert not missing_oracle, f"gate entries without oracle: {missing_oracle}"
+
+
+def test_tpcds_heavy_queries_no_cartesian(spark):
+    """The widest real TPC-DS plans (20-table q64 self-join, q14's
+    three-channel INTERSECT, q23's CTE chain) must contain no cartesian
+    product and no nested-loop join — every join resolves to a broadcast
+    or sort-merge equi-join."""
+    from flink_parent_spark.queries.catalog import all_queries
+
+    qs = all_queries()
+    for name in ("tpcds_q64", "tpcds_q14", "tpcds_q23"):
+        plan = plan_of(qs[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
