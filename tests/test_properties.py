@@ -437,3 +437,85 @@ def test_full_scan_ann_baselines_are_fenced(spark):
         pq_topk(e, e, k=2, m=2, ks=2)
     # explicit opt-in still runs
     assert cosine_topk(e, e, k=2, allow_full_scan=True).count() > 0
+
+
+def test_jdbc_lookup_cache_lru_ttl_properties():
+    """Cache-policy properties of JdbcLookupFunction without a database:
+    a fake fetch counts round trips; LRU order, TTL expiry, and negative
+    caching must hold for arbitrary probe sequences."""
+    from flink_parent_spark.sources.connectors import JdbcLookupFunction
+
+    fn = JdbcLookupFunction.__new__(JdbcLookupFunction)
+    from collections import OrderedDict
+
+    clock = [0.0]
+    fn.cache_max_rows = 3
+    fn.cache_ttl = 10
+    fn._clock = lambda: clock[0]
+    fn._cache = OrderedDict()
+    fn.queries = []
+    fetched = []
+
+    def fake_fetch(keys):
+        fetched.append(list(keys))
+        fn.queries.append(str(keys))
+        return {k: {"v": k * 10} for k in keys if k < 100}
+
+    fn._fetch = fake_fetch
+
+    out = fn.lookup([1, 2, 3])
+    assert out == {1: {"v": 10}, 2: {"v": 20}, 3: {"v": 30}}
+    assert fetched == [[1, 2, 3]]
+    # full hit: no fetch
+    fn.lookup([3, 2, 1])
+    assert len(fetched) == 1
+    # LRU: inserting 4 evicts the least-recently-USED (1 was touched last
+    # probe via move_to_end order 3,2,1 -> LRU is 3)
+    fn.lookup([4])
+    assert len(fn._cache) == 3 and 3 not in fn._cache
+    fn.lookup([3])
+    assert fetched[-1] == [3]
+    # TTL: advance past expiry; everything refetches
+    clock[0] = 11.0
+    fn.lookup([4])
+    assert fetched[-1] == [4]
+    # negative cache: miss (>=100) cached as None without refetch
+    assert fn.lookup([100])[100] is None
+    n = len(fetched)
+    assert fn.lookup([100])[100] is None and len(fetched) == n
+
+
+def test_punctuated_watermark_monotone_property():
+    """punctuated_replay's clock math is monotone for any interleaving of
+    punctuation and periodic signals (generator semantics without Spark:
+    the same candidate-max fold on synthetic rows)."""
+    import datetime as dtm
+
+    t0 = dtm.datetime(2024, 1, 1)
+    rows = [
+        (t0 + dtm.timedelta(seconds=s), marker)
+        for s, marker in [
+            (0, None), (5, t0 + dtm.timedelta(minutes=5)), (10, None),
+            (3, None),  # late vs punctuated wm
+            (400, None), (200, t0 + dtm.timedelta(seconds=100)),  # stale marker
+        ]
+    ]
+    wm = None
+    trace = []
+    delay = dtm.timedelta(seconds=30)
+    for ts, marker in rows:
+        if wm is not None and ts <= wm:
+            trace.append(("late", ts))
+            continue
+        cands = [ts - delay]
+        if marker is not None:
+            cands.append(marker)
+        if wm is not None:
+            cands.append(wm)
+        wm = max(cands)
+        trace.append(("ok", wm))
+    wms = [w for k, w in trace if k == "ok"]
+    assert all(a <= b for a, b in zip(wms, wms[1:]))  # never regresses
+    assert ("late", t0 + dtm.timedelta(seconds=3)) in trace
+    # a stale marker behind the current watermark cannot pull it back
+    assert wms[-1] >= t0 + dtm.timedelta(seconds=370)
