@@ -162,9 +162,14 @@ class DataStream:
                 out = fn(pdf[cols])
                 if len(out) == len(pdf):
                     out = out.assign(**{ARRIVAL: arr.to_numpy()})
-                else:  # fn changed cardinality: arrival order re-derives
+                else:
+                    # fn changed cardinality: derive unique monotone ids
+                    # from the batch's input arrivals (flat_map's
+                    # sub-ordinal scheme) so ids never collide across
+                    # Arrow batches / partitions
+                    base = (0 if len(arr) == 0 else int(arr.min())) * 1_000_000
                     out = out.assign(
-                        **{ARRIVAL: range(len(out))}
+                        **{ARRIVAL: [base + j for j in range(len(out))]}
                     )
                 yield out[[ARRIVAL, *out_names]]
 

@@ -746,6 +746,16 @@ class TableEnvironment:
                 ) from e
             # not importable as python -> treat as a JVM classpath ref
             return self.spark.sql(f"CREATE TEMPORARY FUNCTION {name} AS '{ref}'")
+        if not (hasattr(obj, "returnType") or hasattr(obj, "evalType")):
+            # a bare callable would silently register with the StringType
+            # default and stringify every result — PyFlink makes the result
+            # type mandatory for SQL-registered Python UDFs, so do the same
+            raise ValueError(
+                f"CREATE FUNCTION {name}: {ref!r} resolves to a plain "
+                "callable with no declared result type; wrap it with "
+                "pyspark.sql.functions.udf/pandas_udf(returnType=...) so "
+                "results are not silently stringified"
+            )
         self.spark.udf.register(name, obj)
         self._functions[name] = ref
         return None
@@ -754,6 +764,12 @@ class TableEnvironment:
         """USE CATALOG c (Flink's catalog switch): the registered catalog
         object (JdbcCatalog / a Hive catalog wrapper) materializes its
         tables into the session — the register_all() workflow."""
+        if name == "default_catalog" and name not in self._catalogs:
+            # the built-in default catalog is always usable (Flink's
+            # GenericInMemoryCatalog registered at startup) — switching
+            # back to it must not require register_catalog
+            self.current_catalog = name
+            return None
         cat = self._catalogs.get(name)
         if cat is None:
             raise ValueError(f"unknown catalog: {name} (register_catalog first)")

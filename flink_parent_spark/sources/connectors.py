@@ -276,12 +276,23 @@ class JdbcLookupFunction:
     amortizing the reference's per-key statement); negative results cache
     too (the reference caches empty rows).
 
+    Two fetch transports:
+    - `spark` (driver-side): fetches via `spark.read.format("jdbc")` —
+      reaches any JVM JDBC driver (Derby/Postgres/...), but only usable
+      on the driver, so joins through it must bound probe-key cardinality.
+    - `connection_factory` (executor-side): a PICKLABLE zero-arg callable
+      returning a DB-API 2.0 connection (psycopg2 / mysql-connector /
+      duckdb all conform). Instances built this way ship to executors —
+      `jdbc_lookup_join` then runs one instance per Python worker with a
+      per-executor cache, exactly the reference's per-task
+      JdbcRowDataLookupFunction deployment.
+
     `queries` records every SQL issued — the observability hook the cache
     tests assert on. `clock` is injectable for deterministic TTL tests."""
 
     def __init__(
         self,
-        spark: SparkSession,
+        spark: SparkSession | None,
         url: str,
         table: str,
         key_col: str,
@@ -289,6 +300,7 @@ class JdbcLookupFunction:
         cache_max_rows: int | None = None,
         cache_ttl_seconds: float | None = None,
         clock=None,
+        connection_factory=None,
     ):
         import time  # noqa: PLC0415
 
@@ -296,15 +308,44 @@ class JdbcLookupFunction:
         self.key_col, self.driver = key_col, driver
         self.cache_max_rows = cache_max_rows
         self.cache_ttl = cache_ttl_seconds
+        self.connection_factory = connection_factory
+        self._conn = None
         self._clock = clock or time.monotonic
         from collections import OrderedDict  # noqa: PLC0415
 
         self._cache: "OrderedDict[object, tuple[dict | None, float]]" = OrderedDict()
         self.queries: list[str] = []
+        if spark is None and connection_factory is None:
+            raise ValueError(
+                "JdbcLookupFunction needs a SparkSession (driver-side "
+                "spark.read transport) or a connection_factory "
+                "(executor-side DB-API transport)"
+            )
+
+    def __getstate__(self):
+        # executor shipping: drop the unpicklable driver-side handles; the
+        # worker-side clone re-opens its connection lazily from the factory
+        # and re-defaults the clock (injected test clocks are driver-only)
+        d = dict(self.__dict__)
+        d["spark"] = None
+        d["_conn"] = None
+        d["_clock"] = None
+        return d
+
+    def __setstate__(self, d):
+        import time  # noqa: PLC0415
+
+        self.__dict__.update(d)
+        if self._clock is None:
+            self._clock = time.monotonic
 
     def _fetch(self, keys: list) -> dict:
         def lit(k):
-            return f"'{k}'" if isinstance(k, str) else str(k)
+            if isinstance(k, str):
+                # SQL-escape embedded quotes: probe keys come from fact
+                # data, so unescaped interpolation is an injection surface
+                return "'" + k.replace("'", "''") + "'"
+            return str(k)
 
         # ANSI-quote the key column: Spark's JDBC writer creates quoted
         # (case-exact) columns, which Derby/Postgres would otherwise upcase
@@ -313,6 +354,18 @@ class JdbcLookupFunction:
             f"({', '.join(lit(k) for k in keys)})"
         )
         self.queries.append(sql)
+        if self.connection_factory is not None:
+            if self._conn is None:
+                self._conn = self.connection_factory()
+            cur = self._conn.cursor()
+            cur.execute(sql)
+            cols = [c[0] for c in cur.description]
+            out = {}
+            for row in cur.fetchall():
+                rec = dict(zip(cols, row))
+                out[rec[self.key_col]] = rec
+            cur.close()
+            return out
         reader = (
             self.spark.read.format("jdbc")
             .option("url", self.url)
@@ -351,26 +404,84 @@ class JdbcLookupFunction:
         return out
 
 
+# one lookup-function instance per Python worker process (workers are
+# reused across tasks, so this IS the per-executor cache the reference's
+# per-task JdbcRowDataLookupFunction instances converge to)
+_WORKER_LOOKUP_FNS: dict = {}
+
+
 def jdbc_lookup_join(
     df: DataFrame,
     key_col: str,
     fn: JdbcLookupFunction,
     output_cols: "list[tuple[str, str]]",
+    max_driver_keys: int = 100_000,
 ) -> DataFrame:
     """Lookup join against a JDBC table (LookupJoinRunner composed with
-    JdbcRowDataLookupFunction): probe-side distinct keys resolve through
-    the cached lookup function, the resolved dimension slice broadcasts,
-    and the join is a plain broadcast left-outer equi-join.
+    JdbcRowDataLookupFunction).
 
-    Scale shape: only DISTINCT probe keys hit the database (bounded by the
-    dimension's key cardinality, not the fact row count) and only the
-    matching dimension slice is broadcast — the same footprint the
-    reference's per-key lookups with cache converge to."""
+    Executor-side path (default whenever `fn` carries a
+    `connection_factory`): the lookup function ships INTO `mapInPandas`
+    partitions — one instance per Python worker, probing the database
+    with ONE bulk `IN` per Arrow batch and serving repeats from the
+    per-executor LRU/TTL cache, exactly the reference's per-task
+    JdbcRowDataLookupFunction deployment. Probe keys NEVER collect to the
+    driver, so this path scales to any probe-side key cardinality.
+    Executor-issued query counts surface through the
+    `fn.query_count_accumulator` Spark accumulator set on the driver-side
+    `fn` (readable after an action).
+
+    Driver fast path (spark.read-based `fn`, i.e. JVM-only JDBC drivers
+    like embedded Derby): distinct probe keys resolve through the cached
+    lookup function on the driver and the resolved dimension slice
+    broadcasts into a left-outer equi-join. This is bounded by the PROBE
+    side's distinct-key cardinality — a high-cardinality probe against a
+    big dimension would OOM the driver — so it is guarded: more than
+    `max_driver_keys` distinct probe keys raises, directing the caller to
+    the executor-side path via a `connection_factory`."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
-    keys = [r[0] for r in df.select(key_col).distinct().collect()]
-    mapping = fn.lookup(keys)
     names = [n for n, _ in output_cols]
+    if fn.connection_factory is not None:
+        out_schema = ", ".join(f"`{c}` {t}" for c, t in df.dtypes)
+        out_schema += ", " + ", ".join(f"`{n}` {t}" for n, t in output_cols)
+        acc = df.sparkSession.sparkContext.accumulator(0)
+        fn.query_count_accumulator = acc
+        fn_key = (fn.url, fn.table, fn.key_col, fn.cache_max_rows, fn.cache_ttl)
+        in_cols = [c for c, _ in df.dtypes]
+
+        def run(batches):
+            worker_fn = _WORKER_LOOKUP_FNS.get(fn_key)
+            if worker_fn is None:
+                worker_fn = _WORKER_LOOKUP_FNS.setdefault(fn_key, fn)
+            for pdf in batches:
+                keys = [k for k in pdf[key_col].dropna().unique().tolist()]
+                before = len(worker_fn.queries)
+                mapping = worker_fn.lookup(keys) if keys else {}
+                acc.add(len(worker_fn.queries) - before)
+                enriched = pdf[in_cols].copy()
+                for n in names:
+                    col_map = {
+                        k: (v or {}).get(n) for k, v in mapping.items()
+                    }
+                    enriched[n] = pdf[key_col].map(col_map)
+                yield enriched
+
+        return df.mapInPandas(run, out_schema)
+
+    keys = [
+        r[0]
+        for r in df.select(key_col).distinct().limit(max_driver_keys + 1).collect()
+    ]
+    if len(keys) > max_driver_keys:
+        raise ValueError(
+            f"jdbc_lookup_join driver path: probe side has more than "
+            f"{max_driver_keys} distinct keys; collecting them to the "
+            "driver would not scale. Build the JdbcLookupFunction with a "
+            "connection_factory to run the lookup executor-side, or raise "
+            "max_driver_keys explicitly for a known-small dimension."
+        )
+    mapping = fn.lookup(keys)
     schema = f"`__lk` {dict(df.dtypes)[key_col]}, " + ", ".join(
         f"`{n}` {t}" for n, t in output_cols
     )

@@ -851,13 +851,16 @@ def _scan_frontier(
         m, matched_pat, pend = None, None, False
         for p in pats:
             pm, ppend = p._match_from2(sealed, start, ts_col, future_lb=future_lb)
-            if pm is not None and m is None:
+            if pm is not None:
+                # a completed match at this preference wins outright: any
+                # still-pending LOWER-preference alternative cannot change
+                # the outcome, so do not hold (and do not pin state) for it
                 m, matched_pat = pm, p
-            pend = pend or ppend
-            if pm is None and ppend:
+                break
+            if ppend:
                 # a higher-preference alternative could still complete here:
                 # hold before accepting any later-preference match
-                m, matched_pat = None, None
+                pend = True
                 break
         if m is None:
             if pend:

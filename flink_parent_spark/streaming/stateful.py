@@ -195,8 +195,6 @@ def streaming_updatable_top_n(
         + ", ".join(f"{c}: {dt[c]}" for c in data_cols)
         + ", rank: int>>"
     )
-    sign = -1.0 if descending else 1.0
-
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         live: dict[Any, dict] = {}
         prev_emitted: list[tuple] = []
@@ -211,9 +209,12 @@ def streaming_updatable_top_n(
                 recs.sort(key=lambda r: tuple(r[c] for c in arrival_cols))
             for rec in recs:
                 live[rec[unique_col]] = {c: rec[c] for c in data_cols}
-        ranked = sorted(
-            live.values(), key=lambda r: (sign * r[order_col], r[unique_col])
-        )[:n]
+        # Two-pass stable sort: unique_col tiebreak ascending, then
+        # order_col in the requested direction — `sign * value` only works
+        # for numerics (timestamps/strings sort fine under comparison)
+        ranked = sorted(live.values(), key=lambda r: r[unique_col])
+        ranked.sort(key=lambda r: r[order_col], reverse=descending)
+        ranked = ranked[:n]
         top = [
             (*(r[c] for c in data_cols), i + 1) for i, r in enumerate(ranked)
         ]
@@ -284,10 +285,12 @@ def streaming_retract_top_n(
                         if all(r[c] == rec[c] for c in data_cols):
                             del buf[i]
                             break
-        sgn = -1.0 if descending else 1.0
-        buf.sort(
-            key=lambda r: (sgn * r[order_col], r[tiebreak_col] if tiebreak_col else 0)
-        )
+        # Two-pass stable sort (see streaming_top_n): tiebreak ascending,
+        # then order_col in the requested direction — works for any
+        # comparable sortKey (timestamps/strings), not just numerics
+        if tiebreak_col is not None:
+            buf.sort(key=lambda r: r[tiebreak_col])
+        buf.sort(key=lambda r: r[order_col], reverse=descending)
         state.update(([tuple(r[c] for c in data_cols) for r in buf],))
         top = buf[:n]
         out = pd.DataFrame(top, columns=data_cols)

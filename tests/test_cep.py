@@ -1062,3 +1062,41 @@ def test_stream_permute_alternation_and_exclusion(spark):
     assert {(r["user_id"], r["event_id"], r["stage"], r["seq"]) for r in rows_ex} == {
         (1, 1, "signup", 0), (2, 4, "signup", 0),
     }
+
+
+def test_alternative_pending_does_not_withhold_completed_match(spark):
+    """A completed HIGHER-preference match emits even while a
+    lower-preference alternative is still pending at the same position
+    (round-6 ADVICE): lower-preference pending cannot change the outcome,
+    so holding for it (with no WITHIN: indefinitely, pinning keyed state)
+    is wrong. Preferred = signup->purchase completes on rows 1,2; the
+    alternative signup->refund never completes (no refund ever arrives)."""
+    from flink_parent_spark.streaming.cep import (
+        Pattern,
+        cep_pattern_stream_watermarked,
+    )
+
+    def pat(b):
+        return (
+            Pattern.begin("signup").where(lambda r: r["event_type"] == "signup")
+            .followed_by(b).where(lambda r, _b=b: r["event_type"] == _b)
+        )
+
+    batches = [
+        [("2024-01-01 00:00:00", 1, 1, "signup"),
+         ("2024-01-01 00:00:10", 1, 2, "purchase")],
+        # advances the watermark well past the match; still no refund
+        [("2024-01-01 02:00:00", 1, 9, "noise")],
+        [("2024-01-01 04:00:00", 1, 10, "noise")],
+    ]
+    cap = _cep_stream_batches(
+        spark,
+        batches,
+        lambda sdf: cep_pattern_stream_watermarked(
+            sdf, pat("purchase"), ["user_id"], "ts", "event_id",
+            alternatives=[pat("refund")],
+        ),
+    )
+    rows = [r for _, p in cap for r in p.to_dict("records")]
+    got = {(r["event_id"], r["stage"]) for r in rows}
+    assert got == {(1, "signup"), (2, "purchase")}

@@ -660,3 +660,92 @@ def test_kafka_sink_composite_primary_key(spark):
     assert key == {"site": "a", "page": "x"}
     val = json.loads(bytes(raw[0]["value"]).decode())
     assert val == {"site": "a", "page": "x", "hits": 3}
+
+
+def test_jdbc_lookup_join_executor_side(spark):
+    """Executor-side lookup join (JdbcRowDataLookupFunction's per-task
+    deployment): the lookup function ships into mapInPandas partitions via
+    a picklable DB-API connection_factory — probe keys NEVER collect to
+    the driver (plan is a single mapInPandas over the probe; the
+    driver-side fn issues zero queries), one bulk IN per Arrow batch per
+    worker, values match the plain-join oracle, and executor-issued query
+    counts surface through the Spark accumulator."""
+    import os
+    import tempfile
+    import uuid
+
+    import duckdb
+
+    from flink_parent_spark.sources.connectors import (
+        JdbcLookupFunction,
+        jdbc_lookup_join,
+    )
+
+    db = os.path.join(tempfile.gettempdir(), f"duck_lookup_{uuid.uuid4().hex[:8]}.db")
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE dim AS SELECT range AS id, 'dim_' || range AS label, "
+        "range * 2.5 AS score FROM range(50)"
+    )
+    con.close()
+
+    fn = JdbcLookupFunction(
+        None, f"duckdb:{db}", "dim", "id",
+        cache_max_rows=100,
+        connection_factory=lambda: duckdb.connect(db, read_only=True),
+    )
+    probe = spark.createDataFrame(
+        [(i % 10, f"fact_{i}") for i in range(40)] + [(999, "miss")],
+        "id long, payload string",
+    ).repartition(4)
+    out = jdbc_lookup_join(
+        probe, "id", fn, [("label", "string"), ("score", "double")]
+    )
+    # probe keys never reach the driver: the plan is mapInPandas over the
+    # probe with no broadcast of a collected dimension slice
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "MapInPandas" in plan and "Broadcast" not in plan
+    got = {(r["id"], r["label"], r["score"]) for r in out.collect()}
+    exp = {(i, f"dim_{i}", i * 2.5) for i in range(10)} | {(999, None, None)}
+    assert got == exp
+    assert fn.queries == []  # driver-side instance untouched
+    assert fn.query_count_accumulator.value >= 1  # executors did the work
+
+    # driver fast path stays guarded: a probe wider than max_driver_keys
+    # refuses to collect keys to the driver
+    import pytest
+
+    derby_fn = JdbcLookupFunction(spark, "jdbc:derby:unused", "dim", "id")
+    with pytest.raises(ValueError, match="connection_factory"):
+        jdbc_lookup_join(
+            probe, "id", derby_fn, [("label", "string")], max_driver_keys=5
+        )
+
+
+def test_jdbc_lookup_quote_in_key_escaped(spark):
+    """String probe keys containing single quotes are SQL-escaped in the
+    bulk IN query (round-6 ADVICE: fact-data keys are an injection
+    surface) — exercised against embedded Derby."""
+    import os
+    import shutil
+    import tempfile
+
+    from flink_parent_spark.sources.connectors import JdbcLookupFunction
+
+    db = os.path.join(tempfile.gettempdir(), "derby_quote_db")
+    shutil.rmtree(db, ignore_errors=True)
+    url = f"jdbc:derby:{db};create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    spark.createDataFrame(
+        [("o'brien", 1.0), ("plain", 2.0)], "name string, score double"
+    ).write.format("jdbc").option("url", url).option("driver", driver).option(
+        "dbtable", "qdim"
+    ).option(
+        # Derby maps StringType to CLOB, which cannot be IN-compared
+        "createTableColumnTypes", "name VARCHAR(50)"
+    ).mode("overwrite").save()
+    fn = JdbcLookupFunction(spark, url, "qdim", "name", driver=driver)
+    got = fn.lookup(["o'brien", "plain", "x''y"])
+    assert got["o'brien"]["score"] == 1.0
+    assert got["plain"]["score"] == 2.0
+    assert got["x''y"] is None

