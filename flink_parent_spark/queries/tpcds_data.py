@@ -96,14 +96,31 @@ _BASE_MONTH_SEQ = 1176                                     # Jan 1998
 
 
 def _dec(cents: np.ndarray, precision: int = 7) -> pa.Array:
-    """int64 cents -> decimal128(precision, 2) without float round-trips."""
-    import decimal
+    """int64 cents -> decimal128(precision, 2) without float round-trips.
 
-    vals = [
-        None if c is None else decimal.Decimal(int(c)) / decimal.Decimal(100)
-        for c in cents.tolist()
-    ]
-    return pa.array(vals, type=pa.decimal128(precision, 2))
+    Vectorized: cents ARE the unscaled decimal value at scale 2, so the
+    Arrow array is built directly from the 128-bit two's-complement
+    buffer (low word = value, high word = sign extension) — per-value
+    Python Decimal construction made scaled generation (millions of fact
+    rows x ~13 decimal columns) minutes-slow. Values are bit-identical
+    to the old Decimal path (the determinism test compares parquet md5s
+    against a dataset written by it)."""
+    a = np.asarray(cents)
+    if a.dtype == object:  # nullable input: rare, keep the exact slow path
+        import decimal  # noqa: PLC0415
+
+        vals = [
+            None if c is None else decimal.Decimal(int(c)) / decimal.Decimal(100)
+            for c in a.tolist()
+        ]
+        return pa.array(vals, type=pa.decimal128(precision, 2))
+    a = a.astype(np.int64)
+    buf = np.empty((len(a), 2), dtype="<i8")
+    buf[:, 0] = a
+    buf[:, 1] = np.where(a < 0, -1, 0)
+    return pa.Array.from_buffers(
+        pa.decimal128(precision, 2), len(a), [None, pa.py_buffer(buf.tobytes())]
+    )
 
 
 def _maybe_null(rng: np.random.RandomState, arr: np.ndarray, pct: float):
@@ -124,23 +141,33 @@ def _write(d: str, name: str, cols: dict) -> None:
                    os.path.join(d, f"{name}.parquet"))
 
 
-def tpcds_dir() -> str:
-    return os.path.join(tempfile.gettempdir(), f"fps_tpcds_{_VERSION}")
+# The bench's SF1-equivalent multiplier: 25x the qualification facts puts
+# store_sales at ~3M lines (the spec's SF=1 is 2.88M), catalog_sales /
+# web_sales at 750k each, inventory at the full weekly grid over 10k
+# items — the volume the reference's test_tpcds.sh:22 SF=1 run validates
+# at. Each scale gets its own directory, so qualification parity (the
+# sf0.01 driver gate and the sf0.001 pytest oracles) reads v1 untouched.
+BENCH_SCALE = 25.0
 
 
-def ensure_tpcds() -> str:
+def tpcds_dir(scale: float = 1.0) -> str:
+    suffix = "" if scale == 1.0 else f"_sf{scale:g}"
+    return os.path.join(tempfile.gettempdir(), f"fps_tpcds_{_VERSION}{suffix}")
+
+
+def ensure_tpcds(scale: float = 1.0) -> str:
     """Generate the dataset once per machine; return its directory.
 
     Generation goes into a staging dir that is atomically renamed into
     place, so a concurrent reader never sees a half-written dataset (a
     mid-generation read would silently diverge the two engines)."""
-    d = tpcds_dir()
+    d = tpcds_dir(scale)
     marker = os.path.join(d, "_COMPLETE")
     if os.path.exists(marker):
         return d
     stage = f"{d}.stage.{os.getpid()}"
     os.makedirs(stage, exist_ok=True)
-    _generate(stage)
+    _generate(stage, scale)
     with open(os.path.join(stage, "_COMPLETE"), "w"):
         pass
     try:
@@ -153,7 +180,24 @@ def ensure_tpcds() -> str:
     return d
 
 
-def _generate(d: str) -> None:  # noqa: PLR0915 - one linear build per table
+def _generate(d: str, scale: float = 1.0) -> None:  # noqa: PLR0915 - one linear build per table
+    # Scaled row counts shadow the module-level qualification constants as
+    # locals for the rest of this function: facts and the fact-referenced
+    # dims grow linearly (the TPC-DS spec's own dim growth is roughly
+    # linear in SF at small SF); stores/warehouses/promotions stay at the
+    # spec's SF1 cardinalities, which the base counts already are.
+    g = globals()
+    _N_ITEM = max(1, int(g["_N_ITEM"] * scale))
+    _N_CUSTOMER = max(1, int(g["_N_CUSTOMER"] * scale))
+    _N_ADDR = max(1, int(g["_N_ADDR"] * scale))
+    _N_HD = max(1, int(g["_N_HD"] * scale))
+    _N_TICKETS = max(1, int(g["_N_TICKETS"] * scale))
+    _N_CS = max(1, int(g["_N_CS"] * scale))
+    _N_WS = max(1, int(g["_N_WS"] * scale))
+    _N_SR = max(1, int(g["_N_SR"] * scale))
+    _N_INV_ITEMS = max(1, int(g["_N_INV_ITEMS"] * scale))
+    _N_CH_RET = max(1, int(6000 * scale))  # catalog/web returns
+
     rng = np.random.RandomState(_SEED)
 
     # ---- date_dim -------------------------------------------------------
@@ -638,7 +682,7 @@ def _generate(d: str) -> None:  # noqa: PLR0915 - one linear build per table
             cols["cr_return_amount"] = cols.pop("cr_return_amt")
         _write(d, name, cols)
 
-    channel_returns("catalog_returns", "cr", 6000, cs_cols, cs_raw, lambda n: {
+    channel_returns("catalog_returns", "cr", _N_CH_RET, cs_cols, cs_raw, lambda n: {
         "cr_returning_customer_sk": _maybe_null(
             rng, rng.randint(1, _N_CUSTOMER + 1, n), 0.02),
         "cr_refunded_customer_sk": rng.randint(1, _N_CUSTOMER + 1, n),
@@ -666,7 +710,7 @@ def _generate(d: str) -> None:  # noqa: PLR0915 - one linear build per table
             "wr_web_page_sk": rng.randint(1, 61, n),
         }
 
-    channel_returns("web_returns", "wr", 6000, ws_cols, ws_raw, wr_extra)
+    channel_returns("web_returns", "wr", _N_CH_RET, ws_cols, ws_raw, wr_extra)
 
     # ---- inventory (weekly snapshots) -----------------------------------
     # full weekly (item x warehouse) grid, like the real table: every

@@ -62,6 +62,11 @@ def _spark_runner(sql: str):
     return run
 
 
+# name -> raw query text: the scaled-bench and scaled-parity entry points
+# re-run the SAME texts against a bigger generated dataset
+TPCDS_SQL: dict[str, str] = {}
+
+
 def tpcds_query(name: str, sql: str) -> None:
     """Register a real TPC-DS query: one text, both engines."""
     sql = sql.strip().rstrip(";")
@@ -73,7 +78,38 @@ def tpcds_query(name: str, sql: str) -> None:
     run = _spark_runner(sql)
     run.__name__ = f"q_{name}"
     run.__doc__ = sql
+    TPCDS_SQL[name] = sql
     register(name, run, oracle)
+
+
+def run_tpcds_at_scale(spark, name: str, scale: float):
+    """Run a registered TPC-DS text against the `scale`-multiplied dataset
+    (generated lazily, once per machine, into its own directory — the
+    qualification dataset the oracles read stays untouched). This is the
+    bench's SF1-equivalent path (test_tpcds.sh:22 runs the reference at
+    SF=1): same texts, same plans, real volume."""
+    d = ensure_tpcds(scale)
+    for t in TPCDS_TABLES:
+        spark.read.parquet(f"{d}/{t}.parquet").createOrReplaceTempView(t)
+    return spark.sql(TPCDS_SQL[name])
+
+
+def oracle_sql_at_scale(name: str, scale: float) -> str:
+    """The DuckDB oracle text for a scaled run: same query, WITH-prelude
+    pointing at the scaled directory. Callers must ensure_tpcds(scale)
+    before executing it."""
+    from flink_parent_spark.queries.tpcds_data import tpcds_dir  # noqa: PLC0415
+
+    d = tpcds_dir(scale)
+    prelude = ", ".join(
+        f"{t} AS (SELECT * FROM read_parquet('{d}/{t}.parquet'))"
+        for t in TPCDS_TABLES
+    )
+    sql = TPCDS_SQL[name]
+    stripped = sql.lstrip()
+    if stripped[:4].upper() == "WITH":
+        return f"WITH {prelude}, {stripped[4:]}"
+    return f"WITH {prelude} {sql}"
 
 
 # -- the queries -------------------------------------------------------------

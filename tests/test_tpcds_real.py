@@ -52,3 +52,56 @@ def test_battery_covers_all_103():
     # every entry is oracle-backed (value-checked, not rows-only)
     missing = [q for q in qs if q.startswith("tpcds_q") and q not in os_]
     assert not missing
+
+
+def test_scaled_generator_counts_and_dir_isolation():
+    """The scale knob grows facts linearly into a per-scale directory,
+    leaving the qualification dataset untouched (test_tpcds.sh:22 SF=1
+    posture: correctness at qualification scale, volume demonstrated at
+    the scaled dataset)."""
+    import pyarrow.parquet as pq
+
+    from flink_parent_spark.queries.tpcds_data import ensure_tpcds, tpcds_dir
+
+    base, scaled = ensure_tpcds(), ensure_tpcds(3.0)
+    assert base != scaled and tpcds_dir(3.0).endswith("_sf3")
+    n = {
+        d: pq.read_metadata(os.path.join(d, "store_sales.parquet")).num_rows
+        for d in (base, scaled)
+    }
+    # avg 3 lines/ticket: 3x tickets -> ~3x lines (exact ratio varies with
+    # the rng draw of lines-per-ticket)
+    assert 2.8 < n[scaled] / n[base] < 3.2
+    # stores/warehouses stay at the spec's SF1 cardinalities
+    for t in ("store", "warehouse"):
+        assert pq.read_metadata(
+            os.path.join(scaled, f"{t}.parquet")
+        ).num_rows == pq.read_metadata(os.path.join(base, f"{t}.parquet")).num_rows
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("name", ["tpcds_q3", "tpcds_q14", "tpcds_q64", "tpcds_q67"])
+def test_bench_queries_value_parity_at_sf1_equivalent(name, spark):
+    """The four bench headline TPC-DS texts are value-exact against the
+    DuckDB oracle AT THE SF1-EQUIVALENT VOLUME too (~3M store_sales
+    lines) — scaled throughput numbers in BENCH come from queries whose
+    answers are verified at that same scale."""
+    import duckdb
+
+    from flink_parent_spark.queries.tpcds_data import BENCH_SCALE, ensure_tpcds
+    from flink_parent_spark.queries.tpcds_real import (
+        oracle_sql_at_scale,
+        run_tpcds_at_scale,
+    )
+    from tools.check_parity import compare
+
+    ensure_tpcds(BENCH_SCALE)
+    df = run_tpcds_at_scale(spark, name, BENCH_SCALE)
+    con = duckdb.connect()
+    try:
+        issues = compare(name, df, con.sql(oracle_sql_at_scale(name, BENCH_SCALE)))
+    finally:
+        con.close()
+    assert not issues, f"{name}@sf1-equivalent: " + "; ".join(issues[:5])
