@@ -589,3 +589,123 @@ def test_topn_all_strategies_timestamp_order_col(spark):
     )
     rt_rows = _collect_stream(spark, rt)
     assert list(rt_rows["uid"]) == [1, 2]  # batch1 top = uid1, batch2 top = uid2
+
+
+def _add_batch_file(spark, d, i, rows, schema):
+    """Append one batch parquet file to an existing replay directory."""
+    import time as _time
+
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        f"{d}/staging_{i}"
+    )
+    part = [f for f in os.listdir(f"{d}/staging_{i}") if f.endswith(".parquet")][0]
+    os.rename(f"{d}/staging_{i}/{part}", f"{d}/batch_{i:03d}.parquet")
+    shutil.rmtree(f"{d}/staging_{i}")
+    _time.sleep(1.1)
+
+
+def _drain(spark, src_dir, schema, build, ckpt):
+    """Run build(file-stream) over everything currently in src_dir with
+    availableNow, capturing all emitted rows. Re-invoking with the SAME
+    ckpt resumes from the recorded offsets + state (restart-from-
+    checkpoint); a fresh ckpt replays from scratch."""
+    import pandas as pd
+
+    sdf = (
+        spark.readStream.schema(schema).format("parquet")
+        .option("maxFilesPerTrigger", 1).load(src_dir)
+    )
+    captured = []
+    q = (
+        build(sdf).writeStream.outputMode("update")
+        .foreachBatch(lambda b, _i: captured.append(b.toPandas()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return pd.concat(captured, ignore_index=True) if captured else pd.DataFrame()
+
+
+@pytest.mark.parametrize("rocksdb", [False, True])
+def test_restart_from_checkpoint_exactly_once(spark, rocksdb):
+    """The reference's core operational promise (CheckpointCoordinator.java:94,
+    exercised by ~40 e2e recovery modules; SURVEY §5(d)): a stateful query
+    stopped mid-replay and RESTARTED FROM ITS CHECKPOINT produces exactly
+    the output of the uninterrupted run — state recovered, consumed input
+    not re-emitted, nothing lost. Driven for dedup keep-first (recovered
+    seen-keys state must suppress post-restart duplicates) and retract
+    Top-N (a post-restart retraction must promote a row that only exists
+    in recovered state), on both state store providers."""
+    import datetime as dtm
+    import uuid as _uuid
+
+    import pandas as pd
+
+    from flink_parent_spark.streaming.core import use_rocksdb_state_backend
+    from flink_parent_spark.streaming.stateful import (
+        streaming_dedup,
+        streaming_retract_top_n,
+    )
+
+    t0 = dtm.datetime(2024, 5, 1)
+
+    def ts(s):
+        return t0 + dtm.timedelta(seconds=s)
+
+    tag = _uuid.uuid4().hex[:8]
+    use_rocksdb_state_backend(spark, enabled=rocksdb)
+    try:
+        # ---- dedup keep-first -------------------------------------------
+        schema = "k string, ts timestamp, v long"
+        d = tempfile.mkdtemp(prefix=f"fps_ckpt_dd_{tag}_")
+        _add_batch_file(spark, d, 0, [("A", ts(0), 1), ("B", ts(1), 2)], schema)
+
+        def build_dedup(sdf):
+            return streaming_dedup(sdf, ["k"], "ts", ["v"], keep="first")
+
+        ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_dd_{tag}")
+        part1 = _drain(spark, d, schema, build_dedup, ckpt)  # consumes b0, "crashes"
+        # more input arrives while down: a DUPLICATE of A and fresh keys
+        _add_batch_file(spark, d, 1, [("A", ts(5), 9), ("C", ts(6), 3)], schema)
+        _add_batch_file(spark, d, 2, [("B", ts(7), 9), ("D", ts(8), 4)], schema)
+        part2 = _drain(spark, d, schema, build_dedup, ckpt)  # restart, same ckpt
+
+        uninterrupted = _drain(
+            spark, d, schema, build_dedup,
+            os.path.join(tempfile.gettempdir(), f"ckpt_dd_ref_{tag}"),
+        )
+        got = sorted(map(tuple, pd.concat([part1, part2])[["k", "v"]].values.tolist()))
+        exp = sorted(map(tuple, uninterrupted[["k", "v"]].values.tolist()))
+        assert got == exp == [("A", 1), ("B", 2), ("C", 3), ("D", 4)]
+        # the restart consumed only the new files: batch-0 keys not re-emitted
+        assert set(part2["k"]) == {"C", "D"}
+
+        # ---- retract Top-N ----------------------------------------------
+        cl_schema = "grp string, x long, __rowkind string, seq long"
+        d2 = tempfile.mkdtemp(prefix=f"fps_ckpt_tn_{tag}_")
+        _add_batch_file(
+            spark, d2, 0,
+            [("g", 5, "+I", 0), ("g", 3, "+I", 1)], cl_schema,
+        )
+
+        def build_topn(sdf):
+            return streaming_retract_top_n(
+                sdf, ["grp"], "x", 1, [], sequence_col="seq", tiebreak_col="x"
+            )
+
+        ckpt2 = os.path.join(tempfile.gettempdir(), f"ckpt_tn_{tag}")
+        p1 = _drain(spark, d2, cl_schema, build_topn, ckpt2)   # top1 = 5
+        # while down: retract the leader — 3 must surface from RECOVERED state
+        _add_batch_file(spark, d2, 1, [("g", 5, "-D", 2)], cl_schema)
+        p2 = _drain(spark, d2, cl_schema, build_topn, ckpt2)
+        ref = _drain(
+            spark, d2, cl_schema, build_topn,
+            os.path.join(tempfile.gettempdir(), f"ckpt_tn_ref_{tag}"),
+        )
+        assert list(p1["x"]) == [5]
+        assert list(p2["x"]) == [3]  # exactly-once: emitted once, from state
+        assert list(ref["x"]) == [5, 3]
+    finally:
+        use_rocksdb_state_backend(spark, enabled=False)
+
