@@ -700,6 +700,18 @@ class TableEnvironment:
             return self._create_function(
                 fm.group("name"), fm.group("ref"), (fm.group("lang") or "").upper()
             )
+        am = re.match(
+            r"ALTER\s+TABLE\s+(\w+)\s+(.+)$", s, re.IGNORECASE | re.DOTALL
+        )
+        if am:
+            return self._alter_table(am.group(1), am.group(2).strip())
+        avm = re.match(
+            r"ALTER\s+VIEW\s+(\w+)\s+(.+)$", s, re.IGNORECASE | re.DOTALL
+        )
+        if avm:
+            return self._alter_view(avm.group(1), avm.group(2).strip())
+        # ALTER DATABASE passes through (Spark's SET DBPROPERTIES matches
+        # Flink's AlterDatabaseOperation semantics)
         um = re.match(r"USE\s+CATALOG\s+(\w+)$", s, re.IGNORECASE)
         if um:
             return self._use_catalog(um.group(1))
@@ -887,6 +899,85 @@ class TableEnvironment:
             pass
         return None
 
+    def _refresh_view(self, entry: CatalogTable) -> None:
+        """Re-register a DDL table's temp view from its (possibly altered)
+        catalog entry so the next scan honors the change."""
+        try:
+            self._scan(entry, streaming=self.streaming).createOrReplaceTempView(
+                entry.name
+            )
+        except Exception:
+            pass  # sink-only tables: no data yet, stay catalog-only
+
+    def _alter_table(self, name: str, rest: str):
+        """ALTER TABLE dispatch (TableEnvironmentImpl.java:686
+        AlterTableOperation kinds: RENAME, SET properties, ADD schema
+        parts). DDL-catalog tables are temp views backed by a CatalogTable
+        entry, so plain spark.sql would error AND miss the catalog — the
+        entry mutates here and the view re-registers. Non-catalog names
+        pass through to Spark's own ALTER TABLE."""
+        entry = self.catalog.get(name)
+        if entry is None:
+            return Table(self.spark.sql(f"ALTER TABLE {name} {rest}"), self)
+        rm = re.match(r"RENAME\s+TO\s+(\w+)$", rest, re.IGNORECASE)
+        if rm:
+            new = rm.group(1)
+            if new in self.catalog:
+                raise ValueError(f"ALTER TABLE RENAME: {new} already exists")
+            self.catalog.pop(name)
+            entry.name = new
+            self.catalog[new] = entry
+            self.spark.catalog.dropTempView(name)
+            self._refresh_view(entry)
+            return None
+        sm = re.match(r"SET\s*\((.*)\)$", rest, re.IGNORECASE | re.DOTALL)
+        if sm:
+            props = {
+                p.group("k"): p.group("v")
+                for p in _PROP_RE.finditer(sm.group(1))
+            }
+            entry.props.update(props)
+            if "path" in props:
+                entry.path = props["path"]
+            if "format" in props or "connector" in props:
+                entry.fmt = entry.props.get(
+                    "format", entry.props.get("connector", "parquet")
+                )
+            self._refresh_view(entry)
+            return None
+        ad = re.match(
+            r"ADD\s+(?:COLUMNS?\s*)?\((.*)\)$", rest, re.IGNORECASE | re.DOTALL
+        ) or re.match(r"ADD\s+COLUMN\s+(.+)$", rest, re.IGNORECASE | re.DOTALL)
+        if ad:
+            col_defs, computed, watermark, _pk = self._parse_cols_block(
+                ad.group(1)
+            )
+            entry.schema_ddl = ", ".join(
+                ([entry.schema_ddl] if entry.schema_ddl else []) + col_defs
+            )
+            entry.computed = [*entry.computed, *computed]
+            if watermark:
+                entry.watermark = watermark
+            self._refresh_view(entry)
+            return None
+        raise ValueError(f"unsupported ALTER TABLE clause: {rest!r}")
+
+    def _alter_view(self, name: str, rest: str):
+        """ALTER VIEW (AlterViewOperation kinds): AS re-defines the view;
+        RENAME TO re-registers under the new name. Spark's own ALTER VIEW
+        rejects temp views, so both are re-creations here."""
+        qm = re.match(r"AS\s+(.+)$", rest, re.IGNORECASE | re.DOTALL)
+        if qm:
+            self.spark.sql(qm.group(1)).createOrReplaceTempView(name)
+            return None
+        rm = re.match(r"RENAME\s+TO\s+(\w+)$", rest, re.IGNORECASE)
+        if rm:
+            df = self.spark.table(name)
+            df.createOrReplaceTempView(rm.group(1))
+            self.spark.catalog.dropTempView(name)
+            return None
+        return Table(self.spark.sql(f"ALTER VIEW {name} {rest}"), self)
+
     def _create_table_like(self, m: re.Match):
         """CREATE TABLE ... LIKE (Flink 1.11, SqlTableLike.java:70-110):
         derive a table from a registered base, merging features per the
@@ -1015,6 +1106,18 @@ class TableEnvironment:
             if entry.schema_ddl and fmt in ("csv", "json"):
                 reader = reader.schema(entry.schema_ddl)
             df = getattr(reader, fmt)(entry.path)
+            if entry.schema_ddl:
+                # declared columns absent from the files (ALTER TABLE ADD
+                # COLUMN after data was written) surface as typed nulls —
+                # the reference's catalog schema wins over the file footer
+                from pyspark.sql.types import StructType  # noqa: PLC0415
+
+                have = {c.lower() for c in df.columns}
+                for fdef in StructType.fromDDL(entry.schema_ddl).fields:
+                    if fdef.name.lower() not in have:
+                        df = df.withColumn(
+                            fdef.name, F.lit(None).cast(fdef.dataType)
+                        )
         from flink_parent_spark.tables import normalize_timestamps  # noqa: PLC0415
 
         base = entry.path.rsplit("/", 1)[-1].replace(".parquet", "")

@@ -814,3 +814,67 @@ def test_create_function_bare_callable_rejected(spark):
             "CREATE TEMPORARY FUNCTION bare AS 'os.path.basename' "
             "LANGUAGE PYTHON"
         )
+
+
+def test_alter_table_set_rename_add_column(spark, tmp_path):
+    """ALTER TABLE dispatch (TableEnvironmentImpl.java:686 AlterTable
+    kinds): SET updates the catalog entry AND the next scan honors it
+    (here: repointing 'path' to a different dataset); RENAME TO moves the
+    catalog entry and the view; ADD COLUMN extends the declared schema.
+    Round-6 verdict #5: these previously fell through to spark.sql, which
+    errors on temp-view-backed DDL tables."""
+    from flink_parent_spark.api.table_env import TableEnvironment
+
+    env = TableEnvironment.create(spark=spark)
+    d1, d2 = str(tmp_path / "one"), str(tmp_path / "two")
+    spark.createDataFrame([(1, "a")], "id long, tag string").write.parquet(d1)
+    spark.createDataFrame(
+        [(10, "x"), (20, "y")], "id long, tag string"
+    ).write.parquet(d2)
+    env.execute_sql(f"""
+        CREATE TABLE alt_t (id BIGINT, tag STRING)
+        WITH ('connector' = 'filesystem', 'path' = '{d1}',
+              'format' = 'parquet')
+    """)
+    assert env.sql_query("SELECT count(*) AS n FROM alt_t").collect()[0]["n"] == 1
+
+    # SET: the catalog props change and the NEXT scan reads the new path
+    env.execute_sql(f"ALTER TABLE alt_t SET ('path' = '{d2}')")
+    assert env.catalog["alt_t"].props["path"] == d2
+    assert env.sql_query("SELECT count(*) AS n FROM alt_t").collect()[0]["n"] == 2
+    ddl = env.execute_sql("SHOW CREATE TABLE alt_t").collect()[0][0]
+    assert d2 in ddl
+
+    # RENAME TO: catalog key + view move; the old name is gone
+    env.execute_sql("ALTER TABLE alt_t RENAME TO alt_r")
+    assert "alt_t" not in env.catalog and "alt_r" in env.catalog
+    assert env.sql_query("SELECT count(*) AS n FROM alt_r").collect()[0]["n"] == 2
+    import pytest as pt
+
+    with pt.raises(Exception):
+        env.sql_query("SELECT * FROM alt_t").collect()
+
+    # ADD COLUMN: declared schema extends; the re-registered scan exposes
+    # the new (null for existing files) column
+    env.execute_sql("ALTER TABLE alt_r ADD COLUMN extra DOUBLE")
+    assert "extra" in (env.catalog["alt_r"].schema_ddl or "")
+    row = env.sql_query("SELECT extra FROM alt_r LIMIT 1").collect()[0]
+    assert row["extra"] is None
+
+    # unsupported clause raises clearly instead of silently passing through
+    with pt.raises(ValueError, match="unsupported ALTER TABLE"):
+        env.execute_sql("ALTER TABLE alt_r FROBNICATE")
+
+
+def test_alter_view_as_and_rename(spark):
+    """ALTER VIEW AS re-defines a (temp) view; RENAME TO re-registers it —
+    Spark's own ALTER VIEW rejects temp views, so the dispatcher
+    re-creates them (AlterViewOperation parity)."""
+    from flink_parent_spark.api.table_env import TableEnvironment
+
+    env = TableEnvironment.create(spark=spark)
+    env.execute_sql("CREATE TEMPORARY VIEW av AS SELECT 1 AS x")
+    env.execute_sql("ALTER VIEW av AS SELECT 42 AS x")
+    assert env.sql_query("SELECT x FROM av").collect()[0]["x"] == 42
+    env.execute_sql("ALTER VIEW av RENAME TO av2")
+    assert env.sql_query("SELECT x FROM av2").collect()[0]["x"] == 42
