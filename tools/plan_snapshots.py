@@ -1,0 +1,113 @@
+"""Golden physical-plan snapshots for the plan-sensitive catalog queries.
+
+The reference pins 163 optimized-plan XMLs
+(flink-table/flink-table-planner-blink/src/test/resources/.../plan/) so
+any planner change that flips a join strategy or drops a pushdown fails
+loudly even when values still match. This is the Spark-side analog: the
+`explain(formatted)` physical plan of each query in SNAPSHOT_QUERIES,
+normalized (expression ids, plan ids, absolute paths, partition counts —
+everything machine- or session-dependent stripped), is checked into
+tests/plan_snapshots/<name>.txt. `tests/test_plan_snapshots.py` diffs the
+current plan against the snapshot; a Spark upgrade or operator edit that
+silently changes a plan (broadcast -> SMJ, lost PushedFilters, new
+shuffle) shows up as a readable plan diff.
+
+Regenerate after an INTENDED plan change:
+
+    python tools/plan_snapshots.py            # rewrite all snapshots
+    python tools/plan_snapshots.py tpch_q3    # rewrite one
+
+Snapshots are taken at sf0.01 (the driver's correctness scale — big
+enough that size-based join planning behaves like a real run).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.01"
+SNAP_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests",
+    "plan_snapshots",
+)
+
+# Batch, deterministic-plan catalog queries whose physical shape is the
+# contract: joins (broadcast vs shuffle, semi/anti), agg splits, window
+# paths, rollup Expand, the datapipe inverted-index/celled-ANN plans.
+# Streaming entries are excluded (building them executes the replay).
+SNAPSHOT_QUERIES = [
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q9", "tpch_q13",
+    "tpch_q18", "tpch_q21",
+    "tpcds_q3", "tpcds_q14", "tpcds_q23", "tpcds_q36", "tpcds_q51",
+    "tpcds_q64", "tpcds_q67", "tpcds_q72", "tpcds_q95",
+    "tpcds_channel_union_rollup", "tpcds_multi_distinct_year",
+    "tpcds_returns_anti_join",
+    "topn_orders_per_customer", "over_rank_functions", "over_running_agg",
+    "semi_join_customers_with_orders", "anti_join_customers_without_orders",
+    "grouping_sets_lineitem", "agg_distinct_mixed", "setop_union_distinct",
+    "window_session_dynamic_gap",
+    "dedup_exact_digest", "dedup_minhash_lsh_pairs", "dedup_simhash",
+    "ann_cosine_topk_ivf_kmeans", "ann_ivf_pq_topk",
+    "embedding_neardup_pairs", "text_repetition_stats",
+    "text_quality_scores", "multimodal_frame_sample", "udf_scalar_pandas",
+    # graph queries excluded: their result is a checkpointed RDD scan
+    # (the supersteps already ran), so the "plan" carries no shape
+]
+
+
+def normalize_plan(s: str) -> str:
+    """Strip everything session- or machine-dependent from a formatted
+    physical plan so snapshots compare across runs and hosts."""
+    # expression ids: c_custkey#5L -> c_custkey#L ; subquery#123 etc.
+    s = re.sub(r"#\d+", "#", s)
+    # exchange/broadcast plan ids
+    s = re.sub(r"\[plan_id=\d+\]", "[plan_id=]", s)
+    # absolute dataset locations: keep only the last path component
+    s = re.sub(
+        r"(file:)?/[^\s\],]*/([^/\s\],]+)", r"<path>/\2", s
+    )
+    # partition counts follow the session's shuffle setting (8 in tests,
+    # 32 in bench), not the plan shape
+    s = re.sub(
+        r"(hashpartitioning|rangepartitioning)\((.*?), \d+\)",
+        r"\1(\2, N)",
+        s,
+    )
+    s = re.sub(r"REPARTITION(_BY_NUM)?\(\d+\)", r"REPARTITION(N)", s)
+    # InMemoryFileIndex may enumerate a machine-dependent number of files
+    s = re.sub(r"InMemoryFileIndex \[([^\]]*)\.{3}[^\]]*\]",
+               r"InMemoryFileIndex [\1...]", s)
+    return s.strip() + "\n"
+
+
+def plan_for(spark, name: str, sf_dir: str = SF_DIR) -> str:
+    from flink_parent_spark.queries.catalog import all_queries  # noqa: PLC0415
+
+    df = all_queries()[name](spark, sf_dir)
+    jvm = spark._sc._jvm
+    raw = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    return normalize_plan(raw)
+
+
+def main() -> None:
+    from flink_parent_spark.session import get_spark  # noqa: PLC0415
+
+    names = sys.argv[1:] or SNAPSHOT_QUERIES
+    os.makedirs(SNAP_DIR, exist_ok=True)
+    spark = get_spark("plan_snapshots", cpus=8)
+    for name in names:
+        p = plan_for(spark, name)
+        with open(os.path.join(SNAP_DIR, f"{name}.txt"), "w") as f:
+            f.write(p)
+        print(f"[snap] {name}: {len(p.splitlines())} lines")
+
+
+if __name__ == "__main__":
+    main()
