@@ -1265,6 +1265,24 @@ class TableEnvironment:
                 target.name
             )
             return None
+        if target.props.get("connector", "").startswith("elasticsearch"):
+            # elasticsearch-7 table sink: bulk-API POSTs per partition,
+            # PRIMARY KEY -> document _id (idempotent upserts)
+            from flink_parent_spark.sources.connectors import (  # noqa: PLC0415
+                elasticsearch_bulk_sink,
+            )
+
+            pk = [c for c in target.props.get("__primary_key", "").split(",") if c]
+            elasticsearch_bulk_sink(
+                df,
+                target.props["hosts"],
+                target.props.get("index", target.name),
+                id_cols=pk or None,
+                batch_actions=int(
+                    target.props.get("sink.bulk-flush.max-actions", "1000")
+                ),
+            )
+            return None
         fmt = "parquet" if target.fmt in ("filesystem", "parquet") else target.fmt
         getattr(df.write.mode(mode), fmt)(target.path)
         return None

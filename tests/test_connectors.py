@@ -749,3 +749,91 @@ def test_jdbc_lookup_quote_in_key_escaped(spark):
     assert got["o'brien"]["score"] == 1.0
     assert got["plain"]["score"] == 2.0
     assert got["x''y"] is None
+
+
+def test_elasticsearch_sink_bulk_stub(spark):
+    """Elasticsearch 7 sink end-to-end against an in-container bulk-API
+    stub (flink-connector-elasticsearch7 parity the same way the
+    file-backed kafka fake works): DDL with connector=elasticsearch-7 ->
+    INSERT INTO -> the stub receives well-formed ndjson bulk payloads,
+    PRIMARY KEY as the document _id (idempotent: re-inserting the same
+    rows re-addresses the same ids), flush chunked by
+    sink.bulk-flush.max-actions, and a bulk-level error fails the job."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from flink_parent_spark.api.table_env import TableEnvironment
+
+    payloads = []
+    fail_next = {"on": False}
+
+    class Stub(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            payloads.append((self.path, body.decode()))
+            resp = {"errors": fail_next["on"], "items": []}
+            out = json.dumps(resp).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Stub)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        env = TableEnvironment.create(spark=spark)
+        env.execute_sql(f"""
+            CREATE TABLE es_docs (
+                doc_id BIGINT, title STRING, score DOUBLE,
+                PRIMARY KEY (doc_id) NOT ENFORCED
+            ) WITH ('connector' = 'elasticsearch-7',
+                    'hosts' = 'http://127.0.0.1:{port}',
+                    'index' = 'docs',
+                    'sink.bulk-flush.max-actions' = '2')
+        """)
+        spark.createDataFrame(
+            [(1, "a", 0.5), (2, "b", 0.7), (3, "c", 0.9)],
+            "doc_id long, title string, score double",
+        ).coalesce(1).createOrReplaceTempView("es_src")
+        env.execute_sql("INSERT INTO es_docs SELECT * FROM es_src")
+
+        assert payloads and all(p == "/_bulk" for p, _ in payloads)
+        actions, docs = [], []
+        for _, body in payloads:
+            lines = [ln for ln in body.split("\n") if ln]
+            assert len(lines) % 2 == 0  # action/doc pairs
+            for a, d in zip(lines[::2], lines[1::2]):
+                actions.append(json.loads(a))
+                docs.append(json.loads(d))
+        assert [a["index"]["_id"] for a in actions] == ["1", "2", "3"]
+        assert all(a["index"]["_index"] == "docs" for a in actions)
+        assert {d["title"] for d in docs} == {"a", "b", "c"}
+        # max-actions=2 chunking: 3 rows on one partition -> 2 flushes
+        assert len(payloads) == 2
+
+        # idempotency: same rows -> same _ids (a retry overwrites in place)
+        n0 = len(payloads)
+        env.execute_sql("INSERT INTO es_docs SELECT * FROM es_src")
+        again = [
+            json.loads(a)["index"]["_id"]
+            for _, body in payloads[n0:]
+            for a in [ln for ln in body.split("\n") if ln][::2]
+        ]
+        assert again == ["1", "2", "3"]
+
+        # bulk-level errors fail the write, like BulkProcessor's handler
+        import pytest
+
+        fail_next["on"] = True
+        with pytest.raises(Exception, match="bulk|Runtime"):
+            env.execute_sql("INSERT INTO es_docs SELECT * FROM es_src")
+    finally:
+        srv.shutdown()
+        srv.server_close()
