@@ -1887,3 +1887,112 @@ def stream_match_recognize_one_row(spark, sf_dir):
     """
     out = match_recognize_sql(ev, clause, "event_id", streaming=True)
     return run_stream_to_df(out, "update")
+
+
+@df_query(
+    "stream_retract_chain",
+    oracle="""
+    WITH purch AS (
+      SELECT user_id,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), lastv AS (
+      SELECT user_id, value AS view_value FROM (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_type = 'view') t
+      WHERE rn = 1
+    ), joined AS (
+      SELECT p.user_id, p.total, v.view_value
+      FROM purch p JOIN lastv v ON p.user_id = v.user_id
+    )
+    SELECT user_id, total, view_value, rank FROM (
+      SELECT user_id, total, view_value,
+             CAST(ROW_NUMBER() OVER (ORDER BY total DESC, user_id) AS INT)
+               AS rank
+      FROM joined) t
+    WHERE rank <= 5
+    """,
+)
+def stream_retract_chain(spark, sf_dir):
+    """THREE-STAGE retraction chain — the §1.4 multi-level changelog story
+    end-to-end (GroupAggFunction.java:121 emitting -U/+U downstream ->
+    StreamingJoinOperator consuming both changelogs ->
+    RetractableTopNFunction re-ranking on every delta):
+
+      1. retraction-EMITTING group agg: running SUM of each user's
+         purchases, emitting +I then -U(old)/+U(new) per input row;
+      2. retract join of that agg changelog with the keep-last changelog
+         of each user's latest view value;
+      3. retractable Top-5 users by purchase total over the joined
+         changelog.
+
+    Stages chain through materialization (Spark allows one
+    applyInPandasWithState per streaming query — the documented
+    foreachBatch composition model); each stage is a real streaming
+    query. The full-replay result must equal the batch oracle: per-user
+    purchase totals joined to latest views, top-5 by total."""
+    import os
+    import tempfile
+    import uuid
+
+    from flink_parent_spark.streaming.changelog import (
+        changelog_keep_last,
+        retract_join,
+        streaming_group_agg_changelog,
+    )
+    from flink_parent_spark.streaming.stateful import streaming_retract_top_n
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"fps_retract_chain_{uuid.uuid4().hex[:8]}"
+    )
+    ev = stream_table(spark, sf_dir, "events").withColumn(
+        "__ord",
+        (F.unix_micros("ts") - F.lit(1_704_067_200_000_000)) * F.lit(1_000_000)
+        + F.col("event_id"),
+    )
+
+    # stage 1: agg changelog of purchase totals per user (+I / -U,+U trace)
+    agg_cl = streaming_group_agg_changelog(
+        ev.filter(F.col("event_type") == "purchase"),
+        ["user_id"], "value", "__ord", sum_alias="total",
+    ).withColumnRenamed("__seq", "__ord")
+    run_stream_to_df(agg_cl, "append").write.parquet(f"{base}/agg")
+
+    # keep-last changelog of each user's latest view value
+    view_cl = changelog_keep_last(
+        ev.filter(F.col("event_type") == "view").withColumnRenamed(
+            "value", "view_value"
+        ),
+        ["user_id"], "__ord", ["view_value"],
+    )
+    run_stream_to_df(view_cl, "append").write.parquet(f"{base}/view")
+
+    # stage 2: retraction-consuming join of the two changelogs
+    lcl = spark.readStream.schema(
+        "user_id long, n bigint, total double, __rowkind string, __ord bigint"
+    ).parquet(f"{base}/agg")
+    rcl = spark.readStream.schema(
+        "user_id long, __ord bigint, view_value double, __rowkind string"
+    ).parquet(f"{base}/view")
+    joined = retract_join(
+        lcl, rcl, ["user_id"], ["total"], ["view_value"], "__ord",
+        seq_col="__seq",
+    )
+    run_stream_to_df(joined, "update").write.parquet(f"{base}/joined")
+
+    # stage 3: retractable Top-5 users by total over the joined changelog.
+    # __seq restores the per-key causal order the parquet hop loses
+    # (Flink's network channels guarantee it implicitly).
+    jcl = spark.readStream.schema(
+        "user_id long, total double, view_value double, __rowkind string, "
+        "__seq bigint"
+    ).parquet(f"{base}/joined")
+    tn = streaming_retract_top_n(
+        jcl.withColumn("__g", F.lit(1)),
+        ["__g"], "total", 5, ["user_id", "view_value"],
+        descending=True, tiebreak_col="user_id", sequence_col="__seq",
+    )
+    out = run_stream_to_df(tn, "update")
+    return out.select("user_id", "total", "view_value", "rank")

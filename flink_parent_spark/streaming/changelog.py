@@ -200,6 +200,7 @@ def retract_join(
     order_col: str,
     rowkind_col: str = ROWKIND_COL,
     tiebreak_col: str | None = None,
+    seq_col: str | None = None,
 ) -> DataFrame:
     """Retraction-consuming streaming INNER join (the two-input
     StreamingJoinOperator over changelog inputs, re-derived): both sides
@@ -212,7 +213,14 @@ def retract_join(
 
     State is the pair of live multisets per key — the same cost the
     reference pays (JoinRecordStateView per input). Rows are processed in
-    (order_col, tiebreak) order for a deterministic replay trace."""
+    (order_col, tiebreak) order for a deterministic replay trace.
+
+    seq_col: optionally number each emitted delta per key with a
+    monotone, RESTART-SAFE sequence (persisted counter) — the causal
+    order Flink's per-key network channels guarantee implicitly. A
+    downstream stateful consumer re-reading this changelog from files
+    (the foreachBatch composition hop) must sort by it, or +I/-D pairs
+    can scramble across the materialization."""
     lcols = list(dict.fromkeys([*key_cols, *left_payload]))
     rcols = list(dict.fromkeys([*key_cols, *right_payload]))
     ldt = dict(left_cl.dtypes)
@@ -242,9 +250,12 @@ def retract_join(
     r_schema = ", ".join(f"`{c}` {rdt[c]}" for c in right_payload)
     key_schema = ", ".join(f"`{c}` {ldt[c]}" for c in key_cols)
     out_schema = f"{key_schema}, {l_schema}, {r_schema}, `{rowkind_col}` string"
+    if seq_col:
+        out_schema += f", `{seq_col}` bigint"
     state_schema = (
         "lbuf array<struct<" + l_schema.replace("`", "") + ">>, "
-        "rbuf array<struct<" + r_schema.replace("`", "") + ">>"
+        "rbuf array<struct<" + r_schema.replace("`", "") + ">>, "
+        "emit_seq bigint"
     )
     in_cols = [*key_cols, *left_payload,
                *[f"__r_{c}" for c in right_payload], "__ord", "__tie",
@@ -253,6 +264,7 @@ def retract_join(
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         lbuf = [tuple(t) for t in (state.get[0] if state.exists else [])]
         rbuf = [tuple(t) for t in (state.get[1] if state.exists else [])]
+        emit_seq = state.get[2] if state.exists else 0
         recs: list[dict] = []
         for pdf in pdfs:
             recs.extend(pdf[in_cols].to_dict("records"))
@@ -272,14 +284,17 @@ def retract_join(
         keyd = dict(zip(key_cols, key))
 
         def emit(lvals, rvals, op):
-            emitted.append(
-                {
-                    **keyd,
-                    **dict(zip(left_payload, lvals)),
-                    **dict(zip(right_payload, rvals)),
-                    rowkind_col: op,
-                }
-            )
+            nonlocal emit_seq
+            rec = {
+                **keyd,
+                **dict(zip(left_payload, lvals)),
+                **dict(zip(right_payload, rvals)),
+                rowkind_col: op,
+            }
+            if seq_col:
+                rec[seq_col] = emit_seq
+            emit_seq += 1
+            emitted.append(rec)
 
         for rec in recs:
             acc = rec["__kind"] in (INSERT, UPDATE_AFTER)
@@ -303,12 +318,97 @@ def retract_join(
                     rbuf.remove(rv)
                     for lv in lbuf:
                         emit(lv, rv, DELETE)
-        state.update((lbuf, rbuf))
+        state.update((lbuf, rbuf, emit_seq))
         yield pd.DataFrame(
             emitted,
-            columns=[*key_cols, *left_payload, *right_payload, rowkind_col],
+            columns=[*key_cols, *left_payload, *right_payload, rowkind_col,
+                     *([seq_col] if seq_col else [])],
         )
 
     return both.groupBy(*key_cols).applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def streaming_group_agg_changelog(
+    sdf: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    order_col: str,
+    tiebreak_col: str | None = None,
+    count_alias: str = "n",
+    sum_alias: str = "total",
+) -> DataFrame:
+    """Retraction-EMITTING unbounded group aggregation — the producing
+    half of GroupAggFunction (flink-table-runtime-blink/.../aggregate/
+    GroupAggFunction.java:121 sends UPDATE_BEFORE(old agg) +
+    UPDATE_AFTER(new agg) downstream on every accumulate after the
+    first). Per key: running COUNT and SUM; the first input row emits
+    +I(agg), every later row emits -U(previous agg) then +U(new agg) —
+    per-ROW emission granularity like the reference (no minibatch
+    folding), so even a single replay batch produces the full retraction
+    trace for downstream retract joins / retractable Top-N.
+
+    The sum accumulates as integer micros (exact, order-independent,
+    restart-safe — the engine's decimal-accumulation contract), surfaced
+    as double."""
+    from decimal import ROUND_HALF_UP, Decimal  # noqa: PLC0415
+
+    dt = dict(sdf.dtypes)
+    key_schema = ", ".join(f"`{c}` {dt[c]}" for c in key_cols)
+    out_schema = (
+        f"{key_schema}, `{count_alias}` bigint, `{sum_alias}` double, "
+        f"`{ROWKIND_COL}` string, `__seq` bigint"
+    )
+    state_schema = "acc_micros bigint, cnt bigint"
+    in_cols = list(
+        dict.fromkeys(
+            [*key_cols, value_col, order_col,
+             *([tiebreak_col] if tiebreak_col else [])]
+        )
+    )
+    _Q = Decimal("0.000001")
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        acc, cnt = (state.get if state.exists else (0, 0))
+        rows: list[dict] = []
+        for pdf in pdfs:
+            rows.extend(pdf[in_cols].to_dict("records"))
+        rows.sort(
+            key=lambda r: (
+                (r[order_col], r[tiebreak_col])
+                if tiebreak_col
+                else r[order_col]
+            )
+        )
+        keyd = dict(zip(key_cols, key))
+        recs: list[dict] = []
+        for r in rows:
+            # __seq derives from the PERSISTED consumed-row count, so the
+            # causal order stays monotone across micro-batches/restarts
+            if cnt > 0:
+                recs.append(
+                    {**keyd, count_alias: cnt, sum_alias: acc / 1e6,
+                     ROWKIND_COL: UPDATE_BEFORE, "__seq": 2 * cnt}
+                )
+            acc += int(
+                Decimal(float(r[value_col])).quantize(
+                    _Q, rounding=ROUND_HALF_UP
+                ) * 1_000_000
+            )
+            prev = cnt
+            cnt += 1
+            recs.append(
+                {**keyd, count_alias: cnt, sum_alias: acc / 1e6,
+                 ROWKIND_COL: UPDATE_AFTER if prev else INSERT,
+                 "__seq": 2 * prev + 1}
+            )
+        state.update((acc, cnt))
+        yield pd.DataFrame(
+            recs,
+            columns=[*key_cols, count_alias, sum_alias, ROWKIND_COL, "__seq"],
+        )
+
+    return sdf.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )

@@ -709,3 +709,52 @@ def test_restart_from_checkpoint_exactly_once(spark, rocksdb):
     finally:
         use_rocksdb_state_backend(spark, enabled=False)
 
+
+
+def test_group_agg_changelog_trace_across_batches(spark):
+    """streaming_group_agg_changelog (GroupAggFunction.java:121 producing
+    side): first row per key emits +I(agg); each later row emits
+    -U(previous agg) then +U(new agg) — across micro-batch boundaries with
+    persisted accumulators, and __seq stays monotone across batches so
+    downstream consumers can restore causal order after a file hop."""
+    import datetime as dtm
+
+    from flink_parent_spark.streaming.changelog import (
+        streaming_group_agg_changelog,
+    )
+
+    t0 = dtm.datetime(2024, 7, 1)
+    schema = "k string, ts timestamp, v double"
+    batches = [
+        [("a", t0, 10.0), ("a", t0 + dtm.timedelta(seconds=1), 5.0)],
+        [("a", t0 + dtm.timedelta(seconds=2), 2.5), ("b", t0, 1.0)],
+    ]
+    d = _write_batches(spark, batches, schema)
+    sdf = (
+        spark.readStream.schema(schema).format("parquet")
+        .option("maxFilesPerTrigger", 1).load(d)
+    )
+    cl = streaming_group_agg_changelog(sdf, ["k"], "v", "ts", sum_alias="total")
+    import pandas as pd
+    import uuid as _uuid
+
+    captured = []
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_gac_{_uuid.uuid4().hex[:8]}")
+    q = (
+        cl.writeStream.outputMode("append")
+        .foreachBatch(lambda b, _i: captured.append(b.toPandas()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    rows = pd.concat(captured, ignore_index=True)
+    a = rows[rows["k"] == "a"].sort_values("__seq")
+    got = list(zip(a["__rowkind"], a["n"], a["total"]))
+    assert got == [
+        ("+I", 1, 10.0),
+        ("-U", 1, 10.0), ("+U", 2, 15.0),
+        ("-U", 2, 15.0), ("+U", 3, 17.5),  # batch 2: accumulator persisted
+    ]
+    assert list(a["__seq"]) == [1, 2, 3, 4, 5]
+    b = rows[rows["k"] == "b"]
+    assert list(zip(b["__rowkind"], b["n"], b["total"])) == [("+I", 1, 1.0)]
