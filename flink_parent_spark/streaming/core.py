@@ -269,6 +269,81 @@ def punctuated_replay(
     return trace
 
 
+def punctuated_replay_keyed(
+    sdf: DataFrame,
+    key_cols,
+    ts_col: str,
+    on_event,
+    delay_seconds: float = 0.0,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """DISTRIBUTED punctuated / custom watermarks: the generator runs per
+    key inside applyInPandasWithState — the shipped counterpart of
+    `punctuated_replay`'s driver-side semantics harness (the reference's
+    WatermarkGenerator instances run per subtask,
+    WatermarkStrategy.java:55; per-key is the keyed-stream analog). No
+    driver collect: each key group threads its own watermark clock
+    (integer micros in state) across micro-batches.
+
+    Per row, in batch arrival order (tiebreak_col sorts within a batch
+    for deterministic replays): rows at/behind the key's watermark are
+    flagged `__late` (Flink's drop path — downstream filters or routes
+    them); otherwise `on_event(row_dict, wm) -> ts | None` may advance
+    the watermark immediately (punctuation), else the periodic bound
+    `ts - delay_seconds` applies; the watermark never regresses. Output:
+    the input rows plus `__late boolean` and `__wm timestamp` (the
+    watermark after the row). `on_event` must be picklable — it ships to
+    executors."""
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    key_cols = list(key_cols)
+    dt = dict(sdf.dtypes)
+    cols = list(sdf.columns)
+    out_schema = (
+        ", ".join(f"`{c}` {dt[c]}" for c in cols)
+        + ", `__late` boolean, `__wm` timestamp"
+    )
+    state_schema = "wm_micros bigint"
+
+    def fn(key, pdfs, state: GroupState):
+        import datetime as _dt  # noqa: PLC0415
+
+        epoch = _dt.datetime(1970, 1, 1)
+        wm = None
+        if state.exists and state.get[0] is not None:
+            wm = epoch + _dt.timedelta(microseconds=state.get[0])
+        recs = []
+        for pdf in pdfs:
+            rows = pdf[cols].to_dict("records")
+            if tiebreak_col is not None:
+                rows.sort(key=lambda r: r[tiebreak_col])
+            for row in rows:
+                ts = row[ts_col]
+                ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+                late = wm is not None and ts <= wm
+                if not late:
+                    candidates = [ts - _dt.timedelta(seconds=delay_seconds)]
+                    punct = on_event(row, wm)
+                    if punct is not None:
+                        candidates.append(punct)
+                    if wm is not None:
+                        candidates.append(wm)
+                    wm = max(candidates)
+                recs.append({**row, "__late": late, "__wm": wm})
+        if wm is not None:
+            state.update((int((wm - epoch) / _dt.timedelta(microseconds=1)),))
+        yield pd.DataFrame(recs, columns=[*cols, "__late", "__wm"])
+
+    return sdf.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def use_rocksdb_state_backend(spark: SparkSession, enabled: bool = True) -> SparkSession:
     """Flink RocksDB state backend parity
     (flink-state-backends/flink-statebackend-rocksdb — large keyed state

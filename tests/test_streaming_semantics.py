@@ -758,3 +758,85 @@ def test_group_agg_changelog_trace_across_batches(spark):
     assert list(a["__seq"]) == [1, 2, 3, 4, 5]
     b = rows[rows["k"] == "b"]
     assert list(zip(b["__rowkind"], b["n"], b["total"])) == [("+I", 1, 1.0)]
+
+
+def test_punctuated_keyed_matches_driver_harness(spark):
+    """Distributed per-key punctuated watermarks (punctuated_replay_keyed,
+    applyInPandasWithState — no driver collect) match the driver-side
+    semantics harness (punctuated_replay) run per key: same late-row sets,
+    same final watermark; a punctuation on one key must NOT advance
+    another key's clock."""
+    import datetime as dtm
+
+    import pandas as pd
+
+    from flink_parent_spark.streaming.core import (
+        punctuated_replay,
+        punctuated_replay_keyed,
+    )
+
+    t0 = dtm.datetime(2024, 8, 1)
+
+    def ts(m):
+        return t0 + dtm.timedelta(minutes=m)
+
+    def on_event(row, wm):
+        # a 'flush' event punctuates: watermark jumps to its own ts + 30m
+        if row["etype"] == "flush":
+            return row["ts"] + dtm.timedelta(minutes=30)
+        return None
+
+    schema = "k string, ts timestamp, etype string, i long"
+    batches = [
+        # A: normal, then flush at 20m -> wm jumps to 50m
+        # B: same shape but NO flush -> its wm stays behind
+        [("A", ts(0), "e", 0), ("A", ts(20), "flush", 1),
+         ("B", ts(0), "e", 2), ("B", ts(20), "e", 3)],
+        # 40m rows: late for A (wm 50m), on time for B
+        [("A", ts(40), "e", 4), ("B", ts(40), "e", 5)],
+        [("A", ts(60), "e", 6), ("B", ts(60), "e", 7)],
+    ]
+    d = _write_batches(spark, batches, schema)
+    sdf = (
+        spark.readStream.schema(schema).format("parquet")
+        .option("maxFilesPerTrigger", 1).load(d)
+    )
+    out = punctuated_replay_keyed(
+        sdf, ["k"], "ts", on_event, delay_seconds=300, tiebreak_col="i"
+    )
+    import uuid as _uuid
+
+    captured = []
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_pk_{_uuid.uuid4().hex[:8]}")
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(lambda b, _i: captured.append(b.toPandas()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = pd.concat(captured, ignore_index=True)
+
+    # per-key independence: A's 40m row is late (flush advanced A to 50m),
+    # B's 40m row is on time (B never punctuated)
+    assert bool(got[got["i"] == 4]["__late"].iloc[0]) is True
+    assert bool(got[got["i"] == 5]["__late"].iloc[0]) is False
+
+    # oracle: the driver-side harness run per key must agree exactly
+    for k in ("A", "B"):
+        sub = (
+            spark.readStream.schema(schema).format("parquet")
+            .option("maxFilesPerTrigger", 1).load(d)
+            .filter(F.col("k") == k)
+        )
+        seen = {"late": set(), "wm": None}
+
+        def proc(on_time, late, wm, bid, _s=seen):
+            _s["late"].update(r["i"] for r in late)
+            _s["wm"] = wm
+
+        punctuated_replay(sub, "ts", on_event, proc, delay_seconds=300)
+        dist_late = set(got[(got["k"] == k) & got["__late"]]["i"])
+        assert dist_late == seen["late"], f"key {k}"
+        dist_wm = got[got["k"] == k].sort_values("i")["__wm"].iloc[-1]
+        assert dist_wm.to_pydatetime() == seen["wm"], f"key {k}"
