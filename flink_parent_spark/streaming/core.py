@@ -226,10 +226,12 @@ def punctuated_replay(
     The watermark is monotone (max of both signals, never regressing).
 
     `process(on_time_rows, late_rows, wm_ts, batch_id)` receives each
-    batch's outcome. Driver-side by design: this is the semantics harness
-    (the reference's generators run per subtask; a distributed deployment
-    would host the same generator per key inside applyInPandasWithState).
-    Returns the per-batch watermark trace [(batch_id, wm_ts), ...]."""
+    batch's outcome. Driver-side by design: this is the semantics
+    HARNESS — the shipped distributed path is `punctuated_replay_keyed`
+    below (same generator hosted per key inside applyInPandasWithState,
+    no driver collect), and the equivalence of the two is asserted in
+    tests/test_streaming_semantics.py. Returns the per-batch watermark
+    trace [(batch_id, wm_ts), ...]."""
     import datetime as _dt  # noqa: PLC0415
 
     state: dict = {"wm": None}

@@ -82,7 +82,16 @@ def test_scaled_generator_counts_and_dir_isolation():
 import pytest as _pytest
 
 
-@_pytest.mark.parametrize("name", ["tpcds_q3", "tpcds_q14", "tpcds_q64", "tpcds_q67"])
+@_pytest.mark.parametrize(
+    "name",
+    [
+        # the four bench headline texts...
+        "tpcds_q3", "tpcds_q14", "tpcds_q64", "tpcds_q67",
+        # ...plus the remaining heaviest plan families: CTE chain, widest
+        # join count, order-fulfilment EXISTS/NOT EXISTS
+        "tpcds_q23", "tpcds_q72", "tpcds_q95",
+    ],
+)
 def test_bench_queries_value_parity_at_sf1_equivalent(name, spark):
     """The four bench headline TPC-DS texts are value-exact against the
     DuckDB oracle AT THE SF1-EQUIVALENT VOLUME too (~3M store_sales
