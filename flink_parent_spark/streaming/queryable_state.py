@@ -117,9 +117,11 @@ def read_keyed_state(
     (flink-libraries/flink-state-processing-api — Savepoint.load(...)
     .readKeyedState): load the keyed state of an offline checkpoint as a
     batch DataFrame for analysis/migration. One-call form of
-    QueryableStateClient.state() without the registry. (The write side —
-    bootstrapping new savepoints — has no Spark analog: state stores are
-    only written by a running query.)"""
+    QueryableStateClient.state() without the registry. The write side —
+    bootstrapping new savepoints — lives in
+    `streaming/state_processor.py` (bootstrap-replay design: the real
+    operator builds the state with output discarded, since only a
+    running query can write Spark's state store format)."""
     reg = QueryableStateRegistry(spark)
     reg.register("__offline", checkpoint_location)
     return reg.client().state(

@@ -840,3 +840,73 @@ def test_punctuated_keyed_matches_driver_harness(spark):
         assert dist_late == seen["late"], f"key {k}"
         dist_wm = got[got["k"] == k].sort_values("i")["__wm"].iloc[-1]
         assert dist_wm.to_pydatetime() == seen["wm"], f"key {k}"
+
+
+def test_state_processor_write_side_bootstrap_savepoint(spark):
+    """State Processor API WRITE side (flink-state-processing-api
+    Savepoint.create().withOperator(uid, bootstrapWith(dataset)).write()):
+    a batch dataset bootstraps an operator's keyed state producing NO
+    output; the state is offline-readable before any live row flows; and
+    the live query starting from the savepoint behaves as if the
+    bootstrap history had been processed exactly once."""
+    import datetime as dtm
+
+    from flink_parent_spark.streaming.queryable_state import read_keyed_state
+    from flink_parent_spark.streaming.state_processor import (
+        create_savepoint,
+        load_savepoint,
+    )
+    from flink_parent_spark.streaming.stateful import streaming_dedup
+    from flink_parent_spark.streaming.changelog import (
+        streaming_group_agg_changelog,
+    )
+
+    t0 = dtm.datetime(2024, 9, 1)
+
+    def ts(s):
+        return t0 + dtm.timedelta(seconds=s)
+
+    sp_dir = os.path.join(tempfile.gettempdir(), "fps_savepoint_unit")
+    schema = "k string, ts timestamp, v double"
+    boot = spark.createDataFrame(
+        [("A", ts(0), 10.0), ("B", ts(1), 20.0)], schema
+    )
+    sp = (
+        create_savepoint(spark, sp_dir)
+        .with_operator("dedup", boot)
+        .with_operator("agg", boot)
+    )
+    sp.write()
+    esp = load_savepoint(spark, sp_dir)
+
+    # --- dedup keep-first ------------------------------------------------
+    def build_dedup(sdf):
+        return streaming_dedup(sdf, ["k"], "ts", ["v"], keep="first")
+
+    ckpt = esp.bootstrap("dedup", build_dedup)
+    # write side contract: state exists BEFORE any live row, output empty
+    st = read_keyed_state(spark, ckpt)
+    assert st.count() == 2  # A and B seeded
+
+    live = tempfile.mkdtemp(prefix="fps_sp_live_")
+    _add_batch_file(
+        spark, live, 0, [("A", ts(10), 99.0), ("C", ts(11), 3.0)], schema
+    )
+    out = esp.run_operator("dedup", build_dedup, live)
+    # bootstrapped A suppressed (exactly-once vs the savepoint history),
+    # bootstrap rows themselves never emitted
+    assert sorted(zip(out["k"], out["v"])) == [("C", 3.0)]
+
+    # --- agg changelog: live emissions retract the BOOTSTRAPPED agg ------
+    def build_agg(sdf):
+        return streaming_group_agg_changelog(
+            sdf, ["k"], "v", "ts", sum_alias="total"
+        )
+
+    live2 = tempfile.mkdtemp(prefix="fps_sp_live2_")
+    _add_batch_file(spark, live2, 0, [("A", ts(20), 5.0)], schema)
+    out2 = esp.run_operator("agg", build_agg, live2, output_mode="append")
+    got = list(zip(out2["__rowkind"], out2["n"], out2["total"]))
+    # the -U carries the bootstrapped accumulator (n=1 total=10) that was
+    # never emitted — proof the savepoint seeded state without output
+    assert got == [("-U", 1, 10.0), ("+U", 2, 15.0)]

@@ -65,6 +65,9 @@ def normalize_plan(s: str) -> str:
     physical plan so snapshots compare across runs and hosts."""
     # expression ids: c_custkey#5L -> c_custkey#L ; subquery#123 etc.
     s = re.sub(r"#\d+", "#", s)
+    # higher-order-function lambda variables carry a session-global
+    # counter in the NAME itself: lambda x_187# -> lambda x_#
+    s = re.sub(r"\b(lambda [A-Za-z]+)_\d+", r"\1_", s)
     # exchange/broadcast plan ids
     s = re.sub(r"\[plan_id=\d+\]", "[plan_id=]", s)
     # absolute dataset locations: keep only the last path component
