@@ -1265,6 +1265,29 @@ class TableEnvironment:
                 target.name
             )
             return None
+        if target.props.get("connector") == "kinesis":
+            # kinesis table sink: PutRecords JSON API per partition;
+            # PRIMARY KEY (first column) -> PartitionKey (per-key shard
+            # order, the reference's partitionKeyGenerator)
+            from flink_parent_spark.sources.connectors import (  # noqa: PLC0415
+                kinesis_putrecords_sink,
+            )
+
+            endpoint = target.props.get("aws.endpoint")
+            if not endpoint:
+                raise ValueError(
+                    "kinesis sink needs 'aws.endpoint' (a localhost stub "
+                    "or a sigv4 proxy; no AWS SDK in this engine)"
+                )
+            pk = [c for c in target.props.get("__primary_key", "").split(",") if c]
+            kinesis_putrecords_sink(
+                df,
+                endpoint,
+                target.props.get("stream", target.name),
+                partition_key_col=(pk[0] if pk else df.columns[0]),
+                batch_records=int(target.props.get("sink.batch.max-size", "500")),
+            )
+            return None
         if target.props.get("connector", "").startswith("elasticsearch"):
             # elasticsearch-7 table sink: bulk-API POSTs per partition,
             # PRIMARY KEY -> document _id (idempotent upserts)

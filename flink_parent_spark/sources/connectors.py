@@ -470,6 +470,75 @@ def elasticsearch_bulk_sink(
     df.foreachPartition(send)
 
 
+def kinesis_putrecords_sink(
+    df: DataFrame,
+    endpoint: str,
+    stream_name: str,
+    partition_key_col: str,
+    batch_records: int = 500,
+) -> None:
+    """Kinesis PutRecords sink (flink-connectors/flink-connector-kinesis:
+    FlinkKinesisProducer / KinesisStreamsSink batching model). Each
+    partition serializes its rows to the Kinesis_20131202.PutRecords JSON
+    API — records are the row as json (base64 `Data`) keyed by
+    `partition_key_col` (the reference's partitionKeyGenerator: equal
+    keys land on the same shard, preserving per-key order) — POSTed to
+    `endpoint` in chunks of `batch_records` (the API's 500-record cap).
+    A response with FailedRecordCount > 0 raises, failing the task like
+    the reference's async producer error callback.
+
+    Executor-side: stdlib urllib inside foreachPartition, no driver
+    collect, no SDK dependency (auth headers are the deployment's
+    concern — a localhost endpoint/stub or a sigv4 proxy both work)."""
+    cols = df.columns
+
+    def send(rows):
+        import base64  # noqa: PLC0415
+        import json  # noqa: PLC0415
+        import urllib.request  # noqa: PLC0415
+
+        buf: list[dict] = []
+
+        def flush():
+            if not buf:
+                return
+            body = json.dumps(
+                {"StreamName": stream_name, "Records": list(buf)}
+            ).encode()
+            req = urllib.request.Request(
+                endpoint.rstrip("/") + "/",
+                data=body,
+                headers={
+                    "Content-Type": "application/x-amz-json-1.1",
+                    "X-Amz-Target": "Kinesis_20131202.PutRecords",
+                },
+                method="POST",
+            )
+            with urllib.request.urlopen(req) as r:
+                resp = json.load(r)
+            if resp.get("FailedRecordCount"):
+                raise RuntimeError(
+                    f"kinesis PutRecords failed records: {str(resp)[:500]}"
+                )
+            buf.clear()
+
+        for row in rows:
+            rec = row.asDict(recursive=True)
+            buf.append(
+                {
+                    "Data": base64.b64encode(
+                        json.dumps(rec, default=str).encode()
+                    ).decode(),
+                    "PartitionKey": str(rec[partition_key_col]),
+                }
+            )
+            if len(buf) >= batch_records:
+                flush()
+        flush()
+
+    df.foreachPartition(send)
+
+
 # one lookup-function instance per Python worker process (workers are
 # reused across tasks, so this IS the per-executor cache the reference's
 # per-task JdbcRowDataLookupFunction instances converge to)

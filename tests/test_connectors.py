@@ -837,3 +837,75 @@ def test_elasticsearch_sink_bulk_stub(spark):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_kinesis_sink_putrecords_stub(spark):
+    """Kinesis PutRecords sink end-to-end against an in-container HTTP
+    stub (flink-connector-kinesis FlinkKinesisProducer parity): DDL with
+    connector=kinesis -> INSERT INTO -> the stub receives well-formed
+    Kinesis_20131202.PutRecords payloads with base64 json Data and the
+    PRIMARY KEY as PartitionKey; a FailedRecordCount response fails the
+    job."""
+    import base64
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from flink_parent_spark.api.table_env import TableEnvironment
+
+    payloads = []
+    fail_next = {"n": 0}
+
+    class Stub(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            payloads.append((self.headers.get("X-Amz-Target"), body.decode()))
+            resp = {"FailedRecordCount": fail_next["n"], "Records": []}
+            out = json.dumps(resp).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-amz-json-1.1")
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Stub)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        env = TableEnvironment.create(spark=spark)
+        env.execute_sql(f"""
+            CREATE TABLE kin_out (
+                uid BIGINT, amount DOUBLE,
+                PRIMARY KEY (uid) NOT ENFORCED
+            ) WITH ('connector' = 'kinesis', 'stream' = 'payments',
+                    'aws.endpoint' = 'http://127.0.0.1:{port}',
+                    'sink.batch.max-size' = '2')
+        """)
+        spark.createDataFrame(
+            [(1, 1.5), (2, 2.5), (3, 3.5)], "uid long, amount double"
+        ).coalesce(1).createOrReplaceTempView("kin_src")
+        env.execute_sql("INSERT INTO kin_out SELECT * FROM kin_src")
+
+        assert payloads
+        assert all(t == "Kinesis_20131202.PutRecords" for t, _ in payloads)
+        recs = []
+        for _, body in payloads:
+            p = json.loads(body)
+            assert p["StreamName"] == "payments"
+            recs.extend(p["Records"])
+        assert [r["PartitionKey"] for r in recs] == ["1", "2", "3"]
+        datas = [json.loads(base64.b64decode(r["Data"])) for r in recs]
+        assert [d["amount"] for d in datas] == [1.5, 2.5, 3.5]
+        assert len(payloads) == 2  # batch.max-size=2 chunking of 3 rows
+
+        import pytest
+
+        fail_next["n"] = 1
+        with pytest.raises(Exception, match="PutRecords|failed"):
+            env.execute_sql("INSERT INTO kin_out SELECT * FROM kin_src")
+    finally:
+        srv.shutdown()
+        srv.server_close()
