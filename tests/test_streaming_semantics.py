@@ -910,3 +910,140 @@ def test_state_processor_write_side_bootstrap_savepoint(spark):
     # the -U carries the bootstrapped accumulator (n=1 total=10) that was
     # never emitted — proof the savepoint seeded state without output
     assert got == [("-U", 1, 10.0), ("+U", 2, 15.0)]
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_topn_strategies_randomized_timestamp_order(spark, seed):
+    """Randomized (seeded) cross-check of all three streaming Top-N
+    strategies with a TIMESTAMP order column against pandas oracles over
+    multi-batch replays — the property the reference's
+    AbstractTopNFunction guarantees for any comparable sortKey."""
+    import datetime as dtm
+    import random
+
+    import pandas as pd
+
+    from flink_parent_spark.streaming.stateful import (
+        streaming_retract_top_n,
+        streaming_top_n,
+        streaming_updatable_top_n,
+    )
+
+    rng = random.Random(seed)
+    t0 = dtm.datetime(2024, 10, 1)
+    n = rng.randint(1, 3)
+
+    # ---- append-only Top-N ---------------------------------------------
+    rows = [
+        ("k" + str(rng.randint(0, 1)), t0 + dtm.timedelta(minutes=rng.randint(0, 500)), i)
+        for i in range(24)
+    ]
+    batches = [rows[:8], rows[8:16], rows[16:]]
+    schema = "k string, ts timestamp, i long"
+    d = _write_batches(spark, batches, schema)
+    sdf = (
+        spark.readStream.schema(schema).format("parquet")
+        .option("maxFilesPerTrigger", 1).load(d)
+    )
+    tn = streaming_top_n(sdf, ["k"], "ts", n, ["i"], descending=True,
+                         tiebreak_col="i")
+    captured = []
+    import uuid as _uuid
+
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_rtn_{_uuid.uuid4().hex[:8]}")
+    q = (
+        tn.writeStream.outputMode("update")
+        .foreachBatch(lambda b, _i: captured.append(b.toPandas()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    # final per-key ranking = the LAST batch that emitted for that key
+    final: dict = {}
+    for bp in captured:
+        for k in set(bp["k"]):
+            final[k] = bp[bp["k"] == k][["k", "ts", "i", "rank"]]
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "i"])
+    for k, got in final.items():
+        exp = (
+            pdf[pdf["k"] == k]
+            .sort_values("i", kind="stable")
+            .sort_values("ts", ascending=False, kind="stable")
+            .head(n)
+        )
+        assert list(got.sort_values("rank")["i"]) == list(exp["i"]), (
+            f"seed {seed} key {k} append path"
+        )
+
+    # ---- updatable (upsert by uid) & retractable (explicit changelog) ---
+    upserts = [
+        (rng.randint(0, 5), t0 + dtm.timedelta(minutes=rng.randint(0, 500)))
+        for _ in range(18)
+    ]
+    up_rows = [("g", uid, ts, i) for i, (uid, ts) in enumerate(upserts)]
+    up_schema = "grp string, uid long, ts timestamp, arr long"
+    d2 = _write_batches(spark, [up_rows[:9], up_rows[9:]], up_schema)
+    sdf2 = (
+        spark.readStream.schema(up_schema).format("parquet")
+        .option("maxFilesPerTrigger", 1).load(d2)
+    )
+    up = streaming_updatable_top_n(
+        sdf2, ["grp"], "uid", "ts", n, [], descending=True,
+        arrival_cols=("arr",),
+    )
+    cap2 = []
+    ckpt2 = os.path.join(tempfile.gettempdir(), f"ckpt_rup_{_uuid.uuid4().hex[:8]}")
+    q2 = (
+        up.writeStream.outputMode("update")
+        .foreachBatch(lambda b, _i: cap2.append(b.toPandas()))
+        .option("checkpointLocation", ckpt2)
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(300)
+    allup = pd.concat([c for c in cap2 if len(c)], ignore_index=True)
+    # final assignment per rank = last emission for that rank
+    got_final = {
+        r: allup[allup["rank"] == r].iloc[-1]["uid"]
+        for r in sorted(set(allup["rank"]))
+    }
+    live = {}
+    for uid, ts in upserts:
+        live[uid] = ts  # last write wins (arrival order)
+    oracle = sorted(live.items(), key=lambda t: t[0])
+    oracle.sort(key=lambda t: t[1], reverse=True)
+    exp_final = {r + 1: uid for r, (uid, _) in enumerate(oracle[:n])}
+    assert got_final == exp_final, f"seed {seed} updatable path"
+
+    # retractable: the same upserts as an explicit changelog
+    cl, cur, seq = [], {}, 0
+    for uid, ts in upserts:
+        if uid in cur:
+            cl.append(("g", uid, cur[uid], "-U", seq)); seq += 1
+            cl.append(("g", uid, ts, "+U", seq)); seq += 1
+        else:
+            cl.append(("g", uid, ts, "+I", seq)); seq += 1
+        cur[uid] = ts
+    cl_schema = "grp string, uid long, ts timestamp, __rowkind string, seq long"
+    d3 = _write_batches(spark, [cl[: len(cl) // 2], cl[len(cl) // 2:]], cl_schema)
+    sdf3 = (
+        spark.readStream.schema(cl_schema).format("parquet")
+        .option("maxFilesPerTrigger", 1).load(d3)
+    )
+    rt = streaming_retract_top_n(
+        sdf3, ["grp"], "ts", n, ["uid"], descending=True,
+        sequence_col="seq", tiebreak_col="uid",
+    )
+    cap3 = []
+    ckpt3 = os.path.join(tempfile.gettempdir(), f"ckpt_rrt_{_uuid.uuid4().hex[:8]}")
+    q3 = (
+        rt.writeStream.outputMode("update")
+        .foreachBatch(lambda b, _i: cap3.append(b.toPandas()))
+        .option("checkpointLocation", ckpt3)
+        .trigger(availableNow=True).start()
+    )
+    q3.awaitTermination(300)
+    last = cap3[-1] if len(cap3[-1]) else cap3[-2]
+    exp_rt = [uid for uid, _ in oracle[:n]]
+    assert list(last.sort_values("rank")["uid"]) == exp_rt, (
+        f"seed {seed} retractable path"
+    )
