@@ -265,7 +265,111 @@ def upsert_kafka_normalize(
     )
 
 
-class JdbcLookupFunction:
+class _CachedLookupMixin:
+    """The reference's lookup-cache discipline, shared by every lookup
+    connector (`lookup.cache.max-rows` / `lookup.cache.ttl`: LRU bounded,
+    expireAfterWrite, negative caching, bulk fetch of cache misses).
+    Subclasses provide `_fetch(keys) -> {key: row-dict}`."""
+
+    def _init_cache(self, cache_max_rows, cache_ttl_seconds, clock):
+        import time  # noqa: PLC0415
+        from collections import OrderedDict  # noqa: PLC0415
+
+        self.cache_max_rows = cache_max_rows
+        self.cache_ttl = cache_ttl_seconds
+        self._clock = clock or time.monotonic
+        self._cache: "OrderedDict[object, tuple[dict | None, float]]" = OrderedDict()
+        self.queries: list[str] = []
+
+    def lookup(self, keys: list) -> dict:
+        """Bulk probe: returns {key: row-dict-or-None} for every requested
+        key, serving from cache where fresh and fetching the rest."""
+        now = self._clock()
+        out, missing = {}, []
+        for k in dict.fromkeys(keys):
+            hit = self._cache.get(k)
+            if hit is not None and (
+                self.cache_ttl is None or now - hit[1] <= self.cache_ttl
+            ):
+                self._cache.move_to_end(k)  # LRU touch
+                out[k] = hit[0]
+            else:
+                missing.append(k)
+        if missing:
+            fetched = self._fetch(missing)
+            for k in missing:
+                row = fetched.get(k)
+                out[k] = row
+                self._cache[k] = (row, now)
+                self._cache.move_to_end(k)
+                if (
+                    self.cache_max_rows is not None
+                    and len(self._cache) > self.cache_max_rows
+                ):
+                    self._cache.popitem(last=False)  # evict LRU
+        return out
+
+
+class HBaseRestLookupFunction(_CachedLookupMixin):
+    """HBase lookup through the REST gateway (Stargate) — the runnable
+    form of flink-connectors/flink-connector-hbase-2.2's
+    HBaseRowDataLookupFunction (per-rowkey GETs with the same
+    lookup.cache options; the gateway is HBase's stock HTTP frontend, so
+    no native client is needed). Cache misses fetch in ONE multiget per
+    probe; cell values surface as UTF-8 strings keyed by qualifier (cast
+    downstream per the declared schema, as the reference's
+    HBaseTableSchema does).
+
+    Executor-side by construction: stdlib urllib, fully picklable —
+    `jdbc_lookup_join` ships it into mapInPandas partitions with a
+    per-worker cache."""
+
+    executor_side = True
+    connection_factory = None  # generic lookup-join dispatch marker
+
+    def __init__(
+        self,
+        base_url: str,
+        table: str,
+        cache_max_rows: int | None = None,
+        cache_ttl_seconds: float | None = None,
+        clock=None,
+    ):
+        self.url = base_url.rstrip("/")
+        self.table = table
+        self.key_col = "row"  # rowkey pseudo-column (per-worker cache key)
+        self._init_cache(cache_max_rows, cache_ttl_seconds, clock)
+
+    def _fetch(self, keys: list) -> dict:
+        import base64  # noqa: PLC0415
+        import json  # noqa: PLC0415
+        import urllib.error  # noqa: PLC0415
+        import urllib.parse  # noqa: PLC0415
+        import urllib.request  # noqa: PLC0415
+
+        qs = "&".join("row=" + urllib.parse.quote(str(k)) for k in keys)
+        url = f"{self.url}/{self.table}/multiget?{qs}"
+        self.queries.append(url)
+        req = urllib.request.Request(url, headers={"Accept": "application/json"})
+        try:
+            with urllib.request.urlopen(req) as r:
+                payload = json.load(r)
+        except urllib.error.HTTPError as e:
+            if e.code == 404:  # none of the requested rows exist
+                return {}
+            raise
+        by_key = {}
+        for row in payload.get("Row", []):
+            rk = base64.b64decode(row["key"]).decode()
+            rec = {}
+            for cell in row.get("Cell", []):
+                col = base64.b64decode(cell["column"]).decode()
+                rec[col.split(":", 1)[1]] = base64.b64decode(cell["$"]).decode()
+            by_key[rk] = rec
+        return {k: by_key[str(k)] for k in keys if str(k) in by_key}
+
+
+class JdbcLookupFunction(_CachedLookupMixin):
     """JDBC-backed lookup with cache semantics
     (`JdbcRowDataLookupFunction` + `lookup.cache.max-rows` /
     `lookup.cache.ttl`, flink-connectors/flink-connector-jdbc): key -> row
@@ -310,11 +414,7 @@ class JdbcLookupFunction:
         self.cache_ttl = cache_ttl_seconds
         self.connection_factory = connection_factory
         self._conn = None
-        self._clock = clock or time.monotonic
-        from collections import OrderedDict  # noqa: PLC0415
-
-        self._cache: "OrderedDict[object, tuple[dict | None, float]]" = OrderedDict()
-        self.queries: list[str] = []
+        self._init_cache(cache_max_rows, cache_ttl_seconds, clock)
         if spark is None and connection_factory is None:
             raise ValueError(
                 "JdbcLookupFunction needs a SparkSession (driver-side "
@@ -374,35 +474,6 @@ class JdbcLookupFunction:
         if self.driver:
             reader = reader.option("driver", self.driver)
         return {r[self.key_col]: r.asDict() for r in reader.load().collect()}
-
-    def lookup(self, keys: list) -> dict:
-        """Bulk probe: returns {key: row-dict-or-None} for every requested
-        key, serving from cache where fresh and fetching the rest."""
-        now = self._clock()
-        out, missing = {}, []
-        for k in dict.fromkeys(keys):
-            hit = self._cache.get(k)
-            if hit is not None and (
-                self.cache_ttl is None or now - hit[1] <= self.cache_ttl
-            ):
-                self._cache.move_to_end(k)  # LRU touch
-                out[k] = hit[0]
-            else:
-                missing.append(k)
-        if missing:
-            fetched = self._fetch(missing)
-            for k in missing:
-                row = fetched.get(k)
-                out[k] = row
-                self._cache[k] = (row, now)
-                self._cache.move_to_end(k)
-                if (
-                    self.cache_max_rows is not None
-                    and len(self._cache) > self.cache_max_rows
-                ):
-                    self._cache.popitem(last=False)  # evict LRU
-        return out
-
 
 def elasticsearch_bulk_sink(
     df: DataFrame,
@@ -577,7 +648,7 @@ def jdbc_lookup_join(
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     names = [n for n, _ in output_cols]
-    if fn.connection_factory is not None:
+    if fn.connection_factory is not None or getattr(fn, "executor_side", False):
         out_schema = ", ".join(f"`{c}` {t}" for c, t in df.dtypes)
         out_schema += ", " + ", ".join(f"`{n}` {t}" for n, t in output_cols)
         acc = df.sparkSession.sparkContext.accumulator(0)

@@ -909,3 +909,95 @@ def test_kinesis_sink_putrecords_stub(spark):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_hbase_rest_lookup_join_stub(spark):
+    """HBase lookup join through the REST gateway (Stargate), exercised
+    against an in-container stub (HBaseRowDataLookupFunction parity):
+    cache-missed rowkeys fetch in ONE multiget per probe, cell values
+    decode from the gateway's base64 json, missing rows negative-cache,
+    and the join runs executor-side through mapInPandas (probe keys never
+    collect to the driver)."""
+    import base64
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    from flink_parent_spark.sources.connectors import (
+        HBaseRestLookupFunction,
+        jdbc_lookup_join,
+    )
+
+    dim = {str(i): {"label": f"dim_{i}", "score": str(i * 2.5)} for i in range(10)}
+    requests = []
+
+    def b64(s):
+        return base64.b64encode(s.encode()).decode()
+
+    class Stub(BaseHTTPRequestHandler):
+        def do_GET(self):
+            u = urlparse(self.path)
+            requests.append(self.path)
+            assert u.path == "/dimtab/multiget"
+            keys = parse_qs(u.query).get("row", [])
+            rows = [
+                {
+                    "key": b64(k),
+                    "Cell": [
+                        {"column": b64(f"cf:{q}"), "$": b64(v)}
+                        for q, v in dim[k].items()
+                    ],
+                }
+                for k in keys
+                if k in dim
+            ]
+            if not rows:
+                self.send_response(404)
+                self.end_headers()
+                return
+            out = json.dumps({"Row": rows}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Stub)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        fn = HBaseRestLookupFunction(
+            f"http://127.0.0.1:{port}", "dimtab", cache_max_rows=100
+        )
+        # direct probe: one multiget, negative caching for a miss
+        got = fn.lookup(["1", "2", "nope"])
+        assert got["1"]["label"] == "dim_1" and got["2"]["score"] == "5.0"
+        assert got["nope"] is None and len(fn.queries) == 1
+        fn.lookup(["1", "nope"])  # fully cached -> no new request
+        assert len(fn.queries) == 1
+
+        # executor-side join through the generic lookup-join dispatch
+        probe = spark.createDataFrame(
+            [(str(i % 5), f"fact_{i}") for i in range(20)] + [("99", "miss")],
+            "id string, payload string",
+        ).repartition(3)
+        fn2 = HBaseRestLookupFunction(f"http://127.0.0.1:{port}", "dimtab")
+        out = jdbc_lookup_join(
+            probe, "id", fn2, [("label", "string"), ("score", "string")]
+        )
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "MapInPandas" in plan
+        rows = {(r["id"], r["label"], r["score"]) for r in out.collect()}
+        exp = {(str(i), f"dim_{i}", str(i * 2.5)) for i in range(5)} | {
+            ("99", None, None)
+        }
+        assert rows == exp
+        assert fn2.queries == []  # driver instance untouched
+        assert fn2.query_count_accumulator.value >= 1
+    finally:
+        srv.shutdown()
+        srv.server_close()
