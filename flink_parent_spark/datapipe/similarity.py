@@ -531,3 +531,59 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "adist", "rank")
     )
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 0.2,
+    n_centroids: int = 4,
+    n_iters: int = 2,
+    train_sample_pct: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering of embeddings + WITHIN-cluster
+    cosine thresholding — cross-cluster pairs are never scored, so the
+    quadratic term is bounded by the largest cluster, never the corpus.
+    Deterministic keep-first rule: a document drops iff some LOWER-id
+    document in its cluster is within the epsilon-ball (cosine >= eps);
+    the paper keeps one representative per ball, lowest-id is the
+    reproducible choice. Returns (id, cell, dropped).
+
+    Scale shape (the paper runs 100k clusters over 5B docs): centroid
+    training on a deterministic md5-bucket sample, map-side assignment
+    against a literal centroid array (no shuffle), and a per-cell
+    self-join for the pair scan — raise n_centroids to cap cluster sizes
+    at volume."""
+    cent = train_kmeans_centroids(
+        df, n_centroids, n_iters, id_col, vec_col, sample_pct=train_sample_pct
+    )
+    cent_arr = _cent_literal(cent)
+    cells = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("__v"),
+        _best_cells(cent_arr, len(cent), F.col(vec_col), 1)[0].alias("cell"),
+    )
+    a = cells.select(
+        F.col("id").alias("ida"), F.col("__v").alias("__va"), "cell"
+    )
+    b = cells.select(
+        F.col("id").alias("idb"), F.col("__v").alias("__vb"), "cell"
+    )
+    dropped_ids = (
+        a.join(b, "cell")
+        .filter(F.col("ida") < F.col("idb"))
+        .filter(cosine(F.col("__va"), F.col("__vb")) >= F.lit(eps))
+        .select(F.col("idb").alias("id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        cells.select("id", "cell")
+        .join(dropped_ids, "id", "left")
+        .select(
+            "id", "cell",
+            F.coalesce(F.col("__dropped"), F.lit(False)).alias("dropped"),
+        )
+    )

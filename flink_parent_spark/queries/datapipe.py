@@ -581,6 +581,48 @@ def ann_cosine_topk_ivf_kmeans(spark, sf_dir):
     )
 
 
+@df_query(
+    "dedup_semdedup_embeddings",
+    oracle=f"""
+    WITH train AS (
+      SELECT * FROM embeddings
+      WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 50
+    ),
+    c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM (SELECT vec_id, embedding FROM train ORDER BY vec_id LIMIT 4)
+    ),
+    a0 AS ({_duck_kmeans_assign('train', 'c0', 'vec_id', 'rn = 1')}),
+    c1 AS ({_duck_kmeans_mean('a0')}),
+    a1 AS ({_duck_kmeans_assign('train', 'c1', 'vec_id', 'rn = 1')}),
+    c2 AS ({_duck_kmeans_mean('a1')}),
+    cells AS (
+      {_duck_kmeans_assign('embeddings', 'c2', 'vec_id', 'rn = 1')}
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id AS id
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {_duck_cos('a.embedding', 'b.embedding')} >= 0.3
+    )
+    SELECT c.vec_id AS id, c.cell,
+           (d.id IS NOT NULL) AS dropped
+    FROM cells c LEFT JOIN dropped d ON c.vec_id = d.id
+    """,
+)
+def dedup_semdedup_embeddings(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) over the embeddings
+    table: k-means clusters (same deterministic sampled training as the
+    IVF quantizer), within-cluster cosine >= 0.3 epsilon-balls, lowest-id
+    representative kept. The oracle unrolls the identical training and
+    the drop rule in SQL — clusters, cosines, and keep/drop decisions all
+    bit-exact."""
+    from flink_parent_spark.datapipe.similarity import semdedup
+
+    t = load_tables(spark, sf_dir)
+    return semdedup(t["embeddings"], eps=0.3, train_sample_pct=50)
+
+
 # --- multimodal plumbing ----------------------------------------------------
 
 
