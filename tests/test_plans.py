@@ -432,3 +432,15 @@ def test_tpcds_heavy_queries_no_cartesian(spark):
         plan = plan_of(qs[name](spark, SF))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_semdedup_no_cartesian_and_celled_pairs(spark):
+    """SemDeDup's pair scan must be a per-cell equi-join (the quadratic
+    term bounded by the largest cluster), never a cartesian product; the
+    cell assignment itself is a map-side argmax over a literal centroid
+    array (no shuffle feeding the assignment)."""
+    plan = plan_of(QS["dedup_semdedup_embeddings"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the self-join keys on the cell id (equi-join on cell)
+    assert "cell" in plan
