@@ -444,3 +444,17 @@ def test_semdedup_no_cartesian_and_celled_pairs(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # the self-join keys on the cell id (equi-join on cell)
     assert "cell" in plan
+
+
+def test_multi_distinct_agg_expand_shape(spark):
+    """Multi-DISTINCT aggregation lowers to the Expand-based rewrite
+    (one Expand + grouped partial/final aggregates, single data shuffle
+    chain — no per-distinct re-scan of the input). Shape-asserted here
+    because the Expand's projection ORDER follows expression ids and is
+    session-dependent, so these plans are excluded from the byte-exact
+    snapshot battery (tools/plan_snapshots.py)."""
+    for name in ("agg_distinct_mixed", "tpcds_multi_distinct_year"):
+        plan = plan_of(QS[name](spark, SF))
+        assert "Expand" in plan, name
+        assert plan.count("Scan parquet") == plan.count("Location:"), name
+        assert "CartesianProduct" not in plan, name

@@ -45,12 +45,18 @@ SNAPSHOT_QUERIES = [
     "tpch_q18", "tpch_q21",
     "tpcds_q3", "tpcds_q14", "tpcds_q23", "tpcds_q36", "tpcds_q51",
     "tpcds_q64", "tpcds_q67", "tpcds_q72", "tpcds_q95",
-    "tpcds_channel_union_rollup", "tpcds_multi_distinct_year",
+    "tpcds_channel_union_rollup",
     "tpcds_returns_anti_join",
     "topn_orders_per_customer", "over_rank_functions", "over_running_agg",
     "semi_join_customers_with_orders", "anti_join_customers_without_orders",
-    "grouping_sets_lineitem", "agg_distinct_mixed", "setop_union_distinct",
+    "grouping_sets_lineitem", "setop_union_distinct",
     "window_session_dynamic_gap",
+    # multi-DISTINCT aggregates (agg_distinct_mixed,
+    # tpcds_multi_distinct_year) are excluded: Catalyst's
+    # RewriteDistinctAggregates orders the Expand projections by
+    # expression id, which depends on what ran earlier in the session —
+    # the plan SHAPE is stable (asserted in test_plans.py) but its column
+    # order is not snapshot-pinnable
     "dedup_exact_digest", "dedup_minhash_lsh_pairs", "dedup_simhash",
     "ann_cosine_topk_ivf_kmeans", "ann_ivf_pq_topk",
     "embedding_neardup_pairs", "text_repetition_stats",
