@@ -160,13 +160,14 @@ class DataStream:
             for pdf in batches:
                 arr = pdf[ARRIVAL]
                 out = fn(pdf[cols])
+                # ALL outputs rescale to flat_map's sub-ordinal id space
+                # (arrival * 1e6 + j): scaling only the cardinality-
+                # changing batches would mix two id scales inside one
+                # stream — a preserved batch after a changed one would
+                # sort BEFORE it and raw/synthesized ids could collide
                 if len(out) == len(pdf):
-                    out = out.assign(**{ARRIVAL: arr.to_numpy()})
+                    out = out.assign(**{ARRIVAL: arr.to_numpy() * 1_000_000})
                 else:
-                    # fn changed cardinality: derive unique monotone ids
-                    # from the batch's input arrivals (flat_map's
-                    # sub-ordinal scheme) so ids never collide across
-                    # Arrow batches / partitions
                     base = (0 if len(arr) == 0 else int(arr.min())) * 1_000_000
                     out = out.assign(
                         **{ARRIVAL: [base + j for j in range(len(out))]}

@@ -899,15 +899,21 @@ class TableEnvironment:
             pass
         return None
 
-    def _refresh_view(self, entry: CatalogTable) -> None:
+    def _refresh_view(self, entry: CatalogTable, strict: bool = True) -> None:
         """Re-register a DDL table's temp view from its (possibly altered)
-        catalog entry so the next scan honors the change."""
+        catalog entry so the next scan honors the change. strict=True
+        (the ALTER paths) re-raises scan failures — otherwise an ALTER
+        SET to a bad path would 'succeed' while queries silently keep
+        reading the stale old view; strict=False tolerates sink-only
+        tables with no data yet."""
         try:
             self._scan(entry, streaming=self.streaming).createOrReplaceTempView(
                 entry.name
             )
         except Exception:
-            pass  # sink-only tables: no data yet, stay catalog-only
+            if strict:
+                raise
+            # sink-only tables: no data yet, stay catalog-only
 
     def _alter_table(self, name: str, rest: str):
         """ALTER TABLE dispatch (TableEnvironmentImpl.java:686
@@ -919,6 +925,9 @@ class TableEnvironment:
         entry = self.catalog.get(name)
         if entry is None:
             return Table(self.spark.sql(f"ALTER TABLE {name} {rest}"), self)
+        # sink-only tables (no data yet -> no view) stay catalog-only after
+        # an ALTER; for tables with a live view a failed re-scan must raise
+        had_view = self.spark.catalog.tableExists(name)
         rm = re.match(r"RENAME\s+TO\s+(\w+)$", rest, re.IGNORECASE)
         if rm:
             new = rm.group(1)
@@ -928,7 +937,7 @@ class TableEnvironment:
             entry.name = new
             self.catalog[new] = entry
             self.spark.catalog.dropTempView(name)
-            self._refresh_view(entry)
+            self._refresh_view(entry, strict=had_view)
             return None
         sm = re.match(r"SET\s*\((.*)\)$", rest, re.IGNORECASE | re.DOTALL)
         if sm:
@@ -943,7 +952,7 @@ class TableEnvironment:
                 entry.fmt = entry.props.get(
                     "format", entry.props.get("connector", "parquet")
                 )
-            self._refresh_view(entry)
+            self._refresh_view(entry, strict=had_view)
             return None
         ad = re.match(
             r"ADD\s+(?:COLUMNS?\s*)?\((.*)\)$", rest, re.IGNORECASE | re.DOTALL
@@ -958,7 +967,7 @@ class TableEnvironment:
             entry.computed = [*entry.computed, *computed]
             if watermark:
                 entry.watermark = watermark
-            self._refresh_view(entry)
+            self._refresh_view(entry, strict=had_view)
             return None
         raise ValueError(f"unsupported ALTER TABLE clause: {rest!r}")
 
@@ -972,8 +981,11 @@ class TableEnvironment:
             return None
         rm = re.match(r"RENAME\s+TO\s+(\w+)$", rest, re.IGNORECASE)
         if rm:
+            new = rm.group(1)
+            if self.spark.catalog.tableExists(new):
+                raise ValueError(f"ALTER VIEW RENAME: {new} already exists")
             df = self.spark.table(name)
-            df.createOrReplaceTempView(rm.group(1))
+            df.createOrReplaceTempView(new)
             self.spark.catalog.dropTempView(name)
             return None
         return Table(self.spark.sql(f"ALTER VIEW {name} {rest}"), self)

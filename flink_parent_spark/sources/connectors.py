@@ -271,8 +271,12 @@ class _CachedLookupMixin:
     expireAfterWrite, negative caching, bulk fetch of cache misses).
     Subclasses provide `_fetch(keys) -> {key: row-dict}`."""
 
+    # keep the observability list bounded (reused workers live for hours)
+    _QUERIES_KEEP = 1000
+
     def _init_cache(self, cache_max_rows, cache_ttl_seconds, clock):
         import time  # noqa: PLC0415
+        import uuid  # noqa: PLC0415
         from collections import OrderedDict  # noqa: PLC0415
 
         self.cache_max_rows = cache_max_rows
@@ -280,11 +284,33 @@ class _CachedLookupMixin:
         self._clock = clock or time.monotonic
         self._cache: "OrderedDict[object, tuple[dict | None, float]]" = OrderedDict()
         self.queries: list[str] = []
+        self.query_count = 0
+        # identity for the per-worker instance cache: two functions with
+        # identical labels but different connection factories/targets must
+        # NEVER share a worker instance
+        self._instance_id = uuid.uuid4().hex
+
+    def _record_query(self, q: str) -> None:
+        self.query_count += 1
+        if len(self.queries) < self._QUERIES_KEEP:
+            self.queries.append(q)
+
+    @property
+    def cache_enabled(self) -> bool:
+        """Reference semantics (JdbcRowDataLookupFunction): no
+        lookup.cache options set -> NO caching at all (every probe hits
+        the store); an unbounded never-expiring default cache would leak
+        memory in long-lived workers and serve stale rows forever."""
+        return self.cache_max_rows is not None or self.cache_ttl is not None
 
     def lookup(self, keys: list) -> dict:
         """Bulk probe: returns {key: row-dict-or-None} for every requested
         key, serving from cache where fresh and fetching the rest."""
         now = self._clock()
+        if not self.cache_enabled:
+            keys = list(dict.fromkeys(keys))
+            fetched = self._fetch(keys) if keys else {}
+            return {k: fetched.get(k) for k in keys}
         out, missing = {}, []
         for k in dict.fromkeys(keys):
             hit = self._cache.get(k)
@@ -347,25 +373,31 @@ class HBaseRestLookupFunction(_CachedLookupMixin):
         import urllib.parse  # noqa: PLC0415
         import urllib.request  # noqa: PLC0415
 
-        qs = "&".join("row=" + urllib.parse.quote(str(k)) for k in keys)
-        url = f"{self.url}/{self.table}/multiget?{qs}"
-        self.queries.append(url)
-        req = urllib.request.Request(url, headers={"Accept": "application/json"})
-        try:
-            with urllib.request.urlopen(req) as r:
-                payload = json.load(r)
-        except urllib.error.HTTPError as e:
-            if e.code == 404:  # none of the requested rows exist
-                return {}
-            raise
         by_key = {}
-        for row in payload.get("Row", []):
-            rk = base64.b64decode(row["key"]).decode()
-            rec = {}
-            for cell in row.get("Cell", []):
-                col = base64.b64decode(cell["column"]).decode()
-                rec[col.split(":", 1)[1]] = base64.b64decode(cell["$"]).decode()
-            by_key[rk] = rec
+        # chunk the rowkey list: one giant multiget URL blows the HTTP
+        # request-line limit (~8KB) at real Arrow batch sizes
+        for i in range(0, len(keys), 100):
+            chunk = keys[i:i + 100]
+            qs = "&".join("row=" + urllib.parse.quote(str(k)) for k in chunk)
+            url = f"{self.url}/{self.table}/multiget?{qs}"
+            self._record_query(url)
+            req = urllib.request.Request(
+                url, headers={"Accept": "application/json"}
+            )
+            try:
+                with urllib.request.urlopen(req) as r:
+                    payload = json.load(r)
+            except urllib.error.HTTPError as e:
+                if e.code == 404:  # none of the requested rows exist
+                    continue
+                raise
+            for row in payload.get("Row", []):
+                rk = base64.b64decode(row["key"]).decode()
+                rec = {}
+                for cell in row.get("Cell", []):
+                    col = base64.b64decode(cell["column"]).decode()
+                    rec[col.split(":", 1)[1]] = base64.b64decode(cell["$"]).decode()
+                by_key[rk] = rec
         return {k: by_key[str(k)] for k in keys if str(k) in by_key}
 
 
@@ -406,12 +438,8 @@ class JdbcLookupFunction(_CachedLookupMixin):
         clock=None,
         connection_factory=None,
     ):
-        import time  # noqa: PLC0415
-
         self.spark, self.url, self.table = spark, url, table
         self.key_col, self.driver = key_col, driver
-        self.cache_max_rows = cache_max_rows
-        self.cache_ttl = cache_ttl_seconds
         self.connection_factory = connection_factory
         self._conn = None
         self._init_cache(cache_max_rows, cache_ttl_seconds, clock)
@@ -453,7 +481,7 @@ class JdbcLookupFunction(_CachedLookupMixin):
             f'SELECT * FROM {self.table} WHERE "{self.key_col}" IN '
             f"({', '.join(lit(k) for k in keys)})"
         )
-        self.queries.append(sql)
+        self._record_query(sql)
         if self.connection_factory is not None:
             if self._conn is None:
                 self._conn = self.connection_factory()
@@ -529,7 +557,16 @@ def elasticsearch_bulk_sink(
             rec = row.asDict(recursive=True)
             action: dict = {"index": {"_index": index}}
             if id_cols:
-                action["index"]["_id"] = "_".join(str(rec[c]) for c in id_cols)
+                if len(id_cols) == 1:
+                    doc_id = str(rec[id_cols[0]])
+                else:
+                    # unambiguous composite encoding: '_'-joining collides
+                    # (('a_b','c') vs ('a','b_c')) and would silently
+                    # overwrite a foreign document
+                    doc_id = json.dumps(
+                        [str(rec[c]) for c in id_cols], separators=(",", ":")
+                    )
+                action["index"]["_id"] = doc_id
             buf.append(json.dumps(action, default=str) + "\n")
             buf.append(json.dumps(rec, default=str) + "\n")
             n_actions += 1
@@ -653,7 +690,10 @@ def jdbc_lookup_join(
         out_schema += ", " + ", ".join(f"`{n}` {t}" for n, t in output_cols)
         acc = df.sparkSession.sparkContext.accumulator(0)
         fn.query_count_accumulator = acc
-        fn_key = (fn.url, fn.table, fn.key_col, fn.cache_max_rows, fn.cache_ttl)
+        # per-worker instance keyed by the DRIVER-SIDE instance identity:
+        # two functions with identical url/table labels but different
+        # connection factories must never share a worker instance
+        fn_key = fn._instance_id
         in_cols = [c for c, _ in df.dtypes]
 
         def run(batches):
@@ -662,9 +702,9 @@ def jdbc_lookup_join(
                 worker_fn = _WORKER_LOOKUP_FNS.setdefault(fn_key, fn)
             for pdf in batches:
                 keys = [k for k in pdf[key_col].dropna().unique().tolist()]
-                before = len(worker_fn.queries)
+                before = worker_fn.query_count
                 mapping = worker_fn.lookup(keys) if keys else {}
-                acc.add(len(worker_fn.queries) - before)
+                acc.add(worker_fn.query_count - before)
                 enriched = pdf[in_cols].copy()
                 for n in names:
                     col_map = {

@@ -147,14 +147,25 @@ class ExistingSavepoint:
         files = sorted(
             f for f in os.listdir(live_dir) if f.endswith(".parquet")
         )
-        for i, f in enumerate(files):
-            dst = os.path.join(src, f"live-{i:03d}-{f}")
+        # destination names key on the SOURCE filename only (no positional
+        # index): a later-added file that sorts earlier must not shift the
+        # names of already-consumed copies, or their rows replay twice
+        next_t = max(
+            [base_t + 10]
+            + [
+                os.path.getmtime(os.path.join(src, f))
+                for f in os.listdir(src)
+                if f.startswith("live-")
+            ]
+        )
+        for f in files:
+            dst = os.path.join(src, f"live-{f}")
             if not os.path.exists(dst):
                 shutil.copyfile(os.path.join(live_dir, f), dst)
-                # explicit increasing mtimes: the file source replays live
-                # files in order, strictly after the bootstrap prefix
-                t = base_t + 10 + i
-                os.utime(dst, (t, t))
+                # explicit increasing mtimes: NEW live files replay in
+                # sorted order, strictly after everything already copied
+                next_t += 1
+                os.utime(dst, (next_t, next_t))
         schema = self._meta["operators"][uid]
         sdf = (
             self.spark.readStream.schema(schema)

@@ -1001,3 +1001,51 @@ def test_hbase_rest_lookup_join_stub(spark):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_elasticsearch_composite_id_no_collision(spark):
+    """Composite PRIMARY KEY document ids use an unambiguous json
+    encoding: ('a_b','c') and ('a','b_c') must yield DIFFERENT _ids
+    ('_'-joining collides and silently overwrites a foreign document)."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from flink_parent_spark.sources.connectors import elasticsearch_bulk_sink
+
+    payloads = []
+
+    class Stub(BaseHTTPRequestHandler):
+        def do_POST(self):
+            payloads.append(
+                self.rfile.read(int(self.headers["Content-Length"])).decode()
+            )
+            out = json.dumps({"errors": False, "items": []}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Stub)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        df = spark.createDataFrame(
+            [("a_b", "c", 1.0), ("a", "b_c", 2.0)], "k1 string, k2 string, v double"
+        ).coalesce(1)
+        elasticsearch_bulk_sink(
+            df, f"http://127.0.0.1:{srv.server_address[1]}", "docs",
+            id_cols=["k1", "k2"],
+        )
+        ids = [
+            json.loads(ln)["index"]["_id"]
+            for body in payloads
+            for ln in body.split("\n")
+            if ln and '"index"' in ln
+        ]
+        assert len(ids) == 2 and len(set(ids)) == 2
+    finally:
+        srv.shutdown()
+        srv.server_close()

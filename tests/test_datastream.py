@@ -209,3 +209,22 @@ def test_map_pandas_cardinality_change_unique_arrivals(env):
     from collections import Counter
 
     assert Counter(vals) == Counter([float(i) for i in range(60)] * 2)
+
+
+def test_map_pandas_mixed_cardinality_batches_keep_order(env):
+    """A fn that changes cardinality in only SOME batches (data-dependent
+    vectorized filter) must not mix id scales: preserved and synthesized
+    arrival ids live in one ordered space, so downstream
+    orderBy(ARRIVAL) keeps the stream's original order (code-review
+    round-7 finding)."""
+    data = [(float(i),) for i in range(90)]
+    ds = env.from_collection(data, "v double")
+    # drop the single value 40.0 — only the batch containing it changes
+    # cardinality; every other batch keeps its length
+    out = ds.map_pandas(
+        lambda pdf: pdf[pdf["v"] != 40.0][["v"]],
+        "v double",
+    ).execute_and_collect()
+    vals = list(out)
+    assert len(vals) == 89 and 40.0 not in vals
+    assert vals == sorted(vals)  # arrival order preserved end-to-end
