@@ -1300,6 +1300,28 @@ class TableEnvironment:
                 batch_records=int(target.props.get("sink.batch.max-size", "500")),
             )
             return None
+        if target.props.get("connector") == "cassandra":
+            # cassandra table sink: CQL native-protocol writes per
+            # partition (positionally-bound INSERT upserts; UNLOGGED
+            # batches), flink-connector-cassandra's CassandraSink role
+            from flink_parent_spark.sources.cassandra_cql import (  # noqa: PLC0415
+                cassandra_cql_sink,
+            )
+
+            if "host" not in target.props:
+                raise ValueError(
+                    "cassandra sink needs 'host'/'port' (a localhost stub "
+                    "or live node; no client library in this engine)"
+                )
+            cassandra_cql_sink(
+                df,
+                target.props["host"],
+                int(target.props.get("port", "9042")),
+                target.props.get("keyspace", "ks"),
+                target.props.get("table", target.name),
+                batch_size=int(target.props.get("sink.batch.max-size", "50")),
+            )
+            return None
         if target.props.get("connector", "").startswith("elasticsearch"):
             # elasticsearch-7 table sink: bulk-API POSTs per partition,
             # PRIMARY KEY -> document _id (idempotent upserts)

@@ -1049,3 +1049,174 @@ def test_elasticsearch_composite_id_no_collision(spark):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_cassandra_sink_cql_stub(spark):
+    """Cassandra sink end-to-end against an in-container CQL
+    native-protocol TCP stub (flink-connector-cassandra CassandraSink
+    parity the same way the ES/kinesis/HBase stubs work): DDL with
+    connector=cassandra -> INSERT INTO -> the stub handshakes
+    STARTUP/READY and receives UNLOGGED BATCH / QUERY frames carrying the
+    INSERT with positionally-bound binary values (no literal
+    interpolation), chunked by sink.batch.max-size; an ERROR response
+    fails the job like CassandraSinkBase's failure propagation."""
+    import socketserver
+    import struct
+    import threading
+
+    import pytest
+
+    from flink_parent_spark.api.table_env import TableEnvironment
+    from flink_parent_spark.sources import cassandra_cql as cql
+
+    frames = []  # (opcode, body) for every non-STARTUP request
+    fail_next = {"on": False}
+
+    def reply(sock, stream, opcode, body=b""):
+        sock.sendall(
+            struct.pack(">BBhBi", 0x84, 0x00, stream, opcode, len(body)) + body
+        )
+
+    class Handler(socketserver.BaseRequestHandler):
+        def handle(self):
+            sock = self.request
+            try:
+                while True:
+                    hdr = cql.read_exact(sock, 9)
+                    _v, _f, stream, opcode, length = cql.decode_frame_header(hdr)
+                    body = cql.read_exact(sock, length) if length else b""
+                    if opcode == cql.OP_STARTUP:
+                        reply(sock, stream, cql.OP_READY)
+                        continue
+                    frames.append((opcode, body))
+                    if fail_next["on"]:
+                        msg = b"write timeout"
+                        reply(
+                            sock, stream, cql.OP_ERROR,
+                            struct.pack(">i", 0x1100)
+                            + struct.pack(">H", len(msg)) + msg,
+                        )
+                    else:
+                        reply(
+                            sock, stream, cql.OP_RESULT,
+                            struct.pack(">i", 0x0001),  # kind 1: Void
+                        )
+            except (ConnectionError, OSError):
+                return
+
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+    srv.daemon_threads = True
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+
+    def parse_inserts(opcode, body):
+        """-> list of (statement, [raw value bytes...]) in the frame."""
+        out = []
+
+        def read_long_string(off):
+            (n,) = struct.unpack_from(">i", body, off)
+            return body[off + 4 : off + 4 + n].decode(), off + 4 + n
+
+        def read_values(off):
+            (nv,) = struct.unpack_from(">H", body, off)
+            off += 2
+            vals = []
+            for _ in range(nv):
+                (ln,) = struct.unpack_from(">i", body, off)
+                off += 4
+                vals.append(None if ln < 0 else body[off : off + ln])
+                off += max(ln, 0)
+            return vals, off
+
+        if opcode == cql.OP_QUERY:
+            stmt, off = read_long_string(0)
+            off += 2  # consistency
+            assert body[off] & 0x01  # values flag
+            vals, _ = read_values(off + 1)
+            out.append((stmt, vals))
+        else:
+            assert opcode == cql.OP_BATCH
+            btype, n = struct.unpack_from(">BH", body, 0)
+            assert btype == 0x01  # UNLOGGED
+            off = 3
+            for _ in range(n):
+                assert body[off] == 0x00  # kind: query string
+                stmt, off = read_long_string(off + 1)
+                vals, off = read_values(off)
+                out.append((stmt, vals))
+        return out
+
+    try:
+        env = TableEnvironment.create(spark=spark)
+        env.execute_sql(f"""
+            CREATE TABLE cass_scores (
+                user_id BIGINT, name STRING, score DOUBLE,
+                PRIMARY KEY (user_id) NOT ENFORCED
+            ) WITH ('connector' = 'cassandra',
+                    'host' = '127.0.0.1', 'port' = '{port}',
+                    'keyspace' = 'ks', 'table' = 'scores',
+                    'sink.batch.max-size' = '2')
+        """)
+        rows = [(1, "a", 0.5), (2, None, 0.7), (3, "c", 0.9), (4, "d", 1.1),
+                (5, "e", 1.3)]
+        spark.createDataFrame(
+            rows, "user_id long, name string, score double"
+        ).coalesce(1).createOrReplaceTempView("cass_src")
+        env.execute_sql("INSERT INTO cass_scores SELECT * FROM cass_src")
+
+        inserts = [i for op, b in frames for i in parse_inserts(op, b)]
+        assert len(inserts) == 5
+        assert all(
+            s == "INSERT INTO ks.scores (user_id, name, score) "
+            "VALUES (?, ?, ?)" for s, _ in inserts
+        )
+        # batch.max-size=2 on one partition: 2 BATCH frames + 1 QUERY
+        assert [op for op, _ in frames] == [
+            cql.OP_BATCH, cql.OP_BATCH, cql.OP_QUERY,
+        ]
+        decoded = sorted(
+            (
+                struct.unpack(">q", v[0])[0],              # bigint
+                None if v[1] is None else v[1].decode(),   # text (null row 2)
+                struct.unpack(">d", v[2])[0],              # double
+            )
+            for _, v in inserts
+        )
+        assert decoded == sorted(rows)
+
+        # an ERROR response fails the write, like the reference's
+        # CassandraFailureHandler
+        fail_next["on"] = True
+        with pytest.raises(Exception, match="cassandra error|0x1100"):
+            env.execute_sql("INSERT INTO cass_scores SELECT * FROM cass_src")
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_cassandra_value_codec_roundtrip():
+    """The CQL binary value encodings match the protocol spec's layouts
+    for each mapped type (native_protocol_v4.spec section 6)."""
+    import datetime
+    import decimal
+    import struct
+
+    from flink_parent_spark.sources.cassandra_cql import encode_cql_value
+
+    assert encode_cql_value(None, "string") is None
+    assert encode_cql_value("héllo", "string") == "héllo".encode()
+    assert encode_cql_value(7, "int") == struct.pack(">i", 7)
+    assert encode_cql_value(-2, "bigint") == struct.pack(">q", -2)
+    assert encode_cql_value(1.5, "double") == struct.pack(">d", 1.5)
+    assert encode_cql_value(True, "boolean") == b"\x01"
+    ts = datetime.datetime(2020, 1, 1, 0, 0, 0, tzinfo=datetime.timezone.utc)
+    assert encode_cql_value(ts, "timestamp") == struct.pack(">q", 1577836800000)
+    # date: unsigned days with epoch centered at 2^31
+    assert encode_cql_value(
+        datetime.date(1970, 1, 2), "date"
+    ) == struct.pack(">I", 2**31 + 1)
+    # decimal: [int scale][big-endian two's-complement unscaled]
+    enc = encode_cql_value(decimal.Decimal("-12.34"), "decimal(7,2)")
+    scale = struct.unpack(">i", enc[:4])[0]
+    unscaled = int.from_bytes(enc[4:], "big", signed=True)
+    assert (scale, unscaled) == (2, -1234)
