@@ -294,3 +294,42 @@ def rebalance_source_mix(
     from flink_parent_spark.datapipe.similarity import hash_bucket100
 
     return df.where(hash_bucket100(F.col(id_col)) < pct_col)
+
+
+# -- PII scrubbing -----------------------------------------------------------
+
+# (name, regex, replacement) in application order. The regex subset is
+# portable between Java (Spark codegen) and RE2 (the DuckDB oracle): no
+# backreferences, no lookaround. Order matters: the most-specific shapes
+# first so a credit-card group is never half-eaten by the phone pattern.
+PII_PATTERNS: "list[tuple[str, str, str]]" = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("cc", r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b", "<CC>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace PII spans with typed placeholder tokens — the standard
+    pre-training scrub (emails, phone numbers, SSNs, credit cards, IPs
+    -> `<EMAIL>`/`<PHONE>`/... markers).
+
+    A chain of `regexp_replace` column expressions: stays inside
+    whole-stage codegen over the scan, no Python transfer, trivially
+    map-parallel at 100 TB. The pattern list is `PII_PATTERNS` (ordered,
+    oracle-reproducible)."""
+    c = F.col(text) if isinstance(text, str) else text
+    for _, pat, rep in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, rep)
+    return c
+
+
+def pii_counts(text: Column | str) -> "dict[str, Column]":
+    """Per-category PII hit counts (before redaction) — the audit metric a
+    scrubbing pipeline reports per document/shard."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        name: F.regexp_count(c, F.lit(pat)) for name, pat, _ in PII_PATTERNS
+    }

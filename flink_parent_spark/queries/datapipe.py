@@ -21,10 +21,13 @@ from flink_parent_spark.datapipe.dedup import (
 )
 from flink_parent_spark.datapipe.similarity import cosine_topk
 from flink_parent_spark.datapipe.text import (
+    PII_PATTERNS,
     STOPWORDS,
     bpe_ish_token_count,
     doc_fingerprint,
     lang_id_scores,
+    pii_counts,
+    redact_pii,
     text_quality,
     token_count,
 )
@@ -1527,4 +1530,52 @@ def text_unigram_logprob(spark, sf_dir):
             ).alias("avg_logprob"),
             F.count("*").alias("n_tokens"),
         )
+    )
+
+
+# --- PII scrubbing ----------------------------------------------------------
+
+# Deterministic PII augmentation: the synthetic documents carry no PII, so
+# the query plants one of each category derived from doc_id — the SAME SQL
+# expression evaluates on both engines (Spark SQL and DuckDB agree on ||,
+# CAST AS STRING, lpad, %), making redaction/count parity a real check.
+_PII_AUG = (
+    "text || ' contact user' || CAST(doc_id AS STRING) || '@mail' || "
+    "CAST(doc_id % 7 AS STRING) || '.org from 10.0.' || "
+    "CAST(doc_id % 256 AS STRING) || '.' || CAST((doc_id * 7) % 256 AS STRING) || "
+    "' call 415-555-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') || "
+    "' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') || "
+    "' card 4111-1111-1111-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0')"
+)
+
+
+def _pii_oracle() -> str:
+    # built from the same PII_PATTERNS list the Spark operator applies, in
+    # the same order — the oracle re-runs the chain with RE2 + 'g'
+    expr = "t"
+    for _, pat, rep in PII_PATTERNS:
+        expr = "regexp_replace(" + expr + ", '" + pat + "', '" + rep + "', 'g')"
+    counts = ",\n           ".join(
+        "len(regexp_extract_all(t, '" + pat + "')) AS n_" + name
+        for name, pat, _ in PII_PATTERNS
+    )
+    return (
+        "WITH aug AS (SELECT doc_id, " + _PII_AUG + " AS t FROM documents)\n"
+        "    SELECT doc_id,\n           " + expr + " AS redacted,\n           "
+        + counts + "\n    FROM aug"
+    )
+
+
+@df_query("text_pii_redaction", oracle=_pii_oracle())
+def text_pii_redaction(spark, sf_dir):
+    """PII scrub: typed-placeholder redaction (<EMAIL>/<CC>/<SSN>/<PHONE>/
+    <IP>) plus per-category audit counts, all regexp column expressions —
+    whole-stage codegen over the scan, no Python, map-parallel at 100 TB."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].withColumn("t", F.expr(_PII_AUG))
+    counts = pii_counts("t")
+    return d.select(
+        "doc_id",
+        redact_pii("t").alias("redacted"),
+        *[counts[name].alias(f"n_{name}") for name, _, _ in PII_PATTERNS],
     )
