@@ -1300,6 +1300,26 @@ class TableEnvironment:
                 batch_records=int(target.props.get("sink.batch.max-size", "500")),
             )
             return None
+        if target.props.get("connector") == "rabbitmq":
+            # rabbitmq table sink: AMQP 0-9-1 Basic.Publish per row with
+            # publisher confirms, flink-connector-rabbitmq's RMQSink role
+            from flink_parent_spark.sources.rabbitmq_amqp import (  # noqa: PLC0415
+                rabbitmq_sink,
+            )
+
+            if "host" not in target.props:
+                raise ValueError(
+                    "rabbitmq sink needs 'host'/'port' (a localhost stub "
+                    "or live broker; no client library in this engine)"
+                )
+            rabbitmq_sink(
+                df,
+                target.props["host"],
+                int(target.props.get("port", "5672")),
+                target.props.get("queue", target.name),
+                batch_confirm=int(target.props.get("sink.confirm.max-size", "100")),
+            )
+            return None
         if target.props.get("connector") == "cassandra":
             # cassandra table sink: CQL native-protocol writes per
             # partition (positionally-bound INSERT upserts; UNLOGGED

@@ -1220,3 +1220,134 @@ def test_cassandra_value_codec_roundtrip():
     scale = struct.unpack(">i", enc[:4])[0]
     unscaled = int.from_bytes(enc[4:], "big", signed=True)
     assert (scale, unscaled) == (2, -1234)
+
+
+def test_rabbitmq_sink_amqp_stub(spark):
+    """RabbitMQ sink end-to-end against an in-container AMQP 0-9-1 TCP
+    stub (flink-connector-rabbitmq RMQSink parity): DDL with
+    connector=rabbitmq -> INSERT INTO -> the stub performs the
+    Connection.Start/Tune/Open + Channel.Open handshake, sees the durable
+    Queue.Declare and Confirm.Select, receives one
+    Basic.Publish+header+body triple per row on the default exchange with
+    routing key = queue name, and acks; a Basic.Nack fails the job."""
+    import json
+    import socketserver
+    import struct
+    import threading
+
+    import pytest
+
+    from flink_parent_spark.api.table_env import TableEnvironment
+    from flink_parent_spark.sources import rabbitmq_amqp as amqp
+
+    declares, publishes, bodies = [], [], []
+    nack_mode = {"on": False}
+
+    class Handler(socketserver.BaseRequestHandler):
+        def handle(self):
+            sock = self.request
+
+            def send_method(channel, method, args=b""):
+                sock.sendall(
+                    amqp.encode_frame(
+                        amqp.FRAME_METHOD, channel,
+                        amqp.method_payload(*method, args),
+                    )
+                )
+
+            try:
+                assert amqp.read_exact(sock, 8) == amqp.PROTOCOL_HEADER
+                send_method(
+                    0, amqp.CONNECTION_START,
+                    struct.pack(">BB", 0, 9) + struct.pack(">I", 0)
+                    + amqp.longstr(b"PLAIN") + amqp.longstr(b"en_US"),
+                )
+                delivery_tag = 0
+                while True:
+                    ftype, channel, payload = amqp.read_frame(sock)
+                    if ftype == amqp.FRAME_BODY:
+                        bodies.append(payload.decode())
+                        delivery_tag += 1
+                        if nack_mode["on"]:
+                            send_method(
+                                channel, amqp.BASIC_NACK,
+                                struct.pack(">QB", delivery_tag, 0),
+                            )
+                        else:
+                            send_method(
+                                channel, amqp.BASIC_ACK,
+                                struct.pack(">QB", delivery_tag, 0),
+                            )
+                        continue
+                    if ftype != amqp.FRAME_METHOD:
+                        continue  # content headers, heartbeats
+                    m, args = amqp.parse_method(payload)
+                    if m == amqp.CONNECTION_START_OK:
+                        send_method(
+                            0, amqp.CONNECTION_TUNE,
+                            struct.pack(">HIH", 2047, 131072, 60),
+                        )
+                    elif m == amqp.CONNECTION_TUNE_OK:
+                        pass
+                    elif m == amqp.CONNECTION_OPEN:
+                        send_method(0, amqp.CONNECTION_OPEN_OK, b"\x00")
+                    elif m == amqp.CHANNEL_OPEN:
+                        send_method(
+                            channel, amqp.CHANNEL_OPEN_OK, struct.pack(">I", 0)
+                        )
+                    elif m == amqp.QUEUE_DECLARE:
+                        qlen = args[2]
+                        qname = args[3 : 3 + qlen].decode()
+                        flags = args[3 + qlen]
+                        declares.append((qname, flags))
+                        send_method(
+                            channel, amqp.QUEUE_DECLARE_OK,
+                            amqp.shortstr(qname) + struct.pack(">II", 0, 0),
+                        )
+                    elif m == amqp.CONFIRM_SELECT:
+                        send_method(channel, amqp.CONFIRM_SELECT_OK)
+                    elif m == amqp.BASIC_PUBLISH:
+                        off = 2
+                        xlen = args[off]
+                        exchange = args[off + 1 : off + 1 + xlen].decode()
+                        off += 1 + xlen
+                        rlen = args[off]
+                        rkey = args[off + 1 : off + 1 + rlen].decode()
+                        publishes.append((exchange, rkey))
+            except (ConnectionError, AssertionError, OSError):
+                return
+
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+    srv.daemon_threads = True
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+
+    try:
+        env = TableEnvironment.create(spark=spark)
+        env.execute_sql(f"""
+            CREATE TABLE rmq_events (ev_id BIGINT, kind STRING)
+            WITH ('connector' = 'rabbitmq',
+                  'host' = '127.0.0.1', 'port' = '{port}',
+                  'queue' = 'events_q', 'sink.confirm.max-size' = '2')
+        """)
+        rows = [(1, "click"), (2, "view"), (3, "buy")]
+        spark.createDataFrame(rows, "ev_id long, kind string").coalesce(
+            1
+        ).createOrReplaceTempView("rmq_src")
+        env.execute_sql("INSERT INTO rmq_events SELECT * FROM rmq_src")
+
+        assert declares and declares[0][0] == "events_q"
+        assert declares[0][1] & 0b10  # durable
+        assert publishes == [("", "events_q")] * 3  # default exchange
+        got = sorted(
+            (json.loads(b)["ev_id"], json.loads(b)["kind"]) for b in bodies
+        )
+        assert got == sorted(rows)
+
+        # a broker Nack propagates as a task failure (logFailuresOnly=false)
+        nack_mode["on"] = True
+        with pytest.raises(Exception, match="nack"):
+            env.execute_sql("INSERT INTO rmq_events SELECT * FROM rmq_src")
+    finally:
+        srv.shutdown()
+        srv.server_close()
