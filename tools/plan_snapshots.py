@@ -41,8 +41,12 @@ SNAP_DIR = os.path.join(
 # paths, rollup Expand, the datapipe inverted-index/celled-ANN plans.
 # Streaming entries are excluded (building them executes the replay).
 SNAPSHOT_QUERIES = [
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q9", "tpch_q13",
-    "tpch_q18", "tpch_q21",
+    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
+    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
+    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q17", "tpch_q18", "tpch_q19",
+    "tpch_q20", "tpch_q21", "tpch_q22",
+    # tpch_q16 excluded: count(DISTINCT) -> RewriteDistinctAggregates,
+    # same session-dependent Expand column order as agg_distinct_mixed
     "tpcds_q3", "tpcds_q14", "tpcds_q23", "tpcds_q36", "tpcds_q51",
     "tpcds_q64", "tpcds_q67", "tpcds_q72", "tpcds_q95",
     "tpcds_channel_union_rollup",
