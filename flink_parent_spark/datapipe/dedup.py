@@ -427,3 +427,78 @@ def winnow_pairs(
         .agg(F.count("*").alias("shared_fps"))
         .where(F.col("shared_fps") >= min_shared)
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 20,
+    min_docs: int = 2,
+    max_gram_freq: "int | None" = 100_000,
+) -> DataFrame:
+    """Exact duplicated-substring detection — the substring-level dedup of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al., arXiv:2107.06499), which a single machine does with a suffix
+    array, re-expressed as a distributed inverted index over ALL rolling
+    n-token grams (not the sampled winnowing fingerprints): an n-token
+    span is duplicated iff its exact text occurs in >= `min_docs` distinct
+    documents.
+
+    Returns one row per input document: `(id, n_grams, n_dup_grams,
+    n_dup_tokens)` where `n_dup_tokens` is the exact size of the union of
+    all duplicated spans' token positions (the number of tokens the Lee
+    et al. pipeline would cut).
+
+    Scale shape: tokenize/gram/hash are map-side codegen (the shingle
+    array is bound once per row, see ngram_shingles); the only shuffles
+    are the groupBy on the 64-bit gram hash (the inverted index — skew
+    from boilerplate grams is bounded by `max_gram_freq`, which drops
+    degenerate grams hotter than the cap the same way the Jaccard path
+    does) and the final per-doc aggregate. The position-union explode
+    multiplies dup grams by n, not the corpus, so cost tracks the
+    duplicated volume — at 100 TB you'd only pay for what you cut."""
+    # like _shingle_table but position-preserving (posexplode): the span
+    # union needs each gram's start offset
+    g = (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(ngram_shingles(F.col(text_col), n)).alias(
+                "__pos", "__gram"
+            ),
+        )
+        .select("__id", "__pos", token_hash64(F.col("__gram")).alias("__gh"))
+    )
+    dup = g.groupBy("__gh").agg(
+        F.count_distinct("__id").alias("__nd"), F.count("*").alias("__cnt")
+    )
+    dup = dup.filter(F.col("__nd") >= min_docs)
+    if max_gram_freq is not None:
+        dup = dup.filter(F.col("__cnt") <= max_gram_freq)
+    dup_grams = g.join(dup.select("__gh"), "__gh", "left_semi")
+    per_doc_grams = g.groupBy("__id").agg(F.count("*").alias("n_grams"))
+    per_doc_dup = dup_grams.groupBy("__id").agg(
+        F.count("*").alias("n_dup_grams")
+    )
+    covered = (
+        dup_grams.select(
+            "__id",
+            F.explode(
+                F.sequence(F.col("__pos"), F.col("__pos") + F.lit(n - 1))
+            ).alias("__tok"),
+        )
+        .distinct()
+        .groupBy("__id")
+        .agg(F.count("*").alias("n_dup_tokens"))
+    )
+    return (
+        per_doc_grams.join(per_doc_dup, "__id", "left")
+        .join(covered, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_grams",
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.coalesce("n_dup_tokens", F.lit(0)).alias("n_dup_tokens"),
+        )
+    )

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from flink_parent_spark.datapipe.dedup import (
+    duplicated_spans,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -1579,3 +1580,58 @@ def text_pii_redaction(spark, sf_dir):
         redact_pii("t").alias("redacted"),
         *[counts[name].alias(f"n_{name}") for name, _, _ in PII_PATTERNS],
     )
+
+
+# --- exact duplicated-substring spans ---------------------------------------
+
+
+@df_query(
+    "dedup_duplicated_spans",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, t, unnest(range(1, len(t) - 4 + 2)) AS i
+      FROM toks
+    ),
+    grams AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             {h} AS gh
+      FROM idx
+    ),
+    dup AS (
+      SELECT gh FROM grams GROUP BY gh
+      HAVING count(DISTINCT doc_id) >= 2 AND count(*) <= 100000
+    ),
+    dup_grams AS (
+      SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gh)
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, pos + o AS tok
+      FROM (SELECT doc_id, pos, unnest([0, 1, 2, 3]) AS o
+            FROM dup_grams) off
+    )
+    SELECT g.doc_id,
+           count(*) AS n_grams,
+           coalesce(d.n_dup_grams, 0) AS n_dup_grams,
+           coalesce(c.n_dup_tokens, 0) AS n_dup_tokens
+    FROM grams g
+    LEFT JOIN (SELECT doc_id, count(*) AS n_dup_grams
+               FROM dup_grams GROUP BY doc_id) d USING (doc_id)
+    LEFT JOIN (SELECT doc_id, count(*) AS n_dup_tokens
+               FROM covered GROUP BY doc_id) c USING (doc_id)
+    GROUP BY g.doc_id, d.n_dup_grams, c.n_dup_tokens
+    """.replace(
+        "{h}",
+        _DUCK_H64.format(x="array_to_string(t[i:i + 4 - 1], ' ')"),
+    ),
+)
+def dedup_duplicated_spans(spark, sf_dir):
+    """Exact substring-level dedup (Lee et al., arXiv:2107.06499) as a
+    distributed inverted index over all rolling 4-token grams: per
+    document, how many of its grams — and how many of its token
+    positions — occur verbatim in at least one other document."""
+    t = load_tables(spark, sf_dir)
+    return duplicated_spans(t["documents"], "text", "doc_id", n=4)
