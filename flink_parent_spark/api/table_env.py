@@ -1300,6 +1300,30 @@ class TableEnvironment:
                 batch_records=int(target.props.get("sink.batch.max-size", "500")),
             )
             return None
+        if target.props.get("connector") == "pubsub":
+            # gcp pub/sub table sink: REST :publish per partition (the
+            # emulator's HTTP surface), flink-connector-gcp-pubsub's
+            # PubSubSink role
+            from flink_parent_spark.sources.connectors import (  # noqa: PLC0415
+                pubsub_publish_sink,
+            )
+
+            endpoint = target.props.get("gcp.endpoint")
+            if not endpoint:
+                raise ValueError(
+                    "pubsub sink needs 'gcp.endpoint' (the emulator or a "
+                    "localhost stub; no SDK in this engine)"
+                )
+            pubsub_publish_sink(
+                df,
+                endpoint,
+                target.props.get("project", "local"),
+                target.props.get("topic", target.name),
+                batch_messages=int(
+                    target.props.get("sink.batch.max-size", "100")
+                ),
+            )
+            return None
         if target.props.get("connector") == "rabbitmq":
             # rabbitmq table sink: AMQP 0-9-1 Basic.Publish per row with
             # publisher confirms, flink-connector-rabbitmq's RMQSink role

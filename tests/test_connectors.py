@@ -1351,3 +1351,110 @@ def test_rabbitmq_sink_amqp_stub(spark):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_pubsub_publish_pull_roundtrip_stub(spark):
+    """GCP Pub/Sub end-to-end against an in-container REST stub speaking
+    the emulator's HTTP surface (flink-connector-gcp-pubsub PubSubSink /
+    PubSubSource parity): DDL with connector=pubsub -> INSERT INTO
+    publishes base64 messages in :publish chunks; pubsub_pull_read then
+    drains the subscription via :pull/:acknowledge and yields the same
+    rows; unacked messages would be re-served (at-least-once), acked ones
+    are gone; a short messageIds response fails the job."""
+    import base64
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    import pytest
+
+    from flink_parent_spark.api.table_env import TableEnvironment
+    from flink_parent_spark.sources.connectors import pubsub_pull_read
+
+    topic_msgs, acked, publishes = [], set(), []
+    short_ids = {"on": False}
+
+    class Stub(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = json.loads(
+                self.rfile.read(int(self.headers["Content-Length"])) or b"{}"
+            )
+
+            def reply(obj):
+                out = json.dumps(obj).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(out)))
+                self.end_headers()
+                self.wfile.write(out)
+
+            if self.path.endswith(":publish"):
+                msgs = body["messages"]
+                publishes.append(len(msgs))
+                start = len(topic_msgs)
+                topic_msgs.extend(m["data"] for m in msgs)
+                ids = [str(start + i) for i in range(len(msgs))]
+                reply({"messageIds": ids[:-1] if short_ids["on"] else ids})
+            elif self.path.endswith(":pull"):
+                want = body.get("maxMessages", 100)
+                out = []
+                for i, data in enumerate(topic_msgs):
+                    if str(i) in acked or len(out) >= want:
+                        continue
+                    out.append(
+                        {
+                            "ackId": str(i),
+                            "message": {"data": data, "messageId": str(i)},
+                        }
+                    )
+                reply({"receivedMessages": out})
+            elif self.path.endswith(":acknowledge"):
+                acked.update(body["ackIds"])
+                reply({})
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Stub)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+
+    try:
+        env = TableEnvironment.create(spark=spark)
+        env.execute_sql(f"""
+            CREATE TABLE ps_events (ev_id BIGINT, kind STRING)
+            WITH ('connector' = 'pubsub',
+                  'gcp.endpoint' = 'http://127.0.0.1:{port}',
+                  'project' = 'p1', 'topic' = 'events',
+                  'sink.batch.max-size' = '2')
+        """)
+        rows = [(1, "click"), (2, "view"), (3, "buy")]
+        spark.createDataFrame(rows, "ev_id long, kind string").coalesce(
+            1
+        ).createOrReplaceTempView("ps_src")
+        env.execute_sql("INSERT INTO ps_events SELECT * FROM ps_src")
+
+        assert publishes == [2, 1]  # sink.batch.max-size chunking
+        decoded = [json.loads(base64.b64decode(d)) for d in topic_msgs]
+        assert sorted((d["ev_id"], d["kind"]) for d in decoded) == sorted(rows)
+
+        # pull drains and acks; a second pull sees nothing
+        got = pubsub_pull_read(
+            spark, f"http://127.0.0.1:{port}", "p1", "events-sub",
+            "ev_id long, kind string", batch=2,
+        )
+        assert sorted((r.ev_id, r.kind) for r in got.collect()) == sorted(rows)
+        assert len(acked) == 3
+        again = pubsub_pull_read(
+            spark, f"http://127.0.0.1:{port}", "p1", "events-sub",
+            "ev_id long, kind string",
+        )
+        assert again.count() == 0
+
+        # a short messageIds response fails the publish
+        short_ids["on"] = True
+        with pytest.raises(Exception, match="messageIds|messages"):
+            env.execute_sql("INSERT INTO ps_events SELECT * FROM ps_src")
+    finally:
+        srv.shutdown()
+        srv.server_close()
