@@ -57,6 +57,11 @@ HEADLINE = [
 TPCDS_SCALED = ["tpcds_q3", "tpcds_q14", "tpcds_q64", "tpcds_q67"]
 HEADLINE += [f"{n}_sf1" for n in TPCDS_SCALED]
 
+# Round-7 additions (second batch, appended): the newest LLM-pipeline
+# operators — exact duplicated-substring spans (all-grams inverted index)
+# and the PII scrub (pure codegen regexp chain).
+HEADLINE += ["dedup_duplicated_spans", "text_pii_redaction"]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
