@@ -1635,3 +1635,109 @@ def dedup_duplicated_spans(spark, sf_dir):
     positions — occur verbatim in at least one other document."""
     t = load_tables(spark, sf_dir)
     return duplicated_spans(t["documents"], "text", "doc_id", n=4)
+
+
+# --- end-to-end pipeline composition ----------------------------------------
+
+
+def _e2e_oracle() -> str:
+    scores = ",\n             ".join(
+        "len(list_filter(toks, t -> list_contains([{ws}], lower(t)))) "
+        "AS score_{k}".format(
+            ws=",".join(f"'{w}'" for w in words), k=k
+        )
+        for k, words in STOPWORDS.items()
+    )
+    redact = "t_aug"
+    for _, pat, rep in PII_PATTERNS:
+        redact = (
+            "regexp_replace(" + redact + ", '" + pat + "', '" + rep + "', 'g')"
+        )
+    shard = _DUCK_H64.format(x="digest") + " % 8"
+    return (
+        r"""
+    WITH base AS (
+      SELECT doc_id, lang, text,
+             string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ), scored AS (
+      SELECT doc_id, lang, text, len(toks) AS n_tokens,
+             """ + scores + r"""
+      FROM base
+    ), pred AS (
+      SELECT doc_id, lang, text, n_tokens,
+             CASE GREATEST(
+                    score_en * 1000 - 101, score_de * 1000 - 100,
+                    score_es * 1000 - 115, score_fr * 1000 - 102)
+                  WHEN score_en * 1000 - 101 THEN 'en'
+                  WHEN score_de * 1000 - 100 THEN 'de'
+                  WHEN score_es * 1000 - 115 THEN 'es'
+                  ELSE 'fr' END AS pred_lang
+      FROM scored
+    ), kept AS (
+      SELECT doc_id, lang, text FROM pred
+      WHERE n_tokens >= 25 AND pred_lang = lang
+    ), aug AS (
+      SELECT doc_id, """ + _PII_AUG + r""" AS t_aug FROM kept
+    ), red AS (
+      SELECT doc_id, """ + redact + r""" AS clean FROM aug
+    ), dig AS (
+      SELECT doc_id, clean, md5(clean) AS digest FROM red
+    ), dedup AS (
+      SELECT doc_id, clean, digest FROM (
+        SELECT *, row_number() OVER (PARTITION BY digest ORDER BY doc_id) rn
+        FROM dig) WHERE rn = 1
+    )
+    SELECT """ + shard + r""" AS shard,
+           count(*) AS n_docs,
+           SUM(len(string_split_regex(trim(clean), '\s+'))) AS n_tokens_total,
+           min(doc_id) AS min_doc
+    FROM dedup GROUP BY 1
+    """
+    )
+
+
+@df_query("datapipe_end_to_end", oracle=_e2e_oracle())
+def datapipe_end_to_end(spark, sf_dir):
+    """The whole training-data pipeline as ONE query — quality gate
+    (token-count floor), language-ID consistency filter (n-gram stopword
+    heuristic must agree with the labeled lang), PII scrub (synthetic-PII
+    augmentation then the typed-placeholder redaction chain), exact dedup
+    keep-first over the md5 digest of the CLEAN text, and hash-sharding
+    with per-shard stats.
+
+    Scale shape: every stage before dedup is a map-side codegen
+    expression over the scan (no shuffle, no Python); dedup shuffles once
+    on the digest; the shard rollup is a partial-agg'd small aggregate.
+    At 100 TB this is scan -> one exchange -> tiny output, which is the
+    correct plan for a cleaning pass."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from flink_parent_spark.datapipe.text import token_hash64  # noqa: PLC0415
+
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    q = text_quality("text")
+    s = lang_id_scores("text")
+    staged = d.select(
+        "doc_id", "lang", "text",
+        q["n_tokens"].alias("n_tokens"),
+        s["pred_lang"].alias("pred_lang"),
+    )
+    kept = staged.where(
+        (F.col("n_tokens") >= 25) & (F.col("pred_lang") == F.col("lang"))
+    )
+    red = kept.withColumn("t_aug", F.expr(_PII_AUG)).withColumn(
+        "clean", redact_pii("t_aug")
+    )
+    dig = red.withColumn("digest", F.md5("clean"))
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    dedup = dig.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        dedup.withColumn("shard", token_hash64(F.col("digest")) % 8)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count("clean")).alias("n_tokens_total"),
+            F.min("doc_id").alias("min_doc"),
+        )
+    )
