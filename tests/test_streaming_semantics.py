@@ -604,7 +604,7 @@ def _add_batch_file(spark, d, i, rows, schema):
     _time.sleep(1.1)
 
 
-def _drain(spark, src_dir, schema, build, ckpt):
+def _drain(spark, src_dir, schema, build, ckpt, mode="update"):
     """Run build(file-stream) over everything currently in src_dir with
     availableNow, capturing all emitted rows. Re-invoking with the SAME
     ckpt resumes from the recorded offsets + state (restart-from-
@@ -617,7 +617,7 @@ def _drain(spark, src_dir, schema, build, ckpt):
     )
     captured = []
     q = (
-        build(sdf).writeStream.outputMode("update")
+        build(sdf).writeStream.outputMode(mode)
         .foreachBatch(lambda b, _i: captured.append(b.toPandas()))
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
@@ -1047,3 +1047,71 @@ def test_topn_strategies_randomized_timestamp_order(spark, seed):
     assert list(last.sort_values("rank")["uid"]) == exp_rt, (
         f"seed {seed} retractable path"
     )
+
+
+@pytest.mark.parametrize("rocksdb", [False, True])
+def test_restart_group_agg_changelog_exactly_once(spark, rocksdb):
+    """Restart-from-checkpoint for the retraction-EMITTING group agg (the
+    stage-1 operator of the three-stage chain, GroupAggFunction.java:121
+    producing side): a crash after batch 0 and a restart over the files
+    that arrived while down must produce exactly the uninterrupted run's
+    -U/+U trace — the recovered accumulator feeds the next UPDATE_BEFORE,
+    and `__seq` (derived from the PERSISTED consumed-row count) stays
+    strictly monotone per key across the restart, which is what lets the
+    downstream retract join/Top-N restore causal order after recovery."""
+    import datetime as dtm
+    import uuid as _uuid
+
+    import pandas as pd
+
+    from flink_parent_spark.streaming.changelog import (
+        streaming_group_agg_changelog,
+    )
+    from flink_parent_spark.streaming.core import use_rocksdb_state_backend
+
+    t0 = dtm.datetime(2024, 6, 1)
+
+    def ts(s):
+        return t0 + dtm.timedelta(seconds=s)
+
+    tag = _uuid.uuid4().hex[:8]
+    schema = "k string, ts timestamp, v double"
+    use_rocksdb_state_backend(spark, enabled=rocksdb)
+    try:
+        d = tempfile.mkdtemp(prefix=f"fps_ckpt_gac_{tag}_")
+        _add_batch_file(spark, d, 0, [("a", ts(0), 10.0), ("b", ts(1), 1.0)], schema)
+
+        def build(sdf):
+            return streaming_group_agg_changelog(sdf, ["k"], "v", "ts")
+
+        ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_gac_{tag}")
+        p1 = _drain(spark, d, schema, build, ckpt, mode="append")
+        # while down: more purchases for both keys
+        _add_batch_file(spark, d, 1, [("a", ts(5), 5.0)], schema)
+        _add_batch_file(spark, d, 2, [("b", ts(6), 2.0), ("a", ts(7), 2.5)], schema)
+        p2 = _drain(spark, d, schema, build, ckpt, mode="append")
+
+        ref = _drain(
+            spark, d, schema, build,
+            os.path.join(tempfile.gettempdir(), f"ckpt_gac_ref_{tag}"),
+            mode="append",
+        )
+        both = pd.concat([p1, p2], ignore_index=True)
+        trace = lambda f: sorted(  # noqa: E731
+            map(tuple, f[["k", "__rowkind", "n", "total", "__seq"]].values.tolist())
+        )
+        assert trace(both) == trace(ref)
+        # the recovered accumulator produced the correct -U(old)/+U(new)
+        # around the restart boundary for key a: -U(10.0) then +U(15.0)
+        a2 = both[(both["k"] == "a")].sort_values("__seq")
+        assert list(zip(a2["__rowkind"], a2["total"]))[:4] == [
+            ("+I", 10.0), ("-U", 10.0), ("+U", 15.0), ("-U", 15.0),
+        ]
+        # __seq strictly monotone per key ACROSS the restart
+        for k, g in both.groupby("k"):
+            s = list(g.sort_values("__seq")["__seq"])
+            assert s == sorted(set(s)), f"__seq not monotone for {k}: {s}"
+        # restart re-emitted nothing from batch 0
+        assert len(p1) == 2 and len(p2) == len(ref) - 2
+    finally:
+        use_rocksdb_state_backend(spark, enabled=False)
