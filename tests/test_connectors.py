@@ -1458,3 +1458,29 @@ def test_pubsub_publish_pull_roundtrip_stub(spark):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_hadoop_sequence_file_roundtrip(spark, tmp_path):
+    """flink-hadoop-compatibility parity (HadoopInputs/HadoopOutputs):
+    a (Text, LongWritable) SequenceFile roundtrip through the RDD bridge,
+    and the newAPI TextInputFormat read exposing byte offsets."""
+    from flink_parent_spark.sources.hadoop_compat import (
+        read_hadoop_text,
+        read_sequence_file,
+        write_sequence_file,
+    )
+
+    rows = [("alpha", 1), ("beta", 2), ("gamma", 3)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    seq = str(tmp_path / "seq")
+    write_sequence_file(df, seq, "k", "v")
+    back = read_sequence_file(spark, seq, "k string, v long")
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+    txt = str(tmp_path / "txt")
+    df.select("k").coalesce(1).write.text(txt)
+    lines = read_hadoop_text(spark, txt)
+    got = sorted((r.offset, r.line) for r in lines.collect())
+    # offsets are cumulative byte positions of each line start
+    assert [o for o, _ in got] == [0, 6, 11]
+    assert sorted(l for _, l in got) == ["alpha", "beta", "gamma"]
