@@ -941,3 +941,45 @@ def pubsub_pull_read(
         ],
         schema,
     )
+
+
+def twitter_sample_read(
+    spark,
+    endpoint: str,
+    max_statuses: int = 10_000,
+    timeout_sec: float = 30.0,
+) -> "DataFrame":
+    """Bounded read of a Twitter-style sample stream
+    (flink-connectors/flink-connector-twitter: TwitterSource.java wraps
+    the hosebird client around the public sample endpoint and emits one
+    raw-json status string per record; serialization is the caller's
+    concern). The transport is plain chunked HTTP with one json object
+    per line, so the bridge reads `endpoint` line-by-line with stdlib
+    urllib until the server closes the stream or `max_statuses` arrive,
+    yielding `(status string)` rows — the same raw-string contract as the
+    reference (downstream parsing via from_json, exactly like the
+    reference's ExampleCountWords flatMap).
+
+    Auth is the deployment's concern (the reference takes OAuth keys in
+    properties; a localhost stub or an authenticating proxy both work).
+    Bounded-drain on the driver by design: the sample stream is a single
+    HTTP response (one socket, one cursor) — the result becomes a normal
+    distributed DataFrame; for continuous ingestion, land statuses into
+    files/kafka and use the streaming scans."""
+    import socket  # noqa: PLC0415
+    import urllib.request  # noqa: PLC0415
+
+    rows: list[tuple] = []
+    req = urllib.request.Request(endpoint, method="GET")
+    with urllib.request.urlopen(req, timeout=timeout_sec) as r:
+        try:
+            for raw in r:
+                line = raw.decode("utf-8", "replace").strip()
+                if not line:
+                    continue  # keep-alive newline
+                rows.append((line,))
+                if len(rows) >= max_statuses:
+                    break
+        except socket.timeout:
+            pass  # treat a stalled stream as end-of-drain
+    return spark.createDataFrame(rows, "status string")

@@ -1484,3 +1484,66 @@ def test_hadoop_sequence_file_roundtrip(spark, tmp_path):
     # offsets are cumulative byte positions of each line start
     assert [o for o, _ in got] == [0, 6, 11]
     assert sorted(l for _, l in got) == ["alpha", "beta", "gamma"]
+
+
+def test_twitter_sample_read_stub(spark):
+    """Twitter sample-stream source against an in-container HTTP stub
+    (flink-connector-twitter TwitterSource parity: raw json status
+    strings off a chunked HTTP stream, keep-alive newlines skipped,
+    bounded drain): statuses arrive as `(status string)` rows and parse
+    downstream with from_json exactly like the reference's flatMap."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from pyspark.sql import functions as F
+
+    from flink_parent_spark.sources.connectors import twitter_sample_read
+
+    statuses = [
+        {"id": 1, "text": "hello spark", "lang": "en"},
+        {"id": 2, "text": "bonjour flink", "lang": "fr"},
+        {"id": 3, "text": "hola stream", "lang": "es"},
+    ]
+
+    class Stub(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def chunk(b: bytes):
+                self.wfile.write(f"{len(b):x}\r\n".encode() + b + b"\r\n")
+
+            for s in statuses:
+                chunk(json.dumps(s).encode() + b"\r\n")
+                chunk(b"\r\n")  # keep-alive newline between statuses
+            self.wfile.write(b"0\r\n\r\n")  # end of stream
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Stub)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        df = twitter_sample_read(
+            spark, f"http://127.0.0.1:{port}/1.1/statuses/sample.json"
+        )
+        parsed = df.select(
+            F.from_json("status", "id long, text string, lang string").alias("s")
+        ).select("s.*")
+        got = sorted((r.id, r.text, r.lang) for r in parsed.collect())
+        assert got == sorted((s["id"], s["text"], s["lang"]) for s in statuses)
+
+        # bounded drain stops mid-stream at max_statuses
+        df2 = twitter_sample_read(
+            spark, f"http://127.0.0.1:{port}/1.1/statuses/sample.json",
+            max_statuses=2,
+        )
+        assert df2.count() == 2
+    finally:
+        srv.shutdown()
+        srv.server_close()
