@@ -445,10 +445,11 @@ def duplicated_spans(
     span is duplicated iff its exact text occurs in >= `min_docs` distinct
     documents.
 
-    Returns one row per input document: `(id, n_grams, n_dup_grams,
-    n_dup_tokens)` where `n_dup_tokens` is the exact size of the union of
-    all duplicated spans' token positions (the number of tokens the Lee
-    et al. pipeline would cut).
+    Returns one row per document that has at least one n-token gram
+    (shorter documents have no spans to check and are absent):
+    `(id, n_grams, n_dup_grams, n_dup_tokens)` where `n_dup_tokens` is
+    the exact size of the union of all duplicated spans' token positions
+    (the number of tokens the Lee et al. pipeline would cut).
 
     Scale shape: tokenize/gram/hash are map-side codegen (the shingle
     array is bound once per row, see ngram_shingles); the only shuffles

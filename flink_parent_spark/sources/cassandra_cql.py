@@ -253,13 +253,18 @@ def cassandra_cql_sink(
                 )
             buf.clear()
 
-        for row in rows:
-            rec = row.asDict()
-            buf.append(bound_values(rec))
-            if len(buf) >= batch_size:
-                flush()
-        flush()
-        if sock is not None:
-            sock.close()
+        # close the socket even when a failed write aborts the task:
+        # Spark reuses Python worker processes, so an unclosed socket
+        # would outlive the task by the worker's lifetime
+        try:
+            for row in rows:
+                rec = row.asDict()
+                buf.append(bound_values(rec))
+                if len(buf) >= batch_size:
+                    flush()
+            flush()
+        finally:
+            if sock is not None:
+                sock.close()
 
     df.foreachPartition(send)

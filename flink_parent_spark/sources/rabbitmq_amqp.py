@@ -245,29 +245,39 @@ def rabbitmq_sink(
                 else:
                     raise RuntimeError(f"amqp: unexpected method {m}")
 
-        for row in rows:
-            ensure_conn()
-            body = json.dumps(row.asDict(recursive=True), default=str).encode()
-            # Basic.Publish: default exchange, routing key = queue name
-            args = (
-                st.pack(">H", 0)
-                + shortstr("")
-                + shortstr(queue)
-                + b"\x00"  # mandatory/immediate bits clear
-            )
-            sock.sendall(
-                encode_frame(FRAME_METHOD, 1, method_payload(*BASIC_PUBLISH, args))
-            )
-            # content header: class 60, weight 0, body size, no properties
-            hdr = st.pack(">HHQH", 60, 0, len(body), 0)
-            sock.sendall(encode_frame(FRAME_HEADER, 1, hdr))
-            sock.sendall(encode_frame(FRAME_BODY, 1, body))
-            published += 1
-            unconfirmed += 1
-            if unconfirmed >= batch_confirm:
+        # close the socket even when a nack/broker error aborts the task:
+        # Spark reuses Python worker processes, so an unclosed socket
+        # would outlive the task by the worker's lifetime
+        try:
+            for row in rows:
+                ensure_conn()
+                body = json.dumps(
+                    row.asDict(recursive=True), default=str
+                ).encode()
+                # Basic.Publish: default exchange, routing key = queue name
+                args = (
+                    st.pack(">H", 0)
+                    + shortstr("")
+                    + shortstr(queue)
+                    + b"\x00"  # mandatory/immediate bits clear
+                )
+                sock.sendall(
+                    encode_frame(
+                        FRAME_METHOD, 1, method_payload(*BASIC_PUBLISH, args)
+                    )
+                )
+                # content header: class 60, weight 0, body size, no props
+                hdr = st.pack(">HHQH", 60, 0, len(body), 0)
+                sock.sendall(encode_frame(FRAME_HEADER, 1, hdr))
+                sock.sendall(encode_frame(FRAME_BODY, 1, body))
+                published += 1
+                unconfirmed += 1
+                if unconfirmed >= batch_confirm:
+                    wait_confirms()
+            if sock is not None:
                 wait_confirms()
-        if sock is not None:
-            wait_confirms()
-            sock.close()
+        finally:
+            if sock is not None:
+                sock.close()
 
     df.foreachPartition(send)
