@@ -268,3 +268,150 @@ def cassandra_cql_sink(
                 sock.close()
 
     df.foreachPartition(send)
+
+
+# -- read side (CassandraInputFormat parity) --------------------------------
+
+_CQL_TYPE_NAMES = {
+    0x0001: "string",   # ascii
+    0x0002: "bigint",
+    0x0004: "boolean",
+    0x0006: "decimal(38,18)",  # CQL decimal is arbitrary-scale
+    0x0007: "double",
+    0x0008: "float",
+    0x0009: "int",
+    0x000B: "timestamp",
+    0x000D: "string",   # varchar
+    0x0011: "date",
+    0x0013: "smallint",
+    0x0014: "tinyint",
+}
+
+
+def decode_cql_value(b: "bytes | None", type_id: int):
+    """Inverse of encode_cql_value for the supported scalar ids."""
+    import datetime  # noqa: PLC0415
+    import decimal  # noqa: PLC0415
+
+    if b is None:
+        return None
+    if type_id in (0x0001, 0x000D):
+        return b.decode("utf-8")
+    if type_id == 0x0002:
+        return struct.unpack(">q", b)[0]
+    if type_id == 0x0004:
+        return b != b"\x00"
+    if type_id == 0x0006:
+        scale = struct.unpack(">i", b[:4])[0]
+        unscaled = int.from_bytes(b[4:], "big", signed=True)
+        return decimal.Decimal(unscaled).scaleb(-scale)
+    if type_id == 0x0007:
+        return struct.unpack(">d", b)[0]
+    if type_id == 0x0008:
+        return struct.unpack(">f", b)[0]
+    if type_id in (0x0009, 0x0013, 0x0014):
+        n = {0x0009: 4, 0x0013: 2, 0x0014: 1}[type_id]
+        return int.from_bytes(b[:n], "big", signed=True)
+    if type_id == 0x000B:
+        ms = struct.unpack(">q", b)[0]
+        return datetime.datetime.fromtimestamp(
+            ms / 1000, tz=datetime.timezone.utc
+        ).replace(tzinfo=None)
+    if type_id == 0x0011:
+        days = struct.unpack(">I", b)[0] - 2**31
+        return datetime.date(1970, 1, 1) + datetime.timedelta(days=days)
+    raise ValueError(f"unsupported CQL type id 0x{type_id:04x}")
+
+
+def _parse_rows_result(body: bytes):
+    """RESULT kind 0x0002 (Rows) -> (col_names, col_type_ids, rows)."""
+    kind = struct.unpack_from(">i", body, 0)[0]
+    if kind != 0x0002:
+        raise RuntimeError(f"cassandra read: RESULT kind {kind}, expected Rows")
+    flags, col_count = struct.unpack_from(">ii", body, 4)
+    off = 12
+    if flags & 0x0002:  # has_more_pages: paging state [bytes]
+        (n,) = struct.unpack_from(">i", body, off)
+        off += 4 + max(n, 0)
+    names: list[str] = []
+    type_ids: list[int] = []
+    global_spec = bool(flags & 0x0001)
+    if global_spec:
+        for _ in range(2):  # keyspace + table shortstr
+            (n,) = struct.unpack_from(">H", body, off)
+            off += 2 + n
+    for _ in range(col_count):
+        if not global_spec:
+            for _ in range(2):
+                (n,) = struct.unpack_from(">H", body, off)
+                off += 2 + n
+        (n,) = struct.unpack_from(">H", body, off)
+        names.append(body[off + 2 : off + 2 + n].decode())
+        off += 2 + n
+        (tid,) = struct.unpack_from(">H", body, off)
+        off += 2
+        if tid not in _CQL_TYPE_NAMES:
+            raise ValueError(f"unsupported CQL column type 0x{tid:04x}")
+        type_ids.append(tid)
+    (rows_count,) = struct.unpack_from(">i", body, off)
+    off += 4
+    rows = []
+    for _ in range(rows_count):
+        vals = []
+        for tid in type_ids:
+            (n,) = struct.unpack_from(">i", body, off)
+            off += 4
+            vals.append(
+                decode_cql_value(body[off : off + n] if n >= 0 else None, tid)
+            )
+            off += max(n, 0)
+        rows.append(tuple(vals))
+    return names, type_ids, rows
+
+
+def cassandra_cql_read(
+    spark,
+    host: str,
+    port: int,
+    query: str,
+    consistency: int = CONSISTENCY_LOCAL_QUORUM,
+) -> "DataFrame":
+    """Bounded CQL SELECT -> DataFrame (flink-connectors/
+    flink-connector-cassandra's CassandraInputFormat role: run one CQL
+    statement, emit its rows). The QUERY frame goes out with no paging
+    requested; the Rows RESULT (metadata + binary values) decodes per the
+    column specs the server returns. A SELECT is one cursor on one
+    coordinator, so the drain runs on the driver (control-plane size);
+    the result becomes a normal distributed DataFrame, and real-scale
+    extracts should go token-range-parallel (the reference splits by
+    token ranges too) — one cassandra_cql_read per range union'd."""
+    import socket  # noqa: PLC0415
+
+    sock = socket.create_connection((host, port), timeout=30)
+    try:
+        sock.sendall(
+            encode_frame(OP_STARTUP, encode_string_map({"CQL_VERSION": "3.0.0"}))
+        )
+        opcode, _ = _read_response(sock)
+        if opcode != OP_READY:
+            raise RuntimeError(
+                f"cassandra handshake: expected READY, got opcode {opcode}"
+            )
+        body = (
+            encode_long_string(query)
+            + struct.pack(">H", consistency)
+            + struct.pack(">B", 0x00)  # no values, no paging
+        )
+        sock.sendall(encode_frame(OP_QUERY, body))
+        opcode, rbody = _read_response(sock)
+        if opcode != OP_RESULT:
+            raise RuntimeError(
+                f"cassandra read: expected RESULT, got opcode {opcode}"
+            )
+        names, type_ids, rows = _parse_rows_result(rbody)
+    finally:
+        sock.close()
+    schema = ", ".join(
+        f"`{n}` {_CQL_TYPE_NAMES[t]}" for n, t in zip(names, type_ids)
+    )
+    return spark.createDataFrame(rows, schema)

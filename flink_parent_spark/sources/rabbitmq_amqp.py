@@ -110,6 +110,91 @@ def parse_method(payload: bytes) -> "tuple[tuple[int, int], bytes]":
     return (cls, mid), payload[4:]
 
 
+def _expect(method, got) -> None:
+    if got != method:
+        raise RuntimeError(
+            f"amqp: expected {method}, got {got} (broker closed the channel?)"
+        )
+
+
+def next_method(sock) -> "tuple[tuple[int, int], bytes]":
+    """Read frames until the next method frame (skipping heartbeats)."""
+    while True:
+        ftype, _ch, payload = read_frame(sock)
+        if ftype == FRAME_METHOD:
+            return parse_method(payload)
+
+
+def open_channel(host: str, port: int, queue: str, confirms: bool = False):
+    """Connect, handshake (Connection.Start/Tune/Open + Channel.Open),
+    declare `queue` durable-idempotently, optionally negotiate publisher
+    confirms; returns the connected socket with channel 1 open. Shared by
+    the sink and the bounded reader."""
+    import socket  # noqa: PLC0415
+
+    s = socket.create_connection((host, port), timeout=30)
+    s.sendall(PROTOCOL_HEADER)
+    m, _ = next_method(s)
+    _expect(CONNECTION_START, m)
+    # client-properties: empty table; PLAIN auth; en_US
+    args = (
+        struct.pack(">I", 0)
+        + shortstr("PLAIN")
+        + longstr(b"\x00guest\x00guest")
+        + shortstr("en_US")
+    )
+    s.sendall(
+        encode_frame(FRAME_METHOD, 0, method_payload(*CONNECTION_START_OK, args))
+    )
+    m, body = next_method(s)
+    _expect(CONNECTION_TUNE, m)
+    chan_max, frame_max, _heartbeat = struct.unpack_from(">HIH", body, 0)
+    s.sendall(
+        encode_frame(
+            FRAME_METHOD,
+            0,
+            method_payload(
+                *CONNECTION_TUNE_OK, struct.pack(">HIH", chan_max, frame_max, 0)
+            ),
+        )
+    )
+    s.sendall(
+        encode_frame(
+            FRAME_METHOD,
+            0,
+            method_payload(
+                *CONNECTION_OPEN, shortstr("/") + shortstr("") + b"\x00"
+            ),
+        )
+    )
+    m, _ = next_method(s)
+    _expect(CONNECTION_OPEN_OK, m)
+    s.sendall(
+        encode_frame(FRAME_METHOD, 1, method_payload(*CHANNEL_OPEN, shortstr("")))
+    )
+    m, _ = next_method(s)
+    _expect(CHANNEL_OPEN_OK, m)
+    # declare the queue (idempotent; durable) — RMQSink#setupQueue
+    args = (
+        struct.pack(">H", 0)
+        + shortstr(queue)
+        + struct.pack(">B", 0b00000010)  # durable=1
+        + struct.pack(">I", 0)  # empty arguments table
+    )
+    s.sendall(
+        encode_frame(FRAME_METHOD, 1, method_payload(*QUEUE_DECLARE, args))
+    )
+    m, _ = next_method(s)
+    _expect(QUEUE_DECLARE_OK, m)
+    if confirms:
+        s.sendall(
+            encode_frame(FRAME_METHOD, 1, method_payload(*CONFIRM_SELECT, b"\x00"))
+        )
+        m, _ = next_method(s)
+        _expect(CONFIRM_SELECT_OK, m)
+    return s
+
+
 def rabbitmq_sink(
     df: DataFrame,
     host: str,
@@ -127,99 +212,19 @@ def rabbitmq_sink(
 
     def send(rows):
         import json  # noqa: PLC0415
-        import socket  # noqa: PLC0415
         import struct as st  # noqa: PLC0415
 
         sock = None
         unconfirmed = 0
         published = 0
 
-        def expect(method, got):
-            if got != method:
-                raise RuntimeError(
-                    f"amqp: expected {method}, got {got} "
-                    "(broker closed the channel?)"
-                )
-
-        def read_method(s):
-            while True:
-                ftype, _ch, payload = read_frame(s)
-                if ftype == FRAME_METHOD:
-                    return parse_method(payload)
-                # ignore heartbeats / stray frames
+        read_method = next_method
 
         def ensure_conn():
             nonlocal sock
             if sock is not None:
                 return
-            s = socket.create_connection((host, port), timeout=30)
-            s.sendall(PROTOCOL_HEADER)
-            m, _ = read_method(s)
-            expect(CONNECTION_START, m)
-            # client-properties: empty table; PLAIN auth; en_US
-            args = (
-                st.pack(">I", 0)
-                + shortstr("PLAIN")
-                + longstr(b"\x00guest\x00guest")
-                + shortstr("en_US")
-            )
-            s.sendall(
-                encode_frame(
-                    FRAME_METHOD, 0, method_payload(*CONNECTION_START_OK, args)
-                )
-            )
-            m, body = read_method(s)
-            expect(CONNECTION_TUNE, m)
-            chan_max, frame_max, heartbeat = st.unpack_from(">HIH", body, 0)
-            s.sendall(
-                encode_frame(
-                    FRAME_METHOD,
-                    0,
-                    method_payload(
-                        *CONNECTION_TUNE_OK,
-                        st.pack(">HIH", chan_max, frame_max, 0),
-                    ),
-                )
-            )
-            s.sendall(
-                encode_frame(
-                    FRAME_METHOD,
-                    0,
-                    method_payload(
-                        *CONNECTION_OPEN, shortstr("/") + shortstr("") + b"\x00"
-                    ),
-                )
-            )
-            m, _ = read_method(s)
-            expect(CONNECTION_OPEN_OK, m)
-            s.sendall(
-                encode_frame(
-                    FRAME_METHOD, 1, method_payload(*CHANNEL_OPEN, shortstr(""))
-                )
-            )
-            m, _ = read_method(s)
-            expect(CHANNEL_OPEN_OK, m)
-            # declare the queue (idempotent; durable) — RMQSink#setupQueue
-            args = (
-                st.pack(">H", 0)
-                + shortstr(queue)
-                + st.pack(">B", 0b00000010)  # durable=1
-                + st.pack(">I", 0)  # empty arguments table
-            )
-            s.sendall(
-                encode_frame(FRAME_METHOD, 1, method_payload(*QUEUE_DECLARE, args))
-            )
-            m, _ = read_method(s)
-            expect(QUEUE_DECLARE_OK, m)
-            # publisher confirms
-            s.sendall(
-                encode_frame(
-                    FRAME_METHOD, 1, method_payload(*CONFIRM_SELECT, b"\x00")
-                )
-            )
-            m, _ = read_method(s)
-            expect(CONFIRM_SELECT_OK, m)
-            sock = s
+            sock = open_channel(host, port, queue, confirms=True)
 
         def wait_confirms():
             """Block until the broker acked every outstanding publish."""
@@ -281,3 +286,70 @@ def rabbitmq_sink(
                 sock.close()
 
     df.foreachPartition(send)
+
+
+BASIC_GET = (60, 70)
+BASIC_GET_OK = (60, 71)
+BASIC_GET_EMPTY = (60, 72)
+
+
+def rabbitmq_bounded_read(
+    spark,
+    host: str,
+    port: int,
+    queue: str,
+    schema: str,
+    max_messages: int = 10_000,
+) -> "DataFrame":
+    """Bounded drain of `queue` via Basic.Get + explicit Basic.Ack — the
+    batch-read half of flink-connector-rabbitmq's RMQSource (which
+    consumes via Basic.Consume and acks on checkpoint; Basic.Get is the
+    protocol's pull form of the same at-least-once contract: a message is
+    redelivered unless acked, and each message is acked only AFTER it is
+    locally buffered). Drains until Basic.GetEmpty or `max_messages`,
+    json-decodes bodies against `schema`.
+
+    A queue hands out messages one delivery tag at a time per consumer,
+    so the bounded drain is inherently sequential — it runs once on the
+    driver (control-plane size: bounded by `max_messages`) and the
+    result is a normal distributed DataFrame; continuous ingestion
+    should land messages into files/kafka and use the streaming scans."""
+    import json  # noqa: PLC0415
+
+    rows: list[tuple] = []
+    fields = [f.strip().split()[0] for f in schema.split(",")]
+    sock = open_channel(host, port, queue, confirms=False)
+    try:
+        while len(rows) < max_messages:
+            args = struct.pack(">H", 0) + shortstr(queue) + b"\x00"  # no-ack=0
+            sock.sendall(
+                encode_frame(FRAME_METHOD, 1, method_payload(*BASIC_GET, args))
+            )
+            m, body = next_method(sock)
+            if m == BASIC_GET_EMPTY:
+                break
+            _expect(BASIC_GET_OK, m)
+            (delivery_tag,) = struct.unpack_from(">Q", body, 0)
+            # content header carries the body size; body may span frames
+            ftype, _ch, payload = read_frame(sock)
+            while ftype != FRAME_HEADER:
+                ftype, _ch, payload = read_frame(sock)
+            (body_size,) = struct.unpack_from(">Q", payload, 4)
+            buf = b""
+            while len(buf) < body_size:
+                ftype, _ch, chunk = read_frame(sock)
+                if ftype == FRAME_BODY:
+                    buf += chunk
+            rec = json.loads(buf)
+            rows.append(tuple(rec.get(f) for f in fields))
+            # ack AFTER buffering — redelivery on crash, never loss
+            sock.sendall(
+                encode_frame(
+                    FRAME_METHOD,
+                    1,
+                    method_payload(*BASIC_ACK, struct.pack(">QB", delivery_tag, 0)),
+                )
+            )
+    finally:
+        sock.close()
+    return spark.createDataFrame(rows, schema)

@@ -1547,3 +1547,203 @@ def test_twitter_sample_read_stub(spark):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_cassandra_read_rows_result_stub(spark):
+    """Cassandra read side (CassandraInputFormat role): a CQL SELECT
+    against the TCP stub returns a Rows RESULT (global table spec,
+    column metadata, binary values) that decodes into a typed DataFrame,
+    nulls included."""
+    import datetime
+    import decimal
+    import socketserver
+    import struct
+    import threading
+
+    from flink_parent_spark.sources import cassandra_cql as cql
+
+    def shortstr(s):
+        b = s.encode()
+        return struct.pack(">H", len(b)) + b
+
+    cols = [("user_id", 0x0002), ("name", 0x000D), ("score", 0x0007),
+            ("born", 0x0011), ("bal", 0x0006)]
+    data = [
+        (struct.pack(">q", 1), b"ada", struct.pack(">d", 0.5),
+         struct.pack(">I", 2**31 + 10),
+         struct.pack(">i", 2) + (1234).to_bytes(2, "big", signed=True)),
+        (struct.pack(">q", 2), None, struct.pack(">d", 1.5),
+         struct.pack(">I", 2**31 - 3),
+         struct.pack(">i", 2) + (-50).to_bytes(1, "big", signed=True)),
+    ]
+
+    def rows_result():
+        out = [struct.pack(">iii", 0x0002, 0x0001, len(cols))]  # kind/flags/n
+        out.append(shortstr("ks") + shortstr("scores"))  # global spec
+        for n, tid in cols:
+            out.append(shortstr(n) + struct.pack(">H", tid))
+        out.append(struct.pack(">i", len(data)))
+        for row in data:
+            for v in row:
+                out.append(cql.encode_bytes(v))
+        return b"".join(out)
+
+    class Handler(socketserver.BaseRequestHandler):
+        def handle(self):
+            sock = self.request
+            try:
+                while True:
+                    hdr = cql.read_exact(sock, 9)
+                    _v, _f, stream, opcode, length = cql.decode_frame_header(hdr)
+                    if length:
+                        cql.read_exact(sock, length)
+                    if opcode == cql.OP_STARTUP:
+                        body = b""
+                        op = cql.OP_READY
+                    else:
+                        body = rows_result()
+                        op = cql.OP_RESULT
+                    sock.sendall(
+                        struct.pack(">BBhBi", 0x84, 0, stream, op, len(body))
+                        + body
+                    )
+            except (ConnectionError, OSError):
+                return
+
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+    srv.daemon_threads = True
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        df = cql.cassandra_cql_read(
+            spark, "127.0.0.1", srv.server_address[1],
+            "SELECT user_id, name, score, born, bal FROM ks.scores",
+        )
+        assert [f.dataType.simpleString() for f in df.schema.fields] == [
+            "bigint", "string", "double", "date", "decimal(38,18)",
+        ]
+        got = sorted(df.collect(), key=lambda r: r.user_id)
+        assert (got[0].user_id, got[0].name, got[0].score) == (1, "ada", 0.5)
+        assert got[0].born == datetime.date(1970, 1, 11)
+        assert got[0].bal == decimal.Decimal("12.34")
+        assert got[1].name is None
+        assert got[1].born == datetime.date(1969, 12, 29)
+        assert got[1].bal == decimal.Decimal("-0.50")
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_rabbitmq_bounded_read_stub(spark):
+    """RabbitMQ read side (RMQSource's pull form): Basic.Get drains the
+    queue message-by-message with explicit post-buffer acks — the stub
+    serves stored bodies via GetOk + header + body frames, marks them
+    acked only on Basic.Ack, and a second drain sees GetEmpty at once."""
+    import json
+    import socketserver
+    import struct
+    import threading
+
+    from flink_parent_spark.sources import rabbitmq_amqp as amqp
+
+    msgs = [json.dumps({"ev_id": i, "kind": k}).encode()
+            for i, k in [(1, "click"), (2, "view"), (3, "buy")]]
+    state = {"next": 0, "acked": set()}
+
+    class Handler(socketserver.BaseRequestHandler):
+        def handle(self):
+            sock = self.request
+
+            def send_method(channel, method, args=b""):
+                sock.sendall(
+                    amqp.encode_frame(
+                        amqp.FRAME_METHOD, channel,
+                        amqp.method_payload(*method, args),
+                    )
+                )
+
+            try:
+                assert amqp.read_exact(sock, 8) == amqp.PROTOCOL_HEADER
+                send_method(
+                    0, amqp.CONNECTION_START,
+                    struct.pack(">BB", 0, 9) + struct.pack(">I", 0)
+                    + amqp.longstr(b"PLAIN") + amqp.longstr(b"en_US"),
+                )
+                while True:
+                    ftype, channel, payload = amqp.read_frame(sock)
+                    if ftype != amqp.FRAME_METHOD:
+                        continue
+                    m, args = amqp.parse_method(payload)
+                    if m == amqp.CONNECTION_START_OK:
+                        send_method(
+                            0, amqp.CONNECTION_TUNE,
+                            struct.pack(">HIH", 2047, 131072, 60),
+                        )
+                    elif m == amqp.CONNECTION_OPEN:
+                        send_method(0, amqp.CONNECTION_OPEN_OK, b"\x00")
+                    elif m == amqp.CHANNEL_OPEN:
+                        send_method(
+                            channel, amqp.CHANNEL_OPEN_OK, struct.pack(">I", 0)
+                        )
+                    elif m == amqp.QUEUE_DECLARE:
+                        qlen = args[2]
+                        qname = args[3 : 3 + qlen].decode()
+                        send_method(
+                            channel, amqp.QUEUE_DECLARE_OK,
+                            amqp.shortstr(qname) + struct.pack(">II", 0, 0),
+                        )
+                    elif m == amqp.BASIC_GET:
+                        i = state["next"]
+                        while i < len(msgs) and i + 1 in state["acked"]:
+                            i += 1
+                        if i >= len(msgs):
+                            send_method(
+                                channel, amqp.BASIC_GET_EMPTY, amqp.shortstr("")
+                            )
+                            continue
+                        state["next"] = i + 1
+                        body = msgs[i]
+                        send_method(
+                            channel, amqp.BASIC_GET_OK,
+                            struct.pack(">QB", i + 1, 0)  # tag, redelivered
+                            + amqp.shortstr("") + amqp.shortstr("events_q")
+                            + struct.pack(">I", len(msgs) - i - 1),
+                        )
+                        sock.sendall(
+                            amqp.encode_frame(
+                                amqp.FRAME_HEADER, channel,
+                                struct.pack(">HHQH", 60, 0, len(body), 0),
+                            )
+                        )
+                        # split the body across two frames: the reader
+                        # must reassemble
+                        mid = max(1, len(body) // 2)
+                        for chunk in (body[:mid], body[mid:]):
+                            sock.sendall(
+                                amqp.encode_frame(
+                                    amqp.FRAME_BODY, channel, chunk
+                                )
+                            )
+                    elif m == amqp.BASIC_ACK:
+                        (tag,) = struct.unpack_from(">Q", args, 0)
+                        state["acked"].add(tag)
+            except (ConnectionError, AssertionError, OSError):
+                return
+
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+    srv.daemon_threads = True
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        df = amqp.rabbitmq_bounded_read(
+            spark, "127.0.0.1", port, "events_q", "ev_id long, kind string"
+        )
+        got = sorted((r.ev_id, r.kind) for r in df.collect())
+        assert got == [(1, "click"), (2, "view"), (3, "buy")]
+        assert state["acked"] == {1, 2, 3}  # acked after buffering
+        again = amqp.rabbitmq_bounded_read(
+            spark, "127.0.0.1", port, "events_q", "ev_id long, kind string"
+        )
+        assert again.count() == 0
+    finally:
+        srv.shutdown()
+        srv.server_close()
