@@ -1366,6 +1366,32 @@ class TableEnvironment:
                 batch_size=int(target.props.get("sink.batch.max-size", "50")),
             )
             return None
+        if target.props.get("connector") == "nifi":
+            # nifi table sink: HTTP site-to-site transactions per
+            # partition (flink-connector-nifi's NiFiSink role; the
+            # content column + attribute columns are the DDL-level
+            # NiFiDataPacketBuilder)
+            from flink_parent_spark.sources.nifi_s2s import (  # noqa: PLC0415
+                nifi_s2s_sink,
+            )
+
+            if "url" not in target.props or "port-id" not in target.props:
+                raise ValueError(
+                    "nifi sink needs 'url' and 'port-id' (a localhost "
+                    "stub or live NiFi; no client library in this engine)"
+                )
+            content_col = target.props.get("content.column", df.columns[-1])
+            nifi_s2s_sink(
+                df,
+                target.props["url"],
+                target.props["port-id"],
+                content_col,
+                attr_cols=[c for c in df.columns if c != content_col],
+                batch_flowfiles=int(
+                    target.props.get("sink.batch.max-flowfiles", "500")
+                ),
+            )
+            return None
         if target.props.get("connector", "").startswith("elasticsearch"):
             # elasticsearch-7 table sink: bulk-API POSTs per partition,
             # PRIMARY KEY -> document _id (idempotent upserts)

@@ -1747,3 +1747,170 @@ def test_rabbitmq_bounded_read_stub(spark):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_nifi_site_to_site_roundtrip_stub(spark):
+    """NiFi site-to-site connector end-to-end against an in-container HTTP
+    stub implementing the documented data-transfer surface
+    (flink-connector-nifi: NiFiSink.java createTransaction/send/confirm/
+    complete; NiFiSource.java transaction receive loop). Checks the full
+    two-phase discipline: packets become visible only after
+    CONFIRM_TRANSACTION; a corrupted checksum echo aborts with
+    BAD_CHECKSUM and fails the job; the receive side drains the port with
+    checksum-confirmed transactions and yields the NiFiDataPacket shape."""
+    import json
+    import re
+    import threading
+    import zlib
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from flink_parent_spark.api.table_env import TableEnvironment
+    from flink_parent_spark.sources import nifi_s2s
+
+    state = {
+        "next_tx": 0,
+        "pending": {},      # tx id -> raw body bytes (sent, not committed)
+        "committed": [],    # packet stream bodies, in commit order
+        "deletes": [],      # (tx, responseCode, checksum)
+        "corrupt_crc": False,
+        "lock": threading.Lock(),
+    }
+    TX_RE = re.compile(
+        r"^/nifi-api/data-transfer/(input|output)-ports/([\w-]+)/transactions"
+        r"(?:/(\d+)(/flow-files)?)?(?:\?(.*))?$"
+    )
+
+    class Stub(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def _respond(self, status, body=b"", headers=()):
+            self.send_response(status)
+            for k, v in headers:
+                self.send_header(k, v)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            m = TX_RE.match(self.path)
+            assert m, self.path
+            kind, _port, tx, ff = m.group(1), m.group(2), m.group(3), m.group(4)
+            if tx is None:  # create transaction
+                with state["lock"]:
+                    txid = state["next_tx"]
+                    state["next_tx"] += 1
+                loc = (
+                    f"/nifi-api/data-transfer/{kind}-ports/{_port}"
+                    f"/transactions/{txid}"
+                )
+                self._respond(
+                    201,
+                    json.dumps({"transaction": {"id": txid}}).encode(),
+                    [("Location", loc)],
+                )
+                return
+            assert ff and kind == "input"  # send data
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            with state["lock"]:
+                state["pending"][int(tx)] = body
+            crc = zlib.crc32(body) & 0xFFFFFFFF
+            if state["corrupt_crc"]:
+                crc = (crc + 1) & 0xFFFFFFFF
+            self._respond(202, str(crc).encode())
+
+        def do_GET(self):
+            m = TX_RE.match(self.path)
+            assert m and m.group(1) == "output" and m.group(4), self.path
+            with state["lock"]:
+                if not state["committed"]:
+                    self._respond(204)
+                    return
+                body = state["committed"].pop(0)
+                state["pending"][int(m.group(3))] = body
+            self._respond(200, body)
+
+        def do_DELETE(self):
+            m = TX_RE.match(self.path)
+            assert m, self.path
+            kind, tx, q = m.group(1), int(m.group(3)), m.group(5) or ""
+            params = dict(p.split("=", 1) for p in q.split("&") if "=" in p)
+            code = params.get("responseCode", "")
+            with state["lock"]:
+                body = state["pending"].pop(tx, None)
+                state["deletes"].append((tx, code, params.get("checksum")))
+                if code == "CONFIRM_TRANSACTION" and kind == "input":
+                    assert body is not None
+                    state["committed"].append(body)
+                if code == "CONFIRM_TRANSACTION" and kind == "output":
+                    expect = zlib.crc32(body) & 0xFFFFFFFF
+                    assert int(params["checksum"]) == expect
+            self._respond(200, json.dumps({"flowFileSent": 0}).encode())
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Stub)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        env = TableEnvironment.create(spark=spark)
+        env.execute_sql(f"""
+            CREATE TABLE nifi_out (
+                doc_id BIGINT, lang STRING, body STRING
+            ) WITH ('connector' = 'nifi',
+                    'url' = 'http://127.0.0.1:{port}',
+                    'port-id' = 'in-port-1',
+                    'content.column' = 'body',
+                    'sink.batch.max-flowfiles' = '2')
+        """)
+        spark.createDataFrame(
+            [(1, "en", "hello"), (2, "de", "hallo"), (3, "fr", "salut")],
+            "doc_id long, lang string, body string",
+        ).coalesce(1).createOrReplaceTempView("nifi_src")
+        env.execute_sql("INSERT INTO nifi_out SELECT * FROM nifi_src")
+
+        # batch.max-flowfiles=2 -> 3 rows on one partition = 2 transactions,
+        # each committed via CONFIRM_TRANSACTION after the checksum echo
+        confirms = [d for d in state["deletes"] if d[1] == "CONFIRM_TRANSACTION"]
+        assert len(confirms) == 2 and len(state["committed"]) == 2
+
+        # receive side: drain the output port; NiFiDataPacket shape back
+        df = nifi_s2s.nifi_s2s_read(
+            spark, f"http://127.0.0.1:{port}", "out-port-1"
+        )
+        got = sorted(
+            (r.attributes["doc_id"], r.attributes["lang"], bytes(r.content))
+            for r in df.collect()
+        )
+        assert got == [
+            ("1", "en", b"hello"),
+            ("2", "de", b"hallo"),
+            ("3", "fr", b"salut"),
+        ]
+        # receive transactions confirmed WITH a checksum param
+        out_confirms = [
+            d for d in state["deletes"][len(confirms) + 1 :]
+            if d[1] == "CONFIRM_TRANSACTION"
+        ]
+        assert out_confirms and all(c[2] is not None for c in out_confirms)
+        # port now empty: next read returns no rows
+        assert (
+            nifi_s2s.nifi_s2s_read(
+                spark, f"http://127.0.0.1:{port}", "out-port-1"
+            ).count()
+            == 0
+        )
+
+        # a corrupted checksum echo aborts with BAD_CHECKSUM, commits
+        # nothing, and fails the job (Transaction.confirm() contract)
+        import pytest
+
+        state["corrupt_crc"] = True
+        n_committed = len(state["committed"])
+        with pytest.raises(Exception, match="checksum|BAD"):
+            env.execute_sql("INSERT INTO nifi_out SELECT * FROM nifi_src")
+        assert len(state["committed"]) == n_committed
+        assert any(d[1] == "BAD_CHECKSUM" for d in state["deletes"])
+    finally:
+        srv.shutdown()
+        srv.server_close()
