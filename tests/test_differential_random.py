@@ -123,3 +123,147 @@ def test_random_query_matches_duckdb(spark, duck, sql_tables, i):
     sql = _queries()[i]
     issues = compare(f"rand_{i}", spark.sql(sql), duck.sql(sql))
     assert not issues, f"{sql}\n" + "\n".join(issues)
+
+
+# --- round-7 extension: three more shape families ------------------------
+#
+# Same discipline as the base battery (fixed seed, exact fragment, texts
+# run verbatim on both engines) over three families the base grammar never
+# composes: OVER-window functions, correlated subqueries (EXISTS / IN /
+# scalar-agg comparison), and set operations. Separate seeds so the base
+# 40 texts stay byte-stable across rounds.
+
+N_WINDOW = 15
+N_SUBQ = 15
+N_SETOP = 10
+
+# The synthetic lineitem does NOT enforce the TPC-H (l_orderkey,
+# l_linenumber) primary key, so no short column list is a total order.
+# Instead the ORDER BY covers every column any generated window function
+# reads — rows that still tie are identical in all read columns, so
+# LAG/ROWS-frame outputs are deterministic as a multiset (compare() is
+# order-free) even though the tie order itself is arbitrary.
+TOTAL_ORDER = (
+    "l_orderkey, l_linenumber, l_quantity, l_extendedprice, "
+    "l_discount, l_tax, l_shipdate"
+)
+
+
+def gen_window_query(rng: random.Random) -> str:
+    part = rng.choice(["l_returnflag", "l_linestatus", "l_returnflag, l_linestatus"])
+    fns: list[str] = []
+    for i in range(rng.randint(1, 3)):
+        kind = rng.choice(["rownum", "rank", "drank", "lag", "lead", "rsum"])
+        if kind == "rownum":
+            fns.append(
+                f"ROW_NUMBER() OVER (PARTITION BY {part} "
+                f"ORDER BY {TOTAL_ORDER}) AS w{i}"
+            )
+        elif kind in ("rank", "drank"):
+            fn = "RANK" if kind == "rank" else "DENSE_RANK"
+            key = rng.choice(["l_quantity", "l_extendedprice", "l_shipdate"])
+            fns.append(
+                f"{fn}() OVER (PARTITION BY {part} ORDER BY {key}) AS w{i}"
+            )
+        elif kind in ("lag", "lead"):
+            col = rng.choice(NUM_COLS)
+            off = rng.randint(1, 3)
+            fns.append(
+                f"CAST({kind.upper()}({col}, {off}) OVER (PARTITION BY {part} "
+                f"ORDER BY {TOTAL_ORDER}) AS DOUBLE) AS w{i}"
+            )
+        else:
+            e = rng.choice(SUM_EXPRS)
+            fns.append(
+                f"CAST(SUM(CAST(({e}) AS DECIMAL(30,6))) OVER ("
+                f"PARTITION BY {part} ORDER BY {TOTAL_ORDER} "
+                f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+                f"AS DOUBLE) AS w{i}"
+            )
+    pred = _pred(rng, joined=False)
+    return (
+        f"SELECT l_orderkey, l_linenumber, {', '.join(fns)} "
+        f"FROM lineitem WHERE {pred}"
+    )
+
+
+def gen_subquery_query(rng: random.Random) -> str:
+    kind = rng.choice(["exists", "not_exists", "in", "not_in", "scalar"])
+    opred = f"o_totalprice {rng.choice(OPS)} {rng.randint(50000, 300000)}"
+    lpred = _pred(rng, joined=False)
+    if kind in ("exists", "not_exists"):
+        neg = "NOT " if kind == "not_exists" else ""
+        return (
+            f"SELECT o_orderstatus, COUNT(*) AS cnt, "
+            f"CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS s0 "
+            f"FROM orders WHERE {opred} AND {neg}EXISTS ("
+            f"SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+            f"AND {lpred}) GROUP BY o_orderstatus"
+        )
+    if kind in ("in", "not_in"):
+        neg = "NOT " if kind == "not_in" else ""
+        # l_orderkey is non-null, so NOT IN has no three-valued surprise
+        return (
+            f"SELECT o_orderpriority, COUNT(*) AS cnt "
+            f"FROM orders WHERE {opred} AND o_orderkey {neg}IN ("
+            f"SELECT l_orderkey FROM lineitem WHERE {lpred}) "
+            f"GROUP BY o_orderpriority"
+        )
+    # scalar: compare each row against a deterministic global aggregate
+    agg = rng.choice(
+        [
+            "SELECT CAST(MAX(l_extendedprice) AS DOUBLE) FROM lineitem",
+            "SELECT CAST(MIN(l_extendedprice) AS DOUBLE) * 20 FROM lineitem",
+            "SELECT COUNT(*) / 100 FROM lineitem",
+        ]
+    )
+    return (
+        f"SELECT o_orderstatus, COUNT(*) AS cnt, MAX(o_totalprice) AS m0 "
+        f"FROM orders WHERE o_totalprice > ({agg}) "
+        f"GROUP BY o_orderstatus"
+    )
+
+
+def gen_setop_query(rng: random.Random) -> str:
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    proj = rng.choice(
+        [
+            "l_returnflag AS a, l_linestatus AS b",
+            "l_returnflag AS a, CAST(l_linenumber AS STRING) AS b",
+            "l_orderkey % 97 AS a, l_linenumber AS b",
+        ]
+    )
+    p1, p2 = _pred(rng, False), _pred(rng, False)
+    inner = (
+        f"SELECT {proj} FROM lineitem WHERE {p1} "
+        f"{op} SELECT {proj} FROM lineitem WHERE {p2}"
+    )
+    # aggregate on top so UNION ALL (a bag) still compares order-free with
+    # exact values
+    return f"SELECT a, b, COUNT(*) AS cnt FROM ({inner}) t GROUP BY a, b"
+
+
+def _family(seed: int, n: int, gen) -> list[str]:
+    rng = random.Random(seed)
+    return [gen(rng) for _ in range(n)]
+
+
+@pytest.mark.parametrize("i", range(N_WINDOW))
+def test_random_window_query_matches_duckdb(spark, duck, sql_tables, i):
+    sql = _family(0xB0BA, N_WINDOW, gen_window_query)[i]
+    issues = compare(f"rwin_{i}", spark.sql(sql), duck.sql(sql))
+    assert not issues, f"{sql}\n" + "\n".join(issues)
+
+
+@pytest.mark.parametrize("i", range(N_SUBQ))
+def test_random_subquery_matches_duckdb(spark, duck, sql_tables, i):
+    sql = _family(0x5EED, N_SUBQ, gen_subquery_query)[i]
+    issues = compare(f"rsub_{i}", spark.sql(sql), duck.sql(sql))
+    assert not issues, f"{sql}\n" + "\n".join(issues)
+
+
+@pytest.mark.parametrize("i", range(N_SETOP))
+def test_random_setop_matches_duckdb(spark, duck, sql_tables, i):
+    sql = _family(0xCAFE, N_SETOP, gen_setop_query)[i]
+    issues = compare(f"rset_{i}", spark.sql(sql), duck.sql(sql))
+    assert not issues, f"{sql}\n" + "\n".join(issues)
