@@ -333,3 +333,114 @@ def pii_counts(text: Column | str) -> "dict[str, Column]":
     return {
         name: F.regexp_count(c, F.lit(pat)) for name, pat, _ in PII_PATTERNS
     }
+
+
+# --- DSIR importance resampling ----------------------------------------------
+
+
+def dsir_features(text: Column | str, n_buckets: int = 10_000) -> Column:
+    """Hashed n-gram bag features per DSIR (Xie et al., Data Selection for
+    Language Models via Importance Resampling, arXiv:2302.03169 §3.1):
+    word unigrams + bigrams hashed into `n_buckets` buckets. Returns the
+    array of bucket ids (with multiplicity — the bag, not the set)."""
+    toks = tokens(text)
+    grams = F.concat(toks, token_ngrams(text, 2))
+    return F.transform(grams, lambda g: F.pmod(token_hash64(g), F.lit(n_buckets)))
+
+
+def dsir_importance(
+    df,
+    is_target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+    alpha: float = 1.0,
+):
+    """DSIR importance weights (arXiv:2302.03169 §3.1): fit two hashed
+    n-gram bag-of-words models — p_target over the rows where `is_target`
+    holds, p_source over the whole pool — and score every document by
+
+        log w(x) = sum_f c_f(x) * [ log p_tgt(f) - log p_src(f) ]
+
+    with Laplace smoothing `alpha` over `n_buckets` buckets.
+
+    Plan shape (the 100 TB story): one explode + two per-bucket aggregates
+    (map-side combined, bounded by `n_buckets` — broadcastable by
+    construction), the log-ratio table broadcast back onto the per-doc
+    bucket counts, one per-doc aggregate. No shuffle wider than the
+    corpus's (doc, bucket) pairs; the model itself never exceeds
+    `n_buckets` rows. Log-ratio sums are decimal-accumulated so the score
+    is order-independent and bit-exact cross-engine.
+
+    Returns (doc_id, logw, n_feats)."""
+    feats = df.select(
+        F.col(id_col),
+        is_target.alias("__tgt"),
+        F.explode(dsir_features(text_col, n_buckets)).alias("bucket"),
+    )
+    per_doc = feats.groupBy(id_col, "__tgt", "bucket").agg(
+        F.count("*").alias("c_doc")
+    )
+    per_bucket = per_doc.groupBy("bucket").agg(
+        F.sum("c_doc").alias("c_src"),
+        F.sum(F.when(F.col("__tgt"), F.col("c_doc")).otherwise(0)).alias("c_tgt"),
+    )
+    totals = per_bucket.agg(
+        F.sum("c_src").alias("t_src"), F.sum("c_tgt").alias("t_tgt")
+    )
+    b = float(n_buckets)
+    ratio = per_bucket.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log(
+                (F.col("c_tgt") + alpha).cast("double")
+                / (F.col("t_tgt") + alpha * b).cast("double")
+            )
+            - F.log(
+                (F.col("c_src") + alpha).cast("double")
+                / (F.col("t_src") + alpha * b).cast("double")
+            )
+        ).alias("log_ratio"),
+    )
+    return (
+        per_doc.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                (F.col("c_doc").cast("double") * F.col("log_ratio")).cast(
+                    "decimal(30,12)"
+                )
+            )
+            .cast("double")
+            .alias("logw"),
+            F.sum("c_doc").alias("n_feats"),
+        )
+    )
+
+
+def dsir_resample(
+    scored,
+    k: int,
+    id_col: str = "doc_id",
+    weight_col: str = "logw",
+):
+    """Gumbel top-k resampling (arXiv:2302.03169 §3.2: sample without
+    replacement proportional to the importance weights). The Gumbel noise
+    is derived from the md5 hash of the document id instead of an RNG —
+    `u = (h mod 2^30 + 0.5) / 2^30`, `g = -ln(-ln(u))` — so selection is
+    deterministic, restart-stable, and oracle-reproducible while keeping
+    the Gumbel-max property over the hash's uniformity. Ties under the
+    total order (key, id) are impossible since ids are distinct.
+
+    Returns the k selected rows with their selection key."""
+    h = token_hash64(F.col(id_col).cast("string"))
+    u = ((F.pmod(h, F.lit(1 << 30))).cast("double") + 0.5) / float(1 << 30)
+    # quantize the noise through DECIMAL(30,12): engines' ln() differ in
+    # the last ulp, and the selection key must be bit-identical
+    g = (-F.log(-F.log(u))).cast("decimal(30,12)").cast("double")
+    key = (F.col(weight_col) + g).alias("gumbel_key")
+    return (
+        scored.select("*", key)
+        .orderBy(F.col("gumbel_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -1741,3 +1741,93 @@ def datapipe_end_to_end(spark, sf_dir):
             F.min("doc_id").alias("min_doc"),
         )
     )
+
+
+# --- DSIR importance resampling ----------------------------------------------
+
+# Shared oracle prelude: hashed unigram+bigram bag features and the two
+# smoothed bucket models (target = lang-'en' docs, source = the full pool),
+# mirroring datapipe.text.dsir_importance exactly (alpha=1, B=10000).
+_DSIR_PRELUDE = rf"""
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS tgt,
+             unnest(string_split_regex(trim(text), '\s+')) AS tok,
+             generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS i
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, tgt, tok AS g FROM toks
+      UNION ALL
+      SELECT doc_id, tgt, tok || ' ' || t1 AS g
+      FROM (SELECT doc_id, tgt, tok,
+                   LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY i) AS t1
+            FROM toks) x
+      WHERE t1 IS NOT NULL
+    ), feats AS (
+      SELECT doc_id, tgt, {_duck_h64('g')} % 10000 AS bucket FROM grams
+    ), per_doc AS (
+      SELECT doc_id, tgt, bucket, COUNT(*) AS c_doc
+      FROM feats GROUP BY 1, 2, 3
+    ), per_bucket AS (
+      SELECT bucket, SUM(c_doc) AS c_src,
+             SUM(CASE WHEN tgt THEN c_doc ELSE 0 END) AS c_tgt
+      FROM per_doc GROUP BY bucket
+    ), totals AS (
+      SELECT SUM(c_src) AS t_src, SUM(c_tgt) AS t_tgt FROM per_bucket
+    ), ratio AS (
+      SELECT bucket,
+             ln((c_tgt + 1.0) / (t_tgt + 10000.0))
+               - ln((c_src + 1.0) / (t_src + 10000.0)) AS log_ratio
+      FROM per_bucket, totals
+    ), scored AS (
+      SELECT p.doc_id,
+             CAST(SUM(CAST(CAST(p.c_doc AS DOUBLE) * r.log_ratio
+                           AS DECIMAL(30,12))) AS DOUBLE) AS logw,
+             SUM(p.c_doc) AS n_feats
+      FROM per_doc p JOIN ratio r USING (bucket)
+      GROUP BY p.doc_id
+    )
+"""
+
+
+@df_query(
+    "text_dsir_scores",
+    oracle=_DSIR_PRELUDE + "SELECT doc_id, logw, n_feats FROM scored",
+)
+def text_dsir_scores(spark, sf_dir):
+    """DSIR importance weights (Xie et al., arXiv:2302.03169 §3.1): hashed
+    unigram+bigram bag models for the target distribution (here: the
+    corpus's English documents) and the raw pool; every document scored by
+    sum_f c_f(x) (log p_tgt(f) - log p_src(f)), Laplace alpha=1 over
+    10000 buckets. The oracle refits both models from first principles."""
+    from flink_parent_spark.datapipe.text import dsir_importance
+
+    t = load_tables(spark, sf_dir)
+    return dsir_importance(t["documents"], F.col("lang") == "en")
+
+
+@df_query(
+    "text_dsir_resample",
+    oracle=_DSIR_PRELUDE
+    + """
+    , keyed AS (
+      SELECT doc_id, logw, n_feats,
+             logw + CAST(CAST(-ln(-ln((("""
+    + _duck_h64("CAST(doc_id AS VARCHAR)")
+    + """ % 1073741824) + 0.5) / 1073741824.0))
+               AS DECIMAL(30,12)) AS DOUBLE) AS gumbel_key
+      FROM scored
+    )
+    SELECT * FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 100
+    """,
+)
+def text_dsir_resample(spark, sf_dir):
+    """DSIR Gumbel top-k resampling (arXiv:2302.03169 §3.2) with
+    hash-derived Gumbel noise: deterministic, restart-stable selection of
+    the 100 documents with the highest perturbed importance weight —
+    sampling-without-replacement proportional to w(x) in expectation over
+    the hash's uniformity, yet bit-reproducible for the oracle."""
+    from flink_parent_spark.datapipe.text import dsir_importance, dsir_resample
+
+    t = load_tables(spark, sf_dir)
+    scored = dsir_importance(t["documents"], F.col("lang") == "en")
+    return dsir_resample(scored, k=100)
