@@ -47,8 +47,12 @@ SNAPSHOT_QUERIES = [
     "tpch_q20", "tpch_q21", "tpch_q22",
     # tpch_q16 excluded: count(DISTINCT) -> RewriteDistinctAggregates,
     # same session-dependent Expand column order as agg_distinct_mixed
-    "tpcds_q3", "tpcds_q14", "tpcds_q23", "tpcds_q36", "tpcds_q51",
-    "tpcds_q64", "tpcds_q67", "tpcds_q72", "tpcds_q95",
+    # ALL 103 real TPC-DS texts: a round-7 stability probe built every
+    # plan twice (fresh expression ids) and found each normalized plan
+    # byte-identical — the whole battery is snapshot-safe, so the full
+    # reference validation set is pinned (vs the 163 reference XMLs)
+    *[f"tpcds_q{i}" for i in range(1, 100)],
+    "tpcds_q14b", "tpcds_q23b", "tpcds_q24b", "tpcds_q39b",
     "tpcds_channel_union_rollup",
     "tpcds_returns_anti_join",
     "topn_orders_per_customer", "over_rank_functions", "over_running_agg",
