@@ -68,7 +68,8 @@ SNAPSHOT_QUERIES = [
     "dedup_exact_digest", "dedup_minhash_lsh_pairs", "dedup_simhash",
     "ann_cosine_topk_ivf_kmeans", "ann_ivf_pq_topk",
     "embedding_neardup_pairs", "text_repetition_stats",
-    "text_quality_scores", "text_pii_redaction", "multimodal_frame_sample",
+    "text_quality_scores", "text_pii_redaction", "text_dsir_scores",
+    "text_dsir_resample", "multimodal_frame_sample",
     "udf_scalar_pandas",
     # graph queries excluded: their result is a checkpointed RDD scan
     # (the supersteps already ran), so the "plan" carries no shape
