@@ -146,7 +146,14 @@ def streaming_dedup(
                     emitted = [rec]
         state.update((tuple(cur[c] for c in out_cols), written_ms))
         if ttl_ms is not None:
-            state.setTimeoutTimestamp(written_ms + ttl_ms)
+            # clamp to just past the watermark: an entry whose event-time +
+            # ttl is already behind an advanced watermark is expired-on-
+            # write — Spark rejects a past timeout timestamp, while the
+            # reference's TTL cleanup simply collects it at the next
+            # opportunity, so schedule the physical removal one tick ahead
+            state.setTimeoutTimestamp(
+                max(written_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)
+            )
         yield pd.DataFrame(emitted, columns=out_cols)
 
     timeout = (

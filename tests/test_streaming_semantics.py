@@ -1115,3 +1115,48 @@ def test_restart_group_agg_changelog_exactly_once(spark, rocksdb):
         assert len(p1) == 2 and len(p2) == len(ref) - 2
     finally:
         use_rocksdb_state_backend(spark, enabled=False)
+
+
+def test_dedup_ttl_expired_on_write_does_not_crash(spark):
+    """Regression (caught by the at-volume streaming sweep): a state entry
+    whose event-time + TTL is ALREADY behind the advanced watermark must
+    not crash the dedup operator. Spark rejects a timeout timestamp in the
+    past; the reference's TTL cleanup (StateTtlConfig) just collects the
+    expired entry at the next opportunity — so the timeout clamps to one
+    tick past the watermark. Scenario: a fast key advances the watermark
+    far ahead, then a slow key's first-and-only row arrives with an event
+    time so old that ts + ttl < watermark."""
+    import datetime as dtm
+
+    from flink_parent_spark.streaming.stateful import streaming_dedup
+
+    t0 = dtm.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dtm.timedelta(minutes=m)
+
+    schema = "uid long, ts timestamp, value double"
+    batches = [
+        [(9, ts(50_000), 1.0)],        # watermark races ahead (~day 34)
+        # uid 1's first row has an event time BELOW the watermark (unsorted
+        # replay: the file source hands batches in file order, not time
+        # order) — its ts + ttl (5 min) is a month behind the watermark,
+        # so the state write is expired-on-arrival
+        [(1, ts(0), 10.0)],
+        [(1, ts(50_001), 20.0)],       # uid 1 re-arrives after expiry
+    ]
+    d = _write_batches(spark, batches, schema)
+    sdf = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(d)
+        .withWatermark("ts", "1 minute")
+    )
+    out = streaming_dedup(sdf, ["uid"], "ts", ["value"], keep="first",
+                          ttl_seconds=300)
+    rows = _collect_stream(spark, out)
+    u1 = rows[rows["uid"] == 1].sort_values("value")
+    # first arrival emits; the expired-on-write entry is invisible at the
+    # next batch, so the re-arrival emits as new — and nothing crashed
+    assert list(u1["value"]) == [10.0, 20.0]
