@@ -62,6 +62,10 @@ HEADLINE += [f"{n}_sf1" for n in TPCDS_SCALED]
 # and the PII scrub (pure codegen regexp chain).
 HEADLINE += ["dedup_duplicated_spans", "text_pii_redaction"]
 
+# Round-7 additions (third batch, appended): DSIR importance scoring
+# (hashed n-gram target/source models, arXiv:2302.03169).
+HEADLINE += ["text_dsir_scores"]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

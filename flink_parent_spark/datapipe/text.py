@@ -369,8 +369,9 @@ def dsir_importance(
     construction), the log-ratio table broadcast back onto the per-doc
     bucket counts, one per-doc aggregate. No shuffle wider than the
     corpus's (doc, bucket) pairs; the model itself never exceeds
-    `n_buckets` rows. Log-ratio sums are decimal-accumulated so the score
-    is order-independent and bit-exact cross-engine.
+    `n_buckets` rows. Log ratios are quantized through DECIMAL(30,12) and
+    their per-doc sums decimal-accumulated, so the score is
+    order-independent and engine-stable up to the quantization grain.
 
     Returns (doc_id, logw, n_feats)."""
     feats = df.select(
@@ -389,6 +390,10 @@ def dsir_importance(
         F.sum("c_src").alias("t_src"), F.sum("c_tgt").alias("t_tgt")
     )
     b = float(n_buckets)
+    # the ratio is quantized through DECIMAL(30,12) at the bucket level:
+    # engines' ln() can differ in the last ulp, and quantizing BEFORE the
+    # c_doc multiplication confines that exposure to the n_buckets ratio
+    # values instead of every (doc, bucket) product
     ratio = per_bucket.crossJoin(F.broadcast(totals)).select(
         "bucket",
         (
@@ -400,7 +405,10 @@ def dsir_importance(
                 (F.col("c_src") + alpha).cast("double")
                 / (F.col("t_src") + alpha * b).cast("double")
             )
-        ).alias("log_ratio"),
+        )
+        .cast("decimal(30,12)")
+        .cast("double")
+        .alias("log_ratio"),
     )
     return (
         per_doc.join(F.broadcast(ratio), "bucket")

@@ -1775,8 +1775,9 @@ _DSIR_PRELUDE = rf"""
       SELECT SUM(c_src) AS t_src, SUM(c_tgt) AS t_tgt FROM per_bucket
     ), ratio AS (
       SELECT bucket,
-             ln((c_tgt + 1.0) / (t_tgt + 10000.0))
-               - ln((c_src + 1.0) / (t_src + 10000.0)) AS log_ratio
+             CAST(CAST(ln((c_tgt + 1.0) / (t_tgt + 10000.0))
+                 - ln((c_src + 1.0) / (t_src + 10000.0))
+               AS DECIMAL(30,12)) AS DOUBLE) AS log_ratio
       FROM per_bucket, totals
     ), scored AS (
       SELECT p.doc_id,

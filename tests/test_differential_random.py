@@ -209,17 +209,21 @@ def gen_subquery_query(rng: random.Random) -> str:
             f"SELECT l_orderkey FROM lineitem WHERE {lpred}) "
             f"GROUP BY o_orderpriority"
         )
-    # scalar: compare each row against a deterministic global aggregate
-    agg = rng.choice(
+    # scalar: a CORRELATED scalar-aggregate subquery per row (exact
+    # fragment: MAX/MIN/COUNT over decimals, no float association), with
+    # the generated outer and inner predicates both live
+    inner = rng.choice(
         [
-            "SELECT CAST(MAX(l_extendedprice) AS DOUBLE) FROM lineitem",
-            "SELECT CAST(MIN(l_extendedprice) AS DOUBLE) * 20 FROM lineitem",
-            "SELECT COUNT(*) / 100 FROM lineitem",
+            "COALESCE(MAX(l_extendedprice), 0)",
+            "COALESCE(MIN(l_extendedprice), 0) * 20",
+            "COUNT(*) * 10000",
         ]
     )
     return (
         f"SELECT o_orderstatus, COUNT(*) AS cnt, MAX(o_totalprice) AS m0 "
-        f"FROM orders WHERE o_totalprice > ({agg}) "
+        f"FROM orders WHERE {opred} AND o_totalprice > ("
+        f"SELECT {inner} FROM lineitem "
+        f"WHERE l_orderkey = o_orderkey AND {lpred}) "
         f"GROUP BY o_orderstatus"
     )
 

@@ -5,8 +5,9 @@ the snapshot battery; this tool demonstrates them at real volume — the
 datapipe analog of tools/tpcds_sf1_full.py. It builds a deterministic
 scaled corpus from the sf0.1 tables (default 200 replicas: 1,000,000
 documents ≈ 300 MB of text, 400,000 64-d embeddings) with planted
-structure — per (doc, replica): 1/10 exact duplicates, 1/10 near-dups
-(last token dropped), 8/10 unique (replica-salted) — and times each
+structure — per (doc, replica): 1/50 exact duplicates, 1/50 near-dups
+(trailing tokens dropped), the rest genuinely unique (md5-derived token
+streams) — and times each
 operator family end-to-end on local[$SPARK_GRAFT_CPUS].
 
     python tools/datapipe_scale.py              # full sweep, one JSON line
@@ -36,35 +37,60 @@ BASE = "/tmp/fps_datapipe_scale"
 def build_corpus(spark):
     """Deterministic scaled corpus, written once and cached. Replica 0 is
     the original corpus; for replica r > 0 a doc keeps its exact text when
-    (doc_id + r) % 10 == 0 (planted exact dups), loses its last token when
-    == 1 (planted near-dups), and is salted unique otherwise."""
+    (doc_id + r) % 50 == 0 (planted exact dups, expected cluster ~REP/50),
+    loses its last tokens when == 1 (planted near-dups), and otherwise
+    becomes a synthetic md5-derived token stream — genuinely UNIQUE under
+    shingle similarity,
+    not a salted copy, so dup cliques stay at realistic sizes instead of
+    every replica of a base doc being a near-dup of every other."""
     docs_path = f"{BASE}/docs_rep{REP}"
     emb_path = f"{BASE}/emb_rep{EREP}"
-    if not os.path.exists(docs_path):
+
+    def complete(p):
+        # bare exists() would accept a run killed mid-write; the _SUCCESS
+        # marker is Spark's commit record
+        return os.path.exists(os.path.join(p, "_SUCCESS"))
+
+    if not complete(docs_path):
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         r = spark.range(REP).withColumnRenamed("id", "__r")
+        # synthetic token stream: md5-derived 6-hex "words" keyed by the
+        # NEW (globally unique) doc id and the position — no two synth
+        # docs share a token stream, and cross-doc gram collisions are
+        # negligible (16^6 vocabulary), so these docs are genuinely unique
+        # under both exact and shingle similarity
+        new_id = F.col("__r") * 10_000_000 + F.col("doc_id")
+        synth = F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(40)),
+                lambda i: F.substring(
+                    F.md5(
+                        F.concat(
+                            new_id.cast("string"), F.lit("_"), i.cast("string")
+                        )
+                    ),
+                    1,
+                    6,
+                ),
+            ),
+            " ",
+        )
         scaled = (
             docs.crossJoin(r)
             .select(
                 (F.col("__r") * 10_000_000 + F.col("doc_id")).alias("doc_id"),
                 F.when(F.col("__r") == 0, F.col("text"))
                 .when(
-                    F.pmod(F.col("doc_id") + F.col("__r"), F.lit(10)) == 0,
+                    F.pmod(F.col("doc_id") + F.col("__r"), F.lit(50)) == 0,
                     F.col("text"),
                 )
                 .when(
-                    F.pmod(F.col("doc_id") + F.col("__r"), F.lit(10)) == 1,
-                    F.regexp_replace("text", r"\s+\S+$", ""),
+                    F.pmod(F.col("doc_id") + F.col("__r"), F.lit(50)) == 1,
+                    F.regexp_replace(
+                        "text", r"(\s+\S+){1,3}$", ""
+                    ),
                 )
-                .otherwise(
-                    F.concat(
-                        F.col("text"),
-                        F.lit(" u"),
-                        F.col("__r").cast("string"),
-                        F.lit("x"),
-                        F.col("doc_id").cast("string"),
-                    )
-                )
+                .otherwise(synth)
                 .alias("text"),
                 "lang",
                 "source",
@@ -72,7 +98,7 @@ def build_corpus(spark):
             .repartition(64)
         )
         scaled.write.mode("overwrite").parquet(docs_path)
-    if not os.path.exists(emb_path):
+    if not complete(emb_path):
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
         r = spark.range(EREP).withColumnRenamed("id", "__r")
         scaled = (
@@ -83,15 +109,21 @@ def build_corpus(spark):
                 .otherwise(
                     F.transform(
                         "embedding",
-                        lambda x, i: x
-                        + (
-                            F.pmod(
-                                F.col("__r") * 31 + F.col("vec_id") * 7 + i,
-                                F.lit(7),
-                            ).cast("float")
-                            - 3.0
-                        )
-                        * F.lit(1e-3).cast("float"),
+                        # the final cast keeps the element type float:
+                        # the intermediate arithmetic widens to double and
+                        # would otherwise promote the whole column (and
+                        # coerce the replica-0 originals with it)
+                        lambda x, i: (
+                            x
+                            + (
+                                F.pmod(
+                                    F.col("__r") * 31 + F.col("vec_id") * 7 + i,
+                                    F.lit(7),
+                                ).cast("double")
+                                - 3.0
+                            )
+                            * 1e-3
+                        ).cast("float"),
                     )
                 )
                 .alias("embedding"),

@@ -1,0 +1,190 @@
+"""At-volume throughput sweep of the stateful streaming operators.
+
+The catalog proves the streaming operators' SEMANTICS at sf0.01 (value-
+exact replay oracles); this tool demonstrates their THROUGHPUT at real
+volume — millions of events driven through multi-micro-batch Structured
+Streaming runs with real watermarks and state stores.
+
+Corpus: the sf0.1 events table (100k rows) replicated `FPS_STREAMING_REP`
+times (default 100 → 10M events, ~64 files so maxFilesPerTrigger yields a
+genuine multi-batch replay). Replication is deterministic: event ids stay
+globally unique except a planted ~10% duplicate share (the dedup
+workload), timestamps spread ±2h per replica (so windows and watermarks
+do real work), values jitter per replica (so Top-N state churns).
+
+    python tools/streaming_scale.py          # one JSON line: rows/sec per op
+    FPS_STREAMING_REP=10 python tools/...    # smaller corpus
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REP = int(os.environ.get("FPS_STREAMING_REP", "100"))
+BASE = "/tmp/fps_streaming_scale"
+
+
+def build_events(spark):
+    path = f"{BASE}/events_rep{REP}"
+    if not os.path.exists(path):
+        from flink_parent_spark.tables import load_tables  # noqa: PLC0415
+
+        ev = load_tables(spark, SF_DIR)["events"]
+        r = spark.range(REP).withColumnRenamed("id", "__r")
+        scaled = (
+            ev.crossJoin(r)
+            .select(
+                # ~10% of replica rows reuse the base event id (planted
+                # duplicates for the dedup workload); the rest are unique
+                F.when(F.col("__r") == 0, F.col("event_id"))
+                .when(
+                    F.pmod(F.col("event_id") + F.col("__r"), F.lit(10)) == 0,
+                    F.col("event_id"),
+                )
+                .otherwise(F.col("__r") * 10_000_000 + F.col("event_id"))
+                .alias("event_id"),
+                (
+                    F.col("ts")
+                    + F.make_dt_interval(
+                        mins=F.pmod(F.col("__r") * 7, F.lit(240)) - 120
+                    )
+                ).alias("ts"),
+                "user_id",
+                "event_type",
+                (
+                    F.col("value")
+                    + F.pmod(F.col("__r") * 13 + F.col("event_id"), F.lit(97))
+                    .cast("double")
+                ).alias("value"),
+            )
+            .repartition(64)
+        )
+        scaled.write.mode("overwrite").parquet(path)
+    return path
+
+
+def open_stream(spark, path, files_per_trigger=16):
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .load(path)
+        .withWatermark("ts", "10 minutes")
+    )
+
+
+def main() -> None:
+    from flink_parent_spark.session import get_spark  # noqa: PLC0415
+    from flink_parent_spark.streaming.core import run_stream_to_df  # noqa: PLC0415
+    from flink_parent_spark.streaming.stateful import (  # noqa: PLC0415
+        streaming_dedup,
+        streaming_updatable_top_n,
+    )
+
+    spark = get_spark("streaming_scale")
+    t0 = time.time()
+    path = build_events(spark)
+    n_events = spark.read.parquet(path).count()
+    gen_sec = round(time.time() - t0, 1)
+
+    def tumble_agg():
+        ev = open_stream(spark, path)
+        return run_stream_to_df(
+            ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+                F.count("*").alias("n"),
+                F.sum("value").alias("sum_value"),
+            ),
+            "complete",
+            timeout_s=1800,
+        )
+
+    def hop_agg():
+        ev = open_stream(spark, path)
+        return run_stream_to_df(
+            ev.groupBy(
+                F.window("ts", "1 hour", "15 minutes"), "event_type"
+            ).agg(F.count("*").alias("n")),
+            "complete",
+            timeout_s=1800,
+        )
+
+    def dedup_keys():
+        # keyed state bounded by (user, type) cardinality, the
+        # idle-state-retention shape; watermark-driven TTL active
+        ev = open_stream(spark, path)
+        return run_stream_to_df(
+            streaming_dedup(
+                ev,
+                ["user_id", "event_type"],
+                "ts",
+                ["event_id", "value"],
+                keep="first",
+                ttl_seconds=7 * 24 * 3600,
+            ),
+            "update",
+            timeout_s=1800,
+        )
+
+    def topn_per_type():
+        ev = open_stream(spark, path)
+        return run_stream_to_df(
+            streaming_updatable_top_n(
+                ev.select("event_type", "event_id", "value", "ts"),
+                key_cols=["event_type"],
+                unique_col="event_id",
+                order_col="value",
+                n=10,
+                payload_cols=["ts"],
+                descending=True,
+            ),
+            "update",
+            timeout_s=1800,
+        )
+
+    entries = {
+        "tumble_agg_1h": tumble_agg,
+        "hop_agg_1h_15m": hop_agg,
+        "dedup_first_user_type": dedup_keys,
+        "updatable_topn_per_type": topn_per_type,
+    }
+    timings: dict = {}
+    rates: dict = {}
+    rows: dict = {}
+    for name, fn in entries.items():
+        t0 = time.time()
+        rows[name] = fn().count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 1)
+        rates[name] = int(n_events / dt)
+        print(
+            f"[stream-scale] {name}: {timings[name]}s "
+            f"({rates[name]} rows/s, {rows[name]} out)",
+            flush=True,
+        )
+
+    print(
+        json.dumps(
+            {
+                "metric": "streaming_at_volume_rows_per_sec",
+                "events": n_events,
+                "gen_sec": gen_sec,
+                "unit": "rows/sec",
+                "entries_sec": timings,
+                "rows_per_sec": rates,
+                "out_rows": rows,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
