@@ -120,9 +120,13 @@ def write_kafka_file_topic(
     ).parquet(base)
 
 
-def write_kafka_file_topic_df(kv_df: DataFrame, path: str, topic: str) -> None:
+def write_kafka_file_topic_df(
+    kv_df: DataFrame, path: str, topic: str, binary_value: bool = False
+) -> None:
     """Distributed producer half of the file-backed topic: `kv_df` carries
-    string columns (k, v); rows append with monotone offsets WITHOUT
+    string columns (k, v) — or a binary v when `binary_value` is set (the
+    Confluent-framed avro payloads are bytes, not text); rows append with
+    monotone offsets WITHOUT
     materializing on the driver (FlinkKafkaProducer's executor-side write
     role). A kafka partition is a serial log, so offset assignment
     coalesces the batch into one task — partition 0 of the fake — but the
@@ -142,7 +146,9 @@ def write_kafka_file_topic_df(kv_df: DataFrame, path: str, topic: str) -> None:
         kv_df.coalesce(1)
         .select(
             F.encode(F.col("k"), "UTF-8").alias("key"),
-            F.encode(F.col("v"), "UTF-8").alias("value"),
+            (
+                F.col("v") if binary_value else F.encode(F.col("v"), "UTF-8")
+            ).alias("value"),
             F.lit(topic).alias("topic"),
             F.lit(0).alias("partition"),
             (F.monotonically_increasing_id() + F.lit(existing)).alias("offset"),

@@ -1914,3 +1914,115 @@ def test_nifi_site_to_site_roundtrip_stub(spark):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_kafka_confluent_registry_avro_roundtrip_stub(spark, tmp_path):
+    """Confluent Schema Registry avro wire format end-to-end against an
+    in-container registry stub (flink-avro-confluent-registry:
+    ConfluentSchemaRegistryCoder magic-0 + int32 schema id framing;
+    ConfluentRegistryAvro[De]serializationSchema roles): the sink
+    registers the writer schema once and frames every record
+    executor-side; the source discovers the reader schema from the
+    subject's latest version and resolves writer ids per record —
+    including reading OLD frames under an EVOLVED reader schema (missing
+    field -> null). A foreign magic byte fails the decode like
+    readSchema's magic check."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    import pytest
+
+    from flink_parent_spark.sources import avro_confluent as ac
+    from flink_parent_spark.sources.connectors import kafka_file_source
+
+    schemas: dict[int, str] = {}
+    subjects: dict[str, list[int]] = {}
+
+    class Stub(BaseHTTPRequestHandler):
+        def _json(self, obj, status=200):
+            out = json.dumps(obj).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/vnd.schemaregistry.v1+json")
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def do_POST(self):
+            # /subjects/{subject}/versions
+            subject = self.path.split("/")[2]
+            body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            schema = body["schema"]
+            for sid, s in schemas.items():
+                if s == schema and sid in subjects.get(subject, []):
+                    self._json({"id": sid})
+                    return
+            sid = len(schemas) + 1
+            schemas[sid] = schema
+            subjects.setdefault(subject, []).append(sid)
+            self._json({"id": sid})
+
+        def do_GET(self):
+            parts = self.path.strip("/").split("/")
+            if parts[0] == "schemas":  # /schemas/ids/{id}
+                sid = int(parts[2])
+                if sid not in schemas:
+                    self._json({"error_code": 40403}, 404)
+                    return
+                self._json({"schema": schemas[sid]})
+            else:  # /subjects/{subject}/versions/latest
+                sid = subjects[parts[1]][-1]
+                self._json({"id": sid, "schema": schemas[sid], "version": 1})
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Stub)
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    topic_dir = str(tmp_path / "ctopics")
+    try:
+        df = spark.createDataFrame(
+            [(1, "alpha", 0.5), (2, "beta", 1.5), (3, None, 2.5)],
+            "ev_id long, name string, score double",
+        )
+        sid = ac.kafka_confluent_sink(
+            df, topic_dir, "events_avro", url, key_cols=["ev_id"]
+        )
+        assert sid == 1
+
+        # wire check: every message value is magic 0x00 + BE schema id
+        import struct
+
+        raws = [
+            bytes(r.value)
+            for r in kafka_file_source(
+                spark, topic_dir, "events_avro", streaming=False
+            ).collect()
+        ]
+        assert len(raws) == 3
+        assert all(v[0] == 0 for v in raws)
+        assert all(struct.unpack(">i", v[1:5])[0] == sid for v in raws)
+
+        back = ac.kafka_confluent_source(spark, topic_dir, "events_avro", url)
+        got = sorted((r.ev_id, r.name, r.score) for r in back.collect())
+        assert got == [(1, "alpha", 0.5), (2, "beta", 1.5), (3, None, 2.5)]
+
+        # schema evolution: a writer with an extra field registers v2; old
+        # frames decode under the evolved reader with the new field null
+        df2 = spark.createDataFrame(
+            [(4, "gamma", 3.5, 7)],
+            "ev_id long, name string, score double, shard long",
+        )
+        ac.kafka_confluent_sink(df2, topic_dir, "events_avro", url)
+        evolved = ac.kafka_confluent_source(spark, topic_dir, "events_avro", url)
+        rows = {r.ev_id: r for r in evolved.collect()}
+        assert rows[4].shard == 7
+        assert rows[1].shard is None  # old frame, evolved reader
+
+        # foreign magic byte -> decode failure (readSchema parity)
+        with pytest.raises(ValueError, match="magic"):
+            ac.decode_confluent_frame(b"\x01rest", lambda i: {})
+    finally:
+        srv.shutdown()
+        srv.server_close()

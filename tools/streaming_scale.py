@@ -135,12 +135,17 @@ def main() -> None:
         )
 
     def topn_per_type():
+        # the upsert key is user_id: every new event REPLACES the user's
+        # live row (UpdatableTopNFunction's upsert contract), so state is
+        # bounded by the user population, not the event count — the shape
+        # this operator exists for; keying the upserts by a per-event
+        # unique id would grow live state with the stream
         ev = open_stream(spark, path)
         return run_stream_to_df(
             streaming_updatable_top_n(
-                ev.select("event_type", "event_id", "value", "ts"),
+                ev.select("event_type", "user_id", "value", "ts"),
                 key_cols=["event_type"],
-                unique_col="event_id",
+                unique_col="user_id",
                 order_col="value",
                 n=10,
                 payload_cols=["ts"],
