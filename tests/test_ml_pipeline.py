@@ -1,0 +1,158 @@
+"""ML pipeline API tests (flink-ml-parent parity): the
+Estimator/Transformer/Model/Pipeline contract of Pipeline.java, Params
+json round-trips, the VectorUtil string formats, and the
+MultivariateGaussian density against a direct numpy evaluation.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from flink_parent_spark.ml.gaussian import MultivariateGaussian
+from flink_parent_spark.ml.linalg import (
+    format_dense,
+    format_sparse,
+    parse_vector,
+    parse_vector_col,
+)
+from flink_parent_spark.ml.params import ParamInfo, Params
+from flink_parent_spark.ml.pipeline import Pipeline, Transformer
+from flink_parent_spark.ml.stages import (
+    OUT_COL,
+    VEC_COL,
+    KMeans,
+    StandardScaler,
+    VectorAssembler,
+)
+
+
+def test_params_json_roundtrip_defaults_and_validation():
+    k = ParamInfo("k", "clusters", has_default=True, default=4,
+                  validator=lambda v: v > 0)
+    name = ParamInfo("name", "label")
+    p = Params().set(k, 7).set(name, "a")
+    q = Params.from_json(p.to_json())
+    assert q.get(k) == 7 and q.get(name) == "a"
+    assert Params().get(k) == 4          # default
+    assert Params().get(name) is None    # optional, no default
+    with pytest.raises(KeyError):
+        Params().get(ParamInfo("req", optional=False))
+    with pytest.raises(ValueError):
+        Params().set(k, -1)
+
+
+def test_vector_util_formats():
+    # VectorUtil.java: dense "1 2 3"; sparse "$4$0:1 2:3"; blank or
+    # ':'/'$' containing strings parse sparse
+    assert parse_vector("1 2 3.5") == [1.0, 2.0, 3.5]
+    assert parse_vector("$4$0:1 2:3") == [1.0, 0.0, 3.0, 0.0]
+    assert parse_vector("0:1 2:3") == [1.0, 0.0, 3.0]
+    assert parse_vector("") == []
+    assert format_dense([1.0, 2.5]) == "1 2.5"
+    v = [0.0, 1.5, 0.0, 2.0]
+    assert parse_vector(format_sparse(v)) == v
+
+
+def test_pipeline_fit_transform_contract(spark):
+    """Pipeline.java semantics: fit replaces estimators with models up to
+    the LAST estimator (transform-feeding each next stage), an unfitted
+    pipeline refuses transform, and a fitted one chains all stages."""
+    df = spark.createDataFrame(
+        [(i, float(i % 5), float(i % 3)) for i in range(100)],
+        "row_id long, a double, b double",
+    )
+    asm = VectorAssembler()
+    asm.set(VectorAssembler.INPUT_COLS, ["a", "b"]).set(OUT_COL, "features")
+    scaler = StandardScaler()
+    scaler.set(VEC_COL, "features").set(OUT_COL, "scaled")
+    km = KMeans()
+    km.set(VEC_COL, "scaled").set(OUT_COL, "cell")
+    km.set(KMeans.K, 3).set(KMeans.ID_COL, "row_id")
+    pipe = Pipeline([asm, scaler, km])
+    assert pipe.need_fit()
+    with pytest.raises(RuntimeError, match="need to fit"):
+        pipe.transform(None, df)
+
+    fitted = pipe.fit(None, df)
+    assert not fitted.need_fit()
+    out = fitted.transform(None, df)
+    rows = out.collect()
+    assert len(rows) == 100
+    # scaled column is standardized: mean ~0 per coordinate
+    m = out.select(
+        F.avg(F.col("scaled")[0]).alias("m0"), F.avg(F.col("scaled")[1]).alias("m1")
+    ).first()
+    assert abs(m.m0) < 1e-9 and abs(m.m1) < 1e-9
+    cells = {r.cell for r in rows}
+    assert cells <= {0, 1, 2} and len(cells) == 3
+    # determinism: same fit twice -> identical assignment
+    again = pipe.fit(None, df).transform(None, df)
+    assert sorted((r.row_id, r.cell) for r in rows) == sorted(
+        (r.row_id, r.cell) for r in again.collect()
+    )
+
+
+def test_pipeline_json_roundtrip_and_nesting(spark):
+    """Persistence (Pipeline.java toJson/loadJson): a fitted pipeline's
+    json re-instantiates stages by class name and reproduces the same
+    transform; a pipeline nests as a stage of another pipeline."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "row_id long, a double"
+    )
+    asm = VectorAssembler()
+    asm.set(VectorAssembler.INPUT_COLS, ["a"]).set(OUT_COL, "features")
+    scaler = StandardScaler()
+    scaler.set(VEC_COL, "features").set(OUT_COL, "scaled")
+    inner = Pipeline([asm, scaler])
+    outer = Pipeline([inner])          # nested pipeline-as-stage
+    assert outer.need_fit()
+    fitted = outer.fit(None, df)
+    expect = [tuple(r.scaled) for r in fitted.transform(None, df).collect()]
+
+    reloaded = Pipeline.from_json(fitted.to_json())
+    assert not reloaded.need_fit()
+    got = [tuple(r.scaled) for r in reloaded.transform(None, df).collect()]
+    assert got == expect
+
+
+def test_pipeline_rejects_non_stage():
+    with pytest.raises(TypeError, match="Estimator or Transformer"):
+        Pipeline([object()])  # type: ignore[list-item]
+
+
+def test_parse_vector_col(spark):
+    df = spark.createDataFrame([("1 2 3.5",), ("0 0 1",)], "s string")
+    got = [list(r.v) for r in df.select(parse_vector_col("s").alias("v")).collect()]
+    assert got == [[1.0, 2.0, 3.5], [0.0, 0.0, 1.0]]
+
+
+def test_multivariate_gaussian_matches_numpy(spark):
+    """MultivariateGaussian.java parity: the column-expression logpdf
+    equals the direct numpy evaluation (including a SINGULAR covariance,
+    where the pseudo-determinant / pseudo-inverse semantics apply)."""
+    mean = [1.0, -2.0, 0.5]
+    cov = [[2.0, 0.3, 0.0], [0.3, 1.0, 0.1], [0.0, 0.1, 0.5]]
+    g = MultivariateGaussian(mean, cov)
+    pts = [[0.0, 0.0, 0.0], [1.0, -2.0, 0.5], [3.0, 1.0, -1.0]]
+    df = spark.createDataFrame([(p,) for p in pts], "v array<double>")
+    got = [r.lp for r in df.select(g.logpdf(F.col("v")).alias("lp")).collect()]
+
+    mu, c = np.array(mean), np.array(cov)
+    prec = np.linalg.inv(c)
+    const = -0.5 * (3 * math.log(2 * math.pi) + math.log(np.linalg.det(c)))
+    for p, lp in zip(pts, got):
+        d = np.array(p) - mu
+        assert lp == pytest.approx(const - 0.5 * d @ prec @ d, rel=1e-12)
+
+    # singular covariance: rank-2, density supported on a plane
+    cov_s = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 0.0]]
+    gs = MultivariateGaussian([0.0, 0.0, 0.0], cov_s)
+    assert gs.rank == 2
+    df1 = spark.createDataFrame([([1.0, 1.0, 0.0],)], "v array<double>")
+    (lp,) = df1.select(gs.logpdf(F.col("v")).alias("lp")).first()
+    assert lp == pytest.approx(-0.5 * 2 * math.log(2 * math.pi) - 1.0, rel=1e-12)
