@@ -23,7 +23,7 @@ same math from scratch (md5-based hashes make that possible).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from flink_parent_spark.datapipe.spread import spread
 from flink_parent_spark.datapipe.text import token_hash64, tokens
@@ -503,3 +503,180 @@ def duplicated_spans(
             F.coalesce("n_dup_tokens", F.lit(0)).alias("n_dup_tokens"),
         )
     )
+
+
+def _token_lines(text: Column, width: int) -> Column:
+    """Group a document's tokens into fixed `width`-token "lines" (array of
+    space-joined strings). Corpora with real newlines should split on those
+    instead (see line_dedup's `split_pattern`); this windowing is the
+    deterministic line model for single-line corpora. The token array is
+    bound as a lambda variable once per row (same O(T^2)-avoidance as
+    ngram_shingles)."""
+
+    def build(arr: Column) -> Column:
+        n_lines = F.ceil(F.size(arr) / F.lit(width)).cast("int")
+        built = F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.concat_ws(" ", F.slice(arr, i * width + 1, width)),
+        )
+        return F.when(F.size(arr) > 0, built).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.element_at(F.transform(F.array(tokens(text)), build), 1)
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    split_pattern: "str | None" = None,
+    line_tokens: int = 12,
+) -> DataFrame:
+    """Corpus-level line deduplication, the CCNet preprocessing step
+    (arXiv:1911.00359: drop every repeated line/paragraph, keeping its
+    first occurrence) that removes boilerplate (headers, nav bars, legal
+    footers) from web corpora before document-level dedup.
+
+    Lines come from `split_pattern` (a regex, e.g. '\\n') when given, else
+    from `line_tokens`-token windows (the line model for corpora without
+    newlines). "First occurrence" is the globally smallest (id, position)
+    over the whole corpus, per exact normalized line text — deterministic
+    under any partitioning. Returns one row per input document:
+    (id, text [kept lines re-joined in order], n_lines, n_dropped); a
+    document whose every line was seen earlier keeps an empty text.
+
+    Scale shape: line building is map-side codegen; the first-occurrence
+    rank is ONE shuffle partitioned by the 64-bit line hash (high
+    cardinality, no skew — a boilerplate line repeated a billion times
+    still lands in one partition, but rank only has to find its minimum,
+    and Spark's WindowGroupLimit pushes the rn=1 filter into the sort);
+    reassembly is one groupBy on the doc id. Nothing is quadratic and no
+    driver-side state exists, so the shape holds at 100 TB."""
+    if split_pattern is not None:
+        raw = F.split(F.col(text_col), split_pattern)
+        arr = F.filter(raw, lambda s: F.trim(s) != "")
+    else:
+        arr = _token_lines(F.col(text_col), line_tokens)
+    lines = _spread(df).select(
+        F.col(id_col).alias("__id"), F.posexplode(arr).alias("__pos", "__line")
+    )
+    lines = lines.withColumn("__h", token_hash64(F.trim(F.col("__line"))))
+    w = Window.partitionBy("__h").orderBy("__id", "__pos")
+    ranked = lines.withColumn("__rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("__rn") == 1, F.struct(F.col("__pos"), F.col("__line"))
+    )
+    return (
+        ranked.groupBy("__id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum((F.col("__rn") > 1).cast("long")).alias("n_dropped"),
+            F.sort_array(F.collect_list(kept_struct)).alias("__kept"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.array_join(
+                F.transform("__kept", lambda s: s.getField("__line")), " "
+            ).alias("text"),
+            "n_lines",
+            "n_dropped",
+        )
+    )
+
+
+def bloom_build(corpus: DataFrame, text_col: str, m: int, k: int = 4) -> DataFrame:
+    """Distributed Bloom filter over md5(text): `(bucket, word)` rows — the
+    m-bit array packed 63 bits per row (bit 63 stays clear: DuckDB's
+    checked BIGINT shift rejects 1<<63, and the oracle must reproduce the
+    filter exactly). Each document sets `k` positions
+    derived from disjoint 32-bit slices of its md5 (deterministic, so an
+    independent engine reproduces the exact filter, false positives
+    included). Build is one groupBy over at most m/64 buckets with a
+    BIT_OR combiner — fully map-side-combinable, no driver state (unlike
+    `DataFrame.stat.bloomFilter`, which assembles the array on the
+    driver)."""
+    if k < 1 or k > 4:
+        raise ValueError("k must be in 1..4 (md5 yields four 32-bit slices)")
+    d = corpus.select(F.md5(F.col(text_col)).alias("__d"))
+    pos = d.select(
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.conv(F.substring("__d", j * 8 + 1, 8), 16, 10).cast("long")
+                        % m
+                    )
+                    for j in range(k)
+                ]
+            )
+        ).alias("__pos")
+    ).distinct()
+    return pos.select(
+        (F.col("__pos") / 63).cast("long").alias("bucket"),
+        (F.col("__pos") % 63).cast("int").alias("bit"),
+    ).groupBy("bucket").agg(
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("word")
+    )
+
+
+def bloom_incremental_dedup(
+    corpus: DataFrame,
+    probe: DataFrame,
+    text_col: str,
+    id_col: str,
+    m: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """Incremental dedup of a new batch against an existing corpus via a
+    distributed Bloom filter — the standing-corpus membership check a
+    crawl-refresh pipeline runs before document-level dedup (you cannot
+    re-join yesterday's 100 TB for every new shard; you keep a filter).
+
+    Returns `(id, maybe_dup)` for every probe document: maybe_dup=true iff
+    all `k` Bloom positions of md5(text) are set by the corpus — exact
+    duplicates are always flagged (no false negatives); false-positive
+    rate ~ (n*k/m)^k, sized by `m`.
+
+    Scale shape: the filter is `(bucket, word)` rows, NOT a driver-side
+    array — the probe explodes its k positions and equi-joins on bucket,
+    so Catalyst broadcasts the filter while it fits
+    (autoBroadcastJoinThreshold) and falls back to a shuffle join on the
+    same key when a 100 TB corpus needs a multi-GB filter. Nothing ever
+    collects."""
+    bloom = bloom_build(corpus, text_col, m, k)
+    p = probe.select(
+        F.col(id_col).alias("__id"), F.md5(F.col(text_col)).alias("__d")
+    )
+    ppos = p.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.conv(F.substring("__d", j * 8 + 1, 8), 16, 10).cast("long")
+                        % m
+                    )
+                    for j in range(k)
+                ]
+            )
+        ).alias("__pos"),
+    )
+    hits = (
+        ppos.select(
+            "__id",
+            (F.col("__pos") / 63).cast("long").alias("bucket"),
+            (F.col("__pos") % 63).cast("int").alias("bit"),
+        )
+        .join(bloom, "bucket", "left")
+        .select(
+            "__id",
+            (
+                F.expr("shiftright(coalesce(word, CAST(0 AS BIGINT)), bit) & CAST(1 AS BIGINT)")
+            ).alias("__set"),
+        )
+    )
+    return hits.groupBy("__id").agg(
+        (F.min("__set") == 1).alias("maybe_dup")
+    ).select(F.col("__id").alias(id_col), "maybe_dup")

@@ -452,3 +452,24 @@ def dsir_resample(
         .orderBy(F.col("gumbel_key").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def vocabulary(df, text_col: str, id_col: str | None = None, min_count: int = 1):
+    """Corpus word-frequency table — the counting pass of tokenizer/vocab
+    training (BPE's initial word counts) and of frequency-based filters.
+    Returns (word, n) for words occurring >= min_count times.
+
+    Scale shape: explode + partial-aggregating groupBy on the word — the
+    map-side combine collapses each partition's Zipf head before the
+    shuffle, so shuffled volume tracks the vocabulary (millions), not the
+    corpus token count (trillions). Callers wanting a global top-k should
+    sort-limit the RESULT (TakeOrderedAndProject: per-partition heaps, no
+    global sort of the vocab)."""
+    c = F.col(text_col)
+    words = df.select(F.explode(tokens(c)).alias("__w")).select(
+        F.lower(F.col("__w")).alias("word")
+    )
+    out = words.groupBy("word").agg(F.count("*").alias("n"))
+    if min_count > 1:
+        out = out.filter(F.col("n") >= min_count)
+    return out

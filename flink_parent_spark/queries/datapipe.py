@@ -1832,3 +1832,122 @@ def text_dsir_resample(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     scored = dsir_importance(t["documents"], F.col("lang") == "en")
     return dsir_resample(scored, k=100)
+
+
+# --- round-7 block-4 additions: CCNet line dedup, Bloom incremental dedup,
+# vocabulary counts ----------------------------------------------------------
+
+
+@df_query(
+    "dedup_line_level",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      FROM documents
+    ), lines0 AS (
+      SELECT doc_id, tk,
+             CAST(unnest(range(0, CAST(ceil(len(tk) / 12.0) AS BIGINT))) AS BIGINT) AS pos
+      FROM toks
+    ), lines AS (
+      SELECT doc_id, pos,
+             array_to_string(tk[(pos*12+1):(pos*12+12)], ' ') AS line
+      FROM lines0
+    ), ranked AS (
+      SELECT doc_id, pos, line,
+             row_number() OVER (
+               PARTITION BY ('0x' || substr(md5(trim(line)), 1, 15))::BIGINT
+               ORDER BY doc_id, pos) AS rn
+      FROM lines
+    )
+    SELECT doc_id,
+           coalesce(
+             array_to_string(list(line ORDER BY pos) FILTER (WHERE rn = 1), ' '),
+             '') AS text,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM ranked
+    GROUP BY doc_id
+    """,
+)
+def dedup_line_level(spark, sf_dir):
+    """CCNet line-level dedup (arXiv:1911.00359): every repeated line across
+    the corpus is dropped except its globally-first (doc_id, position)
+    occurrence; documents are re-joined from their surviving lines. Lines
+    here are 12-token windows (the corpus is single-line); real corpora
+    pass split_pattern='\\n'. The oracle recomputes the full first-
+    occurrence ranking and reassembly independently."""
+    from flink_parent_spark.datapipe.dedup import line_dedup
+
+    t = load_tables(spark, sf_dir)
+    return line_dedup(t["documents"], "text", "doc_id", line_tokens=12)
+
+
+@df_query(
+    "dedup_bloom_incremental",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT md5(text) AS d FROM documents
+      WHERE CAST(substr(source, 4) AS INT) < 10
+    ), probe AS (
+      SELECT doc_id, md5(text) AS d FROM documents
+      WHERE CAST(substr(source, 4) AS INT) >= 10
+    ), cpos AS (
+      SELECT DISTINCT
+             ('0x' || substr(d, r.j*8+1, 8))::BIGINT % 1048576 AS pos
+      FROM corpus, range(4) AS r(j)
+    ), bloom AS (
+      SELECT pos // 63 AS bucket,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS word
+      FROM cpos GROUP BY 1
+    ), ppos AS (
+      SELECT doc_id,
+             ('0x' || substr(d, r.j*8+1, 8))::BIGINT % 1048576 AS pos
+      FROM probe, range(4) AS r(j)
+    )
+    SELECT p.doc_id,
+           min(CASE WHEN (coalesce(b.word, 0) >> CAST(p.pos % 63 AS INT)) & 1 = 1
+                    THEN 1 ELSE 0 END) = 1 AS maybe_dup
+    FROM ppos p LEFT JOIN bloom b ON b.bucket = p.pos // 63
+    GROUP BY p.doc_id
+    """,
+)
+def dedup_bloom_incremental(spark, sf_dir):
+    """Incremental dedup of an incoming batch (sources src10+) against the
+    standing corpus (src0-src9) through a distributed Bloom filter
+    (md5-derived k=4 positions over 2^20 bits — deterministic, so the
+    oracle rebuilds the identical filter, false positives included; at
+    these cardinalities the FP probability is ~1e-8 per probe)."""
+    from flink_parent_spark.datapipe.dedup import bloom_incremental_dedup
+
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    src_num = F.substring("source", 4, 10).cast("int")
+    corpus = d.filter(src_num < 10)
+    probe = d.filter(src_num >= 10)
+    return bloom_incremental_dedup(corpus, probe, "text", "doc_id", m=1 << 20, k=4)
+
+
+@df_query(
+    "text_vocab_topk",
+    oracle=r"""
+    SELECT word, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT lower(unnest(string_split_regex(trim(text), '\s+'))) AS word
+      FROM documents
+    )
+    GROUP BY word
+    HAVING count(*) >= 5
+    ORDER BY n DESC, word
+    LIMIT 200
+    """,
+)
+def text_vocab_topk(spark, sf_dir):
+    """Vocabulary construction: corpus word counts with a frequency floor,
+    top-200 under the (count desc, word asc) total order. The sort-limit
+    plans as TakeOrderedAndProject (per-partition heaps), not a global
+    sort of the vocabulary."""
+    from flink_parent_spark.datapipe.text import vocabulary
+
+    t = load_tables(spark, sf_dir)
+    v = vocabulary(t["documents"], "text", min_count=5)
+    return v.orderBy(F.desc("n"), "word").limit(200)

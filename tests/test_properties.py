@@ -519,3 +519,61 @@ def test_punctuated_watermark_monotone_property():
     assert ("late", t0 + dtm.timedelta(seconds=3)) in trace
     # a stale marker behind the current watermark cannot pull it back
     assert wms[-1] >= t0 + dtm.timedelta(seconds=370)
+
+
+def test_line_dedup_first_occurrence_semantics(spark):
+    """CCNet line dedup: a repeated line survives only at its globally
+    smallest (id, position); docs reassemble in position order; a doc whose
+    every line was seen earlier keeps empty text."""
+    from flink_parent_spark.datapipe.dedup import line_dedup
+
+    docs = [
+        (1, "alpha beta\nshared line\ngamma"),
+        (2, "shared line\ndelta"),
+        (3, "shared line"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(
+            df, "text", "doc_id", split_pattern=r"\n"
+        ).collect()
+    }
+    assert out[1]["text"] == "alpha beta shared line gamma"
+    assert out[1]["n_dropped"] == 0
+    assert out[2]["text"] == "delta" and out[2]["n_dropped"] == 1
+    assert out[3]["text"] == "" and out[3]["n_dropped"] == 1
+    assert out[3]["n_lines"] == 1
+
+
+def test_bloom_incremental_matches_exact_membership(spark):
+    """Bloom incremental dedup: exact duplicates are always flagged (no
+    false negatives), and at a generous m the flag set equals exact
+    membership; shrinking m only ever ADDS false positives."""
+    from flink_parent_spark.datapipe.dedup import bloom_incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus document number {i}") for i in range(50)],
+        ["doc_id", "text"],
+    )
+    probe = spark.createDataFrame(
+        [(100 + i, f"corpus document number {i}") for i in range(0, 10)]
+        + [(200 + i, f"fresh probe text {i}") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    flagged = {
+        r["doc_id"]
+        for r in bloom_incremental_dedup(
+            corpus, probe, "text", "doc_id", m=1 << 20
+        ).collect()
+        if r["maybe_dup"]
+    }
+    assert flagged == {100 + i for i in range(10)}
+    tiny = {
+        r["doc_id"]
+        for r in bloom_incremental_dedup(
+            corpus, probe, "text", "doc_id", m=256, k=2
+        ).collect()
+        if r["maybe_dup"]
+    }
+    assert flagged <= tiny  # never loses a true duplicate
