@@ -271,3 +271,90 @@ def test_random_setop_matches_duckdb(spark, duck, sql_tables, i):
     sql = _family(0xCAFE, N_SETOP, gen_setop_query)[i]
     issues = compare(f"rset_{i}", spark.sql(sql), duck.sql(sql))
     assert not issues, f"{sql}\n" + "\n".join(issues)
+
+
+# --- round-7 family 5: scalar-expression fuzz -----------------------------
+#
+# Per-row expression semantics (string functions, CASE chains, date
+# extraction, integer arithmetic, casts — nested), the fragment the other
+# families only touch incidentally. Everything stays integer/string/date
+# exact: no float math, so any mismatch is a function-semantics divergence
+# (1-based substr, instr miss = 0, % sign, trunc boundaries), not noise.
+
+N_SCALAR = 20
+
+# a non-trivial string to slice: flag || orderkey-mod || status
+_STR = "(l_returnflag || CAST(l_orderkey % 100 AS STRING) || l_linestatus)"
+
+
+def _scalar_expr(rng: random.Random, i: int) -> str:
+    kind = rng.choice(["strfn", "casewhen", "datefn", "intarith", "nest"])
+    if kind == "strfn":
+        e = rng.choice(
+            [
+                f"UPPER({_STR})",
+                f"LOWER({_STR})",
+                f"SUBSTR({_STR}, {rng.randint(1, 3)}, {rng.randint(1, 4)})",
+                f"REPLACE({_STR}, '{rng.choice(['A', 'N', 'R', '1'])}', 'x')",
+                f"LENGTH({_STR})",
+                f"REVERSE({_STR})",
+                f"REPEAT(l_linestatus, {rng.randint(1, 3)})",
+                f"LPAD(l_returnflag, {rng.randint(2, 5)}, '.')",
+                f"INSTR({_STR}, '{rng.choice(['A1', 'N', '9F', 'zz'])}')",
+            ]
+        )
+    elif kind == "casewhen":
+        lo, hi = sorted(rng.sample(range(5, 50), 2))
+        e = (
+            f"CASE WHEN l_quantity < {lo} THEN 'lo' "
+            f"WHEN l_quantity < {hi} THEN 'mid' ELSE 'hi' END"
+        )
+    elif kind == "datefn":
+        e = rng.choice(
+            [
+                "EXTRACT(YEAR FROM l_shipdate)",
+                "EXTRACT(MONTH FROM l_shipdate)",
+                "EXTRACT(DAY FROM l_shipdate)",
+                # CAST: DuckDB's date_trunc at >= day granularity returns
+                # DATE while Spark keeps TIMESTAMP — pin the common type
+                "CAST(DATE_TRUNC('month', l_shipdate) AS TIMESTAMP)",
+                "CAST(DATE_TRUNC('year', l_shipdate) AS TIMESTAMP)",
+            ]
+        )
+    elif kind == "intarith":
+        e = rng.choice(
+            [
+                f"(l_orderkey * {rng.randint(3, 11)} + l_linenumber) % {rng.randint(7, 997)}",
+                f"ABS(l_linenumber - {rng.randint(1, 7)})",
+                f"GREATEST(l_linenumber, {rng.randint(1, 6)})",
+                f"LEAST(l_linenumber * 2, {rng.randint(2, 9)})",
+            ]
+        )
+    else:
+        e = rng.choice(
+            [
+                f"LENGTH(REPLACE({_STR}, 'A', 'xx'))",
+                f"SUBSTR(UPPER({_STR}), 2, 3)",
+                f"CASE WHEN INSTR({_STR}, 'N') > 0 THEN REVERSE({_STR}) "
+                f"ELSE {_STR} END",
+                f"CAST(LENGTH({_STR}) * {rng.randint(2, 5)} AS STRING) || '_' "
+                f"|| l_returnflag",
+            ]
+        )
+    return f"{e} AS e{i}"
+
+
+def gen_scalar_query(rng: random.Random) -> str:
+    exprs = [_scalar_expr(rng, i) for i in range(rng.randint(2, 4))]
+    pred = _pred(rng, joined=False)
+    return (
+        f"SELECT l_orderkey, l_linenumber, {', '.join(exprs)} "
+        f"FROM lineitem WHERE {pred}"
+    )
+
+
+@pytest.mark.parametrize("i", range(N_SCALAR))
+def test_random_scalar_exprs_match_duckdb(spark, duck, sql_tables, i):
+    sql = _family(0x5CA1A, N_SCALAR, gen_scalar_query)[i]
+    issues = compare(f"rscl_{i}", spark.sql(sql), duck.sql(sql))
+    assert not issues, f"{sql}\n" + "\n".join(issues)
