@@ -1951,3 +1951,80 @@ def text_vocab_topk(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     v = vocabulary(t["documents"], "text", min_count=5)
     return v.orderBy(F.desc("n"), "word").limit(200)
+
+
+@df_query(
+    "ml_naive_bayes_langid",
+    oracle=r"""
+    WITH train AS (
+      SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 0
+    ), test AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+    ), tw AS (
+      SELECT lang AS label,
+             unnest(string_split_regex(trim(text), '\s+')) AS word
+      FROM train
+    ), cw AS (
+      SELECT label, word, count(*) AS c FROM tw GROUP BY 1, 2
+    ), tot AS (
+      SELECT label, sum(c) AS tot FROM cw GROUP BY 1
+    ), vocab AS (
+      SELECT CAST(count(DISTINCT word) AS DOUBLE) AS v FROM tw
+    ), nall AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n FROM train
+    ), labels AS (
+      SELECT p.label,
+             CAST(CAST(ln(CAST(p.nd AS DOUBLE) / nall.n)
+                  AS DECIMAL(30,12)) AS DOUBLE) AS prior_logp,
+             CAST(CAST(ln(1.0 / (t.tot + vocab.v))
+                  AS DECIMAL(30,12)) AS DOUBLE) AS default_logp
+      FROM (SELECT lang AS label, count(*) AS nd FROM train GROUP BY 1) p,
+           nall, vocab, tot t
+      WHERE t.label = p.label
+    ), logp AS (
+      SELECT cw.label, cw.word,
+             CAST(CAST(ln((cw.c + 1.0) / (t.tot + vocab.v))
+                  AS DECIMAL(30,12)) AS DOUBLE) AS logp
+      FROM cw, tot t, vocab WHERE t.label = cw.label
+    ), dw AS (
+      SELECT doc_id, word, count(*) AS c
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\s+')) AS word
+            FROM test)
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT dw.doc_id, l.label,
+             l.prior_logp + CAST(SUM(CAST(
+               CAST(dw.c AS DOUBLE) * coalesce(lp.logp, l.default_logp)
+               AS DECIMAL(30,12))) AS DOUBLE) AS score
+      FROM dw CROSS JOIN labels l
+      LEFT JOIN logp lp ON lp.label = l.label AND lp.word = dw.word
+      GROUP BY dw.doc_id, l.label, l.prior_logp
+    ), ranked AS (
+      SELECT doc_id, label AS pred_label, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, label) AS rn
+      FROM scored
+    )
+    SELECT doc_id, pred_label, score FROM ranked WHERE rn = 1
+    """,
+)
+def ml_naive_bayes_langid(spark, sf_dir):
+    """Multinomial Naive Bayes language identification: fit on the 80%
+    train split (doc_id % 5 <> 0), predict the held-out 20%. The oracle
+    refits the full model — counts, add-one smoothing, DECIMAL(30,12)
+    log-prob quantization, decimal score accumulation, (score desc, label)
+    argmax — from first principles."""
+    from flink_parent_spark.ml.naive_bayes import (
+        naive_bayes_fit,
+        naive_bayes_predict,
+    )
+
+    t = load_tables(spark, sf_dir)
+    d = t["documents"]
+    train = d.filter(F.col("doc_id") % 5 != 0)
+    test = d.filter(F.col("doc_id") % 5 == 0)
+    word_logp, labels = naive_bayes_fit(train, "text", "lang")
+    return naive_bayes_predict(word_logp, labels, test, "text", "doc_id").select(
+        "doc_id", F.col("pred_label").alias("pred_label"), "score"
+    )

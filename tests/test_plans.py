@@ -461,3 +461,36 @@ def test_multi_distinct_agg_expand_shape(spark):
         assert "Expand" in plan, name
         assert plan.count("Location:") == n_scans, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_bloom_incremental_is_join_not_collect(spark):
+    """The Bloom filter must reach the probe through an equi-join on the
+    bucket id (broadcast while small, shuffle join when a 100 TB corpus
+    needs a multi-GB filter) — never a driver-side array. The build side
+    must partial-aggregate (map-side BIT_OR combine) before its shuffle."""
+    plan = plan_of(QS["dedup_bloom_incremental"](spark, SF))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # partial_bit_or before the exchange = map-side combine of the filter
+    assert "partial_bit_or" in plan or "bit_or" in plan
+
+
+def test_line_dedup_single_rank_shuffle(spark):
+    """Line dedup's first-occurrence rank must be ONE hash-partitioned
+    window over the line hash (plus the per-doc reassembly agg) — no join
+    back, no extra exchanges, nothing driver-side."""
+    plan = plan_of(QS["dedup_line_level"](spark, SF))
+    assert plan.count("Window") >= 1
+    assert "CartesianProduct" not in plan
+    # the rank partitions by the 64-bit line hash — a skew-free key
+    assert "hashpartitioning(__h" in plan
+
+
+def test_vocab_topk_is_take_ordered(spark):
+    """The vocabulary top-k must plan as TakeOrderedAndProject
+    (per-partition heaps) over a partially-aggregated count — not a global
+    sort of the vocabulary."""
+    plan = plan_of(QS["text_vocab_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan

@@ -136,8 +136,10 @@ def build_corpus(spark):
 
 def main() -> None:
     from flink_parent_spark.datapipe.dedup import (  # noqa: PLC0415
+        bloom_incremental_dedup,
         duplicated_spans,
         exact_dedup,
+        line_dedup,
         minhash_lsh_pairs,
         simhash,
     )
@@ -151,6 +153,7 @@ def main() -> None:
         redact_pii,
         text_quality,
         token_count,
+        vocabulary,
     )
 
     from flink_parent_spark.session import get_spark  # noqa: PLC0415
@@ -190,6 +193,19 @@ def main() -> None:
         "dsir_resample_top10k": lambda: dsir_resample(
             dsir_importance(docs, F.col("lang") == "en"), k=10_000
         ),
+        # line dedup at volume: the planted exact dups make whole docs'
+        # lines collapse; the synth docs keep theirs
+        "line_dedup": lambda: line_dedup(docs, "text", "doc_id"),
+        # incremental bloom: first replica block is the standing corpus,
+        # the rest probe against it (m sized for ~1e-9 FP at this n)
+        "bloom_incremental": lambda: bloom_incremental_dedup(
+            docs.filter(F.col("doc_id") < 10_000_000),
+            docs.filter(F.col("doc_id") >= 10_000_000),
+            "text",
+            "doc_id",
+            m=1 << 27,
+        ),
+        "vocab_min5": lambda: vocabulary(docs, "text", min_count=5),
         "ann_ivf_kmeans_topk": lambda: ivf_kmeans_topk(
             queries,
             emb,
