@@ -71,6 +71,9 @@ SNAPSHOT_QUERIES = [
     "text_quality_scores", "text_pii_redaction", "text_dsir_scores",
     "text_dsir_resample", "multimodal_frame_sample",
     "udf_scalar_pandas",
+    # round-7 block-4 additions (ml_naive_bayes_langid excluded: fit
+    # computes two driver scalars, so building the frame executes counts)
+    "dedup_line_level", "dedup_bloom_incremental", "text_vocab_topk",
     # graph queries excluded: their result is a checkpointed RDD scan
     # (the supersteps already ran), so the "plan" carries no shape
 ]
