@@ -148,3 +148,38 @@ def test_streaming_partition_commit_hourly_granularity(spark, tmp_path):
     assert hr2 and not any(
         os.path.exists(os.path.join(out, p, "_SUCCESS")) for p in hr2
     )
+
+
+def test_compressed_format_roundtrips(spark, tmp_path):
+    """flink-compress / flink-formats codec parity: the reference ships a
+    CompressWriterFactory wrapping Hadoop codecs
+    (flink-formats/flink-compress); in Spark the same capability is the
+    writer's `compression` option, applied per format. Round-trip csv+gzip,
+    json+gzip and parquet+zstd and check the bytes on disk really are
+    compressed (suffix + magic), not just renamed."""
+    import gzip
+    import os
+
+    from flink_parent_spark.sources.formats import read_table, write_table
+
+    df = spark.range(0, 1000).selectExpr(
+        "id", "concat('payload_', id) AS s", "id * 2 AS v"
+    )
+    expect = {(r.id, r.s, r.v) for r in df.collect()}
+
+    for fmt, codec, suffix in [
+        ("csv", "gzip", ".csv.gz"),
+        ("json", "gzip", ".json.gz"),
+        ("parquet", "zstd", ".zstd.parquet"),
+    ]:
+        p = str(tmp_path / f"c_{fmt}")
+        write_table(df, p, fmt=fmt, compression=codec)
+        files = [f for f in os.listdir(p) if f.endswith(suffix)]
+        assert files, f"{fmt}: no {suffix} part files in {os.listdir(p)}"
+        if suffix.endswith(".gz"):
+            with gzip.open(os.path.join(p, files[0])) as fh:
+                assert fh.read(1)  # valid gzip stream, not renamed plaintext
+        back = read_table(
+            spark, p, fmt=fmt, schema="id long, s string, v long"
+        )
+        assert {(r.id, r.s, r.v) for r in back.collect()} == expect
