@@ -358,3 +358,56 @@ def test_random_scalar_exprs_match_duckdb(spark, duck, sql_tables, i):
     sql = _family(0x5CA1A, N_SCALAR, gen_scalar_query)[i]
     issues = compare(f"rscl_{i}", spark.sql(sql), duck.sql(sql))
     assert not issues, f"{sql}\n" + "\n".join(issues)
+
+
+# --- round-7 family 6: outer-join fuzz ------------------------------------
+#
+# LEFT / RIGHT / FULL joins with predicates on either side — the
+# null-generating fragment (ON- vs WHERE-clause placement, COUNT(col) vs
+# COUNT(*) over null rows, aggregates over half-null columns) that every
+# prior family avoids by using inner joins. Aggregation on top keeps the
+# comparison order-free and exact.
+
+N_OUTER = 15
+
+
+def gen_outer_join_query(rng: random.Random) -> str:
+    jt = rng.choice(["LEFT", "RIGHT", "FULL"])
+    on = "l_orderkey = o_orderkey"
+    # an extra ON-clause predicate makes the join genuinely null-generating
+    # on matched keys too (the classic ON-vs-WHERE semantics trap)
+    if rng.random() < 0.5:
+        on += f" AND o_totalprice > {rng.randint(50000, 200000)}"
+    keys = rng.sample(["l_returnflag", "l_linestatus", "o_orderstatus"], k=rng.randint(1, 2))
+    aggs = [
+        "COUNT(*) AS cnt",
+        "COUNT(o_orderkey) AS cnt_right",  # null-aware count
+        "COUNT(l_orderkey) AS cnt_left",
+    ]
+    if rng.random() < 0.7:
+        e = rng.choice(SUM_EXPRS)
+        aggs.append(
+            f"CAST(SUM(CAST(({e}) AS DECIMAL(30,6))) AS DOUBLE) AS s0"
+        )
+    aggs.append(f"MIN({rng.choice(['o_totalprice', 'l_quantity'])}) AS m0")
+    where = ""
+    if rng.random() < 0.4:
+        # WHERE on the preserved side only (a null-side WHERE would just
+        # re-derive an inner join — less interesting)
+        side = "l" if jt == "LEFT" else "o"
+        where = " WHERE " + (
+            _pred(rng, joined=False) if side == "l"
+            else f"o_orderpriority = '{rng.choice(['1-URGENT', '2-HIGH', '3-MEDIUM'])}'"
+        )
+    return (
+        f"SELECT {', '.join(keys)}, {', '.join(aggs)} "
+        f"FROM lineitem {jt} JOIN orders ON {on}{where} "
+        f"GROUP BY {', '.join(keys)}"
+    )
+
+
+@pytest.mark.parametrize("i", range(N_OUTER))
+def test_random_outer_join_matches_duckdb(spark, duck, sql_tables, i):
+    sql = _family(0x0E7E4, N_OUTER, gen_outer_join_query)[i]
+    issues = compare(f"rout_{i}", spark.sql(sql), duck.sql(sql))
+    assert not issues, f"{sql}\n" + "\n".join(issues)
