@@ -119,19 +119,55 @@ def main() -> None:
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 3)
 
-    # VM-speed calibration: a fixed, data-independent Spark job (range-sum,
-    # all codegen, no I/O) timed the same way as the headline queries.
-    # Wall-times vary 20-60% between benchmark hosts; dividing `value` by
-    # `calib_sec` (or comparing calib_sec across BENCH_r{N}.json files)
-    # separates engine changes from machine changes. Not part of `value`.
-    calib_best = None
-    for _ in range(3):
-        t0 = time.time()
-        spark.range(0, 2_000_000_000, 1, 32).selectExpr(
-            "sum(id * 3 % 7)"
+    # VM-speed calibration: fixed, data-independent Spark jobs timed the
+    # same way as the headline queries. Wall-times vary 20-60% between
+    # benchmark hosts; the probes separate engine changes from machine
+    # changes. r07 showed ONE CPU-codegen scalar (best-of-3) is not a
+    # trustworthy instrument (it swung 27% while raw query times moved
+    # <12%), so since r08 there are THREE probes — one per resource class
+    # the headline queries are bound by — each the MEDIAN of 5 runs with
+    # the full distribution emitted (BASELINE.md "Cross-round comparison
+    # rule"). Not part of `value`.
+    def probe(fn, n=5):
+        runs = []
+        for _ in range(n):
+            t0 = time.time()
+            fn()
+            runs.append(round(time.time() - t0, 3))
+        s = sorted(runs)
+        return {"median": s[len(s) // 2], "runs": runs}
+
+    def cpu_probe():
+        # pure whole-stage-codegen arithmetic, no I/O, no exchange
+        spark.range(0, 2_000_000_000, 1, 32).selectExpr("sum(id * 3 % 7)").collect()
+
+    def shuffle_probe():
+        # exchange-bound: 64M rows hashed into 4M groups across 32 tasks
+        spark.range(0, 64_000_000, 1, 32).selectExpr(
+            "id % 4000000 AS k"
+        ).groupBy("k").count().selectExpr("sum(count)").collect()
+
+    def python_probe():
+        # Python-worker/Arrow-bound: pandas UDF over 4M rows
+        import pandas as pd  # noqa: PLC0415
+        from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+        @pandas_udf("double")
+        def _f(x: pd.Series) -> pd.Series:
+            return x * 1.5 + 1.0
+
+        spark.range(0, 4_000_000, 1, 32).select(_f("id").alias("y")).selectExpr(
+            "sum(y)"
         ).collect()
-        dt = time.time() - t0
-        calib_best = dt if calib_best is None or dt < calib_best else calib_best
+
+    for f in (cpu_probe, shuffle_probe, python_probe):
+        f()  # one untimed warmup each (codegen / UDF worker spin-up)
+    calib = {
+        "cpu": probe(cpu_probe),
+        "shuffle": probe(shuffle_probe),
+        "python": probe(python_probe),
+    }
+    calib_sec = calib["cpu"]["median"]  # continuity with r06/r07 BENCH files
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -140,13 +176,15 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "calib_sec": round(calib_best, 3),
+        "calib_sec": calib_sec,
+        "calib": calib,
         # Calibration-normalized values (dimensionless multiples of the
-        # fixed-work calibration job): THE cross-round comparison numbers —
-        # see BASELINE.md "Cross-round comparison rule".
-        "value_norm": round(total / calib_best, 2),
+        # fixed-work CPU probe). Cross-round verdicts need BOTH a
+        # value_norm shift AND corroborating per-query RAW shifts, with
+        # the probe distributions stable — see BASELINE.md.
+        "value_norm": round(total / calib_sec, 2),
         "queries_norm": {
-            k: round(v / calib_best, 2) for k, v in timings.items()
+            k: round(v / calib_sec, 2) for k, v in timings.items()
         },
     }
     print(json.dumps(out))
