@@ -598,7 +598,9 @@ def line_dedup(
     # Documents with zero lines (empty / whitespace-only text) emit no
     # posexplode rows; join the aggregate back to the full id set so every
     # input document appears in the output, as documented.
-    ids = _spread(df).select(F.col(id_col).alias("__id")).distinct()
+    # No _spread here: the id set is a one-column distinct, so an upfront
+    # repartition only adds a shuffle leg before the join (r8 ADVICE).
+    ids = df.select(F.col(id_col).alias("__id")).distinct()
     return (
         ids.join(agg, "__id", "left")
         .select(

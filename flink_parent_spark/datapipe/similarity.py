@@ -105,6 +105,8 @@ def train_kmeans_centroids(
             .collect()
         )
         cent = [[float(x) for x in r["cv"]] for r in init]
+        if not cent:
+            return []  # empty training set: callers must handle no-centroids
         dim = len(cent[0])
         for _ in range(n_iters):
             cent_arr = _cent_literal(cent)
@@ -552,29 +554,50 @@ def semdedup(
     the paper keeps one representative per ball, lowest-id is the
     reproducible choice. Returns (id, cell, dropped).
 
-    Scale shape (the paper runs 100k clusters over 5B docs): centroid
-    training on a deterministic md5-bucket sample, map-side assignment
-    against a literal centroid array (no shuffle), and a per-cell
-    self-join for the pair scan. When `n_centroids` is unset it defaults
-    to ~sqrt(n) (min 4) so expected cell size ~sqrt(n) and the total pair
-    work ~n^1.5 — the default can no longer go silently quadratic
-    (r7 verdict, What's wrong #3); pass an explicit value to pin the
+    Scale shape: centroid training on a deterministic md5-bucket sample,
+    map-side assignment against a literal centroid array (no shuffle),
+    and a per-cell self-join for the pair scan. When `n_centroids` is
+    unset it defaults to ~sqrt(n) CAPPED AT 16384 (min 4) — the cap is
+    the honest ceiling of the literal-centroid-array design: centroids
+    are collected to the driver and embedded in the plan, so ~16k ×
+    dim floats is the most Catalyst should carry. Below the cap the
+    expected cell size is ~sqrt(n) and total pair work ~n^1.5; beyond
+    ~256M rows the auto default saturates at 16384 cells and the
+    expected cell grows linearly — at that scale pass `pair_budget` so
+    an over-quadratic cell fails fast, and shard the corpus (or move
+    centroids out of the plan into a broadcast join) rather than trust
+    the default. (The paper's 100k-cluster/5B-doc regime is beyond the
+    plan-literal design; this implementation targets the sharded /
+    ≤100M-embedding regime.) Pass an explicit `n_centroids` to pin the
     oracle-reproducible clustering. With `pair_budget` set, the largest
     cell's pair count is checked after assignment and a ValueError names
-    the offending cell instead of launching an over-budget scan."""
+    the offending cell instead of launching an over-budget scan. The
+    cell-assignment frame is persisted (memory-and-disk) so the budget
+    check and the two self-join legs share one assignment pass; it stays
+    cached until the caller's action completes and Spark evicts it."""
     if n_centroids is None:
         import math
 
-        n_centroids = max(4, math.isqrt(df.count()))
+        n_centroids = min(max(4, math.isqrt(df.count())), 16384)
     cent = train_kmeans_centroids(
         df, n_centroids, n_iters, id_col, vec_col, sample_pct=train_sample_pct
     )
+    if not cent:
+        # Empty input: no centroids can be trained; return an empty frame
+        # with the documented schema instead of cent[0] IndexError.
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.lit(0).alias("cell"),
+            F.lit(False).alias("dropped"),
+        ).limit(0)
     cent_arr = _cent_literal(cent)
+    from pyspark import StorageLevel
+
     cells = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("__v"),
         _best_cells(cent_arr, len(cent), F.col(vec_col), 1)[0].alias("cell"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     if pair_budget is not None:
         worst = (
             cells.groupBy("cell")

@@ -38,22 +38,30 @@ def write_bucketed(
     `n_buckets` should be sized so one bucket ≈ one task's worth of data.
 
     Resilient to orphaned managed-table locations: a previous interrupted
-    session can leave `spark-warehouse/<table>/` behind while the (fresh)
+    session can leave the managed location behind while the (fresh)
     metastore has no such table, and `saveAsTable` then fails with
     LOCATION_ALREADY_EXISTS even in overwrite mode. Drop the table AND
     purge the orphaned default location first so a killed run can't poison
-    the next one (r7 verdict, What's wrong #1)."""
+    the next one (r7 verdict, What's wrong #1). The location is resolved
+    through the catalog's database locationUri (NOT hand-built as
+    `warehouse/<bare-name>`), so `db.table` names and a non-default
+    current database purge the right `…/<db>.db/<table>` directory.
+
+    Tradeoff (documented, accepted): drop-then-write means a failed write
+    loses the previous table version — callers needing the old data to
+    survive a mid-write crash should write to a staging table and swap."""
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    parts = table_name.split(".")
+    quoted = ".".join(f"`{p}`" for p in parts)
+    spark.sql(f"DROP TABLE IF EXISTS {quoted}")
     # After the DROP the metastore has no entry, but the *default managed
     # location* may still hold files from an interrupted earlier session.
     try:
-        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        db = parts[-2] if len(parts) >= 2 else spark.catalog.currentDatabase()
+        db_loc = spark.catalog.getDatabase(db).locationUri
         jvm = spark._jvm
         jconf = spark._jsc.hadoopConfiguration()
-        path = jvm.org.apache.hadoop.fs.Path(
-            warehouse, table_name.split(".")[-1].lower()
-        )
+        path = jvm.org.apache.hadoop.fs.Path(db_loc, parts[-1].lower())
         fs = path.getFileSystem(jconf)
         if fs.exists(path):
             fs.delete(path, True)

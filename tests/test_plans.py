@@ -324,6 +324,65 @@ def test_write_bucketed_survives_poisoned_warehouse(spark):
         spark.sql("DROP TABLE IF EXISTS b_poisoned")
 
 
+def test_write_bucketed_qualified_name_purges_db_location(spark):
+    """For a db-qualified table the orphaned managed location lives at
+    <warehouse>/<db>.db/<table>, not <warehouse>/<table> — the purge must
+    resolve it through the catalog (r8 ADVICE)."""
+    import os
+    import urllib.parse
+
+    from flink_parent_spark.operators.scale import write_bucketed
+    from flink_parent_spark.tables import load_tables
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS bdb")
+    spark.sql("DROP TABLE IF EXISTS bdb.b_qual")
+    db_loc = urllib.parse.urlparse(
+        spark.catalog.getDatabase("bdb").locationUri
+    ).path
+    poisoned = os.path.join(db_loc, "b_qual")
+    os.makedirs(poisoned, exist_ok=True)
+    with open(os.path.join(poisoned, "stale-part.parquet"), "w") as f:
+        f.write("not parquet")
+    try:
+        t = load_tables(spark, SF)
+        write_bucketed(t["region"], "bdb.b_qual", ["r_regionkey"], n_buckets=2)
+        assert spark.table("bdb.b_qual").count() == t["region"].count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bdb.b_qual")
+        spark.sql("DROP DATABASE IF EXISTS bdb CASCADE")
+
+
+def test_semdedup_empty_input(spark):
+    """Empty corpus: semdedup returns an empty (id, cell, dropped) frame
+    instead of IndexError-ing on cent[0] (r8 ADVICE)."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    from flink_parent_spark.datapipe.similarity import semdedup
+
+    empty = spark.createDataFrame(
+        [],
+        StructType([
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]),
+    )
+    out = semdedup(empty)
+    assert out.columns == ["id", "cell", "dropped"]
+    assert out.count() == 0
+
+
+def test_semdedup_auto_centroids_capped():
+    """The sqrt(n) auto default is capped at 16384 so a multi-billion-row
+    corpus cannot ask the driver to embed ~70k centroids as plan literals
+    (r8 ADVICE)."""
+    import math
+
+    for n, want in ((0, 4), (9, 4), (100, 10), (10**9, 16384)):
+        assert min(max(4, math.isqrt(n)), 16384) == want
+
+
 def test_salted_join_matches_plain_join(spark):
     """salted_join returns exactly the plain equi-join's rows while
     splitting each key across n_salts sub-keys."""
