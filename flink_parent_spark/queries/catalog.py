@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import flink_parent_spark.queries.datapipe  # noqa: F401
+import flink_parent_spark.queries.differential_gate  # noqa: F401
 import flink_parent_spark.queries.functions_gallery  # noqa: F401
 import flink_parent_spark.queries.graph_queries  # noqa: F401
 import flink_parent_spark.queries.operators_batch  # noqa: F401
@@ -15,26 +16,29 @@ import flink_parent_spark.queries.windows_time  # noqa: F401
 
 from flink_parent_spark.queries.registry import ORACLES, QUERIES
 
-# The driver's correctness gate verifies a prefix of the registration order.
-# Emit these first so that prefix holds at least one representative of every
-# SURVEY §2 operator family (tpch, stream windows, stateful streaming, cep,
-# match_recognize, topn/dedup, setops, over, joins, aggs, batch windows,
-# graph, datapipe, functions, udf, tpcds, sinks); everything not listed
-# follows in module-import order.
-PRIORITY: tuple[str, ...] = (
+# The driver's correctness gate verifies a prefix (first 50) of the
+# registration order. Emit these first so that prefix holds at least one
+# representative of every SURVEY §2 operator family (tpch, stream windows,
+# stateful streaming, cep, match_recognize, topn/dedup, setops, over,
+# joins, aggs, batch windows, graph, datapipe, functions, udf, tpcds,
+# sinks) PLUS a rotating 10-text differential-fuzz sample (see
+# differential_gate.ROTATION); everything not listed follows in
+# module-import order. `_ROTATED_OUT` below names the 10 entries the fuzz
+# sample displaced from the 50-slot prefix this round — they stay in
+# PRIORITY right after slot 50 (each family keeps >=1 in-gate
+# representative) and remain value-oracle-checked in pytest.
+_GATE_CORE: tuple[str, ...] = (
     # tpch
     "tpch_q1",
     "tpch_q3",
     "tpch_q18",
     # stream group windows
     "stream_tumble_agg",
-    "stream_hop_window",
     "stream_session_window",
     # stateful streaming
     "stream_retract_topn",
     "stream_topn_updatable",
     "changelog_latest_value_by_type",
-    "changelog_source_normalize",
     "stream_dedup_first",
     # rank-pattern recognition: same Top-N state op as stream_topn_per_type
     # but planned from the ROW_NUMBER SQL idiom (FlinkLogicalRankRule parity)
@@ -42,16 +46,12 @@ PRIORITY: tuple[str, ...] = (
     # streaming joins
     "stream_interval_join",
     "stream_asof_join",
-    "stream_semi_join",
     "stream_retract_join",
     # cep
     "cep_signup_then_purchase",
     "cep_not_followed_by",
-    "stream_cep_watermark_held",
     # match_recognize (round-5 additions: WITHIN + SKIP TO var in the gate)
     "match_recognize_sql_clause",
-    "match_recognize_within",
-    "match_recognize_skip_to_var",
     # Flink-SQL group-window dialect
     "sql_tumble_hourly",
     # batch topn
@@ -76,10 +76,7 @@ PRIORITY: tuple[str, ...] = (
     "text_repetition_stats",
     "dedup_exact_digest",
     "dedup_minhash_lsh_pairs",
-    "dedup_simhash",
     "ann_cosine_topk_ivf_kmeans",
-    "ann_ivf_pq_topk",
-    "embedding_neardup_pairs",
     "multimodal_frame_sample",
     # scalar-function gallery
     "fn_math",
@@ -92,9 +89,31 @@ PRIORITY: tuple[str, ...] = (
     # battery stays oracle-checked outside the prefix)
     "tpcds_q3",
     "tpcds_q36",
-    "tpcds_q51",
     # sinks/sources
     "sink_partitioned_roundtrip",
+)
+
+from flink_parent_spark.queries.differential_gate import GATE_NAMES  # noqa: E402
+
+# Displaced from the 50-slot gate prefix by this round's fuzz rotation;
+# immediately follow the prefix so they re-enter whenever the rotation
+# frees slots. All remain pytest-oracle-checked every round.
+_ROTATED_OUT: tuple[str, ...] = (
+    "stream_hop_window",
+    "changelog_source_normalize",
+    "stream_semi_join",
+    "stream_cep_watermark_held",
+    "match_recognize_within",
+    "match_recognize_skip_to_var",
+    "dedup_simhash",
+    "ann_ivf_pq_topk",
+    "embedding_neardup_pairs",
+    "tpcds_q51",
+)
+
+PRIORITY: tuple[str, ...] = _GATE_CORE + tuple(GATE_NAMES) + _ROTATED_OUT
+assert len(_GATE_CORE) + len(GATE_NAMES) == 50, (
+    f"gate prefix must be exactly 50, got {len(_GATE_CORE) + len(GATE_NAMES)}"
 )
 
 

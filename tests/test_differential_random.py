@@ -1,106 +1,30 @@
 """Seeded random differential testing: Spark vs DuckDB on identical SQL.
 
-A small grammar (filter / join / group-by / aggregate over lineitem ⋈
-orders) generates query TEXTS from a fixed seed; each text runs verbatim
-on BOTH engines over the same sf0.001 parquet and must match bit-exactly
-under the engine's decimal-accumulation contract (dsum: SUM over
-DECIMAL(30,6), cast DOUBLE — order-independent, so exact across engines).
+The grammar lives in `flink_parent_spark.queries.diff_grammar` (moved
+there in round 9 so a rotating sample of the texts can also be registered
+into the driver's correctness gate — see queries/differential_gate.py);
+this battery runs EVERY generated text of every family verbatim on both
+engines over the same sf0.001 parquet and requires bit-exact matches
+under the engine's decimal-accumulation contract. Seeds and counts are
+pinned in diff_grammar.FAMILIES, so the texts are byte-stable across
+rounds.
 
-This is the fuzzing analog of the reference's planner ITCase batteries
-(flink-table-planner-blink/src/test/.../runtime/batch/sql/): hand-written
-oracles check the operators we thought about; random composition checks
-the interactions we didn't. The grammar deliberately stays inside the
-cross-engine-exact fragment: equality/range predicates, equi-joins,
-COUNT/MIN/MAX/COUNT DISTINCT, and decimal-contract sums — any mismatch is
-a real semantics bug, never float-association noise.
+Family rationale (why each exists) is documented in diff_grammar's
+docstrings; the short version: base = filter/join/group-agg composition,
+window = OVER functions over a total order, subq = EXISTS/IN/correlated
+scalar, setop = UNION/INTERSECT/EXCEPT under an agg, scalar = per-row
+expression semantics, outer = LEFT/RIGHT/FULL ON-vs-WHERE placement.
 """
 
 from __future__ import annotations
 
-import random
-
 import duckdb
 import pytest
 
+from flink_parent_spark.queries.diff_grammar import FAMILIES, family_texts
 from tools.check_parity import compare, duck_connect
 
 SF_DIR = "/root/testdata/sf0.001"
-N_QUERIES = 40
-SEED = 0xF1DE
-
-NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-KEY_COLS = ["l_returnflag", "l_linestatus", "l_linenumber"]
-ORDER_KEYS = ["o_orderstatus", "o_orderpriority"]
-SUM_EXPRS = [
-    "l_quantity",
-    "l_extendedprice",
-    "l_extendedprice * (1 - l_discount)",
-    "l_extendedprice * (1 - l_discount) * (1 + l_tax)",
-    "l_quantity + l_tax",
-]
-OPS = ["<", "<=", "=", ">=", ">", "<>"]
-
-
-def _pred(rng: random.Random, joined: bool) -> str:
-    kind = rng.choice(["num", "str", "date"] + (["onum", "ostr"] if joined else []))
-    if kind == "num":
-        col = rng.choice(NUM_COLS)
-        lit = {
-            "l_quantity": rng.randint(1, 50),
-            "l_extendedprice": rng.randint(1000, 50000),
-            "l_discount": round(rng.randint(0, 10) / 100, 2),
-            "l_tax": round(rng.randint(0, 8) / 100, 2),
-        }[col]
-        return f"{col} {rng.choice(OPS)} {lit}"
-    if kind == "str":
-        col, dom = rng.choice(
-            [("l_returnflag", ["A", "N", "R"]), ("l_linestatus", ["O", "F"])]
-        )
-        return f"{col} = '{rng.choice(dom)}'"
-    if kind == "date":
-        d = f"199{rng.randint(2, 8)}-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}"
-        return f"l_shipdate {rng.choice(['<', '>=', '>'])} TIMESTAMP '{d} 00:00:00'"
-    if kind == "onum":
-        return f"o_totalprice {rng.choice(OPS)} {rng.randint(10000, 400000)}"
-    return f"o_orderstatus = '{rng.choice(['O', 'F', 'P'])}'"
-
-
-def gen_query(rng: random.Random) -> str:
-    joined = rng.random() < 0.5
-    frm = "lineitem"
-    if joined:
-        frm += " JOIN orders ON l_orderkey = o_orderkey"
-    keys = rng.sample(
-        KEY_COLS + (ORDER_KEYS if joined else []), k=rng.randint(0, 2)
-    )
-    aggs = ["COUNT(*) AS cnt"]
-    for i in range(rng.randint(1, 3)):
-        a = rng.choice(["dsum", "min", "max", "cntd"])
-        if a == "dsum":
-            e = rng.choice(SUM_EXPRS)
-            aggs.append(
-                f"CAST(SUM(CAST(({e}) AS DECIMAL(30,6))) AS DOUBLE) AS s{i}"
-            )
-        elif a in ("min", "max"):
-            c = rng.choice(NUM_COLS + KEY_COLS + ["l_shipdate"])
-            aggs.append(f"{a.upper()}({c}) AS {a}{i}")
-        else:
-            c = rng.choice(KEY_COLS + ["l_orderkey"])
-            aggs.append(f"COUNT(DISTINCT {c}) AS d{i}")
-    preds = [_pred(rng, joined) for _ in range(rng.randint(0, 2))]
-    sql = "SELECT " + ", ".join(keys + aggs) + " FROM " + frm
-    if preds:
-        sql += " WHERE " + " AND ".join(preds)
-    if keys:
-        sql += " GROUP BY " + ", ".join(keys)
-        if rng.random() < 0.3:
-            sql += f" HAVING COUNT(*) > {rng.randint(0, 5)}"
-    return sql
-
-
-def _queries() -> list[str]:
-    rng = random.Random(SEED)
-    return [gen_query(rng) for _ in range(N_QUERIES)]
 
 
 @pytest.fixture(scope="module")
@@ -118,296 +42,22 @@ def sql_tables(spark):
     return t
 
 
-@pytest.mark.parametrize("i", range(N_QUERIES))
-def test_random_query_matches_duckdb(spark, duck, sql_tables, i):
-    sql = _queries()[i]
-    issues = compare(f"rand_{i}", spark.sql(sql), duck.sql(sql))
-    assert not issues, f"{sql}\n" + "\n".join(issues)
+_CASES = [
+    (fam, i) for fam, (_seed, n, _gen) in FAMILIES.items() for i in range(n)
+]
 
 
-# --- round-7 extension: three more shape families ------------------------
-#
-# Same discipline as the base battery (fixed seed, exact fragment, texts
-# run verbatim on both engines) over three families the base grammar never
-# composes: OVER-window functions, correlated subqueries (EXISTS / IN /
-# scalar-agg comparison), and set operations. Separate seeds so the base
-# 40 texts stay byte-stable across rounds.
-
-N_WINDOW = 15
-N_SUBQ = 15
-N_SETOP = 10
-
-# The synthetic lineitem does NOT enforce the TPC-H (l_orderkey,
-# l_linenumber) primary key, so no short column list is a total order.
-# Instead the ORDER BY covers every column any generated window function
-# reads — rows that still tie are identical in all read columns, so
-# LAG/ROWS-frame outputs are deterministic as a multiset (compare() is
-# order-free) even though the tie order itself is arbitrary.
-TOTAL_ORDER = (
-    "l_orderkey, l_linenumber, l_quantity, l_extendedprice, "
-    "l_discount, l_tax, l_shipdate"
+@pytest.mark.parametrize(
+    "fam,i", _CASES, ids=[f"{fam}_{i}" for fam, i in _CASES]
 )
-
-
-def gen_window_query(rng: random.Random) -> str:
-    part = rng.choice(["l_returnflag", "l_linestatus", "l_returnflag, l_linestatus"])
-    fns: list[str] = []
-    for i in range(rng.randint(1, 3)):
-        kind = rng.choice(["rownum", "rank", "drank", "lag", "lead", "rsum"])
-        if kind == "rownum":
-            fns.append(
-                f"ROW_NUMBER() OVER (PARTITION BY {part} "
-                f"ORDER BY {TOTAL_ORDER}) AS w{i}"
-            )
-        elif kind in ("rank", "drank"):
-            fn = "RANK" if kind == "rank" else "DENSE_RANK"
-            key = rng.choice(["l_quantity", "l_extendedprice", "l_shipdate"])
-            fns.append(
-                f"{fn}() OVER (PARTITION BY {part} ORDER BY {key}) AS w{i}"
-            )
-        elif kind in ("lag", "lead"):
-            col = rng.choice(NUM_COLS)
-            off = rng.randint(1, 3)
-            fns.append(
-                f"CAST({kind.upper()}({col}, {off}) OVER (PARTITION BY {part} "
-                f"ORDER BY {TOTAL_ORDER}) AS DOUBLE) AS w{i}"
-            )
-        else:
-            e = rng.choice(SUM_EXPRS)
-            fns.append(
-                f"CAST(SUM(CAST(({e}) AS DECIMAL(30,6))) OVER ("
-                f"PARTITION BY {part} ORDER BY {TOTAL_ORDER} "
-                f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
-                f"AS DOUBLE) AS w{i}"
-            )
-    pred = _pred(rng, joined=False)
-    return (
-        f"SELECT l_orderkey, l_linenumber, {', '.join(fns)} "
-        f"FROM lineitem WHERE {pred}"
-    )
-
-
-def gen_subquery_query(rng: random.Random) -> str:
-    kind = rng.choice(["exists", "not_exists", "in", "not_in", "scalar"])
-    opred = f"o_totalprice {rng.choice(OPS)} {rng.randint(50000, 300000)}"
-    lpred = _pred(rng, joined=False)
-    if kind in ("exists", "not_exists"):
-        neg = "NOT " if kind == "not_exists" else ""
-        return (
-            f"SELECT o_orderstatus, COUNT(*) AS cnt, "
-            f"CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS s0 "
-            f"FROM orders WHERE {opred} AND {neg}EXISTS ("
-            f"SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
-            f"AND {lpred}) GROUP BY o_orderstatus"
-        )
-    if kind in ("in", "not_in"):
-        neg = "NOT " if kind == "not_in" else ""
-        # l_orderkey is non-null, so NOT IN has no three-valued surprise
-        return (
-            f"SELECT o_orderpriority, COUNT(*) AS cnt "
-            f"FROM orders WHERE {opred} AND o_orderkey {neg}IN ("
-            f"SELECT l_orderkey FROM lineitem WHERE {lpred}) "
-            f"GROUP BY o_orderpriority"
-        )
-    # scalar: a CORRELATED scalar-aggregate subquery per row (exact
-    # fragment: MAX/MIN/COUNT over decimals, no float association), with
-    # the generated outer and inner predicates both live
-    inner = rng.choice(
-        [
-            "COALESCE(MAX(l_extendedprice), 0)",
-            "COALESCE(MIN(l_extendedprice), 0) * 20",
-            "COUNT(*) * 10000",
-        ]
-    )
-    return (
-        f"SELECT o_orderstatus, COUNT(*) AS cnt, MAX(o_totalprice) AS m0 "
-        f"FROM orders WHERE {opred} AND o_totalprice > ("
-        f"SELECT {inner} FROM lineitem "
-        f"WHERE l_orderkey = o_orderkey AND {lpred}) "
-        f"GROUP BY o_orderstatus"
-    )
-
-
-def gen_setop_query(rng: random.Random) -> str:
-    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
-    proj = rng.choice(
-        [
-            "l_returnflag AS a, l_linestatus AS b",
-            "l_returnflag AS a, CAST(l_linenumber AS STRING) AS b",
-            "l_orderkey % 97 AS a, l_linenumber AS b",
-        ]
-    )
-    p1, p2 = _pred(rng, False), _pred(rng, False)
-    inner = (
-        f"SELECT {proj} FROM lineitem WHERE {p1} "
-        f"{op} SELECT {proj} FROM lineitem WHERE {p2}"
-    )
-    # aggregate on top so UNION ALL (a bag) still compares order-free with
-    # exact values
-    return f"SELECT a, b, COUNT(*) AS cnt FROM ({inner}) t GROUP BY a, b"
-
-
-def _family(seed: int, n: int, gen) -> list[str]:
-    rng = random.Random(seed)
-    return [gen(rng) for _ in range(n)]
-
-
-@pytest.mark.parametrize("i", range(N_WINDOW))
-def test_random_window_query_matches_duckdb(spark, duck, sql_tables, i):
-    sql = _family(0xB0BA, N_WINDOW, gen_window_query)[i]
-    issues = compare(f"rwin_{i}", spark.sql(sql), duck.sql(sql))
+def test_random_query_matches_duckdb(spark, duck, sql_tables, fam, i):
+    sql = family_texts(fam)[i]
+    issues = compare(f"r{fam}_{i}", spark.sql(sql), duck.sql(sql))
     assert not issues, f"{sql}\n" + "\n".join(issues)
 
 
-@pytest.mark.parametrize("i", range(N_SUBQ))
-def test_random_subquery_matches_duckdb(spark, duck, sql_tables, i):
-    sql = _family(0x5EED, N_SUBQ, gen_subquery_query)[i]
-    issues = compare(f"rsub_{i}", spark.sql(sql), duck.sql(sql))
-    assert not issues, f"{sql}\n" + "\n".join(issues)
-
-
-@pytest.mark.parametrize("i", range(N_SETOP))
-def test_random_setop_matches_duckdb(spark, duck, sql_tables, i):
-    sql = _family(0xCAFE, N_SETOP, gen_setop_query)[i]
-    issues = compare(f"rset_{i}", spark.sql(sql), duck.sql(sql))
-    assert not issues, f"{sql}\n" + "\n".join(issues)
-
-
-# --- round-7 family 5: scalar-expression fuzz -----------------------------
-#
-# Per-row expression semantics (string functions, CASE chains, date
-# extraction, integer arithmetic, casts — nested), the fragment the other
-# families only touch incidentally. Everything stays integer/string/date
-# exact: no float math, so any mismatch is a function-semantics divergence
-# (1-based substr, instr miss = 0, % sign, trunc boundaries), not noise.
-
-N_SCALAR = 20
-
-# a non-trivial string to slice: flag || orderkey-mod || status
-_STR = "(l_returnflag || CAST(l_orderkey % 100 AS STRING) || l_linestatus)"
-
-
-def _scalar_expr(rng: random.Random, i: int) -> str:
-    kind = rng.choice(["strfn", "casewhen", "datefn", "intarith", "nest"])
-    if kind == "strfn":
-        e = rng.choice(
-            [
-                f"UPPER({_STR})",
-                f"LOWER({_STR})",
-                f"SUBSTR({_STR}, {rng.randint(1, 3)}, {rng.randint(1, 4)})",
-                f"REPLACE({_STR}, '{rng.choice(['A', 'N', 'R', '1'])}', 'x')",
-                f"LENGTH({_STR})",
-                f"REVERSE({_STR})",
-                f"REPEAT(l_linestatus, {rng.randint(1, 3)})",
-                f"LPAD(l_returnflag, {rng.randint(2, 5)}, '.')",
-                f"INSTR({_STR}, '{rng.choice(['A1', 'N', '9F', 'zz'])}')",
-            ]
-        )
-    elif kind == "casewhen":
-        lo, hi = sorted(rng.sample(range(5, 50), 2))
-        e = (
-            f"CASE WHEN l_quantity < {lo} THEN 'lo' "
-            f"WHEN l_quantity < {hi} THEN 'mid' ELSE 'hi' END"
-        )
-    elif kind == "datefn":
-        e = rng.choice(
-            [
-                "EXTRACT(YEAR FROM l_shipdate)",
-                "EXTRACT(MONTH FROM l_shipdate)",
-                "EXTRACT(DAY FROM l_shipdate)",
-                # CAST: DuckDB's date_trunc at >= day granularity returns
-                # DATE while Spark keeps TIMESTAMP — pin the common type
-                "CAST(DATE_TRUNC('month', l_shipdate) AS TIMESTAMP)",
-                "CAST(DATE_TRUNC('year', l_shipdate) AS TIMESTAMP)",
-            ]
-        )
-    elif kind == "intarith":
-        e = rng.choice(
-            [
-                f"(l_orderkey * {rng.randint(3, 11)} + l_linenumber) % {rng.randint(7, 997)}",
-                f"ABS(l_linenumber - {rng.randint(1, 7)})",
-                f"GREATEST(l_linenumber, {rng.randint(1, 6)})",
-                f"LEAST(l_linenumber * 2, {rng.randint(2, 9)})",
-            ]
-        )
-    else:
-        e = rng.choice(
-            [
-                f"LENGTH(REPLACE({_STR}, 'A', 'xx'))",
-                f"SUBSTR(UPPER({_STR}), 2, 3)",
-                f"CASE WHEN INSTR({_STR}, 'N') > 0 THEN REVERSE({_STR}) "
-                f"ELSE {_STR} END",
-                f"CAST(LENGTH({_STR}) * {rng.randint(2, 5)} AS STRING) || '_' "
-                f"|| l_returnflag",
-            ]
-        )
-    return f"{e} AS e{i}"
-
-
-def gen_scalar_query(rng: random.Random) -> str:
-    exprs = [_scalar_expr(rng, i) for i in range(rng.randint(2, 4))]
-    pred = _pred(rng, joined=False)
-    return (
-        f"SELECT l_orderkey, l_linenumber, {', '.join(exprs)} "
-        f"FROM lineitem WHERE {pred}"
-    )
-
-
-@pytest.mark.parametrize("i", range(N_SCALAR))
-def test_random_scalar_exprs_match_duckdb(spark, duck, sql_tables, i):
-    sql = _family(0x5CA1A, N_SCALAR, gen_scalar_query)[i]
-    issues = compare(f"rscl_{i}", spark.sql(sql), duck.sql(sql))
-    assert not issues, f"{sql}\n" + "\n".join(issues)
-
-
-# --- round-7 family 6: outer-join fuzz ------------------------------------
-#
-# LEFT / RIGHT / FULL joins with predicates on either side — the
-# null-generating fragment (ON- vs WHERE-clause placement, COUNT(col) vs
-# COUNT(*) over null rows, aggregates over half-null columns) that every
-# prior family avoids by using inner joins. Aggregation on top keeps the
-# comparison order-free and exact.
-
-N_OUTER = 15
-
-
-def gen_outer_join_query(rng: random.Random) -> str:
-    jt = rng.choice(["LEFT", "RIGHT", "FULL"])
-    on = "l_orderkey = o_orderkey"
-    # an extra ON-clause predicate makes the join genuinely null-generating
-    # on matched keys too (the classic ON-vs-WHERE semantics trap)
-    if rng.random() < 0.5:
-        on += f" AND o_totalprice > {rng.randint(50000, 200000)}"
-    keys = rng.sample(["l_returnflag", "l_linestatus", "o_orderstatus"], k=rng.randint(1, 2))
-    aggs = [
-        "COUNT(*) AS cnt",
-        "COUNT(o_orderkey) AS cnt_right",  # null-aware count
-        "COUNT(l_orderkey) AS cnt_left",
-    ]
-    if rng.random() < 0.7:
-        e = rng.choice(SUM_EXPRS)
-        aggs.append(
-            f"CAST(SUM(CAST(({e}) AS DECIMAL(30,6))) AS DOUBLE) AS s0"
-        )
-    aggs.append(f"MIN({rng.choice(['o_totalprice', 'l_quantity'])}) AS m0")
-    where = ""
-    if rng.random() < 0.4:
-        # WHERE on the preserved side only (a null-side WHERE would just
-        # re-derive an inner join — less interesting)
-        side = "l" if jt == "LEFT" else "o"
-        where = " WHERE " + (
-            _pred(rng, joined=False) if side == "l"
-            else f"o_orderpriority = '{rng.choice(['1-URGENT', '2-HIGH', '3-MEDIUM'])}'"
-        )
-    return (
-        f"SELECT {', '.join(keys)}, {', '.join(aggs)} "
-        f"FROM lineitem {jt} JOIN orders ON {on}{where} "
-        f"GROUP BY {', '.join(keys)}"
-    )
-
-
-@pytest.mark.parametrize("i", range(N_OUTER))
-def test_random_outer_join_matches_duckdb(spark, duck, sql_tables, i):
-    sql = _family(0x0E7E4, N_OUTER, gen_outer_join_query)[i]
-    issues = compare(f"rout_{i}", spark.sql(sql), duck.sql(sql))
-    assert not issues, f"{sql}\n" + "\n".join(issues)
+def test_grammar_is_byte_stable():
+    """Regenerating a family twice yields identical texts (fixed seeds) —
+    the property both this battery and the gate rotation depend on."""
+    for fam in FAMILIES:
+        assert family_texts(fam) == family_texts(fam)
