@@ -826,6 +826,7 @@ def pubsub_publish_sink(
     project: str,
     topic: str,
     batch_messages: int = 100,
+    dedup_id_col: "str | None" = None,
 ) -> None:
     """GCP Pub/Sub publish sink (flink-connectors/flink-connector-gcp-pubsub:
     PubSubSink publishes serialized records through the Publisher client;
@@ -840,7 +841,14 @@ def pubsub_publish_sink(
 
     Executor-side: stdlib urllib inside foreachPartition, no driver
     collect, no SDK (OAuth is the deployment's concern — emulator and
-    sigv4-style proxies take no auth header)."""
+    sigv4-style proxies take no auth header).
+
+    Exactly-once discipline: a publish whose HTTP response is lost (or
+    whose task retries) re-sends the same messages — at-least-once, like
+    the reference sink. With `dedup_id_col` set, every message carries
+    that column as a `dedupId` attribute, giving retries a stable
+    identity for server- or consumer-side dedup (the Pub/Sub
+    exactly-once-delivery pattern)."""
     url = (
         endpoint.rstrip("/")
         + f"/v1/projects/{project}/topics/{topic}:publish"
@@ -874,13 +882,14 @@ def pubsub_publish_sink(
 
         for row in rows:
             rec = row.asDict(recursive=True)
-            buf.append(
-                {
-                    "data": base64.b64encode(
-                        json.dumps(rec, default=str).encode()
-                    ).decode()
-                }
-            )
+            msg = {
+                "data": base64.b64encode(
+                    json.dumps(rec, default=str).encode()
+                ).decode()
+            }
+            if dedup_id_col is not None:
+                msg["attributes"] = {"dedupId": str(rec[dedup_id_col])}
+            buf.append(msg)
             if len(buf) >= batch_messages:
                 flush()
         flush()

@@ -201,14 +201,26 @@ def rabbitmq_sink(
     port: int,
     queue: str,
     batch_confirm: int = 100,
+    correlation_id_col: "str | None" = None,
 ) -> None:
     """Publish each row of `df` (json-serialized) to `queue` on the broker
     at host:port over AMQP 0-9-1, waiting for publisher confirms every
     `batch_confirm` messages (and at the end). Executor-side by
     construction: sockets open inside foreachPartition, nothing collects
-    to the driver."""
+    to the driver.
+
+    Exactly-once discipline: AMQP publishes are at-least-once under task
+    retry (a crash after publish but before the task finishes republishes
+    the partition). With `correlation_id_col` set, every message carries
+    that column as its `correlation-id` basic property, so retried
+    publishes are byte-identical AND carry a stable identity — the same
+    contract the reference requires for exactly-once consumption
+    (RMQSource.java's correlation-id dedup; our own rabbitmq-stream
+    source dedups redeliveries the same way). Without it the sink is
+    honest at-least-once, as the reference's RMQSink is."""
 
     cols = df.columns  # noqa: F841 — documents the serialized field order
+    _CORRELATION_ID_FLAG = 0x0400  # basic-properties bit 10
 
     def send(rows):
         import json  # noqa: PLC0415
@@ -271,8 +283,15 @@ def rabbitmq_sink(
                         FRAME_METHOD, 1, method_payload(*BASIC_PUBLISH, args)
                     )
                 )
-                # content header: class 60, weight 0, body size, no props
-                hdr = st.pack(">HHQH", 60, 0, len(body), 0)
+                # content header: class 60, weight 0, body size; with a
+                # correlation-id column the property flag + shortstr follow
+                if correlation_id_col is not None:
+                    cid = str(row[correlation_id_col])
+                    hdr = st.pack(
+                        ">HHQH", 60, 0, len(body), _CORRELATION_ID_FLAG
+                    ) + shortstr(cid)
+                else:
+                    hdr = st.pack(">HHQH", 60, 0, len(body), 0)
                 sock.sendall(encode_frame(FRAME_HEADER, 1, hdr))
                 sock.sendall(encode_frame(FRAME_BODY, 1, body))
                 published += 1

@@ -555,3 +555,45 @@ def register_wire_sources(spark) -> None:
     `spark.readStream.format(...)` for this session."""
     for cls in ALL_WIRE_SOURCES:
         spark.dataSource.register(cls)
+
+
+# ---------------------------------------------------------------------------
+# Write side: checkpoint-aligned exactly-once discipline
+# ---------------------------------------------------------------------------
+
+
+def idempotent_foreach_batch(sink_fn, ledger_dir: str):
+    """Wrap a `(batch_df, batch_id)` function for `writeStream.foreachBatch`
+    so a batch re-executed after restart is skipped — the Spark analog of
+    the reference's `TwoPhaseCommitSinkFunction` (and
+    `FlinkKafkaProducer.java:99`'s transactional use of it): Spark's
+    checkpoint is the transaction coordinator, `ledger_dir` is the
+    sink-side transaction log, and the commit marker is written only
+    after the sink call returns.
+
+    Semantics: foreachBatch re-runs the last uncommitted batch after a
+    restart with the SAME batch_id. The wrapper gives each batch_id
+    at-most-one *completed* execution; within a batch the sink may still
+    see a partial earlier attempt, so pair this with an idempotent or
+    dedup-id-carrying sink (PK upserts for Cassandra/ES,
+    `correlation_id_col` for RabbitMQ, `dedup_id_col` for Pub/Sub, one
+    confirmed transaction per flush for NiFi) — the same
+    recommit-idempotence requirement TwoPhaseCommitSinkFunction documents
+    for its `commit()`. The marker write is atomic (tmp + rename); put
+    `ledger_dir` on shared storage in production, next to the checkpoint.
+    """
+    os.makedirs(ledger_dir, exist_ok=True)
+
+    def wrapped(batch_df, batch_id):
+        marker = os.path.join(ledger_dir, f"batch-{batch_id}.done")
+        if os.path.exists(marker):
+            return  # committed by a previous run: replay is a no-op
+        sink_fn(batch_df, batch_id)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write("committed")
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, marker)
+
+    return wrapped

@@ -352,6 +352,384 @@ class NiFiPortStub:
         self._srv.server_close()
 
 
+class DedupAmqpSinkStub:
+    """AMQP broker slice for the SINK side: accepts Basic.Publish +
+    header + body triples, confirms them, and stores bodies keyed by the
+    correlation-id basic property (exactly-once for id-carrying
+    publishers). `drop_after` kills the FIRST connection after that many
+    publishes — the mid-batch failure a task retry must survive."""
+
+    def __init__(self, drop_after: "int | None" = None):
+        self.by_id: dict[str, bytes] = {}
+        self.publish_count = 0
+        self.drop_after = drop_after
+        self._dropped_once = False
+        self.lock = threading.Lock()
+        self._srv = None
+        self.port = None
+
+    def start(self):
+        stub = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self):
+                from flink_parent_spark.sources import rabbitmq_amqp as amqp
+
+                sock = self.request
+                tag = 0
+                pending_cid = None
+                body_remaining = 0
+                body_buf = b""
+
+                def send_method(channel, method, args=b""):
+                    sock.sendall(
+                        amqp.encode_frame(
+                            amqp.FRAME_METHOD, channel,
+                            amqp.method_payload(*method, args),
+                        )
+                    )
+
+                try:
+                    assert amqp.read_exact(sock, 8) == amqp.PROTOCOL_HEADER
+                    send_method(
+                        0, amqp.CONNECTION_START,
+                        struct.pack(">BB", 0, 9) + struct.pack(">I", 0)
+                        + amqp.longstr(b"PLAIN") + amqp.longstr(b"en_US"),
+                    )
+                    while True:
+                        ftype, channel, payload = amqp.read_frame(sock)
+                        if ftype == amqp.FRAME_HEADER:
+                            (body_remaining,) = struct.unpack_from(
+                                ">Q", payload, 4
+                            )
+                            (flags,) = struct.unpack_from(">H", payload, 12)
+                            pending_cid = None
+                            if flags & 0x0400:  # correlation-id property
+                                ln = payload[14]
+                                pending_cid = payload[15 : 15 + ln].decode()
+                            body_buf = b""
+                            continue
+                        if ftype == amqp.FRAME_BODY:
+                            body_buf += payload
+                            if len(body_buf) < body_remaining:
+                                continue
+                            tag += 1
+                            with stub.lock:
+                                stub.publish_count += 1
+                                key = (
+                                    pending_cid
+                                    if pending_cid is not None
+                                    else f"anon-{stub.publish_count}"
+                                )
+                                stub.by_id[key] = body_buf
+                                should_drop = (
+                                    stub.drop_after is not None
+                                    and not stub._dropped_once
+                                    and stub.publish_count >= stub.drop_after
+                                )
+                                if should_drop:
+                                    stub._dropped_once = True
+                            if should_drop:
+                                sock.close()  # mid-batch broker failure
+                                return
+                            send_method(
+                                channel, amqp.BASIC_ACK,
+                                struct.pack(">QB", tag, 0),
+                            )
+                            continue
+                        if ftype != amqp.FRAME_METHOD:
+                            continue
+                        m, args = amqp.parse_method(payload)
+                        if m == amqp.CONNECTION_START_OK:
+                            send_method(
+                                0, amqp.CONNECTION_TUNE,
+                                struct.pack(">HIH", 2047, 131072, 60),
+                            )
+                        elif m == amqp.CONNECTION_OPEN:
+                            send_method(0, amqp.CONNECTION_OPEN_OK, b"\x00")
+                        elif m == amqp.CHANNEL_OPEN:
+                            send_method(
+                                channel, amqp.CHANNEL_OPEN_OK,
+                                struct.pack(">I", 0),
+                            )
+                        elif m == amqp.QUEUE_DECLARE:
+                            qlen = args[2]
+                            qname = args[3 : 3 + qlen].decode()
+                            send_method(
+                                channel, amqp.QUEUE_DECLARE_OK,
+                                amqp.shortstr(qname)
+                                + struct.pack(">II", 0, 0),
+                            )
+                        elif m == amqp.CONFIRM_SELECT:
+                            send_method(channel, amqp.CONFIRM_SELECT_OK)
+                except (ConnectionError, AssertionError, OSError):
+                    return
+
+        self._srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+        self._srv.daemon_threads = True
+        self.port = self._srv.server_address[1]
+        threading.Thread(target=self._srv.serve_forever, daemon=True).start()
+        return self
+
+    def stop(self):
+        self._srv.shutdown()
+        self._srv.server_close()
+
+
+class PubSubTopicStub:
+    """Pub/Sub publish endpoint keyed by the `dedupId` message attribute.
+    `fail_first` stores the first request's messages but answers 500 —
+    the lost-response case where a retry without dedup ids doubles."""
+
+    def __init__(self, fail_first: bool = False):
+        self.by_id: dict[str, str] = {}
+        self.anon_count = 0
+        self.fail_first = fail_first
+        self._failed_once = False
+        self.lock = threading.Lock()
+        self._srv = None
+        self.port = None
+
+    def start(self):
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        stub = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                msgs = body.get("messages", [])
+                with stub.lock:
+                    for m in msgs:
+                        did = (m.get("attributes") or {}).get("dedupId")
+                        if did is None:
+                            stub.anon_count += 1
+                            did = f"anon-{stub.anon_count}"
+                        stub.by_id[did] = m["data"]
+                    fail = stub.fail_first and not stub._failed_once
+                    if fail:
+                        stub._failed_once = True
+                if fail:
+                    self.send_response(500)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
+                resp = json.dumps(
+                    {"messageIds": [str(i) for i in range(len(msgs))]}
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(resp)))
+                self.end_headers()
+                self.wfile.write(resp)
+
+        self._srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.port = self._srv.server_address[1]
+        threading.Thread(target=self._srv.serve_forever, daemon=True).start()
+        return self
+
+    def stop(self):
+        self._srv.shutdown()
+        self._srv.server_close()
+
+
+class NiFiInputPortStub:
+    """Site-to-site INPUT port: flowfiles POSTed into a transaction stay
+    staged (invisible) until CONFIRM_TRANSACTION. `fail_first_confirm`
+    answers the first confirm with 500 AND drops the staged data — the
+    torn-transaction case: nothing becomes visible, the task retries,
+    and the retry's single confirmed transaction is the only visible
+    copy."""
+
+    def __init__(self, fail_first_confirm: bool = False):
+        self.visible: list[tuple[dict, bytes]] = []
+        self.staged: dict[str, list[tuple[dict, bytes]]] = {}
+        self.fail_first_confirm = fail_first_confirm
+        self._failed_once = False
+        self.lock = threading.Lock()
+        self._next_tx = 0
+        self._srv = None
+        self.port = None
+
+    def start(self):
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        from flink_parent_spark.sources.nifi_s2s import decode_flowfile_packets
+
+        stub = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_POST(self):
+                import zlib
+
+                if self.path.endswith("/transactions"):
+                    with stub.lock:
+                        stub._next_tx += 1
+                        tx = f"tx-{stub._next_tx}"
+                        stub.staged[tx] = []
+                    self.send_response(201)
+                    self.send_header(
+                        "Location",
+                        "/nifi-api/data-transfer/input-ports/p/"
+                        f"transactions/{tx}",
+                    )
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
+                # flow-files upload
+                tx = self.path.split("/transactions/")[1].split("/")[0]
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n)
+                with stub.lock:
+                    stub.staged[tx] = decode_flowfile_packets(body)
+                crc = str(zlib.crc32(body) & 0xFFFFFFFF).encode()
+                self.send_response(202)
+                self.send_header("Content-Length", str(len(crc)))
+                self.end_headers()
+                self.wfile.write(crc)
+
+            def do_DELETE(self):
+                path, _, query = self.path.partition("?")
+                tx = path.split("/transactions/")[1].split("/")[0]
+                confirm = "responseCode=CONFIRM_TRANSACTION" in query
+                with stub.lock:
+                    packets = stub.staged.pop(tx, [])
+                    if confirm and stub.fail_first_confirm and not stub._failed_once:
+                        stub._failed_once = True
+                        # torn commit: staged data is dropped, client errors
+                        self.send_response(500)
+                        self.send_header("Content-Length", "0")
+                        self.end_headers()
+                        return
+                    if confirm:
+                        stub.visible.extend(packets)
+                self.send_response(200)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+        self._srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.port = self._srv.server_address[1]
+        threading.Thread(target=self._srv.serve_forever, daemon=True).start()
+        return self
+
+    def stop(self):
+        self._srv.shutdown()
+        self._srv.server_close()
+
+
+class CassandraUpsertStub:
+    """CQL native-protocol slice for the sink: STARTUP/READY handshake,
+    then QUERY/BATCH INSERT frames upserted into a dict keyed by the
+    first bound value (the partition key) — idempotence is the table's
+    own PK semantics. `drop_after` closes the FIRST connection after
+    that many stored rows, mid-batch."""
+
+    def __init__(self, drop_after: "int | None" = None):
+        self.by_pk: dict[bytes, list] = {}
+        self.insert_count = 0
+        self.drop_after = drop_after
+        self._dropped_once = False
+        self.lock = threading.Lock()
+        self._srv = None
+        self.port = None
+
+    def start(self):
+        stub = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self):
+                from flink_parent_spark.sources import cassandra_cql as cql
+
+                sock = self.request
+
+                def reply(stream, opcode, body=b""):
+                    sock.sendall(
+                        struct.pack(
+                            ">BBhBi", 0x84, 0x00, stream, opcode, len(body)
+                        )
+                        + body
+                    )
+
+                def read_values(body, off):
+                    (nv,) = struct.unpack_from(">H", body, off)
+                    off += 2
+                    vals = []
+                    for _ in range(nv):
+                        (ln,) = struct.unpack_from(">i", body, off)
+                        off += 4
+                        vals.append(None if ln < 0 else body[off : off + ln])
+                        off += max(ln, 0)
+                    return vals, off
+
+                def read_long_string(body, off):
+                    (n,) = struct.unpack_from(">i", body, off)
+                    return off + 4 + n  # statement text not needed
+
+                try:
+                    while True:
+                        hdr = cql.read_exact(sock, 9)
+                        _v, _f, stream, opcode, length = (
+                            cql.decode_frame_header(hdr)
+                        )
+                        body = cql.read_exact(sock, length) if length else b""
+                        if opcode == cql.OP_STARTUP:
+                            reply(stream, cql.OP_READY)
+                            continue
+                        rows = []
+                        if opcode == cql.OP_QUERY:
+                            off = read_long_string(body, 0)
+                            off += 2  # consistency
+                            assert body[off] & 0x01
+                            vals, _ = read_values(body, off + 1)
+                            rows.append(vals)
+                        elif opcode == cql.OP_BATCH:
+                            _btype, n = struct.unpack_from(">BH", body, 0)
+                            off = 3
+                            for _ in range(n):
+                                assert body[off] == 0x00
+                                off = read_long_string(body, off + 1)
+                                vals, off = read_values(body, off)
+                                rows.append(vals)
+                        with stub.lock:
+                            drop_now = False
+                            for vals in rows:
+                                stub.by_pk[vals[0]] = vals
+                                stub.insert_count += 1
+                                if (
+                                    stub.drop_after is not None
+                                    and not stub._dropped_once
+                                    and stub.insert_count >= stub.drop_after
+                                ):
+                                    stub._dropped_once = True
+                                    drop_now = True
+                                    break
+                        if drop_now:
+                            sock.close()  # mid-batch node failure
+                            return
+                        reply(
+                            stream, cql.OP_RESULT, struct.pack(">i", 0x0001)
+                        )
+                except (ConnectionError, AssertionError, OSError):
+                    return
+
+        self._srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+        self._srv.daemon_threads = True
+        self.port = self._srv.server_address[1]
+        threading.Thread(target=self._srv.serve_forever, daemon=True).start()
+        return self
+
+    def stop(self):
+        self._srv.shutdown()
+        self._srv.server_close()
+
+
 class FeedStub:
     """Twitter-style line feed: one global cursor — each line is served to
     exactly one connection read (a live feed never replays). Closes the
