@@ -1168,13 +1168,30 @@ class TableEnvironment:
             )
             so = json.dumps({topic: {p: int(o) for p, o in pairs}})
         if entry.props.get("properties.bootstrap.servers") and not entry.path:
-            df = kafka_source(
-                self.spark,
-                entry.props["properties.bootstrap.servers"],
-                topic,
-                so,
-                streaming=streaming,
-            )
+            if entry.props.get("fps.transport") == "wire":
+                # speak the Kafka wire protocol directly (v0 APIs) — the
+                # in-container honesty path; bounded batch drain
+                from flink_parent_spark.sources.kafka_wire import (  # noqa: PLC0415
+                    kafka_wire_read,
+                )
+
+                host, _, port = entry.props[
+                    "properties.bootstrap.servers"
+                ].partition(":")
+                start = 0
+                if so not in ("earliest", "latest") and so.startswith("{"):
+                    start = int(json.loads(so).get(topic, {}).get("0", 0))
+                df = kafka_wire_read(self.spark, host, int(port), topic, start)
+                if so == "latest":
+                    df = df.filter(F.lit(False))
+            else:
+                df = kafka_source(
+                    self.spark,
+                    entry.props["properties.bootstrap.servers"],
+                    topic,
+                    so,
+                    streaming=streaming,
+                )
         else:
             df = kafka_file_source(
                 self.spark, entry.path, topic, so, streaming=streaming
@@ -1250,7 +1267,12 @@ class TableEnvironment:
                 write_kafka_file_topic_df,
             )
 
-            if not target.path:
+            wire = (
+                not target.path
+                and target.props.get("fps.transport") == "wire"
+                and target.props.get("properties.bootstrap.servers")
+            )
+            if not target.path and not wire:
                 raise ValueError(
                     "kafka sink without 'path' needs a live broker "
                     "(properties.bootstrap.servers)"
@@ -1264,14 +1286,29 @@ class TableEnvironment:
                 # composite PRIMARY KEY: serialize ALL key columns (json
                 # struct, matching the upsert-kafka reader's key decode)
                 key_col = F.to_json(F.struct(*[F.col(c) for c in pk]))
-            write_kafka_file_topic_df(
-                df.select(
-                    key_col.alias("k"),
-                    F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("v"),
-                ),
-                target.path,
-                target.props.get("topic", target.name),
+            kv = df.select(
+                key_col.alias("k"),
+                F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("v"),
             )
+            if wire:
+                # real Kafka framing to the configured broker (v0 Produce,
+                # acks=-1), executor-side — same rows, true wire transport
+                from flink_parent_spark.sources.kafka_wire import (  # noqa: PLC0415
+                    kafka_wire_sink,
+                )
+
+                host, _, port = target.props[
+                    "properties.bootstrap.servers"
+                ].partition(":")
+                kafka_wire_sink(
+                    kv, host, int(port), target.props.get("topic", target.name)
+                )
+            else:
+                write_kafka_file_topic_df(
+                    kv,
+                    target.path,
+                    target.props.get("topic", target.name),
+                )
             # refresh the reader view so subsequent queries see the rows
             self._scan(target, streaming=self.streaming).createOrReplaceTempView(
                 target.name

@@ -758,6 +758,30 @@ def test_create_database_and_use(spark):
     env.execute_sql("DROP DATABASE fps_db_ddl")
 
 
+def test_alter_database_passthrough(spark):
+    """ALTER DATABASE ... SET DBPROPERTIES dispatches through execute_sql
+    to Spark's session catalog (SqlAlterDatabase / AlterDatabaseOperation
+    parity — Spark's statement has identical semantics, so the dispatch
+    is a passthrough, not a rewrite)."""
+    from flink_parent_spark.api.table_env import TableEnvironment
+
+    env = TableEnvironment.create(spark=spark)
+    env.execute_sql("CREATE DATABASE IF NOT EXISTS fps_alter_db")
+    try:
+        # note: 'owner'/'location' are reserved namespace properties in
+        # Spark; the dispatch test uses a user-space key
+        env.execute_sql(
+            "ALTER DATABASE fps_alter_db SET DBPROPERTIES ('team'='fps')"
+        )
+        desc = {
+            r["info_name"]: r["info_value"]
+            for r in spark.sql("DESCRIBE DATABASE EXTENDED fps_alter_db").collect()
+        }
+        assert "team,fps" in desc.get("Properties", "")
+    finally:
+        env.execute_sql("DROP DATABASE fps_alter_db")
+
+
 def test_use_catalog_ddl(spark):
     """USE CATALOG c materializes the registered catalog object's tables
     (JdbcCatalog.register_all = the useCatalog workflow); SHOW CATALOGS

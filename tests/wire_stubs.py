@@ -352,6 +352,157 @@ class NiFiPortStub:
         self._srv.server_close()
 
 
+class KafkaBrokerStub:
+    """Kafka wire-protocol broker slice (v0 APIs): ApiVersions, Metadata,
+    Produce (crc-validated MessageSet append), Fetch (offset-addressed
+    read) over an in-memory log per (topic, partition 0)."""
+
+    def __init__(self):
+        self.logs: dict[str, list[tuple[bytes, bytes]]] = {}
+        self.lock = threading.Lock()
+        self._srv = None
+        self.port = None
+
+    def start(self):
+        stub = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self):
+                from flink_parent_spark.sources import kafka_wire as kw
+
+                sock = self.request
+                try:
+                    while True:
+                        (size,) = struct.unpack(
+                            ">i", kw._read_exact(sock, 4)
+                        )
+                        r = kw._Reader(kw._read_exact(sock, size))
+                        api_key = r.i16()
+                        api_version = r.i16()
+                        corr = r.i32()
+                        r.string()  # client id
+                        assert api_version == 0, api_version
+                        if api_key == kw.API_API_VERSIONS:
+                            body = struct.pack(">hi", 0, 3) + b"".join(
+                                struct.pack(">hhh", k, 0, 0)
+                                for k in (
+                                    kw.API_PRODUCE,
+                                    kw.API_FETCH,
+                                    kw.API_METADATA,
+                                )
+                            )
+                        elif api_key == kw.API_METADATA:
+                            topics = [
+                                r.string() for _ in range(r.i32())
+                            ]
+                            body = struct.pack(">i", 1)  # one broker
+                            body += (
+                                struct.pack(">i", 0)
+                                + kw._str("127.0.0.1")
+                                + struct.pack(">i", stub.port)
+                            )
+                            body += struct.pack(">i", len(topics))
+                            for t in topics:
+                                body += struct.pack(">h", 0) + kw._str(t)
+                                body += struct.pack(">i", 1)  # one partition
+                                body += struct.pack(">hii", 0, 0, 0)
+                                body += struct.pack(">ii", 1, 0)  # replicas
+                                body += struct.pack(">ii", 1, 0)  # isr
+                        elif api_key == kw.API_PRODUCE:
+                            r.i16()  # acks
+                            r.i32()  # timeout
+                            n_topics = r.i32()
+                            resp_topics = b""
+                            for _ in range(n_topics):
+                                t = r.string()
+                                n_parts = r.i32()
+                                parts = b""
+                                for _ in range(n_parts):
+                                    pid = r.i32()
+                                    mset = r.raw(r.i32())
+                                    msgs = kw.decode_message_set(mset)
+                                    with stub.lock:
+                                        log = stub.logs.setdefault(t, [])
+                                        base = len(log)
+                                        log.extend(
+                                            (k, v) for _o, k, v in msgs
+                                        )
+                                    parts += struct.pack(
+                                        ">ihq", pid, 0, base
+                                    )
+                                resp_topics += (
+                                    kw._str(t)
+                                    + struct.pack(">i", n_parts)
+                                    + parts
+                                )
+                            body = struct.pack(">i", n_topics) + resp_topics
+                        elif api_key == kw.API_FETCH:
+                            r.i32()  # replica
+                            r.i32()  # max wait
+                            r.i32()  # min bytes
+                            n_topics = r.i32()
+                            resp_topics = b""
+                            for _ in range(n_topics):
+                                t = r.string()
+                                n_parts = r.i32()
+                                parts = b""
+                                for _ in range(n_parts):
+                                    pid = r.i32()
+                                    off = r.i64()
+                                    r.i32()  # max bytes
+                                    with stub.lock:
+                                        log = list(
+                                            stub.logs.get(t, [])
+                                        )
+                                    hw = len(log)
+                                    out = bytearray()
+                                    for o in range(off, hw):
+                                        k, v = log[o]
+                                        b2 = (
+                                            struct.pack(">bb", 0, 0)
+                                            + kw._bytes(k)
+                                            + kw._bytes(v)
+                                        )
+                                        import zlib
+
+                                        crc = (
+                                            zlib.crc32(b2) & 0xFFFFFFFF
+                                        )
+                                        msg = struct.pack(">I", crc) + b2
+                                        out += struct.pack(
+                                            ">qi", o, len(msg)
+                                        ) + msg
+                                    parts += struct.pack(
+                                        ">ihq", pid, 0, hw
+                                    ) + struct.pack(
+                                        ">i", len(out)
+                                    ) + bytes(out)
+                                resp_topics += (
+                                    kw._str(t)
+                                    + struct.pack(">i", n_parts)
+                                    + parts
+                                )
+                            body = struct.pack(">i", n_topics) + resp_topics
+                        else:
+                            return
+                        payload = struct.pack(">i", corr) + body
+                        sock.sendall(
+                            struct.pack(">i", len(payload)) + payload
+                        )
+                except (ConnectionError, AssertionError, OSError, struct.error):
+                    return
+
+        self._srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+        self._srv.daemon_threads = True
+        self.port = self._srv.server_address[1]
+        threading.Thread(target=self._srv.serve_forever, daemon=True).start()
+        return self
+
+    def stop(self):
+        self._srv.shutdown()
+        self._srv.server_close()
+
+
 class DedupAmqpSinkStub:
     """AMQP broker slice for the SINK side: accepts Basic.Publish +
     header + body triples, confirms them, and stores bodies keyed by the
