@@ -317,6 +317,74 @@ def gen_outer_join_query(rng: random.Random) -> str:
     )
 
 
+def gen_cte_query(rng: random.Random) -> str:
+    """WITH-clause composition: a per-key aggregate CTE consumed twice —
+    re-aggregated AND joined back — the multi-reference shape that
+    exercises CTE planning (inlining vs reuse) without leaving the exact
+    fragment."""
+    key = rng.choice(KEY_COLS)
+    e = rng.choice(SUM_EXPRS)
+    pred = _pred(rng, joined=False)
+    agg2 = rng.choice(
+        [
+            "MIN(k_cnt) AS m0, MAX(k_cnt) AS m1",
+            "CAST(SUM(CAST(k_sum AS DECIMAL(30,6))) AS DOUBLE) AS s0, COUNT(*) AS c0",
+            "COUNT(*) AS c0, MIN(k_sum) AS m0",
+        ]
+    )
+    hav = f" HAVING COUNT(*) >= {rng.randint(1, 3)}" if rng.random() < 0.4 else ""
+    return (
+        f"WITH per_key AS ("
+        f"SELECT {key} AS k, COUNT(*) AS k_cnt, "
+        f"CAST(SUM(CAST(({e}) AS DECIMAL(30,6))) AS DOUBLE) AS k_sum "
+        f"FROM lineitem WHERE {pred} GROUP BY {key}{hav}) "
+        f"SELECT a.k, a.k_cnt, {agg2.replace('k_cnt', 'b.k_cnt').replace('k_sum', 'b.k_sum')} "
+        f"FROM per_key a JOIN per_key b ON a.k = b.k "
+        f"GROUP BY a.k, a.k_cnt"
+    )
+
+
+def gen_null_expr_query(rng: random.Random) -> str:
+    """Null-semantics fuzz: NULLIF / COALESCE / IS [NOT] NULL /
+    null-generating CASE, aggregated with null-skipping COUNT(expr) vs
+    COUNT(*) — the three-valued-logic fragment the scalar family avoids
+    by construction. Integer/string only: exact across engines."""
+    nullable = rng.choice(
+        [
+            f"NULLIF(l_linenumber, {rng.randint(1, 5)})",
+            "NULLIF(l_returnflag, 'A')",
+            f"CASE WHEN l_quantity > {rng.randint(10, 40)} THEN l_linenumber END",
+            f"CASE WHEN l_linestatus = 'O' THEN NULL ELSE l_linenumber END",
+        ]
+    )
+    key = rng.choice(KEY_COLS[:2])
+    aggs = [
+        "COUNT(*) AS cnt",
+        f"COUNT({nullable}) AS cnt_nn",  # null-skipping
+        f"COUNT(*) - COUNT({nullable}) AS cnt_null",
+    ]
+    co = rng.choice(
+        [
+            f"COALESCE({nullable}, -1)",
+            f"COALESCE({nullable}, l_linenumber, -1)",
+        ]
+    )
+    if rng.random() < 0.7:
+        aggs.append(f"MIN({co}) AS m0")
+        aggs.append(f"MAX({co}) AS m1")
+    pred = rng.choice(
+        [
+            f"{nullable} IS NULL",
+            f"{nullable} IS NOT NULL",
+            _pred(rng, joined=False),
+        ]
+    )
+    return (
+        f"SELECT {key}, {', '.join(aggs)} FROM lineitem "
+        f"WHERE {pred} GROUP BY {key}"
+    )
+
+
 def _family(seed: int, n: int, gen) -> list[str]:
     rng = random.Random(seed)
     return [gen(rng) for _ in range(n)]
@@ -331,6 +399,10 @@ FAMILIES: dict[str, tuple[int, int, object]] = {
     "setop": (0xCAFE, 10, gen_setop_query),
     "scalar": (0x5CA1A, 20, gen_scalar_query),
     "outer": (0x0E7E4, 15, gen_outer_join_query),
+    # round-9 families: CTE multi-reference composition; three-valued
+    # null semantics (NULLIF/COALESCE/null-generating CASE + COUNT(expr))
+    "cte": (0xC7E0, 10, gen_cte_query),
+    "nullx": (0x9011, 10, gen_null_expr_query),
 }
 
 
