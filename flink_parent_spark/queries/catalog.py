@@ -112,9 +112,11 @@ _ROTATED_OUT: tuple[str, ...] = (
 )
 
 PRIORITY: tuple[str, ...] = _GATE_CORE + tuple(GATE_NAMES) + _ROTATED_OUT
-assert len(_GATE_CORE) + len(GATE_NAMES) == 50, (
-    f"gate prefix must be exactly 50, got {len(_GATE_CORE) + len(GATE_NAMES)}"
-)
+if len(_GATE_CORE) + len(GATE_NAMES) != 50:
+    # explicit raise (not assert): must survive `python -O`
+    raise RuntimeError(
+        f"gate prefix must be exactly 50, got {len(_GATE_CORE) + len(GATE_NAMES)}"
+    )
 
 
 def _prioritized(mapping: dict) -> dict:

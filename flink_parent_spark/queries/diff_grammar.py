@@ -349,12 +349,16 @@ def gen_null_expr_query(rng: random.Random) -> str:
     null-generating CASE, aggregated with null-skipping COUNT(expr) vs
     COUNT(*) — the three-valued-logic fragment the scalar family avoids
     by construction. Integer/string only: exact across engines."""
-    nullable = rng.choice(
+    # (expr, is_string): the COALESCE default below must match the
+    # expression's type — a VARCHAR nullable with an integer default is
+    # outside the "exact across engines" contract (Spark coerces, the
+    # DuckDB binder rejects).
+    nullable, is_str = rng.choice(
         [
-            f"NULLIF(l_linenumber, {rng.randint(1, 5)})",
-            "NULLIF(l_returnflag, 'A')",
-            f"CASE WHEN l_quantity > {rng.randint(10, 40)} THEN l_linenumber END",
-            f"CASE WHEN l_linestatus = 'O' THEN NULL ELSE l_linenumber END",
+            (f"NULLIF(l_linenumber, {rng.randint(1, 5)})", False),
+            ("NULLIF(l_returnflag, 'A')", True),
+            (f"CASE WHEN l_quantity > {rng.randint(10, 40)} THEN l_linenumber END", False),
+            ("CASE WHEN l_linestatus = 'O' THEN NULL ELSE l_linenumber END", False),
         ]
     )
     key = rng.choice(KEY_COLS[:2])
@@ -363,12 +367,20 @@ def gen_null_expr_query(rng: random.Random) -> str:
         f"COUNT({nullable}) AS cnt_nn",  # null-skipping
         f"COUNT(*) - COUNT({nullable}) AS cnt_null",
     ]
-    co = rng.choice(
-        [
-            f"COALESCE({nullable}, -1)",
-            f"COALESCE({nullable}, l_linenumber, -1)",
-        ]
-    )
+    if is_str:
+        co = rng.choice(
+            [
+                f"COALESCE({nullable}, '~')",
+                f"COALESCE({nullable}, l_linestatus, '~')",
+            ]
+        )
+    else:
+        co = rng.choice(
+            [
+                f"COALESCE({nullable}, -1)",
+                f"COALESCE({nullable}, l_linenumber, -1)",
+            ]
+        )
     if rng.random() < 0.7:
         aggs.append(f"MIN({co}) AS m0")
         aggs.append(f"MAX({co}) AS m1")
@@ -412,5 +424,5 @@ def family_texts(name: str) -> list[str]:
 
 
 def all_texts() -> dict[str, list[str]]:
-    """Every generated text, keyed by family (115 total)."""
+    """Every generated text, keyed by family (135 total)."""
     return {name: family_texts(name) for name in FAMILIES}

@@ -1,7 +1,7 @@
 """Rotating differential-fuzz sample promoted into the driver's gate.
 
 The driver's correctness gate verifies the FIRST 50 registered queries
-(rows + schema + value-hash vs DuckDB at sf0.01). The full 115-text
+(rows + schema + value-hash vs DuckDB at sf0.01). The full 135-text
 differential battery runs in pytest at sf0.001; this module additionally
 promotes a 10-text sample — at least one text from every family — into
 the gate prefix so the driver's independent harness exercises the fuzz
@@ -28,14 +28,20 @@ from flink_parent_spark.queries.diff_grammar import FAMILIES, family_texts
 from flink_parent_spark.queries.registry import sql_query
 
 # Bump once per round (round number keeps the rotation auditable).
-ROTATION = 9
+ROTATION = 10
 
 N_GATE = 10
 
 
 def gate_sample(rotation: int = ROTATION) -> list[tuple[str, int]]:
     """Deterministic (family, index) sample: one text per family first
-    (6 families), then 4 more drawn from the pooled remainder."""
+    (currently 8 families), then the remaining N_GATE slots drawn from
+    the pooled remainder."""
+    if len(FAMILIES) > N_GATE:
+        raise RuntimeError(
+            f"{len(FAMILIES)} families exceed the {N_GATE}-slot gate sample; "
+            "raise N_GATE (and rebalance catalog._ROTATED_OUT) first"
+        )
     rng = random.Random(0xD1FF ^ rotation)
     picks: list[tuple[str, int]] = []
     for fam, (_seed, n, _gen) in FAMILIES.items():
