@@ -37,6 +37,8 @@ import struct
 import zlib
 from typing import TYPE_CHECKING
 
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
 if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame, SparkSession
 
@@ -301,14 +303,50 @@ def fetch(
 # --- DataFrame bridges ----------------------------------------------------------
 
 
+def murmur2(data: bytes) -> int:
+    """Kafka's murmur2 (32-bit, seed 0x9747b28c) — the Java client's
+    default key partitioner hash, from the public algorithm. Keyed
+    messages land on hash(key) % n_partitions, so our producer places
+    keys on the same partitions a stock Java producer would."""
+    length = len(data)
+    seed = 0x9747B28C
+    m = 0x5BD1E995
+    h = (seed ^ length) & 0xFFFFFFFF
+    i = 0
+    while length - i >= 4:
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * m) & 0xFFFFFFFF
+        k ^= k >> 24
+        k = (k * m) & 0xFFFFFFFF
+        h = (h * m) & 0xFFFFFFFF
+        h ^= k
+        i += 4
+    rem = length - i
+    if rem >= 3:
+        h ^= data[i + 2] << 16
+    if rem >= 2:
+        h ^= data[i + 1] << 8
+    if rem >= 1:
+        h ^= data[i]
+        h = (h * m) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * m) & 0xFFFFFFFF
+    h ^= h >> 15
+    return h
+
+
 def kafka_wire_sink(
     kv_df: "DataFrame", host: str, port: int, topic: str, batch: int = 500
 ) -> None:
     """Executor-side producer: each Spark partition opens its own socket
     (FlinkKafkaProducer: one producer per subtask), ApiVersions-handshakes,
-    and produces its rows to partition 0 in MessageSet chunks with
-    acks=-1. Columns: k (string, nullable -> message key), v (string or
-    binary -> message value)."""
+    discovers the topic's partitions via Metadata, and produces in
+    per-partition MessageSet chunks with acks=-1. Keyed rows route by
+    murmur2(key) % n_partitions (the Java client's default partitioner,
+    so per-key order is preserved on the same partition a stock producer
+    would pick); keyless rows stick to one partition per task (the
+    v0-era sticky behavior). Columns: k (string, nullable -> message
+    key), v (string or binary -> message value)."""
 
     def send(rows):
         sock = connect(host, port)
@@ -316,22 +354,33 @@ def kafka_wire_sink(
             versions = api_versions(sock)
             if API_PRODUCE not in versions:
                 raise RuntimeError("kafka: broker does not support Produce")
-            buf: list[tuple[bytes | None, bytes]] = []
+            md = metadata(sock, [topic])
+            top = md["topics"].get(topic, {})
+            pids = sorted(
+                pid
+                for pid, p in top.get("partitions", {}).items()
+                if not p["error"]
+            ) or [0]
+            bufs: dict[int, list[tuple[bytes | None, bytes]]] = {
+                pid: [] for pid in pids
+            }
 
-            def flush():
-                if buf:
-                    produce(sock, topic, 0, list(buf))
-                    buf.clear()
+            def flush(pid: int):
+                if bufs[pid]:
+                    produce(sock, topic, pid, list(bufs[pid]))
+                    bufs[pid].clear()
 
             for row in rows:
                 k = row["k"]
                 v = row["v"]
                 key = None if k is None else str(k).encode()
                 val = v if isinstance(v, (bytes, bytearray)) else str(v).encode()
-                buf.append((key, bytes(val)))
-                if len(buf) >= batch:
-                    flush()
-            flush()
+                pid = pids[0] if key is None else pids[murmur2(key) % len(pids)]
+                bufs[pid].append((key, bytes(val)))
+                if len(bufs[pid]) >= batch:
+                    flush(pid)
+            for pid in pids:
+                flush(pid)
         finally:
             sock.close()
 
@@ -383,3 +432,126 @@ def kafka_wire_read(
         for (k, v, t, p, o, _ts, tt) in rows
     ]
     return spark.createDataFrame(rows, KAFKA_RECORD_SCHEMA)
+
+
+# --- Unbounded streaming source ------------------------------------------------
+
+
+class KafkaWireStreamReader(SimpleDataSourceStreamReader):
+    """Unbounded multi-partition reader over the v0 wire client — the
+    continuous half of this transport (FlinkKafkaConsumer.java parity:
+    per-partition offsets live in the CHECKPOINT, never broker-committed,
+    and restart resumes from the checkpointed positions).
+
+    Offsets are `{"offsets": {"<pid>": next_offset}}`. Unlike the
+    queue-protocol sources in `stream_wire.py`, no spool WAL is needed:
+    Kafka is a log, so `readBetweenOffsets` replays deterministically by
+    re-fetching the same offset range, and `commit` is a no-op (nothing
+    to ack — retention is broker-side policy). Partition discovery runs
+    per poll via Metadata, so partitions added after start are picked up
+    from offset 0 (the reference's partition-discovery loop,
+    KafkaSourceEnumerator)."""
+
+    def __init__(self, host: str, port: int, topic: str, max_per_batch: int):
+        self._host, self._port, self._topic = host, port, topic
+        self._max = max_per_batch
+        self._sock = None
+
+    def _conn(self):
+        if self._sock is None:
+            self._sock = connect(self._host, self._port)
+        return self._sock
+
+    def _partitions(self) -> "list[int]":
+        md = metadata(self._conn(), [self._topic])
+        top = md["topics"].get(self._topic)
+        if top is None or top.get("error"):
+            raise RuntimeError(f"kafka: topic {self._topic} metadata error")
+        return sorted(
+            pid for pid, p in top["partitions"].items() if not p["error"]
+        )
+
+    def initialOffset(self) -> dict:
+        return {"offsets": {}}
+
+    def read(self, start: dict) -> "tuple":
+        offs = {int(k): v for k, v in start.get("offsets", {}).items()}
+        new = dict(offs)
+        rows: list[tuple] = []
+        try:
+            for pid in self._partitions():
+                budget = self._max - len(rows)
+                if budget <= 0:
+                    break
+                pos = offs.get(pid, 0)
+                msgs, _hw = fetch(self._conn(), self._topic, pid, pos)
+                for off, k, v in msgs[:budget]:
+                    rows.append((k, v, self._topic, pid, off, None, 0))
+                    new[pid] = off + 1
+        except (ConnectionError, OSError):
+            self.close()  # broker bounce: reconnect on the next trigger
+            raise
+        if not rows:
+            return iter(()), start  # no progress
+        return iter(rows), {"offsets": {str(p): o for p, o in new.items()}}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> "object":
+        """Deterministic replay by re-fetching each partition's
+        [start, end) offset range from the log."""
+        s = {int(k): v for k, v in start.get("offsets", {}).items()}
+        e = {int(k): v for k, v in end.get("offsets", {}).items()}
+        rows: list[tuple] = []
+        for pid in sorted(e):
+            lo, hi = s.get(pid, 0), e[pid]
+            pos = lo
+            while pos < hi:
+                msgs, _hw = fetch(self._conn(), self._topic, pid, pos)
+                if not msgs:
+                    raise RuntimeError(
+                        f"kafka replay: offset {pos} < {hi} missing from "
+                        f"partition {pid} (log truncated below checkpoint?)"
+                    )
+                for off, k, v in msgs:
+                    if off >= hi:
+                        break
+                    rows.append((k, v, self._topic, pid, off, None, 0))
+                pos = msgs[-1][0] + 1
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        # log semantics: the checkpointed offset IS the commit; the
+        # broker is never acked (FlinkKafkaConsumer's default of
+        # checkpoint-owned offsets, not auto-commit)
+        pass
+
+    def close(self) -> None:
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            finally:
+                self._sock = None
+
+
+class KafkaWireStreamDataSource(DataSource):
+    """`spark.readStream.format("kafka-wire-stream")` — options: host,
+    port, topic, maxperbatch. Emits the engine's kafka record shape so
+    the existing decode chain (json / debezium / upsert normalize)
+    applies unchanged."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "kafka-wire-stream"
+
+    def schema(self) -> str:
+        from flink_parent_spark.sources.connectors import (  # noqa: PLC0415
+            KAFKA_RECORD_SCHEMA,
+        )
+
+        return KAFKA_RECORD_SCHEMA
+
+    def simpleStreamReader(self, schema):
+        o = self.options
+        return KafkaWireStreamReader(
+            o["host"], int(o["port"]), o["topic"],
+            int(o.get("maxperbatch", "1000")),
+        )

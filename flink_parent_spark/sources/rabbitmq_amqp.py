@@ -110,6 +110,43 @@ def parse_method(payload: bytes) -> "tuple[tuple[int, int], bytes]":
     return (cls, mid), payload[4:]
 
 
+def parse_basic_properties(header_payload: bytes) -> "dict[str, object]":
+    """Decode the basic-properties list of a content HEADER frame payload
+    (class-id, weight, body-size, property-flags, then present properties
+    in flag-bit order — AMQP 0-9-1 §4.2.6.1). Returns the properties a
+    consumer needs for identity/dedup; unknown trailing properties are
+    simply not reached (every property we skip precedes correlation-id in
+    the bit order, so the offsets stay exact)."""
+    flags = struct.unpack_from(">H", header_payload, 10)[0]
+    off = 12
+    out: "dict[str, object]" = {"body_size": struct.unpack_from(">Q", header_payload, 4)[0]}
+
+    def _shortstr() -> str:
+        nonlocal off
+        n = header_payload[off]
+        off += 1
+        s = header_payload[off : off + n].decode("utf-8", "replace")
+        off += n
+        return s
+
+    if flags & 0x8000:  # content-type
+        out["content_type"] = _shortstr()
+    if flags & 0x4000:  # content-encoding
+        out["content_encoding"] = _shortstr()
+    if flags & 0x2000:  # headers field-table: skip by its length prefix
+        (n,) = struct.unpack_from(">I", header_payload, off)
+        off += 4 + n
+    if flags & 0x1000:  # delivery-mode
+        out["delivery_mode"] = header_payload[off]
+        off += 1
+    if flags & 0x0800:  # priority
+        out["priority"] = header_payload[off]
+        off += 1
+    if flags & 0x0400:  # correlation-id — the exactly-once identity
+        out["correlation_id"] = _shortstr()
+    return out
+
+
 def _expect(method, got) -> None:
     if got != method:
         raise RuntimeError(

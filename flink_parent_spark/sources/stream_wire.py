@@ -32,11 +32,29 @@ spool (Spark will replay them via `readBetweenOffsets`) AND unacked at
 the broker (which will redeliver them). Redeliveries whose message id is
 already in an uncommitted spool are therefore NOT re-emitted — they are
 acked immediately, which is safe precisely because the spool already
-holds the data durably. Message identity comes from the protocol where
-it has one (Pub/Sub `messageId`, NiFi flowfile `uuid` attribute) and
-from a content digest otherwise (RabbitMQ without a correlation-id
-property, feed lines) — the same caveat as the reference, whose
-RMQSource exactly-once mode requires user-supplied correlation ids.
+holds the data durably. Three refinements close the remaining windows:
+
+- **Orphaned-spool re-serve**: if `read(start)` finds a spool file for
+  `start.batch` already on disk, a pre-crash `read` spooled it but Spark
+  never durably logged the offset — the records are re-served from the
+  spool under the same end offset instead of being overwritten by a
+  fresh fetch (which would lose them from broker and spool alike).
+- **Committed-ids ledger**: ack handles are session-scoped, so a batch
+  committed just before a crash leaves its broker copies unacked; a
+  broker that redelivers only after an ack deadline (Pub/Sub) hands
+  them back AFTER the pending-ids filter has forgotten them. Committed
+  ids are appended to a durable ledger (compacted to the most recent
+  100k) and such redeliveries are acked, not re-emitted.
+- **Transaction-scoped handles** (NiFi): a handle shared by a whole
+  transaction is early-acked only when EVERY message under it is a
+  duplicate; a mixed transaction keeps its handle for commit so fresh
+  flowfiles are never CONFIRMed before they are spooled.
+
+Message identity comes from the protocol where it has one (Pub/Sub
+`messageId`, NiFi flowfile `uuid` attribute, RabbitMQ `correlation-id`
+basic property when the publisher sets one) and from a content digest
+otherwise — the same caveat as the reference, whose RMQSource
+exactly-once mode requires user-supplied correlation ids.
 
 Scale shape: these are control-plane sources — one driver-side consumer
 per query, exactly like the reference's parallelism-1 RMQ/Pub-Sub
@@ -98,6 +116,14 @@ class WireAdapter(ABC):
         pass
 
 
+# Committed-ids ledger bound: the ledger file is compacted down to the
+# most recent _LEDGER_MAX ids whenever it doubles past that — the TTL
+# analog for dedup state (RMQSource keeps its sessionIds in Flink state
+# with the same "recent window" practicality: a redelivery arriving
+# after 100k newer messages is indistinguishable from a new message).
+_LEDGER_MAX = 100_000
+
+
 class SpoolingWireReader(SimpleDataSourceStreamReader):
     """Generic ack-on-checkpoint reader over any `WireAdapter` (see module
     docstring for the replay/dedup contract)."""
@@ -115,7 +141,23 @@ class SpoolingWireReader(SimpleDataSourceStreamReader):
         # construction (delivery tags / ackIds are session-scoped), and
         # the broker's redelivery + the duplicate filter take over.
         self._pending_acks: dict[int, list[Any]] = {}
-        for f in os.listdir(spool_dir):
+        # ids whose batch committed but whose broker copy may still be
+        # live (the pre-crash ack handles were session-scoped and died
+        # with the connection): a post-commit redelivery must be acked,
+        # NOT re-emitted. Persisted so the filter survives restarts —
+        # exactly the gap between AMQP (requeues on disconnect, so the
+        # redelivery arrives while the id is still pending) and Pub/Sub
+        # (redelivers only after the ack deadline, i.e. AFTER commit).
+        # Insertion-ordered dict so compaction keeps the newest ids.
+        self._ledger_path = os.path.join(spool_dir, "committed-ids.log")
+        self._committed_ids: dict[str, None] = {}
+        if os.path.exists(self._ledger_path):
+            with open(self._ledger_path) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line:
+                        self._committed_ids[line] = None
+        for f in sorted(os.listdir(spool_dir)):
             if f.endswith(".json"):
                 with open(os.path.join(spool_dir, f)) as fh:
                     for rec in json.load(fh):
@@ -129,27 +171,82 @@ class SpoolingWireReader(SimpleDataSourceStreamReader):
     def _spool_path(self, batch: int) -> str:
         return os.path.join(self._spool, f"batch-{batch:012d}.json")
 
+    def _is_dup(self, msg_id: str) -> bool:
+        return msg_id in self._pending_ids or msg_id in self._committed_ids
+
+    def _record_committed(self, ids: "list[str]") -> None:
+        """Durably append newly-committed ids to the ledger (called BEFORE
+        the spool files are removed, so a crash between the two leaves an
+        id in both stores — harmless, both are dedup filters)."""
+        for i in ids:
+            self._committed_ids[i] = None
+        with open(self._ledger_path, "a") as fh:
+            fh.write("".join(i + "\n" for i in ids))
+            fh.flush()
+            os.fsync(fh.fileno())
+        if len(self._committed_ids) > 2 * _LEDGER_MAX:
+            keep = list(self._committed_ids)[-_LEDGER_MAX:]
+            self._committed_ids = dict.fromkeys(keep)
+            tmp = self._ledger_path + ".tmp"
+            with open(tmp, "w") as fh:
+                fh.write("".join(i + "\n" for i in keep))
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, self._ledger_path)
+
     # -- the three lifecycle hooks ------------------------------------------
 
     def read(self, start: dict) -> "tuple[Iterator[tuple], dict]":
         batch = start["batch"]
+        path = self._spool_path(batch)
+        if os.path.exists(path):
+            # A pre-crash read() spooled this batch, but the driver died
+            # before Spark durably logged the offset: re-serve the spooled
+            # records under the same end offset instead of fetching fresh
+            # messages. Fetching here would os.replace the orphaned spool
+            # file — its messages would then be gone from BOTH stores
+            # (their broker copies were already acked as "spooled dups").
+            # The broker copies of THIS file's messages are handled by the
+            # normal path: redeliveries match _pending_ids and are acked.
+            with open(path) as fh:
+                records = json.load(fh)
+            rows = [self._adapter.to_row(rec["payload"]) for rec in records]
+            return iter(rows), {"batch": batch + 1}
         msgs = self._adapter.fetch(self._max)
-        fresh: list[WireMessage] = []
-        dup_handles: list[Any] = []
+        # Ack-handle grouping: most protocols give each message its own
+        # handle (group of one), but NiFi scopes ONE handle to a whole
+        # transaction. A handle may be acked early ONLY if every message
+        # it covers is a duplicate — acking a mixed transaction would
+        # CONFIRM flowfiles that are not yet spooled, so a crash before
+        # the spool write would lose them (NiFi never requeues a
+        # confirmed transaction). Mixed-transaction duplicates are simply
+        # dropped un-acked; their handle is acked exactly once, at commit,
+        # through the fresh messages that share it.
+        order: list[Any] = []
+        groups: dict[Any, list[WireMessage]] = {}
         for m in msgs:
-            if m.msg_id in self._pending_ids:
-                # redelivery of a spooled-but-uncommitted message: the
-                # data is durable in the spool (Spark replays it), so the
-                # broker copy can be acked immediately without loss.
-                dup_handles.append(m.handle)
+            if m.handle not in groups:
+                groups[m.handle] = []
+                order.append(m.handle)
+            groups[m.handle].append(m)
+        fresh: list[WireMessage] = []
+        fresh_handles: list[Any] = []
+        dup_handles: list[Any] = []
+        for h in order:
+            group_fresh = [m for m in groups[h] if not self._is_dup(m.msg_id)]
+            if group_fresh:
+                fresh.extend(group_fresh)
+                fresh_handles.append(h)
             else:
-                fresh.append(m)
+                # every message under this handle is a redelivery of a
+                # spooled (replayable) or committed (already delivered)
+                # message: the broker copy can be acked without loss.
+                dup_handles.append(h)
         if dup_handles:
             self._adapter.ack(dup_handles)
         if not fresh:
             return iter(()), start  # no progress, no empty spool file
         records = [{"id": m.msg_id, "payload": m.payload} for m in fresh]
-        path = self._spool_path(batch)
         tmp = path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(records, fh)
@@ -158,7 +255,7 @@ class SpoolingWireReader(SimpleDataSourceStreamReader):
         os.replace(tmp, path)  # atomic: a torn spool file is impossible
         for m in fresh:
             self._pending_ids.add(m.msg_id)
-        self._pending_acks[batch] = [m.handle for m in fresh]
+        self._pending_acks[batch] = fresh_handles
         rows = [self._adapter.to_row(m.payload) for m in fresh]
         return iter(rows), {"batch": batch + 1}
 
@@ -180,12 +277,17 @@ class SpoolingWireReader(SimpleDataSourceStreamReader):
                 handles.extend(self._pending_acks.pop(b))
         if handles:
             self._adapter.ack(handles)
-        for b in self._committed_spool_batches(end["batch"]):
-            path = self._spool_path(b)
-            with open(path) as fh:
-                for rec in json.load(fh):
-                    self._pending_ids.discard(rec["id"])
-            os.remove(path)
+        batches = self._committed_spool_batches(end["batch"])
+        committed: list[str] = []
+        for b in batches:
+            with open(self._spool_path(b)) as fh:
+                committed.extend(rec["id"] for rec in json.load(fh))
+        if committed:
+            self._record_committed(committed)  # durable BEFORE spool prune
+        for b in batches:
+            os.remove(self._spool_path(b))
+        for i in committed:
+            self._pending_ids.discard(i)
 
     def _committed_spool_batches(self, below: int) -> "list[int]":
         out = []
@@ -209,9 +311,12 @@ def _digest(data: bytes) -> str:
 class RabbitMQAdapter(WireAdapter):
     """AMQP 0-9-1 Basic.Get poller with deferred Basic.Ack
     (RMQSource.java:308 parity: sessionIds acked on checkpoint
-    complete). Message identity = sha1(body) — the stand-in for the
-    correlation-id property the reference requires for exactly-once;
-    duplicate-body messages need a real correlation id upstream."""
+    complete). Message identity = the `correlation-id` basic property
+    when the publisher set one (RMQSource.java's usesCorrelationId
+    contract; our own rabbitmq sink writes it via `correlation_id_col`),
+    falling back to sha1(body) — under the fallback, distinct messages
+    with byte-identical bodies dedup to one, the same caveat the
+    reference documents for exactly-once without correlation ids."""
 
     def __init__(self, host: str, port: int, queue: str, schema_ddl: str):
         self.host, self.port, self.queue = host, port, queue
@@ -251,15 +356,14 @@ class RabbitMQAdapter(WireAdapter):
             ftype, _ch, payload = amqp.read_frame(sock)
             while ftype != amqp.FRAME_HEADER:
                 ftype, _ch, payload = amqp.read_frame(sock)
-            (body_size,) = struct.unpack_from(">Q", payload, 4)
+            props = amqp.parse_basic_properties(payload)
             buf = b""
-            while len(buf) < body_size:
+            while len(buf) < props["body_size"]:
                 ftype, _ch, chunk = amqp.read_frame(sock)
                 if ftype == amqp.FRAME_BODY:
                     buf += chunk
-            out.append(
-                WireMessage(_digest(buf), delivery_tag, json.loads(buf))
-            )
+            mid = props.get("correlation_id") or _digest(buf)
+            out.append(WireMessage(mid, delivery_tag, json.loads(buf)))
         return out
 
     def ack(self, handles: "list[Any]") -> None:
@@ -542,6 +646,19 @@ class TwitterStreamDataSource(_WireDataSource):
         )
 
 
+def _extra_wire_sources() -> tuple:
+    """Log-shaped wire sources that keep their position in the checkpoint
+    instead of a spool WAL (replay = re-fetch by offset/sequence)."""
+    from flink_parent_spark.sources.kafka_wire import (  # noqa: PLC0415
+        KafkaWireStreamDataSource,
+    )
+    from flink_parent_spark.sources.kinesis_wire import (  # noqa: PLC0415
+        KinesisStreamDataSource,
+    )
+
+    return (KafkaWireStreamDataSource, KinesisStreamDataSource)
+
+
 ALL_WIRE_SOURCES = (
     RabbitMQStreamDataSource,
     PubSubStreamDataSource,
@@ -553,7 +670,7 @@ ALL_WIRE_SOURCES = (
 def register_wire_sources(spark) -> None:
     """Make every wire streaming source available to
     `spark.readStream.format(...)` for this session."""
-    for cls in ALL_WIRE_SOURCES:
+    for cls in ALL_WIRE_SOURCES + _extra_wire_sources():
         spark.dataSource.register(cls)
 
 

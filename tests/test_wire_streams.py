@@ -255,9 +255,321 @@ def test_spooling_reader_unit_replay_and_dedup(tmp_path):
     assert q.acked == ["m0", "m1", "m2"]  # duplicate redeliveries acked
     assert q.pending == []
 
-    # commit prunes the spool and the dedup set
+    # commit prunes the spool (the committed-ids ledger remains) and
+    # records the ids as committed
     r2.commit({"batch": 1})
-    assert os.listdir(spool) == []
-    q.pending = [("m0", {"v": 99})]  # same id AFTER commit: a new message
+    assert [f for f in os.listdir(spool) if f.endswith(".json")] == []
+    # a redelivery AFTER commit (Pub/Sub ack-deadline shape: the
+    # pre-crash ack handle was session-scoped, so the broker copy
+    # survived the commit) is acked, never re-emitted
+    q.acked.clear()
+    q.pending = [("m0", {"v": 99}), ("m9", {"v": 9})]
     rows, nxt = r2.read({"batch": 1})
-    assert list(rows) == [(99,)] and nxt == {"batch": 2}
+    assert list(rows) == [(9,)] and nxt == {"batch": 2}
+    assert q.acked == ["m0"]  # committed-ledger hit: broker copy cleared
+    # ...and the ledger survives a restart (it is a durable file)
+    r3 = SpoolingWireReader(q, spool, max_per_batch=10)
+    q.pending = [("m1", {"v": 1})]
+    rows, nxt = r3.read({"batch": 2})
+    assert list(rows) == []  # m1 committed pre-"crash": dedup holds
+
+
+def test_spooling_reader_reserves_orphaned_spool(tmp_path):
+    """Crash window between read()'s spool write and Spark's offset-log
+    write: the restart re-calls read() at the SAME batch — the reader
+    must re-serve the orphaned spool file, not overwrite it with a fresh
+    fetch (which would lose its messages from broker and spool alike)."""
+    from flink_parent_spark.sources.stream_wire import (
+        SpoolingWireReader,
+        WireAdapter,
+        WireMessage,
+    )
+
+    class Q(WireAdapter):
+        def __init__(self):
+            self.pending, self.acked = [], []
+
+        def fetch(self, n):
+            return [WireMessage(i, i, p) for i, p in self.pending[:n]]
+
+        def ack(self, handles):
+            self.acked.extend(handles)
+            self.pending = [(i, p) for i, p in self.pending if i not in handles]
+
+        def to_row(self, payload):
+            return (payload["v"],)
+
+    q = Q()
+    q.pending = [("a", {"v": 1}), ("b", {"v": 2})]
+    spool = str(tmp_path / "spool")
+    r = SpoolingWireReader(q, spool, max_per_batch=10)
+    rows, nxt = r.read({"batch": 0})
+    assert list(rows) == [(1,), (2,)] and nxt == {"batch": 0 + 1}
+
+    # crash before Spark logs batch 0; broker redelivers NOTHING yet and
+    # two brand-new messages arrive — the old code would fetch them and
+    # os.replace the batch-0 spool, orphaning a/b forever
+    q.pending = [("c", {"v": 3}), ("d", {"v": 4})]
+    r2 = SpoolingWireReader(q, spool, max_per_batch=10)
+    rows, nxt = r2.read({"batch": 0})
+    assert list(rows) == [(1,), (2,)]  # re-served, same end offset
+    assert nxt == {"batch": 1}
+    assert q.pending == [("c", {"v": 3}), ("d", {"v": 4})]  # untouched
+    # the fresh messages arrive in the NEXT batch, nothing lost
+    rows, nxt = r2.read({"batch": 1})
+    assert list(rows) == [(3,), (4,)] and nxt == {"batch": 2}
+
+
+def test_spooling_reader_transaction_scoped_handles(tmp_path):
+    """NiFi shape: ONE ack handle covers a whole transaction. A mixed
+    transaction (spooled duplicate + fresh flowfile) must NOT be acked at
+    read time — confirming it would lose the un-spooled fresh flowfile on
+    a crash; the handle is acked exactly once, at commit."""
+    from flink_parent_spark.sources.stream_wire import (
+        SpoolingWireReader,
+        WireAdapter,
+        WireMessage,
+    )
+
+    class TxQ(WireAdapter):
+        def __init__(self):
+            self.batches = []  # each: list[(handle, id, payload)]
+            self.acked = []
+
+        def fetch(self, n):
+            out = []
+            for b in self.batches:
+                out.extend(WireMessage(i, h, p) for h, i, p in b)
+            return out[:n]
+
+        def ack(self, handles):
+            self.acked.extend(handles)
+            self.batches = [
+                b for b in self.batches if b[0][0] not in handles
+            ]
+
+        def to_row(self, payload):
+            return (payload["v"],)
+
+    q = TxQ()
+    spool = str(tmp_path / "spool")
+    # tx1 delivered and spooled, but NOT committed (crash before commit)
+    q.batches = [[("tx1", "m0", {"v": 0}), ("tx1", "m1", {"v": 1})]]
+    r = SpoolingWireReader(q, spool, max_per_batch=10)
+    rows, _ = r.read({"batch": 0})
+    assert list(rows) == [(0,), (1,)]
+    assert q.acked == []
+
+    # restart: the broker requeues tx1's flowfiles together with a fresh
+    # one in a NEW transaction — a mixed dup/fresh group under one handle
+    q.acked.clear()
+    q.batches = [
+        [("tx2", "m0", {"v": 0}), ("tx2", "m1", {"v": 1}), ("tx2", "m2", {"v": 2})]
+    ]
+    r2 = SpoolingWireReader(q, spool, max_per_batch=10)
+    rows, nxt = r2.read({"batch": 1})
+    assert list(rows) == [(2,)]  # only the fresh flowfile emits
+    assert q.acked == []  # mixed tx NOT confirmed at read time
+    r2.commit({"batch": 2})
+    assert q.acked == ["tx2"]  # confirmed exactly once, at commit
+
+    # all-duplicate transaction IS safely ack-able at read time
+    q.acked.clear()
+    q.batches = [[("tx3", "m3", {"v": 3})]]
+    rows, _ = r2.read({"batch": 2})
+    assert list(rows) == [(3,)]
+    q.batches = [[("tx4", "m3", {"v": 3})]]  # pure redelivery of m3
+    rows, nxt = r2.read({"batch": 3})
+    assert list(rows) == [] and nxt == {"batch": 3}
+    assert q.acked == ["tx4"]
+
+
+def test_rabbitmq_correlation_id_identity(spark, workdir):
+    """Two DISTINCT messages with byte-identical bodies but different
+    correlation ids must both be delivered — identity comes from the
+    correlation-id property, not the body digest, when the publisher
+    sets one (RMQSource usesCorrelationId parity)."""
+    stub = AmqpBrokerStub().start()
+    register_wire_sources(spark)
+    body = json.dumps({"ev_id": 7, "kind": "same"}).encode()
+    try:
+        stub.publish_with_cid(body, "cid-a")
+        stub.publish_with_cid(body, "cid-b")
+        df = (
+            spark.readStream.format("rabbitmq-stream")
+            .option("host", "127.0.0.1")
+            .option("port", str(stub.port))
+            .option("queue", "q")
+            .option("schema", "ev_id long, kind string")
+            .option("spooldir", f"{workdir}/spool")
+            .option("maxperbatch", "10")
+            .load()
+        )
+        _run_until_idle(df, workdir)
+        rows = _sink_rows(workdir)
+        assert [r["ev_id"] for r in rows] == [7, 7]  # neither dropped
+    finally:
+        stub.stop()
+
+
+def test_kinesis_stream_restart_exactly_once(spark, workdir):
+    """FlinkKinesisConsumer parity: per-shard sequence numbers live in
+    the checkpoint; restart resumes each shard AFTER its checkpointed
+    sequence number — no loss, no dupes, positions advance, and replay
+    needs no spool because the log re-serves by sequence number."""
+    from tests.wire_stubs import KinesisStreamStub
+
+    stub = KinesisStreamStub(n_shards=2).start()
+    register_wire_sources(spark)
+
+    def reader():
+        return (
+            spark.readStream.format("kinesis-stream")
+            .option("endpoint", f"http://127.0.0.1:{stub.port}")
+            .option("stream", "events")
+            .option("schema", "ev_id long, kind string")
+            .option("maxperbatch", "3")
+            .load()
+        )
+
+    try:
+        for i in range(7):
+            stub.publish(f"pk{i}", {"ev_id": i, "kind": f"k{i}"})
+        _run_until_idle(reader(), workdir)
+        c1 = _committed_batches(workdir)
+        assert c1 >= 2  # maxperbatch=3 over 7 records: several batches
+        for i in range(7, 10):
+            stub.publish(f"pk{i}", {"ev_id": i, "kind": f"k{i}"})
+        _run_until_idle(reader(), workdir)
+        rows = _sink_rows(workdir)
+        assert sorted(r["ev_id"] for r in rows) == list(range(10))
+        assert _committed_batches(workdir) > c1  # positions advanced
+        # both shards actually carried data (md5 routing over 10 keys)
+        assert all(stub.shards[s] for s in stub.shard_ids)
+    finally:
+        stub.stop()
+
+
+def test_kinesis_reader_unit_replay():
+    """Reader-level: readBetweenOffsets re-serves exactly the records in
+    (start_seq, end_seq] per shard, straight from the retained log."""
+    from flink_parent_spark.sources.kinesis_wire import (
+        KinesisClient,
+        KinesisStreamReader,
+    )
+    from tests.wire_stubs import KinesisStreamStub
+
+    stub = KinesisStreamStub(n_shards=2).start()
+    try:
+        r = KinesisStreamReader(
+            KinesisClient(f"http://127.0.0.1:{stub.port}", "s"),
+            ["v"],
+            max_per_batch=100,
+        )
+        assert r.initialOffset() == {"seqs": {}}
+        for i in range(6):
+            stub.publish(f"k{i}", {"v": i})
+        rows, o1 = r.read({"seqs": {}})
+        assert sorted(v for (v,) in rows) == list(range(6))
+        # replay the whole range deterministically
+        replay = sorted(v for (v,) in r.readBetweenOffsets({"seqs": {}}, o1))
+        assert replay == list(range(6))
+        # incremental range: publish more, replay only the delta
+        for i in range(6, 9):
+            stub.publish(f"k{i}", {"v": i})
+        rows, o2 = r.read(o1)
+        assert sorted(v for (v,) in rows) == [6, 7, 8]
+        delta = sorted(v for (v,) in r.readBetweenOffsets(o1, o2))
+        assert delta == [6, 7, 8]
+    finally:
+        stub.stop()
+
+
+def test_kafka_wire_stream_restart_exactly_once(spark, workdir):
+    """Unbounded kafka wire source: multi-partition offsets in the
+    checkpoint, replay via re-fetch (no spool), restart resumes from the
+    checkpointed positions (FlinkKafkaConsumer checkpoint-owned offsets)."""
+    import struct as _struct  # noqa: F401
+
+    from flink_parent_spark.sources import kafka_wire as kw
+    from tests.wire_stubs import KafkaBrokerStub
+
+    stub = KafkaBrokerStub(n_partitions=2).start()
+    register_wire_sources(spark)
+
+    def produce(pid, lo, hi):
+        sock = kw.connect("127.0.0.1", stub.port)
+        try:
+            kw.produce(
+                sock, "events", pid,
+                [
+                    (str(i).encode(), json.dumps({"ev_id": i}).encode())
+                    for i in range(lo, hi)
+                ],
+            )
+        finally:
+            sock.close()
+
+    def reader():
+        return (
+            spark.readStream.format("kafka-wire-stream")
+            .option("host", "127.0.0.1")
+            .option("port", str(stub.port))
+            .option("topic", "events")
+            .option("maxperbatch", "3")
+            .load()
+        )
+
+    try:
+        produce(0, 0, 4)
+        produce(1, 4, 7)
+        _run_until_idle(reader(), workdir)
+        c1 = _committed_batches(workdir)
+        assert c1 >= 2
+        produce(0, 7, 9)
+        produce(1, 9, 10)
+        _run_until_idle(reader(), workdir)
+        rows = _sink_rows(workdir)
+        import base64
+
+        ev_ids = sorted(
+            json.loads(base64.b64decode(r["value"]))["ev_id"] for r in rows
+        )
+        assert ev_ids == list(range(10))  # no loss, no dupes
+        assert {r["partition"] for r in rows} == {0, 1}
+        assert _committed_batches(workdir) > c1
+    finally:
+        stub.stop()
+
+
+def test_kafka_wire_reader_unit_replay():
+    """Reader-level: per-partition offsets advance independently and
+    readBetweenOffsets re-fetches exactly the [start, end) range."""
+    from flink_parent_spark.sources import kafka_wire as kw
+    from tests.wire_stubs import KafkaBrokerStub
+
+    stub = KafkaBrokerStub(n_partitions=2).start()
+    try:
+        sock = kw.connect("127.0.0.1", stub.port)
+        kw.produce(sock, "t", 0, [(None, b"a"), (None, b"b")])
+        kw.produce(sock, "t", 1, [(None, b"c")])
+        sock.close()
+
+        r = kw.KafkaWireStreamReader("127.0.0.1", stub.port, "t", 100)
+        rows, o1 = r.read({"offsets": {}})
+        vals = sorted(v for (_k, v, _t, _p, _o, _ts, _tt) in rows)
+        assert vals == [b"a", b"b", b"c"]
+        assert o1 == {"offsets": {"0": 2, "1": 1}}
+        replay = list(r.readBetweenOffsets({"offsets": {}}, o1))
+        assert sorted(v for (_k, v, *_rest) in replay) == [b"a", b"b", b"c"]
+        # partial range replays only the slice
+        part = list(
+            r.readBetweenOffsets({"offsets": {"0": 1, "1": 1}}, o1)
+        )
+        assert [v for (_k, v, *_rest) in part] == [b"b"]
+        # no progress -> same offset back, no empty batch
+        rows, o2 = r.read(o1)
+        assert list(rows) == [] and o2 == o1
+        r.close()
+    finally:
+        stub.stop()

@@ -22,6 +22,7 @@ class AmqpBrokerStub:
 
     def __init__(self):
         self.messages: list[bytes] = []  # append-only message log
+        self.cids: dict[int, str] = {}  # index -> correlation-id property
         self.acked: set[int] = set()  # indexes durably consumed
         self.lock = threading.Lock()
         self._srv = None
@@ -30,6 +31,13 @@ class AmqpBrokerStub:
     def publish(self, *bodies: bytes) -> None:
         with self.lock:
             self.messages.extend(bodies)
+
+    def publish_with_cid(self, body: bytes, cid: str) -> None:
+        """Publish with the correlation-id basic property set — the
+        exactly-once identity contract (RMQSource usesCorrelationId)."""
+        with self.lock:
+            self.cids[len(self.messages)] = cid
+            self.messages.append(body)
 
     def unacked_count(self) -> int:
         with self.lock:
@@ -108,6 +116,7 @@ class AmqpBrokerStub:
                                 next_tag += 1
                                 delivered[tag] = idx
                                 body = stub.messages[idx]
+                                cid = stub.cids.get(idx)
                                 remaining = sum(
                                     1
                                     for i in range(len(stub.messages))
@@ -120,10 +129,15 @@ class AmqpBrokerStub:
                                 + amqp.shortstr("") + amqp.shortstr("q")
                                 + struct.pack(">I", remaining),
                             )
+                            hdr = (
+                                struct.pack(">HHQH", 60, 0, len(body), 0x0400)
+                                + amqp.shortstr(cid)
+                                if cid is not None
+                                else struct.pack(">HHQH", 60, 0, len(body), 0)
+                            )
                             sock.sendall(
                                 amqp.encode_frame(
-                                    amqp.FRAME_HEADER, channel,
-                                    struct.pack(">HHQH", 60, 0, len(body), 0),
+                                    amqp.FRAME_HEADER, channel, hdr
                                 )
                             )
                             mid = max(1, len(body) // 2)
@@ -355,10 +369,12 @@ class NiFiPortStub:
 class KafkaBrokerStub:
     """Kafka wire-protocol broker slice (v0 APIs): ApiVersions, Metadata,
     Produce (crc-validated MessageSet append), Fetch (offset-addressed
-    read) over an in-memory log per (topic, partition 0)."""
+    read) over an in-memory log per (topic, partition)."""
 
-    def __init__(self):
-        self.logs: dict[str, list[tuple[bytes, bytes]]] = {}
+    def __init__(self, n_partitions: int = 1):
+        self.n_partitions = n_partitions
+        # topic -> partition -> [(key, value), ...]
+        self.logs: dict[str, dict[int, list[tuple[bytes, bytes]]]] = {}
         self.lock = threading.Lock()
         self._srv = None
         self.port = None
@@ -404,10 +420,13 @@ class KafkaBrokerStub:
                             body += struct.pack(">i", len(topics))
                             for t in topics:
                                 body += struct.pack(">h", 0) + kw._str(t)
-                                body += struct.pack(">i", 1)  # one partition
-                                body += struct.pack(">hii", 0, 0, 0)
-                                body += struct.pack(">ii", 1, 0)  # replicas
-                                body += struct.pack(">ii", 1, 0)  # isr
+                                body += struct.pack(
+                                    ">i", stub.n_partitions
+                                )
+                                for pid in range(stub.n_partitions):
+                                    body += struct.pack(">hii", 0, pid, 0)
+                                    body += struct.pack(">ii", 1, 0)
+                                    body += struct.pack(">ii", 1, 0)
                         elif api_key == kw.API_PRODUCE:
                             r.i16()  # acks
                             r.i32()  # timeout
@@ -422,7 +441,9 @@ class KafkaBrokerStub:
                                     mset = r.raw(r.i32())
                                     msgs = kw.decode_message_set(mset)
                                     with stub.lock:
-                                        log = stub.logs.setdefault(t, [])
+                                        log = stub.logs.setdefault(
+                                            t, {}
+                                        ).setdefault(pid, [])
                                         base = len(log)
                                         log.extend(
                                             (k, v) for _o, k, v in msgs
@@ -452,7 +473,9 @@ class KafkaBrokerStub:
                                     r.i32()  # max bytes
                                     with stub.lock:
                                         log = list(
-                                            stub.logs.get(t, [])
+                                            stub.logs.get(t, {}).get(
+                                                pid, []
+                                            )
                                         )
                                     hw = len(log)
                                     out = bytearray()
@@ -919,6 +942,125 @@ class FeedStub:
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+
+        self._srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.port = self._srv.server_address[1]
+        threading.Thread(target=self._srv.serve_forever, daemon=True).start()
+        return self
+
+    def stop(self):
+        self._srv.shutdown()
+        self._srv.server_close()
+
+
+class KinesisStreamStub:
+    """Kinesis_20131202 JSON API slice: ListShards, GetShardIterator
+    (TRIM_HORIZON / AFTER_SEQUENCE_NUMBER), GetRecords — a sharded
+    retained log, so replay-by-sequence-number works exactly like the
+    real service. Records route to shards by md5(partition key), the
+    real service's hash-key scheme in miniature."""
+
+    def __init__(self, n_shards: int = 2):
+        self.shard_ids = [f"shardId-{i:012d}" for i in range(n_shards)]
+        # shard -> [(sequence_number, partition_key, payload_dict), ...]
+        self.shards: dict[str, list[tuple[str, str, dict]]] = {
+            s: [] for s in self.shard_ids
+        }
+        self._seq = 0
+        self.lock = threading.Lock()
+        self._srv = None
+        self.port = None
+
+    def publish(self, partition_key: str, payload: dict) -> str:
+        import hashlib
+
+        shard = self.shard_ids[
+            int(hashlib.md5(partition_key.encode()).hexdigest(), 16)
+            % len(self.shard_ids)
+        ]
+        with self.lock:
+            self._seq += 1
+            seq = f"{self._seq:020d}"
+            self.shards[shard].append((seq, partition_key, payload))
+        return seq
+
+    def records_total(self) -> int:
+        with self.lock:
+            return sum(len(v) for v in self.shards.values())
+
+    def start(self):
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        stub = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_POST(self):
+                body = json.loads(
+                    self.rfile.read(int(self.headers["Content-Length"]))
+                )
+                target = (self.headers.get("X-Amz-Target") or "").split(".")[-1]
+                if target == "ListShards":
+                    resp = {
+                        "Shards": [{"ShardId": s} for s in stub.shard_ids]
+                    }
+                elif target == "GetShardIterator":
+                    shard = body["ShardId"]
+                    with stub.lock:
+                        log = stub.shards[shard]
+                        if body["ShardIteratorType"] == "TRIM_HORIZON":
+                            idx = 0
+                        else:  # AFTER_SEQUENCE_NUMBER
+                            seq = body["StartingSequenceNumber"]
+                            idx = next(
+                                (
+                                    i + 1
+                                    for i, (s, _k, _p) in enumerate(log)
+                                    if s == seq
+                                ),
+                                len(log),
+                            )
+                    resp = {
+                        "ShardIterator": json.dumps(
+                            {"shard": shard, "idx": idx}
+                        )
+                    }
+                elif target == "GetRecords":
+                    it = json.loads(body["ShardIterator"])
+                    limit = body.get("Limit", 100)
+                    with stub.lock:
+                        log = stub.shards[it["shard"]]
+                        chunk = log[it["idx"] : it["idx"] + limit]
+                    resp = {
+                        "Records": [
+                            {
+                                "SequenceNumber": seq,
+                                "PartitionKey": pk,
+                                "Data": base64.b64encode(
+                                    json.dumps(payload).encode()
+                                ).decode(),
+                            }
+                            for seq, pk, payload in chunk
+                        ],
+                        "NextShardIterator": json.dumps(
+                            {"shard": it["shard"], "idx": it["idx"] + len(chunk)}
+                        ),
+                        "MillisBehindLatest": 0,
+                    }
+                else:
+                    self.send_response(400)
+                    self.end_headers()
+                    return
+                out = json.dumps(resp).encode()
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", "application/x-amz-json-1.1"
+                )
+                self.send_header("Content-Length", str(len(out)))
+                self.end_headers()
+                self.wfile.write(out)
 
         self._srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
         self.port = self._srv.server_address[1]
