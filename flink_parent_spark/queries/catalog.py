@@ -7,6 +7,7 @@ import flink_parent_spark.queries.differential_gate  # noqa: F401
 import flink_parent_spark.queries.functions_gallery  # noqa: F401
 import flink_parent_spark.queries.graph_queries  # noqa: F401
 import flink_parent_spark.queries.operators_batch  # noqa: F401
+import flink_parent_spark.queries.stream_fuzz  # noqa: F401
 import flink_parent_spark.queries.streaming_queries  # noqa: F401
 import flink_parent_spark.queries.surface_extras  # noqa: F401
 import flink_parent_spark.queries.tpcds_real  # noqa: F401

@@ -1,0 +1,258 @@
+"""Seeded streaming-operator fuzz: random configs through the REAL
+streaming engine, each oracle-checked against batch SQL.
+
+The batch differential battery (`diff_grammar.py`) fuzzes SQL texts run
+verbatim on Spark and DuckDB. This module extends the idea to the
+STREAMING operators, where the property under test is the reference's
+stream-batch unification contract (the blink planner compiles one
+relational semantics to both modes; its stream ITCases assert exactly
+this): a full replay of a finite stream through the stateful operator
+must converge to the batch answer. Each entry draws a random
+configuration (window sizes, slides, grouping keys, aggregate sets,
+Top-N depths, changelog key/regroup combinations) from a pinned seed,
+builds a genuine Structured Streaming pipeline (file replay →
+watermark → stateful operator → memory sink, the same machinery as the
+hand-written `stream_*` catalog entries), and registers a DuckDB oracle
+generated from the SAME parameters.
+
+Mirrored reference suites: runtime/stream/sql/{WindowAggregateITCase,
+DeduplicateITCase, RankITCase, AggregateITCase} — those are
+hand-enumerated; random composition checks the parameter combinations
+nobody thought to enumerate.
+
+Shapes (counts pinned; params drawn from `random.Random(seed)`):
+
+- tumble  (3): TUMBLE group-window agg — size × keys × agg set
+- hop     (2): HOP/sliding window agg — (size, slide) × keys
+- topn    (3): append-only streaming Top-N — partition key × N
+- latest  (2): keep-last changelog → retraction-consuming re-aggregate
+               (stage-1 key × stage-2 regroup)
+- gagg    (2): unbounded streaming group agg — keys × agg set
+
+Determinism contract: sums go through the decimal-accumulation path
+(order-independent), Top-N and keep-last tie-break on `event_id` /
+`__ord` (globally unique), so every entry is value-exact vs the oracle.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from flink_parent_spark.queries.registry import dsum, register
+from flink_parent_spark.streaming.core import run_stream_to_df, stream_table
+
+_EPOCH_2024_MICROS = 1_704_067_200_000_000
+
+
+def _key(rng: random.Random) -> "tuple[str, object, str]":
+    """-> (sql_expr AS alias, deferred spark Column factory, alias).
+    Column construction is deferred into the factory: registration runs
+    at catalog-import time, before any SparkSession exists."""
+    kind = rng.choice(["type", "bucket"])
+    if kind == "type":
+        return "event_type", lambda: F.col("event_type"), "event_type"
+    k = rng.choice([3, 5, 7])
+    return (
+        f"user_id % {k} AS user_bucket",
+        lambda k=k: (F.col("user_id") % k).alias("user_bucket"),
+        "user_bucket",
+    )
+
+
+# deferred Column factories per aggregate tag (built inside run(), when a
+# session exists)
+_AGG_FACTORIES = {
+    "n": lambda: F.count("*").alias("n"),
+    "sum_value": lambda: F.sum(F.col("value").cast("decimal(30,6)"))
+    .cast("double")
+    .alias("sum_value"),
+    "min_value": lambda: F.min("value").alias("min_value"),
+    "max_value": lambda: F.max("value").alias("max_value"),
+}
+
+
+def _aggs(rng: random.Random) -> "tuple[list[str], list[str]]":
+    """-> (oracle agg SQL fragments, agg tags into _AGG_FACTORIES);
+    COUNT always present, the rest drawn."""
+    sql = ["COUNT(*) AS n"]
+    tags = ["n"]
+    if rng.random() < 0.8:
+        sql.append(dsum("value", "sum_value"))
+        tags.append("sum_value")
+    if rng.random() < 0.5:
+        sql.append("MIN(value) AS min_value")
+        tags.append("min_value")
+    if rng.random() < 0.5:
+        sql.append("MAX(value) AS max_value")
+        tags.append("max_value")
+    return sql, tags
+
+
+def _register_tumble(i: int, rng: random.Random) -> None:
+    minutes = rng.choice([15, 30, 60, 120, 180])
+    wm = rng.choice(["5 minutes", "10 minutes", "30 minutes"])
+    key_sql, key_col, key_alias = _key(rng)
+    agg_sql, agg_tags = _aggs(rng)
+    oracle = (
+        f"SELECT time_bucket(INTERVAL '{minutes} minutes', ts) AS window_start, "
+        f"{key_sql}, {', '.join(agg_sql)} FROM events GROUP BY 1, 2"
+    )
+
+    def run(spark, sf_dir, minutes=minutes, wm=wm, key_col=key_col,
+            key_alias=key_alias, agg_tags=agg_tags):
+        ev = stream_table(spark, sf_dir, "events", watermark=("ts", wm))
+        ev = ev.withColumn(key_alias, key_col())
+        agg = ev.groupBy(F.window("ts", f"{minutes} minutes"), key_alias).agg(
+            *[_AGG_FACTORIES[t]() for t in agg_tags]
+        )
+        out = run_stream_to_df(agg, "complete")
+        return out.select(
+            F.col("window.start").alias("window_start"), key_alias, *agg_tags
+        )
+
+    register(f"streamfuzz_tumble_{i}", run, oracle)
+
+
+def _register_hop(i: int, rng: random.Random) -> None:
+    size_m, slide_m = rng.choice([(60, 30), (120, 30), (60, 15), (120, 60)])
+    panes = size_m // slide_m
+    key_sql, key_col, key_alias = _key(rng)
+    agg_sql, agg_tags = _aggs(rng)
+    oracle = (
+        f"SELECT time_bucket(INTERVAL '{slide_m} minutes', ts) "
+        f"- j * INTERVAL '{slide_m}' MINUTE AS window_start, "
+        f"{key_sql}, {', '.join(agg_sql)} "
+        f"FROM events, (SELECT unnest(generate_series(0, {panes - 1})) AS j) offs "
+        f"WHERE ts < time_bucket(INTERVAL '{slide_m} minutes', ts) "
+        f"- j * INTERVAL '{slide_m}' MINUTE + INTERVAL '{size_m}' MINUTE "
+        f"GROUP BY 1, 2"
+    )
+
+    def run(spark, sf_dir, size_m=size_m, slide_m=slide_m, key_col=key_col,
+            key_alias=key_alias, agg_tags=agg_tags):
+        ev = stream_table(
+            spark, sf_dir, "events", watermark=("ts", "10 minutes")
+        )
+        ev = ev.withColumn(key_alias, key_col())
+        agg = ev.groupBy(
+            F.window("ts", f"{size_m} minutes", f"{slide_m} minutes"),
+            key_alias,
+        ).agg(*[_AGG_FACTORIES[t]() for t in agg_tags])
+        out = run_stream_to_df(agg, "complete")
+        return out.select(
+            F.col("window.start").alias("window_start"), key_alias, *agg_tags
+        )
+
+    register(f"streamfuzz_hop_{i}", run, oracle)
+
+
+def _register_topn(i: int, rng: random.Random) -> None:
+    from flink_parent_spark.streaming.stateful import streaming_top_n
+
+    n = rng.choice([2, 3, 5])
+    key_sql, key_col, key_alias = _key(rng)
+    descending = rng.random() < 0.7
+    direction = "DESC" if descending else "ASC"
+    key_expr = key_sql.split(" AS ")[0]
+    oracle = f"""
+    SELECT {key_alias}, value, event_id, user_id, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT {key_sql}, value, event_id, user_id,
+             ROW_NUMBER() OVER (PARTITION BY {key_expr}
+                                ORDER BY value {direction}, event_id) AS rank
+      FROM events) t
+    WHERE rank <= {n}
+    """
+
+    def run(spark, sf_dir, n=n, key_col=key_col, key_alias=key_alias,
+            descending=descending):
+        ev = stream_table(spark, sf_dir, "events")
+        ev = ev.withColumn(key_alias, key_col())
+        tn = streaming_top_n(
+            ev, [key_alias], "value", n, ["event_id", "user_id"],
+            descending=descending, tiebreak_col="event_id",
+        )
+        return run_stream_to_df(tn, "update")
+
+    register(f"streamfuzz_topn_{i}", run, oracle)
+
+
+def _register_latest(i: int, rng: random.Random) -> None:
+    """Keep-last changelog on a drawn key, retraction-consuming
+    re-aggregate on a drawn regroup column — the two-level update
+    pipeline Spark's built-in update-mode aggregation cannot chain."""
+    stage1_keys = rng.choice([["user_id"], ["user_id", "event_type"]])
+    regroup = "event_type"
+    oracle = f"""
+    WITH latest AS (
+      SELECT {', '.join(stage1_keys)}, event_type AS etype, value FROM (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY {', '.join(stage1_keys)}
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t
+      WHERE rn = 1
+    )
+    SELECT etype AS {regroup}, COUNT(*) AS n_keys, {dsum('value', 'sum_value')}
+    FROM latest GROUP BY etype
+    """
+
+    def run(spark, sf_dir, stage1_keys=stage1_keys, regroup=regroup):
+        from flink_parent_spark.streaming.changelog import (
+            changelog_keep_last,
+            retract_aggregate,
+        )
+
+        ev = stream_table(spark, sf_dir, "events")
+        ev = ev.withColumn(
+            "__ord",
+            (F.unix_micros("ts") - F.lit(_EPOCH_2024_MICROS)) * F.lit(1_000_000)
+            + F.col("event_id"),
+        )
+        payload = [c for c in ("event_type", "value") if c not in stage1_keys]
+        payload = payload or ["value"]
+        log = changelog_keep_last(ev, stage1_keys, "__ord", payload)
+        materialized = run_stream_to_df(log, "append")
+        return retract_aggregate(
+            materialized, [regroup], {"sum_value": "value"},
+            count_alias="n_keys",
+        )
+
+    register(f"streamfuzz_latest_{i}", run, oracle)
+
+
+def _register_gagg(i: int, rng: random.Random) -> None:
+    key_sql, key_col, key_alias = _key(rng)
+    agg_sql, agg_tags = _aggs(rng)
+    oracle = (
+        f"SELECT {key_sql}, {', '.join(agg_sql)} FROM events GROUP BY 1"
+    )
+
+    def run(spark, sf_dir, key_col=key_col, key_alias=key_alias,
+            agg_tags=agg_tags):
+        ev = stream_table(spark, sf_dir, "events")
+        ev = ev.withColumn(key_alias, key_col())
+        agg = ev.groupBy(key_alias).agg(
+            *[_AGG_FACTORIES[t]() for t in agg_tags]
+        )
+        out = run_stream_to_df(agg, "complete")
+        return out.select(key_alias, *agg_tags)
+
+    register(f"streamfuzz_gagg_{i}", run, oracle)
+
+
+# Pinned seeds per shape (byte-stable configs across rounds, same
+# discipline as diff_grammar.FAMILIES).
+SHAPES: "dict[str, tuple[int, int, object]]" = {
+    "tumble": (0x57F0, 3, _register_tumble),
+    "hop": (0x57F1, 2, _register_hop),
+    "topn": (0x57F2, 3, _register_topn),
+    "latest": (0x57F3, 2, _register_latest),
+    "gagg": (0x57F4, 2, _register_gagg),
+}
+
+for _shape, (_seed, _n, _reg) in SHAPES.items():
+    _rng = random.Random(_seed)
+    for _i in range(_n):
+        _reg(_i, _rng)
