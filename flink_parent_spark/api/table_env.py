@@ -1086,6 +1086,43 @@ class TableEnvironment:
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         if entry.fmt == "kafka":
             return self._scan_kafka(entry, streaming)
+        if entry.props.get("connector") == "kinesis":
+            # scan half of the kinesis connector (the sink half is the
+            # PutRecords path in _insert_into): batch SELECT drains every
+            # shard TRIM_HORIZON -> tip over the Kinesis_20131202 JSON
+            # API; streaming SELECT uses the checkpoint-offset source
+            from flink_parent_spark.sources.kinesis_wire import (  # noqa: PLC0415
+                KinesisStreamDataSource,
+                kinesis_bounded_read,
+            )
+
+            endpoint = entry.props.get("aws.endpoint")
+            if not endpoint:
+                raise ValueError(
+                    "kinesis scan needs 'aws.endpoint' (a localhost stub "
+                    "or a sigv4 proxy)"
+                )
+            stream_name = entry.props.get("stream", entry.name)
+            if not entry.schema_ddl:
+                raise ValueError("kinesis scan needs a declared schema")
+            if streaming:
+                self.spark.dataSource.register(KinesisStreamDataSource)
+                df = (
+                    self.spark.readStream.format("kinesis-stream")
+                    .option("endpoint", endpoint)
+                    .option("stream", stream_name)
+                    .option("schema", entry.schema_ddl)
+                    .load()
+                )
+            else:
+                df = kinesis_bounded_read(
+                    self.spark, endpoint, stream_name, entry.schema_ddl
+                )
+            for name_, expr_ in entry.computed:
+                df = df.withColumn(name_, F.expr(expr_))
+            if streaming and entry.watermark:
+                df = df.withWatermark(*entry.watermark)
+            return df
         if entry.props.get("connector") == "jdbc":
             # Flink JDBC table options -> Spark JDBC reader (exercised
             # against embedded Derby in tests/test_connectors.py)
@@ -1336,6 +1373,9 @@ class TableEnvironment:
                 partition_key_col=(pk[0] if pk else df.columns[0]),
                 batch_records=int(target.props.get("sink.batch.max-size", "500")),
             )
+            # refresh the reader view so subsequent queries see the rows
+            # (the scan half drains the shards again — same as kafka)
+            self._refresh_view(target, strict=False)
             return None
         if target.props.get("connector") == "pubsub":
             # gcp pub/sub table sink: REST :publish per partition (the

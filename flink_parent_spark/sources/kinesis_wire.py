@@ -174,3 +174,28 @@ class KinesisStreamDataSource(DataSource):
             fields,
             int(o.get("maxperbatch", "1000")),
         )
+
+
+def kinesis_bounded_read(
+    spark, endpoint: str, stream: str, schema_ddl: str,
+    limit_per_call: int = 1000,
+):
+    """Bounded driver-side drain: every shard from TRIM_HORIZON to the
+    current tip, decoded into `schema_ddl` — the batch half of the
+    consumer (the `kafka_wire_read` analog), used by the DDL scan path
+    for `SELECT` over a `connector=kinesis` table."""
+    client = KinesisClient(endpoint, stream)
+    fields = [f.strip().split()[0] for f in schema_ddl.split(",")]
+    rows: list[tuple] = []
+    for shard in client.list_shards():
+        it = client.shard_iterator(shard, None)
+        while it:
+            resp = client.get_records(it, limit_per_call)
+            records = resp.get("Records", [])
+            if not records:
+                break  # at the tip of this shard
+            for rec in records:
+                payload = json.loads(base64.b64decode(rec["Data"]))
+                rows.append(tuple(payload.get(f) for f in fields))
+            it = resp.get("NextShardIterator")
+    return spark.createDataFrame(rows, schema_ddl)

@@ -573,3 +573,60 @@ def test_kafka_wire_reader_unit_replay():
         r.close()
     finally:
         stub.stop()
+
+
+def test_kinesis_ddl_roundtrip(spark):
+    """connector=kinesis full circle through ONE stub: CREATE TABLE ->
+    INSERT INTO (PutRecords, executor-side) -> SELECT (bounded
+    TRIM_HORIZON->tip drain over GetRecords) — the scan half added to
+    the DDL path, matching the kafka wire DDL roundtrip."""
+    from flink_parent_spark.api.table_env import TableEnvironment
+    from tests.wire_stubs import KinesisStreamStub
+
+    stub = KinesisStreamStub(n_shards=2).start()
+    try:
+        env = TableEnvironment.create(spark=spark)
+        env.execute_sql(f"""
+            CREATE TABLE kin_rt (
+                uid BIGINT, amount DOUBLE,
+                PRIMARY KEY (uid) NOT ENFORCED
+            ) WITH ('connector' = 'kinesis', 'stream' = 'payments',
+                    'aws.endpoint' = 'http://127.0.0.1:{stub.port}')
+        """)
+        spark.createDataFrame(
+            [(i, i + 0.5) for i in range(6)], "uid long, amount double"
+        ).coalesce(2).createOrReplaceTempView("kin_rt_src")
+        env.execute_sql("INSERT INTO kin_rt SELECT * FROM kin_rt_src")
+        # records landed on both shards (md5 partition-key routing)
+        assert all(stub.shards[s] for s in stub.shard_ids)
+        got = env.from_path("kin_rt").to_df().collect()
+        assert sorted((r.uid, r.amount) for r in got) == [
+            (i, i + 0.5) for i in range(6)
+        ]
+    finally:
+        stub.stop()
+
+
+def test_kinesis_ddl_streaming_scan(spark, workdir):
+    """Streaming SELECT over a connector=kinesis table goes through the
+    checkpoint-offset source (per-shard sequence numbers)."""
+    from flink_parent_spark.api.table_env import TableEnvironment
+    from tests.wire_stubs import KinesisStreamStub
+
+    stub = KinesisStreamStub(n_shards=2).start()
+    try:
+        for i in range(5):
+            stub.publish(f"pk{i}", {"uid": i, "amount": i * 1.5})
+        env = TableEnvironment.create(spark=spark)
+        env.execute_sql(f"""
+            CREATE TABLE kin_live (uid BIGINT, amount DOUBLE)
+            WITH ('connector' = 'kinesis', 'stream' = 'live',
+                  'aws.endpoint' = 'http://127.0.0.1:{stub.port}')
+        """)
+        sdf = env._scan(env.catalog["kin_live"], streaming=True)
+        assert sdf.isStreaming
+        _run_until_idle(sdf, workdir)
+        rows = _sink_rows(workdir)
+        assert sorted(r["uid"] for r in rows) == list(range(5))
+    finally:
+        stub.stop()

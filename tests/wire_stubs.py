@@ -1006,6 +1006,15 @@ class KinesisStreamStub:
                     resp = {
                         "Shards": [{"ShardId": s} for s in stub.shard_ids]
                     }
+                elif target == "PutRecords":
+                    # sink side: append by partition-key hash, exactly
+                    # like publish() — one stub serves the full roundtrip
+                    for rec in body["Records"]:
+                        stub.publish(
+                            rec["PartitionKey"],
+                            json.loads(base64.b64decode(rec["Data"])),
+                        )
+                    resp = {"FailedRecordCount": 0, "Records": []}
                 elif target == "GetShardIterator":
                     shard = body["ShardId"]
                     with stub.lock:
