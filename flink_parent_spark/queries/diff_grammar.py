@@ -13,7 +13,7 @@ cross-engine-exact fragment: equality/range predicates, equi-joins,
 COUNT/MIN/MAX/COUNT DISTINCT, and decimal-contract sums — any mismatch is
 a real semantics bug, never float-association noise.
 
-Six families (seed, count pinned per family so texts are byte-stable
+Ten families (seed, count pinned per family so texts are byte-stable
 across rounds):
 
 - base   (0xF1DE, 40): filter / equi-join / group-by / aggregates
@@ -22,6 +22,10 @@ across rounds):
 - setop  (0xCAFE, 10): UNION [ALL] / INTERSECT / EXCEPT under an agg
 - scalar (0x5CA1A, 20): per-row expression semantics (string/CASE/date/int)
 - outer  (0x0E7E4, 15): LEFT/RIGHT/FULL with ON-vs-WHERE placement
+- cte    (0xC7E0, 10): WITH-clause multi-reference composition
+- nullx  (0x9011, 10): NULLIF/COALESCE/CASE three-valued-logic semantics
+- datex  (0xDA7E, 10): date_trunc/EXTRACT/DATE casts/timestamp ranges
+- havsub (0x4A75, 10): scalar subqueries in HAVING/WHERE group predicates
 
 Consumed by tests/test_differential_random.py (the full battery, pytest)
 and queries/differential_gate.py (a rotating 10-text sample promoted into
@@ -397,6 +401,86 @@ def gen_null_expr_query(rng: random.Random) -> str:
     )
 
 
+def gen_datetime_query(rng: random.Random) -> str:
+    """Date/time-semantics fuzz: date_trunc bucketing, EXTRACT parts,
+    CAST-to-DATE, timestamp-range predicates — the temporal fragment the
+    scalar family only brushes. Stays inside the cross-engine-exact
+    subset: trunc units year..hour (identical origins), parts
+    YEAR/QUARTER/MONTH/DAY (no DOW — the engines number weekdays
+    differently), MIN/MAX/COUNT over timestamps (order-independent)."""
+    # the synthetic lineitem carries only l_shipdate (no commit/receipt
+    # dates); the draw is kept for rng-sequence stability if columns land
+    ts_col = rng.choice(["l_shipdate", "l_shipdate", "l_shipdate"])
+    unit = rng.choice(["year", "quarter", "month", "day", "hour"])
+    part = rng.choice(["YEAR", "QUARTER", "MONTH", "DAY"])
+    # explicit TIMESTAMP cast: DuckDB's date_trunc returns DATE for
+    # day-or-coarser units while Spark always returns TIMESTAMP
+    keys = [f"CAST(date_trunc('{unit}', {ts_col}) AS TIMESTAMP) AS bucket"]
+    group = ["1"]
+    if rng.random() < 0.5:
+        keys.append(f"EXTRACT({part} FROM l_shipdate) AS p0")
+        group.append("2")
+    aggs = [
+        "COUNT(*) AS cnt",
+        f"MIN({ts_col}) AS t_min",
+        "MAX(CAST(l_shipdate AS DATE)) AS d_max",
+    ]
+    if rng.random() < 0.6:
+        e = rng.choice(SUM_EXPRS)
+        aggs.append(f"CAST(SUM(CAST(({e}) AS DECIMAL(30,6))) AS DOUBLE) AS s0")
+    lo_y = rng.randint(1992, 1996)
+    hi_y = lo_y + rng.randint(1, 2)
+    preds = [
+        f"{ts_col} >= TIMESTAMP '{lo_y}-01-01 00:00:00'",
+        f"{ts_col} < TIMESTAMP '{hi_y}-07-01 00:00:00'",
+    ]
+    if rng.random() < 0.5:
+        preds.append(_pred(rng, joined=False))
+    return (
+        f"SELECT {', '.join(keys)}, {', '.join(aggs)} FROM lineitem "
+        f"WHERE {' AND '.join(preds)} GROUP BY {', '.join(group)}"
+    )
+
+
+def gen_having_subquery_query(rng: random.Random) -> str:
+    """HAVING/WHERE against scalar subqueries: group predicates compared
+    to aggregates computed over a differently-filtered scan of the same
+    table — the decorrelated-scalar-subquery planning the subq family's
+    correlated shapes don't cover. Division is avoided (int '/' differs
+    across engines); scale comparisons use multiplication, which is
+    exact."""
+    key = rng.choice(KEY_COLS)
+    pred = _pred(rng, joined=False)
+    pred2 = _pred(rng, joined=False)
+    k = rng.randint(2, 9)
+    shape = rng.choice(["hav_cnt", "hav_minmax", "where_scalar"])
+    if shape == "hav_cnt":
+        return (
+            f"SELECT {key}, COUNT(*) AS cnt FROM lineitem WHERE {pred} "
+            f"GROUP BY {key} "
+            f"HAVING COUNT(*) * {k} > "
+            f"(SELECT COUNT(*) FROM lineitem WHERE {pred2})"
+        )
+    if shape == "hav_minmax":
+        op = rng.choice(["<=", ">="])
+        agg = rng.choice(["MIN", "MAX"])
+        return (
+            f"SELECT {key}, COUNT(*) AS cnt, {agg}(l_quantity) AS q "
+            f"FROM lineitem WHERE {pred} GROUP BY {key} "
+            f"HAVING {agg}(l_quantity) {op} "
+            f"(SELECT {agg}(l_quantity) + {rng.randint(-5, 5)} "
+            f"FROM lineitem WHERE {pred2})"
+        )
+    # where_scalar: scalar subquery in the row-level predicate
+    return (
+        f"SELECT {key}, COUNT(*) AS cnt, MIN(l_extendedprice) AS m0 "
+        f"FROM lineitem WHERE {pred} AND l_quantity > "
+        f"(SELECT MIN(l_quantity) + {rng.randint(0, 10)} "
+        f"FROM lineitem WHERE {pred2}) "
+        f"GROUP BY {key}"
+    )
+
+
 def _family(seed: int, n: int, gen) -> list[str]:
     rng = random.Random(seed)
     return [gen(rng) for _ in range(n)]
@@ -415,6 +499,10 @@ FAMILIES: dict[str, tuple[int, int, object]] = {
     # null semantics (NULLIF/COALESCE/null-generating CASE + COUNT(expr))
     "cte": (0xC7E0, 10, gen_cte_query),
     "nullx": (0x9011, 10, gen_null_expr_query),
+    # round-10 families: temporal semantics (date_trunc/EXTRACT/DATE
+    # casts/timestamp ranges); scalar subqueries in HAVING/WHERE
+    "datex": (0xDA7E, 10, gen_datetime_query),
+    "havsub": (0x4A75, 10, gen_having_subquery_query),
 }
 
 
@@ -424,5 +512,5 @@ def family_texts(name: str) -> list[str]:
 
 
 def all_texts() -> dict[str, list[str]]:
-    """Every generated text, keyed by family (135 total)."""
+    """Every generated text, keyed by family (155 total)."""
     return {name: family_texts(name) for name in FAMILIES}

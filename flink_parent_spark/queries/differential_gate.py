@@ -1,7 +1,7 @@
 """Rotating differential-fuzz sample promoted into the driver's gate.
 
 The driver's correctness gate verifies the FIRST 50 registered queries
-(rows + schema + value-hash vs DuckDB at sf0.01). The full 135-text
+(rows + schema + value-hash vs DuckDB at sf0.01). The full 155-text
 differential battery runs in pytest at sf0.001; this module additionally
 promotes a 10-text sample — at least one text from every family — into
 the gate prefix so the driver's independent harness exercises the fuzz
