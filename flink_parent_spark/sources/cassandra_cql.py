@@ -203,6 +203,7 @@ def cassandra_cql_sink(
             if sock is not None:
                 return
             s = socket.create_connection((host, port), timeout=30)
+            s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)  # no Nagle stalls
             s.sendall(
                 encode_frame(
                     OP_STARTUP, encode_string_map({"CQL_VERSION": "3.0.0"})
@@ -388,6 +389,7 @@ def cassandra_cql_read(
     import socket  # noqa: PLC0415
 
     sock = socket.create_connection((host, port), timeout=30)
+    sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)  # no Nagle stalls
     try:
         sock.sendall(
             encode_frame(OP_STARTUP, encode_string_map({"CQL_VERSION": "3.0.0"}))

@@ -139,7 +139,11 @@ def _read_exact(sock, n: int) -> bytes:
 
 
 def connect(host: str, port: int) -> socket.socket:
-    return socket.create_connection((host, port), timeout=30)
+    s = socket.create_connection((host, port), timeout=30)
+    # disable Nagle: size-prefixed request/response framing stalls
+    # ~40ms per round-trip under Nagle x delayed-ACK otherwise
+    s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+    return s
 
 
 # --- ApiVersions v0 ----------------------------------------------------------

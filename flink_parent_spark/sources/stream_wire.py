@@ -309,19 +309,29 @@ def _digest(data: bytes) -> str:
 
 
 class RabbitMQAdapter(WireAdapter):
-    """AMQP 0-9-1 Basic.Get poller with deferred Basic.Ack
-    (RMQSource.java:308 parity: sessionIds acked on checkpoint
-    complete). Message identity = the `correlation-id` basic property
-    when the publisher set one (RMQSource.java's usesCorrelationId
-    contract; our own rabbitmq sink writes it via `correlation_id_col`),
-    falling back to sha1(body) — under the fallback, distinct messages
-    with byte-identical bodies dedup to one, the same caveat the
-    reference documents for exactly-once without correlation ids."""
+    """AMQP 0-9-1 push-mode consumer (Basic.Consume / Basic.Deliver) with
+    deferred Basic.Ack — RMQSource.java:308 parity twice over: the
+    reference consumes via a QueueingConsumer (server push), and its
+    sessionIds are acked on checkpoint complete. Prefetch is left
+    unlimited (Basic.Qos count 0) because acks lag by a checkpoint; a
+    bounded prefetch window would deadlock delivery against the deferred
+    acks. Message identity = the `correlation-id` basic property when
+    the publisher set one (usesCorrelationId contract; our own rabbitmq
+    sink writes it via `correlation_id_col`), falling back to
+    sha1(body) — under the fallback, distinct messages with
+    byte-identical bodies dedup to one, the same caveat the reference
+    documents for exactly-once without correlation ids."""
+
+    #: seconds to wait for the first pushed delivery of a poll (and for
+    #: follow-on deliveries once at least one arrived)
+    FIRST_WAIT = 0.5
+    NEXT_WAIT = 0.05
 
     def __init__(self, host: str, port: int, queue: str, schema_ddl: str):
         self.host, self.port, self.queue = host, port, queue
         self.fields = [f.strip().split()[0] for f in schema_ddl.split(",")]
         self._sock = None
+        self._consuming = False
 
     def _conn(self):
         from flink_parent_spark.sources import rabbitmq_amqp as amqp
@@ -330,7 +340,71 @@ class RabbitMQAdapter(WireAdapter):
             self._sock = amqp.open_channel(
                 self.host, self.port, self.queue, confirms=False
             )
+            self._consuming = False
         return self._sock
+
+    def _start_consume(self, sock) -> None:
+        import struct
+
+        from flink_parent_spark.sources import rabbitmq_amqp as amqp
+
+        # Basic.Qos: prefetch-size 0, prefetch-count 0 (unlimited), global 0
+        sock.sendall(
+            amqp.encode_frame(
+                amqp.FRAME_METHOD, 1,
+                amqp.method_payload(
+                    *amqp.BASIC_QOS, struct.pack(">IHB", 0, 0, 0)
+                ),
+            )
+        )
+        m, _ = amqp.next_method(sock)
+        if m != amqp.BASIC_QOS_OK:
+            raise RuntimeError(f"unexpected AMQP method {m}")
+        # Basic.Consume: reserved, queue, consumer-tag (server-assigned),
+        # no-local/no-ack/exclusive/no-wait bits clear, empty args table
+        args = (
+            struct.pack(">H", 0)
+            + amqp.shortstr(self.queue)
+            + amqp.shortstr("")
+            + b"\x00"
+            + struct.pack(">I", 0)
+        )
+        sock.sendall(
+            amqp.encode_frame(
+                amqp.FRAME_METHOD, 1,
+                amqp.method_payload(*amqp.BASIC_CONSUME, args),
+            )
+        )
+        m, _ = amqp.next_method(sock)
+        if m != amqp.BASIC_CONSUME_OK:
+            raise RuntimeError(f"unexpected AMQP method {m}")
+        self._consuming = True
+
+    @staticmethod
+    def _read_frame_timeout(sock, timeout: float):
+        """Read one frame, or None if no frame STARTS within `timeout`.
+        The timeout applies only to the first byte — once a frame is in
+        flight it is read to completion, so frame sync is never lost."""
+        import socket as _socket
+        import struct
+
+        from flink_parent_spark.sources import rabbitmq_amqp as amqp
+
+        sock.settimeout(timeout)
+        try:
+            b0 = sock.recv(1)
+        except (_socket.timeout, TimeoutError):
+            return None
+        finally:
+            sock.settimeout(30)
+        if not b0:
+            raise ConnectionError("amqp peer closed")
+        rest = amqp.read_exact(sock, 6)
+        ftype, channel, size = struct.unpack(">BHI", b0 + rest)
+        payload = amqp.read_exact(sock, size) if size else b""
+        if amqp.read_exact(sock, 1)[0] != amqp.FRAME_END:
+            raise RuntimeError("amqp frame missing end octet")
+        return ftype, channel, payload
 
     def fetch(self, max_messages: int) -> "list[WireMessage]":
         import struct
@@ -338,21 +412,24 @@ class RabbitMQAdapter(WireAdapter):
         from flink_parent_spark.sources import rabbitmq_amqp as amqp
 
         sock = self._conn()
+        if not self._consuming:
+            self._start_consume(sock)
         out: list[WireMessage] = []
         while len(out) < max_messages:
-            args = struct.pack(">H", 0) + amqp.shortstr(self.queue) + b"\x00"
-            sock.sendall(
-                amqp.encode_frame(
-                    amqp.FRAME_METHOD, 1,
-                    amqp.method_payload(*amqp.BASIC_GET, args),
-                )
-            )
-            m, body = amqp.next_method(sock)
-            if m == amqp.BASIC_GET_EMPTY:
-                break
-            if m != amqp.BASIC_GET_OK:
-                raise RuntimeError(f"unexpected AMQP method {m}")
-            (delivery_tag,) = struct.unpack_from(">Q", body, 0)
+            wait = self.NEXT_WAIT if out else self.FIRST_WAIT
+            frame = self._read_frame_timeout(sock, wait)
+            if frame is None:
+                break  # queue drained (for now)
+            ftype, _ch, payload = frame
+            if ftype != amqp.FRAME_METHOD:
+                continue
+            m, body = amqp.parse_method(payload)
+            if m != amqp.BASIC_DELIVER:
+                continue  # e.g. a stray Consume-Ok duplicate
+            # consumer-tag shortstr, delivery-tag u64, redelivered bit,
+            # exchange shortstr, routing-key shortstr
+            off = 1 + body[0]
+            (delivery_tag,) = struct.unpack_from(">Q", body, off)
             ftype, _ch, payload = amqp.read_frame(sock)
             while ftype != amqp.FRAME_HEADER:
                 ftype, _ch, payload = amqp.read_frame(sock)

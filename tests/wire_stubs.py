@@ -15,6 +15,20 @@ import struct
 import threading
 
 
+class _NoDelayTCPServer(socketserver.ThreadingTCPServer):
+    """ThreadingTCPServer with TCP_NODELAY on accepted sockets — the
+    stubs answer small framed round-trips, where Nagle x delayed-ACK
+    adds ~40ms per exchange."""
+
+    daemon_threads = True
+
+    def process_request(self, request, client_address):
+        import socket as _socket
+
+        request.setsockopt(_socket.IPPROTO_TCP, _socket.TCP_NODELAY, 1)
+        super().process_request(request, client_address)
+
+
 class AmqpBrokerStub:
     """AMQP 0-9-1 broker slice: handshake, Queue.Declare, Basic.Get /
     Basic.GetEmpty, Basic.Ack — with requeue-on-disconnect for unacked
@@ -54,6 +68,7 @@ class AmqpBrokerStub:
                 # per-connection delivery state: tag -> message index
                 delivered: dict[int, int] = {}
                 next_tag = 1
+                consuming = False
 
                 def send_method(channel, method, args=b""):
                     sock.sendall(
@@ -62,6 +77,74 @@ class AmqpBrokerStub:
                             amqp.method_payload(*method, args),
                         )
                     )
+
+                def send_content(channel, body, cid):
+                    hdr = (
+                        struct.pack(">HHQH", 60, 0, len(body), 0x0400)
+                        + amqp.shortstr(cid)
+                        if cid is not None
+                        else struct.pack(">HHQH", 60, 0, len(body), 0)
+                    )
+                    sock.sendall(
+                        amqp.encode_frame(amqp.FRAME_HEADER, channel, hdr)
+                    )
+                    mid = max(1, len(body) // 2)
+                    for chunk in (body[:mid], body[mid:]):
+                        sock.sendall(
+                            amqp.encode_frame(amqp.FRAME_BODY, channel, chunk)
+                        )
+
+                def encode_content(body, cid):
+                    hdr = (
+                        struct.pack(">HHQH", 60, 0, len(body), 0x0400)
+                        + amqp.shortstr(cid)
+                        if cid is not None
+                        else struct.pack(">HHQH", 60, 0, len(body), 0)
+                    )
+                    mid = max(1, len(body) // 2)
+                    return (
+                        amqp.encode_frame(amqp.FRAME_HEADER, 1, hdr)
+                        + amqp.encode_frame(amqp.FRAME_BODY, 1, body[:mid])
+                        + amqp.encode_frame(amqp.FRAME_BODY, 1, body[mid:])
+                    )
+
+                def push_available(channel):
+                    """Consume mode: deliver every available message as
+                    Basic.Deliver (the server-push half of the protocol).
+                    Called after Consume-Ok and after each ack (acks wake
+                    the loop, re-publishing may have happened meanwhile).
+                    Frames are batched ~500 messages per sendall so the
+                    push keeps pace at 100k+ messages."""
+                    nonlocal next_tag
+                    while True:
+                        buf = bytearray()
+                        with stub.lock:
+                            in_flight = set(delivered.values())
+                            avail = [
+                                i
+                                for i in range(len(stub.messages))
+                                if i not in stub.acked and i not in in_flight
+                            ][:500]
+                            for idx in avail:
+                                tag = next_tag
+                                next_tag += 1
+                                delivered[tag] = idx
+                                body = stub.messages[idx]
+                                cid = stub.cids.get(idx)
+                                buf += amqp.encode_frame(
+                                    amqp.FRAME_METHOD, channel,
+                                    amqp.method_payload(
+                                        *amqp.BASIC_DELIVER,
+                                        amqp.shortstr("ctag")
+                                        + struct.pack(">QB", tag, 0)
+                                        + amqp.shortstr("")
+                                        + amqp.shortstr("q"),
+                                    ),
+                                )
+                                buf += encode_content(body, cid)
+                        if not buf:
+                            return
+                        sock.sendall(bytes(buf))
 
                 try:
                     assert amqp.read_exact(sock, 8) == amqp.PROTOCOL_HEADER
@@ -129,35 +212,31 @@ class AmqpBrokerStub:
                                 + amqp.shortstr("") + amqp.shortstr("q")
                                 + struct.pack(">I", remaining),
                             )
-                            hdr = (
-                                struct.pack(">HHQH", 60, 0, len(body), 0x0400)
-                                + amqp.shortstr(cid)
-                                if cid is not None
-                                else struct.pack(">HHQH", 60, 0, len(body), 0)
+                            send_content(channel, body, cid)
+                        elif m == amqp.BASIC_QOS:
+                            send_method(channel, amqp.BASIC_QOS_OK)
+                        elif m == amqp.BASIC_CONSUME:
+                            consuming = True
+                            send_method(
+                                channel, amqp.BASIC_CONSUME_OK,
+                                amqp.shortstr("ctag"),
                             )
-                            sock.sendall(
-                                amqp.encode_frame(
-                                    amqp.FRAME_HEADER, channel, hdr
-                                )
-                            )
-                            mid = max(1, len(body) // 2)
-                            for chunk in (body[:mid], body[mid:]):
-                                sock.sendall(
-                                    amqp.encode_frame(
-                                        amqp.FRAME_BODY, channel, chunk
-                                    )
-                                )
+                            push_available(channel)
                         elif m == amqp.BASIC_ACK:
                             (tag,) = struct.unpack_from(">Q", args, 0)
                             with stub.lock:
                                 if tag in delivered:
                                     stub.acked.add(delivered.pop(tag))
+                            if consuming:
+                                # the ack woke the loop: push anything
+                                # published since the last delivery round
+                                push_available(channel)
                 except (ConnectionError, AssertionError, OSError):
                     pass
                 # connection gone: everything delivered-but-unacked
                 # requeues (delivered dict simply drops from scope)
 
-        self._srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+        self._srv = _NoDelayTCPServer(("127.0.0.1", 0), Handler)
         self._srv.daemon_threads = True
         self.port = self._srv.server_address[1]
         threading.Thread(target=self._srv.serve_forever, daemon=True).start()
@@ -515,7 +594,7 @@ class KafkaBrokerStub:
                 except (ConnectionError, AssertionError, OSError, struct.error):
                     return
 
-        self._srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+        self._srv = _NoDelayTCPServer(("127.0.0.1", 0), Handler)
         self._srv.daemon_threads = True
         self.port = self._srv.server_address[1]
         threading.Thread(target=self._srv.serve_forever, daemon=True).start()
@@ -639,7 +718,7 @@ class DedupAmqpSinkStub:
                 except (ConnectionError, AssertionError, OSError):
                     return
 
-        self._srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+        self._srv = _NoDelayTCPServer(("127.0.0.1", 0), Handler)
         self._srv.daemon_threads = True
         self.port = self._srv.server_address[1]
         threading.Thread(target=self._srv.serve_forever, daemon=True).start()
@@ -893,7 +972,7 @@ class CassandraUpsertStub:
                 except (ConnectionError, AssertionError, OSError):
                     return
 
-        self._srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+        self._srv = _NoDelayTCPServer(("127.0.0.1", 0), Handler)
         self._srv.daemon_threads = True
         self.port = self._srv.server_address[1]
         threading.Thread(target=self._srv.serve_forever, daemon=True).start()
