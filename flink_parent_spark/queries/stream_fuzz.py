@@ -28,6 +28,7 @@ Shapes (counts pinned; params drawn from `random.Random(seed)`):
 - latest  (2): keep-last changelog → retraction-consuming re-aggregate
                (stage-1 key × stage-2 regroup)
 - gagg    (2): unbounded streaming group agg — keys × agg set
+- session (2): session windows — gap × watermark × agg set
 
 Determinism contract: sums go through the decimal-accumulation path
 (order-independent), Top-N and keep-last tie-break on `event_id` /
@@ -222,6 +223,48 @@ def _register_latest(i: int, rng: random.Random) -> None:
     register(f"streamfuzz_latest_{i}", run, oracle)
 
 
+def _register_session(i: int, rng: random.Random) -> None:
+    """Session windows with a drawn gap — the window type whose batch
+    oracle needs the LAG/running-flag reconstruction (no closed-form
+    bucketing), so generator bugs here surface as real mismatches."""
+    gap_m = rng.choice([10, 20, 30, 45, 60])
+    wm = rng.choice(["5 minutes", "10 minutes"])
+    with_sum = rng.random() < 0.5
+    agg_sql = ["COUNT(*) AS n"] + (
+        [dsum("value", "sum_value")] if with_sum else []
+    )
+    oracle = f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       <= INTERVAL '{gap_m}' MINUTE THEN 0 ELSE 1 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, {', '.join(agg_sql)}
+    FROM numbered GROUP BY user_id, sid
+    """
+
+    def run(spark, sf_dir, gap_m=gap_m, wm=wm, with_sum=with_sum):
+        ev = stream_table(spark, sf_dir, "events", watermark=("ts", wm))
+        tags = ["n"] + (["sum_value"] if with_sum else [])
+        agg = ev.groupBy(
+            F.session_window("ts", f"{gap_m} minutes"), "user_id"
+        ).agg(*[_AGG_FACTORIES[t]() for t in tags])
+        out = run_stream_to_df(agg, "complete")
+        return out.select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            *tags,
+        )
+
+    register(f"streamfuzz_session_{i}", run, oracle)
+
+
 def _register_gagg(i: int, rng: random.Random) -> None:
     key_sql, key_col, key_alias = _key(rng)
     agg_sql, agg_tags = _aggs(rng)
@@ -250,6 +293,7 @@ SHAPES: "dict[str, tuple[int, int, object]]" = {
     "topn": (0x57F2, 3, _register_topn),
     "latest": (0x57F3, 2, _register_latest),
     "gagg": (0x57F4, 2, _register_gagg),
+    "session": (0x57F5, 2, _register_session),
 }
 
 for _shape, (_seed, _n, _reg) in SHAPES.items():

@@ -27,8 +27,10 @@ def test_every_shape_registers_its_count():
 def test_battery_size_and_decimal_contract():
     oracles = all_oracles()
     fuzz = {k: v for k, v in oracles.items() if k.startswith("streamfuzz_")}
-    assert len(fuzz) == sum(n for (_s, n, _r) in SHAPES.values()) == 12
-    # every generated SUM goes through the decimal-accumulation contract
+    assert len(fuzz) == sum(n for (_s, n, _r) in SHAPES.values()) == 14
+    # every generated double-summing aggregate goes through the
+    # decimal-accumulation contract (integer running sums, like the
+    # session oracle's SUM(new_session), are exact without it)
     for name, sql in fuzz.items():
-        if "SUM(" in sql:
+        if "sum_value" in sql:
             assert "DECIMAL(30,6)" in sql, name

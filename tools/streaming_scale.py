@@ -155,11 +155,42 @@ def main() -> None:
             timeout_s=1800,
         )
 
+    def cep_stream():
+        # streaming CEP at volume: the signup->purchase two-stage pattern
+        # through the keyed applyInPandasWithState matcher, per-user state
+        # garbage-collected behind the scan frontier; throughput is the
+        # Arrow-batch + per-key Python matcher cost the catalog's toy-size
+        # cep_* entries never exercise
+        from flink_parent_spark.streaming.cep import (  # noqa: PLC0415
+            Pattern,
+            cep_pattern_stream,
+        )
+
+        ev = open_stream(spark, path)
+        pat = (
+            Pattern.begin("signup")
+            .where(lambda r: r["event_type"] == "signup")
+            .followed_by("purchase")
+            .where(lambda r: r["event_type"] == "purchase")
+        )
+        return run_stream_to_df(
+            cep_pattern_stream(
+                ev.select("user_id", "event_id", "event_type", "ts"),
+                pat,
+                ["user_id"],
+                "ts",
+                "event_id",
+            ),
+            "update",
+            timeout_s=1800,
+        )
+
     entries = {
         "tumble_agg_1h": tumble_agg,
         "hop_agg_1h_15m": hop_agg,
         "dedup_first_user_type": dedup_keys,
         "updatable_topn_per_type": topn_per_type,
+        "cep_signup_purchase": cep_stream,
     }
     timings: dict = {}
     rates: dict = {}
