@@ -29,6 +29,8 @@ Shapes (counts pinned; params drawn from `random.Random(seed)`):
                (stage-1 key × stage-2 regroup)
 - gagg    (2): unbounded streaming group agg — keys × agg set
 - session (2): session windows — gap × watermark × agg set
+- cep     (3): two-stage strict-contiguity CEP — drawn event-type pairs
+- ivjoin  (2): stream-stream interval join — type pair × window × bound
 
 Determinism contract: sums go through the decimal-accumulation path
 (order-independent), Top-N and keep-last tie-break on `event_id` /
@@ -285,6 +287,112 @@ def _register_gagg(i: int, rng: random.Random) -> None:
     register(f"streamfuzz_gagg_{i}", run, oracle)
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _register_cep(i: int, rng: random.Random) -> None:
+    """Two-stage strict-contiguity CEP over the streaming matcher with a
+    drawn event-type pair — the stream_cep_signup_purchase template with
+    fuzzed literals (the NFA path, state GC, and SKIP_PAST_LAST scan
+    resumption re-exercised per pair)."""
+    a, b = rng.sample(_EVENT_TYPES, 2)
+    oracle = f"""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             LEAD(event_type) OVER w AS nxt_type,
+             LEAD(event_id) OVER w AS nxt_id,
+             LEAD(ts) OVER w AS nxt_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), m AS (
+      SELECT user_id, event_id AS a_id, ts AS a_ts, nxt_id AS b_id,
+             nxt_ts AS b_ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+               AS match_id
+      FROM seq WHERE event_type = '{a}' AND nxt_type = '{b}'
+    )
+    SELECT user_id, a_id AS event_id, match_id, '{a}' AS stage,
+           0 AS seq, a_ts AS event_ts FROM m
+    UNION ALL
+    SELECT user_id, b_id, match_id, '{b}', 1, b_ts FROM m
+    """
+
+    def run(spark, sf_dir, a=a, b=b):
+        from flink_parent_spark.streaming.cep import (  # noqa: PLC0415
+            AfterMatchSkip,
+            Pattern,
+            cep_pattern_stream,
+        )
+
+        ev = stream_table(spark, sf_dir, "events")
+        pat = (
+            Pattern.begin(a)
+            .where(lambda r, a=a: r["event_type"] == a)
+            .next(b)
+            .where(lambda r, b=b: r["event_type"] == b)
+        )
+        out = cep_pattern_stream(
+            ev, pat, ["user_id"], "ts", "event_id",
+            AfterMatchSkip.SKIP_PAST_LAST,
+        )
+        return run_stream_to_df(out, "update")
+
+    register(f"streamfuzz_cep_{i}", run, oracle)
+
+
+def _register_ivjoin(i: int, rng: random.Random) -> None:
+    """Stream-stream interval join with a drawn type pair and window —
+    the built-in watermark-bounded join under fuzzed bounds."""
+    left_t, right_t = rng.sample(_EVENT_TYPES, 2)
+    win_m = rng.choice([5, 10, 20, 30])
+    strict_lower = rng.random() < 0.5
+    lo_op = ">" if strict_lower else ">="
+    oracle = f"""
+    SELECT l.event_id AS l_id, r.event_id AS r_id, l.user_id
+    FROM (SELECT * FROM events WHERE event_type = '{left_t}') l
+    JOIN (SELECT * FROM events WHERE event_type = '{right_t}') r
+      ON l.user_id = r.user_id
+     AND r.ts {lo_op} l.ts AND r.ts <= l.ts + INTERVAL '{win_m}' MINUTE
+    """
+
+    def run(spark, sf_dir, left_t=left_t, right_t=right_t, win_m=win_m,
+            strict_lower=strict_lower):
+        left = (
+            stream_table(spark, sf_dir, "events", watermark=("ts", "30 minutes"))
+            .filter(F.col("event_type") == left_t)
+            .select(
+                F.col("event_id").alias("l_id"),
+                F.col("user_id").alias("l_user"),
+                F.col("ts").alias("l_ts"),
+            )
+        )
+        right = (
+            stream_table(spark, sf_dir, "events", watermark=("ts", "30 minutes"))
+            .filter(F.col("event_type") == right_t)
+            .select(
+                F.col("event_id").alias("r_id"),
+                F.col("user_id").alias("r_user"),
+                F.col("ts").alias("r_ts"),
+            )
+        )
+        lower = (
+            F.col("r_ts") > F.col("l_ts")
+            if strict_lower
+            else F.col("r_ts") >= F.col("l_ts")
+        )
+        j = left.join(
+            right,
+            (F.col("l_user") == F.col("r_user"))
+            & lower
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {win_m} MINUTES")),
+        )
+        return run_stream_to_df(j, "append").select(
+            "l_id", "r_id", F.col("l_user").alias("user_id")
+        )
+
+    register(f"streamfuzz_ivjoin_{i}", run, oracle)
+
+
 # Pinned seeds per shape (byte-stable configs across rounds, same
 # discipline as diff_grammar.FAMILIES).
 SHAPES: "dict[str, tuple[int, int, object]]" = {
@@ -294,6 +402,8 @@ SHAPES: "dict[str, tuple[int, int, object]]" = {
     "latest": (0x57F3, 2, _register_latest),
     "gagg": (0x57F4, 2, _register_gagg),
     "session": (0x57F5, 2, _register_session),
+    "cep": (0x57F6, 3, _register_cep),
+    "ivjoin": (0x57F7, 2, _register_ivjoin),
 }
 
 for _shape, (_seed, _n, _reg) in SHAPES.items():
