@@ -630,3 +630,58 @@ def test_kinesis_ddl_streaming_scan(spark, workdir):
         assert sorted(r["uid"] for r in rows) == list(range(5))
     finally:
         stub.stop()
+
+
+def test_committed_ids_ledger_compaction(tmp_path, monkeypatch):
+    """The committed-ids ledger compacts to the most recent _LEDGER_MAX
+    ids once it doubles past that bound: oldest ids age out (a very-late
+    redelivery of an ancient id is then treated as new — the documented
+    TTL analog), newest ids keep dedup working, and the compacted file
+    survives a restart."""
+    import flink_parent_spark.sources.stream_wire as sw
+
+    class Q(sw.WireAdapter):
+        def __init__(self):
+            self.pending, self.acked = [], []
+
+        def fetch(self, n):
+            return [sw.WireMessage(i, i, p) for i, p in self.pending[:n]]
+
+        def ack(self, handles):
+            self.acked.extend(handles)
+            self.pending = [
+                (i, p) for i, p in self.pending if i not in handles
+            ]
+
+        def to_row(self, payload):
+            return (payload["v"],)
+
+    monkeypatch.setattr(sw, "_LEDGER_MAX", 10)
+    q = Q()
+    spool = str(tmp_path / "spool")
+    r = sw.SpoolingWireReader(q, spool, max_per_batch=100)
+    # commit 3 batches x 9 ids = 27 committed ids -> compaction at >20
+    batch = 0
+    for round_ in range(3):
+        q.pending = [(f"m{round_}_{i}", {"v": i}) for i in range(9)]
+        rows, nxt = r.read({"batch": batch})
+        assert len(list(rows)) == 9
+        batch = nxt["batch"]
+        r.commit(nxt)
+    assert len(r._committed_ids) == 10  # compacted to the newest MAX
+    ledger = (tmp_path / "spool" / "committed-ids.log").read_text()
+    kept = [ln for ln in ledger.splitlines() if ln]
+    assert kept == list(r._committed_ids)
+    assert all(i.startswith(("m2_", "m1_8")) for i in kept)  # newest win
+
+    # restart: the compacted ledger still dedups recent ids...
+    r2 = sw.SpoolingWireReader(q, spool, max_per_batch=100)
+    q.acked.clear()
+    q.pending = [("m2_5", {"v": 5}), ("new", {"v": 99})]
+    rows, nxt = r2.read({"batch": batch})
+    assert list(rows) == [(99,)]  # recent committed id deduped
+    assert q.acked == ["m2_5"]
+    # ...while an aged-out id (compacted away) is treated as new
+    q.pending = [("m0_0", {"v": 0})]
+    rows, _ = r2.read(nxt)
+    assert list(rows) == [(0,)]
