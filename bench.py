@@ -81,17 +81,22 @@ def _sweep_tmp_litter() -> int:
     """Remove this repo's ephemeral /tmp state (stream-run checkpoints,
     stream-source symlink dirs) before timing anything. Accumulated
     litter from prior test/bench runs measurably skews the python probe:
-    with ~1700 stale ckpt_*/fps_* entries in /tmp the probe's median
+    with ~1700 stale checkpoint/fps_* entries in /tmp the probe's median
     drifted 0.44 -> 1.08 s across consecutive r10 runs and its trimmed
     spread blew past the 1.40 void bar; sweeping restored 0.44 s at
-    spread 1.10. Only regenerable cache/checkpoint dirs are touched."""
+    spread 1.10. Only this repo's regenerable dirs are touched: every
+    checkpoint the repo writes is namespaced `fps_*` (r11 — the old
+    generic `ckpt_*` prefix could match unrelated processes' state on a
+    shared machine, so it is no longer swept or written)."""
     import shutil  # noqa: PLC0415
     import tempfile  # noqa: PLC0415
 
     tmp = tempfile.gettempdir()
     n = 0
     for name in os.listdir(tmp):
-        if name.startswith(("ckpt_", "fps_stream_src", "fps_chlog_")):
+        if name.startswith(("fps_ckpt_", "fps_qstate_", "fps_spapi_",
+                            "fps_stream_src", "fps_chlog_",
+                            "fps_warehouse", "fps_derby")):
             shutil.rmtree(os.path.join(tmp, name), ignore_errors=True)
             n += 1
     return n

@@ -28,15 +28,17 @@ from flink_parent_spark.queries.diff_grammar import FAMILIES, family_texts
 from flink_parent_spark.queries.registry import sql_query
 
 # Bump once per round (round number keeps the rotation auditable).
-ROTATION = 10
+ROTATION = 11
 
 N_GATE = 10
 
 
 def gate_sample(rotation: int = ROTATION) -> list[tuple[str, int]]:
     """Deterministic (family, index) sample: one text per family first
-    (currently 8 families), then the remaining N_GATE slots drawn from
-    the pooled remainder."""
+    (currently 10 families), then any remaining N_GATE slots drawn from
+    the pooled remainder — a no-op while len(FAMILIES) == N_GATE (the
+    guard below handles the > case; the remainder draw reactivates only
+    if N_GATE is ever raised above the family count)."""
     if len(FAMILIES) > N_GATE:
         raise RuntimeError(
             f"{len(FAMILIES)} families exceed the {N_GATE}-slot gate sample; "

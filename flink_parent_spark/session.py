@@ -62,15 +62,38 @@ def get_spark(app_name: str = "flink_parent_spark", cpus: int | None = None) -> 
     """Build (or fetch) the session used by tests and bench."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    import tempfile  # noqa: PLC0415
+
+    tmp = tempfile.gettempdir()
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.partitions", str(cpus))
+        # keep regenerable JVM litter out of the repo root: embedded
+        # Derby writes derby.log to the process CWD and managed tables
+        # default their warehouse to ./spark-warehouse — point both at
+        # the (bench-swept) fps_* namespace under the system tmp dir.
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Dderby.stream.error.file={tmp}/fps_derby.log",
+        )
+        .config("spark.sql.warehouse.dir", f"{tmp}/fps_warehouse")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try:
+        # belt-and-braces with the extraJavaOptions above: Derby reads
+        # derby.stream.error.file at its first boot (first JDBC/metastore
+        # connection), which is always after session creation — setting
+        # the live JVM's system property here covers the reused-JVM case
+        # where extraJavaOptions never applied.
+        spark._jvm.System.setProperty(  # noqa: SLF001
+            "derby.stream.error.file", f"{tmp}/fps_derby.log"
+        )
+    except Exception:
+        pass  # connect-mode session without a _jvm bridge
     return apply_runtime_confs(spark, cpus)

@@ -339,6 +339,16 @@ def murmur2(data: bytes) -> int:
     return h
 
 
+def kafka_partition_for(key: bytes, n_partitions: int) -> int:
+    """Java DefaultPartitioner placement for a keyed record:
+    `Utils.toPositive(Utils.murmur2(key)) % numPartitions`. The
+    toPositive mask (& 0x7fffffff) matters for non-power-of-2 partition
+    counts: Java's % on the SIGNED hash would go negative for ~half of
+    all keys, so the client masks first — omitting it diverges from a
+    stock Java producer whenever n is not a power of two."""
+    return (murmur2(key) & 0x7FFFFFFF) % n_partitions
+
+
 def kafka_wire_sink(
     kv_df: "DataFrame", host: str, port: int, topic: str, batch: int = 500
 ) -> None:
@@ -346,7 +356,7 @@ def kafka_wire_sink(
     (FlinkKafkaProducer: one producer per subtask), ApiVersions-handshakes,
     discovers the topic's partitions via Metadata, and produces in
     per-partition MessageSet chunks with acks=-1. Keyed rows route by
-    murmur2(key) % n_partitions (the Java client's default partitioner,
+    toPositive(murmur2(key)) % n_partitions (the Java client's default partitioner,
     so per-key order is preserved on the same partition a stock producer
     would pick); keyless rows stick to one partition per task (the
     v0-era sticky behavior). Columns: k (string, nullable -> message
@@ -379,7 +389,11 @@ def kafka_wire_sink(
                 v = row["v"]
                 key = None if k is None else str(k).encode()
                 val = v if isinstance(v, (bytes, bytearray)) else str(v).encode()
-                pid = pids[0] if key is None else pids[murmur2(key) % len(pids)]
+                pid = (
+                    pids[0]
+                    if key is None
+                    else pids[kafka_partition_for(key, len(pids))]
+                )
                 bufs[pid].append((key, bytes(val)))
                 if len(bufs[pid]) >= batch:
                     flush(pid)

@@ -121,9 +121,12 @@ def parse_basic_properties(header_payload: bytes) -> "dict[str, object]":
     in flag-bit order — AMQP 0-9-1 §4.2.6.1). Returns the properties a
     consumer needs for identity/dedup; unknown trailing properties are
     simply not reached (every property we skip precedes correlation-id in
-    the bit order, so the offsets stay exact)."""
-    flags = struct.unpack_from(">H", header_payload, 10)[0]
-    off = 12
+    the bit order, so the offsets stay exact). Layout before the property
+    list: class-id(2) + weight(2) + body-size(8) = 12 bytes, so the
+    property-flags short lives at offset 12 and the properties at 14 —
+    mirrors the sink's `st.pack(">HHQH", 60, 0, len(body), flags)`."""
+    flags = struct.unpack_from(">H", header_payload, 12)[0]
+    off = 14
     out: "dict[str, object]" = {"body_size": struct.unpack_from(">Q", header_payload, 4)[0]}
 
     def _shortstr() -> str:

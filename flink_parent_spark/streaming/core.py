@@ -84,7 +84,7 @@ def run_stream_to_df(
     """Run a streaming DataFrame to completion (AvailableNow) into a memory
     sink and return the materialized result as a batch DataFrame."""
     name = f"__stream_out_{uuid.uuid4().hex[:8]}"
-    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"fps_ckpt_{name}")
     q = (
         sdf.writeStream.outputMode(output_mode)
         .format("memory")
@@ -132,7 +132,7 @@ def streaming_partitioned_sink(
 
     delay = _parse_delay(commit_delay)
     ckpt = checkpoint or os.path.join(
-        tempfile.gettempdir(), f"ckpt_psink_{_uuid.uuid4().hex[:8]}"
+        tempfile.gettempdir(), f"fps_ckpt_psink_{_uuid.uuid4().hex[:8]}"
     )
 
     def commit_partitions(batch_df, batch_id: int) -> None:
@@ -259,7 +259,7 @@ def punctuated_replay(
         process(on_time, late, wm, bid)
 
     ckpt = os.path.join(
-        tempfile.gettempdir(), f"ckpt_punct_{uuid.uuid4().hex[:8]}"
+        tempfile.gettempdir(), f"fps_ckpt_punct_{uuid.uuid4().hex[:8]}"
     )
     q = (
         sdf.writeStream.foreachBatch(handle)

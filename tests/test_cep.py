@@ -262,7 +262,7 @@ def _cep_stream_batches(spark, batches, op_builder, delay="20 seconds"):
     import tempfile
     import uuid
 
-    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_cep_{uuid.uuid4().hex[:8]}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"fps_ckpt_cep_{uuid.uuid4().hex[:8]}")
     q = (
         out.writeStream.outputMode("update")
         .foreachBatch(sink)

@@ -107,35 +107,54 @@ def test_kafka_wire_ddl_insert_readback(spark):
 
 
 def test_kafka_wire_sink_partition_routing(spark):
-    """Keyed rows route by murmur2(key) % n_partitions (Java client
-    default partitioner): per-key placement is deterministic, both
-    partitions of a 2-partition topic receive data for a spread of keys,
-    and nothing is lost or duplicated across partitions."""
+    """Keyed rows route by toPositive(murmur2(key)) % n_partitions (Java
+    client default partitioner). Uses 3 partitions because the
+    toPositive mask is a no-op at powers of two — only a non-power-of-2
+    count catches a missing `& 0x7fffffff`. Hash vectors pinned to the
+    Java client's own published test values (UtilsTest.testMurmur2)."""
+    import struct
+
     from flink_parent_spark.sources.kafka_wire import (
+        kafka_partition_for,
         kafka_wire_sink,
         murmur2,
     )
     from tests.wire_stubs import KafkaBrokerStub
 
-    # murmur2 is pure and deterministic (known-answer stability: pin the
-    # current values so an accidental algorithm change is caught)
-    assert murmur2(b"") == murmur2(b"")
-    pinned = {b"a": murmur2(b"a"), b"hello": murmur2(b"hello")}
-    assert all(0 <= v < 2**32 for v in pinned.values())
+    # Java-client known-answer vectors (signed 32-bit, as UtilsTest
+    # prints them) — placement parity with a stock producer depends on
+    # the hash matching bit-for-bit.
+    def signed(h):
+        return struct.unpack(">i", struct.pack(">I", h))[0]
 
-    stub = KafkaBrokerStub(n_partitions=2).start()
+    java_vectors = {
+        b"21": -973932308,
+        b"foobar": -790332482,
+        b"a-little-bit-long-string": -985981536,
+        b"a-little-bit-longer-string": -1486304829,
+        b"lkjh234lh9fiuh90y23oiuhsafujhadof229phr9h19h89h8": -58897971,
+        b"abc": 479470107,
+    }
+    for k, v in java_vectors.items():
+        assert signed(murmur2(k)) == v
+        # Java computes toPositive(murmur2) % n on the masked hash
+        assert kafka_partition_for(k, 3) == (v & 0x7FFFFFFF) % 3
+    # keys whose hash has bit 31 set are where the mask matters at n=3
+    assert any(murmur2(k) & 0x80000000 for k in java_vectors)
+
+    stub = KafkaBrokerStub(n_partitions=3).start()
     try:
         df = spark.createDataFrame(
-            [(f"k{i}", f"v{i}") for i in range(20)], "k string, v string"
+            [(f"k{i}", f"v{i}") for i in range(30)], "k string, v string"
         ).coalesce(2)
         kafka_wire_sink(df, "127.0.0.1", stub.port, "routed")
         logs = stub.logs["routed"]
-        assert set(logs) == {0, 1}  # both partitions got data
+        assert set(logs) == {0, 1, 2}  # every partition got data
         all_keys = [k for pid in logs for (k, _v) in logs[pid]]
-        assert sorted(all_keys) == sorted(f"k{i}".encode() for i in range(20))
-        # per-key placement matches the murmur2 contract
+        assert sorted(all_keys) == sorted(f"k{i}".encode() for i in range(30))
+        # per-key placement matches the Java partitioner contract
         for pid, entries in logs.items():
             for k, _v in entries:
-                assert murmur2(k) % 2 == pid
+                assert kafka_partition_for(k, 3) == pid
     finally:
         stub.stop()

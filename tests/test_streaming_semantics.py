@@ -291,7 +291,7 @@ def _collect_stream(spark, sdf):
         captured.append(bdf.toPandas())
 
     ckpt = os.path.join(
-        tempfile.gettempdir(), f"ckpt_upd_{_uuid.uuid4().hex[:8]}"
+        tempfile.gettempdir(), f"fps_ckpt_upd_{_uuid.uuid4().hex[:8]}"
     )
     q = (
         sdf.writeStream.outputMode("update")
@@ -357,7 +357,7 @@ def test_queryable_state_snapshot_and_point_lookup(spark):
     )
 
     src = tempfile.mkdtemp(prefix="qstate_src_")
-    ckpt = os.path.join(tempfile.gettempdir(), "qstate_ckpt_" + os.path.basename(src))
+    ckpt = os.path.join(tempfile.gettempdir(), "fps_qstate_ckpt_" + os.path.basename(src))
     schema = "id bigint, k bigint"
     spark.createDataFrame(
         [(i, i % 5) for i in range(200)], schema
@@ -405,7 +405,7 @@ def test_read_keyed_state_offline(spark):
     from flink_parent_spark.streaming.queryable_state import read_keyed_state
 
     src = tempfile.mkdtemp(prefix="spapi_src_")
-    ckpt = os.path.join(tempfile.gettempdir(), "spapi_ckpt_" + os.path.basename(src))
+    ckpt = os.path.join(tempfile.gettempdir(), "fps_spapi_ckpt_" + os.path.basename(src))
     spark.createDataFrame([(i, i % 3) for i in range(30)], "id bigint, k bigint") \
         .coalesce(1).write.mode("overwrite").parquet(src)
     q = (
@@ -497,7 +497,7 @@ def test_rocksdb_state_backend(spark):
         sdf = spark.readStream.schema(schema).parquet(f"{d}/in")
         tn = streaming_top_n(sdf, ["k"], "v", 2, ["i"])
         name = f"rocks_{uuid.uuid4().hex[:6]}"
-        ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
+        ckpt = os.path.join(tempfile.gettempdir(), f"fps_ckpt_{name}")
         q = (
             tn.writeStream.outputMode("update").format("memory")
             .queryName(name).option("checkpointLocation", ckpt)
@@ -664,7 +664,7 @@ def test_restart_from_checkpoint_exactly_once(spark, rocksdb):
         def build_dedup(sdf):
             return streaming_dedup(sdf, ["k"], "ts", ["v"], keep="first")
 
-        ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_dd_{tag}")
+        ckpt = os.path.join(tempfile.gettempdir(), f"fps_ckpt_dd_{tag}")
         part1 = _drain(spark, d, schema, build_dedup, ckpt)  # consumes b0, "crashes"
         # more input arrives while down: a DUPLICATE of A and fresh keys
         _add_batch_file(spark, d, 1, [("A", ts(5), 9), ("C", ts(6), 3)], schema)
@@ -673,7 +673,7 @@ def test_restart_from_checkpoint_exactly_once(spark, rocksdb):
 
         uninterrupted = _drain(
             spark, d, schema, build_dedup,
-            os.path.join(tempfile.gettempdir(), f"ckpt_dd_ref_{tag}"),
+            os.path.join(tempfile.gettempdir(), f"fps_ckpt_dd_ref_{tag}"),
         )
         got = sorted(map(tuple, pd.concat([part1, part2])[["k", "v"]].values.tolist()))
         exp = sorted(map(tuple, uninterrupted[["k", "v"]].values.tolist()))
@@ -694,14 +694,14 @@ def test_restart_from_checkpoint_exactly_once(spark, rocksdb):
                 sdf, ["grp"], "x", 1, [], sequence_col="seq", tiebreak_col="x"
             )
 
-        ckpt2 = os.path.join(tempfile.gettempdir(), f"ckpt_tn_{tag}")
+        ckpt2 = os.path.join(tempfile.gettempdir(), f"fps_ckpt_tn_{tag}")
         p1 = _drain(spark, d2, cl_schema, build_topn, ckpt2)   # top1 = 5
         # while down: retract the leader — 3 must surface from RECOVERED state
         _add_batch_file(spark, d2, 1, [("g", 5, "-D", 2)], cl_schema)
         p2 = _drain(spark, d2, cl_schema, build_topn, ckpt2)
         ref = _drain(
             spark, d2, cl_schema, build_topn,
-            os.path.join(tempfile.gettempdir(), f"ckpt_tn_ref_{tag}"),
+            os.path.join(tempfile.gettempdir(), f"fps_ckpt_tn_ref_{tag}"),
         )
         assert list(p1["x"]) == [5]
         assert list(p2["x"]) == [3]  # exactly-once: emitted once, from state
@@ -739,7 +739,7 @@ def test_group_agg_changelog_trace_across_batches(spark):
     import uuid as _uuid
 
     captured = []
-    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_gac_{_uuid.uuid4().hex[:8]}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"fps_ckpt_gac_{_uuid.uuid4().hex[:8]}")
     q = (
         cl.writeStream.outputMode("append")
         .foreachBatch(lambda b, _i: captured.append(b.toPandas()))
@@ -807,7 +807,7 @@ def test_punctuated_keyed_matches_driver_harness(spark):
     import uuid as _uuid
 
     captured = []
-    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_pk_{_uuid.uuid4().hex[:8]}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"fps_ckpt_pk_{_uuid.uuid4().hex[:8]}")
     q = (
         out.writeStream.outputMode("append")
         .foreachBatch(lambda b, _i: captured.append(b.toPandas()))
@@ -950,7 +950,7 @@ def test_topn_strategies_randomized_timestamp_order(spark, seed):
     captured = []
     import uuid as _uuid
 
-    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_rtn_{_uuid.uuid4().hex[:8]}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"fps_ckpt_rtn_{_uuid.uuid4().hex[:8]}")
     q = (
         tn.writeStream.outputMode("update")
         .foreachBatch(lambda b, _i: captured.append(b.toPandas()))
@@ -992,7 +992,7 @@ def test_topn_strategies_randomized_timestamp_order(spark, seed):
         arrival_cols=("arr",),
     )
     cap2 = []
-    ckpt2 = os.path.join(tempfile.gettempdir(), f"ckpt_rup_{_uuid.uuid4().hex[:8]}")
+    ckpt2 = os.path.join(tempfile.gettempdir(), f"fps_ckpt_rup_{_uuid.uuid4().hex[:8]}")
     q2 = (
         up.writeStream.outputMode("update")
         .foreachBatch(lambda b, _i: cap2.append(b.toPandas()))
@@ -1034,7 +1034,7 @@ def test_topn_strategies_randomized_timestamp_order(spark, seed):
         sequence_col="seq", tiebreak_col="uid",
     )
     cap3 = []
-    ckpt3 = os.path.join(tempfile.gettempdir(), f"ckpt_rrt_{_uuid.uuid4().hex[:8]}")
+    ckpt3 = os.path.join(tempfile.gettempdir(), f"fps_ckpt_rrt_{_uuid.uuid4().hex[:8]}")
     q3 = (
         rt.writeStream.outputMode("update")
         .foreachBatch(lambda b, _i: cap3.append(b.toPandas()))
@@ -1084,7 +1084,7 @@ def test_restart_group_agg_changelog_exactly_once(spark, rocksdb):
         def build(sdf):
             return streaming_group_agg_changelog(sdf, ["k"], "v", "ts")
 
-        ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_gac_{tag}")
+        ckpt = os.path.join(tempfile.gettempdir(), f"fps_ckpt_gac_{tag}")
         p1 = _drain(spark, d, schema, build, ckpt, mode="append")
         # while down: more purchases for both keys
         _add_batch_file(spark, d, 1, [("a", ts(5), 5.0)], schema)
@@ -1093,7 +1093,7 @@ def test_restart_group_agg_changelog_exactly_once(spark, rocksdb):
 
         ref = _drain(
             spark, d, schema, build,
-            os.path.join(tempfile.gettempdir(), f"ckpt_gac_ref_{tag}"),
+            os.path.join(tempfile.gettempdir(), f"fps_ckpt_gac_ref_{tag}"),
             mode="append",
         )
         both = pd.concat([p1, p2], ignore_index=True)

@@ -388,7 +388,9 @@ def test_rabbitmq_correlation_id_identity(spark, workdir):
     """Two DISTINCT messages with byte-identical bodies but different
     correlation ids must both be delivered — identity comes from the
     correlation-id property, not the body digest, when the publisher
-    sets one (RMQSource usesCorrelationId parity)."""
+    sets one (RMQSource usesCorrelationId parity). maxperbatch=1 forces
+    each message into its own micro-batch so the cross-batch dedup path
+    actually runs (an in-batch pair never consults _pending_ids)."""
     stub = AmqpBrokerStub().start()
     register_wire_sources(spark)
     body = json.dumps({"ev_id": 7, "kind": "same"}).encode()
@@ -402,12 +404,54 @@ def test_rabbitmq_correlation_id_identity(spark, workdir):
             .option("queue", "q")
             .option("schema", "ev_id long, kind string")
             .option("spooldir", f"{workdir}/spool")
-            .option("maxperbatch", "10")
+            .option("maxperbatch", "1")
             .load()
         )
         _run_until_idle(df, workdir)
         rows = _sink_rows(workdir)
         assert [r["ev_id"] for r in rows] == [7, 7]  # neither dropped
+    finally:
+        stub.stop()
+
+
+def test_rabbitmq_fetch_surfaces_correlation_id(workdir):
+    """The adapter's message identity IS the published correlation-id —
+    asserted directly on RabbitMQAdapter.fetch so a header-parse
+    regression (flags/property offsets) can't hide behind batch
+    boundaries. Also pins the AMQP 0-9-1 §4.2.6.1 content-header layout:
+    class(2)+weight(2)+body-size(8), flags at 12, properties at 14."""
+    import struct
+
+    from flink_parent_spark.sources import rabbitmq_amqp as amqp
+    from flink_parent_spark.sources.stream_wire import RabbitMQAdapter
+
+    body = json.dumps({"ev_id": 9, "kind": "direct"}).encode()
+    hdr = struct.pack(">HHQH", 60, 0, len(body), 0x0400) + amqp.shortstr(
+        "cid-direct"
+    )
+    props = amqp.parse_basic_properties(hdr)
+    assert props["body_size"] == len(body)
+    assert props["correlation_id"] == "cid-direct"
+    # no correlation-id bit -> no fabricated identity, whatever the size
+    for n in (7, 1024, 2047):  # 1024..2047 set bit 10 of the size's low
+        plain = struct.pack(">HHQH", 60, 0, n, 0)  # half — must not leak
+        p = amqp.parse_basic_properties(plain)
+        assert p["body_size"] == n and "correlation_id" not in p
+
+    stub = AmqpBrokerStub().start()
+    try:
+        stub.publish_with_cid(body, "cid-direct")
+        stub.publish(json.dumps({"ev_id": 10, "kind": "anon"}).encode())
+        adapter = RabbitMQAdapter(
+            "127.0.0.1", stub.port, "q", "ev_id long, kind string"
+        )
+        try:
+            msgs = adapter.fetch(10)
+        finally:
+            adapter.close()
+        by_ev = {m.payload["ev_id"]: m for m in msgs}
+        assert by_ev[9].msg_id == "cid-direct"
+        assert by_ev[10].msg_id != "cid-direct"  # sha1(body) fallback
     finally:
         stub.stop()
 
