@@ -19,6 +19,7 @@ rows)."""
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass, field
 
@@ -99,6 +100,7 @@ class CatalogTable:
     watermark: tuple[str, str] | None = None  # (col, "10 seconds")
     computed: list[tuple[str, str]] = field(default_factory=list)  # (name, expr)
     props: dict = field(default_factory=dict)  # full WITH (...) options
+    partitions: list[str] = field(default_factory=list)  # PARTITIONED BY cols
 
 
 class Table:
@@ -601,6 +603,33 @@ class OverWindowedTable:
         return Table(self._table._env.spark.sql(sql), self._table._env)
 
 
+class _PassthroughCatalog:
+    """USE-able marker catalog for CREATE CATALOG types whose tables
+    already live in Spark's session catalog (hive / generic_in_memory):
+    register_all is a no-op because there is nothing to materialize."""
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def register_all(self):
+        return []
+
+
+class CoreModule:
+    """Flink's core module (table/module/CoreModule.java, the instance
+    ModuleManager.java:53 pre-loads): on Spark its function set IS the
+    session registry — Spark built-ins plus the registered Flink-residue
+    SQL UDFs (functions/registry.py). There is no second resolution path
+    to merge, which is exactly why the reference's core+hive module split
+    collapses to one module here (Spark's built-ins are HiveQL's)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def list_functions(self) -> "list[str]":
+        return [f.name for f in self.spark.catalog.listFunctions()]
+
+
 class TableEnvironment:
     """create() -> execute_sql DDL -> sql_query / from_path, batch or
     streaming mode (Flink's EnvironmentSettings split)."""
@@ -609,6 +638,9 @@ class TableEnvironment:
         self.spark = apply_runtime_confs(spark)
         self.streaming = streaming
         self.catalog: dict[str, CatalogTable] = {}
+        # FLIP-68 module registry: load-ordered, 'core' pre-loaded
+        # (ModuleManager.java:50-55)
+        self._modules: dict[str, object] = {"core": CoreModule(spark)}
         # TableConfig subset (TableConfigOptions.java) — reference defaults
         self.config: dict[str, str] = {
             "table.dynamic-table-options.enabled": "false",
@@ -635,9 +667,26 @@ class TableEnvironment:
         lm = _CREATE_LIKE_RE.match(s)
         if lm:
             return self._create_table_like(lm)
+        # CREATE TABLE ... PARTITIONED BY (c, ...) WITH (...): lift the
+        # partition clause out first — _CREATE_RE's greedy cols group
+        # would otherwise swallow it (SqlCreateTable.java's partitionKeyList
+        # sits between the column block and the property list).
+        pb = re.search(
+            r"\)\s*PARTITIONED\s+BY\s*\((?P<parts>[^)]*)\)\s*(?=WITH\s*\()",
+            s,
+            re.IGNORECASE,
+        )
+        partitions: list[str] = []
+        if pb and re.match(r"CREATE\s", s, re.IGNORECASE):
+            partitions = [
+                c.strip().strip("`")
+                for c in pb.group("parts").split(",")
+                if c.strip()
+            ]
+            s = s[: pb.start() + 1] + " " + s[pb.end():]
         m = _CREATE_RE.match(s)
         if m:
-            return self._create_table(m)
+            return self._create_table(m, partitions=partitions)
         if re.match(r"CREATE\s+(OR\s+REPLACE\s+)?(TEMPORARY\s+)?VIEW", s, re.IGNORECASE):
             return self.spark.sql(s)
         if re.match(r"INSERT\s+(INTO|OVERWRITE)\b", s, re.IGNORECASE):
@@ -700,11 +749,56 @@ class TableEnvironment:
             return self._create_function(
                 fm.group("name"), fm.group("ref"), (fm.group("lang") or "").upper()
             )
+        afm = re.match(
+            r"ALTER\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+"
+            r"(?P<ife>IF\s+EXISTS\s+)?(?P<name>[\w.]+)\s+AS\s+'(?P<ref>[^']+)'"
+            r"(?:\s+LANGUAGE\s+(?P<lang>\w+))?$",
+            s,
+            re.IGNORECASE,
+        )
+        if afm:
+            # ALTER FUNCTION (SqlAlterFunction.java:82-101 unparse shape;
+            # TableEnvironmentImpl's AlterCatalogFunctionOperation): the
+            # function must already exist, then the new ref replaces it —
+            # same registration path as CREATE FUNCTION.
+            name = afm.group("name")
+            known = name in self._functions or self.spark.catalog.functionExists(name)
+            if not known:
+                if afm.group("ife"):
+                    return None
+                raise ValueError(f"ALTER FUNCTION: unknown function {name}")
+            return self._create_function(
+                name, afm.group("ref"), (afm.group("lang") or "").upper()
+            )
         am = re.match(
             r"ALTER\s+TABLE\s+(\w+)\s+(.+)$", s, re.IGNORECASE | re.DOTALL
         )
         if am:
             return self._alter_table(am.group(1), am.group(2).strip())
+        spm = re.match(r"SHOW\s+PARTITIONS\s+(\w+)$", s, re.IGNORECASE)
+        if spm and spm.group(1) in self.catalog:
+            return self._show_partitions(spm.group(1))
+        ccm = re.match(
+            r"CREATE\s+CATALOG\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s+"
+            r"WITH\s*\((?P<props>.*)\)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if ccm:
+            return self._create_catalog(
+                ccm.group("name"),
+                {
+                    p.group("k"): p.group("v")
+                    for p in _PROP_RE.finditer(ccm.group("props"))
+                },
+            )
+        dcm = re.match(
+            r"DROP\s+CATALOG\s+(?:IF\s+EXISTS\s+)?(\w+)$", s, re.IGNORECASE
+        )
+        if dcm:
+            return self._drop_catalog(
+                dcm.group(1), if_exists="IF" in s.upper()
+            )
         avm = re.match(
             r"ALTER\s+VIEW\s+(\w+)\s+(.+)$", s, re.IGNORECASE | re.DOTALL
         )
@@ -794,6 +888,112 @@ class TableEnvironment:
         """TableEnvironment.registerCatalog parity."""
         self._catalogs[name] = catalog
 
+    def _create_catalog(self, name: str, props: "dict[str, str]"):
+        """CREATE CATALOG c WITH ('type'='...', ...) (SqlCreateCatalog.java
+        :72-86 unparse shape; TableEnvironmentImpl's CreateCatalogOperation
+        resolves the 'type' through the CatalogFactory SPI). Supported
+        types map onto the existing register_catalog machinery:
+
+        - 'jdbc': the JdbcCatalog (flink-connector-jdbc JdbcCatalogFactory
+          options 'base-url', 'username', 'password' + our 'driver');
+        - 'generic_in_memory': Flink's default GenericInMemoryCatalog — on
+          Spark the session catalog already provides it, so this registers
+          a no-op wrapper that simply makes the name USE-able;
+        - 'hive': same no-op wrapper IF the session is Hive-enabled
+          (Spark's Hive catalog is fixed at session creation and IS the
+          session catalog; there is nothing to materialize at USE time)."""
+        if name in self._catalogs:
+            raise ValueError(f"catalog {name} already exists")
+        ctype = props.get("type")
+        if ctype == "jdbc":
+            from flink_parent_spark.sources.connectors import (  # noqa: PLC0415
+                JdbcCatalog,
+            )
+
+            url = props.get("base-url") or props.get("url")
+            if not url:
+                raise ValueError("CREATE CATALOG type=jdbc needs 'base-url'")
+            driver = props.get("driver")
+            if not driver:
+                driver = {
+                    "jdbc:derby": "org.apache.derby.jdbc.EmbeddedDriver",
+                    "jdbc:postgresql": "org.postgresql.Driver",
+                    "jdbc:mysql": "com.mysql.cj.jdbc.Driver",
+                }.get(url.split(":", 2)[0] + ":" + url.split(":", 2)[1], "")
+            if not driver:
+                raise ValueError(
+                    "CREATE CATALOG type=jdbc: cannot infer 'driver' from "
+                    f"{url!r}; pass it explicitly"
+                )
+            cat = JdbcCatalog(
+                self.spark, name, url, driver,
+                username=props.get("username"),
+                password=props.get("password"),
+            )
+        elif ctype in ("generic_in_memory", "hive"):
+            if ctype == "hive" and "hive" not in str(
+                self.spark.conf.get("spark.sql.catalogImplementation", "in-memory")
+            ):
+                raise ValueError(
+                    "CREATE CATALOG type=hive needs a Hive-enabled session "
+                    "(enableHiveSupport at session creation)"
+                )
+            cat = _PassthroughCatalog(name)
+        else:
+            raise ValueError(
+                f"CREATE CATALOG: unsupported type {ctype!r} "
+                "(jdbc, hive, generic_in_memory)"
+            )
+        self.register_catalog(name, cat)
+        return None
+
+    def _drop_catalog(self, name: str, if_exists: bool):
+        """DROP CATALOG c (SqlDropCatalog.java): the current catalog cannot
+        be dropped (CatalogManager.unregisterCatalog parity)."""
+        if name == self.current_catalog:
+            raise ValueError(f"cannot drop the current catalog {name}")
+        if name not in self._catalogs:
+            if if_exists:
+                return None
+            raise ValueError(f"unknown catalog: {name}")
+        del self._catalogs[name]
+        return None
+
+    # -- modules (FLIP-68) ---------------------------------------------------
+    def load_module(self, name: str, module=None) -> None:
+        """TableEnvironment.loadModule (ModuleManager.java:64-77): modules
+        are kept in load order; a duplicate name is an error. On Spark the
+        function namespace is a single registry whose built-ins subsume
+        both the reference's core and hive modules, so a loaded module
+        contributes metadata (its name and function listing) rather than a
+        second resolution path — `module` may be any object with a
+        `list_functions()` -> iterable, or None for a marker-only module
+        (the 'hive' case: Spark's built-ins ARE HiveQL's)."""
+        if name in self._modules:
+            raise ValueError(f"A module with name {name} already exists")
+        self._modules[name] = module
+
+    def unload_module(self, name: str) -> None:
+        """TableEnvironment.unloadModule (ModuleManager.java:85-92)."""
+        if name not in self._modules:
+            raise ValueError(f"No module with name {name} exists")
+        del self._modules[name]
+
+    def list_modules(self) -> "list[str]":
+        """TableEnvironment.listModules (ModuleManager.java:100-102):
+        names in load order, 'core' first by construction."""
+        return list(self._modules)
+
+    def list_module_functions(self) -> "set[str]":
+        """ModuleManager.listFunctions: the union of every loaded module's
+        functions. The core module's set is the machine-checked builtin
+        registry (functions/registry.py vs BuiltInFunctionDefinitions)."""
+        out: set[str] = set()
+        for mod in self._modules.values():
+            if mod is not None and hasattr(mod, "list_functions"):
+                out.update(mod.list_functions())
+        return out
+
     def _show_tables(self) -> Table:
         """SHOW TABLES: DDL catalog entries (including sink-only tables not
         yet materialized) merged with Spark temp views."""
@@ -865,7 +1065,7 @@ class TableEnvironment:
                 col_defs.append(p)
         return col_defs, computed, watermark, primary_key
 
-    def _create_table(self, m: re.Match):
+    def _create_table(self, m: re.Match, partitions: "list[str] | None" = None):
         name = m.group("name")
         props = {p.group("k"): p.group("v") for p in _PROP_RE.finditer(m.group("props"))}
         col_defs, computed, watermark, primary_key = self._parse_cols_block(
@@ -876,6 +1076,14 @@ class TableEnvironment:
         fmt = props.get("format", props.get("connector", "parquet"))
         if props.get("connector") in ("kafka", "upsert-kafka"):
             fmt = "kafka"
+        declared = {d.split()[0].strip("`").lower() for d in col_defs}
+        for p in partitions or []:
+            # SqlCreateTable.validate: every partition key must be a
+            # declared column
+            if p.lower() not in declared:
+                raise ValueError(
+                    f"PARTITIONED BY column {p!r} is not in the table schema"
+                )
         entry = CatalogTable(
             name=name,
             fmt=fmt,
@@ -884,6 +1092,7 @@ class TableEnvironment:
             watermark=watermark,
             computed=computed,
             props=props,
+            partitions=list(partitions or []),
         )
         self.catalog[name] = entry
         # register the view immediately so sql_query sees it — in streaming
@@ -969,7 +1178,247 @@ class TableEnvironment:
                 entry.watermark = watermark
             self._refresh_view(entry, strict=had_view)
             return None
+        apm = re.match(
+            r"ADD\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+            r"(?P<specs>(?:PARTITION\s*\([^)]*\)\s*)+)$",
+            rest,
+            re.IGNORECASE,
+        )
+        if apm:
+            return self._add_partitions(
+                entry, apm.group("specs"), bool(apm.group("ine"))
+            )
+        dpm = re.match(
+            r"DROP\s+(?P<ife>IF\s+EXISTS\s+)?"
+            r"(?P<specs>(?:PARTITION\s*\([^)]*\)\s*,?\s*)+)$",
+            rest,
+            re.IGNORECASE,
+        )
+        if dpm:
+            return self._drop_partitions(
+                entry, dpm.group("specs"), bool(dpm.group("ife"))
+            )
+        cm = re.match(
+            r"CHANGE\s+(?:COLUMN\s+)?(?P<old>\w+)\s+(?P<def>\w+\s+[^;]+?)"
+            r"(?:\s+(?P<first>FIRST)|\s+AFTER\s+(?P<after>\w+))?$",
+            rest,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if cm:
+            return self._change_column(
+                entry,
+                cm.group("old"),
+                cm.group("def").strip(),
+                first=bool(cm.group("first")),
+                after=cm.group("after"),
+                had_view=had_view,
+            )
+        acm = re.match(
+            r"ADD\s+CONSTRAINT\s+(?P<cname>\w+)\s+PRIMARY\s+KEY\s*"
+            r"\((?P<cols>[^)]*)\)\s*(?P<enf>NOT\s+ENFORCED)?$",
+            rest,
+            re.IGNORECASE,
+        )
+        if acm:
+            # SqlAlterTableAddConstraint: metadata-only, and like the
+            # reference (UniqueConstraint.java) only NOT ENFORCED keys are
+            # accepted — neither engine enforces uniqueness on write.
+            if not acm.group("enf"):
+                raise ValueError(
+                    "ALTER TABLE ADD CONSTRAINT: only PRIMARY KEY ... NOT "
+                    "ENFORCED is supported (the reference rejects enforced "
+                    "constraints the same way)"
+                )
+            if "__primary_key" in entry.props:
+                raise ValueError(
+                    f"table {name} already has a primary key constraint"
+                )
+            cols = [c.strip().strip("`") for c in acm.group("cols").split(",")]
+            declared = {
+                d.split()[0].strip("`").lower()
+                for d in (entry.schema_ddl or "").split(",")
+                if d.strip()
+            }
+            for c in cols:
+                if c.lower() not in declared:
+                    raise ValueError(
+                        f"ADD CONSTRAINT: column {c!r} not in table schema"
+                    )
+            entry.props["__primary_key"] = ",".join(cols)
+            entry.props["__pk_constraint"] = acm.group("cname")
+            return None
+        dcm = re.match(
+            r"DROP\s+CONSTRAINT\s+(?P<cname>\w+)$", rest, re.IGNORECASE
+        )
+        if dcm:
+            # SqlAlterTableDropConstraint: the named constraint must exist
+            have = entry.props.get("__pk_constraint")
+            if have != dcm.group("cname"):
+                raise ValueError(
+                    f"DROP CONSTRAINT: table {name} has no constraint named "
+                    f"{dcm.group('cname')!r}"
+                    + (f" (its primary key constraint is {have!r})" if have else "")
+                )
+            entry.props.pop("__pk_constraint", None)
+            entry.props.pop("__primary_key", None)
+            return None
         raise ValueError(f"unsupported ALTER TABLE clause: {rest!r}")
+
+    _PART_SPEC_RE = re.compile(
+        r"(?P<k>\w+)\s*=\s*(?:'(?P<q>[^']*)'|(?P<u>[\w.-]+))"
+    )
+
+    def _parse_partition_specs(
+        self, entry: CatalogTable, specs_text: str
+    ) -> "list[dict[str, str]]":
+        """Parse one or more PARTITION (k='v', ...) specs and validate
+        every key against the table's PARTITIONED BY list (the reference
+        validates against the catalog partition keys,
+        SqlAddPartitions.java / HiveCatalog partition spec checks)."""
+        if not entry.partitions:
+            raise ValueError(
+                f"table {entry.name} is not partitioned (no PARTITIONED BY)"
+            )
+        out: list[dict[str, str]] = []
+        for block in re.finditer(
+            r"PARTITION\s*\(([^)]*)\)", specs_text, re.IGNORECASE
+        ):
+            spec: dict[str, str] = {}
+            for pm in self._PART_SPEC_RE.finditer(block.group(1)):
+                k = pm.group("k")
+                if k.lower() not in {p.lower() for p in entry.partitions}:
+                    raise ValueError(
+                        f"{k!r} is not a partition key of {entry.name} "
+                        f"(keys: {entry.partitions})"
+                    )
+                spec[k] = pm.group("q") if pm.group("q") is not None else pm.group("u")
+            if len(spec) != len(entry.partitions):
+                raise ValueError(
+                    f"partition spec {spec} must bind every partition key "
+                    f"{entry.partitions}"
+                )
+            out.append(spec)
+        return out
+
+    def _partition_dir(self, entry: CatalogTable, spec: "dict[str, str]") -> str:
+        # hive-style layout in DDL-declared key order, the same layout
+        # df.write.partitionBy produces and spark.read partition-discovers
+        by_lower = {k.lower(): v for k, v in spec.items()}
+        return os.path.join(
+            entry.path, *[f"{p}={by_lower[p.lower()]}" for p in entry.partitions]
+        )
+
+    def _add_partitions(
+        self, entry: CatalogTable, specs_text: str, if_not_exists: bool
+    ):
+        """ALTER TABLE t ADD [IF NOT EXISTS] PARTITION (spec) [PARTITION
+        (spec)]* (SqlAddPartitions.java:81-99 unparse shape). Filesystem
+        tables gain the hive-layout directory; an existing partition is an
+        error without IF NOT EXISTS (PartitionAlreadyExistsException
+        parity)."""
+        for spec in self._parse_partition_specs(entry, specs_text):
+            d = self._partition_dir(entry, spec)
+            if os.path.isdir(d):
+                if if_not_exists:
+                    continue
+                raise ValueError(f"partition already exists: {spec}")
+            os.makedirs(d)
+        self._refresh_view(entry, strict=False)
+        return None
+
+    def _drop_partitions(
+        self, entry: CatalogTable, specs_text: str, if_exists: bool
+    ):
+        """ALTER TABLE t DROP [IF EXISTS] PARTITION (spec)[, PARTITION
+        (spec)]* (SqlDropPartitions.java). Drops the partition directory
+        AND its data (the reference's drop is data-destructive for managed
+        tables too); missing partition is an error without IF EXISTS
+        (PartitionNotExistException parity)."""
+        import shutil  # noqa: PLC0415
+
+        for spec in self._parse_partition_specs(entry, specs_text):
+            d = self._partition_dir(entry, spec)
+            if not os.path.isdir(d):
+                if if_exists:
+                    continue
+                raise ValueError(f"partition does not exist: {spec}")
+            shutil.rmtree(d)
+        self._refresh_view(entry, strict=False)
+        return None
+
+    def _show_partitions(self, name: str) -> "Table":
+        """SHOW PARTITIONS t for DDL-catalog filesystem tables: list the
+        hive-layout partition directories, one row per leaf partition in
+        Spark's `k1=v1/k2=v2` output format (ShowPartitionsOperation)."""
+        entry = self.catalog[name]
+        if not entry.partitions:
+            raise ValueError(f"SHOW PARTITIONS: table {name} is not partitioned")
+        leaves: list[str] = []
+
+        def walk(base: str, keys: "list[str]", prefix: "list[str]") -> None:
+            if not keys:
+                leaves.append("/".join(prefix))
+                return
+            key = keys[0]
+            if not os.path.isdir(base):
+                return
+            for d in sorted(os.listdir(base)):
+                if d.startswith(f"{key}="):
+                    walk(os.path.join(base, d), keys[1:], [*prefix, d])
+
+        walk(entry.path, entry.partitions, [])
+        return Table(
+            self.spark.createDataFrame(
+                [(p,) for p in leaves], "partition string"
+            ),
+            self,
+        )
+
+    def _change_column(
+        self,
+        entry: CatalogTable,
+        old: str,
+        new_def: str,
+        first: bool,
+        after: "str | None",
+        had_view: bool,
+    ):
+        """ALTER TABLE t CHANGE [COLUMN] old new_name new_type [COMMENT c]
+        [FIRST | AFTER col] (SqlChangeColumn.java:95-107): the old column's
+        definition is replaced wholesale; FIRST/AFTER reorder. Renames are
+        rejected while the column anchors the watermark or a computed
+        column (the reference re-validates the schema the same way)."""
+        cols = [c.strip() for c in (entry.schema_ddl or "").split(",") if c.strip()]
+        names = [c.split()[0].strip("`") for c in cols]
+        if old not in names:
+            raise ValueError(f"CHANGE COLUMN: no column {old!r} in {entry.name}")
+        new_name = new_def.split()[0].strip("`")
+        if new_name != old:
+            if entry.watermark and entry.watermark[0] == old:
+                raise ValueError(
+                    f"CHANGE COLUMN: {old!r} anchors the table watermark; "
+                    "rename is not allowed"
+                )
+            for cname, cexpr in entry.computed:
+                if re.search(rf"\b{re.escape(old)}\b", cexpr):
+                    raise ValueError(
+                        f"CHANGE COLUMN: {old!r} is referenced by computed "
+                        f"column {cname!r}; rename is not allowed"
+                    )
+        idx = names.index(old)
+        cols.pop(idx)
+        if first:
+            cols.insert(0, new_def)
+        elif after is not None:
+            rest_names = [c.split()[0].strip("`") for c in cols]
+            if after not in rest_names:
+                raise ValueError(f"CHANGE COLUMN: AFTER column {after!r} not found")
+            cols.insert(rest_names.index(after) + 1, new_def)
+        else:
+            cols.insert(idx, new_def)
+        entry.schema_ddl = ", ".join(cols)
+        self._refresh_view(entry, strict=had_view)
+        return None
 
     def _alter_view(self, name: str, rest: str):
         """ALTER VIEW (AlterViewOperation kinds): AS re-defines the view;
@@ -1285,12 +1734,23 @@ class TableEnvironment:
 
     def _insert_into(self, s: str):
         m = re.match(
-            r"INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?(?P<t>\w+)\s+(?P<q>.*)",
+            r"INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?(?P<t>\w+)\s+"
+            r"(?:PARTITION\s*\((?P<pspec>[^)]*)\)\s+)?(?P<q>.*)",
             s,
             re.IGNORECASE | re.DOTALL,
         )
+        if m.group("t") not in self.catalog:
+            # Hive/managed tables live in Spark's own catalog — identical
+            # INSERT semantics (incl. static PARTITION specs), pass through
+            return Table(self.spark.sql(s), self)
         target = self.catalog[m.group("t")]
         df = self.spark.sql(m.group("q"))
+        if m.group("pspec"):
+            # static partition spec (SqlInsert's staticPartitions): the
+            # spec columns are constants appended to the query's columns
+            specs = self._parse_partition_specs(target, f"PARTITION ({m.group('pspec')})")
+            for k, v in specs[0].items():
+                df = df.withColumn(k, F.lit(v))
         mode = "overwrite" if m.group("mode").upper() == "OVERWRITE" else "append"
         if target.fmt == "kafka":
             # kafka table sink: rows serialize per the declared format
@@ -1488,7 +1948,22 @@ class TableEnvironment:
             )
             return None
         fmt = "parquet" if target.fmt in ("filesystem", "parquet") else target.fmt
-        getattr(df.write.mode(mode), fmt)(target.path)
+        writer = df.write.mode(mode)
+        if target.partitions:
+            # PARTITIONED BY tables write hive-layout partition dirs
+            # (FileSystemTableSink's partition grouping); dynamic partition
+            # overwrite replaces only the partitions present in the data,
+            # matching the reference's filesystem sink overwrite semantics
+            writer = writer.partitionBy(*target.partitions)
+            if mode == "overwrite":
+                writer = writer.option("partitionOverwriteMode", "dynamic")
+        getattr(writer, fmt)(target.path)
+        # re-register the reader view: the previous view's analyzed plan
+        # pins a file index snapshot, so rows written by this INSERT (and
+        # any partition dirs it created) would be invisible to subsequent
+        # queries without a re-scan. Sink-only-until-now tables gain their
+        # first readable view here.
+        self._refresh_view(target, strict=False)
         return None
 
     def create_statement_set(self) -> "StatementSet":

@@ -77,3 +77,13 @@ from pyspark.sql.types import DoubleType as _DoubleType  # noqa: E402
 
 double_value = F.pandas_udf(_DoubleType())(_double_value_fn)
 double_value.__doc__ = "Vectorized demo scalar: value * 2 (CREATE FUNCTION target)."
+
+
+def _triple_value_fn(v):
+    return v * 3.0
+
+
+triple_value = F.pandas_udf(_DoubleType())(_triple_value_fn)
+triple_value.__doc__ = (
+    "Vectorized demo scalar: value * 3 (ALTER FUNCTION replacement target)."
+)

@@ -130,7 +130,7 @@ def test_console_sink_runs(spark):
     from flink_parent_spark.streaming.core import stream_table
 
     ev = stream_table(spark, "/root/testdata/sf0.001", "events").limit(5)
-    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_console_{uuid.uuid4().hex[:8]}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"fps_ckpt_console_{uuid.uuid4().hex[:8]}")
     q = (
         console_sink(ev)
         .option("checkpointLocation", ckpt)
@@ -511,6 +511,24 @@ got = s.sql("SELECT id FROM hvp WHERE d = '2024-01-02'").collect()
 assert [r["id"] for r in got] == [20]
 parts = s.sql("SHOW PARTITIONS hvp").collect()
 assert len(parts) == 2
+
+# ALTER TABLE ADD/DROP PARTITION through the TableEnvironment DDL layer
+# (SqlAddPartitions.java / SqlDropPartitions.java -> Spark's identical
+# statement on the Hive catalog): the metastore gains/loses the
+# partition, SHOW PARTITIONS reflects it, and a pruned read of the added
+# partition returns its rows once data lands.
+from flink_parent_spark.api.table_env import TableEnvironment
+env = TableEnvironment.create(spark=s)
+env.execute_sql("ALTER TABLE hvp ADD PARTITION (d='2024-01-03')")
+parts = sorted(r[0] for r in s.sql("SHOW PARTITIONS hvp").collect())
+assert parts == ["d=2024-01-01", "d=2024-01-02", "d=2024-01-03"], parts
+env.execute_sql("INSERT INTO hvp PARTITION (d='2024-01-03') VALUES (30)")
+got = env.sql_query("SELECT id FROM hvp WHERE d = '2024-01-03'").collect()
+assert [r["id"] for r in got] == [30], got
+env.execute_sql("ALTER TABLE hvp DROP PARTITION (d='2024-01-01')")
+parts = sorted(r[0] for r in s.sql("SHOW PARTITIONS hvp").collect())
+assert parts == ["d=2024-01-02", "d=2024-01-03"], parts
+assert env.sql_query("SELECT count(*) AS n FROM hvp").collect()[0]["n"] == 2
 print("HIVE-ROUNDTRIP-OK")
 """
     out = subprocess.run(

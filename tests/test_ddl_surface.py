@@ -1,0 +1,281 @@
+"""Round-11 DDL surface: the reference parser's last ALTER/CATALOG nodes.
+
+Covers SqlAddPartitions / SqlDropPartitions / SqlChangeColumn /
+SqlAlterTableAddConstraint / SqlAlterTableDropConstraint /
+SqlAlterFunction / SqlCreateCatalog / SqlDropCatalog
+(flink-table/flink-sql-parser/.../ddl/) plus the FLIP-68 module veneer
+(flink-table-api-java/.../module/ModuleManager.java).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from flink_parent_spark.api.table_env import TableEnvironment
+
+
+def _fs_table(env, name, base, cols, partitions=None):
+    pb = f" PARTITIONED BY ({', '.join(partitions)})" if partitions else ""
+    env.execute_sql(
+        f"CREATE TABLE {name} ({cols}){pb} WITH ("
+        f"'connector' = 'filesystem', 'path' = '{base}/{name}', "
+        f"'format' = 'parquet')"
+    )
+
+
+def test_partitioned_filesystem_ddl_roundtrip(spark):
+    """CREATE ... PARTITIONED BY -> INSERT (static + dynamic partition) ->
+    ADD/DROP PARTITION -> SHOW PARTITIONS, with a pruned read of a named
+    partition returning its rows (the SqlAddPartitions/SqlDropPartitions
+    done-criterion)."""
+    base = tempfile.mkdtemp(prefix="fps_ddl_part_")
+    env = TableEnvironment.create(spark=spark)
+    try:
+        _fs_table(env, "pt", base, "id INT, d STRING", partitions=["d"])
+        assert env.catalog["pt"].partitions == ["d"]
+        # static partition spec (SqlInsert staticPartitions)
+        env.execute_sql("INSERT INTO pt PARTITION (d='2024-01-01') SELECT 10 AS id")
+        # dynamic partition from the query's own column
+        env.execute_sql("INSERT INTO pt SELECT 20 AS id, '2024-01-02' AS d")
+        parts = sorted(
+            r["partition"]
+            for r in env.execute_sql("SHOW PARTITIONS pt").collect()
+        )
+        assert parts == ["d=2024-01-01", "d=2024-01-02"]
+
+        env.execute_sql("ALTER TABLE pt ADD PARTITION (d='2024-01-03')")
+        parts = sorted(
+            r["partition"]
+            for r in env.execute_sql("SHOW PARTITIONS pt").collect()
+        )
+        assert parts == ["d=2024-01-01", "d=2024-01-02", "d=2024-01-03"]
+        # duplicate add: error without IF NOT EXISTS, no-op with
+        with pytest.raises(ValueError, match="already exists"):
+            env.execute_sql("ALTER TABLE pt ADD PARTITION (d='2024-01-03')")
+        env.execute_sql(
+            "ALTER TABLE pt ADD IF NOT EXISTS PARTITION (d='2024-01-03')"
+        )
+        # data lands in the added partition and a pruned read returns it
+        env.execute_sql("INSERT INTO pt PARTITION (d='2024-01-03') SELECT 30 AS id")
+        got = env.sql_query("SELECT id FROM pt WHERE d = '2024-01-03'").collect()
+        assert [r["id"] for r in got] == [30]
+        # the partition filter reaches the scan (pruned, not post-filtered)
+        plan = env.sql_query(
+            "SELECT id FROM pt WHERE d = '2024-01-03'"
+        ).to_df()._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "2024-01-03" in plan
+
+        env.execute_sql("ALTER TABLE pt DROP PARTITION (d='2024-01-01')")
+        parts = sorted(
+            r["partition"]
+            for r in env.execute_sql("SHOW PARTITIONS pt").collect()
+        )
+        assert parts == ["d=2024-01-02", "d=2024-01-03"]
+        assert not os.path.isdir(f"{base}/pt/d=2024-01-01")
+        with pytest.raises(ValueError, match="does not exist"):
+            env.execute_sql("ALTER TABLE pt DROP PARTITION (d='2024-01-01')")
+        env.execute_sql("ALTER TABLE pt DROP IF EXISTS PARTITION (d='2024-01-01')")
+        # non-key spec is rejected (catalog partition-key validation)
+        with pytest.raises(ValueError, match="not a partition key"):
+            env.execute_sql("ALTER TABLE pt ADD PARTITION (id=5)")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_partitioned_insert_overwrite_is_dynamic(spark):
+    """INSERT OVERWRITE on a PARTITIONED BY table replaces only the
+    partitions present in the new data (FileSystemTableSink's dynamic
+    overwrite), not the whole table."""
+    base = tempfile.mkdtemp(prefix="fps_ddl_ovw_")
+    env = TableEnvironment.create(spark=spark)
+    try:
+        _fs_table(env, "po", base, "id INT, d STRING", partitions=["d"])
+        env.execute_sql("INSERT INTO po SELECT 1 AS id, 'a' AS d")
+        env.execute_sql("INSERT INTO po SELECT 2 AS id, 'b' AS d")
+        env.execute_sql("INSERT OVERWRITE po SELECT 9 AS id, 'b' AS d")
+        got = sorted(
+            (r["d"], r["id"]) for r in env.sql_query("SELECT * FROM po").collect()
+        )
+        assert got == [("a", 1), ("b", 9)]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_change_column_retype_rename_reorder(spark):
+    """ALTER TABLE CHANGE [COLUMN] (SqlChangeColumn.java): retype in
+    place, rename, AFTER reorder; renames of watermark/computed anchors
+    are rejected like the reference's schema re-validation."""
+    base = tempfile.mkdtemp(prefix="fps_ddl_chg_")
+    env = TableEnvironment.create(spark=spark)
+    try:
+        _fs_table(env, "ct", base, "id INT, v DOUBLE, tag STRING")
+        env.execute_sql("INSERT INTO ct SELECT 1, 2.5, 'x'")
+        # retype: DOUBLE -> STRING surfaces the catalog type on scan
+        env.execute_sql("ALTER TABLE ct CHANGE COLUMN v v DOUBLE COMMENT 'amt'")
+        assert "v DOUBLE" in env.catalog["ct"].schema_ddl
+        # rename tag -> label
+        env.execute_sql("ALTER TABLE ct CHANGE tag label STRING")
+        cols = [c.strip().split()[0] for c in env.catalog["ct"].schema_ddl.split(",")]
+        assert cols == ["id", "v", "label"]
+        # reorder: move v after label
+        env.execute_sql("ALTER TABLE ct CHANGE v v DOUBLE AFTER label")
+        cols = [c.strip().split()[0] for c in env.catalog["ct"].schema_ddl.split(",")]
+        assert cols == ["id", "label", "v"]
+        env.execute_sql("ALTER TABLE ct CHANGE id id INT FIRST")
+        cols = [c.strip().split()[0] for c in env.catalog["ct"].schema_ddl.split(",")]
+        assert cols[0] == "id"
+        with pytest.raises(ValueError, match="no column"):
+            env.execute_sql("ALTER TABLE ct CHANGE nope nope INT")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_change_column_rename_blocked_by_watermark(spark):
+    base = tempfile.mkdtemp(prefix="fps_ddl_wm_")
+    env = TableEnvironment.create(spark=spark)
+    try:
+        env.execute_sql(
+            f"""CREATE TABLE wt (ts TIMESTAMP, v INT,
+                WATERMARK FOR ts AS ts - INTERVAL '5' SECOND)
+                WITH ('connector' = 'filesystem', 'path' = '{base}/wt',
+                      'format' = 'parquet')"""
+        )
+        with pytest.raises(ValueError, match="anchors the table watermark"):
+            env.execute_sql("ALTER TABLE wt CHANGE ts event_ts TIMESTAMP")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_add_drop_constraint_metadata_only(spark):
+    """ALTER TABLE ADD/DROP CONSTRAINT (SqlAlterTableAddConstraint /
+    SqlAlterTableDropConstraint): NOT ENFORCED primary keys are catalog
+    metadata; enforced ones are rejected exactly like the reference."""
+    base = tempfile.mkdtemp(prefix="fps_ddl_pk_")
+    env = TableEnvironment.create(spark=spark)
+    try:
+        _fs_table(env, "kt", base, "id INT, v DOUBLE")
+        env.execute_sql(
+            "ALTER TABLE kt ADD CONSTRAINT pk_kt PRIMARY KEY (id) NOT ENFORCED"
+        )
+        assert env.catalog["kt"].props["__primary_key"] == "id"
+        with pytest.raises(ValueError, match="already has a primary key"):
+            env.execute_sql(
+                "ALTER TABLE kt ADD CONSTRAINT pk2 PRIMARY KEY (v) NOT ENFORCED"
+            )
+        with pytest.raises(ValueError, match="no constraint named"):
+            env.execute_sql("ALTER TABLE kt DROP CONSTRAINT nope")
+        env.execute_sql("ALTER TABLE kt DROP CONSTRAINT pk_kt")
+        assert "__primary_key" not in env.catalog["kt"].props
+        # enforced constraints are rejected (reference parity)
+        with pytest.raises(ValueError, match="NOT ENFORCED"):
+            env.execute_sql("ALTER TABLE kt ADD CONSTRAINT p PRIMARY KEY (id)")
+        # unknown column is rejected
+        with pytest.raises(ValueError, match="not in table schema"):
+            env.execute_sql(
+                "ALTER TABLE kt ADD CONSTRAINT p PRIMARY KEY (zz) NOT ENFORCED"
+            )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_alter_function_ddl(spark):
+    """ALTER FUNCTION f AS '<ref>' (SqlAlterFunction.java): replaces the
+    registration in place; unknown names error unless IF EXISTS."""
+    env = TableEnvironment.create(spark=spark)
+    env.execute_sql(
+        "CREATE TEMPORARY FUNCTION mulfn AS "
+        "'flink_parent_spark.functions.udf.double_value' LANGUAGE PYTHON"
+    )
+    spark.createDataFrame([(2.0,)], "v double").createOrReplaceTempView(
+        "alter_fn_src"
+    )
+    assert env.sql_query("SELECT mulfn(v) AS r FROM alter_fn_src").collect()[0][
+        "r"
+    ] == 4.0
+    env.execute_sql(
+        "ALTER FUNCTION mulfn AS "
+        "'flink_parent_spark.functions.udf.triple_value' LANGUAGE PYTHON"
+    )
+    assert env.sql_query("SELECT mulfn(v) AS r FROM alter_fn_src").collect()[0][
+        "r"
+    ] == 6.0
+    with pytest.raises(ValueError, match="unknown function"):
+        env.execute_sql(
+            "ALTER FUNCTION no_such_fn AS "
+            "'flink_parent_spark.functions.udf.triple_value' LANGUAGE PYTHON"
+        )
+    # IF EXISTS tolerates the missing function (no-op)
+    env.execute_sql(
+        "ALTER FUNCTION IF EXISTS no_such_fn AS "
+        "'flink_parent_spark.functions.udf.triple_value' LANGUAGE PYTHON"
+    )
+
+
+def test_create_catalog_jdbc_sql_flow(spark):
+    """CREATE CATALOG ... WITH ('type'='jdbc') -> USE CATALOG -> query:
+    the r5 JdbcCatalog pytest flow expressed entirely in SQL texts
+    (SqlCreateCatalog.java done-criterion)."""
+    db = os.path.join(tempfile.gettempdir(), "fps_ddl_cat_db")
+    shutil.rmtree(db, ignore_errors=True)
+    url = f"jdbc:derby:{db};create=true"
+    spark.range(0, 7).selectExpr("id", "CAST(id * 2 AS DOUBLE) AS v") \
+        .write.format("jdbc").option("url", url) \
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver") \
+        .option("dbtable", "products").mode("overwrite").save()
+
+    env = TableEnvironment.create(spark=spark)
+    env.execute_sql(
+        f"CREATE CATALOG derby_sql_cat WITH ('type' = 'jdbc', "
+        f"'base-url' = '{url}')"  # driver inferred from the derby url
+    )
+    cats = {r["catalog_name"] for r in env.execute_sql("SHOW CATALOGS").collect()}
+    assert "derby_sql_cat" in cats
+    env.execute_sql("USE CATALOG derby_sql_cat")
+    n = env.sql_query("SELECT COUNT(*) AS n FROM products").collect()[0]["n"]
+    assert n == 7
+    # current catalog cannot be dropped (CatalogManager parity)
+    with pytest.raises(ValueError, match="current catalog"):
+        env.execute_sql("DROP CATALOG derby_sql_cat")
+    env.execute_sql("USE CATALOG default_catalog")
+    env.execute_sql("DROP CATALOG derby_sql_cat")
+    assert "derby_sql_cat" not in {
+        r["catalog_name"] for r in env.execute_sql("SHOW CATALOGS").collect()
+    }
+    with pytest.raises(ValueError, match="unknown catalog"):
+        env.execute_sql("DROP CATALOG derby_sql_cat")
+    env.execute_sql("DROP CATALOG IF EXISTS derby_sql_cat")
+    # duplicate create / unsupported type are rejected
+    env.execute_sql("CREATE CATALOG mem_cat WITH ('type' = 'generic_in_memory')")
+    with pytest.raises(ValueError, match="already exists"):
+        env.execute_sql("CREATE CATALOG mem_cat WITH ('type' = 'generic_in_memory')")
+    with pytest.raises(ValueError, match="unsupported type"):
+        env.execute_sql("CREATE CATALOG x_cat WITH ('type' = 'iceberg')")
+
+
+def test_module_system_veneer(spark):
+    """FLIP-68 loadModule/unloadModule/listModules (ModuleManager.java:
+    64,85,100): load order preserved, duplicate load and missing unload
+    raise, and the core module's function set is the live registry."""
+    env = TableEnvironment.create(spark=spark)
+    assert env.list_modules() == ["core"]
+    env.load_module("hive")  # marker: Spark's built-ins subsume HiveQL's
+    assert env.list_modules() == ["core", "hive"]
+    with pytest.raises(ValueError, match="already exists"):
+        env.load_module("hive")
+    fns = env.list_module_functions()
+    assert "abs" in fns and "concat" in fns  # registry-backed core module
+    env.unload_module("hive")
+    assert env.list_modules() == ["core"]
+    with pytest.raises(ValueError, match="No module with name"):
+        env.unload_module("hive")
+    # a custom module contributes its functions to the union
+    class M:
+        def list_functions(self):
+            return ["my_special_fn"]
+
+    env.load_module("custom", M())
+    assert "my_special_fn" in env.list_module_functions()
