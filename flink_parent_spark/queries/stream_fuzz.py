@@ -393,6 +393,243 @@ def _register_ivjoin(i: int, rng: random.Random) -> None:
     register(f"streamfuzz_ivjoin_{i}", run, oracle)
 
 
+def _register_over(i: int, rng: random.Random) -> None:
+    """Streaming OVER aggregates with a drawn frame × key
+    (OverWindowITCase.scala's enumerated frames, here drawn): unbounded
+    (ROWS UNBOUNDED PRECEDING running agg), event-time RANGE-bounded, or
+    ROWS-bounded — the three stateful operators at streaming/stateful.py
+    :312,425,475 — each replayed to convergence against the identical
+    batch window frame."""
+    frame = rng.choice(["unbounded", "range", "rows"])
+    key_sql, key_col, key_alias = _key(rng)
+    key_expr = key_sql.split(" AS ")[0]
+    if frame == "unbounded":
+        tag, order = "running", "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING"
+        frame_arg = None
+    elif frame == "range":
+        mins = rng.choice([15, 30, 60, 120])
+        tag = "range"
+        # RANGE peers share a timestamp: ORDER BY ts alone (no tiebreak)
+        order = (
+            f"ORDER BY ts RANGE BETWEEN INTERVAL '{mins}' MINUTE "
+            "PRECEDING AND CURRENT ROW"
+        )
+        frame_arg = mins * 60
+    else:
+        n_rows = rng.choice([2, 3, 5, 8])
+        tag = "frame"
+        order = (
+            f"ORDER BY ts, event_id ROWS BETWEEN {n_rows - 1} "
+            "PRECEDING AND CURRENT ROW"
+        )
+        frame_arg = n_rows
+    oracle = f"""
+    SELECT {key_alias}, ts, value, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE)
+             AS {tag}_sum,
+           COUNT(*) OVER w AS {tag}_cnt
+    FROM (SELECT {key_sql}, ts, value, event_id FROM events) t
+    WINDOW w AS (PARTITION BY {key_alias} {order})
+    """
+
+    def run(spark, sf_dir, frame=frame, frame_arg=frame_arg,
+            key_col=key_col, key_alias=key_alias):
+        from flink_parent_spark.streaming.stateful import (  # noqa: PLC0415
+            streaming_over_range_bounded,
+            streaming_over_rows_bounded,
+            streaming_over_running_sum,
+        )
+
+        wm = ("ts", "0 seconds") if frame == "range" else None
+        ev = stream_table(spark, sf_dir, "events", watermark=wm)
+        ev = ev.withColumn(key_alias, key_col()).select(
+            key_alias, "ts", "value", "event_id"
+        )
+        if frame == "unbounded":
+            out = streaming_over_running_sum(
+                ev, [key_alias], "ts", "value", ["event_id"]
+            )
+        elif frame == "range":
+            out = streaming_over_range_bounded(
+                ev, [key_alias], "ts", "value", frame_arg, ["event_id"],
+                tiebreak_col="event_id",
+            )
+        else:
+            out = streaming_over_rows_bounded(
+                ev, [key_alias], "ts", "value", frame_arg, ["event_id"],
+                tiebreak_col="event_id",
+            )
+        return run_stream_to_df(out, "append")
+
+    register(f"streamfuzz_over_{i}", run, oracle)
+
+
+def _register_asof(i: int, rng: random.Random) -> None:
+    """Event-time as-of join with drawn version density
+    (TemporalJoinITCase.scala's versioned-table shapes): the build side is
+    one drawn event type thinned by a drawn value predicate (version
+    density), the probe side another type; every probe row picks the
+    latest build version with ts <= (or <) its own — the asof_join
+    operator backing the SYSTEM_TIME AS OF SQL path
+    (TemporalRowTimeJoinOperator parity, operators/joins.py:65). The build
+    side is pre-deduped to one version per (user_id, ts) — the versioned
+    -table primary-key contract both engines require for determinism."""
+    probe_t, build_t = rng.sample(_EVENT_TYPES, 2)
+    density_cut = rng.choice([0.0, 0.25, 0.5, 0.75])  # drawn version density
+    strict = rng.random() < 0.5
+    cmp_op = "<" if strict else "<="
+    oracle = f"""
+    WITH b AS (
+      SELECT user_id, ts, event_id, value FROM (
+        SELECT user_id, ts, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS dup_rn
+        FROM events
+        WHERE event_type = '{build_t}' AND value >= {density_cut}
+      ) WHERE dup_rn = 1
+    ), p AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = '{probe_t}'
+    ), j AS (
+      SELECT p.event_id AS probe_id, b.event_id AS version_id,
+             b.value AS version_value,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY b.ts DESC, b.event_id DESC) AS rn
+      FROM p JOIN b ON b.user_id = p.user_id AND b.ts {cmp_op} p.ts
+    )
+    SELECT p.event_id AS probe_id, p.user_id, p.ts AS probe_ts,
+           j.version_id, j.version_value
+    FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+      ON j.probe_id = p.event_id
+    """
+
+    def run(spark, sf_dir, probe_t=probe_t, build_t=build_t,
+            density_cut=density_cut, strict=strict):
+        from flink_parent_spark.operators.joins import asof_join  # noqa: PLC0415
+        from flink_parent_spark.tables import load_tables  # noqa: PLC0415
+        from pyspark.sql import Window  # noqa: PLC0415
+
+        ev = load_tables(spark, sf_dir)["events"]
+        build = ev.filter(
+            (F.col("event_type") == build_t) & (F.col("value") >= density_cut)
+        )
+        # one version per (user_id, ts): keep the max event_id
+        w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+        build = (
+            build.withColumn("__dup_rn", F.row_number().over(w))
+            .filter(F.col("__dup_rn") == 1)
+            .select("user_id", "ts", "event_id", "value")
+        )
+        probe = ev.filter(F.col("event_type") == probe_t).select(
+            F.col("event_id").alias("probe_id"),
+            "user_id",
+            F.col("ts").alias("probe_ts"),
+        )
+        out = asof_join(
+            probe,
+            build,
+            [("user_id", "user_id")],
+            "probe_ts",
+            "ts",
+            {"version_id": "event_id", "version_value": "value"},
+            strict=strict,
+        )
+        return out.select(
+            "probe_id", "user_id", "probe_ts", "version_id", "version_value"
+        )
+
+    register(f"streamfuzz_asof_{i}", run, oracle)
+
+
+def _register_mr(i: int, rng: random.Random) -> None:
+    """MATCH_RECOGNIZE with a drawn pattern over 2-3 variables
+    (MatchRecognizeITCase.scala's enumerated patterns, drawn): either a
+    relaxed two-variable `A {- X*? -} B WITHIN w` (first B after each A
+    inside the window) or a strict three-variable `A B C`; ONE ROW PER
+    MATCH + FIRST/LAST measures, AFTER MATCH SKIP TO NEXT ROW so every
+    row starts a candidate match. Oracle from the same drawn literals:
+    windowed first-successor pairs for the relaxed shape, double-LEAD
+    adjacency for the strict one."""
+    three = rng.random() < 0.5
+    if three:
+        a, b, c = rng.sample(_EVENT_TYPES, 3)
+        clause = f"""
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES FIRST(A.event_id) AS a_id,
+                   LAST(B.event_id) AS b_id,
+                   LAST(C.event_id) AS c_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (A B C)
+          DEFINE A AS A.event_type = '{a}',
+                 B AS B.event_type = '{b}',
+                 C AS C.event_type = '{c}'
+        """
+        oracle = f"""
+        WITH seq AS (
+          SELECT user_id, event_id, ts, event_type,
+                 LEAD(event_type) OVER w AS t1, LEAD(event_id) OVER w AS id1,
+                 LEAD(event_type, 2) OVER w AS t2,
+                 LEAD(event_id, 2) OVER w AS id2
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) - 1 AS match_id,
+               event_id AS a_id, id1 AS b_id, id2 AS c_id
+        FROM seq
+        WHERE event_type = '{a}' AND t1 = '{b}' AND t2 = '{c}'
+        """
+    else:
+        a, b = rng.sample(_EVENT_TYPES, 2)
+        win_m = rng.choice([5, 10, 20, 30])
+        clause = f"""
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES FIRST(A.event_id) AS a_id,
+                   LAST(B.event_id) AS b_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (A {{- X*? -}} B)
+          WITHIN INTERVAL '{win_m}' MINUTE
+          DEFINE A AS A.event_type = '{a}',
+                 B AS B.event_type = '{b}'
+        """
+        oracle = f"""
+        WITH a_rows AS (SELECT * FROM events WHERE event_type = '{a}'),
+        b_rows AS (SELECT * FROM events WHERE event_type = '{b}'),
+        pairs AS (
+          SELECT a_rows.user_id, a_rows.event_id AS a_id,
+                 a_rows.ts AS a_ts, b_rows.event_id AS b_id,
+                 ROW_NUMBER() OVER (PARTITION BY a_rows.user_id,
+                                                 a_rows.event_id
+                                    ORDER BY b_rows.ts, b_rows.event_id)
+                   AS rn
+          FROM a_rows JOIN b_rows
+            ON a_rows.user_id = b_rows.user_id
+           AND b_rows.ts > a_rows.ts
+           AND b_rows.ts <= a_rows.ts + INTERVAL '{win_m}' MINUTE
+        )
+        SELECT user_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY a_ts, a_id) - 1 AS match_id,
+               a_id, b_id
+        FROM pairs WHERE rn = 1
+        """
+
+    def run(spark, sf_dir, clause=clause):
+        from flink_parent_spark.streaming.match_recognize_sql import (  # noqa: PLC0415
+            match_recognize_sql,
+        )
+        from flink_parent_spark.tables import load_tables  # noqa: PLC0415
+
+        t = load_tables(spark, sf_dir)
+        return match_recognize_sql(t["events"], clause, "event_id")
+
+    register(f"streamfuzz_mr_{i}", run, oracle)
+
+
 # Pinned seeds per shape (byte-stable configs across rounds, same
 # discipline as diff_grammar.FAMILIES).
 SHAPES: "dict[str, tuple[int, int, object]]" = {
@@ -404,6 +641,11 @@ SHAPES: "dict[str, tuple[int, int, object]]" = {
     "session": (0x57F5, 2, _register_session),
     "cep": (0x57F6, 3, _register_cep),
     "ivjoin": (0x57F7, 2, _register_ivjoin),
+    # round 11 — the reference's remaining stream-ITCase families
+    # (OverWindowITCase / TemporalJoinITCase / MatchRecognizeITCase)
+    "over": (0x57F8, 2, _register_over),
+    "asof": (0x57F9, 2, _register_asof),
+    "mr": (0x57FA, 2, _register_mr),
 }
 
 for _shape, (_seed, _n, _reg) in SHAPES.items():
