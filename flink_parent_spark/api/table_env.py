@@ -775,9 +775,13 @@ class TableEnvironment:
         )
         if am:
             return self._alter_table(am.group(1), am.group(2).strip())
-        spm = re.match(r"SHOW\s+PARTITIONS\s+(\w+)$", s, re.IGNORECASE)
+        spm = re.match(
+            r"SHOW\s+PARTITIONS\s+(\w+)(?:\s+PARTITION\s*\((?P<spec>[^)]*)\))?$",
+            s,
+            re.IGNORECASE,
+        )
         if spm and spm.group(1) in self.catalog:
-            return self._show_partitions(spm.group(1))
+            return self._show_partitions(spm.group(1), spm.group("spec"))
         ccm = re.match(
             r"CREATE\s+CATALOG\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s+"
             r"WITH\s*\((?P<props>.*)\)$",
@@ -1346,13 +1350,28 @@ class TableEnvironment:
         self._refresh_view(entry, strict=False)
         return None
 
-    def _show_partitions(self, name: str) -> "Table":
-        """SHOW PARTITIONS t for DDL-catalog filesystem tables: list the
-        hive-layout partition directories, one row per leaf partition in
-        Spark's `k1=v1/k2=v2` output format (ShowPartitionsOperation)."""
+    def _show_partitions(self, name: str, spec_text: "str | None" = None) -> "Table":
+        """SHOW PARTITIONS t [PARTITION (k=v, ...)] for DDL-catalog
+        filesystem tables: list the hive-layout partition directories,
+        one row per leaf partition in Spark's `k1=v1/k2=v2` output format
+        (ShowPartitionsOperation); a partial spec filters the listing to
+        partitions binding those keys to those values."""
         entry = self.catalog[name]
         if not entry.partitions:
             raise ValueError(f"SHOW PARTITIONS: table {name} is not partitioned")
+        want: dict[str, str] = {}
+        if spec_text:
+            keys_lower = {p.lower() for p in entry.partitions}
+            for pm in self._PART_SPEC_RE.finditer(spec_text):
+                k = pm.group("k")
+                if k.lower() not in keys_lower:
+                    raise ValueError(
+                        f"{k!r} is not a partition key of {name} "
+                        f"(keys: {entry.partitions})"
+                    )
+                want[k.lower()] = (
+                    pm.group("q") if pm.group("q") is not None else pm.group("u")
+                )
         leaves: list[str] = []
 
         def walk(base: str, keys: "list[str]", prefix: "list[str]") -> None:
@@ -1367,6 +1386,15 @@ class TableEnvironment:
                     walk(os.path.join(base, d), keys[1:], [*prefix, d])
 
         walk(entry.path, entry.partitions, [])
+        if want:
+            def keeps(leaf: str) -> bool:
+                binds = dict(
+                    part.split("=", 1) for part in leaf.split("/")
+                )
+                binds = {k.lower(): v for k, v in binds.items()}
+                return all(binds.get(k) == v for k, v in want.items())
+
+            leaves = [p for p in leaves if keeps(p)]
         return Table(
             self.spark.createDataFrame(
                 [(p,) for p in leaves], "partition string"
@@ -1464,6 +1492,9 @@ class TableEnvironment:
                 raise ValueError(f"bad LIKE option: {part.strip()}")
             strat, feature = om.groups()
             if feature == "ALL":
+                if strat == "OVERWRITING":
+                    # SqlTableLike invalidCombinations:191
+                    raise ValueError("LIKE OVERWRITING ALL is not valid")
                 default = strat
             else:
                 strategies[feature] = strat
@@ -1510,6 +1541,18 @@ class TableEnvironment:
             ]
         if primary_key:
             props["__primary_key"] = ",".join(primary_key)
+        # PARTITIONS feature (SqlTableLike.java:120,150): INCLUDING
+        # inherits the base's PARTITIONED BY keys, EXCLUDING drops them;
+        # OVERWRITING is an invalid combination in the reference
+        # (invalidCombinations:193) and rejected the same way here.
+        if strat("PARTITIONS") == "OVERWRITING":
+            raise ValueError(
+                "LIKE OVERWRITING PARTITIONS is not a valid combination "
+                "(SqlTableLike invalidCombinations)"
+            )
+        partitions = (
+            list(base.partitions) if strat("PARTITIONS") != "EXCLUDING" else []
+        )
         fmt = props.get("format", props.get("connector", "parquet"))
         if props.get("connector") in ("kafka", "upsert-kafka"):
             fmt = "kafka"
@@ -1521,6 +1564,7 @@ class TableEnvironment:
             watermark=watermark,
             computed=computed,
             props=props,
+            partitions=partitions,
         )
         self.catalog[entry.name] = entry
         try:
@@ -1745,12 +1789,31 @@ class TableEnvironment:
             return Table(self.spark.sql(s), self)
         target = self.catalog[m.group("t")]
         df = self.spark.sql(m.group("q"))
+        static_spec: "dict[str, str]" = {}
         if m.group("pspec"):
             # static partition spec (SqlInsert's staticPartitions): the
             # spec columns are constants appended to the query's columns
-            specs = self._parse_partition_specs(target, f"PARTITION ({m.group('pspec')})")
-            for k, v in specs[0].items():
-                df = df.withColumn(k, F.lit(v))
+            static_spec = self._parse_partition_specs(
+                target, f"PARTITION ({m.group('pspec')})"
+            )[0]
+        if target.schema_ddl and target.fmt in (
+            "filesystem", "parquet", "csv", "json", "orc", "avro"
+        ):
+            # INSERT matches the declared schema POSITIONALLY (Flink's
+            # SqlInsert / SQL standard), so unaliased SELECT literals
+            # land on the right columns; a static partition spec removes
+            # its keys from the expected positional list
+            declared = [
+                c.strip().split()[0].strip("`")
+                for c in target.schema_ddl.split(",")
+                if c.strip()
+            ]
+            spec_lower = {k.lower() for k in static_spec}
+            expected = [c for c in declared if c.lower() not in spec_lower]
+            if len(df.columns) == len(expected):
+                df = df.toDF(*expected)
+        for k, v in static_spec.items():
+            df = df.withColumn(k, F.lit(v))
         mode = "overwrite" if m.group("mode").upper() == "OVERWRITE" else "append"
         if target.fmt == "kafka":
             # kafka table sink: rows serialize per the declared format

@@ -256,6 +256,87 @@ def test_create_catalog_jdbc_sql_flow(spark):
         env.execute_sql("CREATE CATALOG x_cat WITH ('type' = 'iceberg')")
 
 
+def test_like_partitions_strategy_and_partial_show(spark):
+    """CREATE TABLE ... LIKE inherits/excludes PARTITIONED BY per the
+    PARTITIONS feature option (SqlTableLike.java:150; OVERWRITING is an
+    invalid combination, invalidCombinations:193), and SHOW PARTITIONS
+    accepts a partial spec filter over a two-key layout."""
+    base = tempfile.mkdtemp(prefix="fps_ddl_like_")
+    env = TableEnvironment.create(spark=spark)
+    try:
+        _fs_table(
+            env, "lp", base, "id INT, region STRING, d STRING",
+            partitions=["region", "d"],
+        )
+        env.execute_sql("INSERT INTO lp SELECT 1, 'us', '2024-01-01'")
+        env.execute_sql("INSERT INTO lp SELECT 2, 'us', '2024-01-02'")
+        env.execute_sql("INSERT INTO lp SELECT 3, 'eu', '2024-01-01'")
+        parts = sorted(
+            r["partition"]
+            for r in env.execute_sql("SHOW PARTITIONS lp").collect()
+        )
+        assert parts == [
+            "region=eu/d=2024-01-01",
+            "region=us/d=2024-01-01",
+            "region=us/d=2024-01-02",
+        ]
+        # partial spec: only one key bound
+        us_parts = sorted(
+            r["partition"]
+            for r in env.execute_sql(
+                "SHOW PARTITIONS lp PARTITION (region='us')"
+            ).collect()
+        )
+        assert us_parts == ["region=us/d=2024-01-01", "region=us/d=2024-01-02"]
+        d_parts = sorted(
+            r["partition"]
+            for r in env.execute_sql(
+                "SHOW PARTITIONS lp PARTITION (d='2024-01-01')"
+            ).collect()
+        )
+        assert d_parts == ["region=eu/d=2024-01-01", "region=us/d=2024-01-01"]
+        with pytest.raises(ValueError, match="not a partition key"):
+            env.execute_sql("SHOW PARTITIONS lp PARTITION (nope='x')")
+
+        # LIKE inherits the partition keys by default (INCLUDING ALL);
+        # repointing 'path' needs OVERWRITING OPTIONS (INCLUDING rejects
+        # the conflicting duplicate key, reference parity)
+        with pytest.raises(ValueError, match="conflicting keys"):
+            env.execute_sql(
+                f"CREATE TABLE lp_dup WITH ('path' = '{base}/lp_dup') LIKE lp"
+            )
+        env.execute_sql(
+            f"CREATE TABLE lp_inc WITH ('path' = '{base}/lp_inc') "
+            "LIKE lp (OVERWRITING OPTIONS)"
+        )
+        assert env.catalog["lp_inc"].partitions == ["region", "d"]
+        env.execute_sql("INSERT INTO lp_inc SELECT 9, 'ap', '2024-02-01'")
+        got = sorted(
+            r["partition"]
+            for r in env.execute_sql("SHOW PARTITIONS lp_inc").collect()
+        )
+        assert got == ["region=ap/d=2024-02-01"]
+        # EXCLUDING PARTITIONS drops the keys
+        env.execute_sql(
+            f"CREATE TABLE lp_exc WITH ('path' = '{base}/lp_exc') "
+            "LIKE lp (OVERWRITING OPTIONS, EXCLUDING PARTITIONS)"
+        )
+        assert env.catalog["lp_exc"].partitions == []
+        # OVERWRITING PARTITIONS / OVERWRITING ALL are invalid combinations
+        with pytest.raises(ValueError, match="not a valid combination"):
+            env.execute_sql(
+                f"CREATE TABLE lp_bad WITH ('path' = '{base}/b') "
+                "LIKE lp (OVERWRITING OPTIONS, OVERWRITING PARTITIONS)"
+            )
+        with pytest.raises(ValueError, match="OVERWRITING ALL"):
+            env.execute_sql(
+                f"CREATE TABLE lp_bad2 WITH ('path' = '{base}/b2') "
+                "LIKE lp (OVERWRITING ALL)"
+            )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_module_system_veneer(spark):
     """FLIP-68 loadModule/unloadModule/listModules (ModuleManager.java:
     64,85,100): load order preserved, duplicate load and missing unload
