@@ -630,6 +630,72 @@ def _register_mr(i: int, rng: random.Random) -> None:
     register(f"streamfuzz_mr_{i}", run, oracle)
 
 
+def _register_semij(i: int, rng: random.Random) -> None:
+    """Streaming semi/anti join with drawn event-type pair × key
+    (StreamingSemiAntiJoinOperator.java:100-160; the reference's
+    SemiAntiJoinITCase shapes): mode alternates by index (both modes
+    always covered), the rest drawn. Semi emits +I exactly once per
+    qualifying left row (at arrival or at the key's first right row);
+    anti emits +I for left rows with no earlier right row and retracts
+    (-D) when the key's first right row arrives — the full-replay
+    changelog must match the batch EXISTS/NOT-EXISTS derivation."""
+    anti = i % 2 == 1
+    left_t, right_t = rng.sample(_EVENT_TYPES, 2)
+    key_sql, key_col, key_alias = _key(rng)
+    if anti:
+        oracle = f"""
+        WITH l AS (SELECT {key_sql}, ts, event_id FROM events
+                   WHERE event_type = '{left_t}'),
+             r AS (SELECT {key_sql}, ts, event_id FROM events
+                   WHERE event_type = '{right_t}'),
+        no_earlier AS (
+          SELECT l.{key_alias}, l.ts, l.event_id FROM l
+          WHERE NOT EXISTS (
+            SELECT 1 FROM r
+            WHERE r.{key_alias} = l.{key_alias}
+              AND (r.ts < l.ts OR (r.ts = l.ts AND r.event_id < l.event_id)))
+        )
+        SELECT {key_alias}, ts, event_id, '+I' AS op FROM no_earlier
+        UNION ALL
+        SELECT n.{key_alias}, n.ts, n.event_id, '-D' AS op
+        FROM no_earlier n
+        WHERE EXISTS (SELECT 1 FROM r WHERE r.{key_alias} = n.{key_alias})
+        """
+    else:
+        oracle = f"""
+        WITH l AS (SELECT {key_sql}, ts, event_id FROM events
+                   WHERE event_type = '{left_t}'),
+             r AS (SELECT {key_sql}, ts, event_id FROM events
+                   WHERE event_type = '{right_t}')
+        SELECT l.{key_alias}, l.ts, l.event_id, '+I' AS op FROM l
+        WHERE EXISTS (SELECT 1 FROM r WHERE r.{key_alias} = l.{key_alias})
+        """
+
+    def run(spark, sf_dir, anti=anti, left_t=left_t, right_t=right_t,
+            key_col=key_col, key_alias=key_alias):
+        from flink_parent_spark.streaming.stateful import (  # noqa: PLC0415
+            streaming_semi_anti_join,
+        )
+
+        ev = stream_table(spark, sf_dir, "events").withColumn(
+            key_alias, key_col()
+        )
+        out = streaming_semi_anti_join(
+            ev.filter(F.col("event_type") == left_t),
+            ev.filter(F.col("event_type") == right_t),
+            [key_alias],
+            ["event_id"],
+            "ts",
+            anti=anti,
+            tiebreak_col="event_id",
+        )
+        return run_stream_to_df(out, "update").select(
+            key_alias, "ts", "event_id", "op"
+        )
+
+    register(f"streamfuzz_semij_{i}", run, oracle)
+
+
 # Pinned seeds per shape (byte-stable configs across rounds, same
 # discipline as diff_grammar.FAMILIES).
 SHAPES: "dict[str, tuple[int, int, object]]" = {
@@ -646,6 +712,7 @@ SHAPES: "dict[str, tuple[int, int, object]]" = {
     "over": (0x57F8, 2, _register_over),
     "asof": (0x57F9, 2, _register_asof),
     "mr": (0x57FA, 2, _register_mr),
+    "semij": (0x57FB, 2, _register_semij),
 }
 
 for _shape, (_seed, _n, _reg) in SHAPES.items():
