@@ -803,6 +803,28 @@ class TableEnvironment:
             return self._drop_catalog(
                 dcm.group(1), if_exists="IF" in s.upper()
             )
+        dct = re.match(r"(?:DESCRIBE|DESC)\s+CATALOG\s+(\w+)$", s, re.IGNORECASE)
+        if dct:
+            # SqlDescribeCatalog.java (dql/): info rows about a registered
+            # catalog — name and implementation type
+            name = dct.group(1)
+            if name == "default_catalog" and name not in self._catalogs:
+                rows = [("name", name), ("type", "generic_in_memory")]
+            elif name in self._catalogs:
+                cat = self._catalogs[name]
+                ctype = {
+                    "JdbcCatalog": "jdbc",
+                    "_PassthroughCatalog": "session",
+                }.get(type(cat).__name__, type(cat).__name__)
+                rows = [("name", name), ("type", ctype)]
+            else:
+                raise ValueError(f"unknown catalog: {name}")
+            return Table(
+                self.spark.createDataFrame(
+                    rows, "info_name string, info_value string"
+                ),
+                self,
+            )
         avm = re.match(
             r"ALTER\s+VIEW\s+(\w+)\s+(.+)$", s, re.IGNORECASE | re.DOTALL
         )
@@ -1180,6 +1202,46 @@ class TableEnvironment:
             entry.computed = [*entry.computed, *computed]
             if watermark:
                 entry.watermark = watermark
+            self._refresh_view(entry, strict=had_view)
+            return None
+        rpm = re.match(
+            r"REPLACE\s+COLUMNS\s*\((?P<cols>.*)\)$",
+            rest,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if rpm:
+            # SqlAddReplaceColumns.java:39,76 (replace=true): the new list
+            # REPLACES the existing physical columns wholesale (the
+            # Hive-dialect ALTER shape); computed columns and the
+            # watermark must keep resolving against the new schema
+            col_defs, computed, watermark, _pk = self._parse_cols_block(
+                rpm.group("cols")
+            )
+            if computed or watermark:
+                raise ValueError(
+                    "REPLACE COLUMNS takes physical columns only"
+                )
+            new_names = {d.split()[0].strip("`").lower() for d in col_defs}
+            if entry.watermark and entry.watermark[0].lower() not in new_names:
+                raise ValueError(
+                    f"REPLACE COLUMNS drops {entry.watermark[0]!r}, which "
+                    "anchors the table watermark"
+                )
+            for cname, cexpr in entry.computed:
+                refs = {
+                    w.lower() for w in re.findall(r"\b\w+\b", cexpr)
+                }
+                missing = {
+                    d.split()[0].strip("`").lower()
+                    for d in (entry.schema_ddl or "").split(",")
+                    if d.strip()
+                } & refs - new_names
+                if missing:
+                    raise ValueError(
+                        f"REPLACE COLUMNS drops {sorted(missing)}, referenced "
+                        f"by computed column {cname!r}"
+                    )
+            entry.schema_ddl = ", ".join(col_defs)
             self._refresh_view(entry, strict=had_view)
             return None
         apm = re.match(
@@ -1664,6 +1726,21 @@ class TableEnvironment:
 
         base = entry.path.rsplit("/", 1)[-1].replace(".parquet", "")
         df = normalize_timestamps(df, base)
+        if entry.schema_ddl:
+            # the catalog schema WINS over the file footer in both
+            # directions: declared-but-absent columns were added as typed
+            # nulls above, and file columns no longer declared (REPLACE
+            # COLUMNS / CHANGE away) are projected out here, in declared
+            # order
+            declared = [
+                c.strip().split()[0].strip("`")
+                for c in entry.schema_ddl.split(",")
+                if c.strip()
+            ]
+            have = {c.lower(): c for c in df.columns}
+            keep = [have[c.lower()] for c in declared if c.lower() in have]
+            if keep:
+                df = df.select(*keep)
         for name_, expr_ in entry.computed:
             df = df.withColumn(name_, F.expr(expr_))
         if streaming and entry.watermark:

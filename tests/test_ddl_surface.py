@@ -134,6 +134,35 @@ def test_change_column_retype_rename_reorder(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_replace_columns(spark):
+    """ALTER TABLE REPLACE COLUMNS (SqlAddReplaceColumns.java:39 with
+    replace=true): the new list replaces the physical schema wholesale;
+    dropping a watermark-anchor column is rejected."""
+    base = tempfile.mkdtemp(prefix="fps_ddl_rep_")
+    env = TableEnvironment.create(spark=spark)
+    try:
+        _fs_table(env, "rt", base, "id INT, v DOUBLE, tag STRING")
+        env.execute_sql("INSERT INTO rt SELECT 1, 2.5, 'x'")
+        env.execute_sql("ALTER TABLE rt REPLACE COLUMNS (id INT, score DOUBLE)")
+        cols = [c.strip().split()[0] for c in env.catalog["rt"].schema_ddl.split(",")]
+        assert cols == ["id", "score"]
+        # dropped column gone from the scan; new one reads as typed null
+        row = env.sql_query("SELECT * FROM rt").collect()[0]
+        assert row["id"] == 1 and row["score"] is None
+        assert "tag" not in row.asDict() and "v" not in row.asDict()
+
+        env.execute_sql(
+            f"""CREATE TABLE rwm (ts TIMESTAMP, v INT,
+                WATERMARK FOR ts AS ts - INTERVAL '5' SECOND)
+                WITH ('connector' = 'filesystem', 'path' = '{base}/rwm',
+                      'format' = 'parquet')"""
+        )
+        with pytest.raises(ValueError, match="anchors the table watermark"):
+            env.execute_sql("ALTER TABLE rwm REPLACE COLUMNS (v INT)")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_change_column_rename_blocked_by_watermark(spark):
     base = tempfile.mkdtemp(prefix="fps_ddl_wm_")
     env = TableEnvironment.create(spark=spark)
@@ -254,6 +283,19 @@ def test_create_catalog_jdbc_sql_flow(spark):
         env.execute_sql("CREATE CATALOG mem_cat WITH ('type' = 'generic_in_memory')")
     with pytest.raises(ValueError, match="unsupported type"):
         env.execute_sql("CREATE CATALOG x_cat WITH ('type' = 'iceberg')")
+    # DESCRIBE CATALOG (SqlDescribeCatalog.java): info rows
+    info = {
+        r["info_name"]: r["info_value"]
+        for r in env.execute_sql("DESCRIBE CATALOG mem_cat").collect()
+    }
+    assert info == {"name": "mem_cat", "type": "session"}
+    info = {
+        r["info_name"]: r["info_value"]
+        for r in env.execute_sql("DESCRIBE CATALOG default_catalog").collect()
+    }
+    assert info["type"] == "generic_in_memory"
+    with pytest.raises(ValueError, match="unknown catalog"):
+        env.execute_sql("DESCRIBE CATALOG nope_cat")
 
 
 def test_like_partitions_strategy_and_partial_show(spark):
