@@ -687,8 +687,47 @@ class TableEnvironment:
         m = _CREATE_RE.match(s)
         if m:
             return self._create_table(m, partitions=partitions)
-        if re.match(r"CREATE\s+(OR\s+REPLACE\s+)?(TEMPORARY\s+)?VIEW", s, re.IGNORECASE):
-            return self.spark.sql(s)
+        vm = re.match(
+            r"CREATE\s+(?P<orr>OR\s+REPLACE\s+)?(?P<tmp>TEMPORARY\s+)?VIEW\s+(?P<rest>.+)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if vm:
+            # Flink's CREATE VIEW registers into the session's catalog
+            # (CreateViewOperation); our DDL tables ARE temp views, and
+            # Spark's persistent CREATE VIEW refuses to reference
+            # temporary objects — so the session-faithful mapping is a
+            # TEMPORARY view either way.
+            return self.spark.sql(
+                "CREATE "
+                + ("OR REPLACE " if vm.group("orr") else "")
+                + "TEMPORARY VIEW "
+                + vm.group("rest")
+            )
+        dfm = re.match(
+            r"DROP\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+"
+            r"(?P<ife>IF\s+EXISTS\s+)?(?P<name>[\w.]+)$",
+            s,
+            re.IGNORECASE,
+        )
+        if dfm:
+            # SqlDropFunction: env-registered (temporary) functions drop
+            # via Spark's DROP TEMPORARY FUNCTION; persistent names pass
+            # through unchanged
+            name = dfm.group("name")
+            if name in self._functions:
+                self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
+                del self._functions[name]
+                return None
+            try:
+                return Table(self.spark.sql(s), self)
+            except Exception:
+                if dfm.group("ife"):
+                    return None
+                # a TEMPORARY function created through Spark directly
+                return Table(
+                    self.spark.sql(f"DROP TEMPORARY FUNCTION {name}"), self
+                )
         if re.match(r"INSERT\s+(INTO|OVERWRITE)\b", s, re.IGNORECASE):
             return self._insert_into(s)
         if re.match(r"SHOW\s+TABLES$", s, re.IGNORECASE):

@@ -244,6 +244,34 @@ def test_alter_function_ddl(spark):
     )
 
 
+def test_drop_function_and_create_view_over_temp(spark):
+    """SqlDropFunction: env-registered temporary functions drop through
+    DROP FUNCTION (with IF EXISTS tolerated); SqlCreateView: CREATE
+    [OR REPLACE] VIEW maps to a session (temporary) view so it can
+    reference DDL-catalog tables, which are temp views themselves."""
+    env = TableEnvironment.create(spark=spark)
+    env.execute_sql(
+        "CREATE TEMPORARY FUNCTION ddl_drop_fn AS "
+        "'flink_parent_spark.functions.udf.double_value' LANGUAGE PYTHON"
+    )
+    assert "ddl_drop_fn" in env.list_functions()
+    env.execute_sql("DROP FUNCTION ddl_drop_fn")
+    assert "ddl_drop_fn" not in env.list_functions()
+    env.execute_sql("DROP FUNCTION IF EXISTS ddl_drop_fn")  # no-op
+
+    spark.createDataFrame([(5,)], "v int").createOrReplaceTempView(
+        "ddl_view_src"
+    )
+    env.execute_sql("CREATE VIEW ddl_v AS SELECT v FROM ddl_view_src")
+    assert env.sql_query("SELECT v FROM ddl_v").collect()[0]["v"] == 5
+    env.execute_sql(
+        "CREATE OR REPLACE VIEW ddl_v AS SELECT v * 2 AS v FROM ddl_view_src"
+    )
+    assert env.sql_query("SELECT v FROM ddl_v").collect()[0]["v"] == 10
+    spark.catalog.dropTempView("ddl_v")
+    spark.catalog.dropTempView("ddl_view_src")
+
+
 def test_create_catalog_jdbc_sql_flow(spark):
     """CREATE CATALOG ... WITH ('type'='jdbc') -> USE CATALOG -> query:
     the r5 JdbcCatalog pytest flow expressed entirely in SQL texts
