@@ -185,12 +185,34 @@ def main() -> None:
             timeout_s=1800,
         )
 
+    def over_rows_bounded():
+        # streaming ROWS-bounded OVER at volume (r11, backing the new
+        # `over` fuzz shape): per-key ring buffer of the last 5 (ts,
+        # value) entries — state bounded by frame x key cardinality, not
+        # the stream; throughput is the applyInPandasWithState ordered-
+        # replay cost on a real multi-batch run
+        from flink_parent_spark.streaming.stateful import (  # noqa: PLC0415
+            streaming_over_rows_bounded,
+        )
+
+        ev = open_stream(spark, path)
+        return run_stream_to_df(
+            streaming_over_rows_bounded(
+                ev.select("user_id", "ts", "value", "event_id"),
+                ["user_id"], "ts", "value", 5, ["event_id"],
+                tiebreak_col="event_id",
+            ),
+            "append",
+            timeout_s=1800,
+        )
+
     entries = {
         "tumble_agg_1h": tumble_agg,
         "hop_agg_1h_15m": hop_agg,
         "dedup_first_user_type": dedup_keys,
         "updatable_topn_per_type": topn_per_type,
         "cep_signup_purchase": cep_stream,
+        "over_rows5_per_user": over_rows_bounded,
     }
     timings: dict = {}
     rates: dict = {}
