@@ -646,6 +646,7 @@ class TableEnvironment:
             "table.dynamic-table-options.enabled": "false",
         }
         self._functions: dict[str, str] = {}   # SQL-registered UDF name -> ref
+        self._view_props: dict[str, dict] = {}  # ALTER VIEW SET metadata
         self._catalogs: dict[str, object] = {}  # registerCatalog objects
         self.current_catalog = "default_catalog"
         register_flink_functions(spark)
@@ -1551,8 +1552,20 @@ class TableEnvironment:
 
     def _alter_view(self, name: str, rest: str):
         """ALTER VIEW (AlterViewOperation kinds): AS re-defines the view;
-        RENAME TO re-registers under the new name. Spark's own ALTER VIEW
-        rejects temp views, so both are re-creations here."""
+        RENAME TO re-registers under the new name; SET (props) records
+        view properties as catalog metadata (AlterViewPropertiesOperation
+        — properties carry no execution semantics for a view, matching
+        the reference). Spark's own ALTER VIEW rejects temp views, so all
+        three are handled here."""
+        sm = re.match(r"SET\s*\((.*)\)$", rest, re.IGNORECASE | re.DOTALL)
+        if sm:
+            if not self.spark.catalog.tableExists(name):
+                raise ValueError(f"ALTER VIEW SET: unknown view {name}")
+            props = {
+                p.group("k"): p.group("v") for p in _PROP_RE.finditer(sm.group(1))
+            }
+            self._view_props.setdefault(name, {}).update(props)
+            return None
         qm = re.match(r"AS\s+(.+)$", rest, re.IGNORECASE | re.DOTALL)
         if qm:
             self.spark.sql(qm.group(1)).createOrReplaceTempView(name)
@@ -1565,6 +1578,8 @@ class TableEnvironment:
             df = self.spark.table(name)
             df.createOrReplaceTempView(new)
             self.spark.catalog.dropTempView(name)
+            if name in self._view_props:
+                self._view_props[new] = self._view_props.pop(name)
             return None
         return Table(self.spark.sql(f"ALTER VIEW {name} {rest}"), self)
 

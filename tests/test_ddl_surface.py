@@ -268,7 +268,14 @@ def test_drop_function_and_create_view_over_temp(spark):
         "CREATE OR REPLACE VIEW ddl_v AS SELECT v * 2 AS v FROM ddl_view_src"
     )
     assert env.sql_query("SELECT v FROM ddl_v").collect()[0]["v"] == 10
-    spark.catalog.dropTempView("ddl_v")
+    # ALTER VIEW SET (AlterViewPropertiesOperation): metadata-only props
+    env.execute_sql("ALTER VIEW ddl_v SET ('comment' = 'doubled')")
+    assert env._view_props["ddl_v"] == {"comment": "doubled"}
+    env.execute_sql("ALTER VIEW ddl_v RENAME TO ddl_v2")
+    assert env._view_props["ddl_v2"] == {"comment": "doubled"}
+    with pytest.raises(ValueError, match="unknown view"):
+        env.execute_sql("ALTER VIEW ddl_gone SET ('k' = 'v')")
+    spark.catalog.dropTempView("ddl_v2")
     spark.catalog.dropTempView("ddl_view_src")
 
 
