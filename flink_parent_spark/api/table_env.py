@@ -1375,12 +1375,14 @@ class TableEnvironment:
     )
 
     def _parse_partition_specs(
-        self, entry: CatalogTable, specs_text: str
+        self, entry: CatalogTable, specs_text: str, allow_partial: bool = False
     ) -> "list[dict[str, str]]":
         """Parse one or more PARTITION (k='v', ...) specs and validate
         every key against the table's PARTITIONED BY list (the reference
         validates against the catalog partition keys,
-        SqlAddPartitions.java / HiveCatalog partition spec checks)."""
+        SqlAddPartitions.java / HiveCatalog partition spec checks).
+        allow_partial permits binding a subset of the keys (the INSERT
+        static-spec case, where unbound keys stay dynamic)."""
         if not entry.partitions:
             raise ValueError(
                 f"table {entry.name} is not partitioned (no PARTITIONED BY)"
@@ -1398,7 +1400,7 @@ class TableEnvironment:
                         f"(keys: {entry.partitions})"
                     )
                 spec[k] = pm.group("q") if pm.group("q") is not None else pm.group("u")
-            if len(spec) != len(entry.partitions):
+            if not allow_partial and len(spec) != len(entry.partitions):
                 raise ValueError(
                     f"partition spec {spec} must bind every partition key "
                     f"{entry.partitions}"
@@ -1922,10 +1924,13 @@ class TableEnvironment:
         df = self.spark.sql(m.group("q"))
         static_spec: "dict[str, str]" = {}
         if m.group("pspec"):
-            # static partition spec (SqlInsert's staticPartitions): the
-            # spec columns are constants appended to the query's columns
+            # static partition spec (RichSqlInsert's staticPartitions):
+            # the spec columns are constants appended to the query's
+            # columns; a PARTIAL spec is allowed — unbound partition keys
+            # stay dynamic, fed by the query (Hive/Flink mixed
+            # static+dynamic INSERT)
             static_spec = self._parse_partition_specs(
-                target, f"PARTITION ({m.group('pspec')})"
+                target, f"PARTITION ({m.group('pspec')})", allow_partial=True
             )[0]
         if target.schema_ddl and target.fmt in (
             "filesystem", "parquet", "csv", "json", "orc", "avro"

@@ -375,6 +375,15 @@ def test_like_partitions_strategy_and_partial_show(spark):
         with pytest.raises(ValueError, match="not a partition key"):
             env.execute_sql("SHOW PARTITIONS lp PARTITION (nope='x')")
 
+        # mixed static+dynamic INSERT: region bound statically, d dynamic
+        env.execute_sql(
+            "INSERT INTO lp PARTITION (region='sa') SELECT 7, '2024-03-01'"
+        )
+        got = env.sql_query(
+            "SELECT id FROM lp WHERE region = 'sa' AND d = '2024-03-01'"
+        ).collect()
+        assert [r["id"] for r in got] == [7]
+
         # LIKE inherits the partition keys by default (INCLUDING ALL);
         # repointing 'path' needs OVERWRITING OPTIONS (INCLUDING rejects
         # the conflicting duplicate key, reference parity)
