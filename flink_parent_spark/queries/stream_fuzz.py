@@ -709,9 +709,9 @@ SHAPES: "dict[str, tuple[int, int, object]]" = {
     "ivjoin": (0x57F7, 2, _register_ivjoin),
     # round 11 — the reference's remaining stream-ITCase families
     # (OverWindowITCase / TemporalJoinITCase / MatchRecognizeITCase)
-    "over": (0x57F8, 2, _register_over),
-    "asof": (0x57F9, 2, _register_asof),
-    "mr": (0x57FA, 2, _register_mr),
+    "over": (0x57F8, 3, _register_over),
+    "asof": (0x57F9, 3, _register_asof),
+    "mr": (0x57FA, 3, _register_mr),
     "semij": (0x57FB, 2, _register_semij),
 }
 
