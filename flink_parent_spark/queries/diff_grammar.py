@@ -13,7 +13,7 @@ cross-engine-exact fragment: equality/range predicates, equi-joins,
 COUNT/MIN/MAX/COUNT DISTINCT, and decimal-contract sums — any mismatch is
 a real semantics bug, never float-association noise.
 
-Ten families (seed, count pinned per family so texts are byte-stable
+Eleven families (seed, count pinned per family so texts are byte-stable
 across rounds):
 
 - base   (0xF1DE, 40): filter / equi-join / group-by / aggregates
@@ -26,6 +26,7 @@ across rounds):
 - nullx  (0x9011, 10): NULLIF/COALESCE/CASE three-valued-logic semantics
 - datex  (0xDA7E, 10): date_trunc/EXTRACT/DATE casts/timestamp ranges
 - havsub (0x4A75, 10): scalar subqueries in HAVING/WHERE group predicates
+- joinx  (0x901F, 10): multi-way join trees with drawn per-edge types
 
 Consumed by tests/test_differential_random.py (the full battery, pytest)
 and queries/differential_gate.py (a rotating 10-text sample promoted into
@@ -487,6 +488,58 @@ def _family(seed: int, n: int, gen) -> list[str]:
 
 
 # Canonical (seed, count, generator) per family — the single source of
+def gen_multijoin_query(rng: random.Random) -> str:
+    """Multi-way join trees (the reference's {Inner,Outer}JoinITCase
+    multi-table shapes, and Catalyst's join-reordering surface): customer
+    ⋈ orders ⋈ lineitem with drawn per-edge join types (INNER/LEFT, and
+    occasionally RIGHT on the fact edge), an optional nation dim edge,
+    drawn filters, and grouped aggregates through the decimal contract.
+    COUNT(col) on nullable sides pins the null-extension semantics."""
+    t1 = rng.choice(["INNER", "LEFT", "LEFT"])
+    t2 = rng.choice(["INNER", "LEFT", "RIGHT"])
+    with_nation = rng.random() < 0.5
+    on1 = "c_custkey = o_custkey"
+    if rng.random() < 0.4:
+        on1 += f" AND o_totalprice > {rng.randint(20000, 150000)}"
+    on2 = "o_orderkey = l_orderkey"
+    if rng.random() < 0.3:
+        on2 += f" AND l_quantity < {rng.randint(10, 45)}"
+    key_pool = ["c_mktsegment", "o_orderstatus", "l_returnflag"]
+    if with_nation:
+        key_pool.append("n_name")
+    keys = rng.sample(key_pool, k=rng.randint(1, 2))
+    aggs = [
+        "COUNT(*) AS cnt",
+        "COUNT(o_orderkey) AS cnt_o",
+        "COUNT(l_orderkey) AS cnt_l",
+    ]
+    e = rng.choice(
+        ["l_extendedprice * (1 - l_discount)", "o_totalprice", "l_quantity"]
+    )
+    aggs.append(f"CAST(SUM(CAST(({e}) AS DECIMAL(30,6))) AS DOUBLE) AS s0")
+    aggs.append(
+        f"MIN({rng.choice(['o_totalprice', 'l_extendedprice', 'c_acctbal'])}) AS m0"
+    )
+    joins = (
+        f"customer {t1} JOIN orders ON {on1} "
+        f"{t2} JOIN lineitem ON {on2}"
+    )
+    if with_nation:
+        joins += " INNER JOIN nation ON c_nationkey = n_nationkey"
+    where = ""
+    if rng.random() < 0.5:
+        where = " WHERE " + rng.choice(
+            [
+                f"c_mktsegment = '{rng.choice(['BUILDING', 'MACHINERY', 'AUTOMOBILE'])}'",
+                f"c_acctbal > {rng.randint(0, 5000)}",
+            ]
+        )
+    return (
+        f"SELECT {', '.join(keys)}, {', '.join(aggs)} "
+        f"FROM {joins}{where} GROUP BY {', '.join(keys)}"
+    )
+
+
 # truth; the pytest battery and the gate rotation both read this.
 FAMILIES: dict[str, tuple[int, int, object]] = {
     "base": (0xF1DE, 40, gen_query),
@@ -503,6 +556,8 @@ FAMILIES: dict[str, tuple[int, int, object]] = {
     # casts/timestamp ranges); scalar subqueries in HAVING/WHERE
     "datex": (0xDA7E, 10, gen_datetime_query),
     "havsub": (0x4A75, 10, gen_having_subquery_query),
+    # round-11 family: multi-way join trees with drawn per-edge types
+    "joinx": (0x901F, 10, gen_multijoin_query),
 }
 
 
@@ -512,5 +567,5 @@ def family_texts(name: str) -> list[str]:
 
 
 def all_texts() -> dict[str, list[str]]:
-    """Every generated text, keyed by family (155 total)."""
+    """Every generated text, keyed by family (165 total)."""
     return {name: family_texts(name) for name in FAMILIES}

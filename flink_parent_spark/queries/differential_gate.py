@@ -1,9 +1,9 @@
 """Rotating differential-fuzz sample promoted into the driver's gate.
 
 The driver's correctness gate verifies the FIRST 50 registered queries
-(rows + schema + value-hash vs DuckDB at sf0.01). The full 155-text
+(rows + schema + value-hash vs DuckDB at sf0.01). The full 165-text
 differential battery runs in pytest at sf0.001; this module additionally
-promotes a 10-text sample — at least one text from every family — into
+promotes an 11-text sample — at least one text from every family — into
 the gate prefix so the driver's independent harness exercises the fuzz
 families each round (r7 verdict #8 / r8 "Next round" #5).
 
@@ -30,12 +30,12 @@ from flink_parent_spark.queries.registry import sql_query
 # Bump once per round (round number keeps the rotation auditable).
 ROTATION = 11
 
-N_GATE = 10
+N_GATE = 11
 
 
 def gate_sample(rotation: int = ROTATION) -> list[tuple[str, int]]:
     """Deterministic (family, index) sample: one text per family first
-    (currently 10 families), then any remaining N_GATE slots drawn from
+    (currently 11 families), then any remaining N_GATE slots drawn from
     the pooled remainder — a no-op while len(FAMILIES) == N_GATE (the
     guard below handles the > case; the remainder draw reactivates only
     if N_GATE is ever raised above the family count)."""
