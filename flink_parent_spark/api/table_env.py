@@ -755,10 +755,15 @@ class TableEnvironment:
                 parts.append(
                     f"WATERMARK FOR {col} AS {col} - INTERVAL '{n_}' {unit.upper()}"
                 )
+            pb = (
+                f" PARTITIONED BY ({', '.join(entry.partitions)})"
+                if entry.partitions
+                else ""
+            )
             ddl = (
                 f"CREATE TABLE {entry.name} ("
                 + ", ".join(p for p in parts if p)
-                + f") WITH ({props})"
+                + f"){pb} WITH ({props})"
             )
             return Table(
                 self.spark.createDataFrame([(ddl,)], "`create table` string"),

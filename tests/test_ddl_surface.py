@@ -82,6 +82,9 @@ def test_partitioned_filesystem_ddl_roundtrip(spark):
         # non-key spec is rejected (catalog partition-key validation)
         with pytest.raises(ValueError, match="not a partition key"):
             env.execute_sql("ALTER TABLE pt ADD PARTITION (id=5)")
+        # SHOW CREATE TABLE round-trips the PARTITIONED BY clause
+        ddl = env.execute_sql("SHOW CREATE TABLE pt").collect()[0][0]
+        assert "PARTITIONED BY (d)" in ddl
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
