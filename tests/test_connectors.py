@@ -500,6 +500,10 @@ s = (SparkSession.builder.master("local[2]")
      .config("spark.hadoop.javax.jdo.option.ConnectionURL",
              "jdbc:derby:;databaseName=" + {ms!r} + "/metastore_db;create=true")
      .config("spark.sql.shuffle.partitions", "2")
+     # fresh JVM: the java option applies pre-launch, so Derby's log
+     # lands in tmp instead of the repo root (process CWD)
+     .config("spark.driver.extraJavaOptions",
+             "-Dderby.stream.error.file=/tmp/fps_derby_sub.log")
      .enableHiveSupport().getOrCreate())
 s.sql("CREATE TABLE hv (id INT, v DOUBLE) USING hive")
 s.sql("INSERT INTO hv VALUES (1, 1.5), (2, 2.5)")
