@@ -842,11 +842,13 @@ class TableEnvironment:
                 },
             )
         dcm = re.match(
-            r"DROP\s+CATALOG\s+(?:IF\s+EXISTS\s+)?(\w+)$", s, re.IGNORECASE
+            r"DROP\s+CATALOG\s+(?P<ife>IF\s+EXISTS\s+)?(?P<name>\w+)$",
+            s,
+            re.IGNORECASE,
         )
         if dcm:
             return self._drop_catalog(
-                dcm.group(1), if_exists="IF" in s.upper()
+                dcm.group("name"), if_exists=bool(dcm.group("ife"))
             )
         dct = re.match(r"(?:DESCRIBE|DESC)\s+CATALOG\s+(\w+)$", s, re.IGNORECASE)
         if dct:

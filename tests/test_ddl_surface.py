@@ -315,6 +315,10 @@ def test_create_catalog_jdbc_sql_flow(spark):
     with pytest.raises(ValueError, match="unknown catalog"):
         env.execute_sql("DROP CATALOG derby_sql_cat")
     env.execute_sql("DROP CATALOG IF EXISTS derby_sql_cat")
+    # a missing catalog whose NAME contains 'if' must still error
+    # without the IF EXISTS clause (no substring sniffing)
+    with pytest.raises(ValueError, match="unknown catalog"):
+        env.execute_sql("DROP CATALOG gift_cat")
     # duplicate create / unsupported type are rejected
     env.execute_sql("CREATE CATALOG mem_cat WITH ('type' = 'generic_in_memory')")
     with pytest.raises(ValueError, match="already exists"):
