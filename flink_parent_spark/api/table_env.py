@@ -1280,7 +1280,7 @@ class TableEnvironment:
                 }
                 missing = {
                     d.split()[0].strip("`").lower()
-                    for d in (entry.schema_ddl or "").split(",")
+                    for d in _split_top_level(entry.schema_ddl or "")
                     if d.strip()
                 } & refs - new_names
                 if missing:
@@ -1349,7 +1349,7 @@ class TableEnvironment:
             cols = [c.strip().strip("`") for c in acm.group("cols").split(",")]
             declared = {
                 d.split()[0].strip("`").lower()
-                for d in (entry.schema_ddl or "").split(",")
+                for d in _split_top_level(entry.schema_ddl or "")
                 if d.strip()
             }
             for c in cols:
@@ -1527,7 +1527,7 @@ class TableEnvironment:
         definition is replaced wholesale; FIRST/AFTER reorder. Renames are
         rejected while the column anchors the watermark or a computed
         column (the reference re-validates the schema the same way)."""
-        cols = [c.strip() for c in (entry.schema_ddl or "").split(",") if c.strip()]
+        cols = [c.strip() for c in _split_top_level(entry.schema_ddl or "") if c.strip()]
         names = [c.split()[0].strip("`") for c in cols]
         if old not in names:
             raise ValueError(f"CHANGE COLUMN: no column {old!r} in {entry.name}")
@@ -1772,6 +1772,14 @@ class TableEnvironment:
             reader = self.spark.read
             if entry.schema_ddl and fmt in ("csv", "json"):
                 reader = reader.schema(entry.schema_ddl)
+            if entry.schema_ddl and fmt == "parquet":
+                # schema-evolved tables (ADD/CHANGE/REPLACE COLUMNS) have
+                # files with differing footers; without merging, the scan
+                # would adopt ONE footer and null out the others' columns.
+                # Footer merging is a metadata pass (per-file footers, not
+                # data); at warehouse scale the catalog schema itself is
+                # authoritative and files are rewritten on evolution.
+                reader = reader.option("mergeSchema", "true")
             df = getattr(reader, fmt)(entry.path)
             if entry.schema_ddl:
                 # declared columns absent from the files (ALTER TABLE ADD
@@ -1797,7 +1805,7 @@ class TableEnvironment:
             # order
             declared = [
                 c.strip().split()[0].strip("`")
-                for c in entry.schema_ddl.split(",")
+                for c in _split_top_level(entry.schema_ddl)
                 if c.strip()
             ]
             have = {c.lower(): c for c in df.columns}
@@ -1948,7 +1956,7 @@ class TableEnvironment:
             # its keys from the expected positional list
             declared = [
                 c.strip().split()[0].strip("`")
-                for c in target.schema_ddl.split(",")
+                for c in _split_top_level(target.schema_ddl)
                 if c.strip()
             ]
             spec_lower = {k.lower() for k in static_spec}

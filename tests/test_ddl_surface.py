@@ -137,6 +137,44 @@ def test_change_column_retype_rename_reorder(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_change_column_with_parameterized_types(spark):
+    """Schema manipulation must split column definitions on TOP-LEVEL
+    commas only — DECIMAL(10,2) in a neighbor's type must not corrupt a
+    CHANGE/constraint/positional-INSERT pass."""
+    base = tempfile.mkdtemp(prefix="fps_ddl_dec_")
+    env = TableEnvironment.create(spark=spark)
+    try:
+        _fs_table(env, "dt", base, "amt DECIMAL(10,2), id INT, tag STRING")
+        env.execute_sql("INSERT INTO dt SELECT CAST(1.25 AS DECIMAL(10,2)), 1, 'x'")
+        env.execute_sql("ALTER TABLE dt CHANGE tag label STRING")
+        cols = [
+            c.strip().split()[0]
+            for c in env.catalog["dt"].schema_ddl.split(", ")
+        ]
+        assert cols == ["amt", "id", "label"]
+        # the DECIMAL column's definition survived intact
+        assert "amt DECIMAL(10,2)" in env.catalog["dt"].schema_ddl
+        env.execute_sql(
+            "ALTER TABLE dt ADD CONSTRAINT pk_dt PRIMARY KEY (id) NOT ENFORCED"
+        )
+        # rename is metadata-only (Hive semantics): parquet maps columns
+        # by NAME, so pre-rename files read the renamed column as null;
+        # rows written after the rename carry it
+        row = env.sql_query("SELECT id, label, amt FROM dt").collect()[0]
+        assert (row["id"], row["label"]) == (1, None)
+        assert float(row["amt"]) == 1.25  # neighbor type intact end-to-end
+        env.execute_sql(
+            "INSERT INTO dt SELECT CAST(2.50 AS DECIMAL(10,2)), 2, 'y'"
+        )
+        got = {
+            r["id"]: r["label"]
+            for r in env.sql_query("SELECT id, label FROM dt").collect()
+        }
+        assert got == {1: None, 2: "y"}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_replace_columns(spark):
     """ALTER TABLE REPLACE COLUMNS (SqlAddReplaceColumns.java:39 with
     replace=true): the new list replaces the physical schema wholesale;
