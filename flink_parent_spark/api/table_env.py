@@ -29,7 +29,7 @@ from flink_parent_spark.functions.registry import register_flink_functions
 from flink_parent_spark.session import apply_runtime_confs, get_spark
 
 _CREATE_RE = re.compile(
-    r"CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*"
+    r"CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*"
     r"\((?P<cols>.*)\)\s*WITH\s*\((?P<props>.*)\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -39,7 +39,7 @@ _WATERMARK_RE = re.compile(
 )
 _PROP_RE = re.compile(r"'(?P<k>[^']+)'\s*=\s*'(?P<v>[^']*)'")
 _CREATE_LIKE_RE = re.compile(
-    r"CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*"
+    r"CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*"
     r"(?:\((?P<cols>.*?)\)\s*)?"
     r"(?:WITH\s*\((?P<props>.*?)\)\s*)?"
     r"LIKE\s+(?P<base>\w+)\s*(?:\((?P<opts>[^)]*)\))?\s*$",
@@ -1140,6 +1140,13 @@ class TableEnvironment:
 
     def _create_table(self, m: re.Match, partitions: "list[str] | None" = None):
         name = m.group("name")
+        if name in self.catalog:
+            # TableEnvironmentImpl createTable: an existing table is a
+            # no-op under IF NOT EXISTS and TableAlreadyExistException
+            # without it — never a silent replace
+            if m.groupdict().get("ine"):
+                return None
+            raise ValueError(f"table {name} already exists (use IF NOT EXISTS)")
         props = {p.group("k"): p.group("v") for p in _PROP_RE.finditer(m.group("props"))}
         col_defs, computed, watermark, primary_key = self._parse_cols_block(
             m.group("cols")
@@ -1602,6 +1609,12 @@ class TableEnvironment:
         CONSTRAINTS (primary key) support INCLUDING/EXCLUDING. New physical
         columns append to the base schema; a new watermark/computed column
         overrides the inherited one."""
+        if m.group("name") in self.catalog:
+            if m.groupdict().get("ine"):
+                return None
+            raise ValueError(
+                f"table {m.group('name')} already exists (use IF NOT EXISTS)"
+            )
         base_name = m.group("base")
         if base_name not in self.catalog:
             raise ValueError(f"LIKE base table not in catalog: {base_name}")

@@ -222,8 +222,11 @@ def test_kafka_file_fake_ddl_roundtrip(spark):
 
     # appending to the log is visible to a fresh scan (offsets continue);
     # like a new Flink job, re-resolving the table re-lists the log
+    # (r11: re-CREATE of a live name now raises like the reference's
+    # TableAlreadyExistException, so the re-resolution drops it first)
     write_kafka_file_topic([("x", json.dumps({"uid": 10, "amount": 15.0}))],
                            spark, base, "payments")
+    env.execute_sql("DROP TABLE payments")
     env.execute_sql(
         f"""
         CREATE TABLE payments (uid BIGINT, amount DOUBLE)

@@ -285,6 +285,39 @@ def test_alter_function_ddl(spark):
     )
 
 
+def test_create_table_if_not_exists_semantics(spark):
+    """TableEnvironmentImpl createTable: duplicate CREATE TABLE raises
+    (TableAlreadyExistException parity), IF NOT EXISTS is a no-op that
+    preserves the existing definition — never a silent replace."""
+    base = tempfile.mkdtemp(prefix="fps_ddl_ine_")
+    env = TableEnvironment.create(spark=spark)
+    try:
+        _fs_table(env, "it", base, "a INT")
+        with pytest.raises(ValueError, match="already exists"):
+            _fs_table(env, "it", base, "b DOUBLE")
+        env.execute_sql(
+            f"CREATE TABLE IF NOT EXISTS it (c STRING) WITH ("
+            f"'connector' = 'filesystem', 'path' = '{base}/other', "
+            f"'format' = 'parquet')"
+        )
+        # original definition intact
+        assert env.catalog["it"].schema_ddl == "a INT"
+        assert env.catalog["it"].path == f"{base}/it"
+        # LIKE derivation honors the same contract
+        with pytest.raises(ValueError, match="already exists"):
+            env.execute_sql(
+                f"CREATE TABLE it WITH ('path' = '{base}/x') "
+                "LIKE it (OVERWRITING OPTIONS)"
+            )
+        env.execute_sql(
+            f"CREATE TABLE IF NOT EXISTS it WITH ('path' = '{base}/x') "
+            "LIKE it (OVERWRITING OPTIONS)"
+        )
+        assert env.catalog["it"].path == f"{base}/it"
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_drop_function_and_create_view_over_temp(spark):
     """SqlDropFunction: env-registered temporary functions drop through
     DROP FUNCTION (with IF EXISTS tolerated); SqlCreateView: CREATE
