@@ -773,24 +773,40 @@ class TableEnvironment:
         if dm:
             return self._describe(dm.group(1))
         dr = re.match(
-            r"DROP\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)$",
+            r"DROP\s+(?:TEMPORARY\s+)?TABLE\s+(?P<ife>IF\s+EXISTS\s+)?(?P<t>\w+)$",
             s,
             re.IGNORECASE,
         )
         if dr:
-            name = dr.group(1)
+            # ValidationException on a missing name without IF EXISTS
+            # (TableEnvironmentImpl dropTemporaryTable / Catalog.dropTable)
+            name = dr.group("t")
+            known = name in self.catalog or self.spark.catalog.tableExists(name)
+            if not known and not dr.group("ife"):
+                raise ValueError(f"DROP TABLE: table {name} does not exist")
             self.catalog.pop(name, None)
             self.spark.catalog.dropTempView(name)
             return None
         fm = re.match(
-            r"CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?(?:SYSTEM\s+)?"
-            r"FUNCTION\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s+"
+            r"CREATE\s+(?P<orr>OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?(?:SYSTEM\s+)?"
+            r"FUNCTION\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s+"
             r"AS\s+'(?P<ref>[^']+)'"
             r"(?:\s+LANGUAGE\s+(?P<lang>\w+))?$",
             s,
             re.IGNORECASE,
         )
         if fm:
+            # duplicate function names: no-op under IF NOT EXISTS,
+            # replace under OR REPLACE, error otherwise
+            # (FunctionAlreadyExistException parity)
+            if fm.group("name") in self._functions:
+                if fm.group("ine"):
+                    return None
+                if not fm.group("orr"):
+                    raise ValueError(
+                        f"function {fm.group('name')} already exists "
+                        "(use IF NOT EXISTS or OR REPLACE)"
+                    )
             return self._create_function(
                 fm.group("name"), fm.group("ref"), (fm.group("lang") or "").upper()
             )

@@ -333,6 +333,33 @@ def test_drop_function_and_create_view_over_temp(spark):
     assert "ddl_drop_fn" not in env.list_functions()
     env.execute_sql("DROP FUNCTION IF EXISTS ddl_drop_fn")  # no-op
 
+    # duplicate CREATE FUNCTION: error / IF NOT EXISTS no-op / OR REPLACE
+    env.execute_sql(
+        "CREATE TEMPORARY FUNCTION dup_fn AS "
+        "'flink_parent_spark.functions.udf.double_value' LANGUAGE PYTHON"
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        env.execute_sql(
+            "CREATE TEMPORARY FUNCTION dup_fn AS "
+            "'flink_parent_spark.functions.udf.triple_value' LANGUAGE PYTHON"
+        )
+    env.execute_sql(
+        "CREATE TEMPORARY FUNCTION IF NOT EXISTS dup_fn AS "
+        "'flink_parent_spark.functions.udf.triple_value' LANGUAGE PYTHON"
+    )
+    assert env._functions["dup_fn"].endswith("double_value")  # unchanged
+    env.execute_sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION dup_fn AS "
+        "'flink_parent_spark.functions.udf.triple_value' LANGUAGE PYTHON"
+    )
+    assert env._functions["dup_fn"].endswith("triple_value")
+    env.execute_sql("DROP FUNCTION dup_fn")
+
+    # DROP TABLE of a missing name: error without IF EXISTS, no-op with
+    with pytest.raises(ValueError, match="does not exist"):
+        env.execute_sql("DROP TABLE never_created_table")
+    env.execute_sql("DROP TABLE IF EXISTS never_created_table")
+
     spark.createDataFrame([(5,)], "v int").createOrReplaceTempView(
         "ddl_view_src"
     )
