@@ -720,8 +720,12 @@ class TableEnvironment:
                 self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
                 del self._functions[name]
                 return None
+            # Spark's parser has no SYSTEM keyword — strip it so the
+            # pass-through actually drops (a DROP TEMPORARY SYSTEM
+            # FUNCTION IF EXISTS must not silently skip the drop)
+            passthrough = re.sub(r"\bSYSTEM\s+", "", s, flags=re.IGNORECASE)
             try:
-                return Table(self.spark.sql(s), self)
+                return Table(self.spark.sql(passthrough), self)
             except Exception:
                 if dfm.group("ife"):
                     return None
@@ -781,11 +785,21 @@ class TableEnvironment:
             # ValidationException on a missing name without IF EXISTS
             # (TableEnvironmentImpl dropTemporaryTable / Catalog.dropTable)
             name = dr.group("t")
-            known = name in self.catalog or self.spark.catalog.tableExists(name)
-            if not known and not dr.group("ife"):
+            in_ddl = name in self.catalog
+            in_spark = self.spark.catalog.tableExists(name)
+            if not in_ddl and not in_spark and not dr.group("ife"):
                 raise ValueError(f"DROP TABLE: table {name} does not exist")
-            self.catalog.pop(name, None)
-            self.spark.catalog.dropTempView(name)
+            if in_ddl:
+                self.catalog.pop(name, None)
+                self.spark.catalog.dropTempView(name)
+                return None
+            if in_spark:
+                # a table created directly through Spark (metastore/managed
+                # or temp-view): actually drop it rather than no-op — temp
+                # views via dropTempView, catalog tables via pass-through
+                if not self.spark.catalog.dropTempView(name):
+                    ife = "IF EXISTS " if dr.group("ife") else ""
+                    self.spark.sql(f"DROP TABLE {ife}{name}")
             return None
         fm = re.match(
             r"CREATE\s+(?P<orr>OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?(?:SYSTEM\s+)?"
@@ -1591,6 +1605,11 @@ class TableEnvironment:
         three are handled here."""
         sm = re.match(r"SET\s*\((.*)\)$", rest, re.IGNORECASE | re.DOTALL)
         if sm:
+            if name in self.catalog:
+                # DDL tables are temp-view-backed so tableExists() is true
+                # for them too; the reference rejects ALTER VIEW against a
+                # non-view object (ValidationException)
+                raise ValueError(f"ALTER VIEW SET: {name} is a table, not a view")
             if not self.spark.catalog.tableExists(name):
                 raise ValueError(f"ALTER VIEW SET: unknown view {name}")
             props = {
@@ -1656,6 +1675,16 @@ class TableEnvironment:
         def strat(feature: str) -> str:
             return strategies.get(feature, default)
 
+        # invalid combinations are parse-time validation in the reference
+        # (SqlTableLike.validate(), invalidCombinations:191-195) — reject
+        # BEFORE any feature merging so they beat e.g. OPTIONS conflicts
+        for bad_feature in ("PARTITIONS", "CONSTRAINTS"):
+            if strategies.get(bad_feature) == "OVERWRITING":
+                raise ValueError(
+                    f"LIKE OVERWRITING {bad_feature} is not a valid "
+                    "combination (SqlTableLike invalidCombinations)"
+                )
+
         new_props = {
             p.group("k"): p.group("v")
             for p in _PROP_RE.finditer(m.group("props") or "")
@@ -1702,6 +1731,13 @@ class TableEnvironment:
         if strat("PARTITIONS") == "OVERWRITING":
             raise ValueError(
                 "LIKE OVERWRITING PARTITIONS is not a valid combination "
+                "(SqlTableLike invalidCombinations)"
+            )
+        # CONSTRAINTS is the third invalid OVERWRITING feature
+        # (SqlTableLike invalidCombinations:194-195)
+        if strat("CONSTRAINTS") == "OVERWRITING":
+            raise ValueError(
+                "LIKE OVERWRITING CONSTRAINTS is not a valid combination "
                 "(SqlTableLike invalidCombinations)"
             )
         partitions = (
@@ -1990,8 +2026,16 @@ class TableEnvironment:
             ]
             spec_lower = {k.lower() for k in static_spec}
             expected = [c for c in declared if c.lower() not in spec_lower]
-            if len(df.columns) == len(expected):
-                df = df.toDF(*expected)
+            if len(df.columns) != len(expected):
+                # the reference raises a validation error on arity mismatch
+                # (SqlInsert column-count check) — never silently write
+                # unmapped columns that surface as nulls after projection
+                raise ValueError(
+                    f"INSERT into {target.name}: query produces "
+                    f"{len(df.columns)} columns but {len(expected)} are "
+                    "expected"
+                )
+            df = df.toDF(*expected)
         for k, v in static_spec.items():
             df = df.withColumn(k, F.lit(v))
         mode = "overwrite" if m.group("mode").upper() == "OVERWRITE" else "append"

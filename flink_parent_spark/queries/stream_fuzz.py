@@ -394,12 +394,16 @@ def _register_ivjoin(i: int, rng: random.Random) -> None:
 
 
 def _register_over(i: int, rng: random.Random) -> None:
-    """Streaming OVER aggregates with a drawn frame × key
-    (OverWindowITCase.scala's enumerated frames, here drawn): unbounded
-    (ROWS UNBOUNDED PRECEDING running agg), event-time RANGE-bounded, or
-    ROWS-bounded — the three stateful operators at streaming/stateful.py
-    :312,425,475 — each replayed to convergence against the identical
-    batch window frame."""
+    """Streaming OVER aggregates with a drawn frame × key × aggregate set
+    (OverWindowITCase.scala's enumerated frames and mixed agg lists, here
+    drawn): unbounded (ROWS UNBOUNDED PRECEDING running agg), event-time
+    RANGE-bounded, or ROWS-bounded — the three stateful operators in
+    streaming/stateful.py — each replayed to convergence against the
+    identical batch window frame. r12: the aggregate list draws two extra
+    functions beyond sum+count from the full declarative set
+    {avg,min,max,first_value,last_value} (the reference's pluggable
+    AggsHandleFunctions); first/last are excluded for RANGE frames where
+    SQL cannot express the peer tiebreak (nondeterministic under ties)."""
     frame = rng.choice(["unbounded", "range", "rows"])
     key_sql, key_col, key_alias = _key(rng)
     key_expr = key_sql.split(" AS ")[0]
@@ -423,17 +427,45 @@ def _register_over(i: int, rng: random.Random) -> None:
             "PRECEDING AND CURRENT ROW"
         )
         frame_arg = n_rows
+    extra_pool = (
+        ["avg", "min", "max"]
+        if frame == "range"
+        else ["avg", "min", "max", "first_value", "last_value"]
+    )
+    extras = rng.sample(extra_pool, 2)
+    aggs = [("sum", f"{tag}_sum"), ("count", f"{tag}_cnt")] + [
+        (fn, f"{tag}_{fn.replace('_value', '')}") for fn in extras
+    ]
+    # oracle columns per aggregate — same decimal(30,6) quantization the
+    # engine applies on ingest, so floats compare bit-exactly
+    _ORACLE_AGG = {
+        "sum": "CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE)",
+        "count": "COUNT(*) OVER w",
+        "avg": (
+            "CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE)"
+            " / COUNT(value) OVER w"
+        ),
+        "min": "CAST(MIN(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE)",
+        "max": "CAST(MAX(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE)",
+        "first_value": (
+            "CAST(CAST(FIRST_VALUE(value) OVER w AS DECIMAL(30,6)) AS DOUBLE)"
+        ),
+        "last_value": (
+            "CAST(CAST(LAST_VALUE(value) OVER w AS DECIMAL(30,6)) AS DOUBLE)"
+        ),
+    }
+    agg_sql = ",\n           ".join(
+        f"{_ORACLE_AGG[fn]} AS {cname}" for fn, cname in aggs
+    )
     oracle = f"""
     SELECT {key_alias}, ts, value, event_id,
-           CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE)
-             AS {tag}_sum,
-           COUNT(*) OVER w AS {tag}_cnt
+           {agg_sql}
     FROM (SELECT {key_sql}, ts, value, event_id FROM events) t
     WINDOW w AS (PARTITION BY {key_alias} {order})
     """
 
     def run(spark, sf_dir, frame=frame, frame_arg=frame_arg,
-            key_col=key_col, key_alias=key_alias):
+            key_col=key_col, key_alias=key_alias, aggs=aggs):
         from flink_parent_spark.streaming.stateful import (  # noqa: PLC0415
             streaming_over_range_bounded,
             streaming_over_rows_bounded,
@@ -447,17 +479,18 @@ def _register_over(i: int, rng: random.Random) -> None:
         )
         if frame == "unbounded":
             out = streaming_over_running_sum(
-                ev, [key_alias], "ts", "value", ["event_id"]
+                ev, [key_alias], "ts", "value", ["event_id"],
+                tiebreak_col="event_id", aggs=aggs,
             )
         elif frame == "range":
             out = streaming_over_range_bounded(
                 ev, [key_alias], "ts", "value", frame_arg, ["event_id"],
-                tiebreak_col="event_id",
+                tiebreak_col="event_id", aggs=aggs,
             )
         else:
             out = streaming_over_rows_bounded(
                 ev, [key_alias], "ts", "value", frame_arg, ["event_id"],
-                tiebreak_col="event_id",
+                tiebreak_col="event_id", aggs=aggs,
             )
         return run_stream_to_df(out, "append")
 

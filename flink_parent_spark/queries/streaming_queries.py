@@ -1039,6 +1039,43 @@ def stream_over_rows_bounded(spark, sf_dir):
 
 
 @df_query(
+    "stream_over_mixed_aggs",
+    oracle="""
+    SELECT user_id, ts, value, event_id,
+           CAST(MIN(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS o_min,
+           CAST(MAX(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS o_max,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE)
+             / COUNT(value) OVER w AS o_avg,
+           CAST(CAST(LAST_VALUE(value) OVER w AS DECIMAL(30,6)) AS DOUBLE)
+             AS o_last,
+           COUNT(*) OVER w AS o_cnt
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+    """,
+)
+def stream_over_mixed_aggs(spark, sf_dir):
+    """r12: streaming OVER with a MIXED aggregate list — MIN/MAX/AVG/
+    LAST_VALUE/COUNT over one trailing-8-rows frame, the reference's
+    multi-aggregate over operator (one generated AggsHandleFunction per
+    SELECT item; OverWindowITCase.scala's mixed agg lists;
+    Min/MaxWithRetractAggFunction retraction handled here by the ring
+    buffer being the live frame). Full replay equals the batch window."""
+    from flink_parent_spark.streaming.stateful import streaming_over_rows_bounded
+
+    ev = stream_table(spark, sf_dir, "events")
+    out = streaming_over_rows_bounded(
+        ev, ["user_id"], "ts", "value", 8, ["event_id"],
+        tiebreak_col="event_id",
+        aggs=[
+            ("min", "o_min"), ("max", "o_max"), ("avg", "o_avg"),
+            ("last_value", "o_last"), ("count", "o_cnt"),
+        ],
+    )
+    return run_stream_to_df(out, "append")
+
+
+@df_query(
     "stream_semi_join",
     oracle="""
     SELECT v.user_id, v.ts, v.event_id, '+I' AS op

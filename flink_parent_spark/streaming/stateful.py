@@ -309,6 +309,48 @@ def streaming_retract_top_n(
     )
 
 
+#: the declarative aggregate set the streaming OVER operators support —
+#: the reference plugs generated AggsHandleFunctions into its over
+#: operators (RowTimeRangeBoundedPrecedingFunction.java:277) drawn from
+#: the planner's aggfunctions (Sum/Count/Avg/Min/MaxWithRetract/
+#: FirstValue/LastValue); here the frame buffer IS the retraction store,
+#: so MIN/MAX recompute over the live frame (bounded by it) and the
+#: unbounded frame uses monotone accumulators (append-only input never
+#: retracts, so no retract variant is needed there).
+_OVER_AGGS = ("sum", "count", "avg", "min", "max", "first_value", "last_value")
+
+
+def _over_agg_value(fn: str, vals: "list[int]"):
+    """One aggregate over a frame snapshot of integer-micros values in
+    frame order (oldest..newest). Exact decimal accumulation; only the
+    final emit converts to double."""
+    if fn == "sum":
+        return sum(vals) / 1e6
+    if fn == "count":
+        return len(vals)
+    if fn == "avg":
+        return (sum(vals) / 1e6) / len(vals)
+    if fn == "min":
+        return min(vals) / 1e6
+    if fn == "max":
+        return max(vals) / 1e6
+    if fn == "first_value":
+        return vals[0] / 1e6
+    if fn == "last_value":
+        return vals[-1] / 1e6
+    raise ValueError(f"unsupported streaming OVER aggregate: {fn}")
+
+
+def _over_agg_schema(agg_list: "list[tuple[str, str]]") -> str:
+    for fn, _ in agg_list:
+        if fn not in _OVER_AGGS:
+            raise ValueError(f"unsupported streaming OVER aggregate: {fn}")
+    return "".join(
+        f", `{c}` {'bigint' if fn == 'count' else 'double'}"
+        for fn, c in agg_list
+    )
+
+
 def streaming_over_range_bounded(
     sdf: DataFrame,
     key_cols: Sequence[str],
@@ -317,9 +359,21 @@ def streaming_over_range_bounded(
     range_seconds: int,
     payload_cols: Sequence[str] = (),
     tiebreak_col: str | None = None,
+    aggs: "Sequence[tuple[str, str]] | None" = None,
 ) -> DataFrame:
     """Streaming OVER (PARTITION BY key ORDER BY ts RANGE BETWEEN `range`
-    PRECEDING AND CURRENT ROW) sum + count.
+    PRECEDING AND CURRENT ROW) with a pluggable aggregate list.
+
+    `aggs` is a list of (fn, out_col) with fn in {sum, count, avg, min,
+    max, first_value, last_value} — the reference's declarative set for
+    its over operators (generated AggsHandleFunctions;
+    MinWithRetractAggFunction/MaxWithRetractAggFunction retract via the
+    same state the frame buffer holds here). Defaults to the legacy
+    sum+count pair (range_sum, range_cnt). NOTE on first/last_value under
+    RANGE frames: peers (rows sharing a timestamp) enter in tiebreak
+    order, so with duplicate timestamps per key the result is only
+    deterministic given a tiebreak_col — same caveat as the reference's
+    nondeterministic-ordering note for RANGE frames.
 
     RowTimeRangeBoundedPrecedingFunction.java:277 parity (algorithm, not
     code): per key, a state buffer of (ts, value) inside the trailing range
@@ -338,7 +392,8 @@ def streaming_over_range_bounded(
     processes each batch in event-time order immediately (arrival-order
     semantics, exact for single-batch replay)."""
     out_cols = list(dict.fromkeys([*key_cols, ts_col, value_col, *payload_cols]))
-    out_schema = _schema_of(sdf, out_cols) + ", `range_sum` double, `range_cnt` bigint"
+    agg_list = list(aggs) if aggs else [("sum", "range_sum"), ("count", "range_cnt")]
+    out_schema = _schema_of(sdf, out_cols) + _over_agg_schema(agg_list)
     state_schema = (
         "pend array<struct<" + _schema_of(sdf, out_cols).replace("`", "") + ">>, "
         "buf array<struct<ts: timestamp, v: bigint>>, frontier bigint"
@@ -374,8 +429,7 @@ def streaming_over_range_bounded(
         sealed.sort(
             key=lambda r: (r[ts_col], r[tiebreak_col] if tiebreak_col else 0)
         )
-        sums: list[float] = []
-        cnts: list[int] = []
+        emit: dict[str, list] = {c: [] for _, c in agg_list}
         i = 0
         while i < len(sealed):
             # peer group: all rows at this timestamp enter the buffer first
@@ -389,11 +443,9 @@ def streaming_over_range_bounded(
                 j += 1
             lo = t - rng
             buf = [(bt, bv) for bt, bv in buf if bt >= lo]
-            s = sum(bv for _, bv in buf) / 1e6
-            c = len(buf)
-            for _ in range(i, j):
-                sums.append(s)
-                cnts.append(c)
+            vals = [bv for _, bv in buf]
+            for fn_name, cname in agg_list:
+                emit[cname].extend([_over_agg_value(fn_name, vals)] * (j - i))
             i = j
         if sealed:
             frontier = max(frontier, to_ms(sealed[-1][ts_col]))
@@ -409,8 +461,11 @@ def streaming_over_range_bounded(
                 max(wm_ms + 1, min(to_ms(r[ts_col]) for r in pend))
             )
         out = pd.DataFrame(sealed, columns=out_cols)
-        out["range_sum"] = pd.Series(sums, dtype="float64")
-        out["range_cnt"] = pd.Series(cnts, dtype="int64")
+        for fn_name, cname in agg_list:
+            out[cname] = pd.Series(
+                emit[cname],
+                dtype="int64" if fn_name == "count" else "float64",
+            )
         yield out
 
     return sdf.groupBy(*key_cols).applyInPandasWithState(
@@ -430,15 +485,21 @@ def streaming_over_rows_bounded(
     n_rows: int,
     payload_cols: Sequence[str] = (),
     tiebreak_col: str | None = None,
+    aggs: "Sequence[tuple[str, str]] | None" = None,
 ) -> DataFrame:
     """Streaming OVER (PARTITION BY key ORDER BY ts ROWS BETWEEN n_rows-1
-    PRECEDING AND CURRENT ROW) sum + count.
+    PRECEDING AND CURRENT ROW) with a pluggable aggregate list (same
+    contract as streaming_over_range_bounded; defaults to the legacy
+    sum+count pair frame_sum/frame_cnt).
 
     ProcTimeRowsBoundedPrecedingFunction / RowTimeRowsBoundedPrecedingFunction
-    parity: per key a ring buffer of the last n_rows (ts, value) entries —
-    state bounded by the frame size. Integer-micros accumulation."""
+    parity: per key a ring buffer of the last n_rows value entries —
+    state bounded by the frame size, and the ring buffer doubles as the
+    retraction store for MIN/MAX (MinWithRetractAggFunction parity
+    without a separate retract map). Integer-micros accumulation."""
     out_cols = list(dict.fromkeys([*key_cols, ts_col, value_col, *payload_cols]))
-    out_schema = _schema_of(sdf, out_cols) + ", `frame_sum` double, `frame_cnt` bigint"
+    agg_list = list(aggs) if aggs else [("sum", "frame_sum"), ("count", "frame_cnt")]
+    out_schema = _schema_of(sdf, out_cols) + _over_agg_schema(agg_list)
     state_schema = "buf array<bigint>"
     _Q = Decimal("0.000001")
 
@@ -451,19 +512,22 @@ def streaming_over_rows_bounded(
             if frames
             else pd.DataFrame(columns=out_cols)
         )
-        sums: list[float] = []
-        cnts: list[int] = []
+        emit: dict[str, list] = {c: [] for _, c in agg_list}
         for v in batch[value_col]:
             buf.append(
                 int(Decimal(float(v)).quantize(_Q, rounding=ROUND_HALF_UP) * 1_000_000)
             )
             if len(buf) > n_rows:
                 buf.pop(0)
-            sums.append(sum(buf) / 1e6)
-            cnts.append(len(buf))
+            for fn_name, cname in agg_list:
+                emit[cname].append(_over_agg_value(fn_name, buf))
         out = batch.copy()
-        out["frame_sum"] = pd.Series(sums, index=out.index, dtype="float64")
-        out["frame_cnt"] = pd.Series(cnts, index=out.index, dtype="int64")
+        for fn_name, cname in agg_list:
+            out[cname] = pd.Series(
+                emit[cname],
+                index=out.index,
+                dtype="int64" if fn_name == "count" else "float64",
+            )
         state.update((buf,))
         yield out
 
@@ -478,37 +542,80 @@ def streaming_over_running_sum(
     ts_col: str,
     value_col: str,
     payload_cols: Sequence[str] = (),
+    tiebreak_col: str | None = None,
+    aggs: "Sequence[tuple[str, str]] | None" = None,
 ) -> DataFrame:
     """Streaming OVER (PARTITION BY key ORDER BY ts ROWS UNBOUNDED PRECEDING)
-    running sum + count: per-key accumulator state; rows within a batch are
-    processed in event-time order (the reference buffers out-of-order rows
-    until the watermark; AvailableNow replay delivers whole batches, so the
-    in-batch sort plays that role)."""
+    with a pluggable aggregate list (defaults to the legacy sum+count pair
+    running_sum/running_cnt): per-key accumulator state; rows within a
+    batch are processed in event-time order (the reference buffers
+    out-of-order rows until the watermark; AvailableNow replay delivers
+    whole batches, so the in-batch sort plays that role).
+
+    Over an UNBOUNDED PRECEDING frame the input is append-only, so MIN/MAX
+    are monotone O(1) accumulators (no retraction store needed — the
+    reference only swaps in Min/MaxWithRetractAggFunction for retracting
+    inputs), FIRST_VALUE latches once, LAST_VALUE is the current row."""
     out_cols = list(dict.fromkeys([*key_cols, ts_col, value_col, *payload_cols]))
-    out_schema = _schema_of(sdf, out_cols) + ", `running_sum` double, `running_cnt` bigint"
-    # accumulator kept as integer micros: exact, order-independent, and
-    # restart-safe (same decimal-accumulation contract as the batch layer)
-    state_schema = "acc_micros bigint, cnt bigint"
+    agg_list = (
+        list(aggs) if aggs else [("sum", "running_sum"), ("count", "running_cnt")]
+    )
+    out_schema = _schema_of(sdf, out_cols) + _over_agg_schema(agg_list)
+    # accumulators kept as integer micros: exact, order-independent
+    # (sum/count/min/max), and restart-safe (same decimal-accumulation
+    # contract as the batch layer); mn/mx/first are NULL until the first row
+    state_schema = (
+        "acc_micros bigint, cnt bigint, mn bigint, mx bigint, first bigint"
+    )
     _Q = Decimal("0.000001")
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        acc, cnt = (state.get if state.exists else (0, 0))
+        acc, cnt, mn, mx, first = (
+            state.get if state.exists else (0, 0, None, None, None)
+        )
         frames = []
         for pdf in pdfs:
             frames.append(pdf[out_cols])
-        batch = pd.concat(frames).sort_values(ts_col) if frames else pd.DataFrame(columns=out_cols)
-        sums, cnts = [], []
+        sort_cols = [ts_col, tiebreak_col] if tiebreak_col else [ts_col]
+        batch = (
+            pd.concat(frames).sort_values(sort_cols)
+            if frames
+            else pd.DataFrame(columns=out_cols)
+        )
+        emit: dict[str, list] = {c: [] for _, c in agg_list}
         for v in batch[value_col]:
-            acc += int(Decimal(float(v)).quantize(_Q, rounding=ROUND_HALF_UP) * 1_000_000)
+            m = int(Decimal(float(v)).quantize(_Q, rounding=ROUND_HALF_UP) * 1_000_000)
+            acc += m
             cnt += 1
-            sums.append(acc / 1e6)
-            cnts.append(cnt)
+            mn = m if mn is None or m < mn else mn
+            mx = m if mx is None or m > mx else mx
+            if first is None:
+                first = m
+            for fn_name, cname in agg_list:
+                if fn_name == "sum":
+                    emit[cname].append(acc / 1e6)
+                elif fn_name == "count":
+                    emit[cname].append(cnt)
+                elif fn_name == "avg":
+                    emit[cname].append((acc / 1e6) / cnt)
+                elif fn_name == "min":
+                    emit[cname].append(mn / 1e6)
+                elif fn_name == "max":
+                    emit[cname].append(mx / 1e6)
+                elif fn_name == "first_value":
+                    emit[cname].append(first / 1e6)
+                elif fn_name == "last_value":
+                    emit[cname].append(m / 1e6)
         batch = batch.copy()
-        batch["running_sum"] = pd.Series(sums, index=batch.index, dtype="float64")
-        batch["running_cnt"] = pd.Series(cnts, index=batch.index, dtype="int64")
-        state.update((acc, cnt))
+        for fn_name, cname in agg_list:
+            batch[cname] = pd.Series(
+                emit[cname],
+                index=batch.index,
+                dtype="int64" if fn_name == "count" else "float64",
+            )
+        state.update((acc, cnt, mn, mx, first))
         yield batch
 
     return sdf.groupBy(*key_cols).applyInPandasWithState(

@@ -551,3 +551,86 @@ def test_module_system_veneer(spark):
 
     env.load_module("custom", M())
     assert "my_special_fn" in env.list_module_functions()
+
+
+def test_drop_table_spark_catalog_passthrough(spark):
+    """DROP TABLE on a table known only to Spark's catalog (not the DDL
+    catalog) must actually drop the object — r11 took the catalog.pop +
+    dropTempView no-op path, so metastore/temp-view tables survived a
+    statement that reported success (ADVICE r11)."""
+    env = TableEnvironment.create(spark=spark)
+    spark.createDataFrame([(1,)], "x int").createOrReplaceTempView("dtp_v")
+    assert spark.catalog.tableExists("dtp_v")
+    env.execute_sql("DROP TABLE dtp_v")
+    assert not spark.catalog.tableExists("dtp_v")
+    # IF EXISTS on a genuinely-missing name stays a silent no-op
+    env.execute_sql("DROP TABLE IF EXISTS dtp_missing")
+    with pytest.raises(ValueError, match="does not exist"):
+        env.execute_sql("DROP TABLE dtp_missing")
+
+
+def test_drop_temporary_system_function_if_exists(spark):
+    """DROP TEMPORARY SYSTEM FUNCTION IF EXISTS f: Spark cannot parse the
+    SYSTEM keyword, so r11 silently skipped the drop on the IF EXISTS
+    branch; the SYSTEM token must be stripped before pass-through so the
+    function is really gone (SqlDropFunction / ADVICE r11)."""
+    env = TableEnvironment.create(spark=spark)
+    spark.udf.register("dtsf_fn", lambda x: x + 1, "int")
+    assert spark.sql("SELECT dtsf_fn(1) AS v").collect()[0]["v"] == 2
+    env.execute_sql("DROP TEMPORARY SYSTEM FUNCTION IF EXISTS dtsf_fn")
+    with pytest.raises(Exception):
+        spark.sql("SELECT dtsf_fn(1)").collect()
+    # and the IF EXISTS path on a missing name still no-ops cleanly
+    env.execute_sql("DROP TEMPORARY SYSTEM FUNCTION IF EXISTS dtsf_missing")
+
+
+def test_like_overwriting_constraints_rejected(spark):
+    """SqlTableLike invalidCombinations:194-195 also lists OVERWRITING
+    CONSTRAINTS; r11 silently treated it as INCLUDING (ADVICE r11)."""
+    base = tempfile.mkdtemp(prefix="fps_like_con_")
+    env = TableEnvironment.create(spark=spark)
+    try:
+        _fs_table(env, "lcon", base, "id INT, v STRING")
+        with pytest.raises(ValueError, match="OVERWRITING CONSTRAINTS"):
+            env.execute_sql(
+                f"CREATE TABLE lcon2 WITH ('path' = '{base}/lcon2') "
+                "LIKE lcon (OVERWRITING CONSTRAINTS)"
+            )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_insert_positional_arity_mismatch_raises(spark):
+    """INSERT with a column count different from the declared schema is a
+    validation error in the reference (SqlInsert column-count check);
+    r11 silently fell back to by-name writes (ADVICE r11)."""
+    base = tempfile.mkdtemp(prefix="fps_ins_arity_")
+    env = TableEnvironment.create(spark=spark)
+    try:
+        _fs_table(env, "ia", base, "id INT, v STRING, w DOUBLE")
+        with pytest.raises(ValueError, match="3 are\\s+expected|expected"):
+            env.execute_sql("INSERT INTO ia SELECT 1 AS id, 'a' AS v")
+        # the exact-arity insert still works positionally
+        env.execute_sql("INSERT INTO ia SELECT 1, 'a', 2.5")
+        row = env.execute_sql("SELECT * FROM ia").collect()[0]
+        assert (row["id"], row["v"], row["w"]) == (1, "a", 2.5)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_alter_view_set_rejects_table(spark):
+    """ALTER VIEW ... SET against a DDL table must be rejected — DDL
+    tables are temp-view-backed so tableExists() alone cannot tell a
+    view from a table (reference rejects ALTER VIEW on non-views)."""
+    base = tempfile.mkdtemp(prefix="fps_av_tbl_")
+    env = TableEnvironment.create(spark=spark)
+    try:
+        _fs_table(env, "avt", base, "id INT")
+        with pytest.raises(ValueError, match="is a table"):
+            env.execute_sql("ALTER VIEW avt SET ('k' = 'v')")
+        # a real view still accepts SET
+        env.execute_sql("CREATE VIEW avt_v AS SELECT 1 AS one")
+        env.execute_sql("ALTER VIEW avt_v SET ('k' = 'v')")
+        assert env._view_props["avt_v"]["k"] == "v"
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -1160,3 +1160,137 @@ def test_dedup_ttl_expired_on_write_does_not_crash(spark):
     # first arrival emits; the expired-on-write entry is invisible at the
     # next batch, so the re-arrival emits as new — and nothing crashed
     assert list(u1["value"]) == [10.0, 20.0]
+
+
+def test_streaming_over_full_aggregate_set(spark):
+    """r12: the streaming OVER operators take the reference's full
+    declarative aggregate list (RowTimeRangeBoundedPrecedingFunction's
+    pluggable AggsHandleFunctions; Min/MaxWithRetractAggFunction) —
+    sum/count/avg/min/max/first_value/last_value across all three frames,
+    multi-batch replay equal to Spark's own batch window functions."""
+    import datetime as dtm
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from flink_parent_spark.streaming.stateful import (
+        streaming_over_range_bounded,
+        streaming_over_rows_bounded,
+        streaming_over_running_sum,
+    )
+
+    T = dtm.datetime(2024, 1, 1)
+    rows = [
+        # (minute, user, event_id, value) — two keys, out-of-order arrival,
+        # a duplicate timestamp (peer pair: eids 4,5), values that make
+        # min/max move non-monotonically inside bounded frames
+        (0, 1, 0, 5.0), (10, 1, 1, 2.0), (20, 1, 2, 9.0),
+        (30, 1, 3, 1.0), (40, 1, 4, 7.0), (40, 1, 5, 3.0),
+        (50, 1, 6, 4.0),
+        (0, 2, 7, 6.0), (25, 2, 8, 0.5), (55, 2, 9, 8.0),
+    ]
+    def mk(idxs):
+        return [
+            (T + dtm.timedelta(minutes=rows[i][0]), *rows[i][1:]) for i in idxs
+        ]
+
+    # per-key event times are ordered across batches (user1: ≤20 | ≤40 | 50;
+    # user2: 0 | 25 | 55) so arrival stays within the 30-minute watermark
+    # delay for the RANGE frame and is in-order for the frames without one
+    batches = [
+        mk([0, 1, 2, 7]),
+        mk([3, 4, 5, 8]),
+        mk([6, 9]) + [(T + dtm.timedelta(minutes=600), 9, 99, 0.0)],  # advancer
+    ]
+    schema = "ts timestamp, user_id long, event_id long, value double"
+    d = _write_batches(spark, batches, schema)
+    aggs = [
+        ("sum", "a_sum"), ("count", "a_cnt"), ("avg", "a_avg"),
+        ("min", "a_min"), ("max", "a_max"),
+        ("first_value", "a_first"), ("last_value", "a_last"),
+    ]
+    batch_df = spark.createDataFrame(
+        [(T + dtm.timedelta(minutes=m), u, e, v) for m, u, e, v in rows], schema
+    )
+
+    def batch_expect(w):
+        return {
+            int(r["event_id"]): (
+                r["a_sum"], int(r["a_cnt"]), r["a_avg"], r["a_min"],
+                r["a_max"], r["a_first"], r["a_last"],
+            )
+            for r in batch_df.select(
+                "event_id",
+                F.sum("value").over(w).alias("a_sum"),
+                F.count("value").over(w).alias("a_cnt"),
+                F.avg("value").over(w).alias("a_avg"),
+                F.min("value").over(w).alias("a_min"),
+                F.max("value").over(w).alias("a_max"),
+                F.first("value").over(w).alias("a_first"),
+                F.last("value").over(w).alias("a_last"),
+            ).collect()
+        }
+
+    def got_map(out_df):
+        return {
+            int(r["event_id"]): (
+                r["a_sum"], int(r["a_cnt"]), r["a_avg"], r["a_min"],
+                r["a_max"], r["a_first"], r["a_last"],
+            )
+            for r in run_stream_to_df(out_df, "append").collect()
+            if r["user_id"] != 9
+        }
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+
+    # --- ROWS UNBOUNDED PRECEDING (running) ---
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = got_map(
+        streaming_over_running_sum(
+            stream(), ["user_id"], "ts", "value", ["event_id"],
+            tiebreak_col="event_id", aggs=aggs,
+        )
+    )
+    exp = {k: v for k, v in batch_expect(w).items() if k != 99}
+    assert got == exp
+
+    # --- ROWS n PRECEDING ---
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    got = got_map(
+        streaming_over_rows_bounded(
+            stream(), ["user_id"], "ts", "value", 3, ["event_id"],
+            tiebreak_col="event_id", aggs=aggs,
+        )
+    )
+    exp = {k: v for k, v in batch_expect(w).items() if k != 99}
+    assert got == exp
+
+    # --- RANGE INTERVAL PRECEDING (watermark-held) ---
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-1800, Window.currentRow)
+    )
+    got = got_map(
+        streaming_over_range_bounded(
+            stream().withWatermark("ts", "30 minutes"),
+            ["user_id"], "ts", "value", 1800, ["event_id"],
+            tiebreak_col="event_id", aggs=aggs,
+        )
+    )
+    exp = {k: v for k, v in batch_expect(w).items() if k != 99}
+    # the advancer (minute 600) seals everything except itself
+    assert got == exp
