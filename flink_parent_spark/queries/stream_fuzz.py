@@ -581,7 +581,11 @@ def _register_mr(i: int, rng: random.Random) -> None:
     MATCH + FIRST/LAST measures, AFTER MATCH SKIP TO NEXT ROW so every
     row starts a candidate match. Oracle from the same drawn literals:
     windowed first-successor pairs for the relaxed shape, double-LEAD
-    adjacency for the strict one."""
+    adjacency for the strict one. r12: even indices deploy the clause in
+    STREAMING mode (watermark-held StreamExecMatch path, measures
+    emitted at match finalization) so both deployments stay covered —
+    the full replay must equal the same batch oracle."""
+    streaming = i % 2 == 0
     three = rng.random() < 0.5
     if three:
         a, b, c = rng.sample(_EVENT_TYPES, 3)
@@ -651,12 +655,16 @@ def _register_mr(i: int, rng: random.Random) -> None:
         FROM pairs WHERE rn = 1
         """
 
-    def run(spark, sf_dir, clause=clause):
+    def run(spark, sf_dir, clause=clause, streaming=streaming):
         from flink_parent_spark.streaming.match_recognize_sql import (  # noqa: PLC0415
             match_recognize_sql,
         )
         from flink_parent_spark.tables import load_tables  # noqa: PLC0415
 
+        if streaming:
+            ev = stream_table(spark, sf_dir, "events", watermark=("ts", "0 seconds"))
+            out = match_recognize_sql(ev, clause, "event_id", streaming=True)
+            return run_stream_to_df(out, "update")
         t = load_tables(spark, sf_dir)
         return match_recognize_sql(t["events"], clause, "event_id")
 

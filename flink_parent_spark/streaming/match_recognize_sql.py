@@ -144,10 +144,12 @@ def match_recognize_sql(
 
     streaming=True runs the match in the watermark-held streaming CEP
     operator (StreamExecMatch.scala's deployment mode — `df` must be a
-    streaming DataFrame with a watermark on the ORDER BY column).
-    Restrictions in that mode: append-all output (no MEASURES / ONE ROW
-    PER MATCH), no `{- -}` output exclusion or PERMUTE, and DEFINE must
-    not use PREV (its LAG precompute needs a batch window; use
+    streaming DataFrame with a watermark on the ORDER BY column). The
+    full output clause set runs in that mode: ONE ROW PER MATCH +
+    MEASURES emit the single measures row when the match finalizes under
+    the watermark, `{- -}` output exclusion and PERMUTE alternation run
+    in the held operator. The one remaining restriction: DEFINE must not
+    use PREV (its LAG precompute needs a batch window; use
     FIRST/LAST/NEXT navigation, which compile to matcher-side
     predicates)."""
     m = _SECTION_RE.search(clause.strip())
