@@ -395,8 +395,8 @@ class KeyedStream:
     def window(self, ts_col: str, size: str, slide: str | None = None) -> "WindowedStream":
         return WindowedStream(self._df, self._keys, ts_col, size, slide, self._env)
 
-    def count_window(self, n: int) -> "CountWindowedStream":
-        return CountWindowedStream(self._df, self._keys, n, self._env)
+    def count_window(self, n: int, slide: int | None = None) -> "CountWindowedStream":
+        return CountWindowedStream(self._df, self._keys, n, self._env, slide)
 
 
 class WindowedStream:
@@ -425,15 +425,54 @@ class WindowedStream:
 
 
 class CountWindowedStream:
-    """Count windows (CountTumblingWindowAssigner): every `n` elements per
-    key form a window, numbered in arrival order."""
+    """Count windows: tumbling (CountTumblingWindowAssigner — every `n`
+    elements per key form a window, numbered in arrival order) or, with a
+    `slide`, sliding (KeyedStream.countWindow(size, slide) →
+    CountSlidingWindowAssigner: GlobalWindows + CountEvictor(size) +
+    CountTrigger(slide) — a fire every `slide` elements over the LAST
+    `size` elements, fewer while the key warms up)."""
 
-    def __init__(self, df, keys, n, env):
+    def __init__(self, df, keys, n, env, slide=None):
         self._df, self._keys, self._n, self._env = df, keys, n, env
+        self._slide = slide
 
     def aggregate(self, *agg_exprs: str) -> DataStream:
+        import re  # noqa: PLC0415
+
         from pyspark.sql import Window  # noqa: PLC0415
 
+        if self._slide:
+            # sliding: each agg expr evaluates over a trailing ROWS frame
+            # of `size`, emitted at every slide-th row per key — one
+            # Catalyst window pass, one shuffle on the keys
+            frame = (
+                f"OVER (PARTITION BY {', '.join(self._keys)} "
+                f"ORDER BY {ARRIVAL} "
+                f"ROWS BETWEEN {self._n - 1} PRECEDING AND CURRENT ROW)"
+            )
+            framed = []
+            for e in agg_exprs:
+                em = re.match(r"^(?P<e>.+?)\s+AS\s+(?P<a>\w+)\s*$", e, re.IGNORECASE)
+                expr, alias = (em.group("e"), em.group("a")) if em else (e, None)
+                framed.append(
+                    F.expr(f"{expr} {frame}").alias(alias)
+                    if alias
+                    else F.expr(f"{expr} {frame}")
+                )
+            w = Window.partitionBy(*self._keys).orderBy(ARRIVAL)
+            df = self._df.withColumn("__rn", F.row_number().over(w))
+            out = (
+                df.select(
+                    *self._keys,
+                    (F.col("__rn") / self._slide - 1).cast("long").alias("window_id"),
+                    F.col("__rn").alias("__rn"),
+                    *framed,
+                )
+                .where(F.col("__rn") % self._slide == 0)
+                .drop("__rn")
+                .withColumn(ARRIVAL, F.monotonically_increasing_id())
+            )
+            return DataStream(out, self._env)
         w = Window.partitionBy(*self._keys).orderBy(ARRIVAL)
         df = self._df.withColumn(
             "window_id", ((F.row_number().over(w) - 1) / self._n).cast("long")

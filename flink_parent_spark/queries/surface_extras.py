@@ -336,6 +336,80 @@ def stream_count_window(spark, sf_dir):
     return run_stream_to_df(res, "append")
 
 
+@df_query(
+    "stream_count_window_sliding",
+    oracle="""
+    WITH numbered AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER w AS rn,
+             CAST(SUM(CAST(value AS DECIMAL(30,6)))
+                  OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS s,
+             COUNT(*) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(rn / 2 - 1 AS INT) AS win_id, n, s AS sum_value
+    FROM numbered WHERE rn % 2 = 0
+    """,
+)
+def stream_count_window_sliding(spark, sf_dir):
+    """Count-SLIDING window (KeyedStream.countWindow(size, slide) →
+    CountSlidingWindowAssigner / GlobalWindows + CountEvictor(size) +
+    CountTrigger(slide)): the window FIRES every `slide`=2 elements per
+    key, aggregating over the last `size`=5 elements (fewer while the key
+    warms up — the evictor caps, it does not wait). Stateful per-key ring
+    buffer of the last `size` values + a fire counter; integer-micros
+    accumulation like every other streaming aggregate."""
+    from decimal import ROUND_HALF_UP, Decimal  # noqa: PLC0415
+
+    from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
+
+    ev = stream_table(spark, sf_dir, "events")
+    size, slide = 5, 2
+    q = Decimal("0.000001")
+
+    def fn(key, pdfs, state):
+        cnt, buf = (state.get if state.exists else (0, []))
+        buf = list(buf)
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                pdf[["user_id", "ts", "event_id", "value"]]
+                .sort_values(["ts", "event_id"])
+                .to_dict("records")
+            )
+        out = []
+        for r in rows:
+            buf.append(
+                int(Decimal(float(r["value"])).quantize(q, rounding=ROUND_HALF_UP)
+                    * 1_000_000)
+            )
+            if len(buf) > size:
+                buf.pop(0)
+            cnt += 1
+            if cnt % slide == 0:
+                out.append(
+                    {
+                        "user_id": key[0],
+                        "win_id": cnt // slide - 1,
+                        "n": len(buf),
+                        "sum_value": sum(buf) / 1e6,
+                    }
+                )
+        state.update((cnt, buf))
+        yield pd.DataFrame(out, columns=["user_id", "win_id", "n", "sum_value"])
+
+    res = ev.groupBy("user_id").applyInPandasWithState(
+        fn,
+        "user_id bigint, win_id int, n bigint, sum_value double",
+        "cnt bigint, buf array<bigint>",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    return run_stream_to_df(res, "append")
+
+
 # --- broadcast-state pattern: stream-static join ------------------------------
 
 

@@ -228,3 +228,23 @@ def test_map_pandas_mixed_cardinality_batches_keep_order(env):
     vals = list(out)
     assert len(vals) == 89 and 40.0 not in vals
     assert vals == sorted(vals)  # arrival order preserved end-to-end
+
+
+def test_count_window_sliding(env):
+    """countWindow(size, slide) — CountSlidingWindowAssigner semantics:
+    fire every `slide` elements over the last `size` (CountEvictor caps,
+    it does not wait for a full window during warm-up)."""
+    data = [("a", i) for i in [1, 2, 4, 8, 16, 32]] + [("b", 100), ("b", 200)]
+    ds = env.from_collection(data, "k string, v int")
+    out = (
+        ds.key_by("k").count_window(3, 2)
+        .aggregate("sum(v) AS s", "count(v) AS n")
+        .to_df().orderBy("k", "window_id").collect()
+    )
+    got = [(r["k"], r["window_id"], r["s"], r["n"]) for r in out]
+    # key a fires at elements 2,4,6: last-3 sums 1+2, 2+4+8, 8+16+32
+    # key b fires at element 2: 100+200 (warm-up, only 2 rows available)
+    assert got == [
+        ("a", 0, 3, 2), ("a", 1, 14, 3), ("a", 2, 56, 3),
+        ("b", 0, 300, 2),
+    ]
