@@ -737,6 +737,119 @@ def _register_semij(i: int, rng: random.Random) -> None:
     register(f"streamfuzz_semij_{i}", run, oracle)
 
 
+def _register_chain(i: int, rng: random.Random) -> None:
+    """THREE-STAGE retraction chain with drawn keys/types/N — the
+    reference's multi-level retraction plans (RetractionRulesTest.scala,
+    AggregateITCase's two-level cases, here one deeper):
+
+      retraction-EMITTING group agg (GroupAggFunction -U/+U trace)
+        -> retraction-CONSUMING join with a keep-last changelog
+        -> retractable Top-N re-ranking on every delta.
+
+    Drawn: the aggregated event type, the keep-last event type, the key
+    (raw user_id or a modulo bucket), and N. Stages chain through
+    parquet materialization (one applyInPandasWithState per streaming
+    query — the documented foreachBatch composition model); the full
+    replay must equal the batch oracle: per-key totals joined to the
+    latest value, global top-N by total."""
+    a_t, v_t = rng.sample(_EVENT_TYPES, 2)
+    kmod = rng.choice([None, 7, 13])
+    n = rng.choice([3, 5, 8])
+    key_expr = "user_id" if kmod is None else f"user_id % {kmod}"
+    oracle = f"""
+    WITH agg AS (
+      SELECT {key_expr} AS ukey,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total
+      FROM events WHERE event_type = '{a_t}' GROUP BY 1
+    ), lastv AS (
+      SELECT ukey, value AS last_value FROM (
+        SELECT {key_expr} AS ukey, value,
+               ROW_NUMBER() OVER (PARTITION BY {key_expr}
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_type = '{v_t}') t
+      WHERE rn = 1
+    ), joined AS (
+      SELECT a.ukey, a.total, v.last_value
+      FROM agg a JOIN lastv v ON a.ukey = v.ukey
+    )
+    SELECT ukey, total, last_value, rank FROM (
+      SELECT ukey, total, last_value,
+             CAST(ROW_NUMBER() OVER (ORDER BY total DESC, ukey) AS INT)
+               AS rank
+      FROM joined) t
+    WHERE rank <= {n}
+    """
+
+    def run(spark, sf_dir, a_t=a_t, v_t=v_t, kmod=kmod, n=n):
+        import os  # noqa: PLC0415
+        import tempfile  # noqa: PLC0415
+        import uuid  # noqa: PLC0415
+
+        from flink_parent_spark.streaming.changelog import (  # noqa: PLC0415
+            changelog_keep_last,
+            retract_join,
+            streaming_group_agg_changelog,
+        )
+        from flink_parent_spark.streaming.stateful import (  # noqa: PLC0415
+            streaming_retract_top_n,
+        )
+
+        base = os.path.join(
+            tempfile.gettempdir(), f"fps_chainfuzz_{uuid.uuid4().hex[:8]}"
+        )
+        ev = stream_table(spark, sf_dir, "events").withColumn(
+            "__ord",
+            (F.unix_micros("ts") - F.lit(_EPOCH_2024_MICROS)) * F.lit(1_000_000)
+            + F.col("event_id"),
+        )
+        key = (
+            F.col("user_id")
+            if kmod is None
+            else (F.col("user_id") % kmod)
+        ).alias("ukey")
+        ev = ev.withColumn("ukey", key)
+
+        agg_cl = streaming_group_agg_changelog(
+            ev.filter(F.col("event_type") == a_t),
+            ["ukey"], "value", "__ord", sum_alias="total",
+        ).withColumnRenamed("__seq", "__ord")
+        run_stream_to_df(agg_cl, "append").write.parquet(f"{base}/agg")
+
+        view_cl = changelog_keep_last(
+            ev.filter(F.col("event_type") == v_t).withColumnRenamed(
+                "value", "last_value"
+            ),
+            ["ukey"], "__ord", ["last_value"],
+        )
+        run_stream_to_df(view_cl, "append").write.parquet(f"{base}/view")
+
+        lcl = spark.readStream.schema(
+            "ukey long, n bigint, total double, __rowkind string, __ord bigint"
+        ).parquet(f"{base}/agg")
+        rcl = spark.readStream.schema(
+            "ukey long, __ord bigint, last_value double, __rowkind string"
+        ).parquet(f"{base}/view")
+        joined = retract_join(
+            lcl, rcl, ["ukey"], ["total"], ["last_value"], "__ord",
+            seq_col="__seq",
+        )
+        run_stream_to_df(joined, "update").write.parquet(f"{base}/joined")
+
+        jcl = spark.readStream.schema(
+            "ukey long, total double, last_value double, __rowkind string, "
+            "__seq bigint"
+        ).parquet(f"{base}/joined")
+        tn = streaming_retract_top_n(
+            jcl.withColumn("__g", F.lit(1)),
+            ["__g"], "total", n, ["ukey", "last_value"],
+            descending=True, tiebreak_col="ukey", sequence_col="__seq",
+        )
+        out = run_stream_to_df(tn, "update")
+        return out.select("ukey", "total", "last_value", "rank")
+
+    register(f"streamfuzz_chain_{i}", run, oracle)
+
+
 # Pinned seeds per shape (byte-stable configs across rounds, same
 # discipline as diff_grammar.FAMILIES).
 SHAPES: "dict[str, tuple[int, int, object]]" = {
@@ -754,6 +867,10 @@ SHAPES: "dict[str, tuple[int, int, object]]" = {
     "asof": (0x57F9, 3, _register_asof),
     "mr": (0x57FA, 3, _register_mr),
     "semij": (0x57FB, 2, _register_semij),
+    # round 12 — the deepest retraction pipeline (three chained
+    # changelog-consuming stages; previous deepest was the two-level
+    # `latest` regroup)
+    "chain": (0x57FC, 2, _register_chain),
 }
 
 for _shape, (_seed, _n, _reg) in SHAPES.items():
