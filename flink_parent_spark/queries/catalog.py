@@ -33,9 +33,11 @@ _GATE_CORE: tuple[str, ...] = (
     "tpch_q1",
     "tpch_q3",
     "tpch_q18",
-    # stream group windows
+    # stream group windows (r12: the session window rotates out for the
+    # new count-SLIDING window operator's gate debut; session stays
+    # oracle-checked in pytest/_ROTATED_OUT and via window_session_*)
     "stream_tumble_agg",
-    "stream_session_window",
+    "stream_count_window_sliding",
     # stateful streaming
     "stream_retract_topn",
     "stream_topn_updatable",
@@ -48,9 +50,10 @@ _GATE_CORE: tuple[str, ...] = (
     "stream_interval_join",
     "stream_asof_join",
     "stream_retract_join",
-    # cep
+    # cep (r12: the negative pattern rotates out for the new three-stage
+    # retraction-chain fuzz shape's gate slot)
     "cep_signup_then_purchase",
-    "cep_not_followed_by",
+    "streamfuzz_chain_0",
     # match_recognize (round-5 additions: WITHIN + SKIP TO var in the gate)
     "match_recognize_sql_clause",
     # Flink-SQL group-window dialect
@@ -59,11 +62,12 @@ _GATE_CORE: tuple[str, ...] = (
     "topn_orders_per_customer",
     # set operations
     "setop_union_distinct",
-    # over windows (r11: the hand-written rank gallery rotates out for a
-    # streaming-OVER fuzz draw — the new shape family earns a gate slot,
-    # over_rank_functions stays oracle-checked in pytest/_ROTATED_OUT)
+    # over windows (r12: the sum+count fuzz draw rotates out for the new
+    # MIXED-aggregate streaming OVER — min/max/avg/last/count in one
+    # frame, the round's lead generalization; the fuzz draws stay
+    # oracle-checked in pytest and in the chain/mr slots above)
     "over_running_agg",
-    "streamfuzz_over_0",
+    "stream_over_mixed_aggs",
     # batch joins
     "semi_join_customers_with_orders",
     "anti_join_customers_without_orders",
@@ -102,6 +106,11 @@ from flink_parent_spark.queries.differential_gate import GATE_NAMES  # noqa: E40
 # immediately follow the prefix so they re-enter whenever the rotation
 # frees slots. All remain pytest-oracle-checked every round.
 _ROTATED_OUT: tuple[str, ...] = (
+    # r12 displacements
+    "stream_session_window",
+    "cep_not_followed_by",
+    "streamfuzz_over_0",
+    # carried from earlier rotations
     "tpcds_q36",
     "over_rank_functions",
     "stream_hop_window",

@@ -11,6 +11,9 @@ promoted into the pinned battery as a regression text.
 
     python tools/fuzz_hunt.py                     # seed 1, 3 draws per shape
     FPS_HUNT_SEED=7 FPS_HUNT_PER=5 python ...     # bigger hunt
+    python tools/fuzz_hunt.py --sf /root/testdata/sf0.1   # scale-stress:
+        # same draws at a volume where spill, AQE plan switches, and
+        # accumulator-overflow surfaces live (r12 scale-stress leg)
 
 Exit code 1 on any mismatch.
 """
@@ -28,6 +31,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 HUNT_SEED = int(os.environ.get("FPS_HUNT_SEED", "1"))
 PER_SHAPE = int(os.environ.get("FPS_HUNT_PER", "3"))
 SF_DIR = os.environ.get("FPS_HUNT_SF_DIR", "/root/testdata/sf0.001")
+if "--sf" in sys.argv:
+    SF_DIR = sys.argv[sys.argv.index("--sf") + 1]
 
 
 def main() -> int:

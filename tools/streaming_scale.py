@@ -14,6 +14,16 @@ do real work), values jitter per replica (so Top-N state churns).
 
     python tools/streaming_scale.py          # one JSON line: rows/sec per op
     FPS_STREAMING_REP=10 python tools/...    # smaller corpus
+    FPS_STREAMING_ZIPF=0 python tools/...    # skip the skew legs
+
+r12: the sweep also runs the per-key state operators (dedup / updatable
+Top-N / ROWS-bounded OVER) on a Zipf(s=1.2)-keyed replica of the same
+corpus — the uniform sweep measures the average case, the Zipf legs the
+worst case the reference's MiniBatch/split-agg features exist for. The
+hot key holds ~13% of ALL events (P(rank<=r) = 1 - r^(-(s-1)) Pareto
+tail), so a keyed operator whose per-key work is super-linear, or whose
+state store serializes on one group, collapses here and nowhere else.
+The JSON carries uniform-vs-zipf rows/s and the collapse ratio per op.
 """
 
 from __future__ import annotations
@@ -29,11 +39,29 @@ from pyspark.sql import functions as F  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REP = int(os.environ.get("FPS_STREAMING_REP", "100"))
+ZIPF = os.environ.get("FPS_STREAMING_ZIPF", "1") != "0"
+ZIPF_S = 1.2   # Zipf exponent: p(rank) ~ rank^-1.2
+ZIPF_K = 10_000  # key-space cap (the truncated Pareto's max rank)
 BASE = "/tmp/fps_streaming_scale"
 
 
-def build_events(spark):
-    path = f"{BASE}/events_rep{REP}"
+def zipf_user_col():
+    """Deterministic Zipf(s)-distributed user id via the inverse-CDF
+    (truncated Pareto) transform of a per-row hash uniform: rank =
+    ceil((1-u)^(-1/(s-1))) capped at K gives P(rank<=r) = 1 - r^-(s-1),
+    i.e. density ~ rank^-s. No RNG — same corpus every run."""
+    u = (
+        F.pmod(F.xxhash64("event_id", "ts"), F.lit(1_000_000)).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(1_000_000.0)
+    return F.least(
+        F.ceil(F.pow(F.lit(1.0) - u, F.lit(-1.0 / (ZIPF_S - 1.0)))),
+        F.lit(ZIPF_K),
+    ).cast("long")
+
+
+def build_events(spark, dist="uniform"):
+    path = f"{BASE}/events_rep{REP}" + ("_zipf" if dist == "zipf" else "")
     if not os.path.exists(path):
         from flink_parent_spark.tables import load_tables  # noqa: PLC0415
 
@@ -57,7 +85,9 @@ def build_events(spark):
                         mins=F.pmod(F.col("__r") * 7, F.lit(240)) - 120
                     )
                 ).alias("ts"),
-                "user_id",
+                (
+                    zipf_user_col() if dist == "zipf" else F.col("user_id")
+                ).alias("user_id"),
                 "event_type",
                 (
                     F.col("value")
@@ -93,6 +123,7 @@ def main() -> None:
     spark = get_spark("streaming_scale")
     t0 = time.time()
     path = build_events(spark)
+    zpath = build_events(spark, "zipf") if ZIPF else None
     n_events = spark.read.parquet(path).count()
     gen_sec = round(time.time() - t0, 1)
 
@@ -117,10 +148,10 @@ def main() -> None:
             timeout_s=1800,
         )
 
-    def dedup_keys():
+    def dedup_keys(p=path):
         # keyed state bounded by (user, type) cardinality, the
         # idle-state-retention shape; watermark-driven TTL active
-        ev = open_stream(spark, path)
+        ev = open_stream(spark, p)
         return run_stream_to_df(
             streaming_dedup(
                 ev,
@@ -134,13 +165,13 @@ def main() -> None:
             timeout_s=1800,
         )
 
-    def topn_per_type():
+    def topn_per_type(p=path):
         # the upsert key is user_id: every new event REPLACES the user's
         # live row (UpdatableTopNFunction's upsert contract), so state is
         # bounded by the user population, not the event count — the shape
         # this operator exists for; keying the upserts by a per-event
         # unique id would grow live state with the stream
-        ev = open_stream(spark, path)
+        ev = open_stream(spark, p)
         return run_stream_to_df(
             streaming_updatable_top_n(
                 ev.select("event_type", "user_id", "value", "ts"),
@@ -185,7 +216,7 @@ def main() -> None:
             timeout_s=1800,
         )
 
-    def over_rows_bounded():
+    def over_rows_bounded(p=path):
         # streaming ROWS-bounded OVER at volume (r11, backing the new
         # `over` fuzz shape): per-key ring buffer of the last 5 (ts,
         # value) entries — state bounded by frame x key cardinality, not
@@ -195,7 +226,7 @@ def main() -> None:
             streaming_over_rows_bounded,
         )
 
-        ev = open_stream(spark, path)
+        ev = open_stream(spark, p)
         return run_stream_to_df(
             streaming_over_rows_bounded(
                 ev.select("user_id", "ts", "value", "event_id"),
@@ -214,6 +245,18 @@ def main() -> None:
         "cep_signup_purchase": cep_stream,
         "over_rows5_per_user": over_rows_bounded,
     }
+    zipf_of = {}
+    if ZIPF:
+        # skew legs: the three per-key state operators re-run on the
+        # Zipf-keyed corpus (hot user ~13% of all events)
+        entries["dedup_first_user_type_zipf"] = lambda: dedup_keys(zpath)
+        entries["updatable_topn_per_type_zipf"] = lambda: topn_per_type(zpath)
+        entries["over_rows5_per_user_zipf"] = lambda: over_rows_bounded(zpath)
+        zipf_of = {
+            "dedup_first_user_type_zipf": "dedup_first_user_type",
+            "updatable_topn_per_type_zipf": "updatable_topn_per_type",
+            "over_rows5_per_user_zipf": "over_rows5_per_user",
+        }
     timings: dict = {}
     rates: dict = {}
     rows: dict = {}
@@ -229,6 +272,20 @@ def main() -> None:
             flush=True,
         )
 
+    zipf_block = None
+    if ZIPF:
+        zipf_block = {
+            "s": ZIPF_S,
+            "k": ZIPF_K,
+            # uniform rows/s divided by zipf rows/s: >1 means skew costs
+            # throughput; the r12 bar is <5x (a collapse beyond that
+            # needs a documented mitigation, e.g. operators/skew.py)
+            "collapse_ratio": {
+                z: round(rates[u] / rates[z], 2)
+                for z, u in zipf_of.items()
+                if rates.get(z)
+            },
+        }
     print(
         json.dumps(
             {
@@ -239,6 +296,7 @@ def main() -> None:
                 "entries_sec": timings,
                 "rows_per_sec": rates,
                 "out_rows": rows,
+                "zipf": zipf_block,
             }
         )
     )
