@@ -220,7 +220,17 @@ def retract_join(
     order Flink's per-key network channels guarantee implicitly. A
     downstream stateful consumer re-reading this changelog from files
     (the foreachBatch composition hop) must sort by it, or +I/-D pairs
-    can scramble across the materialization."""
+    can scramble across the materialization.
+
+    Out-of-order retractions ACROSS micro-batches (r12): when THIS
+    operator's own inputs are file-replayed changelogs, a batch boundary
+    can deliver a retract message a whole batch before its accumulate
+    (per-batch ord-sorting cannot repair a cross-batch inversion). An
+    unmatched retraction is held in a pending multiset in state and
+    annihilates the matching accumulate on arrival — the row never joins
+    — rather than being dropped and leaving a stale live row. The
+    reference never sees this (per-key FIFO network channels); the
+    parquet-hop composition model does."""
     lcols = list(dict.fromkeys([*key_cols, *left_payload]))
     rcols = list(dict.fromkeys([*key_cols, *right_payload]))
     ldt = dict(left_cl.dtypes)
@@ -255,7 +265,9 @@ def retract_join(
     state_schema = (
         "lbuf array<struct<" + l_schema.replace("`", "") + ">>, "
         "rbuf array<struct<" + r_schema.replace("`", "") + ">>, "
-        "emit_seq bigint"
+        "emit_seq bigint, "
+        "lpend array<struct<" + l_schema.replace("`", "") + ">>, "
+        "rpend array<struct<" + r_schema.replace("`", "") + ">>"
     )
     in_cols = [*key_cols, *left_payload,
                *[f"__r_{c}" for c in right_payload], "__ord", "__tie",
@@ -265,6 +277,8 @@ def retract_join(
         lbuf = [tuple(t) for t in (state.get[0] if state.exists else [])]
         rbuf = [tuple(t) for t in (state.get[1] if state.exists else [])]
         emit_seq = state.get[2] if state.exists else 0
+        lpend = [tuple(t) for t in ((state.get[3] or []) if state.exists else [])]
+        rpend = [tuple(t) for t in ((state.get[4] or []) if state.exists else [])]
         recs: list[dict] = []
         for pdf in pdfs:
             recs.extend(pdf[in_cols].to_dict("records"))
@@ -301,24 +315,34 @@ def retract_join(
             if rec["__side"] == "L":
                 lv = tuple(rec[c] for c in left_payload)
                 if acc:
-                    lbuf.append(lv)
-                    for rv in rbuf:
-                        emit(lv, rv, INSERT)
+                    if lv in lpend:
+                        lpend.remove(lv)  # early retraction annihilates it
+                    else:
+                        lbuf.append(lv)
+                        for rv in rbuf:
+                            emit(lv, rv, INSERT)
                 elif lv in lbuf:
                     lbuf.remove(lv)
                     for rv in rbuf:
                         emit(lv, rv, DELETE)
+                else:
+                    lpend.append(lv)  # retraction ahead of its accumulate
             else:
                 rv = tuple(rec[f"__r_{c}"] for c in right_payload)
                 if acc:
-                    rbuf.append(rv)
-                    for lv in lbuf:
-                        emit(lv, rv, INSERT)
+                    if rv in rpend:
+                        rpend.remove(rv)
+                    else:
+                        rbuf.append(rv)
+                        for lv in lbuf:
+                            emit(lv, rv, INSERT)
                 elif rv in rbuf:
                     rbuf.remove(rv)
                     for lv in lbuf:
                         emit(lv, rv, DELETE)
-        state.update((lbuf, rbuf, emit_seq))
+                else:
+                    rpend.append(rv)
+        state.update((lbuf, rbuf, emit_seq, lpend, rpend))
         yield pd.DataFrame(
             emitted,
             columns=[*key_cols, *left_payload, *right_payload, rowkind_col,

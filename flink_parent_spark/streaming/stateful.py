@@ -262,13 +262,23 @@ def streaming_retract_top_n(
 
     sequence_col: causal order of changelog rows within a batch (a replayed
     changelog file loses the per-key channel ordering Flink's network stack
-    guarantees; +I sorts before -U before +U at equal sequence)."""
+    guarantees; +I sorts before -U before +U at equal sequence).
+
+    Out-of-order retractions ACROSS micro-batches (r12): a file-replayed
+    changelog can split one key's rows across batches in arbitrary file
+    order, so a -U/-D can arrive a whole batch BEFORE its matching +I/+U
+    — per-batch sequence sorting cannot repair that. An unmatched
+    retraction is therefore held in a pending multiset in state and
+    annihilates the matching accumulate when it arrives (the row never
+    becomes live), instead of being silently dropped and leaving the
+    stale row ranked forever. Flink never needs this (its per-key network
+    channels are FIFO end-to-end); the parquet-hop composition model this
+    engine uses for multi-stage changelog pipelines does."""
     data_cols = list(dict.fromkeys([*key_cols, order_col, *payload_cols]))
     dt = dict(changelog.dtypes)
     out_schema = ", ".join(f"`{c}` {dt[c]}" for c in data_cols) + ", `rank` int"
-    state_schema = (
-        "buf array<struct<" + ", ".join(f"{c}: {dt[c]}" for c in data_cols) + ">>"
-    )
+    row_struct = "array<struct<" + ", ".join(f"{c}: {dt[c]}" for c in data_cols) + ">>"
+    state_schema = f"buf {row_struct}, pend {row_struct}"
     sign_plus = ("+I", "+U")
     # at equal sequence a row's -U refers to the row inserted at that same
     # sequence (its +I/+U) — retraction must sort AFTER the insertion
@@ -276,6 +286,7 @@ def streaming_retract_top_n(
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         buf = [dict(zip(data_cols, r)) for r in (state.get[0] if state.exists else [])]
+        pend = [dict(zip(data_cols, r)) for r in ((state.get[1] or []) if state.exists else [])]
         for pdf in pdfs:
             in_cols = list(dict.fromkeys([*data_cols, rowkind_col, *( [sequence_col] if sequence_col else [] )]))
             recs = pdf[in_cols].to_dict("records")
@@ -286,19 +297,29 @@ def streaming_retract_top_n(
                     rec.pop(sequence_col, None)
                 kind = rec.pop(rowkind_col)
                 if kind in sign_plus:
-                    buf.append(rec)
-                else:  # -U / -D: remove one matching row
+                    for i, p in enumerate(pend):
+                        if all(p[c] == rec[c] for c in data_cols):
+                            del pend[i]  # early retraction annihilates it
+                            break
+                    else:
+                        buf.append(rec)
+                else:  # -U / -D: remove one matching row, else hold pending
                     for i, r in enumerate(buf):
                         if all(r[c] == rec[c] for c in data_cols):
                             del buf[i]
                             break
+                    else:
+                        pend.append(rec)
         # Two-pass stable sort (see streaming_top_n): tiebreak ascending,
         # then order_col in the requested direction — works for any
         # comparable sortKey (timestamps/strings), not just numerics
         if tiebreak_col is not None:
             buf.sort(key=lambda r: r[tiebreak_col])
         buf.sort(key=lambda r: r[order_col], reverse=descending)
-        state.update(([tuple(r[c] for c in data_cols) for r in buf],))
+        state.update((
+            [tuple(r[c] for c in data_cols) for r in buf],
+            [tuple(r[c] for c in data_cols) for r in pend],
+        ))
         top = buf[:n]
         out = pd.DataFrame(top, columns=data_cols)
         out["rank"] = range(1, len(out) + 1)
