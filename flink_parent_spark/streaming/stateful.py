@@ -191,13 +191,23 @@ def streaming_updatable_top_n(
     emit-on-change behavior that makes this strategy cheaper than
     retractable Top-N on update-heavy streams (asserted in
     tests/test_streaming_semantics.py). Ties on order_col break by
-    unique_col ascending."""
+    unique_col ascending.
+
+    With arrival_cols given, last-write-wins is decided by the ARRIVAL
+    KEY, not batch order (r12): the arrival values persist with each live
+    row and an upsert only applies if its arrival key is >= the stored
+    one — so a file-replayed upsert stream whose batches interleave out
+    of order (the parquet-hop composition model) still converges to the
+    true latest row per unique key."""
     data_cols = list(dict.fromkeys([*key_cols, unique_col, order_col, *payload_cols]))
     in_cols = list(dict.fromkeys([*data_cols, *arrival_cols]))
+    # arrival values persist with the live row so cross-batch ordering is
+    # decided by data, not delivery
+    live_cols = list(dict.fromkeys([*data_cols, *arrival_cols]))
     dt = dict(sdf.dtypes)
     out_schema = ", ".join(f"`{c}` {dt[c]}" for c in data_cols) + ", `rank` int"
     state_schema = (
-        "live array<struct<" + ", ".join(f"{c}: {dt[c]}" for c in data_cols) + ">>, "
+        "live array<struct<" + ", ".join(f"{c}: {dt[c]}" for c in live_cols) + ">>, "
         "emitted array<struct<"
         + ", ".join(f"{c}: {dt[c]}" for c in data_cols)
         + ", rank: int>>"
@@ -207,7 +217,7 @@ def streaming_updatable_top_n(
         prev_emitted: list[tuple] = []
         if state.exists:
             for r in state.get[0]:
-                rec = dict(zip(data_cols, r))
+                rec = dict(zip(live_cols, r))
                 live[rec[unique_col]] = rec
             prev_emitted = [tuple(r) for r in state.get[1]]
         for pdf in pdfs:
@@ -215,7 +225,13 @@ def streaming_updatable_top_n(
             if arrival_cols:
                 recs.sort(key=lambda r: tuple(r[c] for c in arrival_cols))
             for rec in recs:
-                live[rec[unique_col]] = {c: rec[c] for c in data_cols}
+                if arrival_cols:
+                    cur = live.get(rec[unique_col])
+                    if cur is not None and tuple(
+                        rec[c] for c in arrival_cols
+                    ) < tuple(cur[c] for c in arrival_cols):
+                        continue  # stale upsert delivered late — skip
+                live[rec[unique_col]] = {c: rec[c] for c in live_cols}
         # Two-pass stable sort: unique_col tiebreak ascending, then
         # order_col in the requested direction — `sign * value` only works
         # for numerics (timestamps/strings sort fine under comparison)
@@ -228,7 +244,7 @@ def streaming_updatable_top_n(
         changed = [t for t in top if t not in set(prev_emitted)]
         state.update(
             (
-                [tuple(r[c] for c in data_cols) for r in live.values()],
+                [tuple(r[c] for c in live_cols) for r in live.values()],
                 top,
             )
         )
