@@ -1294,3 +1294,80 @@ def test_streaming_over_full_aggregate_set(spark):
     exp = {k: v for k, v in batch_expect(w).items() if k != 99}
     # the advancer (minute 600) seals everything except itself
     assert got == exp
+
+
+def test_retract_topn_pending_retraction_across_batches(spark):
+    """r12 regression (found by the sf0.1 scale-stress hunt, seed 34): a
+    file-replayed changelog can deliver a -U a whole batch BEFORE its
+    matching +U; the unmatched retraction must be held pending and
+    annihilate the accumulate on arrival — not silently dropped, which
+    left the superseded row ranked forever (duplicate keys in the top-N
+    with stale values)."""
+    from flink_parent_spark.streaming.stateful import streaming_retract_top_n
+
+    schema = (
+        "g string, user_id long, total double, __rowkind string, __seq long"
+    )
+    # causal history for user 1: +I(10) seq0; -U(10)/+U(30) seq1/2.
+    # delivery scrambles ACROSS batches: the retraction of 10 and the
+    # insert of 30 arrive one batch before +I(10).
+    batches = [
+        [("g", 1, 10.0, "-U", 1), ("g", 1, 30.0, "+U", 2),
+         ("g", 2, 20.0, "+I", 0)],
+        [("g", 1, 10.0, "+I", 0)],
+    ]
+    d = _write_batches(spark, batches, schema)
+    cl = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    tn = streaming_retract_top_n(
+        cl, ["g"], "total", 3, ["user_id"],
+        descending=True, tiebreak_col="user_id", sequence_col="__seq",
+    )
+    got = run_stream_to_df(tn, "update").toPandas()
+    # final batch's emission: user 1 exactly once, at its LATEST value
+    last = got[got["user_id"] == 1]
+    assert list(last["total"].unique()) == [30.0]
+    final_ranks = {
+        int(r.user_id): (r.total, int(r.rank))
+        for r in got.itertuples()
+        if r.rank in (1, 2)
+    }
+    assert final_ranks == {1: (30.0, 1), 2: (20.0, 2)}
+
+
+def test_retract_join_pending_retraction_across_batches(spark):
+    """r12 regression, join half: an early-delivered right-side -U must
+    annihilate its later +U instead of being dropped (which kept TWO
+    live right rows and emitted the superseded join result forever)."""
+    from flink_parent_spark.streaming.changelog import retract_join
+
+    lschema = "k long, total double, __rowkind string, __ord long"
+    rschema = "k long, v double, __rowkind string, __ord long"
+    ldir = _write_batches(
+        spark, [[(1, 100.0, "+I", 0)]], lschema
+    )
+    # right history: +I(5) ord0; -U(5)/+U(7) ord1 — delivered scrambled:
+    # the -U(5) and +U(7) land a batch before +I(5)
+    rdir = _write_batches(
+        spark,
+        [[(1, 5.0, "-U", 1), (1, 7.0, "+U", 1)], [(1, 5.0, "+I", 0)]],
+        rschema,
+    )
+    lcl = spark.readStream.schema(lschema).option("maxFilesPerTrigger", 1).parquet(ldir)
+    rcl = spark.readStream.schema(rschema).option("maxFilesPerTrigger", 1).parquet(rdir)
+    joined = retract_join(
+        lcl, rcl, ["k"], ["total"], ["v"], "__ord", seq_col="__seq"
+    )
+    out = run_stream_to_df(joined, "update").toPandas()
+    # net changelog: exactly one live row, (100.0, 7.0) — the +I(5) must
+    # NOT survive as a second live right row
+    net: dict[tuple, int] = {}
+    for r in out.sort_values("__seq").to_dict("records"):
+        sgn = 1 if r["__rowkind"] in ("+I", "+U") else -1
+        key = (r["k"], r["total"], r["v"])
+        net[key] = net.get(key, 0) + sgn
+    live = {k for k, c in net.items() if c > 0}
+    assert live == {(1, 100.0, 7.0)}
