@@ -3,7 +3,22 @@
 A small grammar generates query TEXTS from fixed seeds; each text runs
 verbatim on BOTH engines over the same parquet and must match bit-exactly
 under the engine's decimal-accumulation contract (dsum: SUM over
-DECIMAL(30,6), cast DOUBLE — order-independent, so exact across engines).
+DECIMAL(30,6), routed decimal -> STRING -> DOUBLE — order-independent
+and conversion-exact, so identical across engines).
+
+r12 hardening: the sf0.1 scale-stress leg showed DuckDB's direct
+decimal->double cast goes 1 ulp off the correctly-rounded value once the
+scale-6 integer representation exceeds 2^53 (its int128->double
+conversion rounds twice; Spark's BigDecimal.doubleValue() is correctly
+rounded — the engine was right, the oracle conversion drifted). A 2 dp
+decimal rescale is no fix either: DuckDB truncates rescale ties where
+Spark rounds HALF_UP. Every sum emission therefore routes the exact
+decimal through STRING: decimal->string is exact on both engines, and
+string->double parsing is correctly rounded on both (strtod /
+Double.parseDouble), so bit-exactness holds at every SF and every
+magnitude. Seeds and draw sequences are unchanged — only the emission
+template moved, so family/index identities are stable even though text
+bytes changed this round.
 
 This is the fuzzing analog of the reference's planner ITCase batteries
 (flink-table-planner-blink/src/test/.../runtime/batch/sql/): hand-written
@@ -88,7 +103,8 @@ def gen_query(rng: random.Random) -> str:
         if a == "dsum":
             e = rng.choice(SUM_EXPRS)
             aggs.append(
-                f"CAST(SUM(CAST(({e}) AS DECIMAL(30,6))) AS DOUBLE) AS s{i}"
+                f"CAST(CAST(SUM(CAST(({e}) AS DECIMAL(30,6))) AS STRING) "
+                f"AS DOUBLE) AS s{i}"
             )
         elif a in ("min", "max"):
             c = rng.choice(NUM_COLS + KEY_COLS + ["l_shipdate"])
@@ -145,10 +161,10 @@ def gen_window_query(rng: random.Random) -> str:
         else:
             e = rng.choice(SUM_EXPRS)
             fns.append(
-                f"CAST(SUM(CAST(({e}) AS DECIMAL(30,6))) OVER ("
+                f"CAST(CAST(SUM(CAST(({e}) AS DECIMAL(30,6))) OVER ("
                 f"PARTITION BY {part} ORDER BY {TOTAL_ORDER} "
                 f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
-                f"AS DOUBLE) AS w{i}"
+                f"AS STRING) AS DOUBLE) AS w{i}"
             )
     pred = _pred(rng, joined=False)
     return (
@@ -165,7 +181,8 @@ def gen_subquery_query(rng: random.Random) -> str:
         neg = "NOT " if kind == "not_exists" else ""
         return (
             f"SELECT o_orderstatus, COUNT(*) AS cnt, "
-            f"CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS s0 "
+            f"CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS STRING) "
+            f"AS DOUBLE) AS s0 "
             f"FROM orders WHERE {opred} AND {neg}EXISTS ("
             f"SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
             f"AND {lpred}) GROUP BY o_orderstatus"
@@ -303,7 +320,8 @@ def gen_outer_join_query(rng: random.Random) -> str:
     if rng.random() < 0.7:
         e = rng.choice(SUM_EXPRS)
         aggs.append(
-            f"CAST(SUM(CAST(({e}) AS DECIMAL(30,6))) AS DOUBLE) AS s0"
+            f"CAST(CAST(SUM(CAST(({e}) AS DECIMAL(30,6))) AS STRING) "
+            f"AS DOUBLE) AS s0"
         )
     aggs.append(f"MIN({rng.choice(['o_totalprice', 'l_quantity'])}) AS m0")
     where = ""
@@ -333,7 +351,8 @@ def gen_cte_query(rng: random.Random) -> str:
     agg2 = rng.choice(
         [
             "MIN(k_cnt) AS m0, MAX(k_cnt) AS m1",
-            "CAST(SUM(CAST(k_sum AS DECIMAL(30,6))) AS DOUBLE) AS s0, COUNT(*) AS c0",
+            "CAST(CAST(SUM(CAST(k_sum AS DECIMAL(30,6))) AS STRING) "
+            "AS DOUBLE) AS s0, COUNT(*) AS c0",
             "COUNT(*) AS c0, MIN(k_sum) AS m0",
         ]
     )
@@ -341,7 +360,8 @@ def gen_cte_query(rng: random.Random) -> str:
     return (
         f"WITH per_key AS ("
         f"SELECT {key} AS k, COUNT(*) AS k_cnt, "
-        f"CAST(SUM(CAST(({e}) AS DECIMAL(30,6))) AS DOUBLE) AS k_sum "
+        f"CAST(CAST(SUM(CAST(({e}) AS DECIMAL(30,6))) AS STRING) "
+        f"AS DOUBLE) AS k_sum "
         f"FROM lineitem WHERE {pred} GROUP BY {key}{hav}) "
         f"SELECT a.k, a.k_cnt, {agg2.replace('k_cnt', 'b.k_cnt').replace('k_sum', 'b.k_sum')} "
         f"FROM per_key a JOIN per_key b ON a.k = b.k "
@@ -428,7 +448,8 @@ def gen_datetime_query(rng: random.Random) -> str:
     ]
     if rng.random() < 0.6:
         e = rng.choice(SUM_EXPRS)
-        aggs.append(f"CAST(SUM(CAST(({e}) AS DECIMAL(30,6))) AS DOUBLE) AS s0")
+        aggs.append(f"CAST(CAST(SUM(CAST(({e}) AS DECIMAL(30,6))) AS STRING) "
+            f"AS DOUBLE) AS s0")
     lo_y = rng.randint(1992, 1996)
     hi_y = lo_y + rng.randint(1, 2)
     preds = [
@@ -516,7 +537,8 @@ def gen_multijoin_query(rng: random.Random) -> str:
     e = rng.choice(
         ["l_extendedprice * (1 - l_discount)", "o_totalprice", "l_quantity"]
     )
-    aggs.append(f"CAST(SUM(CAST(({e}) AS DECIMAL(30,6))) AS DOUBLE) AS s0")
+    aggs.append(f"CAST(CAST(SUM(CAST(({e}) AS DECIMAL(30,6))) AS STRING) "
+            f"AS DOUBLE) AS s0")
     aggs.append(
         f"MIN({rng.choice(['o_totalprice', 'l_extendedprice', 'c_acctbal'])}) AS m0"
     )

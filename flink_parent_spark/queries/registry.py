@@ -65,13 +65,24 @@ def df_query(name: str, oracle: str | None = None):
 
 
 def dsum(expr: str, alias: str, p: int = 30, s: int = 6) -> str:
-    """Order-independent cross-engine SUM of a double expression."""
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL({p},{s}))) AS DOUBLE) AS {alias}"
+    """Order-independent cross-engine SUM of a double expression.
+
+    The exact decimal routes through STRING before the double cast (r12):
+    DuckDB's direct decimal->double cast drifts 1 ulp off the correctly-
+    rounded value once the scaled integer exceeds 2^53, while
+    decimal->string is exact and string->double parsing is correctly
+    rounded on both engines — so the emitted double is bit-identical to
+    Spark's BigDecimal.doubleValue() at any magnitude."""
+    return (
+        f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL({p},{s}))) AS STRING) "
+        f"AS DOUBLE) AS {alias}"
+    )
 
 
 def davg(expr: str, alias: str, p: int = 30, s: int = 6) -> str:
-    """Order-independent cross-engine AVG (decimal sum / double count)."""
+    """Order-independent cross-engine AVG (decimal sum / double count);
+    same string-routed conversion contract as dsum."""
     return (
-        f"CAST(SUM(CAST(({expr}) AS DECIMAL({p},{s}))) AS DOUBLE)"
+        f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL({p},{s}))) AS STRING) AS DOUBLE)"
         f" / CAST(COUNT({expr}) AS DOUBLE) AS {alias}"
     )

@@ -24,7 +24,11 @@ import pytest
 from flink_parent_spark.queries.diff_grammar import FAMILIES, family_texts
 from tools.check_parity import compare, duck_connect
 
-SF_DIR = "/root/testdata/sf0.001"
+import os
+
+# r12: overridable so the same pinned battery can run as a scale-stress
+# leg (FPS_DIFF_SF_DIR=/root/testdata/sf0.1 python -m pytest this-file)
+SF_DIR = os.environ.get("FPS_DIFF_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="module")
