@@ -438,12 +438,17 @@ def _register_over(i: int, rng: random.Random) -> None:
     ]
     # oracle columns per aggregate — same decimal(30,6) quantization the
     # engine applies on ingest, so floats compare bit-exactly
+    # sums route decimal->STRING->double (r12 conversion contract, see
+    # registry.dsum): exact + correctly rounded at any magnitude
     _ORACLE_AGG = {
-        "sum": "CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE)",
+        "sum": (
+            "CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS STRING)"
+            " AS DOUBLE)"
+        ),
         "count": "COUNT(*) OVER w",
         "avg": (
-            "CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE)"
-            " / COUNT(value) OVER w"
+            "CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS STRING)"
+            " AS DOUBLE) / COUNT(value) OVER w"
         ),
         "min": "CAST(MIN(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE)",
         "max": "CAST(MAX(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE)",
@@ -759,7 +764,8 @@ def _register_chain(i: int, rng: random.Random) -> None:
     oracle = f"""
     WITH agg AS (
       SELECT {key_expr} AS ukey,
-             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total
+             CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS STRING)
+                  AS DOUBLE) AS total
       FROM events WHERE event_type = '{a_t}' GROUP BY 1
     ), lastv AS (
       SELECT ukey, value AS last_value FROM (
