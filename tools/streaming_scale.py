@@ -237,6 +237,73 @@ def main() -> None:
             timeout_s=1800,
         )
 
+    def retract_chain():
+        # r12: the three-stage retraction pipeline at volume — group-agg
+        # changelog (2 deltas/row) -> retract join with a keep-last
+        # changelog -> retractable Top-5 per 64-way key bucket. The
+        # parquet hops between stages split into real multi-batch replays
+        # at this size, so the pending-retraction path (cross-batch
+        # -U-before-+U inversions, the r12 scale-stress fix) runs hot.
+        import shutil  # noqa: PLC0415
+        import uuid  # noqa: PLC0415
+
+        from flink_parent_spark.streaming.changelog import (  # noqa: PLC0415
+            changelog_keep_last,
+            retract_join,
+            streaming_group_agg_changelog,
+        )
+        from flink_parent_spark.streaming.stateful import (  # noqa: PLC0415
+            streaming_retract_top_n,
+        )
+
+        base = f"{BASE}/chain_{uuid.uuid4().hex[:8]}"
+        ev = open_stream(spark, path).withColumn(
+            "__ord",
+            (F.unix_micros("ts")) * F.lit(1_000) + F.pmod("event_id", F.lit(1000)),
+        )
+        agg_cl = streaming_group_agg_changelog(
+            ev.filter(F.col("event_type") == "purchase")
+            .withColumnRenamed("user_id", "ukey"),
+            ["ukey"], "value", "__ord", sum_alias="total",
+        ).withColumnRenamed("__seq", "__ord")
+        run_stream_to_df(agg_cl, "append", timeout_s=1800).write.parquet(
+            f"{base}/agg"
+        )
+        view_cl = changelog_keep_last(
+            ev.filter(F.col("event_type") == "view")
+            .withColumnRenamed("user_id", "ukey")
+            .withColumnRenamed("value", "last_value"),
+            ["ukey"], "__ord", ["last_value"],
+        )
+        run_stream_to_df(view_cl, "append", timeout_s=1800).write.parquet(
+            f"{base}/view"
+        )
+        lcl = spark.readStream.schema(
+            "ukey long, n bigint, total double, __rowkind string, __ord bigint"
+        ).parquet(f"{base}/agg")
+        rcl = spark.readStream.schema(
+            "ukey long, __ord bigint, last_value double, __rowkind string"
+        ).parquet(f"{base}/view")
+        joined = retract_join(
+            lcl, rcl, ["ukey"], ["total"], ["last_value"], "__ord",
+            seq_col="__seq",
+        )
+        run_stream_to_df(joined, "update", timeout_s=1800).write.parquet(
+            f"{base}/joined"
+        )
+        jcl = spark.readStream.schema(
+            "ukey long, total double, last_value double, __rowkind string, "
+            "__seq bigint"
+        ).parquet(f"{base}/joined")
+        tn = streaming_retract_top_n(
+            jcl.withColumn("__g", F.pmod("ukey", F.lit(64))),
+            ["__g"], "total", 5, ["ukey", "last_value"],
+            descending=True, tiebreak_col="ukey", sequence_col="__seq",
+        )
+        out = run_stream_to_df(tn, "update", timeout_s=1800)
+        shutil.rmtree(base, ignore_errors=True)
+        return out
+
     entries = {
         "tumble_agg_1h": tumble_agg,
         "hop_agg_1h_15m": hop_agg,
@@ -244,6 +311,7 @@ def main() -> None:
         "updatable_topn_per_type": topn_per_type,
         "cep_signup_purchase": cep_stream,
         "over_rows5_per_user": over_rows_bounded,
+        "retract_chain_3stage": retract_chain,
     }
     zipf_of = {}
     if ZIPF:
