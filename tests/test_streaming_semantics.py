@@ -1371,3 +1371,46 @@ def test_retract_join_pending_retraction_across_batches(spark):
         net[key] = net.get(key, 0) + sgn
     live = {k for k, c in net.items() if c > 0}
     assert live == {(1, 100.0, 7.0)}
+
+
+def test_restart_recovers_pending_retraction_state(spark):
+    """r12: the pending-retraction multiset must survive a STOP/RESTART
+    from checkpoint, not just micro-batch boundaries — a -U consumed
+    before the crash whose matching +U only arrives after the restart
+    must still annihilate it from recovered state (otherwise the stale
+    row resurfaces in the ranking after recovery)."""
+    import uuid as _uuid
+
+    from flink_parent_spark.streaming.stateful import streaming_retract_top_n
+
+    tag = _uuid.uuid4().hex[:8]
+    cl_schema = "grp string, x long, __rowkind string, seq long"
+    d = tempfile.mkdtemp(prefix=f"fps_ckpt_pend_{tag}_")
+    # before the crash: the retraction of x=9 arrives AHEAD of its +U
+    # (cross-batch file scramble), plus a live row x=5
+    _add_batch_file(
+        spark, d, 0,
+        [("g", 5, "+I", 0), ("g", 9, "-U", 3)], cl_schema,
+    )
+
+    def build(sdf):
+        return streaming_retract_top_n(
+            sdf, ["grp"], "x", 1, [], sequence_col="seq", tiebreak_col="x"
+        )
+
+    ckpt = os.path.join(tempfile.gettempdir(), f"fps_ckpt_pend_{tag}")
+    p1 = _drain(spark, d, cl_schema, build, ckpt)
+    assert list(p1["x"]) == [5]  # the pending -U(9) must not rank
+    # while down: the late +U(9) arrives — recovered pending state must
+    # annihilate it; then x=7 becomes the true leader's challenger
+    _add_batch_file(
+        spark, d, 1, [("g", 9, "+U", 2), ("g", 7, "+I", 4)], cl_schema
+    )
+    p2 = _drain(spark, d, cl_schema, build, ckpt)
+    # top-1 after restart: 7 (9 annihilated, 5 displaced)
+    assert list(p2["x"]) == [7]
+    ref = _drain(
+        spark, d, cl_schema, build,
+        os.path.join(tempfile.gettempdir(), f"fps_ckpt_pend_ref_{tag}"),
+    )
+    assert list(ref["x"]) == [5, 7]
