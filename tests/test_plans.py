@@ -585,3 +585,21 @@ def test_vocab_topk_is_take_ordered(spark):
     plan = plan_of(QS["text_vocab_topk"](spark, SF))
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan
+
+
+def test_count_sliding_window_single_exchange(spark):
+    """r12 count-SLIDING window veneer: the whole pipeline (row_number,
+    trailing-frame aggregates, fire-row filter) compiles to ONE hash
+    exchange on the keys and ONE Window pass — no second shuffle, no
+    per-row Python."""
+    from flink_parent_spark.api.datastream import StreamExecutionEnvironment
+
+    env = StreamExecutionEnvironment(spark)
+    ds = env.from_collection([("a", i) for i in range(6)], "k string, v int")
+    df = (
+        ds.key_by("k").count_window(3, 2)
+        .aggregate("sum(v) AS s", "count(v) AS n").to_df()
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 1
