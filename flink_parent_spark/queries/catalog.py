@@ -62,12 +62,13 @@ _GATE_CORE: tuple[str, ...] = (
     "topn_orders_per_customer",
     # set operations
     "setop_union_distinct",
-    # over windows (r12: the sum+count fuzz draw rotates out for the new
-    # MIXED-aggregate streaming OVER — min/max/avg/last/count in one
-    # frame, the round's lead generalization; the fuzz draws stay
-    # oracle-checked in pytest and in the chain/mr slots above)
+    # over windows (r12: the sum+count fuzz draw rotated out for the
+    # MIXED-aggregate streaming OVER; late-r12 the mixed-agg entry itself
+    # rotates for the COMPLETED declarative set — VAR/STDDEV + COUNT
+    # DISTINCT + LAG over the unbounded frame's persistent accumulators;
+    # mixed_aggs stays oracle-checked in pytest and _ROTATED_OUT)
     "over_running_agg",
-    "stream_over_mixed_aggs",
+    "stream_over_var_distinct",
     # batch joins
     "semi_join_customers_with_orders",
     "anti_join_customers_without_orders",
@@ -110,6 +111,7 @@ _ROTATED_OUT: tuple[str, ...] = (
     "stream_session_window",
     "cep_not_followed_by",
     "streamfuzz_over_0",
+    "stream_over_mixed_aggs",
     # carried from earlier rotations
     "tpcds_q36",
     "over_rank_functions",

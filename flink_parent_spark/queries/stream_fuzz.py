@@ -399,11 +399,14 @@ def _register_over(i: int, rng: random.Random) -> None:
     drawn): unbounded (ROWS UNBOUNDED PRECEDING running agg), event-time
     RANGE-bounded, or ROWS-bounded — the three stateful operators in
     streaming/stateful.py — each replayed to convergence against the
-    identical batch window frame. r12: the aggregate list draws two extra
-    functions beyond sum+count from the full declarative set
-    {avg,min,max,first_value,last_value} (the reference's pluggable
-    AggsHandleFunctions); first/last are excluded for RANGE frames where
-    SQL cannot express the peer tiebreak (nondeterministic under ties)."""
+    identical batch window frame. r12: the aggregate list draws three
+    extra functions beyond sum+count from the FULL declarative set
+    {avg,min,max,first_value,last_value,var_pop,var_samp,stddev_pop,
+    stddev_samp,distinct_count,lag} (the reference's pluggable
+    AggsHandleFunctions + the planner's variance rewrite +
+    DistinctAccumulator + LeadLagAggFunction); first/last/lag are
+    excluded for RANGE frames where SQL cannot express the peer tiebreak
+    (nondeterministic under ties)."""
     frame = rng.choice(["unbounded", "range", "rows"])
     key_sql, key_col, key_alias = _key(rng)
     key_expr = key_sql.split(" AS ")[0]
@@ -427,29 +430,45 @@ def _register_over(i: int, rng: random.Random) -> None:
             "PRECEDING AND CURRENT ROW"
         )
         frame_arg = n_rows
+    # r12+: the extras pool covers the reference's whole declarative set —
+    # VAR/STDDEV (pop+samp, planner sum/sum² rewrite), COUNT(DISTINCT)
+    # (DistinctAccumulator) and LAG (LeadLagAggFunction). first/last/lag
+    # stay out of RANGE frames, where the oracle window orders by ts alone
+    # and peers make them nondeterministic.
     extra_pool = (
-        ["avg", "min", "max"]
+        ["avg", "min", "max", "var_pop", "var_samp", "stddev_pop",
+         "stddev_samp", "distinct_count"]
         if frame == "range"
-        else ["avg", "min", "max", "first_value", "last_value"]
+        else ["avg", "min", "max", "first_value", "last_value", "var_pop",
+              "var_samp", "stddev_pop", "stddev_samp", "distinct_count",
+              "lag"]
     )
-    extras = rng.sample(extra_pool, 2)
+    extras = rng.sample(extra_pool, 3)
     aggs = [("sum", f"{tag}_sum"), ("count", f"{tag}_cnt")] + [
         (fn, f"{tag}_{fn.replace('_value', '')}") for fn in extras
     ]
     # oracle columns per aggregate — same decimal(30,6) quantization the
     # engine applies on ingest, so floats compare bit-exactly
     # sums route decimal->STRING->double (r12 conversion contract, see
-    # registry.dsum): exact + correctly rounded at any magnitude
+    # registry.dsum): exact + correctly rounded at any magnitude; the
+    # variance family mirrors the engine's fixed double op order over the
+    # decimal-exact sum/sum² pair, with the same GREATEST(…, 0) sqrt clamp
+    _SX = (
+        "CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS STRING)"
+        " AS DOUBLE)"
+    )
+    _SX2 = (
+        "CAST(CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * "
+        "CAST(value AS DECIMAL(18,6)) AS DECIMAL(38,12))) OVER w AS STRING)"
+        " AS DOUBLE)"
+    )
+    _N = "CAST(COUNT(value) OVER w AS DOUBLE)"
+    _VP = f"(({_SX2}) - ({_SX})*({_SX})/({_N})) / ({_N})"
+    _VS = f"(({_SX2}) - ({_SX})*({_SX})/({_N})) / (({_N}) - 1)"
     _ORACLE_AGG = {
-        "sum": (
-            "CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS STRING)"
-            " AS DOUBLE)"
-        ),
+        "sum": _SX,
         "count": "COUNT(*) OVER w",
-        "avg": (
-            "CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS STRING)"
-            " AS DOUBLE) / COUNT(value) OVER w"
-        ),
+        "avg": f"{_SX} / COUNT(value) OVER w",
         "min": "CAST(MIN(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE)",
         "max": "CAST(MAX(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE)",
         "first_value": (
@@ -458,6 +477,16 @@ def _register_over(i: int, rng: random.Random) -> None:
         "last_value": (
             "CAST(CAST(LAST_VALUE(value) OVER w AS DECIMAL(30,6)) AS DOUBLE)"
         ),
+        "var_pop": _VP,
+        "var_samp": f"CASE WHEN {_N} < 2 THEN NULL ELSE {_VS} END",
+        "stddev_pop": f"SQRT(GREATEST({_VP}, 0))",
+        "stddev_samp": (
+            f"CASE WHEN {_N} < 2 THEN NULL ELSE SQRT(GREATEST({_VS}, 0)) END"
+        ),
+        "distinct_count": (
+            "COUNT(DISTINCT CAST(value AS DECIMAL(30,6))) OVER w"
+        ),
+        "lag": "CAST(CAST(LAG(value) OVER w AS DECIMAL(30,6)) AS DOUBLE)",
     }
     agg_sql = ",\n           ".join(
         f"{_ORACLE_AGG[fn]} AS {cname}" for fn, cname in aggs

@@ -1076,6 +1076,63 @@ def stream_over_mixed_aggs(spark, sf_dir):
 
 
 @df_query(
+    "stream_over_var_distinct",
+    oracle="""
+    SELECT user_id, ts, value, event_id,
+           ((CAST(CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) *
+                CAST(value AS DECIMAL(18,6)) AS DECIMAL(38,12))) OVER w
+                AS STRING) AS DOUBLE))
+            - (CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS STRING)
+                AS DOUBLE))
+              * (CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS STRING)
+                AS DOUBLE))
+              / (CAST(COUNT(value) OVER w AS DOUBLE)))
+           / (CAST(COUNT(value) OVER w AS DOUBLE)) AS o_var_pop,
+           CASE WHEN CAST(COUNT(value) OVER w AS DOUBLE) < 2 THEN NULL
+                ELSE SQRT(GREATEST(
+                  ((CAST(CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) *
+                       CAST(value AS DECIMAL(18,6)) AS DECIMAL(38,12))) OVER w
+                       AS STRING) AS DOUBLE))
+                   - (CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w
+                       AS STRING) AS DOUBLE))
+                     * (CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w
+                       AS STRING) AS DOUBLE))
+                     / (CAST(COUNT(value) OVER w AS DOUBLE)))
+                  / ((CAST(COUNT(value) OVER w AS DOUBLE)) - 1), 0)) END
+             AS o_stddev_samp,
+           COUNT(DISTINCT CAST(value AS DECIMAL(30,6))) OVER w AS o_distinct,
+           CAST(CAST(LAG(value) OVER w AS DECIMAL(30,6)) AS DOUBLE) AS o_lag
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def stream_over_var_distinct(spark, sf_dir):
+    """r12+: streaming OVER over an UNBOUNDED PRECEDING frame with the
+    rest of the reference's declarative aggregate set — VAR_POP /
+    STDDEV_SAMP (the planner's decimal-exact sum/sum² variance rewrite,
+    AggregateReduceFunctionsRule), COUNT(DISTINCT) (DistinctAccumulator
+    MapState parity — here a persisted distinct-micros set) and LAG
+    (LeadLagAggFunction — previous partition row from O(1) state). The
+    unbounded frame exercises the persistent accumulators (the sum-of-
+    squares exceeds int64 and persists as a decimal string). Full replay
+    equals the batch window; NULL rows (first-row LAG, single-row sample
+    stddev) are true NULLs."""
+    from flink_parent_spark.streaming.stateful import streaming_over_running_sum
+
+    ev = stream_table(spark, sf_dir, "events")
+    out = streaming_over_running_sum(
+        ev, ["user_id"], "ts", "value", ["event_id"],
+        tiebreak_col="event_id",
+        aggs=[
+            ("var_pop", "o_var_pop"), ("stddev_samp", "o_stddev_samp"),
+            ("distinct_count", "o_distinct"), ("lag", "o_lag"),
+        ],
+    )
+    return run_stream_to_df(out, "append")
+
+
+@df_query(
     "stream_semi_join",
     oracle="""
     SELECT v.user_id, v.ts, v.event_id, '+I' AS op

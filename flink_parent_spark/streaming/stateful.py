@@ -20,6 +20,7 @@ GroupStateTimeout hooks are where TTL / idle-state retention plugs in
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator, Sequence
 from decimal import ROUND_HALF_UP, Decimal
 from typing import Any
@@ -353,14 +354,48 @@ def streaming_retract_top_n(
 #: FirstValue/LastValue); here the frame buffer IS the retraction store,
 #: so MIN/MAX recompute over the live frame (bounded by it) and the
 #: unbounded frame uses monotone accumulators (append-only input never
-#: retracts, so no retract variant is needed there).
-_OVER_AGGS = ("sum", "count", "avg", "min", "max", "first_value", "last_value")
+#: retracts, so no retract variant is needed there). Completed r12+:
+#: VAR/STDDEV (pop+samp) via the decimal-exact sum/sum² split the
+#: reference's planner rewrite produces (AggregateReduceFunctionsRule),
+#: COUNT(DISTINCT) via a distinct-value accumulator (DistinctAccumulator
+#: parity — frame-set for bounded frames, persisted set for unbounded),
+#: and LAG (LeadLagAggFunction) from the previous partition row.
+_OVER_AGGS = (
+    "sum", "count", "avg", "min", "max", "first_value", "last_value",
+    "var_pop", "var_samp", "stddev_pop", "stddev_samp",
+    "distinct_count", "lag",
+)
+
+#: aggregates that can emit NULL (SQL semantics: LAG past the partition
+#: start; sample variance of a single row) — emitted through a nullable
+#: pandas dtype so Arrow writes NULL, not NaN
+_OVER_NULLABLE = frozenset(("var_samp", "stddev_samp", "lag"))
+
+#: integer-typed emits
+_OVER_BIGINT = frozenset(("count", "distinct_count"))
+
+
+def _over_var(vals: "list[int]", ddof: int):
+    """Variance over quantized micros via the decimal-exact sum/sum² split
+    (the engine's cross-engine exactness contract, registry.py: both sums
+    are exact integers, converted once each to correctly-rounded doubles,
+    then combined with a FIXED double op order that the SQL oracle
+    mirrors literally — (sx2 - sx*sx/n) / (n - ddof))."""
+    n = len(vals)
+    if n <= ddof:
+        return None  # sample variance of a single row is NULL in SQL
+    sd = sum(vals) / 1e6  # int/float division: correctly rounded
+    s2d = sum(v * v for v in vals) / 1e12
+    nd = float(n)
+    num = s2d - sd * sd / nd
+    return num / (nd - 1.0) if ddof else num / nd
 
 
 def _over_agg_value(fn: str, vals: "list[int]"):
     """One aggregate over a frame snapshot of integer-micros values in
     frame order (oldest..newest). Exact decimal accumulation; only the
-    final emit converts to double."""
+    final emit converts to double. (`lag` is not frame-derived — the
+    operators track the previous partition row separately.)"""
     if fn == "sum":
         return sum(vals) / 1e6
     if fn == "count":
@@ -375,6 +410,20 @@ def _over_agg_value(fn: str, vals: "list[int]"):
         return vals[0] / 1e6
     if fn == "last_value":
         return vals[-1] / 1e6
+    if fn == "var_pop":
+        return _over_var(vals, 0)
+    if fn == "var_samp":
+        return _over_var(vals, 1)
+    if fn == "stddev_pop":
+        v = _over_var(vals, 0)
+        # GREATEST(.., 0) guard against fp cancellation — mirrored in the
+        # oracle SQL so both engines clamp identically
+        return math.sqrt(max(v, 0.0))
+    if fn == "stddev_samp":
+        v = _over_var(vals, 1)
+        return None if v is None else math.sqrt(max(v, 0.0))
+    if fn == "distinct_count":
+        return len(set(vals))
     raise ValueError(f"unsupported streaming OVER aggregate: {fn}")
 
 
@@ -383,9 +432,20 @@ def _over_agg_schema(agg_list: "list[tuple[str, str]]") -> str:
         if fn not in _OVER_AGGS:
             raise ValueError(f"unsupported streaming OVER aggregate: {fn}")
     return "".join(
-        f", `{c}` {'bigint' if fn == 'count' else 'double'}"
+        f", `{c}` {'bigint' if fn in _OVER_BIGINT else 'double'}"
         for fn, c in agg_list
     )
+
+
+def _over_emit_series(fn: str, values: list, index=None) -> "pd.Series":
+    """Emit column for one aggregate: bigint for counts, nullable Float64
+    for NULL-capable aggregates (Arrow writes true NULLs), float64
+    otherwise."""
+    if fn in _OVER_BIGINT:
+        return pd.Series(values, index=index, dtype="int64")
+    if fn in _OVER_NULLABLE:
+        return pd.Series(values, index=index, dtype="Float64")
+    return pd.Series(values, index=index, dtype="float64")
 
 
 def streaming_over_range_bounded(
@@ -433,7 +493,8 @@ def streaming_over_range_bounded(
     out_schema = _schema_of(sdf, out_cols) + _over_agg_schema(agg_list)
     state_schema = (
         "pend array<struct<" + _schema_of(sdf, out_cols).replace("`", "") + ">>, "
-        "buf array<struct<ts: timestamp, v: bigint>>, frontier bigint"
+        "buf array<struct<ts: timestamp, v: bigint>>, frontier bigint, "
+        "prev bigint"
     )
     _Q = Decimal("0.000001")
     import datetime as _dt
@@ -445,10 +506,10 @@ def streaming_over_range_bounded(
         return int(pd.Timestamp(ts).value // 1_000_000)
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        pend_rows, buf, frontier = (
-            (list(state.get[0]), list(state.get[1]), state.get[2])
+        pend_rows, buf, frontier, prev = (
+            (list(state.get[0]), list(state.get[1]), state.get[2], state.get[3])
             if state.exists
-            else ([], [], -(2**62))
+            else ([], [], -(2**62), None)
         )
         pend = [dict(zip(out_cols, r)) for r in pend_rows]
         for pdf in pdfs:
@@ -472,17 +533,28 @@ def streaming_over_range_bounded(
             # peer group: all rows at this timestamp enter the buffer first
             j = i
             t = sealed[i][ts_col]
+            lags: list[float | None] = []  # per-row: LAG crosses peers
             while j < len(sealed) and sealed[j][ts_col] == t:
                 v = sealed[j][value_col]
-                buf.append(
-                    (t, int(Decimal(float(v)).quantize(_Q, rounding=ROUND_HALF_UP) * 1_000_000))
+                m = int(
+                    Decimal(float(v)).quantize(_Q, rounding=ROUND_HALF_UP)
+                    * 1_000_000
                 )
+                buf.append((t, m))
+                lags.append(None if prev is None else prev / 1e6)
+                prev = m
                 j += 1
             lo = t - rng
             buf = [(bt, bv) for bt, bv in buf if bt >= lo]
             vals = [bv for _, bv in buf]
             for fn_name, cname in agg_list:
-                emit[cname].extend([_over_agg_value(fn_name, vals)] * (j - i))
+                if fn_name == "lag":
+                    # previous row in (ts, tiebreak) order — per-row, not
+                    # per-peer-group (deterministic only given tiebreak_col,
+                    # the RANGE-frame caveat documented above)
+                    emit[cname].extend(lags)
+                else:
+                    emit[cname].extend([_over_agg_value(fn_name, vals)] * (j - i))
             i = j
         if sealed:
             frontier = max(frontier, to_ms(sealed[-1][ts_col]))
@@ -491,6 +563,7 @@ def streaming_over_range_bounded(
                 [tuple(r[c] for c in out_cols) for r in pend],
                 buf,
                 frontier,
+                prev,
             )
         )
         if held and pend:
@@ -499,10 +572,7 @@ def streaming_over_range_bounded(
             )
         out = pd.DataFrame(sealed, columns=out_cols)
         for fn_name, cname in agg_list:
-            out[cname] = pd.Series(
-                emit[cname],
-                dtype="int64" if fn_name == "count" else "float64",
-            )
+            out[cname] = _over_emit_series(fn_name, emit[cname])
         yield out
 
     return sdf.groupBy(*key_cols).applyInPandasWithState(
@@ -537,11 +607,14 @@ def streaming_over_rows_bounded(
     out_cols = list(dict.fromkeys([*key_cols, ts_col, value_col, *payload_cols]))
     agg_list = list(aggs) if aggs else [("sum", "frame_sum"), ("count", "frame_cnt")]
     out_schema = _schema_of(sdf, out_cols) + _over_agg_schema(agg_list)
-    state_schema = "buf array<bigint>"
+    # prev: previous partition row's micros (LAG navigates the partition
+    # order, not the frame — LeadLagAggFunction parity); NULL before row 1
+    state_schema = "buf array<bigint>, prev bigint"
     _Q = Decimal("0.000001")
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         buf: list[int] = list(state.get[0]) if state.exists else []
+        prev: int | None = state.get[1] if state.exists else None
         frames = [pdf[out_cols] for pdf in pdfs]
         sort_cols = [ts_col, tiebreak_col] if tiebreak_col else [ts_col]
         batch = (
@@ -551,21 +624,20 @@ def streaming_over_rows_bounded(
         )
         emit: dict[str, list] = {c: [] for _, c in agg_list}
         for v in batch[value_col]:
-            buf.append(
-                int(Decimal(float(v)).quantize(_Q, rounding=ROUND_HALF_UP) * 1_000_000)
-            )
+            m = int(Decimal(float(v)).quantize(_Q, rounding=ROUND_HALF_UP) * 1_000_000)
+            buf.append(m)
             if len(buf) > n_rows:
                 buf.pop(0)
             for fn_name, cname in agg_list:
-                emit[cname].append(_over_agg_value(fn_name, buf))
+                if fn_name == "lag":
+                    emit[cname].append(None if prev is None else prev / 1e6)
+                else:
+                    emit[cname].append(_over_agg_value(fn_name, buf))
+            prev = m
         out = batch.copy()
         for fn_name, cname in agg_list:
-            out[cname] = pd.Series(
-                emit[cname],
-                index=out.index,
-                dtype="int64" if fn_name == "count" else "float64",
-            )
-        state.update((buf,))
+            out[cname] = _over_emit_series(fn_name, emit[cname], out.index)
+        state.update((buf, prev))
         yield out
 
     return sdf.groupBy(*key_cols).applyInPandasWithState(
@@ -600,18 +672,27 @@ def streaming_over_running_sum(
     out_schema = _schema_of(sdf, out_cols) + _over_agg_schema(agg_list)
     # accumulators kept as integer micros: exact, order-independent
     # (sum/count/min/max), and restart-safe (same decimal-accumulation
-    # contract as the batch layer); mn/mx/first are NULL until the first row
+    # contract as the batch layer); mn/mx/first are NULL until the first
+    # row. s2 (sum of squared micros, for VAR/STDDEV) exceeds int64 range
+    # long before the sum does, so it persists as a decimal string; dvals
+    # (the DISTINCT accumulator — the reference's DistinctAccumulator
+    # MapState, unbounded by design) is only populated when a
+    # distinct_count aggregate is requested; prev backs LAG.
     state_schema = (
-        "acc_micros bigint, cnt bigint, mn bigint, mx bigint, first bigint"
+        "acc_micros bigint, cnt bigint, mn bigint, mx bigint, first bigint, "
+        "s2 string, dvals array<bigint>, prev bigint"
     )
     _Q = Decimal("0.000001")
+    wants_distinct = any(fn == "distinct_count" for fn, _ in agg_list)
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        acc, cnt, mn, mx, first = (
-            state.get if state.exists else (0, 0, None, None, None)
+        acc, cnt, mn, mx, first, s2_str, dvals, prev = (
+            state.get if state.exists else (0, 0, None, None, None, "0", [], None)
         )
+        s2 = int(s2_str)
+        dset: set[int] = set(dvals) if wants_distinct else set()
         frames = []
         for pdf in pdfs:
             frames.append(pdf[out_cols])
@@ -624,12 +705,17 @@ def streaming_over_running_sum(
         emit: dict[str, list] = {c: [] for _, c in agg_list}
         for v in batch[value_col]:
             m = int(Decimal(float(v)).quantize(_Q, rounding=ROUND_HALF_UP) * 1_000_000)
+            lag_val = None if prev is None else prev / 1e6
             acc += m
             cnt += 1
+            s2 += m * m
             mn = m if mn is None or m < mn else mn
             mx = m if mx is None or m > mx else mx
             if first is None:
                 first = m
+            if wants_distinct:
+                dset.add(m)
+            prev = m
             for fn_name, cname in agg_list:
                 if fn_name == "sum":
                     emit[cname].append(acc / 1e6)
@@ -645,14 +731,32 @@ def streaming_over_running_sum(
                     emit[cname].append(first / 1e6)
                 elif fn_name == "last_value":
                     emit[cname].append(m / 1e6)
+                elif fn_name == "distinct_count":
+                    emit[cname].append(len(dset))
+                elif fn_name == "lag":
+                    emit[cname].append(lag_val)
+                else:  # var_pop/var_samp/stddev_pop/stddev_samp — same
+                    # fixed double op order as _over_var, from O(1) state
+                    sd = acc / 1e6
+                    s2d = s2 / 1e12
+                    nd = float(cnt)
+                    num = s2d - sd * sd / nd
+                    if fn_name == "var_pop":
+                        emit[cname].append(num / nd)
+                    elif fn_name == "stddev_pop":
+                        emit[cname].append(math.sqrt(max(num / nd, 0.0)))
+                    elif cnt < 2:
+                        emit[cname].append(None)
+                    elif fn_name == "var_samp":
+                        emit[cname].append(num / (nd - 1.0))
+                    else:  # stddev_samp
+                        emit[cname].append(math.sqrt(max(num / (nd - 1.0), 0.0)))
         batch = batch.copy()
         for fn_name, cname in agg_list:
-            batch[cname] = pd.Series(
-                emit[cname],
-                index=batch.index,
-                dtype="int64" if fn_name == "count" else "float64",
-            )
-        state.update((acc, cnt, mn, mx, first))
+            batch[cname] = _over_emit_series(fn_name, emit[cname], batch.index)
+        state.update(
+            (acc, cnt, mn, mx, first, str(s2), sorted(dset), prev)
+        )
         yield batch
 
     return sdf.groupBy(*key_cols).applyInPandasWithState(

@@ -1296,6 +1296,131 @@ def test_streaming_over_full_aggregate_set(spark):
     assert got == exp
 
 
+def test_streaming_over_var_distinct_lag_vs_duckdb(spark):
+    """r12+: the rest of the reference's declarative aggregate set in the
+    streaming OVER operators — VAR_POP/VAR_SAMP/STDDEV_POP/STDDEV_SAMP
+    (the planner's sum/sum² variance rewrite), COUNT(DISTINCT)
+    (DistinctAccumulator parity) and LAG (LeadLagAggFunction) — across
+    all three frames with multi-batch replay, value-exact vs a DuckDB
+    window oracle that mirrors the engine's decimal-exact sum/sum² split
+    and fixed double op order. NULL surfaces (sample variance of one row,
+    LAG before the partition start) must be true NULLs, not NaN."""
+    import datetime as dtm
+
+    import duckdb
+    import pandas as pd
+
+    from flink_parent_spark.streaming.stateful import (
+        streaming_over_range_bounded,
+        streaming_over_rows_bounded,
+        streaming_over_running_sum,
+    )
+
+    T = dtm.datetime(2024, 1, 1)
+    rows = [
+        # duplicate values inside a frame (distinct_count < count), a peer
+        # pair (eids 4,5), and a single-row frame start per key (NULL
+        # var_samp / lag)
+        (0, 1, 0, 5.0), (10, 1, 1, 2.0), (20, 1, 2, 5.0),
+        (30, 1, 3, 1.0), (40, 1, 4, 7.0), (40, 1, 5, 2.0),
+        (50, 1, 6, 4.0),
+        (0, 2, 7, 6.0), (25, 2, 8, 0.5), (55, 2, 9, 8.0),
+    ]
+
+    def mk(idxs):
+        return [
+            (T + dtm.timedelta(minutes=rows[i][0]), *rows[i][1:]) for i in idxs
+        ]
+
+    batches = [
+        mk([0, 1, 2, 7]),
+        mk([3, 4, 5, 8]),
+        mk([6, 9]) + [(T + dtm.timedelta(minutes=600), 9, 99, 0.0)],  # advancer
+    ]
+    schema = "ts timestamp, user_id long, event_id long, value double"
+    d = _write_batches(spark, batches, schema)
+    aggs = [
+        ("var_pop", "a_vp"), ("var_samp", "a_vs"),
+        ("stddev_pop", "a_sp"), ("stddev_samp", "a_ss"),
+        ("distinct_count", "a_dc"), ("lag", "a_lg"),
+    ]
+
+    con = duckdb.connect()
+    con.register(
+        "ev",
+        pd.DataFrame(
+            [(T + dtm.timedelta(minutes=m), u, e, v) for m, u, e, v in rows],
+            columns=["ts", "user_id", "event_id", "value"],
+        ),
+    )
+    _SX = "CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS STRING) AS DOUBLE)"
+    _SX2 = (
+        "CAST(CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * "
+        "CAST(value AS DECIMAL(18,6)) AS DECIMAL(38,12))) OVER w AS STRING)"
+        " AS DOUBLE)"
+    )
+    _N = "CAST(COUNT(value) OVER w AS DOUBLE)"
+    _VP = f"(({_SX2}) - ({_SX})*({_SX})/({_N})) / ({_N})"
+    _VS = f"(({_SX2}) - ({_SX})*({_SX})/({_N})) / (({_N}) - 1)"
+
+    def oracle(order):
+        q = f"""
+        SELECT event_id,
+               {_VP} AS a_vp,
+               CASE WHEN {_N} < 2 THEN NULL ELSE {_VS} END AS a_vs,
+               SQRT(GREATEST({_VP}, 0)) AS a_sp,
+               CASE WHEN {_N} < 2 THEN NULL
+                    ELSE SQRT(GREATEST({_VS}, 0)) END AS a_ss,
+               COUNT(DISTINCT CAST(value AS DECIMAL(30,6))) OVER w AS a_dc,
+               CAST(CAST(LAG(value) OVER wl AS DECIMAL(30,6)) AS DOUBLE) AS a_lg
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id {order}),
+               wl AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """
+        return {int(r[0]): tuple(r[1:]) for r in con.sql(q).fetchall()}
+
+    def got(out_df):
+        return {
+            int(r["event_id"]): (
+                r["a_vp"], r["a_vs"], r["a_sp"], r["a_ss"],
+                int(r["a_dc"]), r["a_lg"],
+            )
+            for r in run_stream_to_df(out_df, "append").collect()
+            if r["user_id"] != 9
+        }
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+
+    assert got(
+        streaming_over_running_sum(
+            stream(), ["user_id"], "ts", "value", ["event_id"],
+            tiebreak_col="event_id", aggs=aggs,
+        )
+    ) == oracle("ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING")
+
+    assert got(
+        streaming_over_rows_bounded(
+            stream(), ["user_id"], "ts", "value", 3, ["event_id"],
+            tiebreak_col="event_id", aggs=aggs,
+        )
+    ) == oracle("ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW")
+
+    assert got(
+        streaming_over_range_bounded(
+            stream().withWatermark("ts", "30 minutes"),
+            ["user_id"], "ts", "value", 1800, ["event_id"],
+            tiebreak_col="event_id", aggs=aggs,
+        )
+    ) == oracle(
+        "ORDER BY ts RANGE BETWEEN INTERVAL '30' MINUTE PRECEDING AND CURRENT ROW"
+    )
+
+
 def test_retract_topn_pending_retraction_across_batches(spark):
     """r12 regression (found by the sf0.1 scale-stress hunt, seed 34): a
     file-replayed changelog can deliver a -U a whole batch BEFORE its
