@@ -615,13 +615,17 @@ def _register_mr(i: int, rng: random.Random) -> None:
     MATCH + FIRST/LAST measures, AFTER MATCH SKIP TO NEXT ROW so every
     row starts a candidate match. Oracle from the same drawn literals:
     windowed first-successor pairs for the relaxed shape, double-LEAD
-    adjacency for the strict one. r12: even indices deploy the clause in
-    STREAMING mode (watermark-held StreamExecMatch path, measures
-    emitted at match finalization) so both deployments stay covered —
-    the full replay must equal the same batch oracle."""
+    adjacency for the strict one, LEAD-vs-LAG comparison for the PREV
+    shape. r12: even indices deploy the clause in STREAMING mode
+    (watermark-held StreamExecMatch path, measures emitted at match
+    finalization) so both deployments stay covered — the full replay
+    must equal the same batch oracle. r12+: a third drawn kind puts
+    PREV(col, n) in DEFINE — physical partition navigation that can
+    reach rows BEHIND the match (batch: Catalyst LAG precompute;
+    streaming: MatchCtx.prev with GC-context retention)."""
     streaming = i % 2 == 0
-    three = rng.random() < 0.5
-    if three:
+    kind = rng.choice(["three", "relaxed", "prev"])
+    if kind == "three":
         a, b, c = rng.sample(_EVENT_TYPES, 3)
         clause = f"""
           PARTITION BY user_id
@@ -651,6 +655,40 @@ def _register_mr(i: int, rng: random.Random) -> None:
                event_id AS a_id, id1 AS b_id, id2 AS c_id
         FROM seq
         WHERE event_type = '{a}' AND t1 = '{b}' AND t2 = '{c}'
+        """
+    elif kind == "prev":
+        # strict adjacency where B's DEFINE compares against PREV(value, n)
+        # — with n=2 the navigation target sits BEFORE the match's own A
+        # row (and, under SKIP TO NEXT ROW consumption, often behind the
+        # streaming operator's GC frontier)
+        a = rng.choice(_EVENT_TYPES)
+        off = rng.choice([1, 2])
+        clause = f"""
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES FIRST(A.event_id) AS a_id,
+                   LAST(B.event_id) AS b_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (A B)
+          DEFINE A AS A.event_type = '{a}',
+                 B AS B.value > PREV(B.value, {off})
+        """
+        cmp_v = "value" if off == 1 else "vm1"
+        oracle = f"""
+        WITH seq AS (
+          SELECT user_id, event_id, ts, event_type, value,
+                 LEAD(event_id) OVER w AS id1, LEAD(value) OVER w AS v1,
+                 LAG(value) OVER w AS vm1
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) - 1 AS match_id,
+               event_id AS a_id, id1 AS b_id
+        FROM seq
+        WHERE event_type = '{a}' AND v1 > {cmp_v}
         """
     else:
         a, b = rng.sample(_EVENT_TYPES, 2)
@@ -900,7 +938,10 @@ SHAPES: "dict[str, tuple[int, int, object]]" = {
     # (OverWindowITCase / TemporalJoinITCase / MatchRecognizeITCase)
     "over": (0x57F8, 3, _register_over),
     "asof": (0x57F9, 3, _register_asof),
-    "mr": (0x57FA, 3, _register_mr),
+    # mr count 4 (r12+): the drawn-kind pool gained the PREV-in-DEFINE
+    # variant; the fourth slot keeps every kind (prev/three/relaxed)
+    # pinned, with the prev kind landing a STREAMING deployment at i=0
+    "mr": (0x57FA, 4, _register_mr),
     "semij": (0x57FB, 2, _register_semij),
     # round 12 — the deepest retraction pipeline (three chained
     # changelog-consuming stages; previous deepest was the two-level

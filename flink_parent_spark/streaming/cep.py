@@ -701,6 +701,7 @@ def cep_pattern_stream(
     ts_col: str,
     id_col: str,
     skip: str = AfterMatchSkip.SKIP_PAST_LAST,
+    nav_prev_depth: int = 0,
 ) -> DataFrame:
     """Streaming CEP without a watermark (processing-time arrival order,
     Flink's no-event-time CepOperator mode): keyed state buffers events;
@@ -710,18 +711,25 @@ def cep_pattern_stream(
     growable) suffix rather than the whole history. Matches that could
     still grow with future rows are held in state like the watermark-held
     variant; out-of-order corrections are NOT possible in this mode (use
-    `cep_pattern_stream_watermarked`)."""
+    `cep_pattern_stream_watermarked`). `nav_prev_depth` keeps the last N
+    consumed rows as PREV() navigation context past the GC boundary (see
+    cep_pattern_stream_watermarked). NOTE: this mode sorts the whole
+    retained buffer each batch, so context rows are only a stable prefix
+    when arrival is per-key ordered — the watermark-held variant is the
+    hardened deployment for PREV."""
     dt = dict(sdf.dtypes)
     key_schema = ", ".join(f"`{c}` {dt[c]}" for c in key_cols)
     out_schema = f"{key_schema}, `{id_col}` {dt[id_col]}, " + MATCH_SCHEMA_SUFFIX
     cols = list(sdf.columns)
     buf_schema = (
-        "buf array<struct<" + ", ".join(f"{c}: {dt[c]}" for c in cols) + ">>, emitted bigint"
+        "buf array<struct<" + ", ".join(f"{c}: {dt[c]}" for c in cols) + ">>, "
+        "emitted bigint, ctx int"
     )
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         buf_rows: list[tuple] = list(state.get[0]) if state.exists else []
         emitted = state.get[1] if state.exists else 0
+        ctx = (state.get[2] or 0) if state.exists else 0
         rows = [dict(zip(cols, r)) for r in buf_rows]
         for pdf in pdfs:
             rows.extend(pdf[cols].to_dict("records"))
@@ -739,11 +747,16 @@ def cep_pattern_stream(
             clock, clock_ms = pd.Timestamp.min, None
         recs, n_emitted_now, retain_from = _scan_frontier(
             pattern, rows, len(rows), key_cols, ts_col, id_col, skip,
-            emitted, future_lb=clock, wm_ms=clock_ms,
+            emitted, future_lb=clock, wm_ms=clock_ms, start_at=ctx,
         )
-        remainder = rows[retain_from:]
+        keep_from = max(0, retain_from - nav_prev_depth)
+        remainder = rows[keep_from:]
         state.update(
-            ([tuple(r[c] for c in cols) for r in remainder], emitted + n_emitted_now)
+            (
+                [tuple(r[c] for c in cols) for r in remainder],
+                emitted + n_emitted_now,
+                retain_from - keep_from,
+            )
         )
         yield pd.DataFrame(
             recs, columns=[*key_cols, id_col, "match_id", "stage", "seq", "event_ts"]
@@ -823,6 +836,7 @@ def _scan_frontier(
     wm_ms: int | None,
     alternatives: "Sequence[Pattern] | None" = None,
     emit=None,
+    start_at: int = 0,
 ) -> tuple[list[dict], int, int]:
     """Shared frontier scan for both streaming CEP operators.
 
@@ -834,6 +848,12 @@ def _scan_frontier(
     caller, for every skip strategy (the frontier-GC the reference gets
     from NFA run pruning + state cleanup in CepOperator).
 
+    `start_at`: first row index eligible to START a match — rows before it
+    are pure navigation context (already consumed in a previous scan, kept
+    only so PREV() physical-offset navigation in DEFINE can reach behind
+    the GC boundary); they stay visible to MatchCtx but are never
+    rescanned.
+
     `alternatives`: further whole-pattern variants in preference order
     (PERMUTE expansion, find_matches_any parity). A later-preference match
     is NOT finalized while an earlier-preference pattern is still pending
@@ -844,7 +864,7 @@ def _scan_frontier(
     sealed = rows[:n_sealed]
     pats = [pattern, *(alternatives or [])]
     recs: list[dict] = []
-    start = 0
+    start = start_at
     retain_from = None
     n_emitted_now = 0
     while start < n_sealed:
@@ -914,6 +934,7 @@ def cep_pattern_stream_watermarked(
     emit=None,
     emit_schema_suffix: str | None = None,
     emit_columns: "Sequence[str] | None" = None,
+    nav_prev_depth: int = 0,
 ) -> DataFrame:
     """Watermark-held streaming CEP (the hardened variant of
     `cep_pattern_stream`).
@@ -940,6 +961,13 @@ def cep_pattern_stream_watermarked(
     `emit`/`emit_schema_suffix`/`emit_columns` (ONE ROW PER MATCH +
     MEASURES) complete the streaming clause set (StreamExecMatch.scala:68
     runs the full set on streams).
+
+    `nav_prev_depth`: when DEFINE predicates navigate with PREV()
+    (physical partition offset — MatchCtx.prev), the last N consumed rows
+    must stay in state as NAVIGATION CONTEXT after the frontier GC, or a
+    later match's PREV would see NULL where the reference sees the real
+    row behind the previous match. Context rows are never rescanned
+    (start_at) and bound state by N per key.
     """
     dt = dict(sdf.dtypes)
     key_schema = ", ".join(f"`{c}` {dt[c]}" for c in key_cols)
@@ -971,7 +999,8 @@ def cep_pattern_stream_watermarked(
 
     cols = list(sdf.columns)
     buf_schema = (
-        "buf array<struct<" + ", ".join(f"{c}: {dt[c]}" for c in cols) + ">>, emitted bigint"
+        "buf array<struct<" + ", ".join(f"{c}: {dt[c]}" for c in cols) + ">>, "
+        "emitted bigint, ctx int"
     )
 
     def to_ms(ts) -> int:
@@ -981,6 +1010,7 @@ def cep_pattern_stream_watermarked(
         wm_ms = state.getCurrentWatermarkMs()
         buf_rows: list[tuple] = list(state.get[0]) if state.exists else []
         emitted = state.get[1] if state.exists else 0
+        ctx = (state.get[2] or 0) if state.exists else 0
         rows = [dict(zip(cols, r)) for r in buf_rows]
         for pdf in pdfs:
             for r in pdf[cols].to_dict("records"):
@@ -988,6 +1018,8 @@ def cep_pattern_stream_watermarked(
                 if wm_ms > 0 and to_ms(r[ts_col]) <= wm_ms:
                     continue
                 rows.append(r)
+        # context rows are sealed (<= an earlier watermark) and new rows
+        # are strictly later, so sorting keeps them a stable prefix
         rows.sort(key=lambda r: (r[ts_col], r[id_col]))
         n_sealed = 0
         while n_sealed < len(rows) and to_ms(rows[n_sealed][ts_col]) <= wm_ms:
@@ -997,15 +1029,27 @@ def cep_pattern_stream_watermarked(
         recs, n_emitted_now, retain_from = _scan_frontier(
             pattern, rows, n_sealed, key_cols, ts_col, id_col, skip,
             emitted, future_lb=wm_ts, wm_ms=wm_ms,
-            alternatives=alternatives, emit=emit,
+            alternatives=alternatives, emit=emit, start_at=ctx,
         )
-        remainder = rows[min(retain_from, n_sealed) :]
+        cut = min(retain_from, n_sealed)
+        keep_from = max(0, cut - nav_prev_depth)
+        new_ctx = cut - keep_from
+        remainder = rows[keep_from:]
         if remainder:
             state.update(
-                ([tuple(r[c] for c in cols) for r in remainder], emitted + n_emitted_now)
+                (
+                    [tuple(r[c] for c in cols) for r in remainder],
+                    emitted + n_emitted_now,
+                    new_ctx,
+                )
             )
-            # re-fire when the watermark moves past currently-unsealed rows
-            state.setTimeoutTimestamp(max(wm_ms + 1, to_ms(remainder[0][ts_col])))
+            # re-fire when the watermark moves past currently-unsealed
+            # rows; pure navigation context needs no flush, so only live
+            # (non-context) rows arm the timer
+            if len(remainder) > new_ctx:
+                state.setTimeoutTimestamp(
+                    max(wm_ms + 1, to_ms(remainder[new_ctx][ts_col]))
+                )
         elif state.exists:
             state.remove()
         yield pd.DataFrame(recs, columns=out_columns)

@@ -21,14 +21,18 @@ Supported clause surface:
     )
 
 Stage-qualified references (A.col) normalize to bare columns — same-row
-semantics. PREV(X.col[, n]) in DEFINE is rewritten to a Catalyst
-`LAG(col, n) OVER (PARTITION BY keys ORDER BY order, id)` window expression
-— partition navigation stays JVM-side (whole-stage codegen), and because
-the LAG window hash-partitions on the same keys as the matcher's groupBy,
-Catalyst reuses one exchange. DEFINE conditions using match-state
-navigation (FIRST/LAST over a pattern variable, NEXT lookahead) cannot be
-precomputed per-row; those are compiled by `_compile_nav_predicate` into
-MatchCtx predicates evaluated inside the matcher."""
+semantics. PREV(X.col[, n]) in DEFINE is rewritten (batch mode) to a
+Catalyst `LAG(col, n) OVER (PARTITION BY keys ORDER BY order, id)` window
+expression — partition navigation stays JVM-side (whole-stage codegen),
+and because the LAG window hash-partitions on the same keys as the
+matcher's groupBy, Catalyst reuses one exchange. In streaming mode PREV
+compiles to matcher-side MatchCtx.prev navigation instead, with the
+watermark-held operator retaining max-offset rows of navigation context
+past its GC frontier so PREV can reach behind a completed match. DEFINE
+conditions using match-state navigation (FIRST/LAST over a pattern
+variable, NEXT lookahead) cannot be precomputed per-row; those are
+compiled by `_compile_nav_predicate` into MatchCtx predicates evaluated
+inside the matcher."""
 
 from __future__ import annotations
 
@@ -145,13 +149,13 @@ def match_recognize_sql(
     streaming=True runs the match in the watermark-held streaming CEP
     operator (StreamExecMatch.scala's deployment mode — `df` must be a
     streaming DataFrame with a watermark on the ORDER BY column). The
-    full output clause set runs in that mode: ONE ROW PER MATCH +
-    MEASURES emit the single measures row when the match finalizes under
-    the watermark, `{- -}` output exclusion and PERMUTE alternation run
-    in the held operator. The one remaining restriction: DEFINE must not
-    use PREV (its LAG precompute needs a batch window; use
-    FIRST/LAST/NEXT navigation, which compile to matcher-side
-    predicates)."""
+    full clause set runs in that mode: ONE ROW PER MATCH + MEASURES emit
+    the single measures row when the match finalizes under the watermark,
+    `{- -}` output exclusion and PERMUTE alternation run in the held
+    operator, and DEFINE may use PREV (compiled to matcher-side
+    MatchCtx.prev physical navigation, with the operator retaining
+    max-offset consumed rows as navigation context past its GC
+    frontier)."""
     m = _SECTION_RE.search(clause.strip())
     if not m:
         raise ValueError("unsupported MATCH_RECOGNIZE clause shape")
@@ -212,16 +216,28 @@ def match_recognize_sql(
     work = df
     pred_cols: dict[str, str] = {}
     nav_preds: dict[str, object] = {}
+    # PREV() is physical partition navigation (can reach rows BEHIND the
+    # match, Calcite/Flink semantics). Batch mode precomputes it as a
+    # Catalyst LAG window (JVM-side); streaming mode compiles it into a
+    # matcher-side MatchCtx.prev navigation instead and tells the
+    # watermark-held operator to retain max-offset rows of navigation
+    # context past its GC frontier (nav_prev_depth below).
+    nav_prev_depth = 0
+    if streaming:
+        for expr in defines.values():
+            for g in re.finditer(
+                r"\bPREV\s*\(\s*(?:\w+\.)?\w+\s*(?:,\s*(\d+))?\s*\)",
+                expr,
+                re.IGNORECASE,
+            ):
+                nav_prev_depth = max(nav_prev_depth, int(g.group(1) or 1))
     for name, expr in defines.items():
-        if streaming and re.search(r"\bPREV\s*\(", expr, re.IGNORECASE):
-            raise ValueError(
-                "streaming MATCH_RECOGNIZE cannot precompute PREV() (batch "
-                "LAG window); rewrite the condition with matcher-side "
-                "navigation or run in batch mode"
-            )
-        if re.search(r"\b(FIRST|LAST|NEXT)\s*\(", expr, re.IGNORECASE):
-            # match-state navigation: needs the matcher's MatchCtx — cannot
-            # precompute as a Catalyst column
+        needs_nav = bool(
+            re.search(r"\b(FIRST|LAST|NEXT)\s*\(", expr, re.IGNORECASE)
+        ) or (streaming and re.search(r"\bPREV\s*\(", expr, re.IGNORECASE))
+        if needs_nav:
+            # match-state / physical navigation: needs the matcher's
+            # MatchCtx — cannot precompute as a Catalyst column
             nav_preds[name] = _compile_nav_predicate(expr)
             continue
         bare = re.sub(r"\b\w+\.(\w+)", r"\1", rewrite_prev(expr))
@@ -323,6 +339,7 @@ def match_recognize_sql(
         return cep_pattern_stream_watermarked(
             work, pat, partition_by, order_by, id_col, skip,
             exclude=frozenset(excluded), alternatives=alternatives,
+            nav_prev_depth=nav_prev_depth,
         )
     if not (one_row and measures_src):
         return cep_pattern(
@@ -398,6 +415,7 @@ def match_recognize_sql(
             emit=emit,
             emit_schema_suffix=", ".join(out_fields[len(partition_by):]),
             emit_columns=["match_id", *[a for *_, a in measures]],
+            nav_prev_depth=nav_prev_depth,
         )
 
     def per_key(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -1421,6 +1421,84 @@ def test_streaming_over_var_distinct_lag_vs_duckdb(spark):
     )
 
 
+@pytest.mark.parametrize("offset", [1, 2])
+def test_streaming_match_recognize_prev_across_gc_boundary(spark, offset):
+    """r12+: PREV() in DEFINE now runs in streaming MATCH_RECOGNIZE (the
+    last documented batch-only restriction). PREV is PHYSICAL partition
+    navigation (Calcite/Flink: it can reach rows BEHIND the match), so
+    the watermark-held operator must retain max-offset consumed rows as
+    navigation context past its GC frontier — a single-row pattern
+    B AS B.value > PREV(B.value[, n]) consumes each matched row
+    immediately, forcing the next row's PREV to cross both the GC
+    boundary and a micro-batch boundary. Streaming replay must equal the
+    batch deployment, whose PREV goes the independent Catalyst-LAG
+    route."""
+    import datetime as dtm
+
+    from flink_parent_spark.streaming.match_recognize_sql import (
+        match_recognize_sql,
+    )
+
+    T = dtm.datetime(2024, 1, 1)
+    # values chosen so each comparison outcome differs between "PREV sees
+    # the real consumed row" and "PREV sees NULL" (NULL => false => a
+    # missed match): with offset=1, e1 (20>10), e2 (25>20, reaches the
+    # row consumed by e1's match one batch earlier), e4 (30>5) match;
+    # e0/e3 don't. With offset=2 the reach is two rows back.
+    rows = [
+        (1, 0, 10.0), (2, 1, 20.0),     # batch 0
+        (3, 2, 25.0), (4, 3, 5.0),      # batch 1
+        (5, 4, 30.0),                   # batch 2
+    ]
+
+    def ev(m, e, v, u=1):
+        return (T + dtm.timedelta(minutes=m), u, e, v)
+
+    batches = [
+        [ev(*rows[0]), ev(*rows[1])],
+        [ev(*rows[2]), ev(*rows[3])],
+        [ev(*rows[4])],
+        [ev(60, 98, 0.0, u=9)],   # watermark advancers (user 9)
+        [ev(120, 99, 0.0, u=9)],
+    ]
+    schema = "ts timestamp, user_id long, event_id long, value double"
+    d = _write_batches(spark, batches, schema)
+
+    clause = f"""
+      PARTITION BY user_id
+      ORDER BY ts
+      PATTERN (B)
+      DEFINE B AS B.value > PREV(B.value, {offset})
+    """
+
+    batch_df = spark.createDataFrame(
+        [ev(*r) for r in rows] + [ev(60, 98, 0.0, 9), ev(120, 99, 0.0, 9)],
+        schema,
+    )
+    expected = {
+        (r["user_id"], r["event_id"], r["match_id"])
+        for r in match_recognize_sql(batch_df, clause, "event_id").collect()
+        if r["user_id"] != 9
+    }
+    assert expected, "test data must produce at least one match"
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .withWatermark("ts", "0 seconds")
+    )
+    got = {
+        (r["user_id"], r["event_id"], r["match_id"])
+        for r in run_stream_to_df(
+            match_recognize_sql(sdf, clause, "event_id", streaming=True),
+            "update",
+        ).collect()
+        if r["user_id"] != 9
+    }
+    assert got == expected
+
+
 def test_retract_topn_pending_retraction_across_batches(spark):
     """r12 regression (found by the sf0.1 scale-stress hunt, seed 34): a
     file-replayed changelog can deliver a -U a whole batch BEFORE its
