@@ -18,6 +18,7 @@ from flink_parent_spark.operators.joins import lookup_join
 from flink_parent_spark.queries.registry import df_query, dsum
 from flink_parent_spark.sources.formats import read_table, write_table
 from flink_parent_spark.streaming.core import run_stream_to_df, stream_table
+from flink_parent_spark.streaming.stateful import _micros_double
 from flink_parent_spark.tables import load_tables
 
 # --- filesystem sink (partitioned) + csv/json sources ------------------------
@@ -394,7 +395,7 @@ def stream_count_window_sliding(spark, sf_dir):
                         "user_id": key[0],
                         "win_id": cnt // slide - 1,
                         "n": len(buf),
-                        "sum_value": sum(buf) / 1e6,
+                        "sum_value": _micros_double(sum(buf)),
                     }
                 )
         state.update((cnt, buf))
@@ -520,7 +521,7 @@ def cogroup_order_reconcile(spark, sf_dir):
                     "orderkey": key,
                     "n_orders": len(left),
                     "n_items": len(right),
-                    "item_total": micros / 1e6,
+                    "item_total": _micros_double(micros),
                 }
             ]
         )

@@ -30,6 +30,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from flink_parent_spark.streaming.stateful import _micros_double
+
 ROWKIND_COL = "__rowkind"
 INSERT, UPDATE_BEFORE, UPDATE_AFTER, DELETE = "+I", "-U", "+U", "-D"
 
@@ -412,7 +414,9 @@ def streaming_group_agg_changelog(
             # causal order stays monotone across micro-batches/restarts
             if cnt > 0:
                 recs.append(
-                    {**keyd, count_alias: cnt, sum_alias: acc / 1e6,
+                    # _micros_double: correctly rounded past 2^53 micros
+                    # (the sf0.1 hunt's double-rounding class)
+                    {**keyd, count_alias: cnt, sum_alias: _micros_double(acc),
                      ROWKIND_COL: UPDATE_BEFORE, "__seq": 2 * cnt}
                 )
             acc += int(
@@ -423,7 +427,7 @@ def streaming_group_agg_changelog(
             prev = cnt
             cnt += 1
             recs.append(
-                {**keyd, count_alias: cnt, sum_alias: acc / 1e6,
+                {**keyd, count_alias: cnt, sum_alias: _micros_double(acc),
                  ROWKIND_COL: UPDATE_AFTER if prev else INSERT,
                  "__seq": 2 * prev + 1}
             )

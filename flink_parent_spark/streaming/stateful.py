@@ -375,6 +375,25 @@ _OVER_NULLABLE = frozenset(("var_samp", "stddev_samp", "lag"))
 _OVER_BIGINT = frozenset(("count", "distinct_count"))
 
 
+def _micros_double(n: int, scale: int = 6) -> float:
+    """Correctly-rounded fixed-point-decimal -> double at ANY magnitude —
+    the engine side of the oracle's decimal->STRING->double route.
+
+    Within ±2^53 the int->float conversion is exact and the single
+    division by an exactly-representable power of ten rounds once —
+    identical to strtod. Beyond 2^53 `n / 1e6` would round TWICE (int ->
+    float, then the division): a 1-ulp drift vs the oracle. Found live by
+    the seed-41 sf0.1 hunt — a single squared micros value (v=500 ->
+    2.5e17) already exceeds 2^53, so every VAR/STDDEV sum-of-squares hit
+    the double-rounding path. The exact decimal string through float()
+    (correctly-rounded strtod) matches the oracle bit-for-bit."""
+    if -(2**53) <= n <= 2**53:
+        return n / (10.0 ** scale)
+    sign = "-" if n < 0 else ""
+    q, r = divmod(abs(n), 10 ** scale)
+    return float(f"{sign}{q}.{r:0{scale}d}")
+
+
 def _over_var(vals: "list[int]", ddof: int):
     """Variance over quantized micros via the decimal-exact sum/sum² split
     (the engine's cross-engine exactness contract, registry.py: both sums
@@ -384,8 +403,8 @@ def _over_var(vals: "list[int]", ddof: int):
     n = len(vals)
     if n <= ddof:
         return None  # sample variance of a single row is NULL in SQL
-    sd = sum(vals) / 1e6  # int/float division: correctly rounded
-    s2d = sum(v * v for v in vals) / 1e12
+    sd = _micros_double(sum(vals))
+    s2d = _micros_double(sum(v * v for v in vals), 12)
     nd = float(n)
     num = s2d - sd * sd / nd
     return num / (nd - 1.0) if ddof else num / nd
@@ -397,11 +416,11 @@ def _over_agg_value(fn: str, vals: "list[int]"):
     final emit converts to double. (`lag` is not frame-derived — the
     operators track the previous partition row separately.)"""
     if fn == "sum":
-        return sum(vals) / 1e6
+        return _micros_double(sum(vals))
     if fn == "count":
         return len(vals)
     if fn == "avg":
-        return (sum(vals) / 1e6) / len(vals)
+        return _micros_double(sum(vals)) / len(vals)
     if fn == "min":
         return min(vals) / 1e6
     if fn == "max":
@@ -718,11 +737,11 @@ def streaming_over_running_sum(
             prev = m
             for fn_name, cname in agg_list:
                 if fn_name == "sum":
-                    emit[cname].append(acc / 1e6)
+                    emit[cname].append(_micros_double(acc))
                 elif fn_name == "count":
                     emit[cname].append(cnt)
                 elif fn_name == "avg":
-                    emit[cname].append((acc / 1e6) / cnt)
+                    emit[cname].append(_micros_double(acc) / cnt)
                 elif fn_name == "min":
                     emit[cname].append(mn / 1e6)
                 elif fn_name == "max":
@@ -737,8 +756,8 @@ def streaming_over_running_sum(
                     emit[cname].append(lag_val)
                 else:  # var_pop/var_samp/stddev_pop/stddev_samp — same
                     # fixed double op order as _over_var, from O(1) state
-                    sd = acc / 1e6
-                    s2d = s2 / 1e12
+                    sd = _micros_double(acc)
+                    s2d = _micros_double(s2, 12)
                     nd = float(cnt)
                     num = s2d - sd * sd / nd
                     if fn_name == "var_pop":

@@ -1421,6 +1421,38 @@ def test_streaming_over_var_distinct_lag_vs_duckdb(spark):
     )
 
 
+def test_micros_double_correctly_rounded_past_2_53():
+    """Regression for the seed-41 sf0.1 hunt find: an integer-micros
+    accumulator past 2^53 emitted via `n / 1e6` rounds TWICE (int ->
+    float, then the division) and drifts 1 ulp from the oracle's
+    decimal->STRING->double route. _micros_double must be correctly
+    rounded at any magnitude — identical to strtod of the exact decimal
+    string — and exact (one rounding) below 2^53."""
+    from flink_parent_spark.streaming.stateful import _micros_double
+
+    # fast path: below 2^53 both routes agree
+    for n in (0, 1, -1, 123456789, -987654321012345, 2**53, -(2**53)):
+        assert _micros_double(n) == float(
+            f"{'-' if n < 0 else ''}{abs(n) // 10**6}.{abs(n) % 10**6:06d}"
+        )
+    # slow path: values where the double-rounding route demonstrably
+    # drifts — sum-of-squares magnitudes from the sf0.1 hunt
+    drifted = 0
+    for n in (
+        2**53 * 10**6 + 1,
+        123456789012345678901234567,
+        # vectors where `n / 1e12` demonstrably drifts 1 ulp from strtod
+        67384705125654713280270,
+        1008600457517274552420902,
+        488559559527700652426447,
+    ):
+        exact = float(f"{n // 10**12}.{n % 10**12:012d}")
+        assert _micros_double(n, 12) == exact
+        if n / 1e12 != exact:
+            drifted += 1
+    assert drifted >= 3, "test vectors must include real double-rounding cases"
+
+
 @pytest.mark.parametrize("offset", [1, 2])
 def test_streaming_match_recognize_prev_across_gc_boundary(spark, offset):
     """r12+: PREV() in DEFINE now runs in streaming MATCH_RECOGNIZE (the
