@@ -1421,6 +1421,138 @@ def test_streaming_over_var_distinct_lag_vs_duckdb(spark):
     )
 
 
+def test_restart_recovers_over_var_distinct_lag_state(spark):
+    """Restart-from-checkpoint for the r12+ OVER accumulators: the
+    string-persisted sum of squares, the distinct-value set, and the
+    LAG prev row must all round-trip state recovery — post-restart rows
+    compute variance over the full history, dedupe distinct values
+    against the recovered set, and LAG the pre-crash row. Interrupted
+    output must equal the uninterrupted run row-for-row."""
+    import datetime as dtm
+    import uuid as _uuid
+
+    import pandas as pd
+
+    from flink_parent_spark.streaming.stateful import (
+        streaming_over_running_sum,
+    )
+
+    t0 = dtm.datetime(2024, 5, 1)
+    tag = _uuid.uuid4().hex[:8]
+    schema = "ts timestamp, user_id long, event_id long, value double"
+    d = tempfile.mkdtemp(prefix=f"fps_ckpt_ov_{tag}_")
+    _add_batch_file(
+        spark, d, 0,
+        [(t0, 1, 0, 5.0), (t0 + dtm.timedelta(minutes=1), 1, 1, 2.0)],
+        schema,
+    )
+
+    def build(sdf):
+        return streaming_over_running_sum(
+            sdf, ["user_id"], "ts", "value", ["event_id"],
+            tiebreak_col="event_id",
+            aggs=[
+                ("var_pop", "vp"), ("stddev_samp", "ss"),
+                ("distinct_count", "dc"), ("lag", "lg"), ("sum", "sm"),
+            ],
+        )
+
+    ckpt = os.path.join(tempfile.gettempdir(), f"fps_ckpt_ov_{tag}")
+    part1 = _drain(spark, d, schema, build, ckpt, mode="append")
+    # while down: a DUPLICATE value (5.0 — distinct set must recall it)
+    # and a fresh one; the first post-restart LAG must be the pre-crash 2.0
+    _add_batch_file(
+        spark, d, 1,
+        [(t0 + dtm.timedelta(minutes=2), 1, 2, 5.0),
+         (t0 + dtm.timedelta(minutes=3), 1, 3, 7.0)],
+        schema,
+    )
+    part2 = _drain(spark, d, schema, build, ckpt, mode="append")
+    uninterrupted = _drain(
+        spark, d, schema, build,
+        os.path.join(tempfile.gettempdir(), f"fps_ckpt_ov_ref_{tag}"),
+        mode="append",
+    )
+    cols = ["event_id", "vp", "ss", "dc", "lg", "sm"]
+    got = (
+        pd.concat([part1, part2])[cols]
+        .sort_values("event_id").reset_index(drop=True)
+    )
+    exp = uninterrupted[cols].sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    by_id = {int(r.event_id): r for r in got.itertuples()}
+    assert by_id[2].lg == 2.0          # recovered prev row
+    assert by_id[2].dc == 2            # 5.0 recalled from the recovered set
+    assert by_id[3].dc == 3
+    assert by_id[3].sm == 19.0         # recovered sum accumulator
+    assert part2["event_id"].min() == 2  # batch-0 rows not re-emitted
+
+
+def test_restart_recovers_match_recognize_prev_context(spark):
+    """Restart-from-checkpoint for the streaming MATCH_RECOGNIZE PREV
+    navigation context: rows consumed by a pre-crash match are retained
+    in state as PREV context (the ctx column), so a post-restart row's
+    PREV(value) must see the real pre-crash row, not NULL — interrupted
+    equals uninterrupted."""
+    import datetime as dtm
+    import uuid as _uuid
+
+    import pandas as pd
+
+    from flink_parent_spark.streaming.match_recognize_sql import (
+        match_recognize_sql,
+    )
+
+    t0 = dtm.datetime(2024, 5, 1)
+    tag = _uuid.uuid4().hex[:8]
+    schema = "ts timestamp, user_id long, event_id long, value double"
+    d = tempfile.mkdtemp(prefix=f"fps_ckpt_mrp_{tag}_")
+
+    def m(minutes):
+        return t0 + dtm.timedelta(minutes=minutes)
+
+    _add_batch_file(
+        spark, d, 0, [(m(1), 1, 0, 10.0), (m(2), 1, 1, 20.0)], schema
+    )
+    _add_batch_file(spark, d, 1, [(m(30), 9, 98, 0.0)], schema)  # advancer
+
+    clause = """
+      PARTITION BY user_id
+      ORDER BY ts
+      PATTERN (B)
+      DEFINE B AS B.value > PREV(B.value)
+    """
+
+    def build(sdf):
+        return match_recognize_sql(
+            sdf.withWatermark("ts", "0 seconds"), clause, "event_id",
+            streaming=True,
+        )
+
+    ckpt = os.path.join(tempfile.gettempdir(), f"fps_ckpt_mrp_{tag}")
+    part1 = _drain(spark, d, schema, build, ckpt)  # match at e1, then crash
+    # while down: e2 rises vs e1 — a row the pre-crash match CONSUMED;
+    # only the recovered ctx row lets PREV see 20.0
+    _add_batch_file(spark, d, 2, [(m(31), 1, 2, 25.0)], schema)
+    _add_batch_file(spark, d, 3, [(m(60), 9, 99, 0.0)], schema)  # advancer
+    part2 = _drain(spark, d, schema, build, ckpt)
+    uninterrupted = _drain(
+        spark, d, schema, build,
+        os.path.join(tempfile.gettempdir(), f"fps_ckpt_mrp_ref_{tag}"),
+    )
+    key = ["user_id", "event_id", "match_id"]
+
+    def matched(df):
+        return sorted(
+            tuple(int(x) for x in r)
+            for r in df[df["user_id"] != 9][key].values.tolist()
+        )
+
+    got = matched(pd.concat([part1, part2]))
+    assert got == matched(uninterrupted) == [(1, 1, 0), (1, 2, 1)]
+    assert matched(part2) == [(1, 2, 1)]  # e1's match not re-emitted
+
+
 def test_micros_double_correctly_rounded_past_2_53():
     """Regression for the seed-41 sf0.1 hunt find: an integer-micros
     accumulator past 2^53 emitted via `n / 1e6` rounds TWICE (int ->
