@@ -396,9 +396,12 @@ def _register_ivjoin(i: int, rng: random.Random) -> None:
 def _register_over(i: int, rng: random.Random) -> None:
     """Streaming OVER aggregates with a drawn frame × key × aggregate set
     (OverWindowITCase.scala's enumerated frames and mixed agg lists, here
-    drawn): unbounded (ROWS UNBOUNDED PRECEDING running agg), event-time
-    RANGE-bounded, or ROWS-bounded — the three stateful operators in
-    streaming/stateful.py — each replayed to convergence against the
+    structural by index): unbounded (ROWS UNBOUNDED PRECEDING running
+    agg), event-time RANGE-bounded, ROWS-bounded, or RANGE-UNBOUNDED
+    (SQL's default ORDER BY frame, peers share one result) — the four
+    stateful operators in streaming/stateful.py, the reference's full
+    rows/range × bounded/unbounded matrix — each replayed to
+    convergence against the
     identical batch window frame. r12: the aggregate list draws three
     extra functions beyond sum+count from the FULL declarative set
     {avg,min,max,first_value,last_value,var_pop,var_samp,stddev_pop,
@@ -407,11 +410,20 @@ def _register_over(i: int, rng: random.Random) -> None:
     DistinctAccumulator + LeadLagAggFunction); first/last/lag are
     excluded for RANGE frames where SQL cannot express the peer tiebreak
     (nondeterministic under ties)."""
-    frame = rng.choice(["unbounded", "range", "rows"])
+    # frame is STRUCTURAL by index (mr's streaming-alternation discipline)
+    # so each of the four frame operators keeps a pinned config; all other
+    # params are drawn
+    frame = ("unbounded", "range", "rows", "range_unbounded")[i % 4]
     key_sql, key_col, key_alias = _key(rng)
     key_expr = key_sql.split(" AS ")[0]
     if frame == "unbounded":
         tag, order = "running", "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING"
+        frame_arg = None
+    elif frame == "range_unbounded":
+        # SQL's default ORDER BY frame: peers share one result
+        # (RowTimeRangeUnboundedPrecedingFunction — 4th matrix cell)
+        tag = "runbnd"
+        order = "ORDER BY ts RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
         frame_arg = None
     elif frame == "range":
         mins = rng.choice([15, 30, 60, 120])
@@ -438,7 +450,7 @@ def _register_over(i: int, rng: random.Random) -> None:
     extra_pool = (
         ["avg", "min", "max", "var_pop", "var_samp", "stddev_pop",
          "stddev_samp", "distinct_count"]
-        if frame == "range"
+        if frame in ("range", "range_unbounded")
         else ["avg", "min", "max", "first_value", "last_value", "var_pop",
               "var_samp", "stddev_pop", "stddev_samp", "distinct_count",
               "lag"]
@@ -502,17 +514,27 @@ def _register_over(i: int, rng: random.Random) -> None:
             key_col=key_col, key_alias=key_alias, aggs=aggs):
         from flink_parent_spark.streaming.stateful import (  # noqa: PLC0415
             streaming_over_range_bounded,
+            streaming_over_range_unbounded,
             streaming_over_rows_bounded,
             streaming_over_running_sum,
         )
 
-        wm = ("ts", "0 seconds") if frame == "range" else None
+        wm = (
+            ("ts", "0 seconds")
+            if frame in ("range", "range_unbounded")
+            else None
+        )
         ev = stream_table(spark, sf_dir, "events", watermark=wm)
         ev = ev.withColumn(key_alias, key_col()).select(
             key_alias, "ts", "value", "event_id"
         )
         if frame == "unbounded":
             out = streaming_over_running_sum(
+                ev, [key_alias], "ts", "value", ["event_id"],
+                tiebreak_col="event_id", aggs=aggs,
+            )
+        elif frame == "range_unbounded":
+            out = streaming_over_range_unbounded(
                 ev, [key_alias], "ts", "value", ["event_id"],
                 tiebreak_col="event_id", aggs=aggs,
             )
@@ -936,7 +958,10 @@ SHAPES: "dict[str, tuple[int, int, object]]" = {
     "ivjoin": (0x57F7, 2, _register_ivjoin),
     # round 11 — the reference's remaining stream-ITCase families
     # (OverWindowITCase / TemporalJoinITCase / MatchRecognizeITCase)
-    "over": (0x57F8, 3, _register_over),
+    # over count 4 (late r12): one pinned config per frame operator —
+    # rows-unbounded running, event-time RANGE-bounded, ROWS-bounded, and
+    # the new RANGE-UNBOUNDED (SQL default ORDER BY frame, peers share)
+    "over": (0x57F8, 4, _register_over),
     "asof": (0x57F9, 3, _register_asof),
     # mr count 4 (r12+): the drawn-kind pool gained the PREV-in-DEFINE
     # variant; the fourth slot keeps every kind (prev/three/relaxed)

@@ -1076,6 +1076,39 @@ def stream_over_mixed_aggs(spark, sf_dir):
 
 
 @df_query(
+    "stream_over_range_unbounded",
+    oracle="""
+    SELECT user_id, ts, value, event_id,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS STRING)
+             AS DOUBLE) AS cum_sum,
+           COUNT(*) OVER w AS cum_cnt,
+           CAST(MAX(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS cum_max
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def stream_over_range_unbounded(spark, sf_dir):
+    """Streaming OVER with SQL's DEFAULT ORDER BY frame — RANGE UNBOUNDED
+    PRECEDING, where rows sharing a timestamp aggregate together and
+    share one result (RowTimeRangeUnboundedPrecedingFunction parity, the
+    4th cell of the reference's rows/range × bounded/unbounded matrix).
+    O(1) accumulator state per key; peer groups fire when the watermark
+    seals their timestamp. Full replay equals the batch RANGE window."""
+    from flink_parent_spark.streaming.stateful import (
+        streaming_over_range_unbounded,
+    )
+
+    ev = stream_table(spark, sf_dir, "events", watermark=("ts", "0 seconds"))
+    out = streaming_over_range_unbounded(
+        ev, ["user_id"], "ts", "value", ["event_id"],
+        tiebreak_col="event_id",
+        aggs=[("sum", "cum_sum"), ("count", "cum_cnt"), ("max", "cum_max")],
+    )
+    return run_stream_to_df(out, "append")
+
+
+@df_query(
     "stream_over_var_distinct",
     oracle="""
     SELECT user_id, ts, value, event_id,

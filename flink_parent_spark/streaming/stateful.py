@@ -603,6 +603,167 @@ def streaming_over_range_bounded(
     )
 
 
+def streaming_over_range_unbounded(
+    sdf: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    payload_cols: Sequence[str] = (),
+    tiebreak_col: str | None = None,
+    aggs: "Sequence[tuple[str, str]] | None" = None,
+) -> DataFrame:
+    """Streaming OVER (PARTITION BY key ORDER BY ts RANGE UNBOUNDED
+    PRECEDING) — SQL's DEFAULT frame when ORDER BY is present, so every
+    `agg(x) OVER (PARTITION BY k ORDER BY ts)` a user writes lands here:
+    all rows sharing a timestamp (peers) aggregate TOGETHER and share one
+    result, unlike the ROWS-unbounded running frame where each row sees
+    only its prefix.
+
+    RowTimeRangeUnboundedPrecedingFunction.java parity (the 4th cell of
+    the reference's rows/range × bounded/unbounded over matrix; the other
+    three are streaming_over_running_sum / _rows_bounded /
+    _range_bounded): O(1) accumulator state per key — sum/count/sum² in
+    exact integer micros, monotone min/max, latched first — plus the
+    distinct-value set only when requested; no row buffer, because an
+    append-only unbounded frame never retracts. Peer groups fire once the
+    watermark seals the timestamp (same hold/ordering machinery as the
+    bounded range operator); `last_value` is the final peer in tiebreak
+    order and `lag` stays per-row (both deterministic only given
+    tiebreak_col — the RANGE-frame caveat)."""
+    out_cols = list(dict.fromkeys([*key_cols, ts_col, value_col, *payload_cols]))
+    agg_list = (
+        list(aggs) if aggs else [("sum", "range_sum"), ("count", "range_cnt")]
+    )
+    out_schema = _schema_of(sdf, out_cols) + _over_agg_schema(agg_list)
+    state_schema = (
+        "pend array<struct<" + _schema_of(sdf, out_cols).replace("`", "") + ">>, "
+        "frontier bigint, acc bigint, cnt bigint, s2 string, mn bigint, "
+        "mx bigint, first bigint, dvals array<bigint>, prev bigint"
+    )
+    _Q = Decimal("0.000001")
+    held = "EventTimeWatermark" in sdf._jdf.queryExecution().logical().toString()
+    wants_distinct = any(fn == "distinct_count" for fn, _ in agg_list)
+
+    def to_ms(ts) -> int:
+        return int(pd.Timestamp(ts).value // 1_000_000)
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            (pend_rows, frontier, acc, cnt, s2_str, mn, mx, first,
+             dvals, prev) = state.get
+            pend_rows = list(pend_rows)
+        else:
+            pend_rows, frontier = [], -(2**62)
+            acc, cnt, s2_str, mn, mx, first, dvals, prev = (
+                0, 0, "0", None, None, None, [], None
+            )
+        s2 = int(s2_str)
+        dset: set[int] = set(dvals) if wants_distinct else set()
+        pend = [dict(zip(out_cols, r)) for r in pend_rows]
+        for pdf in pdfs:
+            for rec in pdf[out_cols].to_dict("records"):
+                if to_ms(rec[ts_col]) <= frontier:  # late: already fired
+                    continue
+                pend.append(rec)
+        wm_ms = state.getCurrentWatermarkMs() if held else 0
+        if held:
+            sealed = [r for r in pend if to_ms(r[ts_col]) <= wm_ms]
+            pend = [r for r in pend if to_ms(r[ts_col]) > wm_ms]
+        else:
+            sealed, pend = pend, []
+        sealed.sort(
+            key=lambda r: (r[ts_col], r[tiebreak_col] if tiebreak_col else 0)
+        )
+        emit: dict[str, list] = {c: [] for _, c in agg_list}
+        i = 0
+        while i < len(sealed):
+            j = i
+            t = sealed[i][ts_col]
+            lags: list[float | None] = []
+            last_m = None
+            while j < len(sealed) and sealed[j][ts_col] == t:
+                v = sealed[j][value_col]
+                m = int(
+                    Decimal(float(v)).quantize(_Q, rounding=ROUND_HALF_UP)
+                    * 1_000_000
+                )
+                lags.append(None if prev is None else prev / 1e6)
+                prev = m
+                acc += m
+                cnt += 1
+                s2 += m * m
+                mn = m if mn is None or m < mn else mn
+                mx = m if mx is None or m > mx else mx
+                if first is None:
+                    first = m
+                if wants_distinct:
+                    dset.add(m)
+                last_m = m
+                j += 1
+            for fn_name, cname in agg_list:
+                if fn_name == "lag":
+                    emit[cname].extend(lags)
+                    continue
+                if fn_name == "sum":
+                    val = _micros_double(acc)
+                elif fn_name == "count":
+                    val = cnt
+                elif fn_name == "avg":
+                    val = _micros_double(acc) / cnt
+                elif fn_name == "min":
+                    val = mn / 1e6
+                elif fn_name == "max":
+                    val = mx / 1e6
+                elif fn_name == "first_value":
+                    val = first / 1e6
+                elif fn_name == "last_value":
+                    val = last_m / 1e6
+                elif fn_name == "distinct_count":
+                    val = len(dset)
+                else:  # variance family — the fixed oracle op order
+                    sd = _micros_double(acc)
+                    s2d = _micros_double(s2, 12)
+                    nd = float(cnt)
+                    num = s2d - sd * sd / nd
+                    if fn_name == "var_pop":
+                        val = num / nd
+                    elif fn_name == "stddev_pop":
+                        val = math.sqrt(max(num / nd, 0.0))
+                    elif cnt < 2:
+                        val = None
+                    elif fn_name == "var_samp":
+                        val = num / (nd - 1.0)
+                    else:  # stddev_samp
+                        val = math.sqrt(max(num / (nd - 1.0), 0.0))
+                emit[cname].extend([val] * (j - i))
+            i = j
+        if sealed:
+            frontier = max(frontier, to_ms(sealed[-1][ts_col]))
+        state.update(
+            (
+                [tuple(r[c] for c in out_cols) for r in pend],
+                frontier, acc, cnt, str(s2), mn, mx, first,
+                sorted(dset), prev,
+            )
+        )
+        if held and pend:
+            state.setTimeoutTimestamp(
+                max(wm_ms + 1, min(to_ms(r[ts_col]) for r in pend))
+            )
+        out = pd.DataFrame(sealed, columns=out_cols)
+        for fn_name, cname in agg_list:
+            out[cname] = _over_emit_series(fn_name, emit[cname])
+        yield out
+
+    return sdf.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.EventTimeTimeout if held else GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_over_rows_bounded(
     sdf: DataFrame,
     key_cols: Sequence[str],

@@ -1420,6 +1420,61 @@ def test_streaming_over_var_distinct_lag_vs_duckdb(spark):
         "ORDER BY ts RANGE BETWEEN INTERVAL '30' MINUTE PRECEDING AND CURRENT ROW"
     )
 
+    # --- RANGE UNBOUNDED PRECEDING (SQL's default ORDER BY frame; peers
+    # share one result — the 4th cell of the rows/range×bounded/unbounded
+    # matrix, RowTimeRangeUnboundedPrecedingFunction parity) ---
+    from flink_parent_spark.streaming.stateful import (
+        streaming_over_range_unbounded,
+    )
+
+    assert got(
+        streaming_over_range_unbounded(
+            stream().withWatermark("ts", "30 minutes"),
+            ["user_id"], "ts", "value", ["event_id"],
+            tiebreak_col="event_id", aggs=aggs,
+        )
+    ) == oracle(
+        "ORDER BY ts RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    )
+
+    # base aggregates over the same frame (sum/count/avg/min/max — peer
+    # groups must share the post-peer-ingest value)
+    base = [
+        ("sum", "b_sum"), ("count", "b_cnt"), ("avg", "b_avg"),
+        ("min", "b_min"), ("max", "b_max"),
+    ]
+    got_base = {
+        int(r["event_id"]): (
+            r["b_sum"], int(r["b_cnt"]), r["b_avg"], r["b_min"], r["b_max"]
+        )
+        for r in run_stream_to_df(
+            streaming_over_range_unbounded(
+                stream().withWatermark("ts", "30 minutes"),
+                ["user_id"], "ts", "value", ["event_id"],
+                tiebreak_col="event_id", aggs=base,
+            ),
+            "append",
+        ).collect()
+        if r["user_id"] != 9
+    }
+    exp_base = {
+        int(r[0]): tuple(r[1:])
+        for r in con.sql("""
+        SELECT event_id,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS STRING)
+                 AS DOUBLE) AS b_sum,
+               COUNT(*) OVER w AS b_cnt,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS STRING)
+                 AS DOUBLE) / COUNT(value) OVER w AS b_avg,
+               CAST(MIN(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS b_min,
+               CAST(MAX(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS b_max
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """).fetchall()
+    }
+    assert got_base == exp_base
+
 
 def test_restart_recovers_over_var_distinct_lag_state(spark):
     """Restart-from-checkpoint for the r12+ OVER accumulators: the

@@ -54,9 +54,12 @@ def main() -> int:
     sf.register = lambda name, fn, oracle=None: captured.append((name, fn, oracle))
     try:
         for shape, (base_seed, _n, reg) in sf.SHAPES.items():
-            # fresh seed stream, disjoint from the pinned battery's
+            # fresh seed stream, disjoint from the pinned battery's.
+            # at least the shape's own pinned count: shapes with
+            # STRUCTURAL index variants (over frames, mr kinds) need every
+            # index to cover every variant
             rng = random.Random((base_seed << 16) ^ 0x48C4 ^ HUNT_SEED)
-            for i in range(PER_SHAPE):
+            for i in range(max(PER_SHAPE, _n)):
                 captured.clear()
                 reg(i, rng)
                 for name, fn, oracle in captured:
