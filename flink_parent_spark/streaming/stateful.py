@@ -803,16 +803,26 @@ def streaming_over_rows_bounded(
             else pd.DataFrame(columns=out_cols)
         )
         emit: dict[str, list] = {c: [] for _, c in agg_list}
+        # hot loop: dispatch hoisted out of the row loop (bound append
+        # methods, locals for the C-level names, sum/count inlined) —
+        # this is the sweep's 10M-row emission path
+        plans = [(fn_name, emit[cname].append) for fn_name, cname in agg_list]
+        bapp = buf.append
+        dec, q, md = Decimal, _Q, _micros_double
         for v in batch[value_col]:
-            m = int(Decimal(float(v)).quantize(_Q, rounding=ROUND_HALF_UP) * 1_000_000)
-            buf.append(m)
+            m = int(dec(float(v)).quantize(q, rounding=ROUND_HALF_UP) * 1_000_000)
+            bapp(m)
             if len(buf) > n_rows:
-                buf.pop(0)
-            for fn_name, cname in agg_list:
-                if fn_name == "lag":
-                    emit[cname].append(None if prev is None else prev / 1e6)
+                del buf[0]
+            for fn_name, ap in plans:
+                if fn_name == "sum":
+                    ap(md(sum(buf)))
+                elif fn_name == "count":
+                    ap(len(buf))
+                elif fn_name == "lag":
+                    ap(None if prev is None else prev / 1e6)
                 else:
-                    emit[cname].append(_over_agg_value(fn_name, buf))
+                    ap(_over_agg_value(fn_name, buf))
             prev = m
         out = batch.copy()
         for fn_name, cname in agg_list:
@@ -883,12 +893,21 @@ def streaming_over_running_sum(
             else pd.DataFrame(columns=out_cols)
         )
         emit: dict[str, list] = {c: [] for _, c in agg_list}
+        # hot loop: dispatch hoisted (bound appends, locals), variance
+        # accumulation only when a variance aggregate is requested
+        plans = [(fn_name, emit[cname].append) for fn_name, cname in agg_list]
+        wants_var = any(
+            fn in ("var_pop", "var_samp", "stddev_pop", "stddev_samp")
+            for fn, _ in agg_list
+        )
+        dec, q, md = Decimal, _Q, _micros_double
         for v in batch[value_col]:
-            m = int(Decimal(float(v)).quantize(_Q, rounding=ROUND_HALF_UP) * 1_000_000)
+            m = int(dec(float(v)).quantize(q, rounding=ROUND_HALF_UP) * 1_000_000)
             lag_val = None if prev is None else prev / 1e6
             acc += m
             cnt += 1
-            s2 += m * m
+            if wants_var:
+                s2 += m * m
             mn = m if mn is None or m < mn else mn
             mx = m if mx is None or m > mx else mx
             if first is None:
@@ -896,41 +915,41 @@ def streaming_over_running_sum(
             if wants_distinct:
                 dset.add(m)
             prev = m
-            for fn_name, cname in agg_list:
+            for fn_name, ap in plans:
                 if fn_name == "sum":
-                    emit[cname].append(_micros_double(acc))
+                    ap(md(acc))
                 elif fn_name == "count":
-                    emit[cname].append(cnt)
+                    ap(cnt)
                 elif fn_name == "avg":
-                    emit[cname].append(_micros_double(acc) / cnt)
+                    ap(md(acc) / cnt)
                 elif fn_name == "min":
-                    emit[cname].append(mn / 1e6)
+                    ap(mn / 1e6)
                 elif fn_name == "max":
-                    emit[cname].append(mx / 1e6)
+                    ap(mx / 1e6)
                 elif fn_name == "first_value":
-                    emit[cname].append(first / 1e6)
+                    ap(first / 1e6)
                 elif fn_name == "last_value":
-                    emit[cname].append(m / 1e6)
+                    ap(m / 1e6)
                 elif fn_name == "distinct_count":
-                    emit[cname].append(len(dset))
+                    ap(len(dset))
                 elif fn_name == "lag":
-                    emit[cname].append(lag_val)
+                    ap(lag_val)
                 else:  # var_pop/var_samp/stddev_pop/stddev_samp — same
                     # fixed double op order as _over_var, from O(1) state
-                    sd = _micros_double(acc)
-                    s2d = _micros_double(s2, 12)
+                    sd = md(acc)
+                    s2d = md(s2, 12)
                     nd = float(cnt)
                     num = s2d - sd * sd / nd
                     if fn_name == "var_pop":
-                        emit[cname].append(num / nd)
+                        ap(num / nd)
                     elif fn_name == "stddev_pop":
-                        emit[cname].append(math.sqrt(max(num / nd, 0.0)))
+                        ap(math.sqrt(max(num / nd, 0.0)))
                     elif cnt < 2:
-                        emit[cname].append(None)
+                        ap(None)
                     elif fn_name == "var_samp":
-                        emit[cname].append(num / (nd - 1.0))
+                        ap(num / (nd - 1.0))
                     else:  # stddev_samp
-                        emit[cname].append(math.sqrt(max(num / (nd - 1.0), 0.0)))
+                        ap(math.sqrt(max(num / (nd - 1.0), 0.0)))
         batch = batch.copy()
         for fn_name, cname in agg_list:
             batch[cname] = _over_emit_series(fn_name, emit[cname], batch.index)
