@@ -133,18 +133,27 @@ def streaming_dedup(
             if wm > written_ms + ttl_ms:
                 cur = None  # NeverReturnExpired: expired-but-present is absent
         emitted = []
+        # vectorized: only one row per batch can win — keep='first' needs
+        # the min-order row (earliest arrival among ties), keep='last' the
+        # max-order row (latest arrival among ties) — so the 10M-row
+        # at-volume ingest never materializes per-row dicts
         for pdf in pdfs:
-            for rec in pdf[out_cols].sort_values(order_col).to_dict("records"):
-                if cur is None:
-                    cur = rec
-                    written_ms = to_ms(rec[order_col]) if ttl_ms is not None else 0
-                    emitted = [rec]
-                elif first:
-                    continue
-                elif rec[order_col] >= cur[order_col]:
-                    cur = rec
-                    written_ms = to_ms(rec[order_col]) if ttl_ms is not None else 0
-                    emitted = [rec]
+            if first and cur is not None:
+                break  # latched: nothing in any later batch can change it
+            if not len(pdf):
+                continue
+            sub = pdf[out_cols]
+            # single-row to_dict("records"): native Python scalars (the
+            # state pickler rejects numpy types)
+            if first:
+                idx = sub[order_col].idxmin()
+            else:
+                idx = sub[order_col][::-1].idxmax()
+            rec = sub.loc[[idx]].to_dict("records")[0]
+            if cur is None or (not first and rec[order_col] >= cur[order_col]):
+                cur = rec
+                written_ms = to_ms(rec[order_col]) if ttl_ms is not None else 0
+                emitted = [rec]
         state.update((tuple(cur[c] for c in out_cols), written_ms))
         if ttl_ms is not None:
             # clamp to just past the watermark: an entry whose event-time +
@@ -222,10 +231,16 @@ def streaming_updatable_top_n(
                 live[rec[unique_col]] = rec
             prev_emitted = [tuple(r) for r in state.get[1]]
         for pdf in pdfs:
-            recs = pdf[in_cols].to_dict("records")
+            # vectorized within-batch last-write-wins: stable-sort by the
+            # arrival key (or keep raw batch order) and keep only the last
+            # upsert per unique key BEFORE any per-row dict conversion —
+            # the at-volume ingest path converts one row per live key, not
+            # one per input row
+            sub = pdf[in_cols]
             if arrival_cols:
-                recs.sort(key=lambda r: tuple(r[c] for c in arrival_cols))
-            for rec in recs:
+                sub = sub.sort_values(list(arrival_cols), kind="stable")
+            sub = sub.drop_duplicates(subset=[unique_col], keep="last")
+            for rec in sub.to_dict("records"):
                 if arrival_cols:
                     cur = live.get(rec[unique_col])
                     if cur is not None and tuple(
@@ -242,7 +257,8 @@ def streaming_updatable_top_n(
         top = [
             (*(r[c] for c in data_cols), i + 1) for i, r in enumerate(ranked)
         ]
-        changed = [t for t in top if t not in set(prev_emitted)]
+        prev_set = set(prev_emitted)
+        changed = [t for t in top if t not in prev_set]
         state.update(
             (
                 [tuple(r[c] for c in live_cols) for r in live.values()],
