@@ -563,6 +563,42 @@ def streaming_over_range_bounded(
             key=lambda r: (r[ts_col], r[tiebreak_col] if tiebreak_col else 0)
         )
         emit: dict[str, list] = {c: [] for _, c in agg_list}
+        # Incremental frame accumulators, restored from the persisted
+        # buffer ONCE per batch — the reference's retractable
+        # AggsHandleFunctions (accumulate on append, retract on evict)
+        # instead of an O(frame) recompute per peer group, which is
+        # O(frame²) per batch at volume. MIN/MAX use monotonic deques
+        # (the sliding-window-extremum structure — the deque front is the
+        # frame extremum, amortized O(1)); DISTINCT a multiplicity map.
+        # Everything stays exact integer micros, so emitted values are
+        # bit-identical to the recompute.
+        from collections import Counter, deque  # noqa: PLC0415
+
+        fns = {f for f, _ in agg_list}
+        wants_var = fns & {"var_pop", "var_samp", "stddev_pop", "stddev_samp"}
+        wants_distinct = "distinct_count" in fns
+        wants_min = "min" in fns
+        wants_max = "max" in fns
+        acc = sum(bv for _, bv in buf)
+        cnt = len(buf)
+        s2 = sum(bv * bv for _, bv in buf) if wants_var else 0
+        dcounts: Counter = (
+            Counter(bv for _, bv in buf) if wants_distinct else Counter()
+        )
+        minq: deque = deque()
+        maxq: deque = deque()
+        if wants_min or wants_max:
+            for bt, bv in buf:
+                if wants_min:
+                    while minq and minq[-1][1] >= bv:
+                        minq.pop()
+                    minq.append((bt, bv))
+                if wants_max:
+                    while maxq and maxq[-1][1] <= bv:
+                        maxq.pop()
+                    maxq.append((bt, bv))
+        plans = [(fn_name, emit[cname]) for fn_name, cname in agg_list]
+        md = _micros_double
         i = 0
         while i < len(sealed):
             # peer group: all rows at this timestamp enter the buffer first
@@ -576,20 +612,83 @@ def streaming_over_range_bounded(
                     * 1_000_000
                 )
                 buf.append((t, m))
+                acc += m
+                cnt += 1
+                if wants_var:
+                    s2 += m * m
+                if wants_distinct:
+                    dcounts[m] += 1
+                if wants_min:
+                    while minq and minq[-1][1] >= m:
+                        minq.pop()
+                    minq.append((t, m))
+                if wants_max:
+                    while maxq and maxq[-1][1] <= m:
+                        maxq.pop()
+                    maxq.append((t, m))
                 lags.append(None if prev is None else prev / 1e6)
                 prev = m
                 j += 1
             lo = t - rng
-            buf = [(bt, bv) for bt, bv in buf if bt >= lo]
-            vals = [bv for _, bv in buf]
-            for fn_name, cname in agg_list:
+            k = 0
+            nbuf = len(buf)
+            while k < nbuf and buf[k][0] < lo:
+                ev = buf[k][1]
+                acc -= ev
+                cnt -= 1
+                if wants_var:
+                    s2 -= ev * ev
+                if wants_distinct:
+                    dcounts[ev] -= 1
+                    if not dcounts[ev]:
+                        del dcounts[ev]
+                k += 1
+            if k:
+                del buf[:k]
+            while minq and minq[0][0] < lo:
+                minq.popleft()
+            while maxq and maxq[0][0] < lo:
+                maxq.popleft()
+            npeers = j - i
+            for fn_name, col in plans:
                 if fn_name == "lag":
                     # previous row in (ts, tiebreak) order — per-row, not
                     # per-peer-group (deterministic only given tiebreak_col,
                     # the RANGE-frame caveat documented above)
-                    emit[cname].extend(lags)
-                else:
-                    emit[cname].extend([_over_agg_value(fn_name, vals)] * (j - i))
+                    col.extend(lags)
+                    continue
+                if fn_name == "sum":
+                    val = md(acc)
+                elif fn_name == "count":
+                    val = cnt
+                elif fn_name == "avg":
+                    val = md(acc) / cnt
+                elif fn_name == "min":
+                    val = minq[0][1] / 1e6
+                elif fn_name == "max":
+                    val = maxq[0][1] / 1e6
+                elif fn_name == "first_value":
+                    val = buf[0][1] / 1e6
+                elif fn_name == "last_value":
+                    val = buf[-1][1] / 1e6
+                elif fn_name == "distinct_count":
+                    val = len(dcounts)
+                else:  # variance family — the fixed oracle op order
+                    sd = md(acc)
+                    s2d = md(s2, 12)
+                    nd = float(cnt)
+                    num = s2d - sd * sd / nd
+                    if fn_name == "var_pop":
+                        val = num / nd
+                    elif fn_name == "stddev_pop":
+                        val = math.sqrt(max(num / nd, 0.0))
+                    elif cnt < 2:
+                        val = None
+                    elif fn_name == "var_samp":
+                        val = num / (nd - 1.0)
+                    else:  # stddev_samp
+                        val = math.sqrt(max(num / (nd - 1.0), 0.0))
+                col.extend([val] * npeers)
             i = j
         if sealed:
             frontier = max(frontier, to_ms(sealed[-1][ts_col]))

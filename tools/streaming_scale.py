@@ -237,6 +237,29 @@ def main() -> None:
             timeout_s=1800,
         )
 
+    def over_range_bounded(p=path):
+        # event-time RANGE-bounded OVER at volume (late r12): the
+        # incremental retractable-accumulator path (accumulate on append,
+        # retract on evict, monotonic-deque MIN/MAX) — O(rows) per batch
+        # where the frame-recompute predecessor was O(rows x frame);
+        # 30-minute trailing frame, mixed aggregate list
+        from flink_parent_spark.streaming.stateful import (  # noqa: PLC0415
+            streaming_over_range_bounded,
+        )
+
+        ev = open_stream(spark, p)
+        return run_stream_to_df(
+            streaming_over_range_bounded(
+                ev.select("user_id", "ts", "value", "event_id"),
+                ["user_id"], "ts", "value", 1800, ["event_id"],
+                tiebreak_col="event_id",
+                aggs=[("sum", "w_sum"), ("count", "w_cnt"),
+                      ("min", "w_min"), ("max", "w_max")],
+            ),
+            "append",
+            timeout_s=1800,
+        )
+
     def retract_chain():
         # r12: the three-stage retraction pipeline at volume — group-agg
         # changelog (2 deltas/row) -> retract join with a keep-last
@@ -311,6 +334,7 @@ def main() -> None:
         "updatable_topn_per_type": topn_per_type,
         "cep_signup_purchase": cep_stream,
         "over_rows5_per_user": over_rows_bounded,
+        "over_range30m_per_user": over_range_bounded,
         "retract_chain_3stage": retract_chain,
     }
     zipf_of = {}
