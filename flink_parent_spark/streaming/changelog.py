@@ -58,22 +58,52 @@ def changelog_keep_last(
     )
     state_schema = "cur struct<" + ", ".join(f"{c}: {dt[c]}" for c in out_cols) + ">"
 
+    oi = out_cols.index(order_col)
+
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        cur = dict(zip(out_cols, state.get[0])) if state.exists else None
-        recs = []
+        import numpy as np  # noqa: PLC0415
+
+        cur: tuple | None = tuple(state.get[0]) if state.exists else None
+        # hot loop (chain stage at volume): tuple rows + column-wise output
+        # — no per-record dicts for the ~3 rows of changelog traffic each
+        # input row produces at steady state
+        out_lists: list[list] = [[] for _ in out_cols]
+        rk: list[str] = []
+        rk_append = rk.append
         for pdf in pdfs:
-            for rec in pdf[out_cols].sort_values(order_col).to_dict("records"):
+            sub = pdf[out_cols].sort_values(order_col, kind="stable")
+            for row in sub.itertuples(index=False, name=None):
                 if cur is None:
-                    recs.append({**rec, ROWKIND_COL: INSERT})
-                elif rec[order_col] >= cur[order_col]:
-                    recs.append({**cur, ROWKIND_COL: UPDATE_BEFORE})
-                    recs.append({**rec, ROWKIND_COL: UPDATE_AFTER})
+                    for li, x in zip(out_lists, row):
+                        li.append(x)
+                    rk_append(INSERT)
+                elif row[oi] >= cur[oi]:
+                    for li, x in zip(out_lists, cur):
+                        li.append(x)
+                    rk_append(UPDATE_BEFORE)
+                    for li, x in zip(out_lists, row):
+                        li.append(x)
+                    rk_append(UPDATE_AFTER)
                 else:
                     continue  # late row older than current version: ignored
-                cur = rec
+                cur = row
         if cur is not None:
-            state.update((tuple(cur[c] for c in out_cols),))
-        yield pd.DataFrame(recs, columns=[*out_cols, ROWKIND_COL])
+            # the state pickler rejects numpy scalars — unbox them
+            state.update(
+                (
+                    tuple(
+                        x.item() if isinstance(x, np.generic) else x
+                        for x in cur
+                    ),
+                )
+            )
+        yield pd.DataFrame(
+            {
+                **dict(zip(out_cols, out_lists)),
+                ROWKIND_COL: rk,
+            },
+            columns=[*out_cols, ROWKIND_COL],
+        )
 
     return sdf.groupBy(*key_cols).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
