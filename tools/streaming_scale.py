@@ -186,7 +186,7 @@ def main() -> None:
             timeout_s=1800,
         )
 
-    def cep_stream():
+    def cep_stream(p=path):
         # streaming CEP at volume: the signup->purchase two-stage pattern
         # through the keyed applyInPandasWithState matcher, per-user state
         # garbage-collected behind the scan frontier; throughput is the
@@ -197,7 +197,7 @@ def main() -> None:
             cep_pattern_stream,
         )
 
-        ev = open_stream(spark, path)
+        ev = open_stream(spark, p)
         pat = (
             Pattern.begin("signup")
             .where(lambda r: r["event_type"] == "signup")
@@ -344,10 +344,12 @@ def main() -> None:
         entries["dedup_first_user_type_zipf"] = lambda: dedup_keys(zpath)
         entries["updatable_topn_per_type_zipf"] = lambda: topn_per_type(zpath)
         entries["over_rows5_per_user_zipf"] = lambda: over_rows_bounded(zpath)
+        entries["cep_signup_purchase_zipf"] = lambda: cep_stream(zpath)
         zipf_of = {
             "dedup_first_user_type_zipf": "dedup_first_user_type",
             "updatable_topn_per_type_zipf": "updatable_topn_per_type",
             "over_rows5_per_user_zipf": "over_rows5_per_user",
+            "cep_signup_purchase_zipf": "cep_signup_purchase",
         }
     timings: dict = {}
     rates: dict = {}
