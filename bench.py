@@ -229,18 +229,55 @@ def main() -> None:
 
     # Each probe independently fail-safe: a broken probe emits null for its
     # key instead of discarding the (already-measured) query timings.
+    probe_fns = {
+        "cpu": cpu_probe,
+        "shuffle": shuffle_probe,
+        "python": python_probe,
+    }
     calib = {}
-    for key, fn in (
-        ("cpu", cpu_probe),
-        ("shuffle", shuffle_probe),
-        ("python", python_probe),
-    ):
+    for key, fn in probe_fns.items():
         try:
             fn()  # one untimed warmup (codegen / UDF worker spin-up)
             calib[key] = probe(fn)
         except Exception as exc:  # noqa: BLE001
             print(f"[bench] probe {key} failed: {exc}", file=sys.stderr)
             calib[key] = None
+
+    # BASELINE.md void clause: trimmed_spread > 1.40 voids a probe. A
+    # BENCH file whose mix divides by a void probe is non-adjudicable
+    # (the r12 driver file), so any MIX-RELEVANT void probe is retried
+    # once; if still void the file stamps itself "mix_adjudicable":
+    # false instead of silently recording a headline no one can grade.
+    VOID_SPREAD = 1.40
+    mix_classes = {RESOURCE_CLASS.get(n, "cpu") for n in timings}
+    probes_retried = []
+
+    def _is_void(c) -> bool:
+        return c is None or (
+            c["trimmed_spread"] is not None and c["trimmed_spread"] > VOID_SPREAD
+        )
+
+    for key in sorted(mix_classes):
+        if _is_void(calib.get(key)):
+            probes_retried.append(key)
+            print(
+                f"[bench] probe {key} void "
+                f"(spread {calib[key]['trimmed_spread'] if calib.get(key) else 'n/a'});"
+                " retrying once",
+                file=sys.stderr,
+            )
+            try:
+                retry = probe(probe_fns[key])
+                old = calib.get(key)
+                # keep whichever run is adjudicable / tighter
+                if old is None or _is_void(old) or (
+                    retry["trimmed_spread"] or 9e9
+                ) < (old["trimmed_spread"] or 9e9):
+                    calib[key] = retry
+            except Exception as exc:  # noqa: BLE001
+                print(f"[bench] probe {key} retry failed: {exc}", file=sys.stderr)
+    mix_adjudicable = not any(_is_void(calib.get(k)) for k in mix_classes)
+
     # continuity with r06/r07 BENCH files
     calib_sec = calib["cpu"]["median"] if calib.get("cpu") else None
 
@@ -285,6 +322,12 @@ def main() -> None:
         # resource-class subtotals each divided by its own probe's
         # trimmed median). This is the cross-round comparable headline.
         "value_norm_mix": value_norm_mix,
+        # r13: self-declared adjudicability — False when any probe a mix
+        # subtotal divides by is still void (trimmed_spread > 1.40) after
+        # one retry. A False file's value_norm_mix must not be used as a
+        # round headline (BASELINE.md void clause).
+        "mix_adjudicable": mix_adjudicable,
+        "probes_retried": probes_retried,
         "norm_subtotals": norm_subtotals,
         "resource_split_sec": {k: round(v, 3) for k, v in subtotals.items()},
         "queries_norm": {

@@ -66,6 +66,16 @@ class MatchCtx:
         j = self.idx + n
         return self.rows[j][col] if j < len(self.rows) else default
 
+    def prev_row(self, n: int = 1) -> "Row | None":
+        """Whole-row physical navigation (PREV over an expression): the row
+        n positions behind the one under test, or None past the start."""
+        j = self.idx - n
+        return self.rows[j] if j >= 0 else None
+
+    def next_row(self, n: int = 1) -> "Row | None":
+        j = self.idx + n
+        return self.rows[j] if j < len(self.rows) else None
+
     def last(self, stage: str, col: str, default: Any = None) -> Any:
         for name, j in reversed(self.taken):
             if name == stage:
@@ -731,9 +741,23 @@ def cep_pattern_stream(
         emitted = state.get[1] if state.exists else 0
         ctx = (state.get[2] or 0) if state.exists else 0
         rows = [dict(zip(cols, r)) for r in buf_rows]
+        ctx_ident = [(rows[i][ts_col], rows[i][id_col]) for i in range(ctx)]
         for pdf in pdfs:
             rows.extend(pdf[cols].to_dict("records"))
         rows.sort(key=lambda r: (r[ts_col], r[id_col]))
+        if ctx and [(r[ts_col], r[id_col]) for r in rows[:ctx]] != ctx_ident:
+            # PREV() navigation context is only a stable prefix when arrival
+            # is per-key ordered: a new row sorting before the context
+            # boundary would silently be treated as already-consumed (missed
+            # match) or shift consumed rows back into the scan (duplicate
+            # match). Fail loudly; the watermark-held operator is the
+            # hardened deployment for PREV under out-of-order arrival.
+            raise ValueError(
+                "cep_pattern_stream: out-of-order arrival broke the PREV() "
+                "navigation-context prefix (a new row sorted before the "
+                "consumed-context boundary). Use "
+                "cep_pattern_stream_watermarked for out-of-order input."
+            )
         # Without a watermark the finalization clock is the max sealed event
         # time: rows only append at the tail after sorting, so once an event
         # past a pattern's `within` deadline arrives, partial matches behind

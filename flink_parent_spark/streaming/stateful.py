@@ -438,13 +438,13 @@ def _over_agg_value(fn: str, vals: "list[int]"):
     if fn == "avg":
         return _micros_double(sum(vals)) / len(vals)
     if fn == "min":
-        return min(vals) / 1e6
+        return _micros_double(min(vals))
     if fn == "max":
-        return max(vals) / 1e6
+        return _micros_double(max(vals))
     if fn == "first_value":
-        return vals[0] / 1e6
+        return _micros_double(vals[0])
     if fn == "last_value":
-        return vals[-1] / 1e6
+        return _micros_double(vals[-1])
     if fn == "var_pop":
         return _over_var(vals, 0)
     if fn == "var_samp":
@@ -626,7 +626,7 @@ def streaming_over_range_bounded(
                     while maxq and maxq[-1][1] <= m:
                         maxq.pop()
                     maxq.append((t, m))
-                lags.append(None if prev is None else prev / 1e6)
+                lags.append(None if prev is None else md(prev))
                 prev = m
                 j += 1
             lo = t - rng
@@ -664,13 +664,13 @@ def streaming_over_range_bounded(
                 elif fn_name == "avg":
                     val = md(acc) / cnt
                 elif fn_name == "min":
-                    val = minq[0][1] / 1e6
+                    val = md(minq[0][1])
                 elif fn_name == "max":
-                    val = maxq[0][1] / 1e6
+                    val = md(maxq[0][1])
                 elif fn_name == "first_value":
-                    val = buf[0][1] / 1e6
+                    val = md(buf[0][1])
                 elif fn_name == "last_value":
-                    val = buf[-1][1] / 1e6
+                    val = md(buf[-1][1])
                 elif fn_name == "distinct_count":
                     val = len(dcounts)
                 else:  # variance family — the fixed oracle op order
@@ -758,11 +758,16 @@ def streaming_over_range_unbounded(
     _Q = Decimal("0.000001")
     held = "EventTimeWatermark" in sdf._jdf.queryExecution().logical().toString()
     wants_distinct = any(fn == "distinct_count" for fn, _ in agg_list)
+    wants_var = any(
+        fn in ("var_pop", "var_samp", "stddev_pop", "stddev_samp")
+        for fn, _ in agg_list
+    )
 
     def to_ms(ts) -> int:
         return int(pd.Timestamp(ts).value // 1_000_000)
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        md = _micros_double
         if state.exists:
             (pend_rows, frontier, acc, cnt, s2_str, mn, mx, first,
              dvals, prev) = state.get
@@ -802,11 +807,15 @@ def streaming_over_range_unbounded(
                     Decimal(float(v)).quantize(_Q, rounding=ROUND_HALF_UP)
                     * 1_000_000
                 )
-                lags.append(None if prev is None else prev / 1e6)
+                lags.append(None if prev is None else md(prev))
                 prev = m
                 acc += m
                 cnt += 1
-                s2 += m * m
+                if wants_var:
+                    # gate the big-int squared accumulation (and its
+                    # ever-growing serialized state string) on a variance
+                    # aggregate actually being requested
+                    s2 += m * m
                 mn = m if mn is None or m < mn else mn
                 mx = m if mx is None or m > mx else mx
                 if first is None:
@@ -826,13 +835,13 @@ def streaming_over_range_unbounded(
                 elif fn_name == "avg":
                     val = _micros_double(acc) / cnt
                 elif fn_name == "min":
-                    val = mn / 1e6
+                    val = md(mn)
                 elif fn_name == "max":
-                    val = mx / 1e6
+                    val = md(mx)
                 elif fn_name == "first_value":
-                    val = first / 1e6
+                    val = md(first)
                 elif fn_name == "last_value":
-                    val = last_m / 1e6
+                    val = md(last_m)
                 elif fn_name == "distinct_count":
                     val = len(dset)
                 else:  # variance family — the fixed oracle op order
@@ -935,7 +944,7 @@ def streaming_over_rows_bounded(
                 elif fn_name == "count":
                     ap(len(buf))
                 elif fn_name == "lag":
-                    ap(None if prev is None else prev / 1e6)
+                    ap(None if prev is None else md(prev))
                 else:
                     ap(_over_agg_value(fn_name, buf))
             prev = m
@@ -1018,7 +1027,7 @@ def streaming_over_running_sum(
         dec, q, md = Decimal, _Q, _micros_double
         for v in batch[value_col]:
             m = int(dec(float(v)).quantize(q, rounding=ROUND_HALF_UP) * 1_000_000)
-            lag_val = None if prev is None else prev / 1e6
+            lag_val = None if prev is None else md(prev)
             acc += m
             cnt += 1
             if wants_var:
@@ -1038,13 +1047,13 @@ def streaming_over_running_sum(
                 elif fn_name == "avg":
                     ap(md(acc) / cnt)
                 elif fn_name == "min":
-                    ap(mn / 1e6)
+                    ap(md(mn))
                 elif fn_name == "max":
-                    ap(mx / 1e6)
+                    ap(md(mx))
                 elif fn_name == "first_value":
-                    ap(first / 1e6)
+                    ap(md(first))
                 elif fn_name == "last_value":
-                    ap(m / 1e6)
+                    ap(md(m))
                 elif fn_name == "distinct_count":
                     ap(len(dset))
                 elif fn_name == "lag":
