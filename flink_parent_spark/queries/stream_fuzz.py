@@ -646,8 +646,66 @@ def _register_mr(i: int, rng: random.Random) -> None:
     reach rows BEHIND the match (batch: Catalyst LAG precompute;
     streaming: MatchCtx.prev with GC-context retention)."""
     streaming = i % 2 == 0
-    kind = rng.choice(["three", "relaxed", "prev"])
-    if kind == "three":
+    # r13: index 4 always draws the aggregate-measures kind (SUM/AVG/COUNT
+    # + logical offset over a quantified run — MatchRecognizeITCase
+    # testAggregates/testLogicalOffsets surface), so every battery and
+    # every fresh hunt covers it; 0-3 keep the r12 kind pool and their
+    # pinned draws.
+    kind = "agg" if i == 4 else rng.choice(["three", "relaxed", "prev"])
+    if kind == "agg":
+        a, b = rng.sample(_EVENT_TYPES, 2)
+        clause = f"""
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES FIRST(A.event_id) AS a_first,
+                   LAST(A.event_id, 1) AS a_second_last,
+                   COUNT(A.*) AS a_n,
+                   SUM(A.value) AS a_sum,
+                   AVG(A.value) AS a_avg,
+                   B.event_id AS b_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A+ B)
+          DEFINE A AS A.event_type = '{a}',
+                 B AS B.event_type = '{b}'
+        """
+        # islands of consecutive '{a}' rows whose next row is a '{b}';
+        # float SUM/AVG mirror the engine's decimal-accumulation contract
+        # (quantized micros sum, one decimal->string->double conversion)
+        oracle = f"""
+        WITH seq AS (
+          SELECT user_id, event_id, ts, value, event_type,
+                 ROW_NUMBER() OVER w AS rn
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), v AS (
+          SELECT user_id, event_id, value, rn,
+                 rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn)
+                   AS island
+          FROM seq WHERE event_type = '{a}'
+        ), islands AS (
+          SELECT user_id, island, MIN(rn) AS srn, MAX(rn) AS ern,
+                 CAST(COUNT(*) AS BIGINT) AS a_n,
+                 arg_min(event_id, rn) AS a_first,
+                 CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS STRING)
+                      AS DOUBLE) AS a_sum
+          FROM v GROUP BY user_id, island
+        ), matches AS (
+          SELECT i.*, b.event_id AS b_id
+          FROM islands i
+          JOIN seq b ON b.user_id = i.user_id AND b.rn = i.ern + 1
+          WHERE b.event_type = '{b}'
+        )
+        SELECT m.user_id,
+               ROW_NUMBER() OVER (PARTITION BY m.user_id ORDER BY m.srn) - 1
+                 AS match_id,
+               m.a_first, sl.event_id AS a_second_last, m.a_n, m.a_sum,
+               m.a_sum / m.a_n AS a_avg, m.b_id
+        FROM matches m
+        LEFT JOIN v sl ON sl.user_id = m.user_id AND sl.rn = m.ern - 1
+                      AND m.ern - 1 >= m.srn
+        """
+    elif kind == "three":
         a, b, c = rng.sample(_EVENT_TYPES, 3)
         clause = f"""
           PARTITION BY user_id
@@ -963,10 +1021,11 @@ SHAPES: "dict[str, tuple[int, int, object]]" = {
     # the new RANGE-UNBOUNDED (SQL default ORDER BY frame, peers share)
     "over": (0x57F8, 4, _register_over),
     "asof": (0x57F9, 3, _register_asof),
-    # mr count 4 (r12+): the drawn-kind pool gained the PREV-in-DEFINE
-    # variant; the fourth slot keeps every kind (prev/three/relaxed)
-    # pinned, with the prev kind landing a STREAMING deployment at i=0
-    "mr": (0x57FA, 4, _register_mr),
+    # mr count 5 (r13): index 4 always draws the aggregate-measures kind
+    # (STREAMING deployment at i=4), so SUM/AVG/COUNT + logical offsets in
+    # MEASURES are fuzz-covered every battery/hunt; 0-3 keep the r12
+    # pinned kinds (prev/three/three/relaxed, prev streaming at i=0)
+    "mr": (0x57FA, 5, _register_mr),
     "semij": (0x57FB, 2, _register_semij),
     # round 12 — the deepest retraction pipeline (three chained
     # changelog-consuming stages; previous deepest was the two-level

@@ -2123,3 +2123,196 @@ def stream_retract_chain(spark, sf_dir):
     )
     out = run_stream_to_df(tn, "update")
     return out.select("user_id", "total", "view_value", "rank")
+
+
+@df_query(
+    "match_recognize_agg_measures",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, value, event_type,
+             ROW_NUMBER() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), v AS (
+      SELECT user_id, event_id, ts, value, rn,
+             rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn)
+               AS island
+      FROM seq WHERE event_type = 'view'
+    ), islands AS (
+      SELECT user_id, island, MIN(rn) AS srn, MAX(rn) AS ern,
+             CAST(COUNT(*) AS BIGINT) AS n_views,
+             arg_min(event_id, rn) AS first_view,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS STRING)
+                  AS DOUBLE) AS sum_value
+      FROM v GROUP BY user_id, island
+    ), matches AS (
+      SELECT i.*, b.event_id AS purchase_id
+      FROM islands i
+      JOIN seq b ON b.user_id = i.user_id AND b.rn = i.ern + 1
+      WHERE b.event_type = 'purchase'
+    )
+    SELECT m.user_id,
+           ROW_NUMBER() OVER (PARTITION BY m.user_id ORDER BY m.srn) - 1
+             AS match_id,
+           m.first_view, m.n_views,
+           sl.event_id AS second_last_view,
+           m.sum_value,
+           m.sum_value / m.n_views AS avg_value,
+           m.purchase_id
+    FROM matches m
+    LEFT JOIN v sl ON sl.user_id = m.user_id AND sl.rn = m.ern - 1
+                  AND m.ern - 1 >= m.srn
+    """,
+)
+def match_recognize_agg_measures(spark, sf_dir):
+    """Aggregates + logical offsets in MATCH_RECOGNIZE MEASURES
+    (MatchRecognizeITCase testAggregates:578 / testLogicalOffsets:372
+    surface): SUM/AVG over the quantified A-run's row set, COUNT(A.*),
+    LAST(A.event_id, 1) offset navigation (NULL on 1-row runs), and a
+    bare B-ref (final LAST). The A+ loop is possessive-greedy
+    (NFACompiler.updateWithGreedyCondition parity), so each match binds
+    one maximal view-run immediately followed by a purchase; the oracle
+    rebuilds exactly those islands. Float SUM/AVG follow the engine's
+    decimal-accumulation contract (quantized-micros sum, one
+    decimal->string->double conversion)."""
+    from flink_parent_spark.streaming.match_recognize_sql import (  # noqa: PLC0415
+        match_recognize_sql,
+    )
+
+    t = load_tables(spark, sf_dir)
+    clause = """
+      PARTITION BY user_id
+      ORDER BY ts
+      MEASURES
+        FIRST(A.event_id) AS first_view,
+        COUNT(A.*) AS n_views,
+        LAST(A.event_id, 1) AS second_last_view,
+        SUM(A.value) AS sum_value,
+        AVG(A.value) AS avg_value,
+        B.event_id AS purchase_id
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A+ B)
+      DEFINE A AS A.event_type = 'view',
+             B AS B.event_type = 'purchase'
+    """
+    return match_recognize_sql(t["events"], clause, "event_id")
+
+
+@df_query(
+    "match_recognize_define_running_agg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn,
+             event_type
+      FROM events
+    ), v AS (
+      SELECT user_id, event_id, rn,
+             rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn)
+               AS island
+      FROM seq WHERE event_type = 'view'
+    ), chunked AS (
+      SELECT user_id, event_id, rn, island,
+             (ROW_NUMBER() OVER (PARTITION BY user_id, island ORDER BY rn)
+              - 1) // 3 AS chunk
+      FROM v
+    ), m AS (
+      SELECT user_id, island, chunk, MIN(rn) AS srn,
+             arg_min(event_id, rn) AS first_id,
+             arg_max(event_id, rn) AS last_id,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM chunked GROUP BY user_id, island, chunk
+    )
+    SELECT user_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY srn) - 1
+             AS match_id,
+           first_id, last_id, n_rows
+    FROM m
+    """,
+)
+def match_recognize_define_running_agg(spark, sf_dir):
+    """A RUNNING aggregate in DEFINE (MatchRecognizeITCase
+    testAggregates:578 `A AS SUM(A.price) < 6` semantics — the row under
+    test counts as the defining variable's last row): COUNT(A.*) <= 3
+    caps the possessive view-run at 3 rows, so AFTER MATCH SKIP PAST
+    LAST ROW chunks every view-island into ceil(len/3) matches. The
+    oracle chunks the same islands arithmetically."""
+    from flink_parent_spark.streaming.match_recognize_sql import (  # noqa: PLC0415
+        match_recognize_sql,
+    )
+
+    t = load_tables(spark, sf_dir)
+    clause = """
+      PARTITION BY user_id
+      ORDER BY ts
+      MEASURES
+        FIRST(A.event_id) AS first_id,
+        LAST(A.event_id) AS last_id,
+        COUNT(A.*) AS n_rows
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A+)
+      DEFINE A AS A.event_type = 'view' AND COUNT(A.*) <= 3
+    """
+    return match_recognize_sql(t["events"], clause, "event_id")
+
+
+@df_query(
+    "match_recognize_udf_define",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, value,
+             LEAD(value) OVER w AS nv, LEAD(event_id) OVER w AS nid
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) - 1 AS match_id,
+           event_id AS a_id, nid AS b_id,
+           GREATEST(value, nv) - LEAST(value, nv) AS span_v
+    FROM seq
+    WHERE value * 2 >= 100 AND nv * 2 < 100
+    """,
+)
+def match_recognize_udf_define(spark, sf_dir):
+    """Registered functions inside MATCH_RECOGNIZE expressions
+    (MatchRecognizeITCase testUserDefinedFunctions:733): a scalar UDF in
+    both DEFINE conditions and an aggregate UDF over a SUBSET union
+    variable in MEASURES. A-rows (doubled value >= 100) can never also
+    qualify as B (< 100), so matches cannot overlap and the oracle is an
+    adjacent-pair filter."""
+    from flink_parent_spark.streaming.match_recognize_sql import (  # noqa: PLC0415
+        match_recognize_sql,
+    )
+
+    t = load_tables(spark, sf_dir)
+    udfs = {
+        "doubled": ("scalar", lambda v: None if v is None else v * 2, "double"),
+        "spanv": (
+            "agg",
+            lambda rows: (
+                max(r[0] for r in rows) - min(r[0] for r in rows)
+                if rows
+                else None
+            ),
+            "double",
+        ),
+    }
+    clause = """
+      PARTITION BY user_id
+      ORDER BY ts
+      MEASURES
+        FIRST(A.event_id) AS a_id,
+        B.event_id AS b_id,
+        spanv(U.value) AS span_v
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A B)
+      SUBSET U = (A, B)
+      DEFINE A AS doubled(A.value) >= 100,
+             B AS doubled(B.value) < 100
+    """
+    return match_recognize_sql(t["events"], clause, "event_id", udfs=udfs)

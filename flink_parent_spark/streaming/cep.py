@@ -415,6 +415,22 @@ class Pattern:
                         for rest in _it.combinations(seq[1:], size - 1):
                             yield [seq[0], *rest]
                 return
+            if st.greedy and st.consecutive:
+                # NFACompiler.updateWithGreedyCondition parity: every proceed
+                # transition out of a greedy state is guarded by NOT(take),
+                # so a greedy CONSECUTIVE run is POSSESSIVE — it binds its
+                # maximal length and never backtracks to a shorter repetition
+                # count. MatchRecognizeITCase testLogicalOffsets pins this:
+                # prices (19,17,13,20) must NOT match DOWN{2,} UP via the
+                # shortened run DOWN=[19,17], UP=13. SQL MATCH_RECOGNIZE
+                # loops always translate to greedy+consecutive
+                # (StreamExecMatch.scala applyQuantifier), so this is the
+                # SQL-default loop semantics. Relaxed-contiguity greedy
+                # (CEP Pattern API) keeps longest-first backtracking: there
+                # the NFA's ignore transitions make proceed-at-a-failed-row
+                # reachable, which maximal-only would lose.
+                yield list(seq)
+                return
             order = range(hi, lo - 1, -1) if st.greedy else range(lo, hi + 1)
             for k in order:
                 yield seq[:k]

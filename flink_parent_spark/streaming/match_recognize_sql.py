@@ -2,46 +2,76 @@
 
 Reference: Calcite's MATCH_RECOGNIZE grammar wired through
 StreamExecMatch.scala:68 / MatchCodeGenerator.scala into flink-cep. Here the
-clause is parsed with a small recognizer and DEFINE predicates are evaluated
-BY CATALYST as boolean columns before matching — SQL expression semantics
-stay Spark's, the Python matcher only reads precomputed booleans (and so
-stays off the per-predicate hot path).
+clause is parsed with a small recognizer; DEFINE predicates that use only
+same-row columns are evaluated BY CATALYST as boolean columns before
+matching (SQL expression semantics stay Spark's, the Python matcher only
+reads precomputed booleans), while predicates that navigate match state —
+FIRST/LAST logical offsets, running aggregates, UDFs, references to other
+pattern variables — compile to matcher-side predicates over the match
+context, the same split the reference's MatchCodeGenerator makes between
+ConstantCodeGenerator and the IterativeCondition context.
 
 Supported clause surface:
 
     MATCH_RECOGNIZE (
       PARTITION BY k [, ...]
       ORDER BY ts
-      [MEASURES ... [ONE ROW PER MATCH]]
+      [MEASURES <expr> AS alias [, ...] [ONE ROW PER MATCH]]
       [AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW | TO FIRST v | TO LAST v]
-      PATTERN ( A B+ C? [D*] [{- X -}] ) | PATTERN ( PERMUTE (A, B, ...) )
+      PATTERN ( A B+ C? D* E{2} F{2,} G{2,4} [{- X -}] )
+            | PATTERN ( PERMUTE (A, B, ...) )
       [WITHIN INTERVAL 'n' unit]
       [SUBSET U = (A, B) [, ...]]
-      DEFINE A AS <sql bool expr>, B AS <sql bool expr> [, ...]
+      DEFINE A AS <expr>, B AS <expr> [, ...]
     )
 
-Stage-qualified references (A.col) normalize to bare columns — same-row
-semantics. PREV(X.col[, n]) in DEFINE is rewritten (batch mode) to a
-Catalyst `LAG(col, n) OVER (PARTITION BY keys ORDER BY order, id)` window
-expression — partition navigation stays JVM-side (whole-stage codegen),
-and because the LAG window hash-partitions on the same keys as the
-matcher's groupBy, Catalyst reuses one exchange. In streaming mode PREV
-compiles to matcher-side MatchCtx.prev navigation instead, with the
-watermark-held operator retaining max-offset rows of navigation context
-past its GC frontier so PREV can reach behind a completed match. DEFINE
-conditions using match-state navigation (FIRST/LAST over a pattern
-variable, NEXT lookahead) cannot be precomputed per-row; those are
-compiled by `_compile_nav_predicate` into MatchCtx predicates evaluated
-inside the matcher."""
+Expression grammar in MEASURES and DEFINE (MatchRecognizeITCase parity —
+testAggregates:578, testLogicalOffsets:372, testLogicalOffsetsWithStar
+Variable:467, testLogicalOffsetOutsideOfRangeInMeasures:527,
+testUserDefinedFunctions:733):
+
+- FIRST(expr[, n]) / LAST(expr[, n]) — logical offsets over the rows mapped
+  to one pattern variable (or the universal variable when unqualified);
+  out-of-range yields NULL.
+- SUM / AVG / MIN / MAX / COUNT(expr), COUNT(*) / COUNT(V.*) /
+  COUNT(DISTINCT expr) — aggregates over a variable's row set. In DEFINE
+  they are RUNNING aggregates: the row under test counts as mapped to the
+  variable being defined (SQL running semantics; `A AS SUM(A.price) < 6`).
+  SUM/COUNT of an empty set follow SQL (NULL / 0). AVG over integral input
+  is integral (Java truncating division — AvgAggFunction.IntAvgAggFunction);
+  float SUM/AVG accumulate exactly in quantized-micros integers and convert
+  once (the engine's decimal-accumulation contract, stateful._micros_double).
+- PREV(expr[, n]) / NEXT(expr[, n]) in DEFINE — physical partition
+  navigation (crosses match boundaries). Batch mode rewrites plain
+  PREV(col[, n]) in Catalyst-evaluable defines to a LAG window expression
+  (JVM-side, shares the matcher's hash partitioning); matcher-side defines
+  navigate via MatchCtx.
+- Registered functions via the `udfs` parameter: name -> (kind, fn, dtype)
+  with kind "scalar" (row-at-a-time Python callable — the reference's
+  ScalarFunction.eval contract) or "agg" (fn(list[tuple]) over a variable's
+  rows — AggregateFunction over the match).
+- Bare column references: in DEFINE, self/unqualified = current row;
+  OTHER-variable qualified = that variable's LAST matched row. In MEASURES,
+  qualified = the variable's LAST row, unqualified = the universal
+  variable's LAST row (SQL final semantics).
+
+Quantifier translation mirrors StreamExecMatch.applyQuantifier: every loop
+is consecutive; `+ * {n,} {n,m}` are greedy (POSSESSIVE per
+NFACompiler.updateWithGreedyCondition — see cep.run_choices), a trailing
+`?` makes them reluctant; `?` and `{n}` carry no greedy property (the
+reference rejects reluctant optionals, so does this parser).
+"""
 
 from __future__ import annotations
 
 import datetime as dt
 import re
+from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql import DataFrame, functions as F
 
 from flink_parent_spark.streaming.cep import AfterMatchSkip, Pattern, cep_pattern
+from flink_parent_spark.streaming.stateful import _micros_double
 
 _SECTION_RE = re.compile(
     r"PARTITION\s+BY\s+(?P<part>[\w,\s]+?)\s+ORDER\s+BY\s+(?P<order>\w+)"
@@ -59,11 +89,9 @@ _SECTION_RE = re.compile(
 # SUBSET entry: U = (A, B)
 _SUBSET_RE = re.compile(r"(\w+)\s*=\s*\(([^)]*)\)")
 
-# MEASURES entry: FIRST(S.col) | LAST(S.col) | COUNT(S.*) | S.col, AS alias
-_MEASURE_RE = re.compile(
-    r"^\s*(?:(?P<fn>FIRST|LAST|COUNT)\s*\(\s*)?(?P<stage>\w+)\.(?P<col>\w+|\*)\s*\)?"
-    r"\s+AS\s+(?P<alias>\w+)\s*$",
-    re.IGNORECASE,
+# PATTERN token: name + quantifier suffix
+_PTOKEN_RE = re.compile(
+    r"^(?P<name>\w+)(?P<suf>\{\d+(?:,\d*)?\}\??|\+\??|\*\??|\?\??)?$"
 )
 
 _UNIT_SECONDS = {
@@ -73,67 +101,626 @@ _UNIT_SECONDS = {
     "day": 86400,
 }
 
+# matcher-side constructs a DEFINE may use (everything Catalyst cannot
+# precompute as a per-row boolean column)
+_NAV_DETECT = re.compile(
+    r"\b(FIRST|LAST|NEXT|SUM|AVG|MIN|MAX|COUNT)\s*\(", re.IGNORECASE
+)
 
-_SQL_KEYWORDS = {"and", "or", "not", "true", "false", "null"}
+
+# --------------------------------------------------------------------------
+# expression engine (MatchCodeGenerator.scala's generated-code semantics,
+# re-expressed as compiled Python over a match-navigation context)
+# --------------------------------------------------------------------------
+
+_Q6 = Decimal("0.000001")
 
 
-def _compile_nav_predicate(expr: str):
-    """Compile a DEFINE condition containing match-state navigation
-    (FIRST/LAST over a pattern variable, optionally PREV/NEXT) into a
-    MatchCtx predicate.
+def _micros(v) -> int:
+    """Quantize a numeric value to exact integer micros (ROUND_HALF_UP) —
+    the same fixed-point contract the streaming OVER aggregates use."""
+    return int(Decimal(float(v)).quantize(_Q6, rounding=ROUND_HALF_UP) * 1_000_000)
+
+
+def _val(fn, row):
+    """Evaluate a row function with SQL NULL semantics: a missing operand
+    (TypeError on None arithmetic) or NaN/NaT result reads as NULL."""
+    try:
+        v = fn(row)
+    except TypeError:
+        return None
+    if v is None:
+        return None
+    try:
+        if v != v:  # NaN / NaT
+            return None
+    except (TypeError, ValueError):
+        pass
+    return v
+
+
+def _on_row(row, fn):
+    return None if row is None else _val(fn, row)
+
+
+def _ar(op, a, b):
+    if a is None or b is None:
+        return None
+    if op == "+":
+        return a + b
+    if op == "-":
+        return a - b
+    if op == "*":
+        return a * b
+    if op == "/":
+        return a / b
+    return a % b
+
+
+def _cmp(op, a, b):
+    if a is None or b is None:
+        return None
+    if op == "=":
+        return a == b
+    if op == "<>":
+        return a != b
+    if op == "<":
+        return a < b
+    if op == "<=":
+        return a <= b
+    if op == ">":
+        return a > b
+    return a >= b
+
+
+def _neg(a):
+    return None if a is None else -a
+
+
+def _not(a):
+    return None if a is None else (not a)
+
+
+_MR_GLOBALS = {
+    "__builtins__": {},
+    "_cmp": _cmp,
+    "_ar": _ar,
+    "_neg": _neg,
+    "_not": _not,
+    "_on_row": _on_row,
+}
+
+
+class MrEval:
+    """Match-state navigation/aggregation context: the rows mapped to each
+    pattern variable of one match (or match attempt). In DEFINE the row
+    under test is appended as the defining variable's last row before
+    evaluation (SQL running semantics); in MEASURES the completed match is
+    evaluated as-is (final semantics)."""
+
+    __slots__ = ("taken", "rows", "subsets")
+
+    def __init__(self, taken, rows, subsets):
+        self.taken = taken  # list[(var, row_index)]
+        self.rows = rows  # indexable row store
+        self.subsets = subsets  # union var -> member list
+
+    def rows_of(self, var):
+        if var is None:  # universal variable: every matched row
+            return [self.rows[i] for _, i in self.taken]
+        mem = self.subsets.get(var)
+        if mem is not None:
+            ms = set(mem)
+            return [self.rows[i] for s, i in self.taken if s in ms]
+        return [self.rows[i] for s, i in self.taken if s == var]
+
+    def nav(self, kind, var, fn, off=0):
+        """FIRST/LAST logical offset: off rows in from the first/last row
+        mapped to `var`; NULL past either end (testLogicalOffsetOutsideOf
+        RangeInMeasures)."""
+        rs = self.rows_of(var)
+        j = off if kind == "first" else len(rs) - 1 - off
+        if j < 0 or j >= len(rs):
+            return None
+        return _val(fn, rs[j])
+
+    def agg(self, op, var, fn, micros=False, int_avg=False):
+        rs = self.rows_of(var)
+        if op == "count_star":
+            return len(rs)
+        vals = [v for v in (_val(fn, r) for r in rs) if v is not None]
+        if op == "count":
+            return len(vals)
+        if op == "count_distinct":
+            return len(set(vals))
+        if not vals:
+            return None  # SUM/AVG/MIN/MAX over no rows -> NULL (SQL)
+        if op == "min":
+            return min(vals)
+        if op == "max":
+            return max(vals)
+        if micros:
+            # float accumulation: exact integer-micros sum, ONE conversion
+            # to a correctly-rounded double (never a bare division)
+            s = sum(_micros(v) for v in vals)
+            d = _micros_double(s)
+            return d if op == "sum" else d / len(vals)
+        s = sum(vals)
+        if op == "sum":
+            return s
+        n = len(vals)
+        if int_avg:
+            # Java integer division truncates toward zero
+            q = abs(s) // n
+            return -q if s < 0 else q
+        return s / n
+
+    def udagg(self, fn, var, argfns):
+        """Registered AggregateFunction over a variable's rows: fn receives
+        the list of evaluated argument tuples, one per row."""
+        return fn([tuple(_val(f, r) for f in argfns) for r in self.rows_of(var)])
+
+
+class MrExprError(ValueError):
+    """Unsupported MATCH_RECOGNIZE expression construct."""
+
+
+_TOK_RE = re.compile(
+    r"\s*(?:(?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
+    r"|(?P<str>'(?:[^']|'')*')"
+    r"|(?P<op><=|>=|<>|!=|[=<>+\-*/%(),.])"
+    r"|(?P<name>[A-Za-z_]\w*))"
+)
+
+_INTEGRAL = frozenset(("tinyint", "smallint", "int", "bigint"))
+
+_NAV_FNS = frozenset(("FIRST", "LAST"))
+_AGG_FNS = frozenset(("SUM", "AVG", "MIN", "MAX", "COUNT"))
+
+
+class _MrCompiler:
+    """Recursive-descent compiler: SQL scalar expression -> Python source
+    over (r=current row, c=MatchCtx, m=MrEval, U=udf registry), plus the
+    inferred output dtype (Spark DDL string) for MEASURES schemas.
+
+    mode='define' additionally exposes r/c and treats the DEFINING
+    variable's references as the current row; mode='measures' compiles
+    final-semantics navigation only."""
+
+    def __init__(
+        self,
+        text: str,
+        mode: str,
+        variables: "set[str]",
+        dtypes: "dict[str, str] | None" = None,
+        defining: str | None = None,
+        udfs: "dict | None" = None,
+    ):
+        self.toks = self._lex(text)
+        self.i = 0
+        self.mode = mode
+        self.variables = variables
+        self.dtypes = dtypes or {}
+        self.defining = defining
+        self.udfs = udfs or {}
+        self.row_var = None  # "_r" inside a nav/agg row function
+        self.quals: "set[str] | None" = None
+        self.uses_match_state = False
+
+    # --- lexing -------------------------------------------------------------
+
+    @staticmethod
+    def _lex(text):
+        toks = []
+        pos = 0
+        n = len(text)
+        while pos < n:
+            if text[pos].isspace():
+                pos += 1
+                continue
+            mt = _TOK_RE.match(text, pos)
+            if not mt or mt.end() == pos:
+                raise MrExprError(f"cannot lex {text[pos:]!r}")
+            pos = mt.end()
+            if mt.group("num") is not None:
+                toks.append(("num", mt.group("num")))
+            elif mt.group("str") is not None:
+                toks.append(("str", mt.group("str")))
+            elif mt.group("op") is not None:
+                toks.append(("op", mt.group("op")))
+            else:
+                toks.append(("name", mt.group("name")))
+        return toks
+
+    def peek(self, k=0):
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else (None, None)
+
+    def _eat(self):
+        if self.i >= len(self.toks):
+            raise MrExprError("unexpected end of expression")
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def _expect_op(self, op):
+        t = self._eat()
+        if t != ("op", op):
+            raise MrExprError(f"expected {op!r}, got {t!r}")
+
+    @staticmethod
+    def _is_kw(tok, kw):
+        return tok[0] == "name" and tok[1].upper() == kw
+
+    # --- grammar --------------------------------------------------------
+
+    def compile(self):
+        src, dt_ = self.parse_or()
+        if self.i != len(self.toks):
+            raise MrExprError(f"trailing tokens: {self.toks[self.i:]!r}")
+        return src, dt_
+
+    def parse_or(self):
+        src, dt_ = self.parse_and()
+        while self._is_kw(self.peek(), "OR"):
+            self._eat()
+            rhs, _ = self.parse_and()
+            # Python or/and over {True, False, None} collapse to SQL
+            # three-valued logic at the boolean boundary (UNKNOWN -> False)
+            src = f"({src} or {rhs})"
+            dt_ = "boolean"
+        return src, dt_
+
+    def parse_and(self):
+        src, dt_ = self.parse_not()
+        while self._is_kw(self.peek(), "AND"):
+            self._eat()
+            rhs, _ = self.parse_not()
+            src = f"({src} and {rhs})"
+            dt_ = "boolean"
+        return src, dt_
+
+    def parse_not(self):
+        if self._is_kw(self.peek(), "NOT"):
+            self._eat()
+            rhs, _ = self.parse_not()
+            return f"_not({rhs})", "boolean"
+        return self.parse_cmp()
+
+    def parse_cmp(self):
+        lhs, ldt = self.parse_add()
+        t = self.peek()
+        if self._is_kw(t, "IS"):
+            self._eat()
+            neg = False
+            if self._is_kw(self.peek(), "NOT"):
+                self._eat()
+                neg = True
+            nt = self._eat()
+            if not self._is_kw(nt, "NULL"):
+                raise MrExprError("IS must be followed by [NOT] NULL")
+            expr = f"(({lhs}) is not None)" if neg else f"(({lhs}) is None)"
+            return expr, "boolean"
+        if t[0] == "op" and t[1] in ("=", "<>", "!=", "<", "<=", ">", ">="):
+            op = self._eat()[1]
+            if op == "!=":
+                op = "<>"
+            rhs, _ = self.parse_add()
+            return f"_cmp({op!r}, {lhs}, {rhs})", "boolean"
+        return lhs, ldt
+
+    def parse_add(self):
+        src, dt_ = self.parse_mul()
+        while self.peek()[0] == "op" and self.peek()[1] in ("+", "-"):
+            op = self._eat()[1]
+            rhs, rdt = self.parse_mul()
+            src = f"_ar({op!r}, {src}, {rhs})"
+            dt_ = self._arith_dtype(dt_, rdt, op)
+        return src, dt_
+
+    def parse_mul(self):
+        src, dt_ = self.parse_unary()
+        while self.peek()[0] == "op" and self.peek()[1] in ("*", "/", "%"):
+            op = self._eat()[1]
+            rhs, rdt = self.parse_unary()
+            src = f"_ar({op!r}, {src}, {rhs})"
+            dt_ = self._arith_dtype(dt_, rdt, op)
+        return src, dt_
+
+    @staticmethod
+    def _arith_dtype(a, b, op):
+        if op == "/":
+            return "double"
+        if a in _INTEGRAL and b in _INTEGRAL:
+            return "bigint"
+        return "double"
+
+    def parse_unary(self):
+        if self.peek() == ("op", "-"):
+            self._eat()
+            src, dt_ = self.parse_unary()
+            return f"_neg({src})", dt_
+        return self.parse_primary()
+
+    def parse_primary(self):
+        t = self.peek()
+        if t == ("op", "("):
+            self._eat()
+            src, dt_ = self.parse_or()
+            self._expect_op(")")
+            return f"({src})", dt_
+        if t[0] == "num":
+            self._eat()
+            lit = t[1]
+            is_float = "." in lit or "e" in lit.lower()
+            return lit, ("double" if is_float else "bigint")
+        if t[0] == "str":
+            self._eat()
+            return repr(t[1][1:-1].replace("''", "'")), "string"
+        if t[0] == "name":
+            up = t[1].upper()
+            if up in ("TRUE", "FALSE"):
+                self._eat()
+                return ("True" if up == "TRUE" else "False"), "boolean"
+            if up == "NULL":
+                self._eat()
+                return "None", "string"
+            if self.peek(1) == ("op", "("):
+                return self.parse_call()
+            return self.parse_ref()
+        raise MrExprError(f"unexpected token {t!r}")
+
+    # --- references -------------------------------------------------------
+
+    def parse_ref(self):
+        name = self._eat()[1]
+        qual = None
+        col = name
+        if self.peek() == ("op", "."):
+            self._eat()
+            nxt = self._eat()
+            if nxt[0] != "name":
+                raise MrExprError(f"bad qualified reference after {name!r}.")
+            qual, col = name, nxt[1]
+        return self._ref_src(qual, col)
+
+    def _col_dtype(self, col):
+        d = self.dtypes.get(col)
+        if d is None:
+            if self.mode == "measures" and self.dtypes:
+                raise MrExprError(f"unknown column {col!r}")
+            return "double"
+        return d
+
+    def _ref_src(self, qual, col):
+        dt_ = self._col_dtype(col)
+        if self.row_var is not None:
+            # inside a nav/agg row function: bind to that row
+            if qual is not None:
+                if qual not in self.variables:
+                    raise MrExprError(f"unknown pattern variable {qual!r}")
+                self.quals.add(qual)
+            return f"_r[{col!r}]", dt_
+        if self.mode == "define":
+            if qual is None or qual == self.defining or qual not in self.variables:
+                return f"r[{col!r}]", dt_
+            # another pattern variable: its LAST matched row (running)
+            self.uses_match_state = True
+            return f'm.nav("last", {qual!r}, lambda _r: _r[{col!r}], 0)', dt_
+        # measures: bare/qualified reference = the variable's LAST row
+        # (SQL final semantics; unqualified = universal variable)
+        if qual is not None and qual not in self.variables:
+            raise MrExprError(f"unknown pattern variable {qual!r}")
+        self.uses_match_state = True
+        return f'm.nav("last", {qual!r}, lambda _r: _r[{col!r}], 0)', dt_
+
+    # --- calls ------------------------------------------------------------
+
+    def parse_call(self):
+        fname = self._eat()[1]
+        up = fname.upper()
+        self._expect_op("(")
+        if up in ("PREV", "NEXT"):
+            return self._finish_prev_next(up)
+        if up in _NAV_FNS:
+            return self._finish_nav(up)
+        if up in _AGG_FNS:
+            return self._finish_agg(up)
+        if fname in self.udfs or fname.lower() in self.udfs:
+            return self._finish_udf(fname)
+        raise MrExprError(f"unsupported function {fname!r}")
+
+    def _parse_rowfn_arg(self):
+        """Parse one expression in row context: column refs bind to `_r`,
+        qualifiers are collected to resolve the pattern variable."""
+        saved_rv, saved_q = self.row_var, self.quals
+        self.row_var, self.quals = "_r", set()
+        src, dt_ = self.parse_or()
+        quals = self.quals
+        self.row_var, self.quals = saved_rv, saved_q
+        return src, dt_, quals
+
+    def _single_var(self, quals):
+        if len(quals) > 1:
+            raise MrExprError(
+                f"expression must reference a single pattern variable, "
+                f"got {sorted(quals)!r}"
+            )
+        return next(iter(quals)) if quals else None
+
+    def _int_literal(self):
+        t = self._eat()
+        if t[0] != "num" or not t[1].isdigit():
+            raise MrExprError(f"expected integer literal offset, got {t!r}")
+        return int(t[1])
+
+    def _finish_prev_next(self, up):
+        if self.mode != "define" or self.row_var is not None:
+            raise MrExprError("PREV/NEXT is only valid at DEFINE top level")
+        src, dt_, _quals = self._parse_rowfn_arg()
+        off = 1
+        if self.peek() == ("op", ","):
+            self._eat()
+            off = self._int_literal()
+        self._expect_op(")")
+        meth = "prev_row" if up == "PREV" else "next_row"
+        return f"_on_row(c.{meth}({off}), lambda _r: {src})", dt_
+
+    def _finish_nav(self, up):
+        if self.row_var is not None:
+            raise MrExprError("nested navigation is not supported")
+        src, dt_, quals = self._parse_rowfn_arg()
+        off = 0
+        if self.peek() == ("op", ","):
+            self._eat()
+            off = self._int_literal()
+        self._expect_op(")")
+        var = self._single_var(quals)
+        self.uses_match_state = True
+        return f"m.nav({up.lower()!r}, {var!r}, lambda _r: {src}, {off})", dt_
+
+    def _finish_agg(self, up):
+        if self.row_var is not None:
+            raise MrExprError("nested aggregates are not supported")
+        self.uses_match_state = True
+        distinct = False
+        if up == "COUNT":
+            if self.peek() == ("op", "*"):
+                self._eat()
+                self._expect_op(")")
+                return 'm.agg("count_star", None, None)', "bigint"
+            if (
+                self.peek()[0] == "name"
+                and self.peek(1) == ("op", ".")
+                and self.peek(2) == ("op", "*")
+            ):
+                var = self._eat()[1]
+                self._eat()
+                self._eat()
+                self._expect_op(")")
+                if var not in self.variables:
+                    raise MrExprError(f"unknown pattern variable {var!r}")
+                return f'm.agg("count_star", {var!r}, None)', "bigint"
+            if self._is_kw(self.peek(), "DISTINCT"):
+                self._eat()
+                distinct = True
+        src, dt_, quals = self._parse_rowfn_arg()
+        self._expect_op(")")
+        var = self._single_var(quals)
+        if up == "COUNT":
+            op = "count_distinct" if distinct else "count"
+            return f"m.agg({op!r}, {var!r}, lambda _r: {src})", "bigint"
+        if up in ("MIN", "MAX"):
+            return f"m.agg({up.lower()!r}, {var!r}, lambda _r: {src})", dt_
+        integral = dt_ in _INTEGRAL
+        micros = not integral
+        out_dt = "bigint" if integral else "double"
+        if up == "SUM":
+            return (
+                f'm.agg("sum", {var!r}, lambda _r: {src}, micros={micros})',
+                out_dt,
+            )
+        return (
+            f'm.agg("avg", {var!r}, lambda _r: {src}, '
+            f"micros={micros}, int_avg={integral})",
+            out_dt,
+        )
+
+    def _finish_udf(self, fname):
+        key = fname if fname in self.udfs else fname.lower()
+        kind, _fn, rdt = self.udfs[key]
+        self.uses_match_state = True
+        if kind == "agg":
+            if self.row_var is not None:
+                raise MrExprError("nested aggregate UDF is not supported")
+            argsrcs = []
+            quals: set[str] = set()
+            while True:
+                src, _dt, q = self._parse_rowfn_arg()
+                argsrcs.append(f"lambda _r: {src}")
+                quals |= q
+                if self.peek() == ("op", ","):
+                    self._eat()
+                    continue
+                break
+            self._expect_op(")")
+            var = self._single_var(quals)
+            return (
+                f'm.udagg(U[{key!r}], {var!r}, ({", ".join(argsrcs)},))',
+                rdt,
+            )
+        # scalar UDF: arguments compile in the surrounding context (per-row
+        # inside nav/agg, navigation/current-row at top level)
+        args = []
+        if self.peek() != ("op", ")"):
+            while True:
+                src, _dt = self.parse_or()
+                args.append(src)
+                if self.peek() == ("op", ","):
+                    self._eat()
+                    continue
+                break
+        self._expect_op(")")
+        return f'U[{key!r}]({", ".join(args)})', rdt
+
+
+def _split_top_level(text: str) -> list[str]:
+    """Split on commas at parenthesis depth 0."""
+    depth, cur, parts = 0, [], []
+    for ch in text:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
+def _compile_nav_predicate(
+    expr: str,
+    defining: str | None = None,
+    variables: "set[str] | None" = None,
+    dtypes: "dict[str, str] | None" = None,
+    subsets: "dict[str, list[str]] | None" = None,
+    udfs: "dict | None" = None,
+):
+    """Compile a DEFINE condition that uses match-state navigation
+    (FIRST/LAST logical offsets, running aggregates, UDFs, other-variable
+    references, PREV/NEXT physical navigation) into a MatchCtx predicate.
 
     Reference: MatchCodeGenerator.scala generates code against the CEP
-    IterativeCondition context for exactly these calls; here a restricted
-    SQL-expression grammar (comparisons, arithmetic, AND/OR/NOT, literals)
-    is translated to a Python expression over (row, ctx). NULL from
-    navigation past the available rows makes the condition FALSE (SQL
-    three-valued logic collapses to false at the WHERE boundary)."""
-    # protect string literals from identifier/operator rewriting
-    literals: list[str] = []
-
-    def stash(g: re.Match) -> str:
-        literals.append(g.group(0))
-        return f"\x00{len(literals) - 1}\x00"
-
-    e = re.sub(r"'[^']*'", stash, expr)
-
-    e = re.sub(
-        r"\b(PREV|NEXT)\s*\(\s*(?:\w+\.)?(\w+)\s*(?:,\s*(\d+))?\s*\)",
-        lambda g: f'c.{g.group(1).lower()}("{g.group(2)}", {g.group(3) or 1})',
-        e,
-        flags=re.IGNORECASE,
+    IterativeCondition context for exactly these calls. The row under test
+    is evaluated as the defining variable's last row (SQL running
+    semantics), so `A AS SUM(A.price) < 6` and `DOWN AS price <
+    LAST(DOWN.price, 1)` include the current row. NULL anywhere in the
+    condition reads as UNKNOWN and collapses to FALSE at the predicate
+    boundary (SQL three-valued logic)."""
+    comp = _MrCompiler(
+        expr,
+        "define",
+        variables or set(),
+        dtypes=dtypes,
+        defining=defining,
+        udfs=udfs,
     )
-    e = re.sub(
-        r"\b(FIRST|LAST)\s*\(\s*(\w+)\.(\w+)\s*\)",
-        lambda g: f'c.{g.group(1).lower()}("{g.group(2)}", "{g.group(3)}")',
-        e,
-        flags=re.IGNORECASE,
-    )
-    # qualified stage refs (A.col) -> current-row access (same-row semantics)
-    e = re.sub(r"\b(?!c\.)(\w+)\.(\w+)\b", r'r["\2"]', e)
-    e = e.replace("<>", "!=")
-    e = re.sub(r"(?<![<>!=])=(?!=)", "==", e)
+    src, _dt = comp.compile()
+    code = compile(src, "<mr-define>", "eval")
+    subs = subsets or {}
+    udfs_map = {k: v[1] for k, v in (udfs or {}).items()}
 
-    # bare identifiers -> row refs; keep keywords / our locals / numbers
-    def ident(g: re.Match) -> str:
-        w = g.group(0)
-        lw = w.lower()
-        if lw in _SQL_KEYWORDS:
-            return {"true": "True", "false": "False", "null": "None"}.get(lw, lw)
-        if w in ("r", "c") or w.isdigit():
-            return w
-        return f'r["{w}"]'
-
-    e = re.sub(r"(?<![\w\".\x00])[A-Za-z_]\w*(?![\w\"(])", ident, e)
-    for i, lit in enumerate(literals):
-        e = e.replace(f"\x00{i}\x00", lit)
-
-    code = compile(e, "<define-nav>", "eval")
-
-    def pred(r, c, _code=code):
+    def pred(r, c, _code=code, _var=defining, _subs=subs, _u=udfs_map):
+        m = MrEval([*c.taken, (_var, c.idx)], c.rows, _subs)
         try:
-            v = eval(_code, {"__builtins__": {}}, {"r": r, "c": c})  # noqa: S307
-        except TypeError:  # comparison with NULL navigation -> unknown -> false
+            v = eval(  # noqa: S307
+                _code, _MR_GLOBALS, {"r": r, "c": c, "m": m, "U": _u}
+            )
+        except TypeError:  # NULL operand -> unknown -> false
             return False
         return bool(v) if v is not None else False
 
@@ -141,10 +728,15 @@ def _compile_nav_predicate(expr: str):
 
 
 def match_recognize_sql(
-    df: DataFrame, clause: str, id_col: str, streaming: bool = False
+    df: DataFrame,
+    clause: str,
+    id_col: str,
+    streaming: bool = False,
+    udfs: "dict | None" = None,
 ) -> DataFrame:
     """Execute a MATCH_RECOGNIZE clause body over df. Output: one row per
-    matched event (key cols, id, match_id, stage, seq, event_ts).
+    matched event (key cols, id, match_id, stage, seq, event_ts), or one
+    measures row per match under ONE ROW PER MATCH + MEASURES.
 
     streaming=True runs the match in the watermark-held streaming CEP
     operator (StreamExecMatch.scala's deployment mode — `df` must be a
@@ -154,8 +746,11 @@ def match_recognize_sql(
     `{- -}` output exclusion and PERMUTE alternation run in the held
     operator, and DEFINE may use PREV (compiled to matcher-side
     MatchCtx.prev physical navigation, with the operator retaining
-    max-offset consumed rows as navigation context past its GC
-    frontier)."""
+    max-offset consumed rows as navigation context past its GC frontier).
+
+    `udfs`: registered functions usable inside DEFINE/MEASURES
+    expressions — name -> ("scalar" | "agg", python_callable, result_dtype)
+    (MatchRecognizeITCase testUserDefinedFunctions parity)."""
     m = _SECTION_RE.search(clause.strip())
     if not m:
         raise ValueError("unsupported MATCH_RECOGNIZE clause shape")
@@ -176,28 +771,41 @@ def match_recognize_sql(
         unit = m.group("wu").lower().rstrip("s")
         within = dt.timedelta(seconds=float(m.group("wn")) * _UNIT_SECONDS[unit])
 
-    # DEFINE A AS expr, B AS expr  (split on commas at top parenthesis level)
+    # SUBSET U = (A, B): union variables usable in MEASURES/DEFINE
+    # navigation (Calcite SqlMatchRecognize SUBSET clause)
+    subsets: dict[str, list[str]] = {}
+    if m.group("subset"):
+        for sm in _SUBSET_RE.finditer(m.group("subset")):
+            subsets[sm.group(1)] = [
+                v.strip() for v in sm.group(2).split(",") if v.strip()
+            ]
+
+    # the full pattern-variable set (PERMUTE vars or pattern tokens, plus
+    # subset union names) — needed before DEFINE/MEASURES compilation
+    pm = re.match(
+        r"^PERMUTE\s*\(([^)]*)\)$", m.group("pattern").strip(), re.IGNORECASE
+    )
+    variables: set[str] = set()
+    if pm:
+        variables |= {v.strip() for v in pm.group(1).split(",") if v.strip()}
+    else:
+        for token in tokens:
+            if token in ("{-", "-}"):
+                continue
+            tm = _PTOKEN_RE.match(token)
+            if tm:
+                variables.add(tm.group("name"))
+    variables |= set(subsets)
+
+    # DEFINE A AS expr, B AS expr  (split on commas at top paren level)
     defines: dict[str, str] = {}
-    depth, cur, parts = 0, [], []
-    for ch in m.group("define"):
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == "," and depth == 0:
-            parts.append("".join(cur))
-            cur = []
-        else:
-            cur.append(ch)
-    if cur:
-        parts.append("".join(cur))
-    for p in parts:
+    for p in _split_top_level(m.group("define")):
         dm = re.match(r"\s*(?P<n>\w+)\s+AS\s+(?P<e>.+)", p, re.IGNORECASE | re.DOTALL)
         if not dm:
             raise ValueError(f"bad DEFINE entry: {p!r}")
         defines[dm.group("n")] = dm.group("e").strip()
 
-    # evaluate DEFINE predicates as Catalyst boolean columns
+    # evaluate Catalyst-expressible DEFINE predicates as boolean columns
     over = (
         f"OVER (PARTITION BY {', '.join(partition_by)} "
         f"ORDER BY {order_by}, {id_col})"
@@ -213,13 +821,21 @@ def match_recognize_sql(
             flags=re.IGNORECASE,
         )
 
+    dtypes_in = dict(df.dtypes)
+    udf_names_re = None
+    if udfs:
+        udf_names_re = re.compile(
+            r"\b(" + "|".join(re.escape(k) for k in udfs) + r")\s*\(",
+            re.IGNORECASE,
+        )
     work = df
     pred_cols: dict[str, str] = {}
     nav_preds: dict[str, object] = {}
     # PREV() is physical partition navigation (can reach rows BEHIND the
     # match, Calcite/Flink semantics). Batch mode precomputes it as a
-    # Catalyst LAG window (JVM-side); streaming mode compiles it into a
-    # matcher-side MatchCtx.prev navigation instead and tells the
+    # Catalyst LAG window (JVM-side) when the define is otherwise
+    # Catalyst-expressible; streaming mode (and matcher-side defines)
+    # compile it into MatchCtx navigation instead and tell the
     # watermark-held operator to retain max-offset rows of navigation
     # context past its GC frontier (nav_prev_depth below).
     nav_prev_depth = 0
@@ -232,27 +848,35 @@ def match_recognize_sql(
             ):
                 nav_prev_depth = max(nav_prev_depth, int(g.group(1) or 1))
     for name, expr in defines.items():
-        needs_nav = bool(
-            re.search(r"\b(FIRST|LAST|NEXT)\s*\(", expr, re.IGNORECASE)
-        ) or (streaming and re.search(r"\bPREV\s*\(", expr, re.IGNORECASE))
+        other_vars = [v for v in variables if v != name]
+        cross_ref = bool(other_vars) and bool(
+            re.search(
+                r"\b(" + "|".join(re.escape(v) for v in other_vars) + r")\s*\.",
+                expr,
+            )
+        )
+        needs_nav = (
+            bool(_NAV_DETECT.search(expr))
+            or cross_ref
+            or bool(udf_names_re and udf_names_re.search(expr))
+            or (streaming and re.search(r"\bPREV\s*\(", expr, re.IGNORECASE))
+        )
         if needs_nav:
             # match-state / physical navigation: needs the matcher's
-            # MatchCtx — cannot precompute as a Catalyst column
-            nav_preds[name] = _compile_nav_predicate(expr)
+            # context — cannot precompute as a Catalyst column
+            nav_preds[name] = _compile_nav_predicate(
+                expr,
+                defining=name,
+                variables=variables,
+                dtypes=dtypes_in,
+                subsets=subsets,
+                udfs=udfs,
+            )
             continue
         bare = re.sub(r"\b\w+\.(\w+)", r"\1", rewrite_prev(expr))
         col = f"__mr_{name}"
         work = work.withColumn(col, F.expr(bare))
         pred_cols[name] = col
-
-    # SUBSET U = (A, B): union variables usable in MEASURES navigation
-    # (Calcite SqlMatchRecognize SUBSET clause / Flink MatchRecognizeITCase)
-    subsets: dict[str, list[str]] = {}
-    if m.group("subset"):
-        for sm in _SUBSET_RE.finditer(m.group("subset")):
-            subsets[sm.group(1)] = [
-                v.strip() for v in sm.group(2).split(",") if v.strip()
-            ]
 
     def attach_pred(p: Pattern, name: str) -> Pattern:
         if name in nav_preds:
@@ -268,9 +892,6 @@ def match_recognize_sql(
     # PERMUTE(A, B, ...): Calcite expands to the alternation of all
     # orderings with the declared order preferred — built here as one
     # pattern per permutation, tried leftmost-first by find_matches_any.
-    pm = re.match(
-        r"^PERMUTE\s*\(([^)]*)\)$", m.group("pattern").strip(), re.IGNORECASE
-    )
     alternatives: list[Pattern] = []
     excluded: set[str] = set()
     if pm:
@@ -292,8 +913,11 @@ def match_recognize_sql(
         # rows (Calcite/Flink semantics) — gaps must be written as explicit
         # catch-all stages, e.g. PATTERN (V {- X*? -} P). `{- ... -}` is
         # output exclusion: those stages match rows but are not emitted.
-        # Quantifiers are greedy by default; a trailing `?` (`*?`, `+?`)
-        # makes them reluctant.
+        # Quantifier translation = StreamExecMatch.applyQuantifier: loops
+        # are consecutive; + * {n,} {n,m} greedy (possessive — see
+        # cep.run_choices), trailing `?` reluctant; ? and {n} carry no
+        # greedy property; reluctant optional is rejected like the
+        # reference.
         pat = None
         in_exclusion = False
         for token in tokens:
@@ -303,7 +927,7 @@ def match_recognize_sql(
             if token == "-}":
                 in_exclusion = False
                 continue
-            tm = re.match(r"^(?P<name>\w+)(?P<suf>\+\??|\*\??|\?)?$", token)
+            tm = _PTOKEN_RE.match(token)
             if not tm:
                 raise ValueError(f"bad PATTERN token: {token!r}")
             name, suffix = tm.group("name"), tm.group("suf") or ""
@@ -320,8 +944,31 @@ def match_recognize_sql(
                 pat = pat.times(0, None).consecutive()
                 pat._stages[-1].max_times = -1
                 pat._stages[-1].greedy = suffix != "*?"
+            elif suffix == "??":
+                raise ValueError(
+                    "Reluctant optional variables are not supported"
+                )
             elif suffix == "?":
                 pat = pat.optional()
+            elif suffix.startswith("{"):
+                body = suffix[1 : suffix.index("}")]
+                reluctant = suffix.endswith("?")
+                if "," in body:
+                    lo_s, hi_s = body.split(",")
+                    lo = int(lo_s)
+                    hi = int(hi_s) if hi_s else None
+                else:
+                    lo = hi = int(body)
+                if lo == 0 and hi == 1 and reluctant:
+                    raise ValueError(
+                        "Reluctant optional variables are not supported"
+                    )
+                pat = pat.times(lo, hi if hi is not None else lo).consecutive()
+                if hi is None:
+                    pat._stages[-1].max_times = -1
+                # greedy skipped for exact {n} (single repetition count)
+                if not reluctant and lo != hi:
+                    pat = pat.greedy()
         if within is not None:
             pat = pat.within(within)
 
@@ -348,51 +995,49 @@ def match_recognize_sql(
         )
 
     # ONE ROW PER MATCH with MEASURES: run the matcher per key and emit one
-    # aggregated row per match.
-    measures = []
-    for entry in measures_src.split(","):
-        mm = _MEASURE_RE.match(entry)
+    # aggregated row per match. Each measure compiles to an expression over
+    # the completed match (final semantics).
+    compiled_measures: list[tuple[str, object, str]] = []
+    for entry in _split_top_level(measures_src):
+        mm = re.match(
+            r"(?s)^\s*(?P<expr>.+)\s+AS\s+(?P<alias>\w+)\s*$",
+            entry,
+            re.IGNORECASE,
+        )
         if not mm:
             raise ValueError(f"unsupported MEASURES entry: {entry!r}")
-        measures.append(
-            (
-                (mm.group("fn") or "FIRST").upper(),
-                mm.group("stage"),
-                mm.group("col"),
-                mm.group("alias"),
-            )
+        comp = _MrCompiler(
+            mm.group("expr"), "measures", variables, dtypes=dtypes_in, udfs=udfs
+        )
+        src, mdt = comp.compile()
+        compiled_measures.append(
+            (mm.group("alias"), compile(src, "<mr-measure>", "eval"), mdt)
         )
 
     import pandas as pd  # noqa: PLC0415
 
-    dtypes = dict(work.dtypes)
-    out_fields = [f"`{c}` {dtypes[c]}" for c in partition_by]
+    out_fields = [f"`{c}` {dtypes_in[c]}" for c in partition_by]
     out_fields.append("`match_id` bigint")
-    for fn, _stage, col, alias in measures:
-        out_fields.append(
-            f"`{alias}` bigint" if fn == "COUNT" else f"`{alias}` {dtypes[col]}"
-        )
+    for alias, _code, mdt in compiled_measures:
+        out_fields.append(f"`{alias}` {mdt}")
     out_schema = ", ".join(out_fields)
     cols = list(work.columns)
+    udfs_map = {k: v[1] for k, v in (udfs or {}).items()}
 
     def measures_of(match, rows_by_idx):
+        ev = MrEval(match, rows_by_idx, subsets)
         rec = {}
-        for fn, stage, col, alias in measures:
-            members = subsets.get(stage)
-            staged = [
-                rows_by_idx[idx]
-                for s, idx in match
-                if (s in members if members else s == stage)
-            ]
-            if fn == "COUNT":
-                rec[alias] = len(staged)
-            elif not staged:
-                rec[alias] = None
-            elif fn == "LAST":
-                rec[alias] = staged[-1][col]
-            else:  # FIRST / bare S.col
-                rec[alias] = staged[0][col]
+        for alias, code, _mdt in compiled_measures:
+            try:
+                v = eval(  # noqa: S307
+                    code, _MR_GLOBALS, {"m": ev, "U": udfs_map}
+                )
+            except TypeError:
+                v = None
+            rec[alias] = v
         return rec
+
+    measure_aliases = [a for a, *_ in compiled_measures]
 
     if streaming:
         # ONE ROW PER MATCH + MEASURES on the watermark-held path: the
@@ -414,7 +1059,7 @@ def match_recognize_sql(
             alternatives=alternatives,
             emit=emit,
             emit_schema_suffix=", ".join(out_fields[len(partition_by):]),
-            emit_columns=["match_id", *[a for *_, a in measures]],
+            emit_columns=["match_id", *measure_aliases],
             nav_prev_depth=nav_prev_depth,
         )
 
@@ -436,7 +1081,7 @@ def match_recognize_sql(
             rec.update(measures_of(match, rows))
             recs.append(rec)
         return pd.DataFrame(
-            recs, columns=[*partition_by, "match_id", *[a for *_, a in measures]]
+            recs, columns=[*partition_by, "match_id", *measure_aliases]
         )
 
     return work.groupBy(*partition_by).applyInPandas(per_key, out_schema)

@@ -366,38 +366,52 @@ def test_stream_watermark_drops_late_events(spark):
 
 
 def test_compile_nav_predicate():
+    from flink_parent_spark.streaming.cep import MatchCtx
     from flink_parent_spark.streaming.match_recognize_sql import (
         _compile_nav_predicate,
     )
 
-    pred = _compile_nav_predicate("UP.value > LAST(DOWN.value) AND value <> 5")
+    variables = {"UP", "DOWN", "A"}
+    pred = _compile_nav_predicate(
+        "UP.value > LAST(DOWN.value) AND value <> 5",
+        defining="UP",
+        variables=variables,
+    )
+    rows = [{"value": 10}, {"value": 11}, {"value": 9}, {"value": 5}]
+    taken = [("DOWN", 0)]  # LAST(DOWN.value) = 10
+    assert pred(rows[1], MatchCtx(rows, 1, taken))
+    assert not pred(rows[2], MatchCtx(rows, 2, taken))
+    assert not pred(rows[3], MatchCtx(rows, 3, taken))
 
-    class Ctx:
-        def last(self, stage, col):
-            assert (stage, col) == ("DOWN", "value")
-            return 10
-
-    assert pred({"value": 11}, Ctx())
-    assert not pred({"value": 9}, Ctx())
-    assert not pred({"value": 5}, Ctx())
-
-    # NULL navigation -> condition is false, not an error
-    class NullCtx:
-        def last(self, stage, col):
-            return None
-
-    assert not pred({"value": 11}, NullCtx())
+    # NULL navigation (no DOWN rows) -> condition is false, not an error
+    assert not pred(rows[1], MatchCtx(rows, 1, []))
 
     # FIRST + string literal + arithmetic
-    p2 = _compile_nav_predicate("t = 'up' AND value >= FIRST(A.value) * 2")
+    p2 = _compile_nav_predicate(
+        "t = 'up' AND value >= FIRST(A.value) * 2",
+        defining="B",
+        variables={"A", "B"},
+    )
+    rows2 = [
+        {"t": "a", "value": 3},
+        {"t": "up", "value": 6},
+        {"t": "down", "value": 6},
+        {"t": "up", "value": 5},
+    ]
+    tk = [("A", 0)]  # FIRST(A.value) = 3
+    assert p2(rows2[1], MatchCtx(rows2, 1, tk))
+    assert not p2(rows2[2], MatchCtx(rows2, 2, tk))
+    assert not p2(rows2[3], MatchCtx(rows2, 3, tk))
 
-    class C2:
-        def first(self, stage, col):
-            return 3
-
-    assert p2({"t": "up", "value": 6}, C2())
-    assert not p2({"t": "down", "value": 6}, C2())
-    assert not p2({"t": "up", "value": 5}, C2())
+    # running self-aggregate: the row under test counts as the defining
+    # variable's last row (SQL running semantics)
+    p3 = _compile_nav_predicate(
+        "SUM(A.price) < 6", defining="A", variables={"A"}
+    )
+    rows3 = [{"price": 1}, {"price": 2}, {"price": 3}]
+    assert p3(rows3[0], MatchCtx(rows3, 0, []))  # 1 < 6
+    assert p3(rows3[1], MatchCtx(rows3, 1, [("A", 0)]))  # 3 < 6
+    assert not p3(rows3[2], MatchCtx(rows3, 2, [("A", 0), ("A", 1)]))  # 6<6
 
 
 def test_match_recognize_sql_last_define(spark):
