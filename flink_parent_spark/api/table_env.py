@@ -529,6 +529,52 @@ class WindowGroupedTable:
             self._table._env,
         )
 
+    def flat_aggregate(self, fn, output_type: str) -> Table:
+        """Windowed TableAggregateFunction (flink-table-planner-blink
+        StreamExecGroupWindowTableAggregate.scala: a table aggregate
+        evaluated per GROUP WINDOW, emitting 0..n rows per window group).
+
+        `fn(key_tuple, pdf) -> DataFrame | list[dict]` receives the
+        non-window grouping keys and the window's rows; the window bounds
+        are prepended to every emitted row as `<alias>_start` /
+        `<alias>_end`. Runs as one Arrow-batched applyInPandas over
+        groupBy(window, keys) — the window expression shares the group
+        shuffle exactly like the scalar select() path."""
+        import pandas as pd  # noqa: PLC0415
+
+        w = self._window
+        df = self._table._df
+        dt = dict(df.dtypes)
+        key_ddl = ", ".join(f"`{k}` {dt[k]}" for k in self._keys)
+        schema = f"`{w.name}_start` timestamp, `{w.name}_end` timestamp"
+        if key_ddl:
+            schema += f", {key_ddl}"
+        schema += f", {output_type}"
+        keys = list(self._keys)
+
+        def per_key(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            out = fn(key[1:], pdf)
+            if isinstance(out, dict):
+                out = [out]
+            out = (
+                pd.DataFrame(out) if not isinstance(out, pd.DataFrame) else out
+            )
+            out = out.copy()
+            win = key[0]  # the window struct: a {'start','end'} mapping
+            ws, we = (
+                (win["start"], win["end"])
+                if isinstance(win, dict)
+                else (win[0], win[1])
+            )
+            out.insert(0, f"{w.name}_start", ws)
+            out.insert(1, f"{w.name}_end", we)
+            for i, k in enumerate(keys):
+                out.insert(2 + i, k, key[1 + i])
+            return out
+
+        grouped = df.groupBy(w._spark_window().alias("__gw"), *keys)
+        return Table(grouped.applyInPandas(per_key, schema), self._table._env)
+
 
 class Over:
     """Fluent OVER-window descriptor (PyFlink Over.partition_by(...)

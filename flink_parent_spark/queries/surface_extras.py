@@ -659,3 +659,51 @@ def format_debezium_json(spark, sf_dir):
     return tagged.select(
         "o_orderkey", "price", F.col("__rowkind").alias("op_kind")
     )
+
+
+@df_query(
+    "window_flat_aggregate_top2",
+    oracle="""
+    WITH ranked AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+             time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS w_end,
+             event_type, user_id, event_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY time_bucket(INTERVAL '1 hour', ts), event_type
+               ORDER BY value DESC, event_id) AS rn
+      FROM events
+    )
+    SELECT w_start, w_end, event_type, user_id, event_id, value
+    FROM ranked WHERE rn <= 2
+    """,
+)
+def window_flat_aggregate_top2(spark, sf_dir):
+    """WINDOWED flatAggregate (StreamExecGroupWindowTableAggregate.scala
+    parity): a TableAggregateFunction emitting the top-2 rows per
+    (tumbling hour, event_type) window group, through the Table API's
+    window(Tumble...).group_by(w, key).flat_aggregate(...) surface —
+    multi-row-per-window emission with the window bounds projected onto
+    every emitted row."""
+    from flink_parent_spark.api.table_env import (  # noqa: PLC0415
+        Table,
+        TableEnvironment,
+        Tumble,
+    )
+
+    t = load_tables(spark, sf_dir)
+    env = TableEnvironment(spark)
+    tbl = Table(t["events"], env)
+
+    def top2(key, pdf):
+        return pdf.sort_values(
+            ["value", "event_id"], ascending=[False, True]
+        ).head(2)[["user_id", "event_id", "value"]]
+
+    out = (
+        tbl.window(Tumble.over("1 hour").on("ts").alias("w"))
+        .group_by("w", "event_type")
+        .flat_aggregate(
+            top2, "user_id bigint, event_id bigint, value double"
+        )
+    )
+    return out._df

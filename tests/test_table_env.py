@@ -410,6 +410,51 @@ def test_fluent_group_window_slide_and_session(tenv):
     assert r["s_rowtime"] is not None
 
 
+def test_fluent_windowed_flat_aggregate(tenv):
+    """Windowed TableAggregateFunction (StreamExecGroupWindowTable
+    Aggregate.scala): window(Tumble).group_by(w, key).flat_aggregate(...)
+    emits multiple rows per WINDOW group with the bounds projected; a
+    session window takes the same path (merge handled by Spark's
+    session_window in the group shuffle)."""
+    t = tenv.from_path("ev")
+    from flink_parent_spark.api.table_env import Session, Tumble
+
+    def top2(key, pdf):
+        return pdf.sort_values(
+            ["value", "event_id"], ascending=[False, True]
+        ).head(2)[["event_id", "value"]]
+
+    got = (
+        t.window(Tumble.over("1 hour").on("ts").alias("w"))
+        .group_by("w", "event_type")
+        .flat_aggregate(top2, "event_id bigint, value double")
+        .to_df()
+        .collect()
+    )
+    exp = tenv.spark.sql(
+        """
+        SELECT w_start, w_end, event_type, event_id, value FROM (
+          SELECT window(ts, '1 hour').start AS w_start,
+                 window(ts, '1 hour').end AS w_end,
+                 event_type, event_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY window(ts, '1 hour'),
+                                    event_type
+                                    ORDER BY value DESC, event_id) AS rn
+          FROM ev) WHERE rn <= 2
+        """
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp)) and got
+
+    sess = (
+        t.window(Session.with_gap("30 minutes").on("ts").alias("s"))
+        .group_by("s", "user_id")
+        .flat_aggregate(top2, "event_id bigint, value double")
+        .to_df()
+    )
+    rows = sess.collect()
+    assert rows and all(r["s_start"] <= r["s_end"] for r in rows)
+
+
 def test_fluent_over_window(tenv):
     from flink_parent_spark.api.table_env import Over
 
