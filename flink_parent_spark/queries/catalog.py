@@ -54,8 +54,11 @@ _GATE_CORE: tuple[str, ...] = (
     # retraction-chain fuzz shape's gate slot)
     "cep_signup_then_purchase",
     "streamfuzz_chain_0",
-    # match_recognize (round-5 additions: WITHIN + SKIP TO var in the gate)
+    # match_recognize (r13: the new aggregate-measures query debuts in the
+    # gate — SUM/AVG/COUNT + logical-offset navigation over a possessive
+    # quantified run; the clause-surface query keeps its slot)
     "match_recognize_sql_clause",
+    "match_recognize_agg_measures",
     # Flink-SQL group-window dialect
     "sql_tumble_hourly",
     # batch topn
@@ -80,9 +83,9 @@ _GATE_CORE: tuple[str, ...] = (
     # graph
     "graph_connected_components",
     "graph_pagerank",
-    # datapipe
+    # datapipe (r13: exact-digest dedup rotates out for the MR-aggregate
+    # gate slot; stays oracle-checked in pytest and _ROTATED_OUT)
     "text_repetition_stats",
-    "dedup_exact_digest",
     "dedup_minhash_lsh_pairs",
     "ann_cosine_topk_ivf_kmeans",
     "multimodal_frame_sample",
@@ -107,6 +110,8 @@ from flink_parent_spark.queries.differential_gate import GATE_NAMES  # noqa: E40
 # immediately follow the prefix so they re-enter whenever the rotation
 # frees slots. All remain pytest-oracle-checked every round.
 _ROTATED_OUT: tuple[str, ...] = (
+    # r13 displacement
+    "dedup_exact_digest",
     # r12 displacements
     "stream_session_window",
     "cep_not_followed_by",
