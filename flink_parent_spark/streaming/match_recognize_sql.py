@@ -74,7 +74,7 @@ from flink_parent_spark.streaming.cep import AfterMatchSkip, Pattern, cep_patter
 from flink_parent_spark.streaming.stateful import _micros_double
 
 _SECTION_RE = re.compile(
-    r"PARTITION\s+BY\s+(?P<part>[\w,\s]+?)\s+ORDER\s+BY\s+(?P<order>\w+)"
+    r"(?:PARTITION\s+BY\s+(?P<part>[\w,\s]+?)\s+)?ORDER\s+BY\s+(?P<order>\w+)"
     r"(?:\s+MEASURES\s+(?P<measures>.*?))?"
     r"(?:\s+(?P<per_match>ONE\s+ROW\s+PER\s+MATCH|ALL\s+ROWS\s+PER\s+MATCH))?"
     r"(?:\s+AFTER\s+MATCH\s+SKIP\s+(?P<skip>PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW"
@@ -295,7 +295,9 @@ class _MrCompiler:
         dtypes: "dict[str, str] | None" = None,
         defining: str | None = None,
         udfs: "dict | None" = None,
+        order_col: str | None = None,
     ):
+        self.order_col = order_col
         self.toks = self._lex(text)
         self.i = 0
         self.mode = mode
@@ -520,6 +522,20 @@ class _MrCompiler:
         fname = self._eat()[1]
         up = fname.upper()
         self._expect_op("(")
+        if up == "MATCH_ROWTIME":
+            # MATCH_ROWTIME(): the rowtime of the LAST matched row — the
+            # match's emission timestamp (MatchCodeGenerator.scala:378
+            # MATCH_ROWTIME case; MatchRecognizeITCase
+            # testWindowedGroupingAppliedToMatchRecognize). Measures-only.
+            self._expect_op(")")
+            if self.mode != "measures" or self.order_col is None:
+                raise MrExprError("MATCH_ROWTIME() is only valid in MEASURES")
+            self.uses_match_state = True
+            oc = self.order_col
+            return (
+                f'm.nav("last", None, lambda _r: _r[{oc!r}], 0)',
+                self._col_dtype(oc),
+            )
         if up in ("PREV", "NEXT"):
             return self._finish_prev_next(up)
         if up in _NAV_FNS:
@@ -754,7 +770,19 @@ def match_recognize_sql(
     m = _SECTION_RE.search(clause.strip())
     if not m:
         raise ValueError("unsupported MATCH_RECOGNIZE clause shape")
-    partition_by = [c.strip() for c in m.group("part").split(",") if c.strip()]
+    # PARTITION BY is optional (most MatchRecognizeITCase queries omit it):
+    # a partition-less clause matches over ONE global sequence — realized
+    # as a constant internal key, dropped from the output. (On a real
+    # cluster this serializes into a single task, exactly like the
+    # reference's parallelism-1 global match.)
+    no_partition = m.group("part") is None
+    if no_partition:
+        df = df.withColumn("__mr_pk", F.lit(0))
+        partition_by = ["__mr_pk"]
+    else:
+        partition_by = [
+            c.strip() for c in m.group("part").split(",") if c.strip()
+        ]
     order_by = m.group("order").strip()
     skip = AfterMatchSkip.SKIP_PAST_LAST
     if m.group("skip"):
@@ -983,16 +1011,18 @@ def match_recognize_sql(
             cep_pattern_stream_watermarked,
         )
 
-        return cep_pattern_stream_watermarked(
+        res = cep_pattern_stream_watermarked(
             work, pat, partition_by, order_by, id_col, skip,
             exclude=frozenset(excluded), alternatives=alternatives,
             nav_prev_depth=nav_prev_depth,
         )
+        return res.drop("__mr_pk") if no_partition else res
     if not (one_row and measures_src):
-        return cep_pattern(
+        res = cep_pattern(
             work, pat, partition_by, order_by, id_col, skip,
             exclude=frozenset(excluded), alternatives=alternatives,
         )
+        return res.drop("__mr_pk") if no_partition else res
 
     # ONE ROW PER MATCH with MEASURES: run the matcher per key and emit one
     # aggregated row per match. Each measure compiles to an expression over
@@ -1007,7 +1037,8 @@ def match_recognize_sql(
         if not mm:
             raise ValueError(f"unsupported MEASURES entry: {entry!r}")
         comp = _MrCompiler(
-            mm.group("expr"), "measures", variables, dtypes=dtypes_in, udfs=udfs
+            mm.group("expr"), "measures", variables, dtypes=dtypes_in,
+            udfs=udfs, order_col=order_by,
         )
         src, mdt = comp.compile()
         compiled_measures.append(
@@ -1054,7 +1085,7 @@ def match_recognize_sql(
             rec.update(measures_of(match, sealed))
             return [rec]
 
-        return cep_pattern_stream_watermarked(
+        res = cep_pattern_stream_watermarked(
             work, pat, partition_by, order_by, id_col, skip,
             alternatives=alternatives,
             emit=emit,
@@ -1062,6 +1093,7 @@ def match_recognize_sql(
             emit_columns=["match_id", *measure_aliases],
             nav_prev_depth=nav_prev_depth,
         )
+        return res.drop("__mr_pk") if no_partition else res
 
     def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([order_by, id_col])
@@ -1084,4 +1116,5 @@ def match_recognize_sql(
             recs, columns=[*partition_by, "match_id", *measure_aliases]
         )
 
-    return work.groupBy(*partition_by).applyInPandas(per_key, out_schema)
+    res = work.groupBy(*partition_by).applyInPandas(per_key, out_schema)
+    return res.drop("__mr_pk") if no_partition else res

@@ -433,3 +433,148 @@ def test_count_distinct_and_min_max_measures(spark):
     r = out.iloc[0]
     assert (r["n_distinct"], r["min_v"], r["max_v"]) == (2, 3.0, 5.0)
     assert r["avg_v"] == pytest.approx((5.0 + 3.0 + 5.0) / 3)
+
+
+def test_simple_pattern_with_nulls_no_partition(spark):
+    """testSimplePatternWithNulls: a PARTITION-BY-less clause (one global
+    match sequence) with NULL field navigation — LAST(A.nullField) IS NULL
+    in DEFINE and NULL-valued measures."""
+    data = [
+        (1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, None),
+        (6, "a"), (7, "b"), (8, "c"), (9, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, n, None, _ts(i)) for i, n in data],
+        "id long, name string, nullField string, ts timestamp",
+    )
+    clause = """
+      ORDER BY ts
+      MEASURES
+        A.id AS aid,
+        A.nullField AS aNull,
+        LAST(B.nullField) AS bNull,
+        C.id AS cid
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A B C)
+      DEFINE
+        A AS name = 'a' AND nullField IS NULL,
+        B AS name = 'b' AND LAST(A.nullField) IS NULL,
+        C AS name = 'c'
+    """
+    out = (
+        match_recognize_sql(df, clause, "id")
+        .toPandas()
+        .sort_values("aid")
+        .reset_index(drop=True)
+    )
+    got = [
+        (
+            r["aid"],
+            None if pd.isna(r["bNull"]) else r["bNull"],
+            r["cid"],
+            None if pd.isna(r["aNull"]) else r["aNull"],
+        )
+        for _, r in out.iterrows()
+    ]
+    assert got == [(1, None, 3, None), (6, None, 8, None)]
+    assert "__mr_pk" not in out.columns  # internal global key is dropped
+
+
+def test_match_recognize_applied_to_windowed_grouping(spark):
+    """testMatchRecognizeAppliedToWindowedGrouping: a tumbling aggregation
+    feeds MATCH_RECOGNIZE whose DEFINE uses a bare OTHER-variable
+    reference (B.price < A.price = A's last matched row)."""
+    from pyspark.sql import functions as F
+
+    data = [
+        ("ACME", 1, 1, 1), ("ACME", 2, 2, 2),
+        ("ACME", 4, 1, 4), ("ACME", 5, 1, 3),
+        ("ACME", 7, 2, 3), ("ACME", 8, 2, 3),
+        ("ACME1", 1, 20, 4), ("ACME1", 1, 24, 4),
+        ("ACME1", 1, 25, 3), ("ACME1", 1, 19, 8),
+    ]
+    t = spark.createDataFrame(
+        [(s, _ts(sec), p, x) for s, sec, p, x in data],
+        "symbol string, rowtime timestamp, price long, tax long",
+    )
+    win = (
+        t.groupBy(F.window("rowtime", "3 seconds"), "symbol")
+        .agg(F.sum("price").alias("price"))
+        .select(
+            "symbol",
+            "price",
+            (F.col("window.end") - F.expr("INTERVAL 1 MILLISECOND")).alias(
+                "rowTime"
+            ),
+            F.col("window.start").alias("startTime"),
+        )
+    )
+    clause = """
+      PARTITION BY symbol
+      ORDER BY rowTime
+      MEASURES
+        B.price AS dPrice,
+        B.startTime AS dTime
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A B)
+      DEFINE
+        B AS B.price < A.price
+    """
+    out = match_recognize_sql(win, clause, "rowTime").toPandas()
+    got = [(r["symbol"], r["dPrice"], r["dTime"]) for _, r in out.iterrows()]
+    assert got == [("ACME", 2, _ts(3))]
+
+
+def test_windowed_grouping_applied_to_match_recognize(spark):
+    """testWindowedGroupingAppliedToMatchRecognize: MATCH_ROWTIME() in
+    MEASURES (the last matched row's rowtime) feeds a downstream tumbling
+    aggregation."""
+    from pyspark.sql import functions as F
+
+    data = [
+        ("ACME", 1, 1, 1), ("ACME", 2, 2, 2),
+        ("ACME", 4, 1, 4), ("ACME", 5, 1, 3),
+    ]
+    t = spark.createDataFrame(
+        [(s, _ts(sec), p, x) for s, sec, p, x in data],
+        "symbol string, rowtime timestamp, price long, tax long",
+    )
+    clause = """
+      PARTITION BY symbol
+      ORDER BY rowtime
+      MEASURES
+        A.price AS price,
+        A.tax AS tax,
+        MATCH_ROWTIME() AS matchRowtime
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A)
+      DEFINE
+        A AS A.price > 0
+    """
+    mr = match_recognize_sql(t, clause, "rowtime")
+    agg = (
+        mr.groupBy(F.window("matchRowtime", "3 seconds"), "symbol")
+        .agg(F.sum("price").alias("price"))
+        .select(
+            "symbol",
+            "price",
+            (F.col("window.end") - F.expr("INTERVAL 1 MILLISECOND")).alias(
+                "rowTime"
+            ),
+            F.col("window.start").alias("startTime"),
+        )
+        .toPandas()
+        .sort_values("startTime")
+        .reset_index(drop=True)
+    )
+    got = [
+        (r["symbol"], r["price"], r["rowTime"], r["startTime"])
+        for _, r in agg.iterrows()
+    ]
+    assert got == [
+        ("ACME", 3, _ts(3) - dtm.timedelta(milliseconds=1), _ts(0)),
+        ("ACME", 2, _ts(6) - dtm.timedelta(milliseconds=1), _ts(3)),
+    ]

@@ -603,3 +603,28 @@ def test_count_sliding_window_single_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert plan.count("Window") == 1
+
+
+def test_match_recognize_agg_measures_single_exchange(spark):
+    """The MR aggregate-measures gate query: DEFINE predicates are plain
+    event_type equalities, so they precompute as Catalyst boolean columns
+    (no Python in the scan path beyond the one matcher applyInPandas) and
+    the whole pipeline hash-partitions ONCE on the match key."""
+    import re
+
+    plan = plan_of(QS["match_recognize_agg_measures"](spark, SF))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert "CartesianProduct" not in plan
+    # exactly one Python stage: the per-key matcher itself
+    assert len(re.findall(r"^\(\d+\) FlatMapGroupsInPandas", plan, re.M)) == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_windowed_flat_aggregate_single_exchange(spark):
+    """Windowed flatAggregate: the window expression lives inside the
+    group shuffle — one Exchange, one Arrow stage."""
+    import re
+
+    plan = plan_of(QS["window_flat_aggregate_top2"](spark, SF))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) FlatMapGroupsInPandas", plan, re.M)) == 1

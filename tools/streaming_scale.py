@@ -216,6 +216,43 @@ def main() -> None:
             timeout_s=1800,
         )
 
+    def mr_agg_stream(p=path):
+        # streaming MATCH_RECOGNIZE with aggregate MEASURES at volume
+        # (r13): possessive A+ B islands with SUM/AVG/COUNT + offset
+        # navigation through the watermark-held matcher and the compiled
+        # measures evaluator — the expression-engine hot path the toy-size
+        # match_recognize_* catalog entries never stress
+        from flink_parent_spark.streaming.match_recognize_sql import (  # noqa: PLC0415
+            match_recognize_sql,
+        )
+
+        ev = open_stream(spark, p)
+        clause = """
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES FIRST(A.event_id) AS a_first,
+                   LAST(A.event_id, 1) AS a_second_last,
+                   COUNT(A.*) AS a_n,
+                   SUM(A.value) AS a_sum,
+                   AVG(A.value) AS a_avg,
+                   B.event_id AS b_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A+ B)
+          DEFINE A AS A.event_type = 'view',
+                 B AS B.event_type = 'purchase'
+        """
+        return run_stream_to_df(
+            match_recognize_sql(
+                ev.select("user_id", "event_id", "event_type", "value", "ts"),
+                clause,
+                "event_id",
+                streaming=True,
+            ),
+            "update",
+            timeout_s=1800,
+        )
+
     def over_rows_bounded(p=path):
         # streaming ROWS-bounded OVER at volume (r11, backing the new
         # `over` fuzz shape): per-key ring buffer of the last 5 (ts,
@@ -333,6 +370,7 @@ def main() -> None:
         "dedup_first_user_type": dedup_keys,
         "updatable_topn_per_type": topn_per_type,
         "cep_signup_purchase": cep_stream,
+        "mr_agg_measures": mr_agg_stream,
         "over_rows5_per_user": over_rows_bounded,
         "over_range30m_per_user": over_range_bounded,
         "retract_chain_3stage": retract_chain,
@@ -345,7 +383,9 @@ def main() -> None:
         entries["updatable_topn_per_type_zipf"] = lambda: topn_per_type(zpath)
         entries["over_rows5_per_user_zipf"] = lambda: over_rows_bounded(zpath)
         entries["cep_signup_purchase_zipf"] = lambda: cep_stream(zpath)
+        entries["mr_agg_measures_zipf"] = lambda: mr_agg_stream(zpath)
         zipf_of = {
+            "mr_agg_measures_zipf": "mr_agg_measures",
             "dedup_first_user_type_zipf": "dedup_first_user_type",
             "updatable_topn_per_type_zipf": "updatable_topn_per_type",
             "over_rows5_per_user_zipf": "over_rows5_per_user",
