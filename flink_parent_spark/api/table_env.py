@@ -701,6 +701,18 @@ class TableEnvironment:
         """TableEnvironment.getConfig parity (mutate entries to configure)."""
         return self.config
 
+    def window_emit_strategy(self, is_session_window: bool = False):
+        """The group-window emit strategy configured through this
+        environment's table.exec.emit.* keys (WindowEmitStrategy.scala;
+        see flink_parent_spark.streaming.emit for the Spark mapping)."""
+        from flink_parent_spark.streaming.emit import (  # noqa: PLC0415
+            WindowEmitStrategy,
+        )
+
+        return WindowEmitStrategy.from_config(
+            self.config, is_session_window=is_session_window
+        )
+
     @staticmethod
     def create(streaming: bool = False, spark: SparkSession | None = None) -> "TableEnvironment":
         return TableEnvironment(spark or get_spark(), streaming)

@@ -178,14 +178,16 @@ def tumble_agg_emit(
     agg_exprs,
     strategy: WindowEmitStrategy,
     base_watermark_delay: str = "0 seconds",
+    slide: str | None = None,
 ) -> tuple[DataFrame, str]:
-    """Tumbling group-window aggregate under an emit strategy: returns
-    (windowed aggregate DataFrame, required sink output mode). The caller
-    starts the sink with the returned mode (and `strategy.trigger_interval`
-    as the processing-time trigger when early-fire has a delay)."""
+    """Tumbling (or, with `slide`, hopping) group-window aggregate under an
+    emit strategy: returns (windowed aggregate DataFrame, required sink
+    output mode). The caller starts the sink with the returned mode (and
+    `strategy.trigger_interval` as the processing-time trigger when
+    early-fire has a delay). Session windows are rejected by the strategy
+    itself (reference validation)."""
     wm = strategy.watermark_delay(base_watermark_delay)
-    win = sdf.withWatermark(ts_col, wm).groupBy(
-        F.window(ts_col, size), *keys
-    )
+    win_col = F.window(ts_col, size, slide) if slide else F.window(ts_col, size)
+    win = sdf.withWatermark(ts_col, wm).groupBy(win_col, *keys)
     out = win.agg(*agg_exprs)
     return out, strategy.output_mode

@@ -216,3 +216,65 @@ def test_late_fire_within_allowed_lateness(spark):
         if len(p)
     ]
     assert seq2 == [(1, 1.0)]
+
+
+def test_table_env_emit_config_and_hop(spark):
+    """TableEnvironment.window_emit_strategy reads the table.exec.emit.*
+    config keys; the emit operator also covers HOP windows (the reference
+    applies the same strategy to sliding group windows)."""
+    from pyspark.sql import functions as F
+
+    from flink_parent_spark.api.table_env import TableEnvironment
+
+    env = TableEnvironment(spark)
+    env.get_config()["table.exec.emit.early-fire.enabled"] = "true"
+    env.get_config()["table.exec.emit.early-fire.delay"] = "0 ms"
+    strat = env.window_emit_strategy()
+    assert strat.early_fire_enabled and strat.output_mode == "update"
+
+    w0 = [
+        [(_t("2024-01-01 10:00:10"), 1, 1.0)],
+        [(_t("2024-01-01 10:20:00"), 1, 2.0),
+         (_t("2024-01-01 12:00:00"), 9, 0.0)],
+    ]
+    from tests.test_streaming_semantics import _write_batches
+
+    d = _write_batches(spark, w0, SCHEMA)
+    sdf = (
+        spark.readStream.schema(SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(d)
+    )
+    out, mode = tumble_agg_emit(
+        sdf, "ts", "1 hour", ["user_id"],
+        [F.count("*").alias("n")], strat, slide="30 minutes",
+    )
+    assert mode == "update"
+    captured = []
+
+    def sink(bdf, bid):
+        pdf = bdf.toPandas()
+        if len(pdf):
+            captured.append(pdf)
+
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"fps_ckpt_emit_hop_{uuid.uuid4().hex[:8]}"
+    )
+    q = (
+        out.writeStream.outputMode(mode)
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = [
+        (int(r["n"]),)
+        for pdf in captured
+        for _, r in pdf[pdf.user_id == 1].iterrows()
+    ]
+    # hop 1h/30m: row 1 lands in 2 windows (partials n=1), row 2 joins the
+    # 10:00 window (n=2) and a new 10:30-less... the partial sequence must
+    # contain both a first-batch partial and an updated second-batch value
+    assert (1,) in rows and (2,) in rows
