@@ -1000,6 +1000,11 @@ def match_recognize_sql(
         if within is not None:
             pat = pat.within(within)
 
+    if m.group("per_match") and "ALL" in m.group("per_match").upper():
+        # StreamExecMatchRule.validateAmbiguousColumns:110 — the reference
+        # rejects this mode outright; the per-event default output below
+        # (no per-match clause) is this engine's row-level surface.
+        raise ValueError("All rows per match mode is not supported yet.")
     one_row = bool(m.group("per_match")) and "ONE" in m.group("per_match").upper()
     measures_src = m.group("measures")
     if streaming and not (one_row and measures_src):

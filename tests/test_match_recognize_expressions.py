@@ -578,3 +578,23 @@ def test_windowed_grouping_applied_to_match_recognize(spark):
         ("ACME", 3, _ts(3) - dtm.timedelta(milliseconds=1), _ts(0)),
         ("ACME", 2, _ts(6) - dtm.timedelta(milliseconds=1), _ts(3)),
     ]
+
+
+def test_all_rows_per_match_rejected(spark):
+    """StreamExecMatchRule:110 parity: ALL ROWS PER MATCH is rejected with
+    the reference's own message (the per-event default output — no
+    per-match clause — is this engine's row-level surface)."""
+    df = spark.createDataFrame(
+        [(1, 1, _ts(1), "a")],
+        "user_id long, event_id long, ts timestamp, t string",
+    )
+    clause = """
+      PARTITION BY user_id
+      ORDER BY ts
+      MEASURES A.event_id AS aid
+      ALL ROWS PER MATCH
+      PATTERN (A)
+      DEFINE A AS A.t = 'a'
+    """
+    with pytest.raises(ValueError, match="All rows per match"):
+        match_recognize_sql(df, clause, "event_id")
