@@ -651,8 +651,61 @@ def _register_mr(i: int, rng: random.Random) -> None:
     # testAggregates/testLogicalOffsets surface), so every battery and
     # every fresh hunt covers it; 0-3 keep the r12 kind pool and their
     # pinned draws.
-    kind = "agg" if i == 4 else rng.choice(["three", "relaxed", "prev"])
-    if kind == "agg":
+    # r13b: index 5 always draws the DEFINE-running-aggregate kind — a
+    # COUNT(A.*) cap inside the loop variable's own condition chunks each
+    # island into ceil(len/cap) matches (running semantics: the row under
+    # test counts as A's last row), with the cap drawn per battery/hunt.
+    if i == 5:
+        kind = "defagg"
+    elif i == 4:
+        kind = "agg"
+    else:
+        kind = rng.choice(["three", "relaxed", "prev"])
+    if kind == "defagg":
+        a = rng.choice(_EVENT_TYPES)
+        cap = rng.choice([2, 3, 4])
+        clause = f"""
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES FIRST(A.event_id) AS first_id,
+                   LAST(A.event_id) AS last_id,
+                   COUNT(A.*) AS n_rows
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A+)
+          DEFINE A AS A.event_type = '{a}' AND COUNT(A.*) <= {cap}
+        """
+        oracle = f"""
+        WITH seq AS (
+          SELECT user_id, event_id, ts,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn,
+                 event_type
+          FROM events
+        ), v AS (
+          SELECT user_id, event_id, rn,
+                 rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn)
+                   AS island
+          FROM seq WHERE event_type = '{a}'
+        ), chunked AS (
+          SELECT user_id, event_id, rn, island,
+                 (ROW_NUMBER() OVER (PARTITION BY user_id, island
+                                     ORDER BY rn) - 1) // {cap} AS chunk
+          FROM v
+        ), m AS (
+          SELECT user_id, island, chunk, MIN(rn) AS srn,
+                 arg_min(event_id, rn) AS first_id,
+                 arg_max(event_id, rn) AS last_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows
+          FROM chunked GROUP BY user_id, island, chunk
+        )
+        SELECT user_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY srn) - 1
+                 AS match_id,
+               first_id, last_id, n_rows
+        FROM m
+        """
+    elif kind == "agg":
         a, b = rng.sample(_EVENT_TYPES, 2)
         clause = f"""
           PARTITION BY user_id
@@ -1021,11 +1074,12 @@ SHAPES: "dict[str, tuple[int, int, object]]" = {
     # the new RANGE-UNBOUNDED (SQL default ORDER BY frame, peers share)
     "over": (0x57F8, 4, _register_over),
     "asof": (0x57F9, 3, _register_asof),
-    # mr count 5 (r13): index 4 always draws the aggregate-measures kind
-    # (STREAMING deployment at i=4), so SUM/AVG/COUNT + logical offsets in
-    # MEASURES are fuzz-covered every battery/hunt; 0-3 keep the r12
-    # pinned kinds (prev/three/three/relaxed, prev streaming at i=0)
-    "mr": (0x57FA, 5, _register_mr),
+    # mr count 6 (r13): index 4 always draws the aggregate-measures kind
+    # (STREAMING deployment at i=4) and index 5 the DEFINE-running-
+    # aggregate kind (COUNT cap chunking, batch), so the r13 expression
+    # engine is fuzz-covered every battery/hunt; 0-3 keep the r12 pinned
+    # kinds (prev/three/three/relaxed, prev streaming at i=0)
+    "mr": (0x57FA, 6, _register_mr),
     "semij": (0x57FB, 2, _register_semij),
     # round 12 — the deepest retraction pipeline (three chained
     # changelog-consuming stages; previous deepest was the two-level
