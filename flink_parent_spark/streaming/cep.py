@@ -1053,11 +1053,20 @@ def cep_pattern_stream_watermarked(
         ctx = (state.get[2] or 0) if state.exists else 0
         rows = [dict(zip(cols, r)) for r in buf_rows]
         for pdf in pdfs:
-            for r in pdf[cols].to_dict("records"):
-                # Flink CEP drops elements at/behind the watermark
-                if wm_ms > 0 and to_ms(r[ts_col]) <= wm_ms:
-                    continue
-                rows.append(r)
+            if wm_ms > 0 and len(pdf):
+                # Flink CEP drops elements at/behind the watermark —
+                # vectorized (one datetime64 column op) instead of a
+                # per-row pd.Timestamp conversion; the [ms] cast floors
+                # exactly like to_ms() and is unit-proof (ns/us inputs)
+                ms = (
+                    pdf[ts_col]
+                    .to_numpy()
+                    .astype("datetime64[ms]")
+                    .astype("int64")
+                )
+                if (ms <= wm_ms).any():
+                    pdf = pdf[ms > wm_ms]
+            rows.extend(pdf[cols].to_dict("records"))
         # context rows are sealed (<= an earlier watermark) and new rows
         # are strictly later, so sorting keeps them a stable prefix
         rows.sort(key=lambda r: (r[ts_col], r[id_col]))
