@@ -999,6 +999,12 @@ def match_recognize_sql(
                     pat = pat.greedy()
         if within is not None:
             pat = pat.within(within)
+        if all(st.min_times == 0 for st in pat._stages if not st.negated):
+            # StreamExecMatch.scala:181 (NFACompiler.canProduceEmptyMatches)
+            raise ValueError(
+                "Patterns that can produce empty matches are not supported. "
+                "There must be at least one non-optional state."
+            )
 
     if m.group("per_match") and "ALL" in m.group("per_match").upper():
         # StreamExecMatchRule.validateAmbiguousColumns:110 — the reference

@@ -598,3 +598,63 @@ def test_all_rows_per_match_rejected(spark):
     """
     with pytest.raises(ValueError, match="All rows per match"):
         match_recognize_sql(df, clause, "event_id")
+
+
+def test_empty_match_pattern_rejected(spark):
+    """StreamExecMatch.scala:181 parity: a pattern where every state is
+    optional (can produce empty matches) is rejected."""
+    df = spark.createDataFrame(
+        [(1, 1, _ts(1), "a")],
+        "user_id long, event_id long, ts timestamp, t string",
+    )
+    clause = """
+      PARTITION BY user_id
+      ORDER BY ts
+      PATTERN (A* B?)
+      DEFINE A AS A.t = 'a', B AS B.t = 'b'
+    """
+    with pytest.raises(ValueError, match="empty matches"):
+        match_recognize_sql(df, clause, "event_id")
+
+
+def test_aggregate_on_multiple_variables_rejected(spark):
+    """MatchUtil.scala:46 parity: an aggregate over more than one pattern
+    variable is rejected (Aggregation must be applied to a single pattern
+    variable)."""
+    df = spark.createDataFrame(
+        [(1, 1, _ts(1), "a", 1.0)],
+        "user_id long, event_id long, ts timestamp, t string, v double",
+    )
+    clause = """
+      PARTITION BY user_id
+      ORDER BY ts
+      MEASURES SUM(A.v + B.v) AS s
+      ONE ROW PER MATCH
+      PATTERN (A B)
+      DEFINE A AS A.t = 'a', B AS B.t = 'b'
+    """
+    with pytest.raises(ValueError, match="single pattern variable"):
+        match_recognize_sql(df, clause, "event_id")
+
+
+def test_greedy_quantifier_at_end_supported(spark):
+    """Capability BEYOND the reference: blink rejects a greedy quantifier
+    as the pattern's last element (StreamExecMatch.scala:188, a CEP-library
+    TODO); this engine runs it with well-defined possessive semantics —
+    the run binds maximally, and the streaming operator holds a
+    frontier-adjacent run until the watermark finalizes growth."""
+    rows = [(1, i, _ts(i), "c" if i < 4 else "x") for i in range(1, 6)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, t string"
+    )
+    clause = """
+      PARTITION BY user_id
+      ORDER BY ts
+      MEASURES FIRST(C.event_id) AS first_c, COUNT(C.*) AS n
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (C+)
+      DEFINE C AS C.t = 'c'
+    """
+    out = match_recognize_sql(df, clause, "event_id").toPandas()
+    assert [(r["first_c"], r["n"]) for _, r in out.iterrows()] == [(1, 3)]
