@@ -269,10 +269,15 @@ def main() -> None:
             try:
                 retry = probe(probe_fns[key])
                 old = calib.get(key)
+
+                def _spread(c) -> float:
+                    # None = unmeasurable -> worst; a true 0.0 spread is a
+                    # perfect measurement and must NOT read as missing
+                    s = c["trimmed_spread"]
+                    return 9e9 if s is None else s
+
                 # keep whichever run is adjudicable / tighter
-                if old is None or _is_void(old) or (
-                    retry["trimmed_spread"] or 9e9
-                ) < (old["trimmed_spread"] or 9e9):
+                if old is None or _is_void(old) or _spread(retry) < _spread(old):
                     calib[key] = retry
             except Exception as exc:  # noqa: BLE001
                 print(f"[bench] probe {key} retry failed: {exc}", file=sys.stderr)

@@ -692,6 +692,9 @@ class TableEnvironment:
             "table.dynamic-table-options.enabled": "false",
         }
         self._functions: dict[str, str] = {}   # SQL-registered UDF name -> ref
+        # registerFunction() registry for MATCH_RECOGNIZE expressions:
+        # name -> (kind, callable, result_dtype)
+        self._mr_udfs: dict[str, tuple] = {}
         self._view_props: dict[str, dict] = {}  # ALTER VIEW SET metadata
         self._catalogs: dict[str, object] = {}  # registerCatalog objects
         self.current_catalog = "default_catalog"
@@ -980,6 +983,13 @@ class TableEnvironment:
             )
         # CREATE/DROP DATABASE, USE <db>, SHOW DATABASES pass straight
         # through to Spark's session catalog (identical semantics)
+        if re.search(
+            r"\bMATCH_RECOGNIZE\s*\(", _mask_quotes_comments(s), re.IGNORECASE
+        ):
+            # executeSql("SELECT ... MATCH_RECOGNIZE ...") takes the same
+            # dialect route as sqlQuery (TableEnvironmentImpl.executeSql's
+            # QueryOperation branch)
+            return self.sql_query(s)
         # plain SQL (SELECT, SHOW VIEWS/FUNCTIONS, DROP VIEW, ...) passes
         # straight through
         return Table(self.spark.sql(s), self)
@@ -2368,9 +2378,22 @@ class TableEnvironment:
     def sql_query(self, sql: str) -> Table:
         if "OPTIONS" in sql.upper() and self._OPTIONS_HINT_RE.search(sql):
             sql = self._apply_options_hints(sql)
-        m = _SYSTIME_RE.search(_mask_quotes_comments(sql))
+        masked = _mask_quotes_comments(sql)
+        m = _SYSTIME_RE.search(masked)
         if m:
             return Table(self._system_time_join(sql, m), self)
+        if re.search(r"\bMATCH_RECOGNIZE\s*\(", masked, re.IGNORECASE):
+            # the reference's primary MATCH_RECOGNIZE entry point is the
+            # full SQL statement (ParserImpl.parse -> StreamExecMatch.scala
+            # :68) — route it to the clause engine the same way this layer
+            # already routes TUMBLE/HOP/SESSION and rank-idiom queries
+            from flink_parent_spark.streaming.match_recognize_sql import (  # noqa: PLC0415
+                parse_match_recognize_statement,
+            )
+
+            stmt = parse_match_recognize_statement(sql, masked)
+            if stmt is not None:
+                return Table(self._match_recognize_statement(stmt), self)
         if self.streaming:
             # FlinkLogicalRankRule / StreamExecDeduplicateRule parity: the
             # ROW_NUMBER-subquery idiom on a streaming scan routes to the
@@ -2390,6 +2413,60 @@ class TableEnvironment:
                 if src is not None and src.isStreaming:
                     return Table(apply_rank_spec(src, spec), self)
         return Table(self.spark.sql(rewrite_group_windows(sql)), self)
+
+    def _match_recognize_statement(self, stmt) -> DataFrame:
+        """Execute a recognized `SELECT ... FROM t MATCH_RECOGNIZE (...)
+        AS T <tail>` statement (StreamExecMatch.scala:68 deployment): run
+        the clause body through the match engine over the source table
+        (streaming or batch, auto-detected), register the match output as
+        a view under the statement alias, and evaluate the outer SELECT —
+        recursively through sql_query so a tail that groups the matches
+        by a TUMBLE window (testWindowedGroupingAppliedToMatchRecognize)
+        gets the dialect rewrite. TableEnvironment-registered functions
+        (register_function) flow into the clause's expression engine."""
+        import uuid as _uuid  # noqa: PLC0415
+
+        from flink_parent_spark.streaming.match_recognize_sql import (  # noqa: PLC0415
+            match_recognize_sql,
+        )
+
+        src = self.spark.table(stmt.source)
+        out = match_recognize_sql(
+            src,
+            stmt.body,
+            streaming=src.isStreaming,
+            udfs=self._mr_udfs or None,
+        )
+        if "match_id" in out.columns and re.search(
+            r"\bMEASURES\b", stmt.body, re.IGNORECASE
+        ):
+            # statement output = partition columns + measures (Calcite's
+            # ONE ROW PER MATCH row type); the engine's match ordinal is
+            # an internal column at this surface
+            out = out.drop("match_id")
+        view = f"__mr_stmt_{_uuid.uuid4().hex[:8]}"
+        out.createOrReplaceTempView(view)
+        reduced = (
+            f"SELECT {stmt.select_list} FROM {view} AS {stmt.alias}"
+            f"{' ' + stmt.tail.strip() if stmt.tail.strip() else ''}"
+        )
+        return self.sql_query(reduced).to_df()
+
+    def register_function(
+        self, name: str, fn, result_type: str = "double", kind: str = "scalar"
+    ) -> None:
+        """tEnv.registerFunction parity (TableEnvironment.registerFunction
+        — the MatchRecognizeITCase idiom `tEnv.registerFunction(
+        "weightedAvg", new WeightedAvg)`): register a Python function for
+        use inside MATCH_RECOGNIZE MEASURES/DEFINE expressions. kind
+        "scalar" = row-at-a-time callable (ScalarFunction.eval contract);
+        kind "agg" = fn(list[arg_tuples]) over a pattern variable's rows
+        (AggregateFunction over the match). For general SQL use register
+        a vectorized UDF via CREATE FUNCTION instead (this surface is the
+        matcher-side expression registry)."""
+        if kind not in ("scalar", "agg"):
+            raise ValueError(f"unknown function kind {kind!r}")
+        self._mr_udfs[name] = (kind, fn, result_type)
 
     def _system_time_join(self, sql: str, m: re.Match) -> DataFrame:
         """SQL temporal join: `FROM L l JOIN R FOR SYSTEM_TIME AS OF l.ts

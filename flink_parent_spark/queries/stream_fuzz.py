@@ -645,7 +645,12 @@ def _register_mr(i: int, rng: random.Random) -> None:
     PREV(col, n) in DEFINE — physical partition navigation that can
     reach rows BEHIND the match (batch: Catalyst LAG precompute;
     streaming: MatchCtx.prev with GC-context retention)."""
-    streaming = i % 2 == 0
+    # i=6 (long-run kind) is BATCH by construction: its pattern ends in an
+    # unbounded quantifier, and the watermark-held operator deliberately
+    # holds a frontier-adjacent run with headroom forever on a stream that
+    # never ends (pinned in test_bounded_quantifier_held_at_seal_boundary)
+    # — so the final partial run per key would stay unemitted on replay.
+    streaming = i % 2 == 0 and i != 6
     # r13: index 4 always draws the aggregate-measures kind (SUM/AVG/COUNT
     # + logical offset over a quantified run — MatchRecognizeITCase
     # testAggregates/testLogicalOffsets surface), so every battery and
@@ -655,13 +660,54 @@ def _register_mr(i: int, rng: random.Random) -> None:
     # COUNT(A.*) cap inside the loop variable's own condition chunks each
     # island into ceil(len/cap) matches (running semantics: the row under
     # test counts as A's last row), with the cap drawn per battery/hunt.
-    if i == 5:
+    if i == 6:
+        kind = "defagg_long"
+    elif i == 5:
         kind = "defagg"
     elif i == 4:
         kind = "agg"
     else:
         kind = rng.choice(["three", "relaxed", "prev"])
-    if kind == "defagg":
+    if kind == "defagg_long":
+        # r14 (verdict #2): LONG-RUN running aggregates — no event-type
+        # filter, so EVERY row joins the A+ run until the running
+        # COUNT(A.*) cap (20-50, ≫ the 2-4 short-run kind) ends it. This
+        # drives the O(run)-per-row DEFINE aggregate path (same cost shape
+        # as the reference's per-record full re-accumulation,
+        # MatchCodeGenerator.scala:755) at real run lengths, plus a final
+        # float SUM over each cap-length run. Streaming at i=6: runs grow
+        # across micro-batch seals in the watermark-held operator.
+        cap = rng.choice([20, 30, 50])
+        clause = f"""
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES FIRST(A.event_id) AS first_id,
+                   LAST(A.event_id) AS last_id,
+                   COUNT(A.*) AS n_rows,
+                   SUM(A.value) AS sum_v
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A+)
+          DEFINE A AS COUNT(A.*) <= {cap}
+        """
+        oracle = f"""
+        WITH seq AS (
+          SELECT user_id, event_id, ts, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) - 1 AS rn0
+          FROM events
+        ), m AS (
+          SELECT user_id, rn0 // {cap} AS match_id,
+                 arg_min(event_id, rn0) AS first_id,
+                 arg_max(event_id, rn0) AS last_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS STRING)
+                      AS DOUBLE) AS sum_v
+          FROM seq GROUP BY user_id, match_id
+        )
+        SELECT user_id, match_id, first_id, last_id, n_rows, sum_v FROM m
+        """
+    elif kind == "defagg":
         a = rng.choice(_EVENT_TYPES)
         cap = rng.choice([2, 3, 4])
         clause = f"""
@@ -1074,12 +1120,14 @@ SHAPES: "dict[str, tuple[int, int, object]]" = {
     # the new RANGE-UNBOUNDED (SQL default ORDER BY frame, peers share)
     "over": (0x57F8, 4, _register_over),
     "asof": (0x57F9, 3, _register_asof),
-    # mr count 6 (r13): index 4 always draws the aggregate-measures kind
-    # (STREAMING deployment at i=4) and index 5 the DEFINE-running-
-    # aggregate kind (COUNT cap chunking, batch), so the r13 expression
-    # engine is fuzz-covered every battery/hunt; 0-3 keep the r12 pinned
-    # kinds (prev/three/three/relaxed, prev streaming at i=0)
-    "mr": (0x57FA, 6, _register_mr),
+    # mr count 7 (r14): index 4 always draws the aggregate-measures kind
+    # (STREAMING deployment at i=4), index 5 the DEFINE-running-aggregate
+    # kind (COUNT cap chunking, batch), and index 6 the LONG-RUN running
+    # aggregate kind (cap 20-50, streaming — verdict-r13 #2's quadratic
+    # path exercised at real run lengths every battery/hunt); 0-3 keep
+    # the r12 pinned kinds (prev/three/three/relaxed, prev streaming at
+    # i=0)
+    "mr": (0x57FA, 7, _register_mr),
     "semij": (0x57FB, 2, _register_semij),
     # round 12 — the deepest retraction pipeline (three chained
     # changelog-consuming stages; previous deepest was the two-level

@@ -481,6 +481,58 @@ def match_recognize_measures(spark, sf_dir):
 
 
 @df_query(
+    "match_recognize_statement_sql",
+    oracle="""
+    WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+    p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    pairs AS (
+      SELECT v.user_id, v.event_id AS view_id,
+             p.event_id AS purchase_id, p.value AS purchase_value,
+             ROW_NUMBER() OVER (PARTITION BY v.user_id, v.event_id
+                                ORDER BY p.ts, p.event_id) AS rn
+      FROM v JOIN p ON v.user_id = p.user_id
+       AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL '10' MINUTE
+    )
+    SELECT user_id, view_id, purchase_id, purchase_value
+    FROM pairs WHERE rn = 1
+    """,
+)
+def match_recognize_statement_sql(spark, sf_dir):
+    """MATCH_RECOGNIZE typed as a FULL SQL STATEMENT through
+    TableEnvironment.sql_query — the reference's primary entry point
+    (ParserImpl.java:70 -> StreamExecMatch.scala:68; every
+    MatchRecognizeITCase query is this shape). Exercises the statement
+    recognizer, the two-column ORDER BY tie-breaker, the implicit ONE ROW
+    PER MATCH default (no keyword in the text), and the alias-qualified
+    outer SELECT. Same match semantics as `match_recognize_measures`, so
+    the oracle is that query's, minus the internal match ordinal (the
+    statement surface outputs Calcite's row type: partition + measures)."""
+    from flink_parent_spark.api.table_env import TableEnvironment  # noqa: PLC0415
+
+    t = load_tables(spark, sf_dir)
+    t["events"].createOrReplaceTempView("__mr_stmt_events")
+    t_env = TableEnvironment(spark)
+    return t_env.sql_query(
+        """
+        SELECT T.user_id, T.view_id, T.purchase_id, T.purchase_value
+        FROM __mr_stmt_events
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES FIRST(V.event_id) AS view_id,
+                   LAST(P.event_id) AS purchase_id,
+                   LAST(P.value) AS purchase_value
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (V {- X*? -} P)
+          WITHIN INTERVAL '10' MINUTE
+          DEFINE V AS V.event_type = 'view',
+                 P AS P.event_type = 'purchase'
+        ) AS T
+        """
+    ).to_df()
+
+
+@df_query(
     "stream_retract_topn",
     oracle="""
     WITH latest AS (

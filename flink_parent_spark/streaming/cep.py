@@ -478,9 +478,28 @@ class Pattern:
                 if pos >= n:
                     if frontier_open():
                         pending[0] = True
+                    elif st.min_times == 0:
+                        # data ends exactly where an optional stage would
+                        # start: skip it (SQL trailing optional — PATTERN
+                        # (A B D?) matching A B on the last rows). With the
+                        # frontier open the attempt stays pending instead;
+                        # the sealed re-scan completes it and
+                        # _match_extendable governs the hold.
+                        yield from iter_seq(
+                            stages, si + 1, pos, acc, None, None, cont
+                        )
                     return
                 starts = [pos]
             else:  # relaxed: scan forward; future rows add start positions
+                if pos >= n:
+                    if frontier_open():
+                        pending[0] = True
+                    elif st.min_times == 0:
+                        # trailing relaxed optional at end of data: skip
+                        yield from iter_seq(
+                            stages, si + 1, pos, acc, None, None, cont
+                        )
+                    return
                 starts = range(pos, n)
                 if frontier_open():
                     pending[0] = True

@@ -44,9 +44,57 @@ negative delays rejected.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
+
+# Duration unit table — TimeUtils.parseDuration's unit labels (flink-core
+# .../util/TimeUtils.java TimeUnit singular/plural/short forms), plus the
+# compound form Spark's CalendarInterval accepts ("1 hour 30 minutes").
+_UNIT_MS = {
+    "ms": 1, "milli": 1, "millis": 1,
+    "millisecond": 1, "milliseconds": 1,
+    "s": 1000, "sec": 1000, "secs": 1000, "second": 1000, "seconds": 1000,
+    "min": 60_000, "mins": 60_000, "minute": 60_000, "minutes": 60_000,
+    "h": 3_600_000, "hour": 3_600_000, "hours": 3_600_000,
+    "d": 86_400_000, "day": 86_400_000, "days": 86_400_000,
+}
+
+_SEGMENT_RE = re.compile(r"\s*(\d+(?:\.\d+)?)\s*([a-zA-Z]+)\s*")
+
+
+def duration_ms(value: str, key: str = "duration") -> int:
+    """Parse a duration string to milliseconds. Accepts suffix form
+    ('500ms', '2h'), long form ('2 hours', '1 d', '1 day'), compound form
+    ('1 hour 30 minutes'), and a bare integer (milliseconds — Flink's
+    TimeUtils default unit). Raises ValueError naming the offending
+    key/value instead of a bare int()/dict-lookup failure."""
+    v = value.strip()
+    if not v:
+        raise ValueError(f"{key}: empty duration string")
+    if v.isdigit():
+        return int(v)  # bare number = milliseconds (TimeUtils default)
+    total = 0.0
+    pos = 0
+    for m in _SEGMENT_RE.finditer(v):
+        if m.start() != pos:
+            break
+        unit = m.group(2).lower()
+        mult = _UNIT_MS.get(unit)
+        if mult is None:
+            raise ValueError(
+                f"{key}: unrecognized duration unit {m.group(2)!r} in "
+                f"{value!r} (supported: {sorted(set(_UNIT_MS))})"
+            )
+        total += float(m.group(1)) * mult
+        pos = m.end()
+    if pos != len(v) or total == 0.0 and pos == 0:
+        raise ValueError(
+            f"{key}: cannot parse duration {value!r} (expected e.g. "
+            "'500ms', '2 hours', '1 day', '1 hour 30 minutes')"
+        )
+    return int(total)
 
 
 @dataclass(frozen=True)
@@ -119,16 +167,7 @@ class WindowEmitStrategy:
         window end, so lateness extends the watermark)."""
         if self.allow_lateness_ms <= 0:
             return base_delay
-        n, unit = base_delay.strip().split(maxsplit=1)
-        base_ms = int(
-            float(n)
-            * {
-                "millisecond": 1, "milliseconds": 1,
-                "second": 1000, "seconds": 1000,
-                "minute": 60_000, "minutes": 60_000,
-                "hour": 3_600_000, "hours": 3_600_000,
-            }[unit.lower()]
-        )
+        base_ms = duration_ms(base_delay, key="base watermark delay")
         return f"{base_ms + self.allow_lateness_ms} milliseconds"
 
     @staticmethod
@@ -146,12 +185,7 @@ class WindowEmitStrategy:
             v = config.get(key)
             if v is None:
                 return None
-            v = v.strip().lower()
-            for suf, mult in (("ms", 1), ("s", 1000), ("min", 60_000),
-                              ("h", 3_600_000)):
-                if v.endswith(suf) and v[: -len(suf)].strip().isdigit():
-                    return int(v[: -len(suf)].strip()) * mult
-            return int(v)
+            return duration_ms(v, key=key)
 
         return WindowEmitStrategy(
             is_event_time=is_event_time,

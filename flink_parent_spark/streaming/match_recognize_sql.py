@@ -33,6 +33,18 @@ testUserDefinedFunctions:733):
 - FIRST(expr[, n]) / LAST(expr[, n]) — logical offsets over the rows mapped
   to one pattern variable (or the universal variable when unqualified);
   out-of-range yields NULL.
+
+Running-aggregate cost parity (r14 adjudication of the r13 design note):
+DEFINE aggregates here re-scan the variable's row set on every row tested
+(MrEval.agg, O(run) per test) — and so does the REFERENCE: its generated
+`calculateAgg_*` resets the accumulators and re-accumulates the variable's
+ENTIRE row list inside a per-record reusable statement
+(MatchCodeGenerator.scala generateAggCalculation:755-763
+`setAccumulators(createAccumulators()); for (row : input) accumulate(...)`,
+invoked via addReusablePerRecordStatement:636 on each row evaluation).
+Both engines are O(run) per row-test / O(run^2) per match attempt; there is
+no incremental-codegen gap to close. The at-volume sweep (10M events,
+tools/streaming_scale.py mr_agg_measures) confirms flat rows/s.
 - SUM / AVG / MIN / MAX / COUNT(expr), COUNT(*) / COUNT(V.*) /
   COUNT(DISTINCT expr) — aggregates over a variable's row set. In DEFINE
   they are RUNNING aggregates: the row under test counts as mapped to the
@@ -66,6 +78,7 @@ from __future__ import annotations
 
 import datetime as dt
 import re
+from dataclasses import dataclass as _dataclass
 from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql import DataFrame, functions as F
@@ -74,7 +87,8 @@ from flink_parent_spark.streaming.cep import AfterMatchSkip, Pattern, cep_patter
 from flink_parent_spark.streaming.stateful import _micros_double
 
 _SECTION_RE = re.compile(
-    r"(?:PARTITION\s+BY\s+(?P<part>[\w,\s]+?)\s+)?ORDER\s+BY\s+(?P<order>\w+)"
+    r"(?:PARTITION\s+BY\s+(?P<part>[\w,\s]+?)\s+)?"
+    r"ORDER\s+BY\s+(?P<order>\w+(?:\s*,\s*\w+)*)"
     r"(?:\s+MEASURES\s+(?P<measures>.*?))?"
     r"(?:\s+(?P<per_match>ONE\s+ROW\s+PER\s+MATCH|ALL\s+ROWS\s+PER\s+MATCH))?"
     r"(?:\s+AFTER\s+MATCH\s+SKIP\s+(?P<skip>PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW"
@@ -181,12 +195,32 @@ def _not(a):
     return None if a is None else (not a)
 
 
+def _or(a, b):
+    """SQL three-valued OR (Kleene): TRUE dominates, else NULL dominates."""
+    if a is None:
+        return True if b else None
+    if b is None:
+        return True if a else None
+    return bool(a) or bool(b)
+
+
+def _and(a, b):
+    """SQL three-valued AND (Kleene): FALSE dominates, else NULL dominates."""
+    if a is None:
+        return False if (b is not None and not b) else None
+    if b is None:
+        return False if not a else None
+    return bool(a) and bool(b)
+
+
 _MR_GLOBALS = {
     "__builtins__": {},
     "_cmp": _cmp,
     "_ar": _ar,
     "_neg": _neg,
     "_not": _not,
+    "_or": _or,
+    "_and": _and,
     "_on_row": _on_row,
 }
 
@@ -367,9 +401,10 @@ class _MrCompiler:
         while self._is_kw(self.peek(), "OR"):
             self._eat()
             rhs, _ = self.parse_and()
-            # Python or/and over {True, False, None} collapse to SQL
-            # three-valued logic at the boolean boundary (UNKNOWN -> False)
-            src = f"({src} or {rhs})"
+            # Kleene three-valued OR: NULL OR FALSE must stay NULL when the
+            # boolean value is emitted from MEASURES (Python `or` would
+            # collapse it to FALSE)
+            src = f"_or({src}, {rhs})"
             dt_ = "boolean"
         return src, dt_
 
@@ -378,7 +413,7 @@ class _MrCompiler:
         while self._is_kw(self.peek(), "AND"):
             self._eat()
             rhs, _ = self.parse_not()
-            src = f"({src} and {rhs})"
+            src = f"_and({src}, {rhs})"
             dt_ = "boolean"
         return src, dt_
 
@@ -504,7 +539,12 @@ class _MrCompiler:
                 self.quals.add(qual)
             return f"_r[{col!r}]", dt_
         if self.mode == "define":
-            if qual is None or qual == self.defining or qual not in self.variables:
+            if qual is not None and qual not in self.variables:
+                # a typo'd variable qualifier silently reading as a
+                # current-row column yields wrong matches — mirror the
+                # measures-mode check and fail loudly
+                raise MrExprError(f"unknown pattern variable {qual!r}")
+            if qual is None or qual == self.defining:
                 return f"r[{col!r}]", dt_
             # another pattern variable: its LAST matched row (running)
             self.uses_match_state = True
@@ -746,13 +786,21 @@ def _compile_nav_predicate(
 def match_recognize_sql(
     df: DataFrame,
     clause: str,
-    id_col: str,
+    id_col: "str | None" = None,
     streaming: bool = False,
     udfs: "dict | None" = None,
 ) -> DataFrame:
     """Execute a MATCH_RECOGNIZE clause body over df. Output: one row per
     matched event (key cols, id, match_id, stage, seq, event_ts), or one
-    measures row per match under ONE ROW PER MATCH + MEASURES.
+    measures row per match when MEASURES is present (ONE ROW PER MATCH is
+    the SQL default — Calcite SqlMatchRecognize; every MatchRecognizeITCase
+    query omits the keyword and still gets one row per match).
+
+    `id_col` is the deterministic tie-breaker for rows with equal ORDER BY
+    values. It may instead be supplied IN the clause as a second ORDER BY
+    column (`ORDER BY ts, event_id` — SQL-standard secondary sort); with
+    neither, a scan-order id is synthesized (matches resolve ties in input
+    order, the reference's arrival-order contract).
 
     streaming=True runs the match in the watermark-held streaming CEP
     operator (StreamExecMatch.scala's deployment mode — `df` must be a
@@ -783,7 +831,38 @@ def match_recognize_sql(
         partition_by = [
             c.strip() for c in m.group("part").split(",") if c.strip()
         ]
-    order_by = m.group("order").strip()
+    ocols = [c.strip() for c in m.group("order").split(",") if c.strip()]
+    order_by = ocols[0]
+    synth_id = False
+    if id_col is None:
+        if len(ocols) == 2:
+            # SQL secondary sort column doubles as the tie-breaker id
+            id_col = ocols[1]
+        elif len(ocols) == 1:
+            df = df.withColumn("__mr_id", F.monotonically_increasing_id())
+            id_col = "__mr_id"
+            synth_id = True
+        else:
+            raise ValueError(
+                "MATCH_RECOGNIZE ORDER BY supports the time attribute plus "
+                "at most one tie-breaker column"
+            )
+    elif len(ocols) > 1:
+        raise ValueError(
+            "pass the tie-breaker either as id_col or as a second ORDER BY "
+            "column, not both"
+        )
+
+    def _finish(res: DataFrame) -> DataFrame:
+        # internal columns (synthetic global partition key / scan-order id)
+        # never reach the output
+        drops = [
+            c
+            for c in (("__mr_pk",) if no_partition else ())
+            + (("__mr_id",) if synth_id else ())
+            if c in res.columns
+        ]
+        return res.drop(*drops) if drops else res
     skip = AfterMatchSkip.SKIP_PAST_LAST
     if m.group("skip"):
         s = re.sub(r"\s+", " ", m.group("skip").upper()).strip()
@@ -901,6 +980,13 @@ def match_recognize_sql(
                 udfs=udfs,
             )
             continue
+        for qm in re.finditer(r"\b([A-Za-z_]\w*)\s*\.\s*[A-Za-z_]\w*", expr):
+            if qm.group(1) not in variables:
+                # same loud failure as the matcher-side compiler: a typo'd
+                # qualifier must not silently read as a current-row column
+                raise MrExprError(
+                    f"unknown pattern variable {qm.group(1)!r}"
+                )
         bare = re.sub(r"\b\w+\.(\w+)", r"\1", rewrite_prev(expr))
         col = f"__mr_{name}"
         work = work.withColumn(col, F.expr(bare))
@@ -1011,8 +1097,11 @@ def match_recognize_sql(
         # rejects this mode outright; the per-event default output below
         # (no per-match clause) is this engine's row-level surface.
         raise ValueError("All rows per match mode is not supported yet.")
-    one_row = bool(m.group("per_match")) and "ONE" in m.group("per_match").upper()
+    # ONE ROW PER MATCH is the SQL default (Calcite SqlMatchRecognize;
+    # MatchRecognizeITCase statements omit the keyword) — MEASURES alone
+    # selects the one-aggregated-row-per-match output
     measures_src = m.group("measures")
+    one_row = bool(measures_src)
     if streaming and not (one_row and measures_src):
         # streaming clause set completed (StreamExecMatch.scala:68 parity):
         # {- -} exclusion and PERMUTE run in the watermark-held operator;
@@ -1027,13 +1116,13 @@ def match_recognize_sql(
             exclude=frozenset(excluded), alternatives=alternatives,
             nav_prev_depth=nav_prev_depth,
         )
-        return res.drop("__mr_pk") if no_partition else res
+        return _finish(res)
     if not (one_row and measures_src):
         res = cep_pattern(
             work, pat, partition_by, order_by, id_col, skip,
             exclude=frozenset(excluded), alternatives=alternatives,
         )
-        return res.drop("__mr_pk") if no_partition else res
+        return _finish(res)
 
     # ONE ROW PER MATCH with MEASURES: run the matcher per key and emit one
     # aggregated row per match. Each measure compiles to an expression over
@@ -1104,7 +1193,7 @@ def match_recognize_sql(
             emit_columns=["match_id", *measure_aliases],
             nav_prev_depth=nav_prev_depth,
         )
-        return res.drop("__mr_pk") if no_partition else res
+        return _finish(res)
 
     def per_key(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([order_by, id_col])
@@ -1128,4 +1217,77 @@ def match_recognize_sql(
         )
 
     res = work.groupBy(*partition_by).applyInPandas(per_key, out_schema)
-    return res.drop("__mr_pk") if no_partition else res
+    return _finish(res)
+
+
+# --------------------------------------------------------------------------
+# statement-level entry: SELECT ... FROM t MATCH_RECOGNIZE (...) AS T
+# --------------------------------------------------------------------------
+
+@_dataclass(frozen=True)
+class MrStatement:
+    """A recognized `SELECT <sel> FROM <table> MATCH_RECOGNIZE ( <body> )
+    [AS alias] <tail>` statement, split into its routable parts."""
+
+    select_list: str
+    source: str
+    body: str
+    alias: str
+    tail: str
+
+
+_MR_STMT_RE = re.compile(
+    r"^\s*SELECT\s+(?P<sel>.*?)\s+FROM\s+(?P<src>[A-Za-z_][\w.]*)\s+"
+    r"MATCH_RECOGNIZE\s*\(",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def parse_match_recognize_statement(
+    sql: str, masked: "str | None" = None
+) -> "MrStatement | None":
+    """Recognize the reference's primary MATCH_RECOGNIZE entry point — a
+    full SQL statement (ParserImpl.parse -> StreamExecMatch.scala:68; every
+    MatchRecognizeITCase query is typed this way) — and split it for
+    routing to the clause engine. Returns None when the statement is not
+    this shape (callers fall through to their normal SQL path).
+
+    `masked` is a same-length literal/comment-blanked shadow of `sql`
+    (TableEnvironment passes the one it already computed); paren matching
+    and keyword scans run on the shadow, slices are taken from the raw
+    text."""
+    if masked is None:
+        from flink_parent_spark.api.table_env import (  # noqa: PLC0415
+            _mask_quotes_comments,
+        )
+
+        masked = _mask_quotes_comments(sql)
+    m = _MR_STMT_RE.match(masked)
+    if m is None:
+        return None
+    # balanced-paren scan for the clause body (on the masked shadow, so
+    # parens inside string literals don't count)
+    open_i = m.end() - 1
+    depth, j = 1, m.end()
+    while depth and j < len(masked):
+        if masked[j] == "(":
+            depth += 1
+        elif masked[j] == ")":
+            depth -= 1
+        j += 1
+    if depth:
+        raise ValueError("unbalanced parentheses in MATCH_RECOGNIZE clause")
+    body = sql[open_i + 1 : j - 1]
+    am = re.match(r"\s*AS\s+(?P<alias>[A-Za-z_]\w*)", masked[j:], re.IGNORECASE)
+    alias = "T"
+    if am:
+        alias = am.group("alias")
+        j += am.end()
+    tail = sql[j:].rstrip().rstrip(";")
+    return MrStatement(
+        select_list=sql[m.start("sel") : m.end("sel")],
+        source=sql[m.start("src") : m.end("src")],
+        body=body,
+        alias=alias,
+        tail=tail,
+    )

@@ -278,3 +278,39 @@ def test_table_env_emit_config_and_hop(spark):
     # 10:00 window (n=2) and a new 10:30-less... the partial sequence must
     # contain both a first-batch partial and an updated second-batch value
     assert (1,) in rows and (2,) in rows
+
+
+def test_duration_parsing_long_forms():
+    """ADVICE r13: long-form and day units Flink's TimeUtils accepts must
+    parse ('2 hours', '1 d', '1 day'), compound CalendarInterval strings
+    too ('1 hour 30 minutes'), and unknown units raise a descriptive
+    error naming the key/value instead of a bare int()/KeyError."""
+    from flink_parent_spark.streaming.emit import duration_ms
+
+    assert duration_ms("2 hours") == 7_200_000
+    assert duration_ms("1 d") == 86_400_000
+    assert duration_ms("1 day") == 86_400_000
+    assert duration_ms("500ms") == 500
+    assert duration_ms("3 min") == 180_000
+    assert duration_ms("1 hour 30 minutes") == 5_400_000
+    assert duration_ms("250") == 250  # bare number = ms (TimeUtils default)
+    with pytest.raises(ValueError, match="my.key.*fortnight"):
+        duration_ms("1 fortnight", key="my.key")
+    with pytest.raises(ValueError, match="empty"):
+        duration_ms("   ")
+
+    s = WindowEmitStrategy.from_config(
+        {
+            "table.exec.emit.early-fire.enabled": "true",
+            "table.exec.emit.early-fire.delay": "2 hours",
+            "table.exec.emit.allow-lateness": "1 day",
+        }
+    )
+    assert s.early_fire_delay_ms == 7_200_000
+    assert s.allow_lateness_ms == 86_400_000
+    # watermark_delay accepts day / compound base delays
+    assert s.watermark_delay("1 day") == f"{2 * 86_400_000} milliseconds"
+    assert (
+        s.watermark_delay("1 hour 30 minutes")
+        == f"{5_400_000 + 86_400_000} milliseconds"
+    )

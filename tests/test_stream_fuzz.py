@@ -27,7 +27,7 @@ def test_every_shape_registers_its_count():
 def test_battery_size_and_decimal_contract():
     oracles = all_oracles()
     fuzz = {k: v for k, v in oracles.items() if k.startswith("streamfuzz_")}
-    assert len(fuzz) == sum(n for (_s, n, _r) in SHAPES.values()) == 36
+    assert len(fuzz) == sum(n for (_s, n, _r) in SHAPES.values()) == 37
     # every generated double-summing aggregate goes through the
     # decimal-accumulation contract (integer running sums, like the
     # session oracle's SUM(new_session), are exact without it)
