@@ -120,7 +120,8 @@ def _sweep_tmp_litter() -> int:
     return n
 
 
-def main() -> None:
+def run_bench() -> dict:
+    """One full measurement pass; returns the output dict (main prints it)."""
     _sweep_tmp_litter()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
@@ -341,6 +342,121 @@ def main() -> None:
         if calib_sec
         else None,
     }
+    return out
+
+
+def _stop_active_session() -> None:
+    from pyspark.sql import SparkSession  # noqa: PLC0415
+
+    s = SparkSession.getActiveSession()
+    if s is not None:
+        s.stop()
+
+
+def _bench_other_tree(worktree: str) -> dict:
+    """Run the OTHER tree's own bench.py as a subprocess (its bench.py puts
+    its own directory first on sys.path, so its package resolves from the
+    worktree) and parse the one-line JSON from stdout."""
+    import subprocess  # noqa: PLC0415
+
+    p = subprocess.run(
+        [sys.executable, os.path.join(worktree, "bench.py")],
+        cwd=worktree,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+        check=False,
+    )
+    lines = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")]
+    if p.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"baseline bench failed (rc={p.returncode}): {p.stderr[-2000:]}"
+        )
+    return json.loads(lines[-1])
+
+
+def run_ab(commit: str) -> dict:
+    """Same-sitting A/B against a pinned prior tree (BASELINE.md
+    "Cross-round comparison rule", r14): the headline set runs interleaved
+    A-B-A — this tree, the `commit` tree in a git worktree, this tree
+    again — on one box in one sitting, and the per-query ratio
+    min(A1,A2)/B is the engine signal. Motivation: value_norm_mix moved
+    1.75x between sittings on IDENTICAL code (r13 judge, all probes
+    valid); probes calibrate within a sitting, not across them, so the
+    same-sitting two-tree A/B is the official cross-round engine verdict.
+
+    Output = the final A bracket's normal bench dict plus an "ab" block
+    (per-query ratios, median, movers, verdict line)."""
+    import statistics  # noqa: PLC0415
+    import subprocess  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    wt = os.path.join(
+        tempfile.gettempdir(), f"fps_ab_{os.getpid()}_{commit[:8]}"
+    )
+    subprocess.run(
+        ["git", "-C", repo, "worktree", "add", "--detach", wt, commit],
+        check=True,
+        capture_output=True,
+    )
+    try:
+        a1 = run_bench()
+        _stop_active_session()  # free the JVM before the B bracket's JVM
+        b = _bench_other_tree(wt)
+        a2 = run_bench()
+    finally:
+        subprocess.run(
+            ["git", "-C", repo, "worktree", "remove", "--force", wt],
+            check=False,
+            capture_output=True,
+        )
+    a_q = {
+        q: min(v for v in (a1["queries"].get(q), a2["queries"].get(q)) if v)
+        for q in a2["queries"]
+        if a1["queries"].get(q) or a2["queries"].get(q)
+    }
+    common = sorted(set(a_q) & set(b.get("queries", {})))
+    ratios = {
+        q: round(a_q[q] / b["queries"][q], 3)
+        for q in common
+        if b["queries"][q] > 0
+    }
+    med = round(statistics.median(ratios.values()), 3) if ratios else None
+    movers = sorted(ratios.items(), key=lambda kv: kv[1])
+    if med is None:
+        verdict = "no comparable queries"
+    elif med <= 0.95:
+        verdict = f"engine FASTER: median per-query ratio {med} vs {commit[:8]}"
+    elif med >= 1.05:
+        verdict = f"engine SLOWER: median per-query ratio {med} vs {commit[:8]}"
+    else:
+        verdict = f"engine FLAT: median per-query ratio {med} vs {commit[:8]}"
+    out = a2
+    out["ab"] = {
+        "baseline_commit": commit,
+        "order": ["A", "B", "A"],
+        "a_queries_best": a_q,
+        "b_queries": b.get("queries"),
+        "b_value": b.get("value"),
+        "b_calib": b.get("calib"),
+        "per_query_ratio": ratios,
+        "median_ratio": med,
+        "best_mover": movers[0] if movers else None,
+        "worst_mover": movers[-1] if movers else None,
+        "verdict": verdict,
+    }
+    print(f"[bench] A/B {verdict}", file=sys.stderr)
+    return out
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+    if "--ab" in argv:
+        commit = argv[argv.index("--ab") + 1]
+        out = run_ab(commit)
+    else:
+        out = run_bench()
     print(json.dumps(out))
 
 

@@ -28,7 +28,7 @@ from flink_parent_spark.queries.diff_grammar import FAMILIES, family_texts
 from flink_parent_spark.queries.registry import sql_query
 
 # Bump once per round (round number keeps the rotation auditable).
-ROTATION = 13
+ROTATION = 14
 
 N_GATE = 11
 

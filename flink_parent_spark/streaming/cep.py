@@ -1066,11 +1066,14 @@ def cep_pattern_stream_watermarked(
         return int(pd.Timestamp(ts).value // 1_000_000)
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        import numpy as np  # noqa: PLC0415
+
         wm_ms = state.getCurrentWatermarkMs()
         buf_rows: list[tuple] = list(state.get[0]) if state.exists else []
         emitted = state.get[1] if state.exists else 0
         ctx = (state.get[2] or 0) if state.exists else 0
         rows = [dict(zip(cols, r)) for r in buf_rows]
+        new_rows: list[dict] = []
         for pdf in pdfs:
             if wm_ms > 0 and len(pdf):
                 # Flink CEP drops elements at/behind the watermark —
@@ -1085,13 +1088,25 @@ def cep_pattern_stream_watermarked(
                 )
                 if (ms <= wm_ms).any():
                     pdf = pdf[ms > wm_ms]
-            rows.extend(pdf[cols].to_dict("records"))
-        # context rows are sealed (<= an earlier watermark) and new rows
-        # are strictly later, so sorting keeps them a stable prefix
+            new_rows.extend(pdf[cols].to_dict("records"))
+        # The state buffer is STORED sorted (the remainder of a sorted
+        # list); appending the batch and re-sorting looks O(B log B) but
+        # timsort detects the sorted prefix as one run and galloping-
+        # merges the new tail in ~O(B + k log k) at C speed — measured
+        # faster than a Python-level heapq.merge of the two sorted parts
+        # (r14 A/B on the 2.5M-event corpus, outputs hash-identical).
+        rows.extend(new_rows)
         rows.sort(key=lambda r: (r[ts_col], r[id_col]))
-        n_sealed = 0
-        while n_sealed < len(rows) and to_ms(rows[n_sealed][ts_col]) <= wm_ms:
-            n_sealed += 1
+        # sealed prefix via one vectorized datetime64[ms] floor + binary
+        # search (rows are sorted by ts) instead of a per-row
+        # pd.Timestamp conversion loop
+        if rows:
+            ms_arr = np.array(
+                [r[ts_col] for r in rows], dtype="datetime64[ms]"
+            ).astype("int64")
+            n_sealed = int(np.searchsorted(ms_arr, wm_ms, side="right"))
+        else:
+            n_sealed = 0
 
         wm_ts = pd.Timestamp(wm_ms, unit="ms") if wm_ms > 0 else None
         recs, n_emitted_now, retain_from = _scan_frontier(
