@@ -2430,7 +2430,13 @@ class TableEnvironment:
             match_recognize_sql,
         )
 
-        src = self.spark.table(stmt.source)
+        if stmt.source_is_subquery:
+            # `FROM ( <subquery> ) MATCH_RECOGNIZE (...)` — evaluate the
+            # derived table through sql_query first (its own TUMBLE/rank
+            # dialect shapes get rewritten on the way)
+            src = self.sql_query(stmt.source).to_df()
+        else:
+            src = self.spark.table(stmt.source)
         out = match_recognize_sql(
             src,
             stmt.body,

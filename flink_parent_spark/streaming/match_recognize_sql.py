@@ -1226,21 +1226,41 @@ def match_recognize_sql(
 
 @_dataclass(frozen=True)
 class MrStatement:
-    """A recognized `SELECT <sel> FROM <table> MATCH_RECOGNIZE ( <body> )
-    [AS alias] <tail>` statement, split into its routable parts."""
+    """A recognized `SELECT <sel> FROM <table-or-(subquery)>
+    MATCH_RECOGNIZE ( <body> ) [AS alias] <tail>` statement, split into
+    its routable parts. `source` is a table name, or the subquery SQL
+    text when `source_is_subquery` (the reference composes MR over
+    windowed groupings this way —
+    testMatchRecognizeAppliedToWindowedGrouping:265)."""
 
     select_list: str
     source: str
     body: str
     alias: str
     tail: str
+    source_is_subquery: bool = False
 
 
-_MR_STMT_RE = re.compile(
-    r"^\s*SELECT\s+(?P<sel>.*?)\s+FROM\s+(?P<src>[A-Za-z_][\w.]*)\s+"
-    r"MATCH_RECOGNIZE\s*\(",
-    re.IGNORECASE | re.DOTALL,
+_MR_HEAD_RE = re.compile(
+    r"^\s*SELECT\s+(?P<sel>.*?)\s+FROM\s*", re.IGNORECASE | re.DOTALL
 )
+
+_MR_TABLE_RE = re.compile(r"[A-Za-z_][\w.]*")
+
+
+def _scan_parens(masked: str, open_i: int) -> int:
+    """Index one past the ')' balancing masked[open_i] == '(' (the shadow
+    has literals blanked, so parens inside strings don't count)."""
+    depth, j = 1, open_i + 1
+    while depth and j < len(masked):
+        if masked[j] == "(":
+            depth += 1
+        elif masked[j] == ")":
+            depth -= 1
+        j += 1
+    if depth:
+        raise ValueError("unbalanced parentheses in MATCH_RECOGNIZE statement")
+    return j
 
 
 def parse_match_recognize_statement(
@@ -1249,8 +1269,9 @@ def parse_match_recognize_statement(
     """Recognize the reference's primary MATCH_RECOGNIZE entry point — a
     full SQL statement (ParserImpl.parse -> StreamExecMatch.scala:68; every
     MatchRecognizeITCase query is typed this way) — and split it for
-    routing to the clause engine. Returns None when the statement is not
-    this shape (callers fall through to their normal SQL path).
+    routing to the clause engine. The source may be a table name or a
+    parenthesized subquery. Returns None when the statement is not this
+    shape (callers fall through to their normal SQL path).
 
     `masked` is a same-length literal/comment-blanked shadow of `sql`
     (TableEnvironment passes the one it already computed); paren matching
@@ -1262,22 +1283,26 @@ def parse_match_recognize_statement(
         )
 
         masked = _mask_quotes_comments(sql)
-    m = _MR_STMT_RE.match(masked)
-    if m is None:
+    hm = _MR_HEAD_RE.match(masked)
+    if hm is None:
         return None
-    # balanced-paren scan for the clause body (on the masked shadow, so
-    # parens inside string literals don't count)
-    open_i = m.end() - 1
-    depth, j = 1, m.end()
-    while depth and j < len(masked):
-        if masked[j] == "(":
-            depth += 1
-        elif masked[j] == ")":
-            depth -= 1
-        j += 1
-    if depth:
-        raise ValueError("unbalanced parentheses in MATCH_RECOGNIZE clause")
-    body = sql[open_i + 1 : j - 1]
+    pos = hm.end()
+    if pos < len(masked) and masked[pos] == "(":
+        j = _scan_parens(masked, pos)
+        source, is_subq = sql[pos + 1 : j - 1], True
+        pos = j
+    else:
+        tm = _MR_TABLE_RE.match(masked, pos)
+        if tm is None:
+            return None
+        source, is_subq = sql[tm.start() : tm.end()], False
+        pos = tm.end()
+    km = re.match(r"\s*MATCH_RECOGNIZE\s*\(", masked[pos:], re.IGNORECASE)
+    if km is None:
+        return None
+    # balanced-paren scan for the clause body
+    j = _scan_parens(masked, pos + km.end() - 1)
+    body = sql[pos + km.end() : j - 1]
     am = re.match(r"\s*AS\s+(?P<alias>[A-Za-z_]\w*)", masked[j:], re.IGNORECASE)
     alias = "T"
     if am:
@@ -1285,9 +1310,10 @@ def parse_match_recognize_statement(
         j += am.end()
     tail = sql[j:].rstrip().rstrip(";")
     return MrStatement(
-        select_list=sql[m.start("sel") : m.end("sel")],
-        source=sql[m.start("src") : m.end("src")],
+        select_list=sql[hm.start("sel") : hm.end("sel")],
+        source=source,
         body=body,
         alias=alias,
         tail=tail,
+        source_is_subquery=is_subq,
     )

@@ -335,3 +335,97 @@ def test_nested_navigation_rejected(spark):
         match_recognize_sql(df, base.format(m="LAST(SUM(A.price))"), "id")
     with pytest.raises(MrExprError, match="nested navigation"):
         match_recognize_sql(df, base.format(m="SUM(LAST(A.price, 1))"), "id")
+
+
+def test_itcase_windowed_grouping_over_match_recognize_statement(spark, t_env):
+    """testWindowedGroupingAppliedToMatchRecognize:317 VERBATIM: the outer
+    SELECT aggregates the MR output with a TUMBLE group window over the
+    MATCH_ROWTIME() measure — the statement tail recurses through the
+    dialect layer's group-window rewrite. Expected (ACME,3,00:02.999,00:00)
+    and (ACME,2,00:05.999,00:03)."""
+    rows = [("ACME", 1, 1, 1), ("ACME", 2, 2, 2),
+            ("ACME", 4, 1, 4), ("ACME", 5, 1, 3)]
+    spark.createDataFrame(
+        [(s, _ts(t), p, x) for s, t, p, x in rows],
+        "symbol string, rowtime timestamp, price long, tax long",
+    ).createOrReplaceTempView("Ticker")
+    out = t_env.sql_query(
+        """
+        SELECT
+          symbol,
+          SUM(price) as price,
+          TUMBLE_ROWTIME(matchRowtime, interval '3' second) as rowTime,
+          TUMBLE_START(matchRowtime, interval '3' second) as startTime
+        FROM Ticker
+        MATCH_RECOGNIZE (
+          PARTITION BY symbol
+          ORDER BY rowtime
+          MEASURES
+            A.price as price,
+            A.tax as tax,
+            MATCH_ROWTIME() as matchRowtime
+          ONE ROW PER MATCH
+          PATTERN (A)
+          DEFINE
+            A AS A.price > 0
+        ) AS T
+        GROUP BY symbol, TUMBLE(matchRowtime, interval '3' second)
+        """
+    ).to_df().toPandas().sort_values("startTime").reset_index(drop=True)
+    base = dtm.datetime(2024, 1, 1)
+    got = [
+        (r["symbol"], r["price"],
+         (r["rowTime"] - base).total_seconds(),
+         (r["startTime"] - base).total_seconds())
+        for _, r in out.iterrows()
+    ]
+    assert got == [("ACME", 3, 2.999, 0.0), ("ACME", 2, 5.999, 3.0)]
+
+
+def test_itcase_match_recognize_over_windowed_grouping_statement(spark, t_env):
+    """testMatchRecognizeAppliedToWindowedGrouping:256 VERBATIM: the MR
+    source is a parenthesized SUBQUERY computing a TUMBLE aggregate (no
+    derived-table alias, no AS after the clause) — the statement parser's
+    subquery-source path, with the subquery recursing through the group-
+    window rewrite. Expected single match (ACME, 2, 00:00:03)."""
+    rows = [
+        ("ACME", 1, 1, 1), ("ACME", 2, 2, 2),       # window [0,3): sum 3
+        ("ACME", 4, 1, 4), ("ACME", 5, 1, 3),       # window [3,6): sum 2
+        ("ACME", 7, 2, 3), ("ACME", 8, 2, 3),       # window [6,9): sum 4
+        ("ACME1", 1, 20, 4), ("ACME1", 1, 24, 4),
+        ("ACME1", 1, 25, 3), ("ACME1", 1, 19, 8),
+    ]
+    spark.createDataFrame(
+        [(s, _ts(t), p, x) for s, t, p, x in rows],
+        "symbol string, rowtime timestamp, price long, tax long",
+    ).createOrReplaceTempView("TickerG")
+    out = t_env.sql_query(
+        """
+        SELECT *
+        FROM (
+           SELECT
+              symbol,
+              SUM(price) as price,
+              TUMBLE_ROWTIME(rowtime, interval '3' second) as rowTime,
+              TUMBLE_START(rowtime, interval '3' second) as startTime
+           FROM TickerG
+           GROUP BY symbol, TUMBLE(rowtime, interval '3' second)
+        )
+        MATCH_RECOGNIZE (
+          PARTITION BY symbol
+          ORDER BY rowTime
+          MEASURES
+            B.price as dPrice,
+            B.startTime as dTime
+          ONE ROW PER MATCH
+          PATTERN (A B)
+          DEFINE
+            B AS B.price < A.price
+        )
+        """
+    ).to_df().toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["symbol"] == "ACME"
+    assert r["dPrice"] == 2
+    assert (r["dTime"] - dtm.datetime(2024, 1, 1)).total_seconds() == 3.0
