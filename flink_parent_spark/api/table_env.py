@@ -2386,14 +2386,17 @@ class TableEnvironment:
             # the reference's primary MATCH_RECOGNIZE entry point is the
             # full SQL statement (ParserImpl.parse -> StreamExecMatch.scala
             # :68) — route it to the clause engine the same way this layer
-            # already routes TUMBLE/HOP/SESSION and rank-idiom queries
+            # already routes TUMBLE/HOP/SESSION and rank-idiom queries.
+            # The fragment may sit anywhere (top level, derived table,
+            # CTE body, join operand): it is executed to a view, spliced
+            # out, and the reduced statement recurses through sql_query.
             from flink_parent_spark.streaming.match_recognize_sql import (  # noqa: PLC0415
-                parse_match_recognize_statement,
+                find_match_recognize_fragment,
             )
 
-            stmt = parse_match_recognize_statement(sql, masked)
-            if stmt is not None:
-                return Table(self._match_recognize_statement(stmt), self)
+            frag = find_match_recognize_fragment(sql, masked)
+            if frag is not None:
+                return Table(self._match_recognize_fragment(sql, frag), self)
         if self.streaming:
             # FlinkLogicalRankRule / StreamExecDeduplicateRule parity: the
             # ROW_NUMBER-subquery idiom on a streaming scan routes to the
@@ -2414,15 +2417,16 @@ class TableEnvironment:
                     return Table(apply_rank_spec(src, spec), self)
         return Table(self.spark.sql(rewrite_group_windows(sql)), self)
 
-    def _match_recognize_statement(self, stmt) -> DataFrame:
-        """Execute a recognized `SELECT ... FROM t MATCH_RECOGNIZE (...)
-        AS T <tail>` statement (StreamExecMatch.scala:68 deployment): run
-        the clause body through the match engine over the source table
-        (streaming or batch, auto-detected), register the match output as
-        a view under the statement alias, and evaluate the outer SELECT —
-        recursively through sql_query so a tail that groups the matches
-        by a TUMBLE window (testWindowedGroupingAppliedToMatchRecognize)
-        gets the dialect rewrite. TableEnvironment-registered functions
+    def _match_recognize_fragment(self, sql: str, frag) -> DataFrame:
+        """Execute one `<source> MATCH_RECOGNIZE (...) [AS alias]`
+        fragment (StreamExecMatch.scala:68 deployment): run the clause
+        body through the match engine over the source (table or derived-
+        table subquery; streaming or batch, auto-detected), register the
+        match output as a temp view, splice the view reference into the
+        statement where the fragment stood, and recurse through sql_query
+        — so an outer TUMBLE grouping over MATCH_ROWTIME(), further MR
+        fragments, or any other dialect shape in the remaining text gets
+        its own rewrite. TableEnvironment-registered functions
         (register_function) flow into the clause's expression engine."""
         import uuid as _uuid  # noqa: PLC0415
 
@@ -2430,21 +2434,21 @@ class TableEnvironment:
             match_recognize_sql,
         )
 
-        if stmt.source_is_subquery:
+        if frag.source_is_subquery:
             # `FROM ( <subquery> ) MATCH_RECOGNIZE (...)` — evaluate the
             # derived table through sql_query first (its own TUMBLE/rank
             # dialect shapes get rewritten on the way)
-            src = self.sql_query(stmt.source).to_df()
+            src = self.sql_query(frag.source).to_df()
         else:
-            src = self.spark.table(stmt.source)
+            src = self.spark.table(frag.source)
         out = match_recognize_sql(
             src,
-            stmt.body,
+            frag.body,
             streaming=src.isStreaming,
             udfs=self._mr_udfs or None,
         )
         if "match_id" in out.columns and re.search(
-            r"\bMEASURES\b", stmt.body, re.IGNORECASE
+            r"\bMEASURES\b", frag.body, re.IGNORECASE
         ):
             # statement output = partition columns + measures (Calcite's
             # ONE ROW PER MATCH row type); the engine's match ordinal is
@@ -2452,10 +2456,8 @@ class TableEnvironment:
             out = out.drop("match_id")
         view = f"__mr_stmt_{_uuid.uuid4().hex[:8]}"
         out.createOrReplaceTempView(view)
-        reduced = (
-            f"SELECT {stmt.select_list} FROM {view} AS {stmt.alias}"
-            f"{' ' + stmt.tail.strip() if stmt.tail.strip() else ''}"
-        )
+        repl = view + (f" AS {frag.alias}" if frag.alias else "")
+        reduced = sql[: frag.start] + repl + sql[frag.end :]
         return self.sql_query(reduced).to_df()
 
     def register_function(

@@ -1225,27 +1225,20 @@ def match_recognize_sql(
 # --------------------------------------------------------------------------
 
 @_dataclass(frozen=True)
-class MrStatement:
-    """A recognized `SELECT <sel> FROM <table-or-(subquery)>
-    MATCH_RECOGNIZE ( <body> ) [AS alias] <tail>` statement, split into
-    its routable parts. `source` is a table name, or the subquery SQL
-    text when `source_is_subquery` (the reference composes MR over
-    windowed groupings this way —
-    testMatchRecognizeAppliedToWindowedGrouping:265)."""
+class MrFragment:
+    """One `<source> MATCH_RECOGNIZE ( <body> ) [AS alias]` span inside a
+    SQL statement. `source` is a table name, or the subquery SQL text when
+    `source_is_subquery` (the reference composes MR over windowed
+    groupings this way — testMatchRecognizeAppliedToWindowedGrouping:265).
+    `start:end` is the character span of the whole fragment in the
+    statement, so the caller can splice a view reference in its place."""
 
-    select_list: str
+    start: int
+    end: int
     source: str
     body: str
-    alias: str
-    tail: str
+    alias: "str | None"
     source_is_subquery: bool = False
-
-
-_MR_HEAD_RE = re.compile(
-    r"^\s*SELECT\s+(?P<sel>.*?)\s+FROM\s*", re.IGNORECASE | re.DOTALL
-)
-
-_MR_TABLE_RE = re.compile(r"[A-Za-z_][\w.]*")
 
 
 def _scan_parens(masked: str, open_i: int) -> int:
@@ -1263,15 +1256,16 @@ def _scan_parens(masked: str, open_i: int) -> int:
     return j
 
 
-def parse_match_recognize_statement(
+def find_match_recognize_fragment(
     sql: str, masked: "str | None" = None
-) -> "MrStatement | None":
-    """Recognize the reference's primary MATCH_RECOGNIZE entry point — a
-    full SQL statement (ParserImpl.parse -> StreamExecMatch.scala:68; every
-    MatchRecognizeITCase query is typed this way) — and split it for
-    routing to the clause engine. The source may be a table name or a
-    parenthesized subquery. Returns None when the statement is not this
-    shape (callers fall through to their normal SQL path).
+) -> "MrFragment | None":
+    """Locate the first `<source> MATCH_RECOGNIZE (...) [AS alias]`
+    fragment anywhere in a SQL statement — top level (the reference's
+    primary entry point, ParserImpl.parse -> StreamExecMatch.scala:68;
+    every MatchRecognizeITCase query is typed this way), inside a
+    derived-table subquery, a CTE body, or a join operand. Returns None
+    when the statement has no such fragment (callers fall through to
+    their normal SQL path).
 
     `masked` is a same-length literal/comment-blanked shadow of `sql`
     (TableEnvironment passes the one it already computed); paren matching
@@ -1283,37 +1277,54 @@ def parse_match_recognize_statement(
         )
 
         masked = _mask_quotes_comments(sql)
-    hm = _MR_HEAD_RE.match(masked)
-    if hm is None:
-        return None
-    pos = hm.end()
-    if pos < len(masked) and masked[pos] == "(":
-        j = _scan_parens(masked, pos)
-        source, is_subq = sql[pos + 1 : j - 1], True
-        pos = j
-    else:
-        tm = _MR_TABLE_RE.match(masked, pos)
-        if tm is None:
-            return None
-        source, is_subq = sql[tm.start() : tm.end()], False
-        pos = tm.end()
-    km = re.match(r"\s*MATCH_RECOGNIZE\s*\(", masked[pos:], re.IGNORECASE)
+    km = re.search(r"\bMATCH_RECOGNIZE\s*\(", masked, re.IGNORECASE)
     if km is None:
         return None
-    # balanced-paren scan for the clause body
-    j = _scan_parens(masked, pos + km.end() - 1)
-    body = sql[pos + km.end() : j - 1]
+    # clause body: balanced-paren scan on the shadow
+    j = _scan_parens(masked, km.end() - 1)
+    body = sql[km.end() : j - 1]
     am = re.match(r"\s*AS\s+(?P<alias>[A-Za-z_]\w*)", masked[j:], re.IGNORECASE)
-    alias = "T"
+    alias = None
+    end = j
     if am:
         alias = am.group("alias")
-        j += am.end()
-    tail = sql[j:].rstrip().rstrip(";")
-    return MrStatement(
-        select_list=sql[hm.start("sel") : hm.end("sel")],
-        source=source,
+        end = j + am.end()
+    # source: walk back over whitespace from the keyword
+    i = km.start()
+    while i > 0 and masked[i - 1].isspace():
+        i -= 1
+    if i > 0 and masked[i - 1] == ")":
+        # parenthesized subquery source: balanced back-scan
+        depth, s = 1, i - 2
+        while s >= 0 and depth:
+            if masked[s] == ")":
+                depth += 1
+            elif masked[s] == "(":
+                depth -= 1
+            s -= 1
+        if depth:
+            raise ValueError(
+                "unbalanced parentheses before MATCH_RECOGNIZE"
+            )
+        src_start = s + 1  # index of the '('
+        return MrFragment(
+            start=src_start,
+            end=end,
+            source=sql[src_start + 1 : i - 1],
+            body=body,
+            alias=alias,
+            source_is_subquery=True,
+        )
+    s = i
+    while s > 0 and (masked[s - 1].isalnum() or masked[s - 1] in "._"):
+        s -= 1
+    if s == i:
+        return None  # no source token precedes the keyword
+    return MrFragment(
+        start=s,
+        end=end,
+        source=sql[s:i],
         body=body,
         alias=alias,
-        tail=tail,
-        source_is_subquery=is_subq,
+        source_is_subquery=False,
     )

@@ -17,8 +17,8 @@ import pytest
 from flink_parent_spark.api.table_env import TableEnvironment
 from flink_parent_spark.streaming.match_recognize_sql import (
     MrExprError,
+    find_match_recognize_fragment,
     match_recognize_sql,
-    parse_match_recognize_statement,
 )
 
 
@@ -31,22 +31,30 @@ def t_env(spark):
     return TableEnvironment(spark)
 
 
-def test_parse_statement_shape():
-    stmt = parse_match_recognize_statement(
+def test_find_fragment_shape():
+    sql = (
         "SELECT T.aid, T.bid FROM MyTable MATCH_RECOGNIZE (\n"
         "  ORDER BY ts MEASURES A.id AS aid, B.id AS bid\n"
         "  PATTERN (A B) DEFINE A AS name = 'a(' , B AS name = 'b'\n"
         ") AS M WHERE T.aid > 1"
     )
-    assert stmt is not None
-    assert stmt.source == "MyTable"
-    assert stmt.alias == "M"
-    assert "PATTERN (A B)" in stmt.body
-    assert "'a('" in stmt.body  # paren inside a literal doesn't end the body
-    assert stmt.tail.strip() == "WHERE T.aid > 1"
-    assert stmt.select_list == "T.aid, T.bid"
+    frag = find_match_recognize_fragment(sql)
+    assert frag is not None
+    assert frag.source == "MyTable"
+    assert not frag.source_is_subquery
+    assert frag.alias == "M"
+    assert "PATTERN (A B)" in frag.body
+    assert "'a('" in frag.body  # paren inside a literal doesn't end the body
+    assert sql[frag.start : frag.end].startswith("MyTable MATCH_RECOGNIZE")
+    assert sql[frag.end :].strip() == "WHERE T.aid > 1"
+    # subquery source, no alias
+    sq = "SELECT * FROM (SELECT a FROM t) MATCH_RECOGNIZE (ORDER BY a "
+    sq += "PATTERN (X) DEFINE X AS a > 0)"
+    f2 = find_match_recognize_fragment(sq)
+    assert f2.source_is_subquery and f2.source == "SELECT a FROM t"
+    assert f2.alias is None and sq[f2.start] == "("
     # non-MR statements fall through
-    assert parse_match_recognize_statement("SELECT 1 FROM t") is None
+    assert find_match_recognize_fragment("SELECT 1 FROM t") is None
 
 
 def test_itcase_simple_pattern_statement(spark, t_env):
@@ -429,3 +437,35 @@ def test_itcase_match_recognize_over_windowed_grouping_statement(spark, t_env):
     assert r["symbol"] == "ACME"
     assert r["dPrice"] == 2
     assert (r["dTime"] - dtm.datetime(2024, 1, 1)).total_seconds() == 3.0
+
+
+def test_match_recognize_inside_derived_table_and_cte(spark, t_env):
+    """MR fragments in NON-top-level positions: inside a derived table
+    under an outer aggregate, and as a CTE body — the fragment splice +
+    sql_query recursion places the match output wherever the statement
+    put it (Calcite treats MATCH_RECOGNIZE as an ordinary table
+    expression, SqlMatchRecognize in any FROM position)."""
+    data = [(1, "a"), (2, "b"), (3, "a"), (4, "b"), (5, "a")]
+    spark.createDataFrame(
+        [(i, n, _ts(i)) for i, n in data],
+        "id long, name string, proctime timestamp",
+    ).createOrReplaceTempView("NestTable")
+    inner = """
+        SELECT * FROM NestTable MATCH_RECOGNIZE (
+          ORDER BY proctime
+          MEASURES A.id AS aid, B.id AS bid
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B)
+          DEFINE A AS name = 'a', B AS name = 'b'
+        ) AS T
+    """
+    out = t_env.sql_query(
+        f"SELECT COUNT(*) AS n, SUM(sub.bid - sub.aid) AS gap "
+        f"FROM ({inner}) sub"
+    ).to_df().toPandas()
+    assert (out.iloc[0]["n"], out.iloc[0]["gap"]) == (2, 2)
+
+    out2 = t_env.sql_query(
+        f"WITH m AS ({inner}) SELECT MAX(bid) AS mx FROM m WHERE aid > 1"
+    ).to_df().toPandas()
+    assert out2.iloc[0]["mx"] == 4
