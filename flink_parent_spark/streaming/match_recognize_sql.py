@@ -88,7 +88,8 @@ from flink_parent_spark.streaming.stateful import _micros_double
 
 _SECTION_RE = re.compile(
     r"(?:PARTITION\s+BY\s+(?P<part>[\w,\s]+?)\s+)?"
-    r"ORDER\s+BY\s+(?P<order>\w+(?:\s*,\s*\w+)*)"
+    r"ORDER\s+BY\s+(?P<order>\w+(?:\s+(?:ASC|DESC))?"
+    r"(?:\s*,\s*\w+(?:\s+(?:ASC|DESC))?)*)"
     r"(?:\s+MEASURES\s+(?P<measures>.*?))?"
     r"(?:\s+(?P<per_match>ONE\s+ROW\s+PER\s+MATCH|ALL\s+ROWS\s+PER\s+MATCH))?"
     r"(?:\s+AFTER\s+MATCH\s+SKIP\s+(?P<skip>PAST\s+LAST\s+ROW|TO\s+NEXT\s+ROW"
@@ -831,23 +832,52 @@ def match_recognize_sql(
         partition_by = [
             c.strip() for c in m.group("part").split(",") if c.strip()
         ]
-    ocols = [c.strip() for c in m.group("order").split(",") if c.strip()]
-    order_by = ocols[0]
+    ospec: list[tuple[str, bool]] = []
+    for part in m.group("order").split(","):
+        toks = part.split()
+        ospec.append((toks[0], len(toks) > 1 and toks[1].upper() == "DESC"))
+    order_by = ospec[0][0]
+    if ospec[0][1]:
+        # StreamExecMatchRule parity: the primary sort must be the
+        # ascending time attribute
+        raise ValueError(
+            "the primary MATCH_RECOGNIZE ORDER BY column must be the "
+            "ascending time attribute"
+        )
+    rest = ospec[1:]
     synth_id = False
     if id_col is None:
-        if len(ocols) == 2:
+        if len(rest) == 1 and not rest[0][1]:
             # SQL secondary sort column doubles as the tie-breaker id
-            id_col = ocols[1]
-        elif len(ocols) == 1:
+            id_col = rest[0][0]
+        elif not rest:
             df = df.withColumn("__mr_id", F.monotonically_increasing_id())
             id_col = "__mr_id"
             synth_id = True
         else:
-            raise ValueError(
-                "MATCH_RECOGNIZE ORDER BY supports the time attribute plus "
-                "at most one tie-breaker column"
+            # composite / DESC secondary order (testEventsAreProperlyOrdered:
+            # ORDER BY rowtime, secondaryOrder DESC, ternaryOrder ASC): a
+            # JVM-side ROW_NUMBER over the full spec encodes the total
+            # order as the tie-breaker — one window sharing the matcher's
+            # hash partitioning, no extra shuffle
+            if streaming:
+                raise ValueError(
+                    "multi-column/DESC MATCH_RECOGNIZE ORDER BY is "
+                    "supported in batch mode only"
+                )
+            from pyspark.sql import Window  # noqa: PLC0415
+
+            w = Window.partitionBy(*partition_by).orderBy(
+                F.col(order_by).asc(),
+                *[
+                    F.col(c).desc() if d else F.col(c).asc()
+                    for c, d in rest
+                ],
             )
-    elif len(ocols) > 1:
+            df = df.withColumn("__mr_id", F.row_number().over(w))
+            id_col = "__mr_id"
+            synth_id = True
+    elif rest:
         raise ValueError(
             "pass the tie-breaker either as id_col or as a second ORDER BY "
             "column, not both"

@@ -469,3 +469,91 @@ def test_match_recognize_inside_derived_table_and_cte(spark, t_env):
         f"WITH m AS ({inner}) SELECT MAX(bid) AS mx FROM m WHERE aid > 1"
     ).to_df().toPandas()
     assert out2.iloc[0]["mx"] == 4
+
+
+def test_itcase_events_properly_ordered_statement(spark, t_env):
+    """testEventsAreProperlyOrdered:198 VERBATIM: a three-column ORDER BY
+    with mixed directions (rowtime, secondaryOrder DESC, ternaryOrder ASC)
+    — event-time order breaks the first candidate, the DESC secondary the
+    second, the ASC ternary the third; only (10,11,12) survives. The
+    composite order compiles to a JVM-side ROW_NUMBER tie-breaker sharing
+    the matcher's partitioning."""
+    rows = [
+        # (secondaryOrder, ternaryOrder, name, id, rowtime-seconds)
+        (12, 1, "a", 1, 2), (11, 2, "b", 2, 1), (10, 3, "c", 3, 3),
+        (8, 4, "a", 4, 4), (9, 5, "b", 5, 4), (7, 6, "c", 6, 5),
+        (6, 8, "a", 7, 6), (6, 7, "b", 8, 6), (4, 9, "c", 9, 8),
+        (3, 10, "a", 10, 9), (2, 11, "b", 11, 10), (1, 12, "c", 12, 11),
+    ]
+    spark.createDataFrame(
+        [(s, t3, n, i, _ts(rt)) for s, t3, n, i, rt in rows],
+        "secondaryOrder long, ternaryOrder long, name string, id long, "
+        "rowtime timestamp",
+    ).createOrReplaceTempView("OrderedTable")
+    out = t_env.sql_query(
+        """
+        SELECT T.aid, T.bid, T.cid
+        FROM OrderedTable
+        MATCH_RECOGNIZE (
+          ORDER BY rowtime, secondaryOrder DESC, ternaryOrder ASC
+          MEASURES
+            A.id AS aid,
+            B.id AS bid,
+            C.id AS cid
+          PATTERN (A B C)
+          DEFINE
+            A AS name = 'a',
+            B AS name = 'b',
+            C AS name = 'c'
+        ) AS T
+        """
+    ).to_df().toPandas()
+    assert [tuple(r) for r in out.itertuples(index=False)] == [(10, 11, 12)]
+
+
+def test_itcase_code_splits_statement(spark, t_env):
+    """testCodeSplitsAreProperlyGenerated:143 VERBATIM (semantics; blink's
+    code-split knob has no analogue here): multi-column PARTITION BY, LIKE
+    inside a Catalyst-evaluable DEFINE, string navigation comparisons and
+    an out-of-range LAST(A.name, 2) IS NULL in matcher-side DEFINEs."""
+    data = [
+        (1, "a", "key1", "second_key3"), (2, "b", "key1", "second_key3"),
+        (3, "c", "key1", "second_key3"), (4, "d", "key", "second_key"),
+        (5, "e", "key", "second_key"), (6, "a", "key2", "second_key4"),
+        (7, "b", "key2", "second_key4"), (8, "c", "key2", "second_key4"),
+        (9, "f", "key", "second_key"),
+    ]
+    spark.createDataFrame(
+        [(i, n, k1, k2, _ts(i)) for i, n, k1, k2 in data],
+        "id long, name string, key1 string, key2 string, proctime timestamp",
+    ).createOrReplaceTempView("SplitTable")
+    out = t_env.sql_query(
+        """
+        SELECT *
+        FROM SplitTable
+        MATCH_RECOGNIZE (
+          PARTITION BY key1, key2
+          ORDER BY proctime
+          MEASURES
+            A.id AS aid,
+            A.key1 AS akey1,
+            LAST(B.id) AS bid,
+            C.id AS cid,
+            C.key2 AS ckey2
+          PATTERN (A B C)
+          DEFINE
+            A AS name = 'a' AND key1 LIKE '%key%' AND id > 0,
+            B AS name = 'b' AND LAST(A.name, 2) IS NULL,
+            C AS name = 'c' AND LAST(A.name) = 'a'
+        ) AS T
+        """
+    ).to_df().toPandas().sort_values("aid").reset_index(drop=True)
+    got = [
+        (r["key1"], r["key2"], r["aid"], r["akey1"], r["bid"], r["cid"],
+         r["ckey2"])
+        for _, r in out.iterrows()
+    ]
+    assert got == [
+        ("key1", "second_key3", 1, "key1", 2, 3, "second_key3"),
+        ("key2", "second_key4", 6, "key2", 7, 8, "second_key4"),
+    ]
