@@ -795,6 +795,22 @@ class TableEnvironment:
                     self.spark.sql(f"DROP TEMPORARY FUNCTION {name}"), self
                 )
         if re.match(r"INSERT\s+(INTO|OVERWRITE)\b", s, re.IGNORECASE):
+            # the INSERT's query part speaks the full dialect: MR
+            # fragments splice out first (RichSqlInsert wraps an ordinary
+            # query operation in the reference), the rest of the dialect
+            # (TUMBLE/HOP/SESSION, rank idioms) rewrites inside
+            # _insert_into via sql_query
+            masked_ins = _mask_quotes_comments(s)
+            while re.search(r"\bMATCH_RECOGNIZE\s*\(", masked_ins, re.IGNORECASE):
+                from flink_parent_spark.streaming.match_recognize_sql import (  # noqa: PLC0415
+                    find_match_recognize_fragment,
+                )
+
+                frag = find_match_recognize_fragment(s, masked_ins)
+                if frag is None:
+                    break
+                s = self._splice_match_recognize(s, frag)
+                masked_ins = _mask_quotes_comments(s)
             return self._insert_into(s)
         if re.match(r"SHOW\s+TABLES$", s, re.IGNORECASE):
             return self._show_tables()
@@ -2066,10 +2082,14 @@ class TableEnvironment:
         )
         if m.group("t") not in self.catalog:
             # Hive/managed tables live in Spark's own catalog — identical
-            # INSERT semantics (incl. static PARTITION specs), pass through
-            return Table(self.spark.sql(s), self)
+            # INSERT semantics (incl. static PARTITION specs); group-window
+            # dialect tokens in the query part still rewrite (identity
+            # otherwise)
+            return Table(self.spark.sql(rewrite_group_windows(s)), self)
         target = self.catalog[m.group("t")]
-        df = self.spark.sql(m.group("q"))
+        # the query part takes the full sql_query dialect route
+        # (TUMBLE/HOP/SESSION rewrite, rank-idiom recognition)
+        df = self.sql_query(m.group("q")).to_df()
         static_spec: "dict[str, str]" = {}
         if m.group("pspec"):
             # static partition spec (RichSqlInsert's staticPartitions):
@@ -2419,14 +2439,18 @@ class TableEnvironment:
 
     def _match_recognize_fragment(self, sql: str, frag) -> DataFrame:
         """Execute one `<source> MATCH_RECOGNIZE (...) [AS alias]`
-        fragment (StreamExecMatch.scala:68 deployment): run the clause
-        body through the match engine over the source (table or derived-
-        table subquery; streaming or batch, auto-detected), register the
-        match output as a temp view, splice the view reference into the
-        statement where the fragment stood, and recurse through sql_query
-        — so an outer TUMBLE grouping over MATCH_ROWTIME(), further MR
-        fragments, or any other dialect shape in the remaining text gets
-        its own rewrite. TableEnvironment-registered functions
+        fragment (StreamExecMatch.scala:68 deployment) and evaluate the
+        reduced statement — recursion through sql_query gives an outer
+        TUMBLE grouping over MATCH_ROWTIME(), further MR fragments, or
+        any other dialect shape its own rewrite."""
+        return self.sql_query(self._splice_match_recognize(sql, frag)).to_df()
+
+    def _splice_match_recognize(self, sql: str, frag) -> str:
+        """Run the fragment's clause body through the match engine over
+        its source (table or derived-table subquery; streaming or batch,
+        auto-detected), register the match output as a temp view, and
+        return the statement with the view reference spliced in where the
+        fragment stood. TableEnvironment-registered functions
         (register_function) flow into the clause's expression engine."""
         import uuid as _uuid  # noqa: PLC0415
 
@@ -2457,8 +2481,7 @@ class TableEnvironment:
         view = f"__mr_stmt_{_uuid.uuid4().hex[:8]}"
         out.createOrReplaceTempView(view)
         repl = view + (f" AS {frag.alias}" if frag.alias else "")
-        reduced = sql[: frag.start] + repl + sql[frag.end :]
-        return self.sql_query(reduced).to_df()
+        return sql[: frag.start] + repl + sql[frag.end :]
 
     def register_function(
         self, name: str, fn, result_type: str = "double", kind: str = "scalar"

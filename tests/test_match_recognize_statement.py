@@ -557,3 +557,59 @@ def test_itcase_code_splits_statement(spark, t_env):
         ("key1", "second_key3", 1, "key1", 2, 3, "second_key3"),
         ("key2", "second_key4", 6, "key2", 7, 8, "second_key4"),
     ]
+
+
+def test_insert_into_with_match_recognize_and_tumble(spark, t_env, tmp_path):
+    """The INSERT's query part speaks the full dialect (RichSqlInsert
+    wraps an ordinary query in the reference): an MR fragment splices out
+    first, and a TUMBLE group window in an INSERT query rewrites through
+    sql_query instead of hitting Spark's parser raw."""
+    data = [(1, "a"), (2, "b"), (3, "a"), (4, "b")]
+    spark.createDataFrame(
+        [(i, n, _ts(i)) for i, n in data],
+        "id long, name string, proctime timestamp",
+    ).createOrReplaceTempView("InsSrc")
+    sink = str(tmp_path / "mr_ins_sink")
+    t_env.execute_sql(
+        f"""
+        CREATE TABLE mr_ins_sink (aid BIGINT, bid BIGINT)
+        WITH ('connector' = 'filesystem', 'path' = '{sink}',
+              'format' = 'parquet')
+        """
+    )
+    t_env.execute_sql(
+        """
+        INSERT INTO mr_ins_sink
+        SELECT T.aid, T.bid FROM InsSrc MATCH_RECOGNIZE (
+          ORDER BY proctime
+          MEASURES A.id AS aid, B.id AS bid
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B)
+          DEFINE A AS name = 'a', B AS name = 'b'
+        ) AS T
+        """
+    )
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(sink).collect()
+    )
+    assert got == [(1, 2), (3, 4)]
+
+    sink2 = str(tmp_path / "gw_ins_sink")
+    t_env.execute_sql(
+        f"""
+        CREATE TABLE gw_ins_sink (ws TIMESTAMP, n BIGINT)
+        WITH ('connector' = 'filesystem', 'path' = '{sink2}',
+              'format' = 'parquet')
+        """
+    )
+    t_env.execute_sql(
+        """
+        INSERT INTO gw_ins_sink
+        SELECT TUMBLE_START(proctime, INTERVAL '2' SECOND) AS ws,
+               COUNT(*) AS n
+        FROM InsSrc
+        GROUP BY TUMBLE(proctime, INTERVAL '2' SECOND)
+        """
+    )
+    got2 = sorted((r["n"]) for r in spark.read.parquet(sink2).collect())
+    assert got2 == [1, 1, 2]  # [0,2):ts1 [2,4):ts2,ts3 [4,6):ts4
