@@ -11,11 +11,23 @@ pattern variables — compile to matcher-side predicates over the match
 context, the same split the reference's MatchCodeGenerator makes between
 ConstantCodeGenerator and the IterativeCondition context.
 
+Two entry points, mirroring the reference:
+
+- the CLAUSE-BODY API `match_recognize_sql(df, clause, id_col)` (this
+  module's engine), and
+- the FULL SQL STATEMENT through `TableEnvironment.sql_query` /
+  `execute_sql` — `SELECT ... FROM <table|(subquery)> MATCH_RECOGNIZE
+  (...) [AS alias] ...` in ANY FROM position (top level, derived table,
+  CTE body, join operand, INSERT query), the reference's primary entry
+  (ParserImpl.java:70 -> StreamExecMatch.scala:68). The fragment is
+  located by `find_match_recognize_fragment`, executed here, and spliced
+  out as a temp view.
+
 Supported clause surface:
 
     MATCH_RECOGNIZE (
       PARTITION BY k [, ...]
-      ORDER BY ts
+      ORDER BY ts [, tiebreak [ASC|DESC], ...]
       [MEASURES <expr> AS alias [, ...] [ONE ROW PER MATCH]]
       [AFTER MATCH SKIP PAST LAST ROW | TO NEXT ROW | TO FIRST v | TO LAST v]
       PATTERN ( A B+ C? D* E{2} F{2,} G{2,4} [{- X -}] )

@@ -628,3 +628,44 @@ def test_windowed_flat_aggregate_single_exchange(spark):
     plan = plan_of(QS["window_flat_aggregate_top2"](spark, SF))
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
     assert len(re.findall(r"^\(\d+\) FlatMapGroupsInPandas", plan, re.M)) == 1
+
+
+def test_match_recognize_statement_single_exchange(spark):
+    """The MR SQL-text gate query: the statement layer's view splice adds
+    NO execution shape — one hash partition on the match key, one Arrow
+    stage (the matcher), no extra exchange for the outer SELECT."""
+    import re
+
+    plan = plan_of(QS["match_recognize_statement_sql"](spark, SF))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) FlatMapGroupsInPandas", plan, re.M)) == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_match_recognize_composite_order_single_exchange(spark):
+    """Directional multi-column ORDER BY: the ROW_NUMBER tie-breaker
+    window shares the matcher's partitioning — Window and
+    FlatMapGroupsInPandas sit on ONE Exchange."""
+    import datetime as dtm
+    import re
+
+    from flink_parent_spark.api.table_env import TableEnvironment
+
+    t_env = TableEnvironment(spark)
+    base = dtm.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(12, 1, "a", 1, base), (11, 2, "b", 2, base)],
+        "secondaryOrder long, ternaryOrder long, name string, id long, "
+        "rowtime timestamp",
+    ).createOrReplaceTempView("__plan_ord_t")
+    df = t_env.sql_query(
+        """
+        SELECT T.aid FROM __plan_ord_t MATCH_RECOGNIZE (
+          ORDER BY rowtime, secondaryOrder DESC, ternaryOrder ASC
+          MEASURES A.id AS aid PATTERN (A B)
+          DEFINE A AS name = 'a', B AS name = 'b') AS T
+        """
+    ).to_df()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 1
