@@ -46,17 +46,6 @@ testUserDefinedFunctions:733):
   to one pattern variable (or the universal variable when unqualified);
   out-of-range yields NULL.
 
-Running-aggregate cost parity (r14 adjudication of the r13 design note):
-DEFINE aggregates here re-scan the variable's row set on every row tested
-(MrEval.agg, O(run) per test) — and so does the REFERENCE: its generated
-`calculateAgg_*` resets the accumulators and re-accumulates the variable's
-ENTIRE row list inside a per-record reusable statement
-(MatchCodeGenerator.scala generateAggCalculation:755-763
-`setAccumulators(createAccumulators()); for (row : input) accumulate(...)`,
-invoked via addReusablePerRecordStatement:636 on each row evaluation).
-Both engines are O(run) per row-test / O(run^2) per match attempt; there is
-no incremental-codegen gap to close. The at-volume sweep (10M events,
-tools/streaming_scale.py mr_agg_measures) confirms flat rows/s.
 - SUM / AVG / MIN / MAX / COUNT(expr), COUNT(*) / COUNT(V.*) /
   COUNT(DISTINCT expr) — aggregates over a variable's row set. In DEFINE
   they are RUNNING aggregates: the row under test counts as mapped to the
@@ -78,6 +67,17 @@ tools/streaming_scale.py mr_agg_measures) confirms flat rows/s.
   OTHER-variable qualified = that variable's LAST matched row. In MEASURES,
   qualified = the variable's LAST row, unqualified = the universal
   variable's LAST row (SQL final semantics).
+Running-aggregate cost parity (r14 adjudication of the r13 design note):
+DEFINE aggregates here re-scan the variable's row set on every row tested
+(MrEval.agg, O(run) per test) — and so does the REFERENCE: its generated
+`calculateAgg_*` resets the accumulators and re-accumulates the variable's
+ENTIRE row list inside a per-record reusable statement
+(MatchCodeGenerator.scala generateAggCalculation:755-763
+`setAccumulators(createAccumulators()); for (row : input) accumulate(...)`,
+invoked via addReusablePerRecordStatement:636 on each row evaluation).
+Both engines are O(run) per row-test / O(run^2) per match attempt; there is
+no incremental-codegen gap to close. The at-volume sweep (10M events,
+tools/streaming_scale.py mr_agg_measures) confirms flat rows/s.
 
 Quantifier translation mirrors StreamExecMatch.applyQuantifier: every loop
 is consecutive; `+ * {n,} {n,m}` are greedy (POSSESSIVE per
@@ -116,10 +116,16 @@ _SECTION_RE = re.compile(
 # SUBSET entry: U = (A, B)
 _SUBSET_RE = re.compile(r"(\w+)\s*=\s*\(([^)]*)\)")
 
-# PATTERN token: name + quantifier suffix
+# PATTERN token: name (plain or backtick-quoted — Calcite quoted
+# identifiers, testSimplePattern's `A"` variable) + quantifier suffix
 _PTOKEN_RE = re.compile(
-    r"^(?P<name>\w+)(?P<suf>\{\d+(?:,\d*)?\}\??|\+\??|\*\??|\?\??)?$"
+    r"^(?P<name>\w+|`[^`]*`)(?P<suf>\{\d+(?:,\d*)?\}\??|\+\??|\*\??|\?\??)?$"
 )
+
+
+def _unq(name: str) -> str:
+    """Strip backtick quoting from an identifier."""
+    return name[1:-1] if name.startswith("`") and name.endswith("`") else name
 
 _UNIT_SECONDS = {
     "second": 1,
@@ -315,6 +321,7 @@ class MrExprError(ValueError):
 _TOK_RE = re.compile(
     r"\s*(?:(?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
     r"|(?P<str>'(?:[^']|'')*')"
+    r"|(?P<qname>`[^`]*`)"
     r"|(?P<op><=|>=|<>|!=|[=<>+\-*/%(),.])"
     r"|(?P<name>[A-Za-z_]\w*))"
 )
@@ -375,6 +382,11 @@ class _MrCompiler:
                 toks.append(("num", mt.group("num")))
             elif mt.group("str") is not None:
                 toks.append(("str", mt.group("str")))
+            elif mt.group("qname") is not None:
+                # backtick-quoted identifier: same token kind, quoting
+                # stripped (keyword checks won't fire — quoted names are
+                # never SQL keywords in practice)
+                toks.append(("name", mt.group("qname")[1:-1]))
             elif mt.group("op") is not None:
                 toks.append(("op", mt.group("op")))
             else:
@@ -943,16 +955,20 @@ def match_recognize_sql(
                 continue
             tm = _PTOKEN_RE.match(token)
             if tm:
-                variables.add(tm.group("name"))
+                variables.add(_unq(tm.group("name")))
     variables |= set(subsets)
 
     # DEFINE A AS expr, B AS expr  (split on commas at top paren level)
     defines: dict[str, str] = {}
     for p in _split_top_level(m.group("define")):
-        dm = re.match(r"\s*(?P<n>\w+)\s+AS\s+(?P<e>.+)", p, re.IGNORECASE | re.DOTALL)
+        dm = re.match(
+            r"\s*(?P<n>\w+|`[^`]*`)\s+AS\s+(?P<e>.+)",
+            p,
+            re.IGNORECASE | re.DOTALL,
+        )
         if not dm:
             raise ValueError(f"bad DEFINE entry: {p!r}")
-        defines[dm.group("n")] = dm.group("e").strip()
+        defines[_unq(dm.group("n"))] = dm.group("e").strip()
 
     # evaluate Catalyst-expressible DEFINE predicates as boolean columns
     over = (
@@ -1000,8 +1016,10 @@ def match_recognize_sql(
         other_vars = [v for v in variables if v != name]
         cross_ref = bool(other_vars) and bool(
             re.search(
-                r"\b(" + "|".join(re.escape(v) for v in other_vars) + r")\s*\.",
-                expr,
+                r"(?<!\w)(?:"
+                + "|".join(re.escape(v) for v in other_vars)
+                + r")\s*\.",
+                expr.replace("`", ""),
             )
         )
         needs_nav = (
@@ -1022,14 +1040,18 @@ def match_recognize_sql(
                 udfs=udfs,
             )
             continue
-        for qm in re.finditer(r"\b([A-Za-z_]\w*)\s*\.\s*[A-Za-z_]\w*", expr):
-            if qm.group(1) not in variables:
+        for qm in re.finditer(
+            r"(?:\b([A-Za-z_]\w*)|`([^`]*)`)\s*\.\s*[A-Za-z_]\w*", expr
+        ):
+            if (qm.group(1) or qm.group(2)) not in variables:
                 # same loud failure as the matcher-side compiler: a typo'd
                 # qualifier must not silently read as a current-row column
                 raise MrExprError(
-                    f"unknown pattern variable {qm.group(1)!r}"
+                    "unknown pattern variable "
+                    f"{(qm.group(1) or qm.group(2))!r}"
                 )
-        bare = re.sub(r"\b\w+\.(\w+)", r"\1", rewrite_prev(expr))
+        bare = re.sub(r"`[^`]*`\s*\.\s*(\w+)", r"\1", rewrite_prev(expr))
+        bare = re.sub(r"\b\w+\.(\w+)", r"\1", bare)
         col = f"__mr_{name}"
         work = work.withColumn(col, F.expr(bare))
         pred_cols[name] = col
@@ -1086,7 +1108,7 @@ def match_recognize_sql(
             tm = _PTOKEN_RE.match(token)
             if not tm:
                 raise ValueError(f"bad PATTERN token: {token!r}")
-            name, suffix = tm.group("name"), tm.group("suf") or ""
+            name, suffix = _unq(tm.group("name")), tm.group("suf") or ""
             if in_exclusion:
                 excluded.add(name)
             pat = Pattern.begin(name) if pat is None else pat.next(name)

@@ -58,10 +58,11 @@ def test_find_fragment_shape():
 
 
 def test_itcase_simple_pattern_statement(spark, t_env):
-    """MatchRecognizeITCase.testSimplePattern:55 VERBATIM (modulo the
-    quoted-identifier variables): expected match is ONLY (6,7,8) — strict
-    row contiguity, the (1,·,·) prefix is broken by the 'z' row; no
-    PARTITION BY, no ONE ROW PER MATCH keyword (the SQL default)."""
+    """MatchRecognizeITCase.testSimplePattern:55 VERBATIM — including the
+    backtick-quoted `A"` pattern variable (Calcite quoted identifiers) and
+    the single-letter `l` variable: expected match is ONLY (6,7,8) —
+    strict row contiguity, the (1,·,·) prefix is broken by the 'z' row;
+    no PARTITION BY, no ONE ROW PER MATCH keyword (the SQL default)."""
     data = [(1, "a"), (2, "z"), (3, "b"), (4, "c"), (5, "d"),
             (6, "a"), (7, "b"), (8, "c"), (9, "h")]
     spark.createDataFrame(
@@ -75,13 +76,13 @@ def test_itcase_simple_pattern_statement(spark, t_env):
         MATCH_RECOGNIZE (
           ORDER BY proctime
           MEASURES
-            A.id AS aid,
-            B.id AS bid,
+            `A"`.id AS aid,
+            l.id AS bid,
             C.id AS cid
-          PATTERN (A B C)
+          PATTERN (`A"` l C)
           DEFINE
-            A AS name = 'a',
-            B AS name = 'b',
+            `A"` AS name = 'a',
+            l AS name = 'b',
             C AS name = 'c'
         ) AS T
         """
