@@ -840,8 +840,23 @@ def match_recognize_sql(
     `udfs`: registered functions usable inside DEFINE/MEASURES
     expressions — name -> ("scalar" | "agg", python_callable, result_dtype)
     (MatchRecognizeITCase testUserDefinedFunctions parity)."""
+    from flink_parent_spark.streaming.changelog import ROWKIND_COL  # noqa: PLC0415
+
+    if ROWKIND_COL in df.columns:
+        # MatchRecognizeValidationTest.testUpdatesInUpstreamOperatorNot
+        # Supported:110 — an updating/retracting input cannot feed the
+        # matcher (a -U/-D row would have to un-match)
+        raise ValueError(
+            "Retraction on match recognize is not supported. Note: Match "
+            "recognize should not follow a non-windowed GroupBy aggregation."
+        )
     m = _SECTION_RE.search(clause.strip())
     if not m:
+        if not re.search(r"ORDER\s+BY", clause, re.IGNORECASE):
+            # MatchRecognizeValidationTest.testSortNoOrder:89
+            raise ValueError(
+                "You must specify either rowtime or proctime for order by."
+            )
         raise ValueError("unsupported MATCH_RECOGNIZE clause shape")
     # PARTITION BY is optional (most MatchRecognizeITCase queries omit it):
     # a partition-less clause matches over ONE global sequence — realized
@@ -1233,6 +1248,14 @@ def match_recognize_sql(
         return rec
 
     measure_aliases = [a for a, *_ in compiled_measures]
+    ambiguous = [c for c in partition_by if c in measure_aliases]
+    if ambiguous:
+        # MatchRecognizeValidationTest.testValidatingAmbiguousColumns:180
+        # — a measure alias shadowing a partition column would silently
+        # overwrite it in the output row
+        raise ValueError(
+            "Columns ambiguously defined: {" + ", ".join(ambiguous) + "}"
+        )
 
     if streaming:
         # ONE ROW PER MATCH + MEASURES on the watermark-held path: the

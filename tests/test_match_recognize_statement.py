@@ -614,3 +614,46 @@ def test_insert_into_with_match_recognize_and_tumble(spark, t_env, tmp_path):
     )
     got2 = sorted((r["n"]) for r in spark.read.parquet(sink2).collect())
     assert got2 == [1, 1, 2]  # [0,2):ts1 [2,4):ts2,ts3 [4,6):ts4
+
+
+def test_validation_parities_r14(spark):
+    """Four MatchRecognizeValidationTest rejection parities (legacy
+    planner's match/MatchRecognizeValidationTest.scala):
+    testSortProcessingTimeDesc:44 (descending primary sort),
+    testSortNoOrder:89 (missing ORDER BY),
+    testUpdatesInUpstreamOperatorNotSupported:110 (retracting input),
+    testValidatingAmbiguousColumns:180 (measure alias shadows a
+    partition column)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0, _ts(1))],
+        "id long, name string, price double, ts timestamp",
+    )
+    base = """
+      PARTITION BY name ORDER BY {order}
+      MEASURES LAST(A.id) AS {alias}
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A) DEFINE A AS price > 0
+    """
+    with pytest.raises(ValueError, match="must be the\n?.*ascending"):
+        match_recognize_sql(df, base.format(order="ts DESC", alias="x"))
+    with pytest.raises(ValueError, match="rowtime or proctime for order by"):
+        match_recognize_sql(
+            df,
+            """
+            PARTITION BY name
+            MEASURES LAST(A.id) AS x
+            ONE ROW PER MATCH
+            PATTERN (A) DEFINE A AS price > 0
+            """,
+        )
+    with pytest.raises(ValueError, match="Retraction on match recognize"):
+        match_recognize_sql(
+            df.withColumn("__rowkind", F.lit("+I")),
+            base.format(order="ts", alias="x"),
+            "id",
+        )
+    with pytest.raises(ValueError, match="Columns ambiguously defined: {name}"):
+        match_recognize_sql(df, base.format(order="ts", alias="name"), "id")
