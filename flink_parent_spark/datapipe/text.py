@@ -160,15 +160,23 @@ def pack_documents(
 
 def token_ngrams(text: Column | str, n: int) -> Column:
     """Token n-grams as space-joined strings; empty array when the document
-    has fewer than `n` tokens (guards Spark's descending `sequence`)."""
-    toks = tokens(text)
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    has fewer than `n` tokens (guards Spark's descending `sequence`).
+
+    The token array is BOUND as a lambda variable (transform over a
+    one-element array) before the per-position lambda slices it — the same
+    O(T^2)-avoidance as ngram_shingles: inlining `tokens(text)` into the
+    lambda makes Catalyst re-run the regex tokenization per gram position
+    (~4x slower end-to-end on the DSIR feature pass at bench scale)."""
+    def build(arr: Column) -> Column:
+        return F.when(
+            F.size(arr) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(arr) - n),
+                lambda i: F.array_join(F.slice(arr, i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(tokens(text)), build), 1)
 
 
 def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
