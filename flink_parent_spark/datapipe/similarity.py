@@ -20,6 +20,8 @@ Scale design:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from flink_parent_spark.datapipe.spread import spread
@@ -42,19 +44,50 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def _cent_literal(cent: list[list[float]]) -> Column:
-    """Literal array<array<double>> of centroids, indexed by ordinal."""
-    return F.array(*[F.array(*[F.lit(float(x)) for x in cv]) for cv in cent])
+def _seq_norm(cv: list[float]) -> float:
+    """Driver-side twin of `norm()`: the identical sequential double fold
+    (x*x products accumulated left-to-right from 0.0, then sqrt), so the
+    value is bit-identical to evaluating norm() on the same literal —
+    Python floats ARE IEEE doubles and math.sqrt is correctly rounded."""
+    acc = 0.0
+    for x in cv:
+        x = float(x)
+        acc += x * x
+    return math.sqrt(acc)
 
 
-def _best_cells(cent_arr: Column, n_cent: int, vec: Column, n: int) -> Column:
-    """Ordinals of the `n` nearest centroids (cosine desc, ordinal tiebreak)."""
-    scored = F.zip_with(
-        F.transform(cent_arr, lambda cv: cosine(cv, vec)),
-        F.sequence(F.lit(0), F.lit(n_cent - 1)),
-        lambda c, i: F.struct((-c).alias("negc"), i.alias("cell")),
+def _best_cells(cent: list[list[float]], vec: Column, n: int) -> Column:
+    """Ordinals of the `n` nearest centroids (cosine desc, ordinal tiebreak).
+
+    Scoring cost per row is one norm fold + k dot folds (the centroids are
+    driver-side literals, so their norms are precomputed with `_seq_norm`
+    and inlined, and the row vector's norm is BOUND once as a lambda
+    variable) — the naive `transform(cents, cv -> cosine(cv, vec))` form
+    costs 3k folds per row because higher-order functions are interpreted
+    per element and re-evaluate norm(vec) for every centroid. Same
+    arithmetic in the same order, so scores and ranking are bit-identical."""
+    cent_s = F.array(
+        *[
+            F.struct(
+                F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
+                F.lit(_seq_norm(cv)).alias("cn"),
+                F.lit(i).alias("cell"),
+            )
+            for i, cv in enumerate(cent)
+        ]
     )
-    return F.transform(F.slice(F.sort_array(scored), 1, n), lambda s: s["cell"])
+
+    def build(nv: Column) -> Column:
+        scored = F.transform(
+            cent_s,
+            lambda s: F.struct(
+                (-(dot(s["cv"], vec) / (s["cn"] * nv))).alias("negc"),
+                s["cell"].alias("cell"),
+            ),
+        )
+        return F.transform(F.slice(F.sort_array(scored), 1, n), lambda s: s["cell"])
+
+    return F.element_at(F.transform(F.array(norm(vec)), build), 1)
 
 
 def hash_bucket100(col: Column) -> Column:
@@ -109,12 +142,11 @@ def train_kmeans_centroids(
             return []  # empty training set: callers must handle no-centroids
         dim = len(cent[0])
         for _ in range(n_iters):
-            cent_arr = _cent_literal(cent)
             # two selects: a generator (posexplode) in the same projection as
             # the lambda-struct expression makes Catalyst's generator rewrite
             # drop the struct field aliases inside the higher-order function
             assigned = train.select(
-                _best_cells(cent_arr, len(cent), F.col(vec_col), 1)[0].alias("cell"),
+                _best_cells(cent, F.col(vec_col), 1)[0].alias("cell"),
                 F.col(vec_col).alias("__v"),
             ).select("cell", F.posexplode(F.col("__v")).alias("dim", "x"))
             agg = assigned.groupBy("cell", "dim").agg(
@@ -154,22 +186,29 @@ def ivf_kmeans_topk(
     cent = train_kmeans_centroids(
         candidates, n_centroids, n_iters, cand_id, vec_col, sample_pct=train_sample_pct
     )
-    cent_arr = _cent_literal(cent)
-    n_cent = len(cent)
+    # norms computed ONCE per row before the join (the naive per-pair
+    # cosine() re-folds both norms for every joined pair; dividing the
+    # per-pair dot by the precomputed product is the same doubles in the
+    # same order — norm(q)*norm(c) — so values are bit-identical)
     c = spread(candidates).select(
         F.col(cand_id).alias("cand_id"),
         F.col(vec_col).alias("__cv"),
-        _best_cells(cent_arr, n_cent, F.col(vec_col), 1)[0].alias("__cell"),
+        norm(F.col(vec_col)).alias("__cn"),
+        _best_cells(cent, F.col(vec_col), 1)[0].alias("__cell"),
     )
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        F.explode(_best_cells(cent_arr, n_cent, F.col(vec_col), nprobe)).alias("__cell"),
-    )
+        norm(F.col(vec_col)).alias("__qn"),
+        _best_cells(cent, F.col(vec_col), nprobe).alias("__cells"),
+    ).select("query_id", "__qv", "__qn", F.explode("__cells").alias("__cell"))
     scored = (
         c.join(F.broadcast(q), "__cell")
         .filter(F.col("query_id") != F.col("cand_id"))
-        .withColumn("cosine", cosine(F.col("__qv"), F.col("__cv")))
+        .withColumn(
+            "cosine",
+            dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
@@ -206,46 +245,35 @@ def ivf_topk(
       the corpus. The only shuffles are the cell equi-join and final top-k.
     - Output matches cosine_topk: (query_id, cand_id, cosine, rank).
     """
-    spark = candidates.sparkSession
     cent = (
         candidates.select(F.col(cand_id).alias("cid"), F.col(vec_col).alias("cv"))
         .orderBy("cid")
         .limit(n_centroids)
         .collect()
     )
-    # literal array<array<double>>, indexed by centroid ordinal
-    cent_arr = F.array(
-        *[F.array(*[F.lit(float(x)) for x in r["cv"]]) for r in cent]
-    )
+    cent_vecs = [[float(x) for x in r["cv"]] for r in cent]
 
-    def cell_scores(vec: Column) -> Column:
-        return F.transform(cent_arr, lambda cv: cosine(cv, vec))
-
-    def best_cells(vec: Column, n: int) -> Column:
-        # struct sort: ascending by (-cosine, ordinal) == best-first, stable
-        scored = F.zip_with(
-            cell_scores(vec),
-            F.sequence(F.lit(0), F.lit(len(cent) - 1)),
-            lambda c, i: F.struct((-c).alias("negc"), i.alias("cell")),
-        )
-        return F.transform(
-            F.slice(F.sort_array(scored), 1, n), lambda s: s["cell"]
-        )
-
+    # norms computed once per row before the join (bit-identical to the
+    # per-pair cosine(): same folds, same norm(q)*norm(c) operand order)
     c = spread(candidates).select(
         F.col(cand_id).alias("cand_id"),
         F.col(vec_col).alias("__cv"),
-        best_cells(F.col(vec_col), 1)[0].alias("__cell"),
+        norm(F.col(vec_col)).alias("__cn"),
+        _best_cells(cent_vecs, F.col(vec_col), 1)[0].alias("__cell"),
     )
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        F.explode(best_cells(F.col(vec_col), nprobe)).alias("__cell"),
-    )
+        norm(F.col(vec_col)).alias("__qn"),
+        _best_cells(cent_vecs, F.col(vec_col), nprobe).alias("__cells"),
+    ).select("query_id", "__qv", "__qn", F.explode("__cells").alias("__cell"))
     scored = (
         c.join(F.broadcast(q), "__cell")
         .filter(F.col("query_id") != F.col("cand_id"))
-        .withColumn("cosine", cosine(F.col("__qv"), F.col("__cv")))
+        .withColumn(
+            "cosine",
+            dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
@@ -283,9 +311,12 @@ def cosine_topk(
             "pass allow_full_scan=True to run the brute-force baseline, or "
             "use block_col / ivf_topk / ivf_pq_topk for the indexed path"
         )
+    # norms computed once per row before the join (bit-identical to the
+    # per-pair cosine(): same folds, same norm(q)*norm(c) operand order)
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        norm(F.col(vec_col)).alias("__qn"),
         *([F.col(block_col).alias("__qb")] if block_col else []),
     )
     # spread candidates across cores: a single input file otherwise pins the
@@ -293,6 +324,7 @@ def cosine_topk(
     c = spread(candidates).select(
         F.col(cand_id).alias("cand_id"),
         F.col(vec_col).alias("__cv"),
+        norm(F.col(vec_col)).alias("__cn"),
         *([F.col(block_col).alias("__cb")] if block_col else []),
     )
     if block_col:
@@ -301,7 +333,10 @@ def cosine_topk(
         joined = c.crossJoin(F.broadcast(q))
     scored = (
         joined.filter(F.col("query_id") != F.col("cand_id"))
-        .withColumn("cosine", cosine(F.col("__qv"), F.col("__cv")))
+        .withColumn(
+            "cosine",
+            dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
@@ -505,18 +540,17 @@ def ivf_pq_topk(
         .limit(n_centroids)
         .collect()
     )
-    cent_arr = _cent_literal([[float(x) for x in r["cv"]] for r in cent])
-    n_cent = len(cent)
+    cent_vecs = [[float(x) for x in r["cv"]] for r in cent]
     cb_lit, subdim = _pq_codebooks(candidates, m, ks, cand_id, vec_col)
     c = spread(candidates).select(
         F.col(cand_id).alias("cand_id"),
-        _best_cells(cent_arr, n_cent, F.col(vec_col), 1)[0].alias("__cell"),
+        _best_cells(cent_vecs, F.col(vec_col), 1)[0].alias("__cell"),
         _pq_codes(cb_lit, subdim, m, ks, F.col(vec_col)).alias("__codes"),
     )
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        F.explode(_best_cells(cent_arr, n_cent, F.col(vec_col), nprobe)).alias(
+        F.explode(_best_cells(cent_vecs, F.col(vec_col), nprobe)).alias(
             "__cell"
         ),
     )
@@ -590,13 +624,17 @@ def semdedup(
             F.lit(0).alias("cell"),
             F.lit(False).alias("dropped"),
         ).limit(0)
-    cent_arr = _cent_literal(cent)
     from pyspark import StorageLevel
 
+    # per-row norm computed once into the persisted assignment frame: the
+    # within-cell pair scan divides the per-pair dot by __n_a * __n_b —
+    # the same doubles in the same order as the per-pair cosine(), so the
+    # epsilon-ball decisions are bit-identical
     cells = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("__v"),
-        _best_cells(cent_arr, len(cent), F.col(vec_col), 1)[0].alias("cell"),
+        norm(F.col(vec_col)).alias("__n"),
+        _best_cells(cent, F.col(vec_col), 1)[0].alias("cell"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     if pair_budget is not None:
         worst = (
@@ -612,15 +650,20 @@ def semdedup(
                 f"pair_budget={pair_budget}); raise n_centroids or re-train"
             )
     a = cells.select(
-        F.col("id").alias("ida"), F.col("__v").alias("__va"), "cell"
+        F.col("id").alias("ida"), F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"), "cell"
     )
     b = cells.select(
-        F.col("id").alias("idb"), F.col("__v").alias("__vb"), "cell"
+        F.col("id").alias("idb"), F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"), "cell"
     )
     dropped_ids = (
         a.join(b, "cell")
         .filter(F.col("ida") < F.col("idb"))
-        .filter(cosine(F.col("__va"), F.col("__vb")) >= F.lit(eps))
+        .filter(
+            dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+            >= F.lit(eps)
+        )
         .select(F.col("idb").alias("id"))
         .distinct()
         .withColumn("__dropped", F.lit(True))
