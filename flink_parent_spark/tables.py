@@ -71,16 +71,40 @@ def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, Dat
     Called at the top of every query entry point: cheap (no IO until an
     action), idempotent, and makes both the DataFrame and SQL surfaces work
     against the same logical scans.
-    """
+
+    The unresolved scan DataFrames (logical plans only — no data, no
+    results; every action still reads the parquet) are memoized on the
+    session object keyed by the directory and each file's (mtime, size):
+    rebuilding them costs a parquet footer read + several py4j calls per
+    table, ~0.5 s per query invocation that the bench and parity harness
+    paid on EVERY entry. A regenerated fixture directory changes the stat
+    signature and misses the cache; temp views are (re)registered on every
+    call so view-replacement semantics are unchanged."""
     sf_dir = sf_dir or DEFAULT_SF_DIR
     apply_runtime_confs(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    out: dict[str, DataFrame] = {}
+    present: list[tuple[str, str]] = []
+    sig_parts: list[tuple] = []
     for name in TABLE_NAMES:
         path = table_path(sf_dir, name)
-        if not os.path.exists(path):
+        try:
+            st = os.stat(path)
+        except OSError:
             continue
-        df = normalize_timestamps(spark.read.parquet(path), name)
+        present.append((name, path))
+        sig_parts.append((name, st.st_mtime_ns, st.st_size))
+    key = (sf_dir, tuple(sig_parts))
+    cache: dict = getattr(spark, "_fps_table_plans", None) or {}
+    out = cache.get(key)
+    if out is None:
+        out = {}
+        for name, path in present:
+            out[name] = normalize_timestamps(spark.read.parquet(path), name)
+        # keep only the latest signature per directory: a regenerated
+        # fixture dir must not pin its stale plans alive
+        cache = {k: v for k, v in cache.items() if k[0] != sf_dir}
+        cache[key] = out
+        spark._fps_table_plans = cache  # noqa: SLF001 - session-scoped memo
+    for name, df in out.items():
         df.createOrReplaceTempView(name)
-        out[name] = df
-    return out
+    return dict(out)
