@@ -116,7 +116,16 @@ def ngram_jaccard_pairs(
     """All document pairs with n-gram Jaccard >= threshold, via
     inverted-index self-join. Output: (id_a, id_b, common, size_a, size_b,
     jaccard) with id_a < id_b."""
-    sh = _shingle_table(df, text_col, id_col, n).select("__id", "__h").distinct()
+    # persisted: the distinct shingle set feeds the hot-shingle count, the
+    # per-doc sizes, and both inverted-index join legs — four consumers
+    # with different downstream keys, each otherwise re-running the
+    # tokenize+shingle+md5+distinct pass
+    sh = (
+        _shingle_table(df, text_col, id_col, n)
+        .select("__id", "__h")
+        .distinct()
+        .persist()
+    )
     if max_shingle_freq is not None:
         hot = sh.groupBy("__h").count().filter(F.col("count") > max_shingle_freq).select("__h")
         sh = sh.join(hot, "__h", "left_anti")
@@ -417,7 +426,9 @@ def winnow_pairs(
     """Near-duplicate pairs by shared winnowed fingerprints: inverted-index
     equi-join on the fingerprint value (never materializes doc x doc),
     pairs ranked by the number of shared fingerprints."""
-    fps = winnow_fingerprints(df, k, w, id_col, text_col)
+    # persisted: both join legs read the fingerprint set, and recomputing
+    # it means re-running the two per-doc window passes over the corpus
+    fps = winnow_fingerprints(df, k, w, id_col, text_col).persist()
     a = fps.select(F.col(id_col).alias("id_a"), "fp")
     b = fps.select(F.col(id_col).alias("id_b"), "fp")
     return (
@@ -460,7 +471,11 @@ def duplicated_spans(
     multiplies dup grams by n, not the corpus, so cost tracks the
     duplicated volume — at 100 TB you'd only pay for what you cut."""
     # like _shingle_table but position-preserving (posexplode): the span
-    # union needs each gram's start offset
+    # union needs each gram's start offset. NOT persisted: the gram table
+    # feeds three branches, but caching the exploded rows measured SLOWER
+    # than recomputing them (r15 A/B 1.36 -> 1.80 s at sf0.1) — the
+    # tokenize+gram+md5 recompute is pure codegen while the cache pays
+    # serialization of every exploded row.
     g = (
         _spread(df)
         .select(
