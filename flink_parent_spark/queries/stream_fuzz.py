@@ -675,8 +675,10 @@ def _register_mr(i: int, rng: random.Random) -> None:
         # drives the O(run)-per-row DEFINE aggregate path (same cost shape
         # as the reference's per-record full re-accumulation,
         # MatchCodeGenerator.scala:755) at real run lengths, plus a final
-        # float SUM over each cap-length run. Streaming at i=6: runs grow
-        # across micro-batch seals in the watermark-held operator.
+        # float SUM over each cap-length run. BATCH at i=6 (see the
+        # `streaming = i % 2 == 0 and i != 6` rationale above: the
+        # unbounded trailing quantifier would hold the final partial run
+        # per key unemitted forever on a stream that never ends).
         cap = rng.choice([20, 30, 50])
         clause = f"""
           PARTITION BY user_id
@@ -1123,8 +1125,10 @@ SHAPES: "dict[str, tuple[int, int, object]]" = {
     # mr count 7 (r14): index 4 always draws the aggregate-measures kind
     # (STREAMING deployment at i=4), index 5 the DEFINE-running-aggregate
     # kind (COUNT cap chunking, batch), and index 6 the LONG-RUN running
-    # aggregate kind (cap 20-50, streaming — verdict-r13 #2's quadratic
-    # path exercised at real run lengths every battery/hunt); 0-3 keep
+    # aggregate kind (cap 20-50, batch by construction — its unbounded
+    # trailing quantifier would never seal on an unending stream;
+    # verdict-r13 #2's quadratic path exercised at real run lengths
+    # every battery/hunt); 0-3 keep
     # the r12 pinned kinds (prev/three/three/relaxed, prev streaming at
     # i=0)
     "mr": (0x57FA, 7, _register_mr),

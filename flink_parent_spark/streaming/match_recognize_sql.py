@@ -232,6 +232,27 @@ def _and(a, b):
     return bool(a) and bool(b)
 
 
+def _or_f(a, b):
+    """Kleene OR completion for a SHORT-CIRCUITED lhs `a` known to be
+    FALSE or NULL (the TRUE case never reaches here — see parse_or).
+    Identical truth table to `_or`; split out so the compiled expression
+    can skip evaluating `b` when `a` is TRUE, like the reference's
+    generated code (a guarded division such as
+    `LAST(A.x) <> 0 AND 10 / LAST(A.x) > 1` must not evaluate its
+    guarded operand when the guard already decides)."""
+    if b is not None and b:
+        return True
+    return None if (a is None or b is None) else False
+
+
+def _and_f(a, b):
+    """Kleene AND completion for a short-circuited lhs `a` known to be
+    TRUE or NULL (the FALSE case never reaches here — see parse_and)."""
+    if b is not None and not b:
+        return False
+    return None if (a is None or b is None) else True
+
+
 _MR_GLOBALS = {
     "__builtins__": {},
     "_cmp": _cmp,
@@ -240,6 +261,8 @@ _MR_GLOBALS = {
     "_not": _not,
     "_or": _or,
     "_and": _and,
+    "_or_f": _or_f,
+    "_and_f": _and_f,
     "_on_row": _on_row,
 }
 
@@ -362,6 +385,7 @@ class _MrCompiler:
         self.row_var = None  # "_r" inside a nav/agg row function
         self.quals: "set[str] | None" = None
         self.uses_match_state = False
+        self._sc_n = 0  # unique walrus names for short-circuit AND/OR
 
     # --- lexing -------------------------------------------------------------
 
@@ -421,6 +445,10 @@ class _MrCompiler:
             raise MrExprError(f"trailing tokens: {self.toks[self.i:]!r}")
         return src, dt_
 
+    def _sc_name(self):
+        self._sc_n += 1
+        return f"_sc{self._sc_n}"
+
     def parse_or(self):
         src, dt_ = self.parse_and()
         while self._is_kw(self.peek(), "OR"):
@@ -428,8 +456,16 @@ class _MrCompiler:
             rhs, _ = self.parse_and()
             # Kleene three-valued OR: NULL OR FALSE must stay NULL when the
             # boolean value is emitted from MEASURES (Python `or` would
-            # collapse it to FALSE)
-            src = f"_or({src}, {rhs})"
+            # collapse it to FALSE). Short-circuit like the reference's
+            # MatchCodeGenerator: the RHS is only evaluated when the LHS is
+            # FALSE/NULL (a Python conditional expression is lazy; the
+            # walrus name is unique per emission so nested AND/OR chains
+            # cannot clobber each other's bound LHS).
+            a = self._sc_name()
+            src = (
+                f"(True if (({a} := {src}) is not None and {a}) "
+                f"else _or_f({a}, {rhs}))"
+            )
             dt_ = "boolean"
         return src, dt_
 
@@ -438,7 +474,12 @@ class _MrCompiler:
         while self._is_kw(self.peek(), "AND"):
             self._eat()
             rhs, _ = self.parse_not()
-            src = f"_and({src}, {rhs})"
+            # short-circuit Kleene AND: RHS skipped when LHS is FALSE
+            a = self._sc_name()
+            src = (
+                f"(False if (({a} := {src}) is not None and not {a}) "
+                f"else _and_f({a}, {rhs}))"
+            )
             dt_ = "boolean"
         return src, dt_
 

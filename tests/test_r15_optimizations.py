@@ -128,6 +128,47 @@ def test_load_tables_memoizes_plans_and_invalidates_on_stat_change(
     assert second["region"].count() == first["region"].count()
 
 
+def test_mr_and_or_short_circuit_guarded_division():
+    """r15 correctness fix (ADVICE r14, medium): AND/OR compile to lazy
+    conditional expressions, so a guarded division must not raise when the
+    guard already decides — and the Kleene truth tables must be unchanged."""
+    from flink_parent_spark.streaming.match_recognize_sql import (
+        _MR_GLOBALS,
+        _MrCompiler,
+        _and,
+        _and_f,
+        _or,
+        _or_f,
+    )
+
+    # lazy completion helpers reproduce the eager Kleene tables exactly
+    for a in (True, False, None):
+        for b in (True, False, None):
+            lazy_and = (
+                False if (a is not None and not a) else _and_f(a, b)
+            )
+            lazy_or = True if (a is not None and a) else _or_f(a, b)
+            assert lazy_and == _and(a, b)
+            assert lazy_or == _or(a, b)
+
+    # a guard of FALSE must skip the guarded division (the eager form
+    # raised ZeroDivisionError here); TRUE guard must evaluate it
+    def run(expr_src):
+        comp = _MrCompiler(expr_src, "define", set(), dtypes={})
+        src, _ = comp.compile()
+        return eval(  # noqa: S307 - mirrors the engine's own eval harness
+            compile(src, "<t>", "eval"), dict(_MR_GLOBALS), {}
+        )
+
+    assert run("1 <> 1 AND 10 / 0 > 1") is False
+    assert run("1 = 1 OR 10 / 0 > 1") is True
+    with pytest.raises(ZeroDivisionError):
+        run("1 = 1 AND 10 / 0 > 1")
+    # nested chains: inner walrus names must not clobber outer ones
+    assert run("1 = 1 AND (2 = 2 OR 10 / 0 > 1)") is True
+    assert run("(1 <> 1 AND 10 / 0 > 1) OR 3 = 3") is True
+
+
 @pytest.mark.parametrize("n", [2, 3])
 def test_token_ngrams_binding_matches_inline_form(spark, n):
     from flink_parent_spark.datapipe.text import token_ngrams, tokens
