@@ -47,32 +47,50 @@ class MultivariateGaussian:
 
     def logpdf(self, vec: Column) -> Column:
         """log density of each row's vector column: -0.5 * (x-mu)^T P
-        (x-mu) + const, as one codegen expression."""
+        (x-mu) + const, as one codegen expression.
+
+        The mean/precision literals are parsed SQL expressions (one parser
+        call, not one py4j round-trip per element — the ANN centroid-literal
+        fix), and the delta vector is BOUND once as a lambda variable:
+        referencing the raw zip_with subtree inside the aggregate lambdas
+        makes Catalyst re-evaluate it per index (O(d) extra folds per row,
+        each O(d)). Fold order is unchanged, so values are bit-identical."""
+        from flink_parent_spark.datapipe.similarity import (  # noqa: PLC0415
+            _lit_d1,
+            _lit_d2,
+        )
+
         d = len(self.mean)
-        mu = F.array(*[F.lit(float(m)) for m in self.mean])
-        delta = F.zip_with(vec, mu, lambda x, m: x.cast("double") - m)
-        prec_rows = F.array(
-            *[
-                F.array(*[F.lit(float(x)) for x in self.precision[i]])
-                for i in range(d)
-            ]
+        mu = _lit_d1([float(m) for m in self.mean])
+        prec_rows = _lit_d2(
+            [[float(x) for x in self.precision[i]] for i in range(d)]
         )
-        # quadratic form: sum_i delta_i * (P row_i . delta)
         idx = F.sequence(F.lit(1), F.lit(d))
-        quad = F.aggregate(
-            idx,
-            F.lit(0.0),
-            lambda acc, i: acc
-            + F.element_at(delta, i)
-            * F.aggregate(
-                F.zip_with(
-                    F.element_at(prec_rows, i), delta, lambda p, dd: p * dd
-                ),
+
+        def quad_form(delta: Column) -> Column:
+            # quadratic form: sum_i delta_i * (P row_i . delta)
+            quad = F.aggregate(
+                idx,
                 F.lit(0.0),
-                lambda a, x: a + x,
+                lambda acc, i: acc
+                + F.element_at(delta, i)
+                * F.aggregate(
+                    F.zip_with(
+                        F.element_at(prec_rows, i), delta, lambda p, dd: p * dd
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+            )
+            return F.lit(self._log_const) - 0.5 * quad
+
+        return F.element_at(
+            F.transform(
+                F.array(F.zip_with(vec, mu, lambda x, m: x.cast("double") - m)),
+                quad_form,
             ),
+            1,
         )
-        return F.lit(self._log_const) - 0.5 * quad
 
     def pdf(self, vec: Column) -> Column:
         return F.exp(self.logpdf(vec))

@@ -46,11 +46,16 @@ class StandardScalerModel(Model):
     STDS = ParamInfo("stds", "per-coordinate stds (0 -> passthrough)")
 
     def transform(self, t_env, table):
+        from flink_parent_spark.datapipe.similarity import _lit_d1  # noqa: PLC0415
+
         means = self.get(self.MEANS)
         stds = [s if s > 0 else 1.0 for s in self.get(self.STDS)]
         vec, out = self.get(VEC_COL), self.get(OUT_COL)
-        m = F.array(*[F.lit(float(x)) for x in means])
-        s = F.array(*[F.lit(float(x)) for x in stds])
+        # one parsed literal per array, not one py4j round-trip per element
+        # (same driver-latency fix as the ANN centroid literals; repr()
+        # digits round-trip so the doubles are bit-identical)
+        m = _lit_d1([float(x) for x in means])
+        s = _lit_d1([float(x) for x in stds])
         idx = F.sequence(F.lit(0), F.size(F.col(vec)) - 1)
         return table.withColumn(
             out,
@@ -92,11 +97,12 @@ class KMeansModel(Model):
     def transform(self, t_env, table):
         cents = self.get(self.CENTROIDS)
         vec, out = self.get(VEC_COL), self.get(OUT_COL)
-        from flink_parent_spark.datapipe.similarity import sqdist  # noqa: PLC0415
-
-        cent_arr = F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+        from flink_parent_spark.datapipe.similarity import (  # noqa: PLC0415
+            _lit_d2,
+            sqdist,
         )
+
+        cent_arr = _lit_d2([[float(x) for x in c] for c in cents])
         dists = F.transform(
             cent_arr, lambda c: sqdist(c, F.col(vec))
         )
