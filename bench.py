@@ -375,18 +375,35 @@ def _bench_other_tree(worktree: str) -> dict:
     return json.loads(lines[-1])
 
 
+AB_VOID_SPREAD = 2.0  # per-query bracket max/min above this voids the ratio
+
+
 def run_ab(commit: str) -> dict:
     """Same-sitting A/B against a pinned prior tree (BASELINE.md
-    "Cross-round comparison rule", r14): the headline set runs interleaved
-    A-B-A — this tree, the `commit` tree in a git worktree, this tree
-    again — on one box in one sitting, and the per-query ratio
-    min(A1,A2)/B is the engine signal. Motivation: value_norm_mix moved
-    1.75x between sittings on IDENTICAL code (r13 judge, all probes
-    valid); probes calibrate within a sitting, not across them, so the
-    same-sitting two-tree A/B is the official cross-round engine verdict.
+    "Cross-round comparison rule"): the headline set runs interleaved
+    A-B-A-B — this tree and the `commit` tree alternating in git
+    worktrees on one box in one sitting — and the per-query ratio
+    min(A1,A2)/min(B1,B2) is the engine signal. Motivation:
+    value_norm_mix moved 1.75x between sittings on IDENTICAL code (r13
+    judge, all probes valid); probes calibrate within a sitting, not
+    across them, so the same-sitting two-tree A/B is the official
+    cross-round engine verdict.
+
+    r15 instrument tightening (the r14 A-B-A design read 0.855 and 1.06
+    on identical headline code — both "verdicts" were noise): brackets
+    are now SYMMETRIC (best-of-2 on BOTH sides — r14 gave A best-of-2
+    vs a single B bracket, so one B-side host stall inflated that
+    query's ratio with nothing to absorb it), per-query ratios whose
+    bracket spread (max/min across the two readings of EITHER side)
+    exceeds AB_VOID_SPREAD are VOIDED rather than averaged into the
+    median (the r14 file's tpcds_q67 B-stall at 35.8 s vs ~5 s typical
+    is the motivating case), and the output carries the median AND the
+    IQR of the surviving ratios so a 1.06 median with IQR straddling
+    1.0 reads as "flat within noise", not "SLOWER".
 
     Output = the final A bracket's normal bench dict plus an "ab" block
-    (per-query ratios, median, movers, verdict line)."""
+    (per-query ratios + spreads, voided list, median, IQR, movers,
+    verdict line)."""
     import statistics  # noqa: PLC0415
     import subprocess  # noqa: PLC0415
     import tempfile  # noqa: PLC0415
@@ -403,45 +420,87 @@ def run_ab(commit: str) -> dict:
     try:
         a1 = run_bench()
         _stop_active_session()  # free the JVM before the B bracket's JVM
-        b = _bench_other_tree(wt)
+        b1 = _bench_other_tree(wt)
         a2 = run_bench()
+        _stop_active_session()
+        b2 = _bench_other_tree(wt)
     finally:
         subprocess.run(
             ["git", "-C", repo, "worktree", "remove", "--force", wt],
             check=False,
             capture_output=True,
         )
-    a_q = {
-        q: min(v for v in (a1["queries"].get(q), a2["queries"].get(q)) if v)
-        for q in a2["queries"]
-        if a1["queries"].get(q) or a2["queries"].get(q)
-    }
-    common = sorted(set(a_q) & set(b.get("queries", {})))
-    ratios = {
-        q: round(a_q[q] / b["queries"][q], 3)
-        for q in common
-        if b["queries"][q] > 0
-    }
+
+    def _best_and_spread(r1: dict, r2: dict) -> tuple[dict, dict]:
+        best, spread = {}, {}
+        for q in set(r1) | set(r2):
+            vals = [v for v in (r1.get(q), r2.get(q)) if v]
+            if not vals:
+                continue
+            best[q] = min(vals)
+            spread[q] = (
+                round(max(vals) / min(vals), 3) if min(vals) > 0 else None
+            )
+        return best, spread
+
+    a_q, a_spread = _best_and_spread(a1["queries"], a2["queries"])
+    b_q, b_spread = _best_and_spread(
+        b1.get("queries", {}), b2.get("queries", {})
+    )
+    common = sorted(set(a_q) & set(b_q))
+    ratios, voided = {}, []
+    for q in common:
+        if b_q[q] <= 0:
+            continue
+        r = round(a_q[q] / b_q[q], 3)
+        sa, sb = a_spread.get(q), b_spread.get(q)
+        if (sa is not None and sa > AB_VOID_SPREAD) or (
+            sb is not None and sb > AB_VOID_SPREAD
+        ):
+            voided.append(q)
+        else:
+            ratios[q] = r
     med = round(statistics.median(ratios.values()), 3) if ratios else None
+    iqr = None
+    if len(ratios) >= 4:
+        qs_sorted = statistics.quantiles(ratios.values(), n=4)
+        iqr = [round(qs_sorted[0], 3), round(qs_sorted[2], 3)]
     movers = sorted(ratios.items(), key=lambda kv: kv[1])
+    iqr_s = f", IQR {iqr}" if iqr else ""
     if med is None:
         verdict = "no comparable queries"
-    elif med <= 0.95:
-        verdict = f"engine FASTER: median per-query ratio {med} vs {commit[:8]}"
-    elif med >= 1.05:
-        verdict = f"engine SLOWER: median per-query ratio {med} vs {commit[:8]}"
+    elif med <= 0.95 and (iqr is None or iqr[1] < 1.0):
+        verdict = (
+            f"engine FASTER: median per-query ratio {med}{iqr_s} vs {commit[:8]}"
+        )
+    elif med >= 1.05 and (iqr is None or iqr[0] > 1.0):
+        verdict = (
+            f"engine SLOWER: median per-query ratio {med}{iqr_s} vs {commit[:8]}"
+        )
     else:
-        verdict = f"engine FLAT: median per-query ratio {med} vs {commit[:8]}"
+        # median inside [0.95, 1.05], or outside it with the IQR still
+        # straddling 1.0 (a shifted median inside a noise band that wide
+        # is not an engine verdict)
+        verdict = (
+            f"engine FLAT: median per-query ratio {med}{iqr_s} vs {commit[:8]}"
+        )
     out = a2
     out["ab"] = {
         "baseline_commit": commit,
-        "order": ["A", "B", "A"],
+        "order": ["A", "B", "A", "B"],
+        "void_spread": AB_VOID_SPREAD,
         "a_queries_best": a_q,
-        "b_queries": b.get("queries"),
-        "b_value": b.get("value"),
-        "b_calib": b.get("calib"),
+        "b_queries_best": b_q,
+        "a_spread": a_spread,
+        "b_spread": b_spread,
+        "voided": voided,
+        "b_value": min(
+            v for v in (b1.get("value"), b2.get("value")) if v is not None
+        ),
+        "b_calib": b2.get("calib"),
         "per_query_ratio": ratios,
         "median_ratio": med,
+        "iqr": iqr,
         "best_mover": movers[0] if movers else None,
         "worst_mover": movers[-1] if movers else None,
         "verdict": verdict,

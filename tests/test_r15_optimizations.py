@@ -188,3 +188,48 @@ def test_token_ngrams_binding_matches_inline_form(spark, n):
     ).otherwise(F.array().cast("array<string>"))
     ref = df.select(inline.alias("g")).collect()
     assert [list(r["g"]) for r in got] == [list(r["g"]) for r in ref]
+
+
+def test_ab_symmetric_brackets_void_stalled_queries(monkeypatch):
+    """r15 instrument tightening: A-B-A-B symmetric best-of-2 brackets,
+    per-query spread voiding, median + IQR. A single B-side host stall
+    (the r14 tpcds_q67 case: 35.8 s vs ~5 s typical) must be VOIDED,
+    not averaged into the median."""
+    import bench
+
+    a_runs = iter(
+        [
+            {"queries": {"q1": 1.0, "q2": 2.0, "q67": 5.0}, "value": 8.0},
+            {"queries": {"q1": 0.9, "q2": 2.1, "q67": 5.2}, "value": 8.2},
+        ]
+    )
+    b_runs = iter(
+        [
+            {"queries": {"q1": 1.1, "q2": 2.2, "q67": 35.8}, "value": 39.1,
+             "calib": {}},
+            {"queries": {"q1": 1.0, "q2": 2.0, "q67": 5.1}, "value": 8.1,
+             "calib": {}},
+        ]
+    )
+    monkeypatch.setattr(bench, "run_bench", lambda: dict(next(a_runs)))
+    monkeypatch.setattr(
+        bench, "_bench_other_tree", lambda wt: dict(next(b_runs))
+    )
+    monkeypatch.setattr(bench, "_stop_active_session", lambda: None)
+
+    import subprocess
+
+    class _Ok:
+        returncode = 0
+
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: _Ok())
+    ab = bench.run_ab("deadbeefcafe")["ab"]
+    assert ab["order"] == ["A", "B", "A", "B"]
+    # q67's B bracket spread is 35.8/5.1 = 7.0 > AB_VOID_SPREAD -> voided
+    assert ab["voided"] == ["q67"]
+    assert "q67" not in ab["per_query_ratio"]
+    # surviving ratios use best-of-2 on BOTH sides
+    assert ab["per_query_ratio"]["q1"] == round(0.9 / 1.0, 3)
+    assert ab["per_query_ratio"]["q2"] == round(2.0 / 2.0, 3)
+    assert ab["median_ratio"] is not None
+    assert "FLAT" in ab["verdict"] or "FASTER" in ab["verdict"]
