@@ -376,6 +376,10 @@ def _bench_other_tree(worktree: str) -> dict:
 
 
 AB_VOID_SPREAD = 2.0  # per-query bracket max/min above this voids the ratio
+# A/B cpu-probe ratio band outside which a directional verdict downgrades
+# to FLAT: the probe runs fixed work, so a ratio this far from 1.0 means
+# the box itself ran the two sides at different speeds (r15 ADVICE)
+AB_CALIB_TOLERANCE = (0.8, 1.25)
 
 
 def run_ab(commit: str) -> dict:
@@ -467,13 +471,48 @@ def run_ab(commit: str) -> dict:
         iqr = [round(qs_sorted[0], 3), round(qs_sorted[2], 3)]
     movers = sorted(ratios.items(), key=lambda kv: kv[1])
     iqr_s = f", IQR {iqr}" if iqr else ""
+    # Bracket-level asymmetry check (r15 ADVICE): a directional verdict is
+    # only trustworthy when the two sides' FIXED-WORK probes agree — a box
+    # that ran one side's calibration 2x slower moved every query on that
+    # side too, and per-query spread voiding cannot see it (both readings
+    # of a side stall together). The cpu probe is the steadiest (r14/r15
+    # trimmed spreads ~1.02 vs 1.5+ for shuffle/python), so it is the gate.
+    def _calib_med(r1: dict, r2: dict, probe: str):
+        vals = [
+            (r or {}).get("calib", {}).get(probe, {}).get("median")
+            for r in (r1, r2)
+        ]
+        vals = [v for v in vals if v]
+        return min(vals) if vals else None
+
+    calib_ratio = None
+    a_cpu = _calib_med(a1, a2, "cpu")
+    b_cpu = _calib_med(b1, b2, "cpu")
+    if a_cpu and b_cpu:
+        calib_ratio = round(a_cpu / b_cpu, 3)
+    calib_skewed = calib_ratio is not None and not (
+        AB_CALIB_TOLERANCE[0] <= calib_ratio <= AB_CALIB_TOLERANCE[1]
+    )
     if med is None:
         verdict = "no comparable queries"
-    elif med <= 0.95 and (iqr is None or iqr[1] < 1.0):
+    elif iqr is None:
+        # <4 surviving ratios (heavy voiding): a bare median of up to 3
+        # points is not a directional verdict (r15 ADVICE)
+        verdict = (
+            f"engine FLAT (insufficient data: {len(ratios)} surviving "
+            f"ratios): median per-query ratio {med} vs {commit[:8]}"
+        )
+    elif calib_skewed:
+        verdict = (
+            f"engine FLAT (calib-skewed: cpu probe A/B ratio {calib_ratio} "
+            f"outside {AB_CALIB_TOLERANCE}): median per-query ratio "
+            f"{med}{iqr_s} vs {commit[:8]}"
+        )
+    elif med <= 0.95 and iqr[1] < 1.0:
         verdict = (
             f"engine FASTER: median per-query ratio {med}{iqr_s} vs {commit[:8]}"
         )
-    elif med >= 1.05 and (iqr is None or iqr[0] > 1.0):
+    elif med >= 1.05 and iqr[0] > 1.0:
         verdict = (
             f"engine SLOWER: median per-query ratio {med}{iqr_s} vs {commit[:8]}"
         )
@@ -494,9 +533,13 @@ def run_ab(commit: str) -> dict:
         "a_spread": a_spread,
         "b_spread": b_spread,
         "voided": voided,
+        # default=None: a degraded B run (both brackets missing 'value')
+        # must not crash after all four brackets have been paid for
         "b_value": min(
-            v for v in (b1.get("value"), b2.get("value")) if v is not None
+            (v for v in (b1.get("value"), b2.get("value")) if v is not None),
+            default=None,
         ),
+        "calib_ratio_cpu": calib_ratio,
         "b_calib": b2.get("calib"),
         "per_query_ratio": ratios,
         "median_ratio": med,

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from flink_parent_spark.datapipe.cachereg import persist_scoped
 from flink_parent_spark.datapipe.spread import spread
 from flink_parent_spark.datapipe.text import token_hash64, tokens
 
@@ -119,12 +120,11 @@ def ngram_jaccard_pairs(
     # persisted: the distinct shingle set feeds the hot-shingle count, the
     # per-doc sizes, and both inverted-index join legs — four consumers
     # with different downstream keys, each otherwise re-running the
-    # tokenize+shingle+md5+distinct pass
-    sh = (
-        _shingle_table(df, text_col, id_col, n)
-        .select("__id", "__h")
-        .distinct()
-        .persist()
+    # tokenize+shingle+md5+distinct pass. Scoped: the next call of this
+    # operator releases this generation (guide §5 unpersist discipline).
+    sh = persist_scoped(
+        _shingle_table(df, text_col, id_col, n).select("__id", "__h").distinct(),
+        "dedup.ngram_jaccard_pairs.shingles",
     )
     if max_shingle_freq is not None:
         hot = sh.groupBy("__h").count().filter(F.col("count") > max_shingle_freq).select("__h")
@@ -223,6 +223,7 @@ def minhash_lsh_pairs(
     k: int = 16,
     bands: int = 4,
     verify_threshold: float | None = 0.5,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: docs sharing at least one band digest
     (k/bands rows per band). If verify_threshold is set, candidates are
@@ -232,12 +233,27 @@ def minhash_lsh_pairs(
     Scale shape: signature + banding are shuffle-free map work over the
     corpus scan; the only shuffles are the band-key equi-join (candidate
     generation) and the verify joins, both scaling with candidates, not
-    with the O(n^2) pair space."""
+    with the O(n^2) pair space.
+
+    Skew guard (`max_band_freq`): the band self-join pairs every document
+    sharing a band digest, so a band shared by m docs emits ~m^2/2
+    candidate rows in ONE task — a boilerplate-heavy or short-doc corpus
+    at 100 TB puts thousands of near-identical signatures into one band
+    and that straggler does quadratic work. With `max_band_freq` set,
+    bands hotter than the cap are dropped before the join (the same guard
+    the Jaccard path applies via `max_shingle_freq`; in both cases a
+    member of a dropped-hot group is still found through its OTHER
+    bands/shingles unless every one is hot). Default None keeps the exact
+    all-candidates semantics."""
     rows_per_band = k // bands
     # shared doc-level shingle-hash arrays: persisted so the signature and
     # verify branches scan/shingle/md5 the corpus once (at cluster scale
-    # this would be a checkpoint to reliable storage instead)
-    ha = _shingle_hash_arrays(df, text_col, id_col, n).persist()
+    # this would be a checkpoint to reliable storage instead). Scoped: the
+    # next call of this operator releases this generation (guide §5).
+    ha = persist_scoped(
+        _shingle_hash_arrays(df, text_col, id_col, n),
+        "dedup.minhash_lsh_pairs.shingle_arrays",
+    )
     sig_doc = ha.filter(F.size("__ha") > 0).select(
         "__id", _sig_array(F.col("__ha"), k).alias("__sig")
     )
@@ -256,6 +272,14 @@ def minhash_lsh_pairs(
         ]
     )
     banded = sig_doc.select("__id", F.explode(band_keys).alias("band_key"))
+    if max_band_freq is not None:
+        hot = (
+            banded.groupBy("band_key")
+            .count()
+            .filter(F.col("count") > max_band_freq)
+            .select("band_key")
+        )
+        banded = banded.join(hot, "band_key", "left_anti")
     a = banded.select(F.col("__id").alias("id_a"), "band_key")
     b = banded.select(F.col("__id").alias("id_b"), "band_key")
     cand = (
@@ -320,7 +344,10 @@ def simhash_pairs(
             f"max_hamming={max_hamming} needs > {max_hamming} bands for "
             "the pigeonhole completeness guarantee"
         )
-    sh = simhash(df, text_col, id_col, bits=bits).persist()
+    sh = persist_scoped(
+        simhash(df, text_col, id_col, bits=bits),
+        "dedup.simhash_pairs.fingerprints",
+    )
     width = -(-bits // bands)  # ceil
     banded = sh.select(
         "id",
@@ -427,8 +454,12 @@ def winnow_pairs(
     equi-join on the fingerprint value (never materializes doc x doc),
     pairs ranked by the number of shared fingerprints."""
     # persisted: both join legs read the fingerprint set, and recomputing
-    # it means re-running the two per-doc window passes over the corpus
-    fps = winnow_fingerprints(df, k, w, id_col, text_col).persist()
+    # it means re-running the two per-doc window passes over the corpus.
+    # Scoped: the next call releases this generation (guide §5).
+    fps = persist_scoped(
+        winnow_fingerprints(df, k, w, id_col, text_col),
+        "dedup.winnow_pairs.fingerprints",
+    )
     a = fps.select(F.col(id_col).alias("id_a"), "fp")
     b = fps.select(F.col(id_col).alias("id_b"), "fp")
     return (

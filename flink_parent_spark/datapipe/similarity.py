@@ -44,6 +44,20 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _d_tok(v: float) -> str:
+    """SQL token for one double literal. Finite values use repr()'s
+    shortest round-trip digits with the D suffix; non-finite values have
+    no typed-literal spelling (repr gives 'nan'/'inf', and 'nanD' fails to
+    resolve as a column — r15 ADVICE), so they go through the double()
+    cast, which Spark folds to the exact special value."""
+    v = float(v)
+    if math.isfinite(v):
+        return f"{v!r}D"
+    if math.isnan(v):
+        return "double('NaN')"
+    return "double('Infinity')" if v > 0 else "double('-Infinity')"
+
+
 def _lit_d1(vals: "list[float]") -> Column:
     """Literal array<double> built as ONE parsed SQL expression instead of
     per-element F.lit calls: each lit is a py4j round-trip (~0.7 ms), so a
@@ -53,13 +67,13 @@ def _lit_d1(vals: "list[float]") -> Column:
     parsed literal is bit-identical to the F.lit form."""
     if not vals:
         return F.array().cast("array<double>")
-    return F.expr("array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")")
+    return F.expr("array(" + ",".join(_d_tok(v) for v in vals) + ")")
 
 
 def _lit_d2(rows: "list[list[float]]") -> Column:
     """Literal array<array<double>> as one parsed expression (see _lit_d1)."""
     inner = ",".join(
-        "array(" + ",".join(f"{float(v)!r}D" for v in r) + ")" for r in rows
+        "array(" + ",".join(_d_tok(v) for v in r) + ")" for r in rows
     )
     return F.expr(f"array({inner})")
 

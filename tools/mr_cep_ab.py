@@ -31,15 +31,18 @@ import tools.streaming_scale as S  # noqa: E402
 
 
 def leg_hash(df) -> tuple[int, str]:
-    """Deterministic content hash of a finished leg output: row count +
-    xxhash64 of every column, order-independent (sum over rows)."""
+    """Deterministic content hash of a finished leg output: row count plus
+    an order-independent digest of the per-row xxhash64 values. Combining
+    (count, sum, bit_xor) makes offsetting row differences implausible —
+    a pure sum could in principle be preserved by two rows changing in
+    opposite directions (r15 ADVICE)."""
     n = df.count()
-    h = df.select(
-        F.sum(
-            F.xxhash64(*[F.col(c) for c in df.columns]).cast("decimal(38,0)")
-        ).alias("h")
-    ).collect()[0]["h"]
-    return n, str(h)
+    row_h = F.xxhash64(*[F.col(c) for c in df.columns])
+    agg = df.select(
+        F.sum(row_h.cast("decimal(38,0)")).alias("s"),
+        F.bit_xor(row_h).alias("x"),
+    ).collect()[0]
+    return n, f"{agg['s']}^{agg['x']}"
 
 
 def main() -> None:
@@ -149,9 +152,14 @@ def main() -> None:
             dt = time.time() - t0
             h = leg_hash(out)
             if name in hashes:
-                assert h == hashes[name], (
-                    f"{name} output changed between reps: {h} != {hashes[name]}"
-                )
+                # RuntimeError, not assert: the identity invariant is the
+                # tool's contract ("the number is a measurement, not a
+                # behavior change") and must survive python -O
+                if h != hashes[name]:
+                    raise RuntimeError(
+                        f"{name} output changed between reps: "
+                        f"{h} != {hashes[name]}"
+                    )
             else:
                 hashes[name] = h
             times[name].append(round(dt, 2))
