@@ -516,12 +516,22 @@ def _pq_codes(cb_lit: Column, subdim: int, m: int, ks: int, vec: Column) -> Colu
         # index) form and bind the array ordinal over the default. The
         # closure over `j` is safe: PySpark invokes the lambda eagerly
         # while building the expression.
-        scored = F.zip_with(
-            F.transform(cb_lit[j], lambda cv: sqdist(_pq_sub(vec, j, subdim), cv)),
-            F.sequence(F.lit(0), F.lit(ks - 1)),
-            lambda d, i: F.struct(d.alias("dist"), i.alias("code")),
+        # The query subvector slice is BOUND once as a lambda variable:
+        # referencing `_pq_sub(vec, j, subdim)` inside the per-codeword
+        # lambda makes Catalyst re-slice the vector per codebook entry
+        # (ks slices per subspace instead of 1 — the invariant-subtree
+        # class of the r15/r16 HOF sweep).
+        def build(sub: Column) -> Column:
+            scored = F.zip_with(
+                F.transform(cb_lit[j], lambda cv: sqdist(sub, cv)),
+                F.sequence(F.lit(0), F.lit(ks - 1)),
+                lambda d, i: F.struct(d.alias("dist"), i.alias("code")),
+            )
+            return F.sort_array(scored)[0]["code"]
+
+        return F.element_at(
+            F.transform(F.array(_pq_sub(vec, j, subdim)), build), 1
         )
-        return F.sort_array(scored)[0]["code"]
 
     return F.array(*[code_at(j) for j in range(m)])
 

@@ -236,24 +236,38 @@ def chunk_documents(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = tokens(text_col)
-    starts = F.sequence(
-        F.lit(0),
-        F.greatest(F.size(toks) - 1, F.lit(0)),
-        F.lit(stride),
-    )
-    chunks = F.transform(
-        starts,
-        lambda s, i: F.struct(
-            i.alias("chunk_id"),
-            F.array_join(F.slice(toks, s + 1, chunk_tokens), " ").alias(
-                "chunk_text"
+
+    # The token array is BOUND as a lambda variable (transform over a
+    # one-element array) before the per-chunk lambda slices it: Catalyst
+    # higher-order functions re-evaluate invariant subtrees per element,
+    # so inlining `tokens(text_col)` in the lambda re-ran the regex
+    # tokenization per chunk — O(T^2/stride) splits on a T-token document
+    # (the token_ngrams/ngram_shingles bug class).
+    def build(arr: Column) -> Column:
+        starts = F.sequence(
+            F.lit(0),
+            F.greatest(F.size(arr) - 1, F.lit(0)),
+            F.lit(stride),
+        )
+        return F.transform(
+            starts,
+            lambda s, i: F.struct(
+                i.alias("chunk_id"),
+                F.array_join(F.slice(arr, s + 1, chunk_tokens), " ").alias(
+                    "chunk_text"
+                ),
+                F.least(F.size(arr) - s, F.lit(chunk_tokens)).alias(
+                    "n_chunk_tokens"
+                ),
             ),
-            F.least(F.size(toks) - s, F.lit(chunk_tokens)).alias(
-                "n_chunk_tokens"
-            ),
-        ),
-    )
+        )
+
+    chunks = F.element_at(F.transform(F.array(tokens(text_col)), build), 1)
+    # single select with explode inline: projecting the chunks array first
+    # and exploding the attribute makes InferFiltersFromGenerate re-expand
+    # the whole expression into a size>0/isnotnull Filter (3 evaluations
+    # per row); inline, the Generate evaluates it once and the struct
+    # field aliases survive (verified against the formatted plan)
     return df.select(id_col, F.explode(chunks).alias("c")).select(
         id_col,
         F.col("c.chunk_id").alias("chunk_id"),

@@ -873,14 +873,21 @@ def text_ngram_contamination(spark, sf_dir):
     d = t["documents"]
 
     def shingles(df):
+        # token array bound once as a lambda variable: inlining the
+        # split(trim(text)) expression in the per-position lambda makes
+        # Catalyst re-run the regex tokenization per shingle (O(T^2) —
+        # the token_ngrams bug class, r16 HOF sweep)
+        def build(arr):
+            return F.transform(
+                F.sequence(F.lit(0), F.size(arr) - 5),
+                lambda i: F.array_join(F.slice(arr, i + 1, 5), " "),
+            )
+
         toks = F.split(F.trim("text"), r"\s+")
         return df.select(
             "doc_id",
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - 5),
-                    lambda i: F.array_join(F.slice(toks, i + 1, 5), " "),
-                )
+                F.element_at(F.transform(F.array(toks), build), 1)
             ).alias("sh"),
         )
 

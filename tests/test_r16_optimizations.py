@@ -180,3 +180,77 @@ def test_ab_calib_parity_keeps_directional_verdict(monkeypatch):
     )
     ab = bench.run_ab("deadbeefcafe")["ab"]
     assert "FASTER" in ab["verdict"]
+
+
+def test_chunk_documents_values_after_hof_bind(spark):
+    """chunk_documents re-tokenized per chunk (O(T^2) HOF bug class, fixed
+    r16); pin the exact output against a Python recomputation."""
+    from flink_parent_spark.datapipe.text import chunk_documents
+
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "x y"),
+        (3, "  lone  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_chunk_tokens"])
+        for r in chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    }
+
+    def expected(text):
+        toks = text.strip().split()
+        stride = 3
+        out = {}
+        for ci, s in enumerate(range(0, max(len(toks) - 1, 0) + 1, stride)):
+            out[ci] = (" ".join(toks[s:s + 4]), min(len(toks) - s, 4))
+        return out
+
+    want = {
+        (i, ci): v for i, t in rows for ci, v in expected(t).items()
+    }
+    assert got == want
+
+
+def test_pq_codes_subvector_bound_once(spark):
+    """_pq_codes binds the query subvector slice as a lambda variable; the
+    codes must be unchanged vs a direct argmin recomputation."""
+    from flink_parent_spark.datapipe.similarity import _pq_codes
+
+    from pyspark.sql import functions as F
+
+    cb = [
+        [[0.0, 0.0], [1.0, 1.0], [2.0, 2.0]],
+        [[0.0, 1.0], [5.0, 5.0], [1.0, 0.0]],
+    ]
+    cb_lit = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(
+                "array(" + ",".join(f"{v!r}D" for v in code) + ")" for code in cbj
+            ) + ")"
+            for cbj in cb
+        )
+        + ")"
+    )
+    vecs = [
+        (1, [0.1, 0.1, 4.9, 5.1]),
+        (2, [2.1, 1.9, 0.9, 0.05]),
+        (3, [1.0, 1.2, 0.1, 0.9]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<float>")
+    got = {
+        r["vec_id"]: r["codes"]
+        for r in df.select(
+            "vec_id", _pq_codes(cb_lit, 2, 2, 3, F.col("embedding")).alias("codes")
+        ).collect()
+    }
+
+    def argmin(sub, cbj):
+        ds = [sum((float(x) - c) ** 2 for x, c in zip(sub, code)) for code in cbj]
+        return ds.index(min(ds))
+
+    want = {
+        vid: [argmin(v[0:2], cb[0]), argmin(v[2:4], cb[1])] for vid, v in vecs
+    }
+    assert got == want
