@@ -445,13 +445,14 @@ def pq_topk(
         _pq_codes(cb_lit, subdim, m, ks, F.col(vec_col)).alias("__codes"),
     )
     q = queries.select(
-        F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(query_id).alias("query_id"),
+        _pq_dtab(cb_lit, subdim, m, F.col(vec_col)).alias("__dtab"),
     )
     joined = c.crossJoin(F.broadcast(q)).filter(
         F.col("query_id") != F.col("cand_id")
     )
     scored = joined.withColumn(
-        "adist", _pq_adist(cb_lit, subdim, m, F.col("__qv"), F.col("__codes"))
+        "adist", _pq_adist(F.col("__dtab"), F.col("__codes"), m)
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("cand_id"))
     return (
@@ -536,18 +537,39 @@ def _pq_codes(cb_lit: Column, subdim: int, m: int, ks: int, vec: Column) -> Colu
     return F.array(*[code_at(j) for j in range(m)])
 
 
-def _pq_adist(
-    cb_lit: Column, subdim: int, m: int, qv: Column, codes: Column
-) -> Column:
-    """Asymmetric distance: sum over subspaces (fixed j order — a
-    deterministic left-to-right fold) of squared L2 between the query
-    subvector and the candidate's codeword."""
+def _pq_dtab(cb_lit: Column, subdim: int, m: int, qv: Column) -> Column:
+    """Per-QUERY ADC distance table (the classic IVFADC lookup table,
+    Jegou et al. 2011 §IV): dtab[j][c] = sqdist(query subvector j,
+    codeword c of subspace j). Computed once per query row BEFORE the
+    cell join, so each joined pair pays m array lookups instead of m
+    subdim-length folds — and the query VECTOR no longer needs to enter
+    the join at all (the broadcast carries m*ks doubles per query
+    instead of the vector plus per-pair fold work). Each table entry is
+    the identical sqdist expression the per-pair form evaluated, so ADC
+    values are bit-identical.
+
+    The query subvector is bound as a lambda variable per subspace
+    (invariant-subtree rule, see _pq_codes)."""
+
+    def tab_at(j: int) -> Column:
+        def build(sub: Column) -> Column:
+            return F.transform(cb_lit[j], lambda cv: sqdist(sub, cv))
+
+        return F.element_at(
+            F.transform(F.array(_pq_sub(qv, j, subdim)), build), 1
+        )
+
+    return F.array(*[tab_at(j) for j in range(m)])
+
+
+def _pq_adist(dtab: Column, codes: Column, m: int) -> Column:
+    """Asymmetric distance from the per-query table: sum over subspaces
+    (fixed j order — the same deterministic left-to-right sum as the
+    previous per-pair fold form; each term is the identical double) of
+    dtab[j][codes[j]]."""
     adist = None
     for j in range(m):
-        term = sqdist(
-            _pq_sub(qv, j, subdim),
-            F.element_at(cb_lit[j], codes[j] + 1),
-        )
+        term = F.element_at(dtab[j], codes[j] + 1)
         adist = term if adist is None else adist + term
     return adist
 
@@ -606,7 +628,7 @@ def ivf_pq_topk(
     )
     q = queries.select(
         F.col(query_id).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
+        _pq_dtab(cb_lit, subdim, m, F.col(vec_col)).alias("__dtab"),
         F.explode(_best_cells(cent_vecs, F.col(vec_col), nprobe)).alias(
             "__cell"
         ),
@@ -615,7 +637,7 @@ def ivf_pq_topk(
         c.join(F.broadcast(q), "__cell")
         .filter(F.col("query_id") != F.col("cand_id"))
         .withColumn(
-            "adist", _pq_adist(cb_lit, subdim, m, F.col("__qv"), F.col("__codes"))
+            "adist", _pq_adist(F.col("__dtab"), F.col("__codes"), m)
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("cand_id"))

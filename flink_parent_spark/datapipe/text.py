@@ -402,7 +402,14 @@ def dsir_importance(
     order-independent and engine-stable up to the quantization grain.
 
     Returns (doc_id, logw, n_feats)."""
-    feats = df.select(
+    from flink_parent_spark.datapipe.spread import spread  # noqa: PLC0415
+
+    # spread: the feature pass (tokenize + n-gram + hash per row) is the
+    # expensive map stage; a narrow input (single local file, or many
+    # small files packing into few scan splits) would otherwise pin it to
+    # a handful of tasks (r16 scale-out probe: dsir read 1.27x from 4x
+    # cores before this). Pre-split cluster inputs pass through untouched.
+    feats = spread(df).select(
         F.col(id_col),
         is_target.alias("__tgt"),
         F.explode(dsir_features(text_col, n_buckets)).alias("bucket"),

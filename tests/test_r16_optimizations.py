@@ -254,3 +254,50 @@ def test_pq_codes_subvector_bound_once(spark):
         vid: [argmin(v[0:2], cb[0]), argmin(v[2:4], cb[1])] for vid, v in vecs
     }
     assert got == want
+
+
+def test_pq_adist_table_bit_identical(spark):
+    """The per-query ADC table must reproduce the per-pair fold's values
+    exactly (same doubles, same left-to-right subspace sum)."""
+    from pyspark.sql import functions as F
+
+    from flink_parent_spark.datapipe.similarity import (
+        _pq_adist,
+        _pq_dtab,
+        _pq_sub,
+        sqdist,
+    )
+
+    cb = [
+        [[0.1, -0.2], [1.5, 2.5], [-3.0, 0.25]],
+        [[2.0, 0.0], [0.3, -0.7], [1.0, 1.0]],
+    ]
+    cb_lit = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(
+                "array(" + ",".join(f"{v!r}D" for v in code) + ")" for code in cbj
+            ) + ")"
+            for cbj in cb
+        )
+        + ")"
+    )
+    df = spark.createDataFrame(
+        [(1, [0.11, 0.33, 0.77, -0.2], [0, 1]), (2, [1.4, 2.4, 1.1, 0.9], [1, 2])],
+        "vec_id int, embedding array<float>, codes array<int>",
+    )
+    # old per-pair fold, reconstructed
+    old = None
+    for j in range(2):
+        term = sqdist(
+            _pq_sub(F.col("embedding"), j, 2),
+            F.element_at(cb_lit[j], F.col("codes")[j] + 1),
+        )
+        old = term if old is None else old + term
+    out = df.select(
+        old.alias("a_old"),
+        _pq_adist(
+            _pq_dtab(cb_lit, 2, 2, F.col("embedding")), F.col("codes"), 2
+        ).alias("a_new"),
+    ).selectExpr("sum(CASE WHEN a_old IS DISTINCT FROM a_new THEN 1 ELSE 0 END) AS d")
+    assert out.collect()[0]["d"] == 0  # bitwise equality, not epsilon
